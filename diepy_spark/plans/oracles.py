@@ -1,0 +1,150 @@
+"""DuckDB oracle SQL for the relational query set (SURVEY.md §2.7).
+
+Each string is ANSI SQL executable by DuckDB over the driver-registered
+parquet views. Column aliases match the Spark plans in relational.py exactly
+(the driver's comparator sorts columns by name before hashing).
+
+Type alignment notes:
+- money sums: CAST(...AS DECIMAL(18,2)) inside AND outside SUM so both
+  engines emit decimal(18,2) (Spark sum widens to (28,2), DuckDB to (38,2)).
+- DuckDB SUM(INTEGER/BIGINT) returns HUGEINT (int128) — cast to BIGINT to
+  match Spark's long.
+"""
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "r1_scan_projection": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    "r2_filter": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey
+    """,
+    "r3_hash_aggregate": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "r4_join3_aggregate": """
+        SELECT n.n_name, COUNT(*) AS num_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    "r5_left_outer_join": """
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS cnt FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+    "r6_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        ORDER BY c_custkey
+    """,
+    "r7_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+        ORDER BY c_custkey
+    """,
+    "r8_topk": """
+        SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "r9_distinct": """
+        SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+    """,
+    "r10_union": """
+        SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k
+    """,
+    "r11_date_functions": """
+        SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1,2 ORDER BY 1,2
+    """,
+    "r12_string_functions": """
+        SELECT upper(r_name) AS u, lower(r_name) AS l, length(r_name) AS n,
+               substr(r_name,1,3) AS s3, trim(concat('  ', r_name, '  ')) AS t
+        FROM region ORDER BY r_name
+    """,
+    "r13_conditional_aggregation": """
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS lo
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "r14_ranking_window": """
+        SELECT o_custkey, o_orderkey, rk FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) t WHERE rk <= 2 ORDER BY o_custkey, rk
+    """,
+    "r15_dedup_accounting": """
+        SELECT lang, COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "r16_tumbling_window": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
+               COUNT(*) AS c, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),2) AS s
+        FROM events GROUP BY 1,2 ORDER BY 1,2
+    """,
+    "r17_text_stats": """
+        SELECT source, COUNT(*) AS c, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+               CAST(SUM(n_chars) AS BIGINT) AS s
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "r18_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "r19_range_join": """
+        SELECT p_brand, COUNT(*) AS c FROM part JOIN lineitem
+          ON p_partkey = l_partkey AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "r20_cosine_pairs": """
+        WITH u AS (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding,1) AS i
+                   FROM embeddings WHERE vec_id < 20)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(SUM(a.x*b.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(b.x*b.x))),4) AS cos
+        FROM u a JOIN u b ON a.i=b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id ORDER BY 1,2 LIMIT 20
+    """,
+    "r21_intersect": """
+        SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
+    """,
+    "r22_except": """
+        SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 ORDER BY k
+    """,
+    "r23_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "r24_sliding_frame": """
+        WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                              COUNT(*) AS c
+                       FROM events GROUP BY 1,2)
+        SELECT event_type, d,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS c7
+        FROM daily ORDER BY event_type, d LIMIT 100
+    """,
+    "r25_json_extraction": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS bucket, COUNT(*) AS c
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "r26_lag_window": """
+        WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS c
+                       FROM events GROUP BY 1)
+        SELECT d, c, c - LAG(c, 1, 0) OVER (ORDER BY d) AS delta
+        FROM daily ORDER BY d LIMIT 60
+    """,
+}

@@ -1,0 +1,382 @@
+"""The declared relational query set (SURVEY.md §2.7, R1–R26).
+
+Each query is a pure DataFrame-API plan builder `(spark, sf_dir) -> DataFrame`.
+Everything here is declarative: Catalyst performs predicate pushdown, column
+pruning, join selection (broadcast for `nation`/`region`/`part` dims),
+partial aggregation, and AQE runtime re-planning. No RDDs, no Python UDFs.
+
+Naming contract: every computed column is aliased identically to the oracle
+SQL in plans/oracles.py (the driver hashes columns by name).
+
+Scale notes (100 TB mindset) appear per-query where non-obvious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.types import DecimalType
+
+from diepy_spark.session import tune
+from diepy_spark.sources.registry import load_table
+
+DEC = DecimalType(18, 2)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)  # deterministic tz + AQE regardless of caller's session
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col, alias):
+    """Exact money aggregation: cast to DECIMAL(18,2) *before* SUM (contract
+    pinned in SURVEY §2.7) so aggregation order can't perturb the result,
+    then cast the exact sum to DOUBLE for the output. Rationale: pandas-side
+    representations of decimals differ between engines (DuckDB fetchdf →
+    float64, Spark/Arrow → Decimal objects); an exact decimal cast to double
+    is bit-identical in both."""
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# R1–R26
+# --------------------------------------------------------------------------
+
+def r1_scan_projection(spark, sf_dir):
+    """Ordered projection scan (diepy export analog). Column pruning reaches
+    the parquet footer: only 4 of 11 lineitem columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def r2_filter(spark, sf_dir):
+    """Filter + projection; both predicates push down to the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def r3_hash_aggregate(spark, sf_dir):
+    """TPC-H Q1 shape: multi-key hash aggregate with exact decimal sums.
+    Partial (map-side) aggregation means the shuffle carries only
+    |groups| x partitions rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def r4_join3_aggregate(spark, sf_dir):
+    """3-way equi-join + aggregate. `nation` (25 rows) is explicitly
+    broadcast; customer⋈orders shuffles on the join key once."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("num_orders"), _dec_sum("o_totalprice", "revenue"))
+        .orderBy("n_name")
+    )
+
+
+def r5_left_outer_join(spark, sf_dir):
+    """Left outer join + count of non-null keys (COUNT(col) semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+def r6_semi_join(spark, sf_dir):
+    """IN-subquery as an explicit left-semi join (what Catalyst rewrites the
+    subquery to anyway)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def r7_anti_join(spark, sf_dir):
+    """NOT IN as left-anti join. Safe because o_custkey is non-nullable in
+    this data (NOT IN with NULLs would yield empty — documented)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey").orderBy("c_custkey")
+
+
+def r8_topk(spark, sf_dir):
+    """Top-k: ORDER BY ... LIMIT k compiles to TakeOrderedAndProject — a
+    per-partition heap + single small merge, never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").cast(DEC).cast("double").alias("p"))
+        .orderBy(F.col("p").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+def r9_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+def r10_union(spark, sf_dir):
+    """UNION (dedup) — union all + distinct, one shuffle."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+def r11_date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("y", "m")
+    )
+
+
+def r12_string_functions(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    return r.select(
+        F.upper("r_name").alias("u"),
+        F.lower("r_name").alias("l"),
+        F.length("r_name").alias("n"),
+        F.substring("r_name", 1, 3).alias("s3"),
+        F.trim(F.concat(F.lit("  "), F.col("r_name"), F.lit("  "))).alias("t"),
+        F.col("r_name"),
+    ).orderBy("r_name").drop("r_name")
+
+
+def r13_conditional_aggregation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).cast("bigint").alias("hi"),
+            F.sum(F.when(F.col("o_totalprice") <= 150000, 1).otherwise(0)).cast("bigint").alias("lo"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def r14_ranking_window(spark, sf_dir):
+    """Top-2 per group via row_number. Sort happens only within each
+    o_custkey partition after one shuffle — no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 2)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def r15_dedup_accounting(spark, sf_dir):
+    """Exact-dup operator (X1) accounting shape."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("total"), F.countDistinct("text").alias("distinct_texts"))
+        .orderBy("lang")
+    )
+
+
+def r16_tumbling_window(spark, sf_dir):
+    """Batch analog of streaming tumbling window (X7): date_trunc bucketing."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            # exact decimal(18,4) sum -> double -> round: order-insensitive
+            F.round(F.sum(F.col("value").cast(DecimalType(18, 4))).cast("double"), 2).alias("s"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+def r17_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+            F.sum("n_chars").cast("bigint").alias("s"),
+        )
+        .orderBy("source")
+    )
+
+
+def r18_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+def r19_range_join(spark, sf_dir):
+    """Non-equi (range) join. The equi key p_partkey=l_partkey drives the
+    join strategy (hash/broadcast); the BETWEEN is a post-join filter, so
+    this stays O(matching pairs), not a cartesian. `part` is a broadcast
+    candidate at any SF where it fits (it's the small side here)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (p.p_partkey == li.l_partkey) & li.l_quantity.between(
+        p.p_size - 5, p.p_size + 5
+    )
+    return (
+        broadcast(p).join(li, cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("p_brand")
+    )
+
+
+def r20_cosine_pairs(spark, sf_dir):
+    """Pairwise cosine over unnested embeddings (X3 exact analog).
+    posexplode gives (i, x); pairs join on position. The vec_id<20 filter
+    pushes to the scan, so the pair join is tiny. At scale the bounded
+    candidate set comes from LSH bucketing (operators/similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    u = e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    a = u.alias("a")
+    b = u.alias("b")
+    j = a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    return (
+        j.groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(
+            F.round(
+                F.sum(F.col("a.x") * F.col("b.x"))
+                / (F.sqrt(F.sum(F.col("a.x") * F.col("a.x"))) * F.sqrt(F.sum(F.col("b.x") * F.col("b.x")))),
+                4,
+            ).alias("cos")
+        )
+        .orderBy("vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+def r21_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+def r22_except(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    return a.subtract(b).orderBy("k")  # EXCEPT (distinct) semantics
+
+
+def r23_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+def r24_sliding_frame(spark, sf_dir):
+    """7-row moving sum over per-day counts (window frame spec)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "event_type", "d", F.sum("c").over(w).cast("bigint").alias("c7")
+        )
+        .orderBy("event_type", "d")
+        .limit(100)
+    )
+
+
+def r25_json_extraction(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.get_json_object("props", "$.k").cast("int") % 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("bucket")
+    )
+
+
+def r26_lag_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d")
+    return (
+        daily.select("d", "c", (F.col("c") - F.lag("c", 1, 0).over(w)).alias("delta"))
+        .orderBy("d")
+        .limit(60)
+    )
+
+
+RELATIONAL_QUERIES = {
+    "r1_scan_projection": r1_scan_projection,
+    "r2_filter": r2_filter,
+    "r3_hash_aggregate": r3_hash_aggregate,
+    "r4_join3_aggregate": r4_join3_aggregate,
+    "r5_left_outer_join": r5_left_outer_join,
+    "r6_semi_join": r6_semi_join,
+    "r7_anti_join": r7_anti_join,
+    "r8_topk": r8_topk,
+    "r9_distinct": r9_distinct,
+    "r10_union": r10_union,
+    "r11_date_functions": r11_date_functions,
+    "r12_string_functions": r12_string_functions,
+    "r13_conditional_aggregation": r13_conditional_aggregation,
+    "r14_ranking_window": r14_ranking_window,
+    "r15_dedup_accounting": r15_dedup_accounting,
+    "r16_tumbling_window": r16_tumbling_window,
+    "r17_text_stats": r17_text_stats,
+    "r18_rollup": r18_rollup,
+    "r19_range_join": r19_range_join,
+    "r20_cosine_pairs": r20_cosine_pairs,
+    "r21_intersect": r21_intersect,
+    "r22_except": r22_except,
+    "r23_cube": r23_cube,
+    "r24_sliding_frame": r24_sliding_frame,
+    "r25_json_extraction": r25_json_extraction,
+    "r26_lag_window": r26_lag_window,
+}
