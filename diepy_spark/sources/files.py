@@ -1,0 +1,150 @@
+"""Untyped-file sources and the typed-cast projection.
+
+Reference behavior: CSV/TSV/TXT (optionally .gz/.zip) are streamed as
+string dicts (core.py:234-254); typing happens via the inference lattice +
+per-cell cast (core.py:374-389). Spark design: `spark.read.csv` with every
+column as string (distributed, splittable for plain/bzip2; .gz decompresses
+transparently but single-stream per file — document, don't fight), then one
+declarative try_cast projection applies the inferred schema. Everything
+stays in whole-stage codegen; the optional dateutil path for exotic date
+formats is an Arrow-batched pandas UDF, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, StringType, TimestampType
+
+from diepy_spark.functions.inference import ColumnSpec, normalize_headers
+
+# Extension recognition, faithful to the reference's regexes (core.py:18-25).
+_CSV_RE = re.compile(r".*(\.csv|\.tab|\.tsv|\.txt)(\.gz|\.zip)?$", re.IGNORECASE)
+_EXCEL_RE = re.compile(r".*(\.xlsx|\.xls)(\.gz|\.zip)?(\$.*)?$", re.IGNORECASE)
+
+
+def is_csv_path(p: str) -> bool:
+    return bool(_CSV_RE.match(p))
+
+
+def is_excel_path(p: str) -> bool:
+    return bool(_EXCEL_RE.match(p))
+
+
+def delimiter_for(path: str, default: str = ",") -> str:
+    """Extension decides: .tab/.tsv → tab (reference export rule,
+    core.py:314-317)."""
+    base = path[:-3] if path.endswith(".gz") else path
+    if base.endswith(".tab") or base.endswith(".tsv"):
+        return "\t"
+    return default
+
+
+def read_untyped_csv(
+    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+) -> DataFrame:
+    """All-string scan of a delimited file. multiLine handles quoted embedded
+    newlines (the reference's csv module does the same). Gzip decompresses
+    transparently by extension."""
+    df = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    fixed = normalize_headers(list(df.columns))
+    return df.toDF(*fixed)
+
+
+# Formats accepted by the fast JVM cast path for inferred datetime/date/time
+# columns. The reference accepts anything dateutil does; these cover ISO +
+# the overwhelmingly common variants. lenient=True switches to dateutil in a
+# vectorized pandas UDF for the full acceptance surface.
+_TS_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy HH:mm",
+    "yyyy-MM-dd HH:mm",
+)
+_DATE_FORMATS = ("yyyy-MM-dd", "MM/dd/yyyy", "M/d/yyyy", "yyyyMMdd")
+_TIME_FORMATS = ("HH:mm:ss", "H:mm:ss", "HH:mm", "H:mm", "hh:mm:ss a", "h:mm a")
+
+
+def _multi_format_ts(col, formats):
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in formats])
+
+
+def _dateutil_udf(kind: str):
+    import pandas as pd
+    from dateutil.parser import parse as duparse
+    from pyspark.sql.functions import pandas_udf
+
+    if kind == "time":
+        @pandas_udf(StringType())
+        def conv(s: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None or v == "":
+                    return None
+                try:
+                    return duparse(str(v)).time().strftime("%H:%M:%S")
+                except (ValueError, OverflowError):
+                    return None
+            return s.map(one)
+        return conv
+
+    out_type = DateType() if kind == "date" else TimestampType()
+
+    @pandas_udf(out_type)
+    def conv(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or v == "":
+                return None
+            try:
+                d = duparse(str(v))
+                return d.date() if kind == "date" else d
+            except (ValueError, OverflowError):
+                return None
+        return s.map(one)
+    return conv
+
+
+def apply_schema(df: DataFrame, specs: list[ColumnSpec], lenient: bool = False) -> DataFrame:
+    """Apply inferred ColumnSpecs to an all-string DataFrame as ONE
+    projection: empty string ⇒ NULL (core.py:376-377), then a type-directed
+    cast per column. try_cast never throws — unparseable stragglers become
+    NULL (fail-fast policy is enforced upstream at inference time)."""
+    cols = []
+    for spec, raw in zip(specs, df.columns):
+        c = F.when(F.col(raw) == "", None).otherwise(F.trim(F.col(raw)))
+        t = spec.type or "text"
+        if t == "datetime":
+            expr = _dateutil_udf("datetime")(c) if lenient else _multi_format_ts(c, _TS_FORMATS)
+        elif t == "date":
+            expr = (
+                _dateutil_udf("date")(c)
+                if lenient
+                else F.coalesce(
+                    *[F.try_to_timestamp(c, F.lit(f)) for f in _DATE_FORMATS]
+                ).cast(DateType())
+            )
+        elif t == "time":
+            # normalized HH:MM:SS string (Spark has no TIME type — SURVEY §7.5)
+            expr = (
+                _dateutil_udf("time")(c)
+                if lenient
+                else F.date_format(_multi_format_ts(c, _TIME_FORMATS), "HH:mm:ss")
+            )
+        elif t == "text":
+            expr = F.when(F.col(raw) == "", None).otherwise(F.col(raw))  # keep raw spacing
+        else:
+            expr = c.try_cast(spec.spark_type().simpleString())
+        cols.append(expr.alias(spec.name))
+    return df.select(*cols)

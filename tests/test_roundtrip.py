@@ -1,0 +1,137 @@
+"""Golden round-trip: import basic.csv → typed warehouse table → export CSV
+(SURVEY §5.2 item 2), plus gzip, tsv, xlsx, directory import, truncate,
+and filename decoration."""
+
+import csv
+import gzip
+import os
+from datetime import datetime
+
+import pytest
+
+from diepy_spark.context import DiepyContext
+from diepy_spark.sources.writers import decorate_filename
+from tests.test_inference import BASIC_CSV
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    ini = tmp_path / "diepy.ini"
+    wh = tmp_path / "warehouse"
+    ini.write_text(f"[servers]\ntest = {wh}\n")
+    return DiepyContext(spark, "test", config=str(ini))
+
+
+@pytest.fixture()
+def basic_file(tmp_path):
+    p = tmp_path / "basic.csv"
+    p.write_text(BASIC_CSV)
+    return str(p)
+
+
+def test_import_creates_typed_table(ctx, basic_file):
+    n = ctx.import_file(basic_file)
+    assert n == 3
+    df = ctx.backend.read_table("basic")
+    types = dict(df.dtypes)
+    assert types == {
+        "string": "string", "int": "smallint", "float": "double",
+        "datetime": "timestamp", "bool": "smallint", "time": "string",
+        "date": "date",
+    }
+    rows = {r["int"]: r for r in df.collect()}
+    assert rows[1]["time"] == "12:01:02"
+    assert rows[1]["datetime"] == datetime(2013, 10, 11, 13, 4, 5)
+    assert rows[2]["datetime"].microsecond == 132500
+    assert rows[3]["datetime"] is None and rows[3]["bool"] is None
+    assert rows[3]["string"] == "return\n"
+    assert rows[2]["string"] == "tricky with the spaces and the, commas"
+
+
+def test_export_csv_roundtrip(ctx, basic_file, tmp_path):
+    ctx.import_file(basic_file)
+    out = str(tmp_path / "out.csv")
+    ctx.export_table("basic", out, unix=True)
+    with open(out, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    byint = {r["int"]: r for r in rows}
+    assert byint["1"]["datetime"] == "2013-10-11T13:04:05"  # isoformat, no micros
+    assert byint["2"]["datetime"] == "2000-12-12T14:23:45.132500"  # micros kept
+    assert byint["3"]["datetime"] == ""  # NULL → empty
+    assert byint["1"]["date"] == "2013-10-11"
+
+
+def test_export_gzip(ctx, basic_file, tmp_path):
+    ctx.import_file(basic_file)
+    out = str(tmp_path / "out.csv")
+    got = ctx.export_table("basic", out, zip=True, unix=True)
+    assert got.endswith(".gz")
+    with gzip.open(got, "rt") as f:  # documented gzip semantics (Q1 fixed)
+        assert f.readline().strip() == "string,int,float,datetime,bool,time,date"
+
+
+def test_export_tsv_delimiter_by_extension(ctx, basic_file, tmp_path):
+    ctx.import_file(basic_file)
+    out = str(tmp_path / "out.tsv")
+    ctx.export_table("basic", out, unix=True)
+    with open(out) as f:
+        assert "\t" in f.readline()
+
+
+def test_truncate_vs_append(ctx, basic_file):
+    ctx.import_file(basic_file)
+    ctx.import_file(basic_file)  # append
+    assert ctx.backend.read_table("basic").count() == 6
+    ctx.import_file(basic_file, truncate=True)
+    assert ctx.backend.read_table("basic").count() == 3
+
+
+def test_directory_import_table_per_file(ctx, tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "t1.csv").write_text("a,b\n1,x\n")
+    (d / "t2.csv").write_text("a,b\n2,y\n")
+    (d / "skip.txt").write_text("a\n1\n")  # dir scan takes only *.csv (core.py:75-77)
+    ctx.import_path(str(d))
+    assert ctx.backend.table_exists("t1") and ctx.backend.table_exists("t2")
+    assert not ctx.backend.table_exists("skip")
+
+
+def test_xlsx_roundtrip(ctx, basic_file, tmp_path):
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    # build an xlsx analog of basic.csv via pandas
+    src = tmp_path / "book.xlsx"
+    pd.DataFrame({"name": ["a", "b"], "n": [1, 40000]}).to_excel(src, index=False, sheet_name="people")
+    ctx.import_file(str(src))
+    df = ctx.backend.read_table("people")
+    assert dict(df.dtypes)["n"] == "int"
+    assert df.count() == 2
+
+    out = str(tmp_path / "out.xlsx")
+    ctx.export_table("people", out)
+    back = pd.read_excel(out, sheet_name="people")
+    assert sorted(back["n"].tolist()) == [1, 40000]
+
+
+def test_single_sheet_addressing(ctx, tmp_path):
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    src = tmp_path / "book.xlsx"
+    with pd.ExcelWriter(src) as w:
+        pd.DataFrame({"a": [1]}).to_excel(w, index=False, sheet_name="one")
+        pd.DataFrame({"b": [2]}).to_excel(w, index=False, sheet_name="two")
+    ctx.import_file(f"{src}$two")
+    assert ctx.backend.table_exists("two")
+    assert not ctx.backend.table_exists("one")
+
+
+def test_decorate_filename():
+    now = datetime(2026, 8, 13, 14, 5)
+    assert decorate_filename("out.csv", datestamp=True, now=now) == "out-2026.08.13.csv"
+    assert decorate_filename("out.csv", timestamp=True, now=now) == "out-2026.08.13.1405.csv"
+    assert decorate_filename("out.csv.gz", datestamp=True, now=now) == "out-2026.08.13.csv.gz"
+    assert decorate_filename("out.csv") == "out.csv"
