@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from diepy_spark.plans.relational import RELATIONAL_QUERIES, r3_hash_aggregate
 from diepy_spark.plans.oracles import RELATIONAL_ORACLES
+from diepy_spark.plans.extended import EXTENDED_QUERIES, EXTENDED_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,10 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
+    out.update(EXTENDED_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
+    out.update(EXTENDED_ORACLES)
     return out

@@ -1,0 +1,117 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.6 X5).
+
+Language-ID (stopword-count heuristic), quality scoring, token counting,
+and fingerprinting — all pure built-in expressions (narrow ops + at most one
+aggregate shuffle), deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diepy_spark.operators.dedup import tokens_col
+
+# Small closed-class stopword profiles. The heuristic is the classic
+# "count function-word hits per language, argmax wins"; ties and zero hits
+# resolve deterministically (priority = list order, zero → 'und').
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language per document via stopword hit counts.
+
+    Hit counts are exact token-membership sums (not distinct), computed with
+    one pass over the token array per language — no explode, no shuffle."""
+    t = tokens_col(text_col)
+    out = df.select(F.col(id_col), t.alias("toks"))
+    for lang, words in LANG_PROFILES.items():
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.aggregate(
+                F.transform(
+                    F.col("toks"),
+                    lambda x: F.when(x.isin(*words), 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    best = None
+    for lang in LANG_PROFILES:
+        cond = (F.col(f"hits_{lang}") > 0) & F.lit(True)
+        for other in LANG_PROFILES:
+            if other == lang:
+                continue
+            op = (
+                F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+                if list(LANG_PROFILES).index(other) > list(LANG_PROFILES).index(lang)
+                else F.col(f"hits_{lang}") > F.col(f"hits_{other}")
+            )
+            cond = cond & op
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    pred = best.otherwise("und")
+    return out.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[F.col(f"hits_{lang}").alias(f"hits_{lang}") for lang in LANG_PROFILES],
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts: whitespace tokens, regex word tokens
+    (BPE-ish [a-z0-9]+ pieces), distinct words, char length."""
+    t = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(t).alias("word_tokens"),
+        F.size(F.array_distinct(t)).alias("distinct_tokens"),
+        F.length(text_col).alias("chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length signal, type-token ratio, stopword ratio, mean token length.
+    All ratios are single divisions of exact integers → bit-stable."""
+    t = tokens_col(text_col)
+    en = LANG_PROFILES["en"]
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    n_distinct = F.size(F.array_distinct(t))
+    n_stop = F.aggregate(
+        F.transform(t, lambda x: F.when(x.isin(*en), 1).otherwise(0)),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    sum_tok_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    )
+    # Ratios of exact integers are emitted as RAW doubles — IEEE division is
+    # bit-identical across engines, while ROUND(double) is not (Spark rounds
+    # the exact binary value, DuckDB the decimal rendering; values landing
+    # on .xxxx5 diverge). Only float-sum-derived values ever get rounded.
+    ttr = n_distinct / n_tok
+    stop_ratio = n_stop / n_tok
+    mean_len = sum_tok_len / n_tok
+    len_signal = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        0.3 * len_signal
+        + 0.3 * ttr
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * F.least(mean_len / 8, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_tok_len"),
+        score.alias("score"),
+    ).where(F.col("n_tokens") > 0)

@@ -1,0 +1,370 @@
+"""Extended operator query set (SURVEY §2.6): dedup, similarity, text
+analysis, multimodal — each a (spark, sf_dir) -> DataFrame plan plus a
+DuckDB oracle generated from the SAME constants (thresholds, profiles,
+hash counts), so Spark and oracle can't drift.
+
+Determinism contract: every hash is md5-over-UTF-8 (identical in both
+engines), tokenization is the same regex split, ratios are single divisions
+of exact integers, and anything ranked is rounded before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diepy_spark.operators import dedup as D
+from diepy_spark.operators import similarity as S
+from diepy_spark.operators import text as T
+from diepy_spark.operators import multimodal as M
+from diepy_spark.operators.text import LANG_PROFILES
+from diepy_spark.session import tune
+from diepy_spark.sources.registry import load_table
+
+# tuning constants shared by Spark plans and oracle SQL
+JACCARD_THRESHOLD = 0.2
+JACCARD_MAX_DF = 100
+LSH_NUM_HASHES = 16
+LSH_BAND_SIZE = 2
+LSH_THRESHOLD = 0.3
+SIG_NUM_HASHES = 4
+NEAR_DUP_COS = 0.4
+TOPK_K = 3
+TOPK_QUERY_MAX = 5
+MEDIA_DOC_MAX = 100
+FP_DOC_MAX = 50
+
+
+def _docs(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _vecs(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Spark plans
+# ---------------------------------------------------------------------------
+
+def x1_dedup_exact(spark, sf_dir):
+    return D.exact_dups(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+def x1_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < FP_DOC_MAX)
+    return D.fingerprint(d).orderBy("doc_id")
+
+
+def x2_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_docs(spark, sf_dir), SIG_NUM_HASHES).orderBy("d")
+
+
+def x2_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    ).orderBy("da", "db")
+
+
+def x2_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    ).orderBy("da", "db")
+
+
+def x2_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir)).orderBy("d")
+
+
+def x2_simhash_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    return D.simhash_candidate_pairs(d).orderBy("da", "db")
+
+
+def x2_embedding_near_dup(spark, sf_dir):
+    return S.cosine_pairs(_vecs(spark, sf_dir), threshold=NEAR_DUP_COS).orderBy("va", "vb")
+
+
+def x3_cosine_topk(spark, sf_dir):
+    v = _vecs(spark, sf_dir)
+    return S.cosine_topk(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX),
+        v.where(F.col("vec_id") >= TOPK_QUERY_MAX),
+        k=TOPK_K,
+    ).orderBy("qid", "rk")
+
+
+def x3_ann_topk_lsh(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets. No SQL oracle:
+    bucket signs depend on float dot-product sign near zero, which is not
+    portably reproducible in SQL — the driver records a rows-only check."""
+    v = _vecs(spark, sf_dir)
+    return S.ann_topk_lsh(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX),
+        v.where(F.col("vec_id") >= TOPK_QUERY_MAX),
+        k=TOPK_K,
+    ).orderBy("qid", "rk")
+
+
+def x5_lang_id(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x5_token_stats(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x5_quality_score(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x6_media_meta(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    return M.decode_media(M.with_binary_payload(d)).orderBy("doc_id")
+
+
+EXTENDED_QUERIES = {
+    "x1_dedup_exact": x1_dedup_exact,
+    "x1_fingerprint": x1_fingerprint,
+    "x2_minhash_signatures": x2_minhash_signatures,
+    "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
+    "x2_ngram_jaccard_pairs": x2_ngram_jaccard_pairs,
+    "x2_simhash": x2_simhash,
+    "x2_simhash_pairs": x2_simhash_pairs,
+    "x2_embedding_near_dup": x2_embedding_near_dup,
+    "x3_cosine_topk": x3_cosine_topk,
+    "x3_ann_topk_lsh": x3_ann_topk_lsh,
+    "x5_lang_id": x5_lang_id,
+    "x5_token_stats": x5_token_stats,
+    "x5_quality_score": x5_quality_score,
+    "x6_media_meta": x6_media_meta,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (generated from the same constants)
+# ---------------------------------------------------------------------------
+
+_TOKS_EXPR = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# (doc_id, shingle) pairs: word 2-grams, DISTINCT per doc — identical
+# semantics to operators.dedup.shingles_col.
+_SH_CTES = f"""
+toks AS (
+  SELECT doc_id AS d, t.tok, t.i FROM documents,
+  LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
+                  generate_subscripts({_TOKS_EXPR}, 1) AS i) t
+),
+sh AS (
+  SELECT DISTINCT d, tok || ' ' || lead(tok) OVER (PARTITION BY d ORDER BY i) AS s
+  FROM toks QUALIFY s IS NOT NULL
+)
+"""
+
+_JACCARD_CTES = f"""
+{_SH_CTES},
+kept AS (
+  SELECT sh.d, sh.s FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}) k USING (s)
+),
+sizes AS (SELECT d, count(*) AS n FROM kept GROUP BY d),
+common AS (
+  SELECT a.d AS da, b.d AS db, count(*) AS c
+  FROM kept a JOIN kept b ON a.s = b.s AND a.d < b.d GROUP BY 1, 2
+),
+jacs AS (
+  SELECT da, db, c / (sa.n + sb.n - c) AS jac
+  FROM common JOIN sizes sa ON sa.d = da JOIN sizes sb ON sb.d = db
+)
+"""
+
+
+def _minhash_cols(num_hashes: int) -> str:
+    return ", ".join(
+        f"min(md5('{h}|' || s)) AS mh{h}" for h in range(num_hashes)
+    )
+
+
+def _bands_union(num_hashes: int, band_size: int) -> str:
+    parts = []
+    for b in range(num_hashes // band_size):
+        cols = " || '#' || ".join(
+            f"mh{b * band_size + j}" for j in range(band_size)
+        )
+        parts.append(f"SELECT d, {b} AS band, {cols} AS sig FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"CAST(coalesce(list_sum(list_transform({_TOKS_EXPR}, "
+        f"t -> CASE WHEN t IN ({words}) THEN 1 ELSE 0 END)), 0) AS INT)"
+    )
+
+
+def _lang_pred_sql() -> str:
+    langs = list(LANG_PROFILES)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"hits_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"hits_{lang} {op} hits_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def _simhash_sql(doc_filter: str = "", order: bool = True) -> str:
+    nib = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    val_cols = []
+    for c in range(4):
+        s = 1 + 4 * c
+        val_cols.append(
+            f"(({nib.format(p=s)}) * 4096 + ({nib.format(p=s+1)}) * 256 + "
+            f"({nib.format(p=s+2)}) * 16 + ({nib.format(p=s+3)})) AS v{c}"
+        )
+    bit_cols = [
+        f"SUM(CASE WHEN (v{c} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{c}_{j}"
+        for c in range(4)
+        for j in range(16)
+    ]
+    sh_cols = []
+    for c in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN b{c}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+        )
+        sh_cols.append(f"CAST({terms} AS INT) AS sh{c}")
+    src = f"(SELECT * FROM documents {doc_filter}) docs" if doc_filter else "documents"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id AS d, md5(t.tok) AS h FROM {src},
+          LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+        ),
+        vals AS (SELECT d, {', '.join(val_cols)} FROM tok),
+        bits AS (SELECT d, {', '.join(bit_cols)} FROM vals GROUP BY d)
+        SELECT d, {', '.join(sh_cols)} FROM bits {"ORDER BY d" if order else ""}
+    """
+
+
+_COS_CTE = """
+u AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+"""
+
+_QUALITY_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+
+EXTENDED_ORACLES: dict[str, str] = {
+    "x1_dedup_exact": """
+        SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY text ORDER BY keep_id
+    """,
+    "x1_fingerprint": f"""
+        SELECT doc_id, md5(array_to_string({_TOKS_EXPR}, ' ')) AS fp
+        FROM documents WHERE doc_id < {FP_DOC_MAX} ORDER BY doc_id
+    """,
+    "x2_minhash_signatures": f"""
+        WITH {_SH_CTES}
+        SELECT d, {_minhash_cols(SIG_NUM_HASHES)} FROM sh GROUP BY d ORDER BY d
+    """,
+    "x2_minhash_lsh_pairs": f"""
+        WITH {_JACCARD_CTES},
+        sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+        bands AS ({_bands_union(LSH_NUM_HASHES, LSH_BAND_SIZE)}),
+        cand AS (
+          SELECT DISTINCT x.d AS da, y.d AS db
+          FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.d < y.d
+        )
+        SELECT c.da, c.db, j.jac FROM cand c JOIN jacs j ON j.da = c.da AND j.db = c.db
+        WHERE j.jac >= {LSH_THRESHOLD} ORDER BY c.da, c.db
+    """,
+    "x2_ngram_jaccard_pairs": f"""
+        WITH {_JACCARD_CTES}
+        SELECT da, db, jac FROM jacs WHERE jac >= {JACCARD_THRESHOLD} ORDER BY da, db
+    """,
+    "x2_simhash": _simhash_sql(),
+    "x2_simhash_pairs": f"""
+        WITH sigs AS ({_simhash_sql(f'WHERE doc_id < {MEDIA_DOC_MAX}', order=False)})
+        SELECT DISTINCT x.d AS da, y.d AS db FROM sigs x JOIN sigs y
+        ON x.d < y.d AND (x.sh0 = y.sh0 OR x.sh1 = y.sh1 OR x.sh2 = y.sh2 OR x.sh3 = y.sh3)
+        ORDER BY da, db
+    """,
+    "x2_embedding_near_dup": f"""
+        WITH {_COS_CTE}
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(SUM(a.x*b.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(b.x*b.x))), 4) AS cos
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2 HAVING ROUND(SUM(a.x*b.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(b.x*b.x))), 4) >= {NEAR_DUP_COS}
+        ORDER BY va, vb
+    """,
+    "x3_cosine_topk": f"""
+        WITH {_COS_CTE},
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+          FROM u q JOIN u c ON q.i = c.i
+          WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+          GROUP BY 1, 2
+        )
+        SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+          FROM scored) WHERE rk <= {TOPK_K}
+        ORDER BY qid, rk
+    """,
+    "x5_lang_id": f"""
+        WITH hits AS (
+          SELECT doc_id,
+                 {', '.join(f'{_lang_hits_sql(lang)} AS hits_{lang}' for lang in LANG_PROFILES)}
+          FROM documents
+        )
+        SELECT doc_id, {_lang_pred_sql()} AS pred_lang,
+               {', '.join(f'hits_{lang}' for lang in LANG_PROFILES)}
+        FROM hits ORDER BY doc_id
+    """,
+    "x5_token_stats": f"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+               CAST(len({_TOKS_EXPR}) AS INT) AS word_tokens,
+               CAST(len(list_distinct({_TOKS_EXPR})) AS INT) AS distinct_tokens,
+               CAST(length(text) AS INT) AS chars
+        FROM documents ORDER BY doc_id
+    """,
+    "x5_quality_score": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len({_TOKS_EXPR}) AS INT) AS n_tokens,
+                 CAST(len(list_distinct({_TOKS_EXPR})) AS INT) AS n_distinct,
+                 CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                      t -> CASE WHEN t IN ({_QUALITY_EN}) THEN 1 ELSE 0 END)), 0) AS INT) AS n_stop,
+                 CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                      t -> length(t))), 0) AS INT) AS sum_len,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               n_distinct / n_tokens AS ttr,
+               n_stop / n_tokens AS stop_ratio,
+               sum_len / n_tokens AS mean_tok_len,
+               0.3 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * (n_distinct / n_tokens)
+                   + 0.2 * least((n_stop / n_tokens) * 5, 1.0)
+                   + 0.2 * least((sum_len / n_tokens) / 8, 1.0) AS score
+        FROM f WHERE n_tokens > 0 ORDER BY doc_id
+    """,
+    "x6_media_meta": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+               lower(hex(encode(substr(text, 1, 4)))) AS magic,
+               CAST(ascii(substr(text, 1, 1)) % 256 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 256 AS INT) AS height
+        FROM documents WHERE doc_id < {MEDIA_DOC_MAX} ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,117 @@
+"""Unit tests for the extended operators (dedup / similarity / text /
+multimodal) on tiny hand-built frames — semantics, not oracle parity
+(oracle parity is covered by test_relational_oracle over the full set)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from diepy_spark.operators import dedup as D
+from diepy_spark.operators import multimodal as M
+from diepy_spark.operators import similarity as S
+from diepy_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely unrelated content here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(D.shingles_col("text", 2).alias("s")).first()["s"]
+    assert sorted(got) == ["a b", "b c", "c d"]
+    # short doc → empty, not an error
+    df1 = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert df1.select(D.shingles_col("text", 2).alias("s")).first()["s"] == []
+
+
+def test_exact_dups(docs):
+    rows = {r["keep_id"]: r["dup_count"] for r in D.exact_dups(docs).collect()}
+    assert rows[1] == 2 and rows[2] == 1 and rows[3] == 1
+
+
+def test_fingerprint_matches_for_dups(docs):
+    fps = {r["doc_id"]: r["fp"] for r in D.fingerprint(docs).collect()}
+    assert fps[1] == fps[4] and fps[1] != fps[2]
+
+
+def test_jaccard_pairs_find_near_dup(docs):
+    pairs = {(r["da"], r["db"]): r["jac"] for r in D.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = {(r["da"], r["db"]) for r in D.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert (1, 4) in pairs
+
+
+def test_simhash_identical_for_dups(docs):
+    sh = {r["d"]: (r["sh0"], r["sh1"], r["sh2"], r["sh3"]) for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[4]
+    assert all(0 <= v < 65536 for v in sh[1])
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.where(F.col("vec_id") == 0)
+    c = vecs.where(F.col("vec_id") > 0)
+    top = S.cosine_topk(q, c, k=2).collect()
+    assert [r["cid"] for r in top] == [3, 1]  # identical vec first, then near
+    assert top[0]["cos"] == 1.0
+
+
+def test_ann_lsh_self_match(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+        + [(100, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<float>",
+    )
+    got = S.ann_topk_lsh(vecs.where(F.col("vec_id") == 100), vecs.where(F.col("vec_id") < 100), k=1)
+    rows = got.collect()
+    # vec 0 is identical to the query → same bucket, cos 1.0
+    assert rows and rows[0]["cid"] == 0 and rows[0]["cos"] == 1.0
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"), (2, "der hund und die katze ist nicht hier"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! hello")], "doc_id long, text string")
+    r = T.token_stats(df).first()
+    assert r["word_tokens"] == 3 and r["distinct_tokens"] == 2 and r["ws_tokens"] == 3
+
+
+def test_quality_score_range(docs):
+    for r in T.quality_score(docs).collect():
+        assert 0.0 <= r["score"] <= 1.0
+
+
+def test_multimodal_plumbing(docs):
+    out = M.decode_media(M.with_binary_payload(docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    assert by_id[1]["first_byte"] == ord("t")
+    assert by_id[1]["magic"] == "the ".encode().hex()
+    assert by_id[1]["width"] == ord("t")
+
+
+def test_decode_stub_strict_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"bytes", strict=True)
