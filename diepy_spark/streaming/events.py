@@ -1,0 +1,130 @@
+"""Structured Streaming over the events stream (SURVEY §2.6 X7).
+
+Batch analogs of these aggregations are pinned by R16 (tumbling) and R24
+(sliding) in plans/relational.py; this module is the streaming form:
+`readStream` → watermark → windowed agg → `writeStream`. Late data beyond
+the watermark is dropped (Spark's documented policy — the reference has no
+streaming surface at all, SURVEY §2.5).
+
+State scale: windowed aggregations keep state per (window, key) in the
+state store; the watermark bounds state size. The custom stateful operator
+(`sessionize_stateful`) uses applyInPandasWithState — Arrow-batched, one
+state row per user — the pattern for operators Spark's built-ins can't
+express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of the events stream as produced by sources.registry (ts already
+# converted ns→us). Streaming sources require an explicit schema.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based streaming source over a directory of events parquet."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Streaming analog of R16: tumbling-window counts + sums per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("w"), "event_type", "c", "s")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Sliding (hopping) window counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "event_type", "c")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows: a session per user closes after `gap` of inactivity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"), "user_id", "c")
+    )
+
+
+STATEFUL_OUTPUT_SCHEMA = "user_id bigint, events_seen bigint, total_value double"
+STATEFUL_STATE_SCHEMA = "events_seen bigint, total_value double"
+
+
+def sessionize_stateful(events: DataFrame, timeout_ms: str = "GroupStateTimeout.NoTimeout") -> DataFrame:
+    """Custom stateful operator: running per-user event count + value sum via
+    applyInPandasWithState (the escape hatch for semantics windowed aggs
+    can't express). Arrow-batched; state is one row per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen = 0
+        total = 0.0
+        if state.exists:
+            seen, total = state.get
+        for pdf in pdfs:
+            seen += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((seen, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_seen": [seen], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint: str, output_mode: str = "append"):
+    """Execute a streaming plan over all currently-available input
+    (trigger=availableNow) into an in-memory table; returns the query after
+    completion. Test/bench harness utility."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,97 @@
+"""Structured Streaming tests: stream the sf0.001 events through the
+windowed/stateful operators with trigger=availableNow and compare against
+the equivalent batch aggregation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from diepy_spark.sources.registry import load_table
+from diepy_spark.streaming import events as ST
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-materialized as a parquet directory with us-timestamps
+    (streaming sources need a directory + a non-ns schema)."""
+    d = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF, "events").repartition(4).write.parquet(d)
+    return d
+
+
+def test_tumbling_counts_match_batch(spark, events_dir, tmp_path):
+    stream = ST.tumbling_counts(ST.read_events_stream(spark, events_dir))
+    ST.run_to_memory(stream, "tumbling_t", str(tmp_path / "ck1"), output_mode="append")
+    got = {
+        (r["w"], r["event_type"]): (r["c"], round(r["s"], 6))
+        for r in spark.table("tumbling_t").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    )
+    # append mode emits a window only once the watermark (max ts - 10 min)
+    # passes its END — windows still open at end-of-input are withheld.
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(minutes=10)
+    expected = {
+        (r["w"], r["event_type"]): (r["c"], r["s"])
+        for r in batch
+        if r["w"] + datetime.timedelta(hours=1) <= wm
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_sliding_counts_run(spark, events_dir, tmp_path):
+    stream = ST.sliding_counts(ST.read_events_stream(spark, events_dir))
+    ST.run_to_memory(stream, "sliding_t", str(tmp_path / "ck2"))
+    rows = spark.table("sliding_t").collect()
+    assert len(rows) > 0
+    # hopping windows: each event lands in 4 windows (1h window, 15m slide);
+    # windows still open at end-of-input are withheld by append mode, so the
+    # emitted total is slightly under 4n but must stay within one hour's
+    # worth of tail events.
+    total = sum(r["c"] for r in rows)
+    n_events = load_table(spark, SF, "events").count()
+    assert 4 * n_events * 0.95 <= total <= 4 * n_events
+
+
+def test_session_window_run(spark, events_dir, tmp_path):
+    stream = ST.session_counts(ST.read_events_stream(spark, events_dir), gap="30 minutes")
+    ST.run_to_memory(stream, "session_t", str(tmp_path / "ck3"))
+    rows = spark.table("session_t").collect()
+    assert len(rows) > 0
+    assert all(r["s_end"] > r["s_start"] for r in rows)
+    # per-user session counts can't exceed the user's event total (sessions
+    # still open at end-of-input are withheld), and most events must land.
+    per_user = {}
+    for r in rows:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + r["c"]
+    batch = dict(
+        load_table(spark, SF, "events").groupBy("user_id").count().rdd.map(tuple).collect()
+    )
+    assert all(per_user[u] <= batch[u] for u in per_user)
+    assert sum(per_user.values()) >= 0.8 * sum(batch.values())
+
+
+def test_stateful_sessionize(spark, events_dir, tmp_path):
+    stream = ST.sessionize_stateful(ST.read_events_stream(spark, events_dir))
+    ST.run_to_memory(stream, "stateful_t", str(tmp_path / "ck4"), output_mode="update")
+    rows = spark.table("stateful_t").collect()
+    assert len(rows) > 0
+    # last update per user must equal the batch totals
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["events_seen"], round(r["total_value"], 6))
+    batch = load_table(spark, SF, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v")
+    )
+    expected = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert last == expected
