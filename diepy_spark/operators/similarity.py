@@ -14,28 +14,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from diepy_spark.operators.dedup import _hex_nibble_to_int
+from diepy_spark.operators.dedup import _hex_nibble_to_int, _ident
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _dot(a: str, b: str):
+    """Dot product of two array<float> columns BY NAME. expr-string form:
+    the Python-lambda higher-order API is ~10x slower (see dedup.tokens_expr
+    note). The elementwise product stays in FLOAT (x*y on float32) before
+    widening into the double accumulator — DuckDB multiplies unnested floats
+    the same way, keeping cosine values bit-aligned with the oracle."""
+    return F.expr(
+        f"aggregate(zip_with({_ident(a)}, {_ident(b)}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
 
 
-def _norm(a):
+def _norm(a: str):
     return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        F.expr(
+            f"aggregate(zip_with({_ident(a)}, {_ident(a)}, (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
     )
 
 
-def cosine(a, b):
+def cosine(a: str, b: str):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -44,12 +47,19 @@ def cosine_pairs(
     threshold: float = 0.99,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force). O(n²) by nature —
-    bound the input (filter / LSH bucket) before calling at scale."""
-    a = df.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"))
-    b = df.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"))
+    bound the input (filter / LSH bucket) before calling at scale.
+
+    Norms are precomputed once per vector (not per pair), cutting the
+    per-pair work to a single dot product."""
+    a = df.select(
+        F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), _norm(vec_col).alias("na")
+    )
+    b = df.select(
+        F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"), _norm(vec_col).alias("nb")
+    )
     return (
         a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .withColumn("cos", F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cos") >= threshold)
         .select("va", "vb", "cos")
     )
@@ -66,7 +76,7 @@ def cosine_topk(
     top-k is a window over (rounded cos desc, id) — rank ties impossible."""
     q = F.broadcast(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")))
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    scored = c.join(q).withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    scored = c.join(q).withColumn("cos", F.round(cosine("qv", "cv"), 4))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -100,7 +110,7 @@ def lsh_bucket(
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
     signed = (
         v.join(F.broadcast(planes))
-        .withColumn("bit", F.when(_dot(F.col("vv"), F.col("pv")) >= 0, 1).otherwise(0))
+        .withColumn("bit", F.when(_dot("vv", "pv") >= 0, 1).otherwise(0))
         .groupBy("vid")
         .agg(
             F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long")).cast("int").alias("bucket")
@@ -122,7 +132,7 @@ def ann_topk_lsh(
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).join(qb, "qid")
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")).join(cb, "cid")
     scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)
+        "cos", F.round(cosine("qv", "cv"), 4)
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (

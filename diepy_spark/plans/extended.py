@@ -28,6 +28,7 @@ LSH_BAND_SIZE = 2
 LSH_THRESHOLD = 0.3
 SIG_NUM_HASHES = 4
 NEAR_DUP_COS = 0.4
+NEAR_DUP_MAX = 500
 TOPK_K = 3
 TOPK_QUERY_MAX = 5
 MEDIA_DOC_MAX = 100
@@ -87,7 +88,11 @@ def x2_simhash_pairs(spark, sf_dir):
 
 
 def x2_embedding_near_dup(spark, sf_dir):
-    return S.cosine_pairs(_vecs(spark, sf_dir), threshold=NEAR_DUP_COS).orderBy("va", "vb")
+    """Brute-force pairs are O(n²); the declared query bounds the candidate
+    set (vec_id < NEAR_DUP_MAX) — at scale the bound comes from an LSH
+    bucket instead (see x3_ann_topk_lsh for the bucketed path)."""
+    v = _vecs(spark, sf_dir).where(F.col("vec_id") < NEAR_DUP_MAX)
+    return S.cosine_pairs(v, threshold=NEAR_DUP_COS).orderBy("va", "vb")
 
 
 def x3_cosine_topk(spark, sf_dir):
@@ -259,6 +264,11 @@ u AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) A
       FROM embeddings)
 """
 
+_COS_CTE_BOUNDED = f"""
+u AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id < {NEAR_DUP_MAX})
+"""
+
 _QUALITY_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -297,7 +307,7 @@ EXTENDED_ORACLES: dict[str, str] = {
         ORDER BY da, db
     """,
     "x2_embedding_near_dup": f"""
-        WITH {_COS_CTE}
+        WITH {_COS_CTE_BOUNDED}
         SELECT a.vec_id AS va, b.vec_id AS vb,
                ROUND(SUM(a.x*b.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(b.x*b.x))), 4) AS cos
         FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
