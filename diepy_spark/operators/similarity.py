@@ -11,10 +11,12 @@ order (rounded score desc, id asc) is stable across engines and runs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from diepy_spark.operators.dedup import _hex_nibble_to_int, _ident
+from diepy_spark.operators.dedup import _ident
 
 
 def _dot(a: str, b: str):
@@ -50,7 +52,10 @@ def cosine_pairs(
     bound the input (filter / LSH bucket) before calling at scale.
 
     Norms are precomputed once per vector (not per pair), cutting the
-    per-pair work to a single dot product."""
+    per-pair work to a single dot product. The streamed side is
+    hash-repartitioned so the O(n²) dot products use every core even when
+    the source is one small file."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     a = df.select(
         F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), _norm(vec_col).alias("na")
     )
@@ -73,9 +78,13 @@ def cosine_topk(
 
     The query side is broadcast (queries are few; the corpus is the big
     side), so the corpus is scanned once with no shuffle; the per-query
-    top-k is a window over (rounded cos desc, id) — rank ties impossible."""
+    top-k is a window over (rounded cos desc, id) — rank ties impossible.
+    The corpus is hash-repartitioned so the per-(query, doc) dot products
+    use every core even when the source is one small file."""
     q = F.broadcast(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     scored = c.join(q).withColumn("cos", F.round(cosine("qv", "cv"), 4))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -85,38 +94,43 @@ def cosine_topk(
     )
 
 
+def _plane_component(seed: str, p: int, i: int) -> float:
+    """Hyperplane p's component for dimension i: first hex nibble of
+    md5(seed|p|i) minus 8 → a deterministic value in {-8..7}. Computed
+    driver-side with hashlib (bit-identical to SQL md5 on UTF-8)."""
+    return float(int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[0], 16) - 8)
+
+
+def bucket_expr(
+    vec_col: str, dim: int, num_planes: int = 8, seed: str = "ann"
+):
+    """Random-hyperplane LSH bucket id as a single per-row expression: the
+    sign pattern of `num_planes` dot products against deterministic literal
+    planes. ZERO shuffle, zero extra jobs — the plane constants fold into
+    the plan, so bucketing a 100 TB corpus is one narrow map."""
+    terms = []
+    for p in range(num_planes):
+        lits = ", ".join(f"{_plane_component(seed, p, i)!r}D" for i in range(dim))
+        dot = (
+            f"aggregate(zip_with({_ident(vec_col)}, array({lits}), (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(case when {dot} >= 0 then {1 << p} else 0 end)")
+    return F.expr(f"cast({' + '.join(terms)} as int)")
+
+
 def lsh_bucket(
     df: DataFrame, num_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: str = "ann",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
-
-    Hyperplane p's component for dimension i is derived deterministically
-    from md5(seed|p|i) → a value in {-8..7} (first hex nibble − 8). The
-    bucket is the sign pattern of the `num_planes` dot products. Everything
-    is built-in expressions; the plane table is tiny and broadcast."""
-    dim = len(df.select(vec_col).first()[0])
-    spark = df.sparkSession
-    planes = spark.range(num_planes).select(
-        F.col("id").cast("int").alias("p"),
-        F.array(
-            *[
-                (_hex_nibble_to_int(F.md5(F.concat_ws("|", F.lit(seed), F.col("id"), F.lit(i))), 1) - 8)
-                .cast("double")
-                for i in range(dim)
-            ]
-        ).alias("pv"),
-    )
+    """(id, bucket) per vector — see bucket_expr. `dim` defaults to the
+    first row's vector length (one tiny job; pass it explicitly in
+    pipelines to keep plan construction job-free)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
-    signed = (
-        v.join(F.broadcast(planes))
-        .withColumn("bit", F.when(_dot("vv", "pv") >= 0, 1).otherwise(0))
-        .groupBy("vid")
-        .agg(
-            F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long")).cast("int").alias("bucket")
-        )
-    )
-    return signed
+    return v.select("vid", bucket_expr("vv", dim, num_planes, seed).alias("bucket"))
 
 
 def ann_topk_lsh(
@@ -125,12 +139,22 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. At scale this turns a full scan per query into one equi-join on
-    bucket id. Recall < 1.0 by construction (documented); multi-probe or
-    more tables raise it."""
-    qb = lsh_bucket(queries, num_planes, id_col, vec_col).withColumnRenamed("vid", "qid")
-    cb = lsh_bucket(corpus, num_planes, id_col, vec_col).withColumnRenamed("vid", "cid")
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).join(qb, "qid")
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")).join(cb, "cid")
+    bucket id (query side broadcast). Recall < 1.0 by construction
+    (documented); multi-probe or more tables raise it. Buckets are inline
+    per-row expressions — no self-joins, no pre-bucketing shuffle."""
+    dim = len(corpus.select(vec_col).first()[0])
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        bucket_expr(vec_col, dim, num_planes).alias("bucket"),
+    )
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        bucket_expr(vec_col, dim, num_planes).alias("bucket"),
+    )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cos", F.round(cosine("qv", "cv"), 4)
     )
