@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from diepy_spark.plans.relational import RELATIONAL_QUERIES, r3_hash_aggregate
 from diepy_spark.plans.oracles import RELATIONAL_ORACLES
 from diepy_spark.plans.extended import EXTENDED_QUERIES, EXTENDED_ORACLES
+from diepy_spark.plans.pipeline import PIPELINE_QUERIES, PIPELINE_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(EXTENDED_QUERIES)
+    out.update(PIPELINE_QUERIES)
     return out
 
 
@@ -34,4 +36,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(EXTENDED_ORACLES)
+    out.update(PIPELINE_ORACLES)
     return out

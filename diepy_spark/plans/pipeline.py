@@ -1,0 +1,199 @@
+"""Pipeline query set: Structured Streaming runs and the import/export
+roundtrip, each as a (spark, sf_dir) -> DataFrame entry under the driver's
+DuckDB-oracle correctness gate.
+
+These entries EXECUTE the engine's non-relational machinery — the streaming
+engine (watermark + windowed state, session windows, a custom
+applyInPandasWithState operator) and the file-ingest stack (CSV writer →
+all-string reader → inference lattice → typed cast projection) — and
+return their results as plain DataFrames so the driver can hash-compare
+them against ANSI-SQL oracles. The reference has no streaming surface
+(SURVEY §2.5); the import/export path is its entire product (SURVEY §2.1,
+§2.2, §2.3).
+
+Append-mode emission contract used by every streaming oracle: a window is
+emitted once the event-time watermark (max ts − delay) passes its END;
+windows still open at end-of-input are withheld. The oracles replicate
+that rule with a scalar subquery on max(ts).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diepy_spark.functions.inference import infer_from_dataframe
+from diepy_spark.session import tune
+from diepy_spark.sources.files import apply_schema, read_untyped_csv
+from diepy_spark.sources.registry import load_table
+from diepy_spark.sources.writers import write_csv
+from diepy_spark.streaming import events as ST
+
+WATERMARK = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+_counter = itertools.count()
+_scratch_cache: dict[tuple[str, str], str] = {}
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table (ns→us-converted) as a single-file
+    parquet directory for the file streaming source. Single file ⇒ one
+    input batch, which makes update-mode output deterministic. Cached per
+    (process, sf_dir) — the data is immutable."""
+    key = ("events", sf_dir)
+    if key not in _scratch_cache:
+        d = os.path.join(tempfile.mkdtemp(prefix="diepy-stream-"), "events")
+        load_table(spark, sf_dir, "events").coalesce(1).write.parquet(d)
+        _scratch_cache[key] = d
+    return _scratch_cache[key]
+
+
+def _run_stream(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """availableNow → memory sink, fresh query name per call."""
+    name = f"x7_mem_{next(_counter)}"
+    ST.run_to_memory(
+        stream_df, name, tempfile.mkdtemp(prefix="diepy-ck-"), output_mode=output_mode
+    )
+    return stream_df.sparkSession.table(name)
+
+
+def x7_stream_tumbling(spark, sf_dir):
+    """R16's tumbling aggregation, executed by the STREAMING engine
+    (watermark + windowed state), result hash-checked against batch SQL."""
+    tune(spark)
+    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
+    out = _run_stream(ST.tumbling_counts(src, "1 hour", WATERMARK), "append")
+    return out.select(
+        "w", "event_type", "c", F.round("s", 2).alias("s")
+    ).orderBy("w", "event_type")
+
+
+def x7_stream_sliding(spark, sf_dir):
+    """Hopping windows (1 hour, every 15 minutes) via the streaming engine."""
+    tune(spark)
+    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
+    out = _run_stream(ST.sliding_counts(src, "1 hour", "15 minutes", WATERMARK), "append")
+    return out.orderBy("w_start", "event_type")
+
+
+def x7_stream_sessions(spark, sf_dir):
+    """Per-user session windows (30-minute inactivity gap) via the
+    streaming engine; the oracle rebuilds sessions with a lag/cumsum island
+    computation."""
+    tune(spark)
+    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
+    out = _run_stream(ST.session_counts(src, SESSION_GAP, WATERMARK), "append")
+    return out.orderBy("user_id", "s_start")
+
+
+def x7_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    count + value sum. Single input batch ⇒ update mode emits exactly the
+    final state per user, so the result equals the batch aggregate."""
+    tune(spark)
+    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
+    out = _run_stream(ST.sessionize_stateful(src), "update")
+    return out.select(
+        "user_id", "events_seen", F.round("total_value", 2).alias("total_value")
+    ).orderBy("user_id")
+
+
+def t1_roundtrip_csv(spark, sf_dir):
+    """Full import/export stack under the correctness gate: orders →
+    rendered CSV (K4/K7) → all-string scan (S1) → inference lattice
+    (T1/T3-T6) → typed cast projection (T7). Output must VALUE-match the
+    original table, proving the roundtrip is lossless.
+
+    Canonicalization for the compare (semantic fidelity is pinned by
+    tests/test_inference.py goldens): integral columns → bigint (the
+    lattice's SMALLINT/INT width choice depends on observed min/max,
+    core.py:516-521, while the oracle table is bigint); inferred DATE →
+    timestamp (the source column is parquet TIMESTAMP whose values are all
+    midnight — the lattice's midnight rule correctly calls them dates)."""
+    tune(spark)
+    key = ("roundtrip", sf_dir)
+    if key not in _scratch_cache:
+        path = os.path.join(tempfile.mkdtemp(prefix="diepy-rt-"), "orders.csv")
+        write_csv(load_table(spark, sf_dir, "orders"), path, unix=True)
+        _scratch_cache[key] = path
+    raw = read_untyped_csv(spark, _scratch_cache[key])
+    typed = apply_schema(raw, infer_from_dataframe(raw))
+    casts = {"smallint": "bigint", "int": "bigint", "date": "timestamp"}
+    cols = [
+        F.col(f.name).cast(casts[f.dataType.simpleString()]).alias(f.name)
+        if f.dataType.simpleString() in casts
+        else F.col(f.name)
+        for f in typed.schema.fields
+    ]
+    return typed.select(*cols).orderBy("o_orderkey")
+
+
+PIPELINE_QUERIES = {
+    "x7_stream_tumbling": x7_stream_tumbling,
+    "x7_stream_sliding": x7_stream_sliding,
+    "x7_stream_sessions": x7_stream_sessions,
+    "x7_stream_stateful": x7_stream_stateful,
+    "t1_roundtrip_csv": t1_roundtrip_csv,
+}
+
+_WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "x7_stream_tumbling": f"""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
+               COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "x7_stream_sliding": f"""
+        WITH expanded AS (
+          SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i.i * INTERVAL 15 MINUTE AS w_start,
+                 event_type
+          FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) i
+        )
+        SELECT CAST(w_start AS TIMESTAMP) AS w_start,
+               CAST(w_start + INTERVAL 1 HOUR AS TIMESTAMP) AS w_end,
+               event_type, COUNT(*) AS c
+        FROM expanded
+        WHERE w_start + INTERVAL 1 HOUR <= {_WM_END}
+        GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+    "x7_stream_sessions": f"""
+        WITH l AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+          FROM events
+        ),
+        g AS (
+          SELECT user_id, ts,
+                 SUM(CASE WHEN pts IS NULL OR ts - pts > INTERVAL {SESSION_GAP}
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l
+        ),
+        s AS (
+          SELECT user_id, min(ts) AS s_start,
+                 max(ts) + INTERVAL {SESSION_GAP} AS s_end, COUNT(*) AS c
+          FROM g GROUP BY user_id, sid
+        )
+        SELECT CAST(s_start AS TIMESTAMP) AS s_start,
+               CAST(s_end AS TIMESTAMP) AS s_end, user_id, c
+        FROM s WHERE s_end <= {_WM_END}
+        ORDER BY user_id, s_start
+    """,
+    "x7_stream_stateful": """
+        SELECT user_id, COUNT(*) AS events_seen,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "t1_roundtrip_csv": """
+        SELECT * FROM orders ORDER BY o_orderkey
+    """,
+}

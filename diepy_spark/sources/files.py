@@ -128,11 +128,16 @@ def apply_schema(df: DataFrame, specs: list[ColumnSpec], lenient: bool = False) 
         if t == "datetime":
             expr = _dateutil_udf("datetime")(c) if lenient else _multi_format_ts(c, _TS_FORMATS)
         elif t == "date":
+            # _TS_FORMATS fallback: the lattice's midnight rule
+            # (core.py:605-606) classifies datetime-shaped values with a
+            # 00:00:00 time part as dates, so the cast must accept both
+            # shapes.
             expr = (
                 _dateutil_udf("date")(c)
                 if lenient
                 else F.coalesce(
-                    *[F.try_to_timestamp(c, F.lit(f)) for f in _DATE_FORMATS]
+                    *[F.try_to_timestamp(c, F.lit(f)) for f in _DATE_FORMATS],
+                    _multi_format_ts(c, _TS_FORMATS),
                 ).cast(DateType())
             )
         elif t == "time":
