@@ -7,10 +7,27 @@ aggregate shuffle), deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from diepy_spark.operators.dedup import tokens_col
+from diepy_spark.operators.dedup import tokens_expr
+
+
+def _token_frame(
+    df: DataFrame, text_col: str, id_col: str, *extra: Column, min_tokens: int = 0
+) -> DataFrame:
+    """(id, *extra, toks): token array materialized ONCE per row as a real
+    column — downstream expressions reference it several times, and
+    Catalyst's CollapseProject keeps multi-referenced non-cheap aliases
+    materialized instead of re-tokenizing per reference (see
+    dedup.shingle_frame). Input is hash-repartitioned to spread the
+    CPU-bound scoring work even off single-file sources; the min_tokens
+    filter runs on raw text BELOW the projection (cheap pushdown)."""
+    if min_tokens:
+        df = df.where(F.expr(f"size({tokens_expr(text_col)}) >= {min_tokens}"))
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col), *extra, F.expr(tokens_expr(text_col)).alias("toks"))
 
 # Small closed-class stopword profiles. The heuristic is the classic
 # "count function-word hits per language, argmax wins"; ties and zero hits
@@ -27,9 +44,9 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """Predicted language per document via stopword hit counts.
 
     Hit counts are exact token-membership sums (not distinct), computed with
-    one pass over the token array per language — no explode, no shuffle."""
-    t = tokens_col(text_col)
-    out = df.select(F.col(id_col), t.alias("toks"))
+    one pass over the token array per language — no explode, no
+    aggregation shuffle."""
+    out = _token_frame(df, text_col, id_col)
     for lang, words in LANG_PROFILES.items():
         out = out.withColumn(
             f"hits_{lang}",
@@ -66,24 +83,35 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token counts: whitespace tokens, regex word tokens
     (BPE-ish [a-z0-9]+ pieces), distinct words, char length."""
-    t = tokens_col(text_col)
-    return df.select(
-        F.col(id_col),
+    tf = _token_frame(
+        df,
+        text_col,
+        id_col,
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
-        F.size(t).alias("word_tokens"),
-        F.size(F.array_distinct(t)).alias("distinct_tokens"),
         F.length(text_col).alias("chars"),
+    )
+    return tf.select(
+        F.col(id_col),
+        "ws_tokens",
+        F.size("toks").alias("word_tokens"),
+        F.size(F.array_distinct("toks")).alias("distinct_tokens"),
+        "chars",
     )
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + a composite score in [0,1]:
     length signal, type-token ratio, stopword ratio, mean token length.
-    All ratios are single divisions of exact integers → bit-stable."""
-    t = tokens_col(text_col)
+    All ratios are single divisions of exact integers → bit-stable.
+    Zero-token docs are dropped by a cheap pre-filter (the former
+    post-filter on the aliased count pushed down as a full re-tokenize)."""
+    tf = _token_frame(
+        df, text_col, id_col, F.length(text_col).alias("n_chars_raw"), min_tokens=1
+    )
+    t = F.col("toks")
     en = LANG_PROFILES["en"]
     n_tok = F.size(t)
-    n_chars = F.length(text_col)
+    n_chars = F.col("n_chars_raw")
     n_distinct = F.size(F.array_distinct(t))
     n_stop = F.aggregate(
         F.transform(t, lambda x: F.when(x.isin(*en), 1).otherwise(0)),
@@ -107,11 +135,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * F.least(mean_len / 8, F.lit(1.0))
     )
-    return df.select(
+    return tf.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         ttr.alias("ttr"),
         stop_ratio.alias("stop_ratio"),
         mean_len.alias("mean_tok_len"),
         score.alias("score"),
-    ).where(F.col("n_tokens") > 0)
+    )

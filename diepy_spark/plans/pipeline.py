@@ -54,12 +54,24 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _run_stream(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """availableNow → memory sink, fresh query name per call."""
+    """availableNow → memory sink, fresh query name per call.
+
+    Streaming aggregations allocate one state store (+ checkpoint files)
+    per shuffle partition, fixed at first run — AQE never coalesces them.
+    For this bounded replay 32 stores are pure overhead (measured 2x the
+    runtime), so the run is scoped to 8; a production stream sizes this to
+    sustained throughput instead."""
+    spark = stream_df.sparkSession
     name = f"x7_mem_{next(_counter)}"
-    ST.run_to_memory(
-        stream_df, name, tempfile.mkdtemp(prefix="diepy-ck-"), output_mode=output_mode
-    )
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ST.run_to_memory(
+            stream_df, name, tempfile.mkdtemp(prefix="diepy-ck-"), output_mode=output_mode
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def x7_stream_tumbling(spark, sf_dir):
@@ -122,7 +134,14 @@ def t1_roundtrip_csv(spark, sf_dir):
         write_csv(load_table(spark, sf_dir, "orders"), path, unix=True)
         _scratch_cache[key] = path
     raw = read_untyped_csv(spark, _scratch_cache[key])
-    typed = apply_schema(raw, infer_from_dataframe(raw))
+    # Inference samples the head (limit early-stops the serial CSV parse);
+    # the full typed pass is cast-heavy (multi-format timestamp attempts),
+    # and a multiLine CSV file is NOT splittable — so spread the cast
+    # across cores explicitly. At scale imports arrive as many files and
+    # the repartition is a cheap rebalance of raw strings.
+    specs = infer_from_dataframe(raw)
+    spread = raw.repartition(spark.sparkContext.defaultParallelism)
+    typed = apply_schema(spread, specs)
     casts = {"smallint": "bigint", "int": "bigint", "date": "timestamp"}
     cols = [
         F.col(f.name).cast(casts[f.dataType.simpleString()]).alias(f.name)
