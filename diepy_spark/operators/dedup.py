@@ -207,11 +207,17 @@ def ngram_jaccard_pairs(
     shingles = shingle_frame(df, n, text_col, id_col)
     sh = shingles.select("d", F.explode("sh_arr").alias("s"))
     stop = _stop_shingles(sh, max_df)
-    kept = sh.join(F.broadcast(stop), "s", "left_anti")
+    # Pre-shuffle on the join key: both self-join sides are then the SAME
+    # exchange, which Spark's ReuseExchange computes once — without it the
+    # planner broadcasts one side and evaluates the kept-shingle subplan
+    # twice. shuffle_hash avoids the sort a merge join would add.
+    kept = sh.join(F.broadcast(stop), "s", "left_anti").repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("s")
+    )
     a = kept.alias("a")
     b = kept.alias("b")
     common = (
-        a.join(b, "s")
+        a.join(b.hint("shuffle_hash"), "s")
         .where(F.col("a.d") < F.col("b.d"))
         .groupBy(F.col("a.d").alias("da"), F.col("b.d").alias("db"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -286,13 +292,20 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select("d", F.explode(band_arr).alias("bs")).select(
-        "d", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    bands = (
+        sigs.select("d", F.explode(band_arr).alias("bs"))
+        .select("d", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        # pre-shuffle on the join key → ReuseExchange computes the
+        # signature subplan once for both self-join sides (see
+        # ngram_jaccard_pairs note)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("band"), F.col("sig")
+        )
     )
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
-        x.join(y, ["band", "sig"])
+        x.join(y.hint("shuffle_hash"), ["band", "sig"])
         .where(F.col("x.d") < F.col("y.d"))
         .select(F.col("x.d").alias("da"), F.col("y.d").alias("db"))
         .distinct()
@@ -374,21 +387,29 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     sigs = simhash(df, text_col, id_col)
     # single explode of (chunk, value) instead of a 4-way self-join union,
     # which would re-evaluate the simhash DAG four times
-    chunks = sigs.select(
-        "d",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("chunk"), F.col(f"sh{c}").alias("v"))
-                    for c in range(4)
-                ]
-            )
-        ).alias("cv"),
-    ).select("d", F.col("cv.chunk").alias("chunk"), F.col("cv.v").alias("v"))
+    chunks = (
+        sigs.select(
+            "d",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("chunk"), F.col(f"sh{c}").alias("v"))
+                        for c in range(4)
+                    ]
+                )
+            ).alias("cv"),
+        )
+        .select("d", F.col("cv.chunk").alias("chunk"), F.col("cv.v").alias("v"))
+        # pre-shuffle on the join key → ReuseExchange computes the simhash
+        # subplan once for both self-join sides
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("chunk"), F.col("v")
+        )
+    )
     x = chunks.alias("x")
     y = chunks.alias("y")
     return (
-        x.join(y, ["chunk", "v"])
+        x.join(y.hint("shuffle_hash"), ["chunk", "v"])
         .where(F.col("x.d") < F.col("y.d"))
         .select(F.col("x.d").alias("da"), F.col("y.d").alias("db"))
         .distinct()
