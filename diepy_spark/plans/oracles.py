@@ -147,4 +147,38 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT d, c, c - LAG(c, 1, 0) OVER (ORDER BY d) AS delta
         FROM daily ORDER BY d LIMIT 60
     """,
+    "r27_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status, COUNT(*) AS c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "r28_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "r29_exists_subquery": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey
+    """,
+    "r30_regexp": """
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS cust_num,
+               regexp_replace(c_name, '\\d', 'x', 'g') AS name_masked,
+               CAST(len(string_split_regex(c_mktsegment, '[^A-Z]+')) AS INT) AS segment_words
+        FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey
+    """,
+    "r31_array_agg": """
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
 }

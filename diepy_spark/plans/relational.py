@@ -352,6 +352,93 @@ def r26_lag_window(spark, sf_dir):
     )
 
 
+def r27_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not derivable from rollup/cube) + the
+    grouping() marker — one shuffle, grouping-set expansion map-side."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_r27")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS c
+        FROM orders_r27
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def r28_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    ANSI percentile_cont). Exact percentile needs a per-group sort; at
+    scale prefer approx_percentile (t-digest, one pass) — pinned here as
+    the exact form because the oracle must match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def r29_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS with an extra predicate — decorrelated by Catalyst
+    into a semi join (same physical shape as R6)."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_r29")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_r29")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_r29 c
+        WHERE EXISTS (SELECT 1 FROM orders_r29 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey
+        """
+    )
+
+
+def r30_regexp(spark, sf_dir):
+    """Regexp extract/replace/count over customer names — scalar string
+    kernel, fully codegen'd, no shuffle before the final sort."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") < 1000)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"#(\d+)", 1).cast("bigint").alias("cust_num"),
+            F.regexp_replace("c_name", r"\d", "x").alias("name_masked"),
+            F.size(F.split("c_mktsegment", r"[^A-Z]+")).alias("segment_words"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def r31_array_agg(spark, sf_dir):
+    """Sorted array aggregation per group: collect_list is order-
+    nondeterministic under parallel aggregation BY DESIGN, so determinism
+    comes from sort_array on top (same contract as DuckDB list_sort)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "n_regionkey",
+            F.concat_ws("|", "nations").alias("nations"),
+            "c",
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -379,4 +466,9 @@ RELATIONAL_QUERIES = {
     "r24_sliding_frame": r24_sliding_frame,
     "r25_json_extraction": r25_json_extraction,
     "r26_lag_window": r26_lag_window,
+    "r27_grouping_sets": r27_grouping_sets,
+    "r28_percentiles": r28_percentiles,
+    "r29_exists_subquery": r29_exists_subquery,
+    "r30_regexp": r30_regexp,
+    "r31_array_agg": r31_array_agg,
 }
