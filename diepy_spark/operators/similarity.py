@@ -94,6 +94,62 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cell): assign each vector to its nearest centroid by rounded
+    cosine (ties broken by centroid id — deterministic, oracle-matching).
+
+    IVF coarse quantization: centroids are few (100-65k at scale) and ride
+    in as a broadcast; assignment is one narrow pass over the corpus (K dot
+    products per row), then a per-vector argmin via window row_number."""
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    c = F.broadcast(centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")))
+    scored = v.join(c).select(
+        "vid", "cell", F.round(cosine("vv", "cv"), 4).alias("ccos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("vid"), "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: search only the corpus vectors whose
+    nearest centroid matches the query's (nprobe=1; raise recall by probing
+    more cells). At scale this is the classic two-level ANN: a broadcast
+    K-centroid quantizer partitions the corpus into cells, and each query
+    scans one cell instead of the full corpus. Exact within the probed
+    cell; recall < 1 across cells (documented)."""
+    ca = ivf_assign(corpus, centroids, id_col, vec_col)
+    qa = ivf_assign(queries, centroids, id_col, vec_col)
+    c = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .join(ca.withColumnRenamed("vid", "cid"), "cid")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .join(qa.withColumnRenamed("vid", "qid"), "qid")
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn("cos", F.round(cosine("qv", "cv"), 4))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "cid", "cos", "rk")
+    )
+
+
 def _plane_component(seed: str, p: int, i: int) -> float:
     """Hyperplane p's component for dimension i: first hex nibble of
     md5(seed|p|i) minus 8 → a deterministic value in {-8..7}. Computed

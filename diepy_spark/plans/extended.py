@@ -31,6 +31,7 @@ NEAR_DUP_COS = 0.4
 NEAR_DUP_MAX = 500
 TOPK_K = 3
 TOPK_QUERY_MAX = 5
+IVF_CENTROID_MAX = 16
 MEDIA_DOC_MAX = 100
 FP_DOC_MAX = 50
 
@@ -116,6 +117,21 @@ def x3_ann_topk_lsh(spark, sf_dir):
     ).orderBy("qid", "rk")
 
 
+def x3_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: centroids are the first IVF_CENTROID_MAX vectors (a
+    deterministic quantizer both engines can build), corpus = the rest,
+    queries as in x3_cosine_topk. Fully SQL-expressible, so unlike the
+    random-hyperplane path this one is hash-checked end to end."""
+    v = _vecs(spark, sf_dir)
+    cents = v.where(F.col("vec_id") < IVF_CENTROID_MAX)
+    return S.ivf_topk(
+        v.where((F.col("vec_id") >= IVF_CENTROID_MAX) & (F.col("vec_id") < IVF_CENTROID_MAX + TOPK_QUERY_MAX)),
+        v.where(F.col("vec_id") >= IVF_CENTROID_MAX + TOPK_QUERY_MAX),
+        cents,
+        k=TOPK_K,
+    ).orderBy("qid", "rk")
+
+
 def x5_lang_id(spark, sf_dir):
     return T.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -144,6 +160,7 @@ EXTENDED_QUERIES = {
     "x2_embedding_near_dup": x2_embedding_near_dup,
     "x3_cosine_topk": x3_cosine_topk,
     "x3_ann_topk_lsh": x3_ann_topk_lsh,
+    "x3_ivf_topk": x3_ivf_topk,
     "x5_lang_id": x5_lang_id,
     "x5_token_stats": x5_token_stats,
     "x5_quality_score": x5_quality_score,
@@ -321,6 +338,37 @@ EXTENDED_ORACLES: dict[str, str] = {
                  ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
           FROM u q JOIN u c ON q.i = c.i
           WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+          GROUP BY 1, 2
+        )
+        SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+          FROM scored) WHERE rk <= {TOPK_K}
+        ORDER BY qid, rk
+    """,
+    "x3_ivf_topk": f"""
+        WITH {_COS_CTE},
+        cc AS (
+          SELECT a.vec_id AS vid, b.vec_id AS cell,
+                 ROUND(SUM(a.x*b.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(b.x*b.x))), 4) AS ccos
+          FROM u a JOIN u b ON a.i = b.i
+          WHERE b.vec_id < {IVF_CENTROID_MAX} AND a.vec_id >= {IVF_CENTROID_MAX}
+          GROUP BY 1, 2
+        ),
+        assign AS (
+          SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, cell) AS rn
+            FROM cc) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+          FROM u q JOIN u c ON q.i = c.i
+          JOIN assign aq ON aq.vid = q.vec_id
+          JOIN assign ac ON ac.vid = c.vec_id AND ac.cell = aq.cell
+          WHERE q.vec_id >= {IVF_CENTROID_MAX}
+            AND q.vec_id < {IVF_CENTROID_MAX + TOPK_QUERY_MAX}
+            AND c.vec_id >= {IVF_CENTROID_MAX + TOPK_QUERY_MAX}
           GROUP BY 1, 2
         )
         SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (

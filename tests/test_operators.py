@@ -83,6 +83,24 @@ def test_ann_lsh_self_match(spark):
     assert rows and rows[0]["cid"] == 0 and rows[0]["cos"] == 1.0
 
 
+def test_ivf_topk_probes_right_cell(spark):
+    vecs = spark.createDataFrame(
+        # centroids 0/1 along axes 0/1; corpus 10..13 near one of them;
+        # query 20 near axis 0 → must search cell 0 only
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (10, [0.9, 0.1]), (11, [0.8, 0.0]), (12, [0.1, 0.9]), (13, [0.0, 0.7]),
+         (20, [1.0, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = vecs.where(F.col("vec_id") < 2)
+    corpus = vecs.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    q = vecs.where(F.col("vec_id") == 20)
+    rows = sorted(S.ivf_topk(q, corpus, cents, k=4).collect(), key=lambda r: r["rk"])
+    # only cell-0 members (10, 11) are candidates; 12/13 live in cell 1
+    assert sorted(r["cid"] for r in rows) == [10, 11]
+    assert rows[0]["cid"] == 11  # [0.8, 0] is more parallel to [1, 0.05]
+
+
 def test_lang_id_english(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog in the house"), (2, "der hund und die katze ist nicht hier"), (3, "zzz qqq")],
