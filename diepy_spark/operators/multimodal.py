@@ -78,3 +78,100 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", strict: bool = False) ->
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary, frame_len int"
+
+
+def frame_sample(
+    df: DataFrame, every: int = 4, frame_size: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling over a binary payload: split into fixed-size blocks
+    ("frames") and keep every `every`-th one — the video-keyframe pattern
+    (real decoders replace the block split with container parsing; the
+    partitioning, explode shape, and per-frame row contract are identical).
+
+    Pure built-in expressions: sequence+transform over the binary column,
+    exploded to one row per kept frame. No Python in the row path.
+    (substring on binary is 1-based, hence the i*size+1 offset.)"""
+    pair_expr = (
+        f"transform(filter(sequence(0, greatest(cast(ceil(length(payload) / {frame_size}) as int) - 1, 0)), "
+        f"i -> i % {every} = 0), "
+        f"i -> struct(cast(i as int) as frame_idx, substring(payload, i * {frame_size} + 1, {frame_size}) as frame_bytes))"
+    )
+    return (
+        df.where(F.length("payload") > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.expr(pair_expr)).alias("fr"))
+        .select(
+            "doc_id",
+            F.col("fr.frame_idx").alias("frame_idx"),
+            F.col("fr.frame_bytes").alias("frame_bytes"),
+            F.length("fr.frame_bytes").alias("frame_len"),
+        )
+    )
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, mean_byte double, distinct_bytes int, entropy double"
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte statistics (the feature-extraction stage of a media
+    pipeline) via Arrow-batched mapInPandas — REAL computation, no codecs
+    needed: byte count, mean byte value, distinct byte count, Shannon
+    entropy in bits/byte. Deterministic: entropy sums over ascending byte
+    value in float64."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "n_bytes": [], "mean_byte": [], "distinct_bytes": [], "entropy": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(payload or b"", dtype=np.uint8)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(int(b.size))
+                if b.size:
+                    counts = np.bincount(b, minlength=256).astype(np.float64)
+                    p = counts[counts > 0] / b.size
+                    out["mean_byte"].append(float(b.mean()))
+                    out["distinct_bytes"].append(int((counts > 0).sum()))
+                    out["entropy"].append(float(-(p * np.log2(p)).sum()))
+                else:
+                    out["mean_byte"].append(0.0)
+                    out["distinct_bytes"].append(0)
+                    out["entropy"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """STUB for media resize (no image libs in this environment): emits the
+    target dims plus a deterministic md5 of (payload, dims) standing in for
+    resized bytes — the schema, Arrow batching, and partition behavior are
+    exactly the real operator's."""
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized_md5": [
+                        hashlib.md5((p or b"") + f"|{width}x{height}".encode()).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        batches, "doc_id bigint, width int, height int, resized_md5 string"
+    )

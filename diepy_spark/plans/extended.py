@@ -149,6 +149,44 @@ def x6_media_meta(spark, sf_dir):
     return M.decode_media(M.with_binary_payload(d)).orderBy("doc_id")
 
 
+def x6_frame_sample(spark, sf_dir):
+    """Keyframe-style sampling: every 4th 256-byte block of the payload as
+    a frame row; frames reported as md5 so the hash compare is
+    binary-exact without shipping raw bytes through the harness."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    return (
+        M.frame_sample(M.with_binary_payload(d), every=4, frame_size=256)
+        .select("doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5"), "frame_len")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def x6_features(spark, sf_dir):
+    """Byte-statistics feature extraction (Arrow-batched mapInPandas).
+    Payloads here are ASCII text bytes, so the oracle can rebuild the byte
+    histogram from char positions; float outputs rounded to 4."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    return (
+        M.extract_features(M.with_binary_payload(d))
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.round("mean_byte", 4).alias("mean_byte"),
+            "distinct_bytes",
+            F.round("entropy", 4).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def x6_resize(spark, sf_dir):
+    """Resize STUB: deterministic md5-of-(payload, dims) stands in for
+    resized bytes (no codecs in this environment); plumbing is the real
+    operator's."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    return M.resize_stub(M.with_binary_payload(d), 64, 64).orderBy("doc_id")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -165,6 +203,9 @@ EXTENDED_QUERIES = {
     "x5_token_stats": x5_token_stats,
     "x5_quality_score": x5_quality_score,
     "x6_media_meta": x6_media_meta,
+    "x6_frame_sample": x6_frame_sample,
+    "x6_features": x6_features,
+    "x6_resize": x6_resize,
 }
 
 
@@ -423,6 +464,44 @@ EXTENDED_ORACLES: dict[str, str] = {
                lower(hex(encode(substr(text, 1, 4)))) AS magic,
                CAST(ascii(substr(text, 1, 1)) % 256 AS INT) AS width,
                CAST(octet_length(encode(text)) % 256 AS INT) AS height
+        FROM documents WHERE doc_id < {MEDIA_DOC_MAX} ORDER BY doc_id
+    """,
+    # Payloads are the UTF-8 bytes of pure-ASCII text (verified: no doc has
+    # octet_length != length), so char-position substr == byte slicing.
+    "x6_frame_sample": f"""
+        SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+               md5(substr(text, CAST(f.i * 256 + 1 AS BIGINT), 256)) AS frame_md5,
+               CAST(octet_length(encode(substr(text, CAST(f.i * 256 + 1 AS BIGINT), 256))) AS INT) AS frame_len
+        FROM documents,
+        LATERAL (SELECT unnest(list_filter(
+                   range(0, CAST(ceil(length(text) / 256.0) AS BIGINT)),
+                   b -> b % 4 = 0)) AS i) f
+        WHERE doc_id < {MEDIA_DOC_MAX} AND length(text) > 0
+        ORDER BY doc_id, frame_idx
+    """,
+    "x6_features": f"""
+        WITH hist AS (
+          SELECT doc_id, substr(text, g.i, 1) AS ch, COUNT(*) AS c
+          FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
+          WHERE doc_id < {MEDIA_DOC_MAX}
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY 1),
+        agg AS (
+          SELECT h.doc_id, CAST(t.n AS INT) AS n_bytes,
+                 SUM(ascii(h.ch) * h.c) / t.n AS mean_byte,
+                 CAST(COUNT(*) AS INT) AS distinct_bytes,
+                 -SUM((h.c * 1.0 / t.n) * log2(h.c * 1.0 / t.n)) AS entropy
+          FROM hist h JOIN tot t USING (doc_id) GROUP BY h.doc_id, t.n
+        )
+        SELECT doc_id, n_bytes, ROUND(mean_byte, 4) AS mean_byte,
+               distinct_bytes, ROUND(entropy, 4) AS entropy
+        FROM agg ORDER BY doc_id
+    """,
+    "x6_resize": f"""
+        SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+               md5(text || '|64x64') AS resized_md5
         FROM documents WHERE doc_id < {MEDIA_DOC_MAX} ORDER BY doc_id
     """,
 }
