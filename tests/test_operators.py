@@ -133,3 +133,29 @@ def test_multimodal_plumbing(docs):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         M.decode_stub(b"bytes", strict=True)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from diepy_spark.operators import skew as K
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 9 else f"k{i}") for i in range(200)], "id long, k string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(200)], "k string, w double"
+    )
+    got = K.salted_join(left, right, on=["k"], salt_from=["id"], buckets=8)
+    plain = left.join(right, "k")
+    assert got.count() == plain.count()
+    assert got.select(F.sum("w")).first()[0] == plain.select(F.sum("w")).first()[0]
+
+
+def test_salted_distinct_count_exact(spark):
+    from diepy_spark.operators import skew as K
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i) for i in range(5)],
+        "g string, v long",
+    )
+    rows = {r["g"]: r["distinct_count"] for r in K.salted_distinct_count(df, "g", "v").collect()}
+    assert rows == {"a": 7, "b": 5}
