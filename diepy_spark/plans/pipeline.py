@@ -134,14 +134,14 @@ def t1_roundtrip_csv(spark, sf_dir):
         write_csv(load_table(spark, sf_dir, "orders"), path, unix=True)
         _scratch_cache[key] = path
     raw = read_untyped_csv(spark, _scratch_cache[key])
-    # Inference samples the head (limit early-stops the serial CSV parse);
-    # the full typed pass is cast-heavy (multi-format timestamp attempts),
-    # and a multiLine CSV file is NOT splittable — so spread the cast
-    # across cores explicitly. At scale imports arrive as many files and
-    # the repartition is a cheap rebalance of raw strings.
-    specs = infer_from_dataframe(raw)
+    # A multiLine CSV file is NOT splittable, so spread the rows across
+    # cores once and run BOTH passes distributed: inference in full-scan
+    # mode (one aggregate over every row — the 100 TB path; the
+    # reference-faithful 20k-sample mode is unit-tested separately) and
+    # then the cast-heavy typed projection. At scale imports arrive as
+    # many files and the repartition is a cheap rebalance of raw strings.
     spread = raw.repartition(spark.sparkContext.defaultParallelism)
-    typed = apply_schema(spread, specs)
+    typed = apply_schema(spread, infer_from_dataframe(spread, sample_size=None))
     casts = {"smallint": "bigint", "int": "bigint", "date": "timestamp"}
     cols = [
         F.col(f.name).cast(casts[f.dataType.simpleString()]).alias(f.name)
