@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the scale properties claimed in
+docstrings (pushdown, pruning, broadcasts, zero-shuffle signatures) must
+actually appear in .explain output, or a refactor silently regressed them."""
+
+import io
+import contextlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from diepy_spark.operators import dedup as D
+from diepy_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, qs):
+    plan = plan_of(qs["r2_filter"](spark, SF))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(o_orderstatus,F\)", plan)
+    assert re.search(r"PushedFilters:.*GreaterThan\(o_totalprice", plan)
+
+
+def test_column_pruning_reaches_scan(spark, qs):
+    plan = plan_of(qs["r1_scan_projection"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}
+
+
+def test_small_dims_broadcast(spark, qs):
+    # nation (25 rows) must broadcast in the 3-way join; no shuffle join of a dim
+    plan = plan_of(qs["r4_join3_aggregate"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semi_anti_join_shapes(spark, qs):
+    assert "LeftSemi" in plan_of(qs["r6_semi_join"](spark, SF))
+    assert "LeftAnti" in plan_of(qs["r7_anti_join"](spark, SF))
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """The per-row signature claim: no Exchange anywhere except the
+    deliberate compute-spreading repartition (RoundRobin/hash on d), and
+    no aggregation."""
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(D.minhash_signatures(docs, 8))
+    assert "HashAggregate" not in plan
+    # exactly the one explicit repartition exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_simhash_zero_shuffle(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(D.simhash(docs))
+    assert "HashAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_topk_uses_take_ordered(spark, qs):
+    """R8 must not global-sort 150k rows for LIMIT 10."""
+    plan = plan_of(qs["r8_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
