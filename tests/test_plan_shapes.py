@@ -76,3 +76,41 @@ def test_topk_uses_take_ordered(spark, qs):
     """R8 must not global-sort 150k rows for LIMIT 10."""
     plan = plan_of(qs["r8_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_warehouse_prunes(spark, tmp_path):
+    from diepy_spark.core.database import WarehouseBackend
+    from diepy_spark.functions.inference import ColumnSpec
+
+    wh = WarehouseBackend(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"r{i % 3}", float(i)) for i in range(100)], "id long, region string, v double"
+    )
+    wh.append(df, "events_p", partition_by=["region"])
+    scan = wh.read_table("events_p").where(F.col("region") == "r1")
+    plan = plan_of(scan)
+    assert re.search(r"PartitionFilters: \[.*r1", plan), plan
+    assert scan.count() == 33
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    from diepy_spark.sources import bucketing as B
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("a", F.col("k") * 2)
+    right = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("b", F.col("k") + 1)
+    B.save_bucketed(left, "bkt_left", ["k"], num_buckets=8)
+    B.save_bucketed(right, "bkt_right", ["k"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # tiny test tables would (rightly) broadcast; disable it so the plan
+    # shows what bucketing buys on tables too big to broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.bucketed(spark, "bkt_left").join(B.bucketed(spark, "bkt_right"), "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
