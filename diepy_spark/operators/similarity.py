@@ -94,6 +94,41 @@ def cosine_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs over the FULL corpus via LSH blocking: vectors
+    are bucketed by hyperplane sign pattern (per-row expression, zero
+    shuffle), then only same-bucket pairs are scored — the scale path that
+    replaces cosine_pairs' O(n²) with Σ_bucket |b|². True near-dups
+    (cos→1) agree on almost every hyperplane sign, so recall at high
+    thresholds is excellent; raise num_planes to shrink buckets, lower it
+    to raise recall. Pre-shuffled self-join → one exchange, reused."""
+    dim = len(df.select(vec_col).first()[0])
+    v = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vv"),
+        _norm(vec_col).alias("nn"),
+        bucket_expr(vec_col, dim, num_planes).alias("bucket"),
+    )
+    b = v.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("bucket"))
+    x = b.select(F.col("vid").alias("va"), F.col("vv").alias("ea"), F.col("nn").alias("na"), "bucket")
+    y = b.select(F.col("vid").alias("vb"), F.col("vv").alias("eb"), F.col("nn").alias("nb"), "bucket")
+    return (
+        x.join(y.hint("shuffle_hash"), "bucket")
+        .where(F.col("va") < F.col("vb"))
+        .withColumn("cos", F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("va", "vb", "cos")
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -96,6 +96,16 @@ def x2_embedding_near_dup(spark, sf_dir):
     return S.cosine_pairs(v, threshold=NEAR_DUP_COS).orderBy("va", "vb")
 
 
+def x2_embedding_near_dup_lsh(spark, sf_dir):
+    """The unbounded scale path for embedding near-dup: LSH blocking over
+    the FULL embeddings table (no id bound). No SQL oracle — bucket signs
+    near zero aren't portably reproducible in SQL (rows-only check, same
+    caveat as x3_ann_topk_lsh)."""
+    return S.lsh_near_dup_pairs(_vecs(spark, sf_dir), threshold=NEAR_DUP_COS).orderBy(
+        "va", "vb"
+    )
+
+
 def x3_cosine_topk(spark, sf_dir):
     v = _vecs(spark, sf_dir)
     return S.cosine_topk(
@@ -196,6 +206,7 @@ EXTENDED_QUERIES = {
     "x2_simhash": x2_simhash,
     "x2_simhash_pairs": x2_simhash_pairs,
     "x2_embedding_near_dup": x2_embedding_near_dup,
+    "x2_embedding_near_dup_lsh": x2_embedding_near_dup_lsh,
     "x3_cosine_topk": x3_cosine_topk,
     "x3_ann_topk_lsh": x3_ann_topk_lsh,
     "x3_ivf_topk": x3_ivf_topk,
