@@ -1,0 +1,119 @@
+"""Time-series operators Spark lacks as built-ins: as-of join and gap
+sessionization.
+
+Neither exists in the reference (`/root/reference/diepy/core.py` has no query
+operators at all — SURVEY.md §2.5); both are mandated by the north-star
+extension surface (training-data pipelines over event streams).
+
+Scale design: both operators are ONE shuffle on the partition key followed by
+a within-partition sort (window). There is no range-condition join and no
+cross product, so cost is O(n log n_per_key) and skew is bounded by the
+hottest key, not by time-range overlap. This is the plan you want at 100 TB:
+an as-of join expressed as a range join would explode; expressed as
+union+last_value it is a single sort-merge pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "assign_sessions"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the payload columns of the
+    LATEST right row with equal key columns and ``right.ts_col <= left.ts_col``
+    (inclusive — a right row at exactly the left timestamp matches, the same
+    contract as DuckDB ``ASOF JOIN`` / pandas ``merge_asof``).
+
+    Left rows with no prior right row keep NULL payloads (left-outer
+    semantics); filter on a payload column for inner semantics.
+
+    Implementation: union both sides tagged with a side marker, one window
+    ``last(payload_struct, ignorenulls=True)`` over
+    ``partitionBy(on).orderBy(ts_col, side)`` — right rows sort before left
+    rows at equal timestamps so inclusivity falls out of the sort order. The
+    payload rides in a single struct so legitimately-NULL payload *fields*
+    are carried faithfully (a per-column ``last(ignorenulls)`` would skip
+    them).
+
+    Determinism note: if the right side can hold several rows at the same
+    (key, ts), pre-dedupe it or the "latest" pick among ties is plan-order
+    dependent (same as every engine's ASOF).
+    """
+    keyset = set(on) | {ts_col}
+    if payload is None:
+        payload = [c for c in right.columns if c not in keyset]
+    left_cols = left.columns
+    overlap = set(payload) & set(left_cols)
+    if overlap:
+        raise ValueError(f"payload columns collide with left columns: {sorted(overlap)}")
+
+    pay_struct = F.struct(*[F.col(c) for c in payload]).alias("__asof")
+    rpart = right.select(
+        *[F.col(c) for c in on], F.col(ts_col), F.lit(0).alias("__side"), pay_struct
+    )
+    # Left-only columns ride as NULLs on right rows so the union lines up.
+    for c in left_cols:
+        if c not in keyset:
+            rpart = rpart.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    struct_type = rpart.schema["__asof"].dataType
+    lpart = left.select(
+        *left_cols, F.lit(1).alias("__side"), F.lit(None).cast(struct_type).alias("__asof")
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lpart.unionByName(rpart.select(lpart.columns)).select(
+        *left_cols, "__side", F.last("__asof", ignorenulls=True).over(w).alias("__asof")
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *left_cols, *[F.col(f"__asof.{c}").alias(c) for c in payload]
+    )
+
+
+def assign_sessions(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: add a ``session_seq`` column (1-based, per
+    key) that increments whenever the gap to the previous event of the same
+    key exceeds ``gap_seconds``. A gap of exactly ``gap_seconds`` stays in
+    the same session (strict ``>`` starts a new one).
+
+    Microsecond-exact: gaps are compared in ``unix_micros`` so sub-second
+    timestamps never alias (``unix_timestamp`` would truncate to seconds).
+
+    This is the batch analog of the streaming session window
+    (`diepy_spark.streaming.events`); unlike ``F.session_window`` it exposes
+    the session *index*, which downstream operators can join or window on.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*on).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    flagged = df.withColumn(
+        "__new_session",
+        F.when(prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.withColumn("session_seq", F.sum("__new_session").over(wcum)).drop(
+        "__new_session"
+    )

@@ -11,6 +11,8 @@ Type alignment notes:
   match Spark's long.
 """
 
+from diepy_spark.operators.sketch import hex_frac_sql
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "r1_scan_projection": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -180,5 +182,46 @@ RELATIONAL_ORACLES: dict[str, str] = {
                array_to_string(list_sort(list(n_name)), '|') AS nations,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    # DuckDB's native ASOF JOIN is the oracle for the union+window Spark plan.
+    "r32_asof_join": """
+        SELECT c.event_id AS click_id, c.ts AS click_ts,
+               v.event_id AS view_id, v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY click_id
+    """,
+    # hex_frac_sql is shared verbatim with the Spark plan (operators/sketch.py)
+    # so both engines compute the identical double, term for term.
+    "r33_kmv_sketch": f"""
+        WITH hv AS (SELECT DISTINCT lang, md5(CAST(text AS VARCHAR)) AS h FROM documents),
+        ranked AS (
+          SELECT lang, {hex_frac_sql("h")} AS f,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM hv
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct_true,
+               ROUND(CAST(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE 63.0 / MAX(CASE WHEN rn = 64 THEN f END)
+                          END AS DOUBLE), 4) AS kmv_estimate
+        FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    "r34_sessionize": """
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
     """,
 }

@@ -439,6 +439,69 @@ def r31_array_agg(spark, sf_dir):
     )
 
 
+def r32_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each click event picks up
+    the latest prior-or-equal view by the same user. Implemented as
+    union + windowed last_value (operators/timeseries.py) — one shuffle on
+    user_id, no range-join explosion. Inner semantics via the view_id
+    filter; oracle is DuckDB's native ASOF JOIN."""
+    from diepy_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("click_id")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        asof_join(clicks, views, on=["user_id"], ts_col="ts")
+        .where(F.col("view_id").isNotNull())
+        .select("click_id", F.col("ts").alias("click_ts"), "view_id", "view_ts")
+        .orderBy("click_id")
+    )
+
+
+def r33_kmv_sketch(spark, sf_dir):
+    """Distinct-count sketch (KMV, k=64) per language over document texts,
+    with the exact count alongside to exhibit estimator quality. The md5
+    hash and hex->fraction arithmetic are engine-portable, so the DuckDB
+    oracle reproduces the estimate bit-for-bit (operators/sketch.py)."""
+    from diepy_spark.operators.sketch import kmv_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    return kmv_distinct(d, on=["lang"], value_col="text", k=64, include_exact=True).orderBy(
+        "lang"
+    )
+
+
+def r34_sessionize(spark, sf_dir):
+    """Batch gap-sessionization (30-minute gap) of the event stream: session
+    bounds, event count, and exact-decimal value sum per (user, session).
+    One shuffle on user_id + in-partition sort (operators/timeseries.py);
+    the batch analog of the streaming session window."""
+    from diepy_spark.operators.timeseries import assign_sessions
+
+    e = _t(spark, sf_dir, "events")
+    s = assign_sessions(e, on=["user_id"], ts_col="ts", gap_seconds=1800, tiebreak=["event_id"])
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DecimalType(18, 4))).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -471,4 +534,7 @@ RELATIONAL_QUERIES = {
     "r29_exists_subquery": r29_exists_subquery,
     "r30_regexp": r30_regexp,
     "r31_array_agg": r31_array_agg,
+    "r32_asof_join": r32_asof_join,
+    "r33_kmv_sketch": r33_kmv_sketch,
+    "r34_sessionize": r34_sessionize,
 }

@@ -159,3 +159,84 @@ def test_salted_distinct_count_exact(spark):
     )
     rows = {r["g"]: r["distinct_count"] for r in K.salted_distinct_count(df, "g", "v").collect()}
     assert rows == {"a": 7, "b": 5}
+
+
+# --------------------------------------------------------------------------
+# timeseries: as-of join + sessionization
+# --------------------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    from diepy_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (2, 5, "l5")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10", None), (1, 15, "r15", "x"), (2, 9, "r9", "y")],
+        "k long, ts long, rv string, extra string",
+    )
+    got = {
+        r["lv"]: (r["rv"], r["extra"])
+        for r in asof_join(left, right, on=["k"], ts_col="ts").collect()
+    }
+    # inclusive tie: left ts=10 sees right ts=10, whose NULL extra must be
+    # carried faithfully (struct payload, not per-column last-non-null)
+    assert got["l10"] == ("r10", None)
+    assert got["l20"] == ("r15", "x")  # latest prior, not just any prior
+    assert got["l5"] == (None, None)  # no prior right row -> NULL payload
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from diepy_spark.operators.timeseries import asof_join
+
+    df = spark.createDataFrame([(1, 1, "a")], "k long, ts long, v string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, on=["k"], ts_col="ts")
+
+
+def test_assign_sessions_gap_boundary(spark):
+    from diepy_spark.operators.timeseries import assign_sessions
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # gap == 1800s exactly -> SAME session
+        (1, "2024-01-01 01:00:00.000001"),  # gap 1800.000001s -> NEW session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["user"], str(r["ts"])): r["session_seq"]
+        for r in assign_sessions(df, on=["user"], ts_col="ts").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == 1
+    assert got[(1, "2024-01-01 00:30:00")] == 1
+    assert got[(1, "2024-01-01 01:00:00.000001")] == 2
+    assert got[(2, "2024-01-01 00:00:00")] == 1
+
+
+# --------------------------------------------------------------------------
+# sketch: KMV distinct estimator
+# --------------------------------------------------------------------------
+
+def test_kmv_exact_below_capacity(spark):
+    from diepy_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", f"v{i % 7}") for i in range(50)] + [("b", f"w{i}") for i in range(3)],
+        "g string, v string",
+    )
+    got = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=64, include_exact=True).collect()}
+    assert got["a"]["kmv_estimate"] == 7.0 and got["a"]["n_distinct_true"] == 7
+    assert got["b"]["kmv_estimate"] == 3.0
+
+
+def test_kmv_estimates_above_capacity(spark):
+    from diepy_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([("a", f"value-{i}") for i in range(2000)], "g string, v string")
+    est = kmv_distinct(df, ["g"], "v", k=64).first()["kmv_estimate"]
+    # KMV with k=64 has ~12.5% relative stddev; 3 sigma bound
+    assert 1250 < est < 2750
