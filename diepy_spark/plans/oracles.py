@@ -224,4 +224,42 @@ RELATIONAL_ORACLES: dict[str, str] = {
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
         FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
     """,
+    # Oracle uses the conditional-aggregation form PIVOT desugars to.
+    "r35_pivot": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # Elements cast to double before the sequential fold -> bit-identical
+    # to Spark's aggregate() lambda.
+    "r36_array_hof": """
+        SELECT vec_id,
+               ROUND(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_sum,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               ROUND(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)), 'max'), 4) AS mx
+        FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+    """,
+    "r37_window_analytics": """
+        SELECT o_custkey, o_orderkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+               NTH_VALUE(o_orderkey, 2) OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        FROM orders WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, quartile, o_orderkey
+    """,
+    "r38_date_arith": """
+        SELECT o_orderkey, o_orderdate AS d,
+               o_orderdate + INTERVAL 30 DAY AS d_plus30,
+               CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+               CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+               CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS INT) AS days_from_2024
+        FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey
+    """,
 }

@@ -502,6 +502,93 @@ def r34_sessionize(spark, sf_dir):
     )
 
 
+def r35_pivot(spark, sf_dir):
+    """Pivot (long->wide): order counts by priority x status. Spark's
+    groupBy().pivot() with an EXPLICIT value list — never let pivot run its
+    hidden distinct-collect job at 100 TB; with pinned values it's a single
+    hash aggregate with conditional counters, same plan as the oracle's
+    CASE form."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def r36_array_hof(spark, sf_dir):
+    """Higher-order array functions (transform/filter/aggregate) over the
+    embedding column — entirely JVM-side lambda evaluation, zero Python.
+    Elements cast to double BEFORE summing so the sequential fold is
+    bit-identical to DuckDB's list_aggregate."""
+    v = _t(spark, sf_dir, "embeddings")
+    return (
+        v.where(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                ),
+                4,
+            ).alias("sq_sum"),
+            F.expr("CAST(size(filter(embedding, x -> x > 0)) AS INT)").alias("n_pos"),
+            F.round(
+                F.expr("aggregate(embedding, CAST(-1e308 AS DOUBLE),"
+                       " (acc, x) -> greatest(acc, CAST(x AS DOUBLE)))"),
+                4,
+            ).alias("mx"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def r37_window_analytics(spark, sf_dir):
+    """Analytic window battery: ntile quartiles, first_value, nth_value with
+    an explicit full-partition frame. Single shuffle on o_custkey feeds all
+    three functions (one Window spec reused)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        )
+        .orderBy("o_custkey", "quartile", "o_orderkey")
+    )
+
+
+def r38_date_arith(spark, sf_dir):
+    """Date arithmetic kernel: interval add, last_day, ISO day-of-week,
+    day difference from an epoch date. Pure codegen'd projection (no
+    shuffle before the sort); conventions pinned to the portable forms
+    (ISO dow — Spark weekday()+1 == DuckDB isodow)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("d"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("d_plus30"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            (F.weekday("o_orderdate") + F.lit(1)).cast("int").alias("iso_dow"),
+            F.datediff("o_orderdate", F.lit("2024-01-01").cast("date")).alias("days_from_2024"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -537,4 +624,8 @@ RELATIONAL_QUERIES = {
     "r32_asof_join": r32_asof_join,
     "r33_kmv_sketch": r33_kmv_sketch,
     "r34_sessionize": r34_sessionize,
+    "r35_pivot": r35_pivot,
+    "r36_array_hof": r36_array_hof,
+    "r37_window_analytics": r37_window_analytics,
+    "r38_date_arith": r38_date_arith,
 }
