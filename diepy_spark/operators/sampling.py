@@ -1,0 +1,78 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same row must land
+in the same split on every run, on any cluster, regardless of partitioning
+— which rules out `df.sample()`/`rand()` (partition-order dependent). The
+standard trick is hashing a stable row identity into [0, 1) and thresholding.
+
+Everything here is a narrow projection (no shuffle, no state): at 100 TB a
+split assignment is a free column; a sample is a pushdown-friendly filter.
+The hash→fraction arithmetic is `operators.sketch.hex_frac_sql`, shared
+verbatim with the DuckDB oracles, so assignments are engine-portable and
+bit-identical.
+
+No reference analog (`/root/reference` has no sampling surface beyond the
+20k-row inference cap, SURVEY.md §1.3); mandated by the north-star
+extension set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diepy_spark.operators.sketch import hex_frac_sql
+
+__all__ = ["hash_frac", "hash_sample", "hash_split"]
+
+
+def hash_frac(id_col: str, seed: str = "") -> "F.Column":
+    """Column in [0, 1): stable uniform hash of `id_col` (any type; cast to
+    string) salted with `seed`. Different seeds give independent samples.
+    The md5 sub-expression appears once per nibble in the generated SQL;
+    codegen's common-subexpression elimination evaluates it once per row."""
+    if not re.fullmatch(r"[A-Za-z0-9_.\-]*", seed):
+        raise ValueError(f"seed must be alphanumeric/._-: {seed!r}")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", id_col):
+        raise ValueError(f"id_col must be a plain identifier: {id_col!r}")
+    md5_sql = f"md5(concat('{seed}:', CAST({id_col} AS STRING)))"
+    return F.expr(hex_frac_sql(md5_sql))
+
+
+_frac_expr = hash_frac
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: str = "") -> DataFrame:
+    """Deterministic ~`fraction` sample: keeps rows whose hash fraction is
+    below the threshold. Stable across runs/partitionings; disjoint seeds
+    give independent samples; the filter is a plain predicate (prunable,
+    pushdown-friendly)."""
+    return df.where(_frac_expr(id_col, seed) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: adds `split_col` assigning each row to a
+    named bucket with the given weights (default 80/10/10 train/valid/test).
+    Weight order follows dict insertion order; weights must sum to ~1."""
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    f = _frac_expr(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        clause = F.when(f < acc, name)
+        expr = clause if expr is None else expr.when(f < acc, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return df.withColumn(split_col, expr)

@@ -197,6 +197,36 @@ def x6_resize(spark, sf_dir):
     return M.resize_stub(M.with_binary_payload(d), 64, 64).orderBy("doc_id")
 
 
+def x8_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split of the corpus
+    (operators/sampling.py): narrow projection, reproducible across runs and
+    partitionings, then per-(split, lang) accounting. At 100 TB the split
+    is a free column and the only shuffle is the tiny final rollup."""
+    from diepy_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("chars"))
+        .orderBy("split", "lang")
+    )
+
+
+def x8_hash_sample(spark, sf_dir):
+    """Deterministic ~10% sample (seed-salted md5 threshold) with full-row
+    fidelity — the filter is a plain predicate, so at scale it prunes at
+    the scan. Output is the sampled doc ids + stats."""
+    from diepy_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    return (
+        hash_sample(d, "doc_id", 0.1, seed="bench")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -217,6 +247,8 @@ EXTENDED_QUERIES = {
     "x6_frame_sample": x6_frame_sample,
     "x6_features": x6_features,
     "x6_resize": x6_resize,
+    "x8_hash_split": x8_hash_split,
+    "x8_hash_sample": x8_hash_sample,
 }
 
 
@@ -516,3 +548,32 @@ EXTENDED_ORACLES: dict[str, str] = {
         FROM documents WHERE doc_id < {MEDIA_DOC_MAX} ORDER BY doc_id
     """,
 }
+
+
+def _sample_frac_sql(seed: str) -> str:
+    """Same hash→fraction pipeline as operators.sampling.hash_frac, DuckDB
+    spelling (VARCHAR cast); the nibble arithmetic is shared verbatim."""
+    from diepy_spark.operators.sketch import hex_frac_sql
+
+    return hex_frac_sql(f"md5(concat('{seed}:', CAST(doc_id AS VARCHAR)))")
+
+
+# Split thresholds must be the SAME accumulated floats the Spark operator
+# compares against (0.8 + 0.1 != 0.9 in IEEE754 — repr() keeps the exact
+# value in the SQL text).
+_SPLIT_CASE = (
+    f"CASE WHEN {_sample_frac_sql('')} < {0.8!r} THEN 'train' "
+    f"WHEN {_sample_frac_sql('')} < {0.8 + 0.1!r} THEN 'valid' "
+    f"ELSE 'test' END"
+)
+
+EXTENDED_ORACLES["x8_hash_split"] = f"""
+    WITH s AS (SELECT lang, n_chars, {_SPLIT_CASE} AS split FROM documents)
+    SELECT split, lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+EXTENDED_ORACLES["x8_hash_sample"] = f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_sample_frac_sql('bench')} < 0.1 ORDER BY doc_id
+"""

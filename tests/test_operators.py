@@ -240,3 +240,56 @@ def test_kmv_estimates_above_capacity(spark):
     est = kmv_distinct(df, ["g"], "v", k=64).first()["kmv_estimate"]
     # KMV with k=64 has ~12.5% relative stddev; 3 sigma bound
     assert 1250 < est < 2750
+
+
+# --------------------------------------------------------------------------
+# sampling: deterministic hash split / sample
+# --------------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_total(spark):
+    from diepy_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    a = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    assert a == b  # reproducible across runs
+    counts = {s: sum(1 for v in a.values() if v == s) for s in ("train", "valid", "test")}
+    assert sum(counts.values()) == 1000  # total, no dropped rows
+    assert 700 < counts["train"] < 900  # ~80% within loose binomial bounds
+    # repartitioning must not change assignment
+    c = {r["id"]: r["split"] for r in hash_split(df.repartition(7), "id").collect()}
+    assert a == c
+
+
+def test_hash_sample_stable_and_seed_sensitive(spark):
+    from diepy_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s1 = {r["id"] for r in hash_sample(df, "id", 0.1, seed="a").collect()}
+    s2 = {r["id"] for r in hash_sample(df, "id", 0.1, seed="a").collect()}
+    s3 = {r["id"] for r in hash_sample(df, "id", 0.1, seed="b").collect()}
+    assert s1 == s2 and s1 != s3
+    assert 100 < len(s1) < 320  # ~200 expected
+    # nested: a 0.05 sample with the same seed is a subset of the 0.1 sample
+    s_small = {r["id"] for r in hash_sample(df, "id", 0.05, seed="a").collect()}
+    assert s_small <= s1
+
+
+def test_sampling_validates_inputs(spark):
+    from diepy_spark.operators.sampling import hash_frac, hash_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="seed"):
+        hash_frac("id", seed="bad'; DROP")
+    with pytest.raises(ValueError, match="identifier"):
+        hash_frac("id; --")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", weights={"a": 0.5, "b": 0.2})
+
+
+def test_hash_sample_is_narrow(spark):
+    from diepy_spark.operators.sampling import hash_sample
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = hash_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle
