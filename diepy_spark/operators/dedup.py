@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -412,5 +412,61 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str =
         x.join(y.hint("shuffle_hash"), ["chunk", "v"])
         .where(F.col("x.d") < F.col("y.d"))
         .select(F.col("x.d").alias("da"), F.col("y.d").alias("db"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every word k-gram, slide a window of w
+    consecutive hashes, keep the minimum of each window (rightmost position
+    on ties). Guarantees any shared run of >= w+k-1 tokens yields a shared
+    fingerprint, while storing ~2/(w+1) of the hashes.
+
+    Output: (id_col, h, i) — selected md5 gram-hash and its 1-based gram
+    position. Docs with < k tokens produce no rows; docs with fewer than w
+    grams are winnowed as a single window.
+
+    Scale design: gram construction is a per-row array transform (narrow);
+    the window explode is a constant factor w; the only shuffle is the
+    per-(doc, window) argmin. No self-joins, no cross product. The reference
+    has no fingerprinting at all (its only content hash surface is absent —
+    SURVEY.md §2.5); this is north-star extension surface.
+    """
+    _ident(id_col)
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).where(F.size("__toks") >= k)
+    grams = base.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, size(__toks)-{k}+1),"
+            f" j -> concat_ws(' ', slice(__toks, j, {k})))"
+        ).alias("gs"),
+    )
+    g = grams.select(
+        id_col, F.size("gs").alias("ng"), F.posexplode("gs").alias("pos", "gram")
+    )
+    hashed = g.select(
+        id_col, "ng", (F.col("pos") + 1).alias("i"), F.md5("gram").alias("h")
+    )
+    wins = hashed.select(
+        id_col,
+        "i",
+        "h",
+        F.explode(
+            F.expr(f"sequence(greatest(1, i-{w}+1), least(i, greatest(ng-{w}+1, 1)))")
+        ).alias("win"),
+    )
+    sel = Window.partitionBy(id_col, "win").orderBy(F.asc("h"), F.desc("i"))
+    return (
+        wins.withColumn("__rn", F.row_number().over(sel))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "h", "i")
         .distinct()
     )

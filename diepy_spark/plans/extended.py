@@ -197,6 +197,34 @@ def x6_resize(spark, sf_dir):
     return M.resize_stub(M.with_binary_payload(d), 64, 64).orderBy("doc_id")
 
 
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def x5_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): per doc, the count of selected
+    fingerprints and an md5 signature of the full sorted (hash, position)
+    set — the signature makes the oracle comparison total over the
+    fingerprint SET, not just its size."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < FP_DOC_MAX)
+    fp = D.winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(":", "h", F.col("i").cast("string")))
+                    ),
+                )
+            ).alias("fp_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def x8_hash_split(spark, sf_dir):
     """Deterministic 80/10/10 train/valid/test split of the corpus
     (operators/sampling.py): narrow projection, reproducible across runs and
@@ -247,6 +275,7 @@ EXTENDED_QUERIES = {
     "x6_frame_sample": x6_frame_sample,
     "x6_features": x6_features,
     "x6_resize": x6_resize,
+    "x5_winnow": x5_winnow,
     "x8_hash_split": x8_hash_split,
     "x8_hash_sample": x8_hash_sample,
 }
@@ -548,6 +577,37 @@ EXTENDED_ORACLES: dict[str, str] = {
         FROM documents WHERE doc_id < {MEDIA_DOC_MAX} ORDER BY doc_id
     """,
 }
+
+
+EXTENDED_ORACLES["x5_winnow"] = f"""
+    WITH toks AS (
+      SELECT doc_id AS d, {_TOKS_EXPR} AS toks FROM documents
+      WHERE doc_id < {FP_DOC_MAX} AND len({_TOKS_EXPR}) >= {WINNOW_K}
+    ),
+    gl AS (
+      SELECT d, list_transform(generate_series(1, len(toks)-{WINNOW_K}+1),
+               j -> array_to_string(list_slice(toks, j, j+{WINNOW_K}-1), ' ')) AS gs
+      FROM toks
+    ),
+    grams AS (
+      SELECT d, len(gs) AS ng, t.i, md5(t.g) AS h FROM gl,
+      LATERAL (SELECT unnest(gs) AS g, generate_subscripts(gs, 1) AS i) t
+    ),
+    wins AS (
+      SELECT d, i, h, u.win FROM grams,
+      LATERAL (SELECT unnest(generate_series(greatest(1, i-{WINNOW_W}+1),
+                 least(i, greatest(ng-{WINNOW_W}+1, 1)))) AS win) u
+    ),
+    sel AS (
+      SELECT d, win, h, i,
+             ROW_NUMBER() OVER (PARTITION BY d, win ORDER BY h, i DESC) AS rn
+      FROM wins
+    ),
+    fp AS (SELECT DISTINCT d, h, i FROM sel WHERE rn = 1)
+    SELECT d AS doc_id, COUNT(*) AS n_fp,
+           md5(array_to_string(list_sort(list(h || ':' || CAST(i AS VARCHAR))), '|')) AS fp_sig
+    FROM fp GROUP BY d ORDER BY doc_id
+"""
 
 
 def _sample_frac_sql(seed: str) -> str:

@@ -293,3 +293,30 @@ def test_hash_sample_is_narrow(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     plan = hash_sample(df, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+def test_winnow_guarantee_and_compression(spark):
+    """Winnowing guarantee: docs sharing a token run of >= w+k-1 tokens
+    share at least one fingerprint hash; fingerprints are a strict subset
+    of all gram hashes."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens >= w+k-1=6
+    rows = [
+        (1, f"one two {shared} three four five six seven eight nine"),
+        (2, f"xx yy zz {shared} qq rr ss tt uu vv ww"),
+        (3, "totally disjoint vocabulary without any overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = D.winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # compression: selected fingerprints ≪ total grams (13 grams for doc 1)
+    assert 1 <= len(by_doc[1]) < 13
+
+
+def test_winnow_short_doc_single_window(spark):
+    # 4 tokens, k=3 -> 2 grams < w=4 -> one window -> exactly 1 fingerprint
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert D.winnow_fingerprints(df, k=3, w=4).count() == 1
