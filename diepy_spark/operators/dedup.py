@@ -440,18 +440,30 @@ def winnow_fingerprints(
     SURVEY.md §2.5); this is north-star extension surface.
     """
     _ident(id_col)
-    toks = tokens_col(text_col)
-    base = df.select(F.col(id_col), toks.alias("__toks")).where(F.size("__toks") >= k)
-    grams = base.select(
-        id_col,
-        F.expr(
-            f"transform(sequence(1, size(__toks)-{k}+1),"
-            f" j -> concat_ws(' ', slice(__toks, j, {k})))"
-        ).alias("gs"),
+    # Plan-shape care (see shingle_frame and the FilterExec note): the cheap
+    # token-count predicate goes on the RAW text below the projections, and
+    # the explode is posexplode_OUTER. A plain posexplode makes Catalyst
+    # infer `isnotnull(<gram expr>)`, and FilterExec evaluates null-checks
+    # BEFORE all other conjuncts — running the interpreted gram build on
+    # every scanned row instead of the id-filtered few (measured 5.2s vs
+    # 0.4s on 5k docs). Outer generate infers no filter; our arrays are
+    # non-empty by construction, and the cheap pos-null guard catches the
+    # degenerate row an empty array would emit.
+    base = (
+        df.where(F.expr(f"size({tokens_expr(text_col)}) >= {k}"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.expr(
+                f"transform(sequence(1, size(__toks)-{k}+1),"
+                f" j -> concat_ws(' ', slice(__toks, j, {k})))"
+            ).alias("gs"),
+        )
     )
-    g = grams.select(
-        id_col, F.size("gs").alias("ng"), F.posexplode("gs").alias("pos", "gram")
-    )
+    g = base.select(
+        id_col, F.size("gs").alias("ng"), F.posexplode_outer("gs").alias("pos", "gram")
+    ).where(F.col("pos").isNotNull())
     hashed = g.select(
         id_col, "ng", (F.col("pos") + 1).alias("i"), F.md5("gram").alias("h")
     )
