@@ -205,7 +205,13 @@ def ngram_jaccard_pairs(
     per-doc sizes come from a narrow array projection, so the only large
     shuffles are the unavoidable shingle self-join and the pair aggregation."""
     shingles = shingle_frame(df, n, text_col, id_col)
-    sh = shingles.select("d", F.explode("sh_arr").alias("s"))
+    # explode_OUTER + null guard: a plain explode makes Catalyst infer
+    # isnotnull(sh_arr), which FilterExec hoists ahead of every cheap
+    # conjunct and re-evaluates the interpreted shingle chain per scanned
+    # row (see winnow_fingerprints note).
+    sh = shingles.select("d", F.explode_outer("sh_arr").alias("s")).where(
+        F.col("s").isNotNull()
+    )
     stop = _stop_shingles(sh, max_df)
     # Pre-shuffle on the join key: both self-join sides are then the SAME
     # exchange, which Spark's ReuseExchange computes once — without it the
@@ -317,7 +323,13 @@ def minhash_lsh_pairs(
     # still come from the FULL corpus, so surviving pairs keep the same
     # values the exact all-pairs operator would produce.
     shingles = shingle_frame(df, n, text_col, id_col)
-    sh = shingles.select("d", F.explode("sh_arr").alias("s"))
+    # explode_OUTER + null guard: a plain explode makes Catalyst infer
+    # isnotnull(sh_arr), which FilterExec hoists ahead of every cheap
+    # conjunct and re-evaluates the interpreted shingle chain per scanned
+    # row (see winnow_fingerprints note).
+    sh = shingles.select("d", F.explode_outer("sh_arr").alias("s")).where(
+        F.col("s").isNotNull()
+    )
     kept_arrays = _kept_shingle_arrays(shingles, _stop_shingles(sh, max_df))
     return _pair_jaccard(cand, kept_arrays, threshold)
 
