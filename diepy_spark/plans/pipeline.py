@@ -115,6 +115,19 @@ def x7_stream_stateful(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def x7_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup over a deliberately-duplicated source: the
+    events directory is read as TWO streaming copies unioned, so every
+    event arrives twice; dropDuplicatesWithinWatermark must emit each
+    exactly once. Output equals the original table — a total, value-level
+    oracle."""
+    tune(spark)
+    d = _events_stream_dir(spark, sf_dir)
+    src = ST.read_events_stream(spark, d).unionByName(ST.read_events_stream(spark, d))
+    out = _run_stream(ST.dedup_stream(src), "append")
+    return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+
+
 def t1_roundtrip_csv(spark, sf_dir):
     """Full import/export stack under the correctness gate: orders →
     rendered CSV (K4/K7) → all-string scan (S1) → inference lattice
@@ -157,12 +170,18 @@ PIPELINE_QUERIES = {
     "x7_stream_sliding": x7_stream_sliding,
     "x7_stream_sessions": x7_stream_sessions,
     "x7_stream_stateful": x7_stream_stateful,
+    "x7_stream_dedup": x7_stream_dedup,
     "t1_roundtrip_csv": t1_roundtrip_csv,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
 
 PIPELINE_ORACLES: dict[str, str] = {
+    # dedup of a doubled stream == the original table (dedup emits rows as
+    # processed; no watermark-end withholding applies to non-windowed rows).
+    "x7_stream_dedup": """
+        SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id
+    """,
     "x7_stream_tumbling": f"""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
                COUNT(*) AS c, ROUND(SUM(value), 2) AS s

@@ -48,6 +48,22 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     return reader.parquet(path)
 
 
+def dedup_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup (the streaming analog of X1): keep the first
+    occurrence per key. Uses dropDuplicatesWithinWatermark so the dedup
+    state is BOUNDED — keys older than the watermark delay are evicted,
+    which is the only state policy that survives an unbounded 100 TB/day
+    stream (a plain dropDuplicates grows state forever). Rows whose keys
+    repeat within the watermark horizon are suppressed; the survivor's
+    columns are identical for true duplicates, so output content is
+    deterministic regardless of which copy wins."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols or ["event_id"])
+    )
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
     """Streaming analog of R16: tumbling-window counts + sums per event type."""
     return (

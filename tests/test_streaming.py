@@ -95,3 +95,15 @@ def test_stateful_sessionize(spark, events_dir, tmp_path):
     )
     expected = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
     assert last == expected
+
+
+def test_dedup_stream_drops_doubled_input(spark, events_dir, tmp_path):
+    doubled = ST.read_events_stream(spark, events_dir).unionByName(
+        ST.read_events_stream(spark, events_dir)
+    )
+    stream = ST.dedup_stream(doubled)
+    ST.run_to_memory(stream, "dedup_t", str(tmp_path / "ck5"))
+    got = spark.table("dedup_t")
+    n_orig = load_table(spark, SF, "events").count()
+    assert got.count() == n_orig  # every duplicate suppressed, none lost
+    assert got.select("event_id").distinct().count() == n_orig
