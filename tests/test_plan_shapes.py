@@ -114,3 +114,43 @@ def test_bucketed_join_needs_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_no_hoisted_isnotnull_hof_filters(spark, qs):
+    """FilterExec evaluates IsNotNull conjuncts first; an inferred
+    isnotnull(<HOF chain>) therefore runs the interpreted chain on every
+    scanned row (measured 10x on winnowing). Outer generates must keep
+    these out of every text-pipeline plan."""
+    pat = re.compile(r"isnotnull\((?:filter|transform|zip_with|aggregate|array_distinct)\(")
+    for name in ["x5_winnow", "x2_ngram_jaccard_pairs", "x2_minhash_lsh_pairs"]:
+        plan = plan_of(qs[name](spark, SF))
+        assert not pat.search(plan), f"{name} regressed: inferred isnotnull(HOF) in plan"
+
+
+def test_asof_join_single_data_shuffle(spark, qs):
+    """The as-of join must stay union+window: exactly one hash shuffle on
+    the key (plus the final range sort) — never a range-join explosion."""
+    plan = plan_of(qs["r32_asof_join"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") == 1  # declared ORDER BY only
+
+
+def test_sessionize_single_shuffle(spark, qs):
+    """Gap sessionization: one hash shuffle on user_id shared by the lag,
+    the cumulative sum, and the session aggregate (same key)."""
+    plan = plan_of(qs["r34_sessionize"](spark, SF))
+    assert plan.count("hashpartitioning(") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_aggregate(spark, qs):
+    """Pivot with a pinned value list runs Spark's two-phase aggregate
+    (pre-aggregate on both keys, then pivot on the group key) — the second
+    shuffle carries only |priority x status| rows. What must NEVER appear:
+    a distinct-collect job (extra scan) or a join."""
+    plan = plan_of(qs["r35_pivot"](spark, SF))
+    assert plan.count("hashpartitioning(") <= 2
+    # formatted output lists the scan in the tree AND the detail section
+    assert plan.count("(1) Scan parquet") == 1
+    assert "Join" not in plan
