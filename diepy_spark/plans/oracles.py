@@ -262,4 +262,17 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS INT) AS days_from_2024
         FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey
     """,
+    "r39_scalar_subquery": """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o.o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer c WHERE c_custkey < 2000 ORDER BY c_custkey
+    """,
+    "r40_null_functions": """
+        SELECT r_regionkey,
+               coalesce(nullif(r_name, 'EUROPE'), 'EU') AS nm,
+               CAST(least(r_regionkey, 2) AS BIGINT) AS l,
+               CAST(greatest(r_regionkey, 2) AS BIGINT) AS g
+        FROM region ORDER BY r_regionkey
+    """,
 }

@@ -589,6 +589,37 @@ def r38_date_arith(spark, sf_dir):
     )
 
 
+def r39_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery: Catalyst decorrelates it to a left outer
+    aggregate join (one shuffle pair) — never a per-row subquery execution.
+    Customers without orders surface the NULL path."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_r39")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_r39")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o.o_totalprice) FROM orders_r39 o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer_r39 c WHERE c_custkey < 2000 ORDER BY c_custkey
+        """
+    )
+
+
+def r40_null_functions(spark, sf_dir):
+    """NULL-handling scalar kernel: coalesce / nullif / least / greatest —
+    pure codegen'd projection, no shuffle before the declared sort."""
+    r = _t(spark, sf_dir, "region")
+    return (
+        r.select(
+            "r_regionkey",
+            F.coalesce(F.nullif("r_name", F.lit("EUROPE")), F.lit("EU")).alias("nm"),
+            F.least("r_regionkey", F.lit(2)).alias("l"),
+            F.greatest("r_regionkey", F.lit(2)).alias("g"),
+        )
+        .orderBy("r_regionkey")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -628,4 +659,6 @@ RELATIONAL_QUERIES = {
     "r36_array_hof": r36_array_hof,
     "r37_window_analytics": r37_window_analytics,
     "r38_date_arith": r38_date_arith,
+    "r39_scalar_subquery": r39_scalar_subquery,
+    "r40_null_functions": r40_null_functions,
 }
