@@ -79,6 +79,26 @@ def x2_ngram_jaccard_pairs(spark, sf_dir):
     ).orderBy("da", "db")
 
 
+def x2_dup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs: connected components (iterative
+    min-label propagation, operators/clustering.py) over the n-gram
+    Jaccard near-dup graph. Cluster id = min doc_id of the component —
+    a unique fixpoint, so the result is deterministic. Oracle: transitive
+    closure via DuckDB recursive CTE over the same pair graph."""
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.clustering import connected_components
+
+    pairs = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    cc = connected_components(pairs, "da", "db")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+        .orderBy("node")
+    )
+
+
 def x2_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).orderBy("d")
 
@@ -261,6 +281,7 @@ EXTENDED_QUERIES = {
     "x2_minhash_signatures": x2_minhash_signatures,
     "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
     "x2_ngram_jaccard_pairs": x2_ngram_jaccard_pairs,
+    "x2_dup_clusters": x2_dup_clusters,
     "x2_simhash": x2_simhash,
     "x2_simhash_pairs": x2_simhash_pairs,
     "x2_embedding_near_dup": x2_embedding_near_dup,
@@ -578,6 +599,24 @@ EXTENDED_ORACLES: dict[str, str] = {
     """,
 }
 
+
+# Transitive closure of the near-dup pair graph via recursive CTE; cluster
+# label = min reachable node (same unique fixpoint the Spark iteration
+# converges to). Closure is quadratic per component — fine for an oracle
+# (dedup clusters are tiny); the Spark side stays linear per round.
+EXTENDED_ORACLES["x2_dup_clusters"] = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    e AS (SELECT da, db FROM jacs WHERE jac >= {JACCARD_THRESHOLD}),
+    u AS (SELECT da AS n, db AS m FROM e UNION SELECT db, da FROM e),
+    reach AS (
+      SELECT n, m FROM u
+      UNION
+      SELECT r.n, u2.m FROM reach r JOIN u u2 ON r.m = u2.n
+    ),
+    comp AS (SELECT n AS node, least(n, MIN(m)) AS cluster FROM reach GROUP BY n)
+    SELECT node, cluster, CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY node
+"""
 
 EXTENDED_ORACLES["x5_winnow"] = f"""
     WITH toks AS (

@@ -320,3 +320,28 @@ def test_winnow_short_doc_single_window(spark):
     # 4 tokens, k=3 -> 2 grams < w=4 -> one window -> exactly 1 fingerprint
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     assert D.winnow_fingerprints(df, k=3, w=4).count() == 1
+
+
+# --------------------------------------------------------------------------
+# clustering: connected components
+# --------------------------------------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from diepy_spark.operators.clustering import connected_components
+
+    # chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    # pair 10-11, and 20-21-22 star
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "a long, b long",
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_diameter_guard(spark):
+    from diepy_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
