@@ -326,7 +326,10 @@ def test_winnow_short_doc_single_window(spark):
 # clustering: connected components
 # --------------------------------------------------------------------------
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0])
+def test_connected_components_chain_and_islands(spark, local_threshold):
+    """Both execution paths (driver union-find and distributed min-label
+    iteration) must reach the identical min-id fixpoint."""
     from diepy_spark.operators.clustering import connected_components
 
     # chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
@@ -335,7 +338,10 @@ def test_connected_components_chain_and_islands(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
         "a long, b long",
     )
-    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_threshold=local_threshold).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
@@ -344,4 +350,4 @@ def test_connected_components_diameter_guard(spark):
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, local_threshold=0)
