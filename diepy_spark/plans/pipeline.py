@@ -153,7 +153,11 @@ def t1_roundtrip_csv(spark, sf_dir):
     # reference-faithful 20k-sample mode is unit-tested separately) and
     # then the cast-heavy typed projection. At scale imports arrive as
     # many files and the repartition is a cheap rebalance of raw strings.
-    spread = raw.repartition(spark.sparkContext.defaultParallelism)
+    # Persisted: inference and the typed projection are TWO passes, and the
+    # multiLine parse is single-core — cache the post-shuffle raw strings so
+    # the file is parsed once. Spark's CacheManager keys on the canonical
+    # plan, so repeated calls reuse one entry (no per-call leak).
+    spread = raw.repartition(spark.sparkContext.defaultParallelism).persist()
     typed = apply_schema(spread, infer_from_dataframe(spread, sample_size=None))
     casts = {"smallint": "bigint", "int": "bigint", "date": "timestamp"}
     cols = [
