@@ -24,11 +24,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return r3_hash_aggregate(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness harness records the FIRST 50 entries of
+# queries() in insertion order.  Round 1 proved R1-R40 + the first ten
+# X-entries green (CORRECTNESS_r01.json); this priority list front-loads
+# the families that have not yet earned a driver row (x3/x5/x6/x7/x8,
+# t1_roundtrip, the formerly oracle-less embedding-LSH entry) plus the
+# queries new in round 2, so they land inside the checked window.
+# Everything not named here follows in its module's natural order and
+# keeps its round-1 green row as the standing record.
+_PRIORITY = [
+    # round-1 declared but driver-unchecked (19)
+    "x3_cosine_topk",
+    "x3_ann_topk_lsh",
+    "x3_ivf_topk",
+    "x5_lang_id",
+    "x5_token_stats",
+    "x5_quality_score",
+    "x5_winnow",
+    "x6_media_meta",
+    "x6_frame_sample",
+    "x6_features",
+    "x6_resize",
+    "x7_stream_tumbling",
+    "x7_stream_sliding",
+    "x7_stream_sessions",
+    "x7_stream_stateful",
+    "x7_stream_dedup",
+    "x8_hash_split",
+    "x8_hash_sample",
+    "t1_roundtrip_csv",
+    # round-1 row existed but was no_oracle; round 2 adds a real oracle
+    "x2_embedding_near_dup_lsh",
+    # new in round 2
+    "x2_dedup_apply",
+    "r28b_histogram_quantiles",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(RELATIONAL_QUERIES)
+    merged.update(EXTENDED_QUERIES)
+    merged.update(PIPELINE_QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(RELATIONAL_QUERIES)
-    out.update(EXTENDED_QUERIES)
-    out.update(PIPELINE_QUERIES)
+    for name in _PRIORITY:
+        if name in merged:
+            out[name] = merged[name]
+    for name, fn in merged.items():
+        if name not in out:
+            out[name] = fn
     return out
 
 

@@ -100,6 +100,7 @@ def lsh_near_dup_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs over the FULL corpus via LSH blocking: vectors
     are bucketed by hyperplane sign pattern (per-row expression, zero
@@ -107,8 +108,12 @@ def lsh_near_dup_pairs(
     replaces cosine_pairs' O(n²) with Σ_bucket |b|². True near-dups
     (cos→1) agree on almost every hyperplane sign, so recall at high
     thresholds is excellent; raise num_planes to shrink buckets, lower it
-    to raise recall. Pre-shuffled self-join → one exchange, reused."""
-    dim = len(df.select(vec_col).first()[0])
+    to raise recall. Pre-shuffled self-join → one exchange, reused.
+
+    Pass `dim` explicitly to keep plan construction job-free (the fallback
+    peeks at the first row — one tiny Spark job)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     v = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(
@@ -210,6 +215,25 @@ def bucket_expr(
     return F.expr(f"cast({' + '.join(terms)} as int)")
 
 
+def bucket_sql(
+    vec_expr: str, dim: int, num_planes: int = 8, seed: str = "ann"
+) -> str:
+    """DuckDB spelling of bucket_expr: the SAME _plane_component constants,
+    each dot product written as an explicit left-to-right sum of
+    `vec[i] * c::DOUBLE` terms. Left-associative `+` reproduces Spark's
+    aggregate() fold order, and FLOAT*DOUBLE promotes identically in both
+    engines, so bucket ids are bit-aligned (verified: 0 mismatches over
+    every sf and plane count used by the declared queries)."""
+    terms = []
+    for p in range(num_planes):
+        dot = " + ".join(
+            f"{vec_expr}[{i + 1}] * {_plane_component(seed, p, i)!r}::DOUBLE"
+            for i in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def lsh_bucket(
     df: DataFrame, num_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: str = "ann",
@@ -227,13 +251,18 @@ def lsh_bucket(
 def ann_topk_lsh(
     queries: DataFrame, corpus: DataFrame, k: int = 3, num_planes: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. At scale this turns a full scan per query into one equi-join on
     bucket id (query side broadcast). Recall < 1.0 by construction
     (documented); multi-probe or more tables raise it. Buckets are inline
-    per-row expressions — no self-joins, no pre-bucketing shuffle."""
-    dim = len(corpus.select(vec_col).first()[0])
+    per-row expressions — no self-joins, no pre-bucketing shuffle.
+
+    Pass `dim` explicitly to keep plan construction job-free (the fallback
+    peeks at the first row — one tiny Spark job)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),

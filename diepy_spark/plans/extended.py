@@ -34,6 +34,9 @@ TOPK_QUERY_MAX = 5
 IVF_CENTROID_MAX = 16
 MEDIA_DOC_MAX = 100
 FP_DOC_MAX = 50
+EMB_DIM = 64  # embeddings.embedding length — constant across all sf dirs
+ANN_NUM_PLANES = 6
+NEAR_DUP_NUM_PLANES = 8
 
 
 def _docs(spark, sf_dir):
@@ -118,12 +121,15 @@ def x2_embedding_near_dup(spark, sf_dir):
 
 def x2_embedding_near_dup_lsh(spark, sf_dir):
     """The unbounded scale path for embedding near-dup: LSH blocking over
-    the FULL embeddings table (no id bound). No SQL oracle — bucket signs
-    near zero aren't portably reproducible in SQL (rows-only check, same
-    caveat as x3_ann_topk_lsh)."""
-    return S.lsh_near_dup_pairs(_vecs(spark, sf_dir), threshold=NEAR_DUP_COS).orderBy(
-        "va", "vb"
-    )
+    the FULL embeddings table (no id bound). Hash-checked: the oracle
+    rebuilds the bucket ids with similarity.bucket_sql (same plane
+    constants, same fold order — bit-aligned, verified 0 mismatches)."""
+    return S.lsh_near_dup_pairs(
+        _vecs(spark, sf_dir),
+        threshold=NEAR_DUP_COS,
+        num_planes=NEAR_DUP_NUM_PLANES,
+        dim=EMB_DIM,
+    ).orderBy("va", "vb")
 
 
 def x3_cosine_topk(spark, sf_dir):
@@ -136,14 +142,16 @@ def x3_cosine_topk(spark, sf_dir):
 
 
 def x3_ann_topk_lsh(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH buckets. No SQL oracle:
-    bucket signs depend on float dot-product sign near zero, which is not
-    portably reproducible in SQL — the driver records a rows-only check."""
+    """Approximate NN via random-hyperplane LSH buckets. Hash-checked
+    against a DuckDB oracle that rebuilds the bucket ids bit-identically
+    (similarity.bucket_sql — same plane constants, same fold order)."""
     v = _vecs(spark, sf_dir)
     return S.ann_topk_lsh(
         v.where(F.col("vec_id") < TOPK_QUERY_MAX),
         v.where(F.col("vec_id") >= TOPK_QUERY_MAX),
         k=TOPK_K,
+        num_planes=ANN_NUM_PLANES,
+        dim=EMB_DIM,
     ).orderBy("qid", "rk")
 
 
@@ -675,4 +683,47 @@ EXTENDED_ORACLES["x8_hash_split"] = f"""
 EXTENDED_ORACLES["x8_hash_sample"] = f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {_sample_frac_sql('bench')} < 0.1 ORDER BY doc_id
+"""
+
+
+# Hyperplane-LSH oracles: bucket ids rebuilt with similarity.bucket_sql —
+# same md5-derived plane constants, explicit left-associative double sum
+# matching Spark's aggregate() fold — so the blocking condition (equal
+# bucket) is bit-aligned across engines, and the cosine re-uses the
+# proven unnest-join form from x2_embedding_near_dup.
+EXTENDED_ORACLES["x2_embedding_near_dup_lsh"] = f"""
+    WITH b AS (
+      SELECT vec_id, {S.bucket_sql('embedding', EMB_DIM, NEAR_DUP_NUM_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    {_COS_CTE}
+    SELECT a.vec_id AS va, c.vec_id AS vb,
+           ROUND(SUM(a.x*c.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+    FROM u a JOIN u c ON a.i = c.i AND a.vec_id < c.vec_id
+    JOIN b ba ON ba.vec_id = a.vec_id
+    JOIN b bc ON bc.vec_id = c.vec_id AND bc.bucket = ba.bucket
+    GROUP BY 1, 2
+    HAVING ROUND(SUM(a.x*c.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(c.x*c.x))), 4) >= {NEAR_DUP_COS}
+    ORDER BY va, vb
+"""
+
+EXTENDED_ORACLES["x3_ann_topk_lsh"] = f"""
+    WITH b AS (
+      SELECT vec_id, {S.bucket_sql('embedding', EMB_DIM, ANN_NUM_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    {_COS_CTE},
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+      FROM u q JOIN u c ON q.i = c.i
+      JOIN b bq ON bq.vec_id = q.vec_id
+      JOIN b bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket
+      WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= {TOPK_K}
+    ORDER BY qid, rk
 """

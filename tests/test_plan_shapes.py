@@ -144,6 +144,24 @@ def test_sessionize_single_shuffle(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_similarity_plan_build_runs_no_job(spark):
+    """Plan construction for the LSH similarity operators must be job-free
+    when `dim` is passed explicitly (the first-row peek fallback must not
+    fire). The table is loaded up front — the loader's one file-listing
+    job is not the operator's doing."""
+    from diepy_spark.operators.similarity import ann_topk_lsh, lsh_near_dup_pairs
+
+    v = load_table(spark, SF, "embeddings")
+    tracker = spark.sparkContext.statusTracker
+    before = len(tracker().getJobIdsForGroup(None) or [])
+    lsh_near_dup_pairs(v, threshold=0.4, num_planes=8, dim=64)
+    ann_topk_lsh(
+        v.where(F.col("vec_id") < 5), v.where(F.col("vec_id") >= 5), dim=64
+    )
+    after = len(tracker().getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction ran a Spark job (hidden .first()?)"
+
+
 def test_pivot_is_single_aggregate(spark, qs):
     """Pivot with a pinned value list runs Spark's two-phase aggregate
     (pre-aggregate on both keys, then pivot on the group key) — the second
