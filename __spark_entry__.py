@@ -57,6 +57,7 @@ _PRIORITY = [
     "x2_embedding_near_dup_lsh",
     # new in round 2
     "x2_dedup_apply",
+    "x2_dedup_stats",
     "r28b_histogram_quantiles",
 ]
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "dedup_corpus", "dedup_stats"]
 
 
 def connected_components(
@@ -58,8 +58,11 @@ def connected_components(
         .persist()
     )
     if local_threshold > 0:
-        head = und.limit(local_threshold + 1).collect()
-        if len(head) <= local_threshold:
+        # Probe with a cheap count first: a graph above the threshold must
+        # not pay a threshold-sized collect just to learn it's too big (and
+        # the count also materializes the persist for the distributed path).
+        if und.count() <= local_threshold:
+            head = und.collect()
             und.unpersist()
             return _local_union_find(spark, head, und.schema["n"].dataType)
 
@@ -137,10 +140,68 @@ def _iterate(und: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
         prev_persisted = new_labels
         labels = new_labels.select("n", "label")
         if changes == 0:
+            # localCheckpoint pins the small (node, cluster) frame and cuts
+            # the lineage, so BOTH caches can be released here instead of
+            # leaking one entry per call (the caller can't know when it is
+            # safe to unpersist).
             result = labels.select(
                 F.col("n").alias("node"), F.col("label").alias("cluster")
-            )
+            ).localCheckpoint(eager=True)
+            prev_persisted.unpersist()
             und.unpersist()
             return result
     und.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _keep_predicate(id_col: str):
+    """Keep a doc iff it is not a non-representative duplicate: either it
+    never appears in the pair graph (cluster IS NULL) or it IS its
+    cluster's min-id representative."""
+    return F.col("cluster").isNull() | (F.col(id_col) == F.col("cluster"))
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "da",
+    dst: str = "db",
+) -> DataFrame:
+    """The consuming end of every dedup pipeline: turn near-dup PAIRS into
+    a CLEANED corpus. Labels each doc with its duplicate-cluster id
+    (connected components over `edges`), keeps exactly one representative
+    per cluster (the min doc id) plus every doc not in any cluster.
+    Output = `docs` columns + `cluster` (null when the doc had no
+    near-duplicate).
+
+    Scale: the label frame is proportional to the dup-graph nodes — orders
+    of magnitude smaller than the corpus — so the single left join
+    broadcasts under AQE; the corpus itself is never shuffled more than
+    once, and the keep-filter is a narrow per-row predicate."""
+    cc = connected_components(edges, src, dst)
+    lab = cc.withColumnRenamed("node", id_col)
+    return docs.join(lab, id_col, "left").where(_keep_predicate(id_col))
+
+
+def dedup_stats(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "da",
+    dst: str = "db",
+) -> DataFrame:
+    """One-row accounting for a dedup run: docs in, docs kept, duplicates
+    removed, and the removed ratio — the numbers a pipeline operator
+    reports after every dedup pass."""
+    cc = connected_components(edges, src, dst)
+    lab = cc.withColumnRenamed("node", id_col)
+    j = docs.join(lab, id_col, "left")
+    keep = _keep_predicate(id_col)
+    drop = (~keep).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(keep.cast("bigint")).alias("docs_out"),
+        F.sum(drop).alias("dups_removed"),
+        F.round(F.sum(drop) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+    )

@@ -102,6 +102,35 @@ def x2_dup_clusters(spark, sf_dir):
     )
 
 
+def _jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+
+
+def x2_dedup_apply(spark, sf_dir):
+    """The consuming operator of the dedup pipeline: near-dup pairs →
+    connected components → cleaned corpus (one representative per cluster
+    + all unique docs). Oracle: anti-join against the recursive-CTE
+    transitive closure of the same pair graph."""
+    from diepy_spark.operators.clustering import dedup_corpus
+
+    d = _docs(spark, sf_dir)
+    return (
+        dedup_corpus(d, _jaccard_pairs(spark, sf_dir))
+        .select("doc_id", "lang", "n_chars", "cluster")
+        .orderBy("doc_id")
+    )
+
+
+def x2_dedup_stats(spark, sf_dir):
+    """One-row dedup accounting (docs in/out, removed, ratio) — what a
+    pipeline reports after each dedup pass."""
+    from diepy_spark.operators.clustering import dedup_stats
+
+    return dedup_stats(_docs(spark, sf_dir), _jaccard_pairs(spark, sf_dir))
+
+
 def x2_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).orderBy("d")
 
@@ -290,6 +319,8 @@ EXTENDED_QUERIES = {
     "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
     "x2_ngram_jaccard_pairs": x2_ngram_jaccard_pairs,
     "x2_dup_clusters": x2_dup_clusters,
+    "x2_dedup_apply": x2_dedup_apply,
+    "x2_dedup_stats": x2_dedup_stats,
     "x2_simhash": x2_simhash,
     "x2_simhash_pairs": x2_simhash_pairs,
     "x2_embedding_near_dup": x2_embedding_near_dup,
@@ -624,6 +655,40 @@ EXTENDED_ORACLES["x2_dup_clusters"] = f"""
     comp AS (SELECT n AS node, least(n, MIN(m)) AS cluster FROM reach GROUP BY n)
     SELECT node, cluster, CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
     FROM comp ORDER BY node
+"""
+
+# Shared closure CTE body for the dedup-consumer oracles: same pair graph,
+# same min-reachable-node labels as x2_dup_clusters.
+_CLOSURE_CTES = f"""
+    {_JACCARD_CTES},
+    e AS (SELECT da, db FROM jacs WHERE jac >= {JACCARD_THRESHOLD}),
+    und AS (SELECT da AS n, db AS m FROM e UNION SELECT db, da FROM e),
+    reach AS (
+      SELECT n, m FROM und
+      UNION
+      SELECT r.n, u2.m FROM reach r JOIN und u2 ON r.m = u2.n
+    ),
+    comp AS (SELECT n AS node, least(n, MIN(m)) AS cluster FROM reach GROUP BY n)
+"""
+
+EXTENDED_ORACLES["x2_dedup_apply"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES}
+    SELECT d.doc_id, d.lang, d.n_chars, c.cluster
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    WHERE c.cluster IS NULL OR d.doc_id = c.cluster
+    ORDER BY d.doc_id
+"""
+
+EXTENDED_ORACLES["x2_dedup_stats"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    drops AS (
+      SELECT CAST(count(*) AS BIGINT) AS dups_removed
+      FROM comp WHERE node <> cluster
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS docs_in FROM documents)
+    SELECT docs_in, docs_in - dups_removed AS docs_out, dups_removed,
+           ROUND(CAST(dups_removed AS DOUBLE) / docs_in, 4) AS dup_ratio
+    FROM tot, drops
 """
 
 EXTENDED_ORACLES["x5_winnow"] = f"""
