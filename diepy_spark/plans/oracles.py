@@ -164,6 +164,35 @@ RELATIONAL_ORACLES: dict[str, str] = {
                ROUND(AVG(l_quantity), 4) AS avg_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    # r28b: same histogram construction as the Spark plan — double division
+    # for the bucket, ceil(n*q) target rank in IEEE double, lower bucket
+    # edge as the estimate. Two parallel unnests zip in DuckDB.
+    "r28b_histogram_quantiles": """
+        WITH h AS (
+          SELECT l_returnflag, m.metric, m.bucket, count(*) AS c
+          FROM lineitem,
+          LATERAL (
+            SELECT unnest(['qty', 'price']) AS metric,
+                   unnest([CAST(floor(CAST(l_quantity AS DOUBLE) / 5) AS BIGINT),
+                           CAST(floor(CAST(l_extendedprice AS DOUBLE) / 1000) AS BIGINT)]) AS bucket
+          ) m
+          GROUP BY 1, 2, 3
+        ),
+        w AS (
+          SELECT l_returnflag, metric, bucket,
+                 SUM(c) OVER (PARTITION BY l_returnflag, metric ORDER BY bucket) AS cum,
+                 SUM(c) OVER (PARTITION BY l_returnflag, metric) AS n
+          FROM h
+        )
+        SELECT l_returnflag,
+               CAST(MIN(CASE WHEN metric = 'qty'
+                             AND cum >= ceil(n * 0.5::DOUBLE) THEN bucket * 5 END) AS DOUBLE)
+                 AS median_qty_est,
+               CAST(MIN(CASE WHEN metric = 'price'
+                             AND cum >= ceil(n * 0.9::DOUBLE) THEN bucket * 1000 END) AS DOUBLE)
+                 AS p90_price_est
+        FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "r29_exists_subquery": """
         SELECT c_custkey, c_name FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o

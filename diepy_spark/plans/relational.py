@@ -387,6 +387,66 @@ def r28_percentiles(spark, sf_dir):
     )
 
 
+R28B_QTY_W = 5      # l_quantity in [1, 50] -> 10 buckets
+R28B_PRICE_W = 1000  # l_extendedprice ~[900, 105k] -> ~105 buckets
+
+
+def r28b_histogram_quantiles(spark, sf_dir):
+    """Scale-safe sibling of r28: fixed-width HISTOGRAM quantiles. r28's
+    exact percentile() buffers every group value in aggregation state —
+    unbounded at 100 TB with ~3 groups; here state is bounded by the bucket
+    count (10 / ~105 buckets) and the error is bounded by the bucket width.
+    Production pipelines should use this shape (or approx_percentile);
+    r28's exact form is pinned only for bit-exact oracle parity.
+
+    One pass: each row explodes into two (metric, bucket) entries (narrow),
+    one shuffle aggregates (flag, metric, bucket) counts with map-side
+    partial agg, then the cumulative window + final rollup run on a frame
+    of #groups x #buckets rows — trivially small at any corpus scale. The
+    estimate (lower edge of the first bucket whose cumulative count reaches
+    ceil(q*n)) is deterministic and identical in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    mb = F.explode(
+        F.array(
+            F.struct(
+                F.lit("qty").alias("metric"),
+                F.floor(F.col("l_quantity").cast("double") / R28B_QTY_W).alias("bucket"),
+            ),
+            F.struct(
+                F.lit("price").alias("metric"),
+                F.floor(F.col("l_extendedprice").cast("double") / R28B_PRICE_W).alias("bucket"),
+            ),
+        )
+    )
+    h = (
+        li.select(F.col("l_returnflag"), mb.alias("mb"))
+        .select("l_returnflag", F.col("mb.metric").alias("metric"), F.col("mb.bucket").alias("bucket"))
+        .groupBy("l_returnflag", "metric", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("l_returnflag", "metric").orderBy("bucket")
+    wall = Window.partitionBy("l_returnflag", "metric")
+    w = h.select(
+        "l_returnflag", "metric", "bucket",
+        F.sum("c").over(wcum).alias("cum"), F.sum("c").over(wall).alias("n"),
+    )
+
+    def _est(metric, q, width):
+        hit = (F.col("metric") == metric) & (
+            F.col("cum") >= F.ceil(F.col("n") * F.lit(q))
+        )
+        return F.min(F.when(hit, F.col("bucket") * width))
+
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            _est("qty", 0.5, R28B_QTY_W).cast("double").alias("median_qty_est"),
+            _est("price", 0.9, R28B_PRICE_W).cast("double").alias("p90_price_est"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def r29_exists_subquery(spark, sf_dir):
     """Correlated EXISTS with an extra predicate — decorrelated by Catalyst
     into a semi join (same physical shape as R6)."""
@@ -649,6 +709,7 @@ RELATIONAL_QUERIES = {
     "r26_lag_window": r26_lag_window,
     "r27_grouping_sets": r27_grouping_sets,
     "r28_percentiles": r28_percentiles,
+    "r28b_histogram_quantiles": r28b_histogram_quantiles,
     "r29_exists_subquery": r29_exists_subquery,
     "r30_regexp": r30_regexp,
     "r31_array_agg": r31_array_agg,
