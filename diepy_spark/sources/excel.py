@@ -25,13 +25,32 @@ def split_sheet_address(filepath: str) -> tuple[str, str | None]:
 
 def read_excel_sheets(path: str, sheet: str | None = None) -> dict[str, "object"]:
     """Read worksheet(s) → {sheet_name: pandas.DataFrame of raw cell values}.
-    Requires openpyxl (present in this environment via pandas)."""
+
+    Prefers pandas/openpyxl (full format coverage incl. date styles); when
+    openpyxl is absent, falls back to the stdlib zipfile+xml bridge
+    (sources/xlsx_lite.py) — same {sheet: DataFrame} shape, first row as
+    header, so the inference lattice downstream is identical."""
     import pandas as pd
 
-    sheets = pd.read_excel(path, sheet_name=sheet, header=0, dtype=object)
+    try:
+        sheets = pd.read_excel(path, sheet_name=sheet, header=0, dtype=object)
+        if sheet is not None:
+            return {sheet: sheets}
+        return sheets
+    except ImportError:
+        pass
+    from diepy_spark.sources import xlsx_lite
+
+    raw = xlsx_lite.read_workbook(path)
     if sheet is not None:
-        return {sheet: sheets}
-    return sheets
+        if sheet not in raw:
+            raise ValueError(f"Worksheet named '{sheet}' not found")
+        raw = {sheet: raw[sheet]}
+    out = {}
+    for name, rows in raw.items():
+        header = [("" if v is None else str(v)) for v in (rows[0] if rows else [])]
+        out[name] = pd.DataFrame(rows[1:], columns=header, dtype=object)
+    return out
 
 
 def sheet_to_untyped_df(spark: SparkSession, pdf) -> tuple[DataFrame, list[ColumnSpec]]:

@@ -110,9 +110,23 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str, max_rows: int = 1_000_
             f"xlsx export is driver-bound; table has {n} rows > guard {max_rows}. "
             "Export to CSV/parquet instead."
         )
-    import openpyxl
-
     pdf = df.toPandas()
+    rows = [list(pdf.columns)] + [
+        [v if not (isinstance(v, float) and v != v) else None for v in row]
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    try:
+        import openpyxl
+    except ImportError:
+        # stdlib fallback: read any existing workbook, replace/append the
+        # target sheet (Q10 semantics), rewrite the whole file.
+        from diepy_spark.sources import xlsx_lite
+
+        sheets = xlsx_lite.read_workbook(path) if os.path.isfile(path) else {}
+        sheets.pop(sheet_name, None)  # replaced sheet moves to the end,
+        sheets[sheet_name] = rows     # matching openpyxl del+create_sheet
+        return xlsx_lite.write_workbook(path, sheets)
+
     if os.path.isfile(path):
         wb = openpyxl.load_workbook(path)
         if sheet_name in wb.sheetnames:
@@ -123,8 +137,7 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str, max_rows: int = 1_000_
         ws = wb.active
         ws.title = sheet_name
 
-    ws.append(list(pdf.columns))
-    for row in pdf.itertuples(index=False, name=None):
-        ws.append([v if not (isinstance(v, float) and v != v) else None for v in row])
+    for row in rows:
+        ws.append(row)
     wb.save(path)
     return path

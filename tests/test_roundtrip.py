@@ -98,13 +98,34 @@ def test_directory_import_table_per_file(ctx, tmp_path):
     assert not ctx.backend.table_exists("skip")
 
 
-def test_xlsx_roundtrip(ctx, basic_file, tmp_path):
-    pytest.importorskip("openpyxl")
-    import pandas as pd
+def _make_xlsx(path, sheets: dict):
+    """Build a fixture workbook: pandas/openpyxl when available, else the
+    stdlib bridge — so these tests run (not skip) in openpyxl-less envs."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
 
-    # build an xlsx analog of basic.csv via pandas
+        with pd.ExcelWriter(path) as w:
+            for name, cols in sheets.items():
+                pd.DataFrame(cols).to_excel(w, index=False, sheet_name=name)
+    except ImportError:
+        from diepy_spark.sources import xlsx_lite
+
+        xlsx_lite.write_workbook(
+            str(path),
+            {
+                name: [list(cols)] + [list(r) for r in zip(*cols.values())]
+                for name, cols in sheets.items()
+            },
+        )
+
+
+def test_xlsx_roundtrip(ctx, basic_file, tmp_path):
+    from diepy_spark.sources.excel import read_excel_sheets
+
+    # build an xlsx analog of basic.csv
     src = tmp_path / "book.xlsx"
-    pd.DataFrame({"name": ["a", "b"], "n": [1, 40000]}).to_excel(src, index=False, sheet_name="people")
+    _make_xlsx(src, {"people": {"name": ["a", "b"], "n": [1, 40000]}})
     ctx.import_file(str(src))
     df = ctx.backend.read_table("people")
     assert dict(df.dtypes)["n"] == "int"
@@ -112,18 +133,13 @@ def test_xlsx_roundtrip(ctx, basic_file, tmp_path):
 
     out = str(tmp_path / "out.xlsx")
     ctx.export_table("people", out)
-    back = pd.read_excel(out, sheet_name="people")
-    assert sorted(back["n"].tolist()) == [1, 40000]
+    back = read_excel_sheets(out, sheet="people")["people"]
+    assert sorted(int(v) for v in back["n"].tolist()) == [1, 40000]
 
 
 def test_single_sheet_addressing(ctx, tmp_path):
-    pytest.importorskip("openpyxl")
-    import pandas as pd
-
     src = tmp_path / "book.xlsx"
-    with pd.ExcelWriter(src) as w:
-        pd.DataFrame({"a": [1]}).to_excel(w, index=False, sheet_name="one")
-        pd.DataFrame({"b": [2]}).to_excel(w, index=False, sheet_name="two")
+    _make_xlsx(src, {"one": {"a": [1]}, "two": {"b": [2]}})
     ctx.import_file(f"{src}$two")
     assert ctx.backend.table_exists("two")
     assert not ctx.backend.table_exists("one")
