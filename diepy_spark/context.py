@@ -60,6 +60,10 @@ class DiepyContext:
                 self.import_file(full, None, schema, delimiter, truncate)
         else:
             for full in sorted(globmod.glob(src)):
+                # the reference's glob branch imports only .csv matches
+                # (cli.py:140-144), same as the directory branch
+                if not full.endswith(".csv"):
+                    continue
                 self.import_file(full, None, schema, delimiter, truncate)
 
     def import_file(

@@ -87,6 +87,42 @@ def test_truncate_vs_append(ctx, basic_file):
     assert ctx.backend.read_table("basic").count() == 3
 
 
+def test_zip_import(ctx, basic_file, tmp_path):
+    """S2: x.csv.zip imports like x.csv (extracted to scratch — Hadoop
+    streams can't unzip). The reference admits the extension but reads raw
+    bytes (core.py:18-20 vs 237); this path actually works."""
+    import zipfile
+
+    src = tmp_path / "basic.csv.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.write(basic_file, "basic.csv")
+    n = ctx.import_file(str(src))
+    assert n == 3
+    df = ctx.backend.read_table("basic")
+    assert dict(df.dtypes)["int"] == "smallint"
+    assert df.count() == 3
+
+
+def test_zip_without_delimited_members_rejected(ctx, tmp_path):
+    import zipfile
+
+    src = tmp_path / "junk.csv.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("readme.md", "hello")
+    with pytest.raises(ValueError, match="no .csv"):
+        ctx.import_file(str(src))
+
+
+def test_glob_import_filters_to_csv(ctx, tmp_path):
+    d = tmp_path / "g"
+    d.mkdir()
+    (d / "t3.csv").write_text("a,b\n1,x\n")
+    (d / "notes.txt").write_text("a\n1\n")  # glob branch takes only *.csv (cli.py:140-144)
+    ctx.import_path(str(d / "*"))
+    assert ctx.backend.table_exists("t3")
+    assert not ctx.backend.table_exists("notes")
+
+
 def test_directory_import_table_per_file(ctx, tmp_path):
     d = tmp_path / "data"
     d.mkdir()
