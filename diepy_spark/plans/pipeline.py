@@ -35,20 +35,38 @@ from diepy_spark.streaming import events as ST
 
 WATERMARK = "10 minutes"
 SESSION_GAP = "30 minutes"
+STREAM_FILES = 4  # events split into N time-range files -> N input batches
 
 _counter = itertools.count()
 _scratch_cache: dict[tuple[str, str], str] = {}
 
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the events table (ns→us-converted) as a single-file
-    parquet directory for the file streaming source. Single file ⇒ one
-    input batch, which makes update-mode output deterministic. Cached per
-    (process, sf_dir) — the data is immutable."""
+    """Materialize the events table (ns→us-converted) as STREAM_FILES
+    time-range-partitioned parquet files with strictly increasing mtimes,
+    so `maxFilesPerTrigger=1` replays them as a genuine multi-batch stream
+    in event-time order (the file source picks oldest-mtime first). Ranges
+    are disjoint, so no event is late within its own batch and the final
+    append-mode emission set equals the single-batch one — while watermark
+    advancement, cross-batch window state, and state-store recovery are all
+    actually exercised. Cached per (process, sf_dir) — data is immutable."""
+    import glob as globmod
+    import time
+
     key = ("events", sf_dir)
     if key not in _scratch_cache:
         d = os.path.join(tempfile.mkdtemp(prefix="diepy-stream-"), "events")
-        load_table(spark, sf_dir, "events").coalesce(1).write.parquet(d)
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(STREAM_FILES, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.parquet(d)
+        )
+        # part-0000k holds the k-th ts range; stamp ascending mtimes so the
+        # stream source's oldest-first ordering replays event time in order.
+        base = time.time() - 3600
+        for i, p in enumerate(sorted(globmod.glob(os.path.join(d, "part-*")))):
+            os.utime(p, (base + i, base + i))
         _scratch_cache[key] = d
     return _scratch_cache[key]
 
@@ -74,12 +92,19 @@ def _run_stream(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def _events_src(spark, sf_dir):
+    """Multi-batch streaming source: one file (= one ts range) per trigger."""
+    return ST.read_events_stream(
+        spark, _events_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+
+
 def x7_stream_tumbling(spark, sf_dir):
     """R16's tumbling aggregation, executed by the STREAMING engine
-    (watermark + windowed state), result hash-checked against batch SQL."""
+    (watermark + windowed state) over a multi-batch replay, result
+    hash-checked against batch SQL."""
     tune(spark)
-    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
-    out = _run_stream(ST.tumbling_counts(src, "1 hour", WATERMARK), "append")
+    out = _run_stream(ST.tumbling_counts(_events_src(spark, sf_dir), "1 hour", WATERMARK), "append")
     return out.select(
         "w", "event_type", "c", F.round("s", 2).alias("s")
     ).orderBy("w", "event_type")
@@ -88,31 +113,49 @@ def x7_stream_tumbling(spark, sf_dir):
 def x7_stream_sliding(spark, sf_dir):
     """Hopping windows (1 hour, every 15 minutes) via the streaming engine."""
     tune(spark)
-    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
-    out = _run_stream(ST.sliding_counts(src, "1 hour", "15 minutes", WATERMARK), "append")
+    out = _run_stream(
+        ST.sliding_counts(_events_src(spark, sf_dir), "1 hour", "15 minutes", WATERMARK),
+        "append",
+    )
     return out.orderBy("w_start", "event_type")
 
 
 def x7_stream_sessions(spark, sf_dir):
     """Per-user session windows (30-minute inactivity gap) via the
     streaming engine; the oracle rebuilds sessions with a lag/cumsum island
-    computation."""
+    computation.
+
+    Boundary convention: Spark session windows are half-open and merge
+    only on strict overlap, so an event arriving EXACTLY `gap` after the
+    previous one starts a NEW session. The oracle therefore splits on
+    `ts - pts >= gap` (not `>`) to match Spark's merge rule at the exact
+    boundary. The batch r34 operator uses the strict-`>` convention with
+    an internally consistent oracle — the two conventions are documented,
+    deliberate, and each self-consistent."""
     tune(spark)
-    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
-    out = _run_stream(ST.session_counts(src, SESSION_GAP, WATERMARK), "append")
+    out = _run_stream(ST.session_counts(_events_src(spark, sf_dir), SESSION_GAP, WATERMARK), "append")
     return out.orderBy("user_id", "s_start")
 
 
 def x7_stream_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): running per-user
-    count + value sum. Single input batch ⇒ update mode emits exactly the
-    final state per user, so the result equals the batch aggregate."""
+    count + value sum. Update mode emits one row per (user, batch touching
+    that user); the multi-batch replay therefore keeps only the FINAL state
+    per user — the row with the max events_seen (monotone within a user) —
+    which equals the batch aggregate."""
+    from pyspark.sql import Window
+
     tune(spark)
-    src = ST.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
-    out = _run_stream(ST.sessionize_stateful(src), "update")
-    return out.select(
-        "user_id", "events_seen", F.round("total_value", 2).alias("total_value")
-    ).orderBy("user_id")
+    out = _run_stream(ST.sessionize_stateful(_events_src(spark, sf_dir)), "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("events_seen").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "events_seen", F.round("total_value", 2).alias("total_value")
+        )
+        .orderBy("user_id")
+    )
 
 
 def x7_stream_dedup(spark, sf_dir):
@@ -120,10 +163,14 @@ def x7_stream_dedup(spark, sf_dir):
     events directory is read as TWO streaming copies unioned, so every
     event arrives twice; dropDuplicatesWithinWatermark must emit each
     exactly once. Output equals the original table — a total, value-level
-    oracle."""
+    oracle. Multi-batch: each trigger takes one file from EACH unioned
+    copy (the same ts range), so duplicates meet inside the watermark
+    horizon and are suppressed across the whole replay."""
     tune(spark)
     d = _events_stream_dir(spark, sf_dir)
-    src = ST.read_events_stream(spark, d).unionByName(ST.read_events_stream(spark, d))
+    src = ST.read_events_stream(spark, d, max_files_per_trigger=1).unionByName(
+        ST.read_events_stream(spark, d, max_files_per_trigger=1)
+    )
     out = _run_stream(ST.dedup_stream(src), "append")
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
 
@@ -214,7 +261,7 @@ PIPELINE_ORACLES: dict[str, str] = {
         ),
         g AS (
           SELECT user_id, ts,
-                 SUM(CASE WHEN pts IS NULL OR ts - pts > INTERVAL {SESSION_GAP}
+                 SUM(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL {SESSION_GAP}
                      THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts
                          ROWS UNBOUNDED PRECEDING) AS sid

@@ -97,6 +97,54 @@ def test_stateful_sessionize(spark, events_dir, tmp_path):
     assert last == expected
 
 
+def test_late_event_dropped_in_append_mode(spark, tmp_path):
+    """Watermark semantics, not batch aggregation: a multi-batch replay
+    where a later batch carries an event OLDER than the established
+    watermark. Append mode must drop it — the emitted window count
+    excludes the late row. (A single-batch replay cannot distinguish this
+    from plain batch aggregation.)
+
+    Measured Spark propagation detail: the watermark computed from batch
+    N's data takes effect for late-row filtering one batch later (a late
+    row in batch N+1 still lands; in batch N+2 it is dropped) — hence the
+    interposed batch here."""
+    import datetime as dt
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d, exist_ok=True)
+    ck = str(tmp_path / "ck_late")
+
+    def ev(i, h, m, typ="a"):
+        return (i, dt.datetime(2026, 1, 1, h, m, 0), 1, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batches = [
+        # window [10:00) gets 2 events; max ts 11:30 -> watermark 11:20
+        [ev(1, 10, 0), ev(2, 10, 30), ev(3, 11, 30)],
+        # interposed batch (watermark propagation lag) -> wm 11:35
+        [ev(4, 11, 45)],
+        # LATE event at 10:05 (window end 11:00 < wm -> dropped) + a fresh
+        # 13:00 event that advances the watermark to flush windows 10/11
+        [ev(5, 10, 5), ev(6, 13, 0)],
+    ]
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"batch{i}.parquet")
+        # coerce: pandas would otherwise write TIMESTAMP(NANOS)
+        spark.createDataFrame(rows, cols).toPandas().to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (1_600_000_000 + i * 60,) * 2)
+
+    stream = ST.tumbling_counts(
+        ST.read_events_stream(spark, d, max_files_per_trigger=1),
+        "1 hour",
+        "10 minutes",
+    )
+    ST.run_to_memory(stream, "late_t", ck, output_mode="append")
+    got = {(r["w"].hour, r["event_type"]): r["c"] for r in spark.table("late_t").collect()}
+    # late 10:05 NOT counted in window 10; 11:45 counted in window 11;
+    # the 13:00 window is withheld (still open at end of input)
+    assert got == {(10, "a"): 2, (11, "a"): 2}
+
+
 def test_dedup_stream_drops_doubled_input(spark, events_dir, tmp_path):
     doubled = ST.read_events_stream(spark, events_dir).unionByName(
         ST.read_events_stream(spark, events_dir)
