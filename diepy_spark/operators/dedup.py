@@ -338,6 +338,9 @@ def minhash_lsh_pairs(
 # X2c: SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_MAX_TOKENS = 65535  # 16-bit vote lanes: counts above this overflow
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4
 ) -> DataFrame:
@@ -350,14 +353,23 @@ def simhash(
     and those are computed per-row, ZERO shuffle: the token-hash array is
     materialized once, then each `aggregate` folds four 16-bit lanes of
     bit-counts packed into one long (counts are non-negative, so lanes
-    can't borrow into each other; 16 bits/lane caps docs at 65535 tokens).
-    Measured ~3x faster than the explode+groupBy formulation at sf0.1 and
-    removes the (doc, token) shuffle at cluster scale. Zero-token docs are
-    dropped (parity with the explode form and the SQL oracle); the filter
-    runs on the raw text BELOW the hash projection so predicate pushdown
-    can't substitute the md5-transform into it."""
+    can't borrow into each other; 16 bits/lane caps docs at
+    SIMHASH_MAX_TOKENS=65535 tokens — ENFORCED: docs beyond the cap are
+    excluded rather than silently producing a lane-overflowed (wrong)
+    signature; route such monsters through an explode+groupBy variant or
+    truncate upstream. Measured ~3x faster than the explode+groupBy
+    formulation at sf0.1 and removes the (doc, token) shuffle at cluster
+    scale. Zero-token docs are dropped (parity with the explode form and
+    the SQL oracle); the filter runs on the raw text BELOW the hash
+    projection so predicate pushdown can't substitute the md5-transform
+    into it."""
     hs = (
-        df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1"))
+        df.where(
+            F.expr(
+                f"size({tokens_expr(text_col)}) "
+                f"between 1 and {SIMHASH_MAX_TOKENS}"
+            )
+        )
         # spread the md5-per-token compute (see shingle_frame note)
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col).alias("d"), F.expr(tokens_expr(text_col)).alias("toks"))

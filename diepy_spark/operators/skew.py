@@ -35,7 +35,17 @@ def salted_join(
     `buckets` reducers; the right side grows ×buckets, so use this when
     right is small-ish but above the broadcast threshold. `salt_from`
     names left-side columns whose hash spreads the hot key's rows
-    (typically the row's primary key)."""
+    (typically the row's primary key).
+
+    Only left-preserving joins are supported: with how='right'/'full', an
+    UNMATCHED right row would surface once per replica — `buckets` copies
+    of corruption — so those modes are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}: "
+            "the replicated right side would emit unmatched rows once per bucket"
+        )
     salted_left = left.withColumn(
         SALT, F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(buckets)).cast("int")
     )

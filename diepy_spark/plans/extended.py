@@ -438,9 +438,12 @@ def _simhash_sql(doc_filter: str = "", order: bool = True) -> str:
         )
         sh_cols.append(f"CAST({terms} AS INT) AS sh{c}")
     src = f"(SELECT * FROM documents {doc_filter}) docs" if doc_filter else "documents"
+    # mirror of dedup.SIMHASH_MAX_TOKENS: oversized docs are excluded, not
+    # signed with overflowed lanes
     return f"""
         WITH tok AS (
-          SELECT doc_id AS d, md5(t.tok) AS h FROM {src},
+          SELECT doc_id AS d, md5(t.tok) AS h
+          FROM (SELECT * FROM {src} WHERE len({_TOKS_EXPR}) <= 65535) bounded,
           LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
         ),
         vals AS (SELECT d, {', '.join(val_cols)} FROM tok),

@@ -59,6 +59,17 @@ def test_simhash_identical_for_dups(docs):
     assert all(0 <= v < 65536 for v in sh[1])
 
 
+def test_simhash_excludes_oversized_docs(spark):
+    """Docs beyond SIMHASH_MAX_TOKENS would overflow the 16-bit vote lanes
+    into a WRONG signature — the guard must exclude them, not sign them."""
+    monster = " ".join(f"t{i}" for i in range(D.SIMHASH_MAX_TOKENS + 1))
+    df = spark.createDataFrame(
+        [(1, "ok text here"), (2, monster)], "doc_id long, text string"
+    )
+    got = {r["d"] for r in D.simhash(df).collect()}
+    assert got == {1}
+
+
 def test_cosine_topk_exact(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
@@ -148,6 +159,15 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "k")
     assert got.count() == plain.count()
     assert got.select(F.sum("w")).first()[0] == plain.select(F.sum("w")).first()[0]
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    from diepy_spark.operators import skew as K
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            K.salted_join(df, df, on=["k"], salt_from=["id"], how=how)
 
 
 def test_salted_distinct_count_exact(spark):
