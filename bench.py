@@ -46,8 +46,13 @@ def main() -> None:
     # the plan, not session startup.
     materialize(qs["r9_distinct"](spark, sf_dir))
 
+    # Canonical sorted order: queries() is insertion-ordered for the
+    # driver's correctness window, which changes round to round; timing in
+    # name order keeps per-query numbers comparable across rounds (early
+    # queries otherwise absorb JVM/codegen/Python-worker warmup).
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name in sorted(qs):
+        fn = qs[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
