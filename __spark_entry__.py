@@ -59,6 +59,13 @@ _PRIORITY = [
     "x2_dedup_apply",
     "x2_dedup_stats",
     "r28b_histogram_quantiles",
+    "x5_vocab",
+    "x5_tfidf",
+    "x3_label_centroids",
+    "x8_weighted_sample",
+    "x8_grouped_linfit",
+    "x9_merge_upsert",
+    "r41_map_functions",
 ]
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from diepy_spark.operators.sketch import hex_frac_sql
 
-__all__ = ["hash_frac", "hash_sample", "hash_split"]
+__all__ = ["hash_frac", "hash_sample", "hash_split", "weighted_hash_sample"]
 
 
 def hash_frac(id_col: str, seed: str = "") -> "F.Column":
@@ -50,6 +50,21 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: str = "") -> 
     give independent samples; the filter is a plain predicate (prunable,
     pushdown-friendly)."""
     return df.where(_frac_expr(id_col, seed) < fraction)
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, scale: float, seed: str = ""
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: row kept iff
+    hash_frac(id) < weight/scale, i.e. inclusion probability
+    min(1, weight/scale) — e.g. length-proportional document sampling
+    (weight=n_chars) for a token-budgeted subcorpus. Rows with
+    weight >= scale are always kept. Same reproducibility story as
+    hash_sample: stable across runs, engines, and partitionings, and the
+    predicate is narrow (prunes at the scan)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", weight_col):
+        raise ValueError(f"weight_col must be a plain identifier: {weight_col!r}")
+    return df.where(_frac_expr(id_col, seed) < F.col(weight_col) / F.lit(float(scale)))
 
 
 def hash_split(

@@ -190,6 +190,36 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-label mean embedding in long form: (label, i, centroid_val, n) —
+    one row per (label, dimension). The centroid-update step of k-means /
+    IVF quantizer training, and the class-prototype builder for
+    nearest-centroid classification.
+
+    Long form is deliberate: it avoids cross-engine float-array comparison
+    (values are rounded AFTER the mean), and the plan is the scalable
+    shape — posexplode multiplies rows by dim, then ONE shuffle with
+    map-side partial aggregation on (label, i). Re-assembling an array
+    column (sort_array(collect_list(...))) is a narrow epilogue when a
+    consumer needs it."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    return (
+        e.groupBy("label", "i")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), round_to).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _plane_component(seed: str, p: int, i: int) -> float:
     """Hyperplane p's component for dimension i: first hex nibble of
     md5(seed|p|i) minus 8 → a deterministic value in {-8..7}. Computed

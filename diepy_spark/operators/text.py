@@ -99,6 +99,78 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def vocab(
+    df: DataFrame, top_n: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary with heavy-hitter stats: the top_n tokens by total
+    occurrence count, with document frequency. The vocabulary-building step
+    of every tokenizer/filter pipeline.
+
+    Scale: ONE explode shuffle; the occurrence count combines map-side
+    (partial aggregation), so the shuffle carries (token, partial) pairs
+    per task, not every occurrence of 'the'. Doc frequency is exact
+    two-phase count-distinct here (oracle parity); at 100 TB swap in
+    approx_count_distinct (HLL, one pass) when ~2% error is acceptable.
+    Top-n compiles to TakeOrderedAndProject — no global sort."""
+    toks = _token_frame(df, text_col, id_col).select(
+        F.col(id_col).alias("d"), F.explode("toks").alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("d").alias("doc_freq"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    tf = occurrences / doc token count, idf = ln(N / doc_freq), ties broken
+    by token (after rounding — deterministic, engine-portable).
+
+    Scale: explode → one (doc, token) count shuffle with map-side combine;
+    the per-doc totals reuse a window over the same rows; doc frequency is
+    a token-keyed aggregate whose result is vocabulary-sized (joined back
+    broadcast-or-shuffle under AQE); N rides in as a 1-row broadcast
+    cross join. The final top-k is a per-doc window on rounded scores."""
+    from pyspark.sql import Window
+
+    toks = _token_frame(df, text_col, id_col).select(
+        F.col(id_col).alias("d"), F.explode("toks").alias("tok")
+    )
+    tf = toks.groupBy("d", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.withColumn("tot", F.sum("cnt").over(Window.partitionBy("d")))
+    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = tf.select(F.countDistinct("d").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("cnt") / F.col("tot"))
+                * F.log(F.col("n_docs") / F.col("doc_freq")),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("d").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("d").alias(id_col), "tok", "score", "rk")
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + a composite score in [0,1]:
     length signal, type-token ratio, stopword ratio, mean token length.

@@ -282,6 +282,90 @@ def x5_winnow(spark, sf_dir):
     )
 
 
+VOCAB_TOP = 100
+TFIDF_K = 3
+WEIGHTED_SCALE = 3000.0
+
+
+def x5_vocab(spark, sf_dir):
+    """Corpus vocabulary / heavy hitters: top tokens by occurrence count
+    with doc frequency — the vocabulary-building step of a tokenizer
+    pipeline (operators/text.py:vocab; one explode shuffle, map-side
+    partial agg, TakeOrderedAndProject top-n)."""
+    return T.vocab(_docs(spark, sf_dir), top_n=VOCAB_TOP).orderBy(
+        F.col("n").desc(), "tok"
+    )
+
+
+def x5_tfidf(spark, sf_dir):
+    """Top-k characteristic terms per doc by tf-idf
+    (operators/text.py:tfidf_top_terms)."""
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K).orderBy("doc_id", "rk")
+
+
+def x3_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (long form) — the centroid-update step of
+    k-means/IVF training (operators/similarity.py:label_centroids)."""
+    return S.label_centroids(_vecs(spark, sf_dir)).orderBy("label", "i")
+
+
+def x8_weighted_sample(spark, sf_dir):
+    """Length-proportional deterministic document sample: inclusion
+    probability min(1, n_chars/scale) — the token-budgeted subcorpus
+    selection (operators/sampling.py:weighted_hash_sample)."""
+    from diepy_spark.operators.sampling import weighted_hash_sample
+
+    d = _docs(spark, sf_dir)
+    return (
+        weighted_hash_sample(d, "doc_id", "n_chars", WEIGHTED_SCALE, seed="wbench")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def x8_grouped_linfit(spark, sf_dir):
+    """applyInPandas showcase: per-language OLS fit of doc length (chars)
+    vs token count (operators/grouped.py:group_linfit). Exact int64
+    normal-equation sums inside the UDF -> bit-identical to the SQL
+    closed form."""
+    from diepy_spark.operators.dedup import tokens_expr
+    from diepy_spark.operators.grouped import group_linfit
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.expr(f"size({tokens_expr('text')})").cast("bigint").alias("x"),
+        F.col("n_chars").cast("bigint").alias("y"),
+    )
+    return group_linfit(d, "lang", "x", "y").orderBy("lang")
+
+
+def x9_merge_upsert(spark, sf_dir):
+    """CDC merge: apply a keyed update batch (price corrections on
+    o_orderkey % 97, plus inserted keys shifted by 10M) to orders; update
+    wins per key (operators/merge.py:merge_upsert — one union + one keyed
+    window shuffle). Output = the merged table's (key, price), a total
+    value-level check of replace/insert/carry-through semantics."""
+    from diepy_spark.operators.merge import merge_upsert
+
+    o = _t_orders(spark, sf_dir)
+    corrections = o.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = o.where(F.col("o_orderkey") % 31 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    merged = merge_upsert(o, corrections.unionByName(inserts), ["o_orderkey"])
+    # raw doubles: +1000.0 is bit-exact in both engines, no rounding needed
+    return merged.select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    ).orderBy("o_orderkey")
+
+
+def _t_orders(spark, sf_dir):
+    tune(spark)
+    return load_table(spark, sf_dir, "orders")
+
+
 def x8_hash_split(spark, sf_dir):
     """Deterministic 80/10/10 train/valid/test split of the corpus
     (operators/sampling.py): narrow projection, reproducible across runs and
@@ -336,8 +420,14 @@ EXTENDED_QUERIES = {
     "x6_features": x6_features,
     "x6_resize": x6_resize,
     "x5_winnow": x5_winnow,
+    "x5_vocab": x5_vocab,
+    "x5_tfidf": x5_tfidf,
+    "x3_label_centroids": x3_label_centroids,
     "x8_hash_split": x8_hash_split,
     "x8_hash_sample": x8_hash_sample,
+    "x8_weighted_sample": x8_weighted_sample,
+    "x8_grouped_linfit": x8_grouped_linfit,
+    "x9_merge_upsert": x9_merge_upsert,
 }
 
 
@@ -751,6 +841,91 @@ EXTENDED_ORACLES["x8_hash_split"] = f"""
 EXTENDED_ORACLES["x8_hash_sample"] = f"""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE {_sample_frac_sql('bench')} < 0.1 ORDER BY doc_id
+"""
+
+
+EXTENDED_ORACLES["x5_vocab"] = f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT d) AS BIGINT) AS doc_freq
+    FROM tk GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {VOCAB_TOP}
+"""
+
+# tf-idf: divisions and ln in the same order as the Spark plan
+# (cnt/tot -> double, ln(n_docs/doc_freq) -> double, product, round).
+EXTENDED_ORACLES["x5_tfidf"] = f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+    ),
+    tf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+    tf2 AS (SELECT *, SUM(cnt) OVER (PARTITION BY d) AS tot FROM tf),
+    dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY tok),
+    nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT d, tf2.tok,
+             ROUND((CAST(cnt AS DOUBLE) / tot) * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS score
+      FROM tf2 JOIN dfq ON dfq.tok = tf2.tok, nd
+    )
+    SELECT d AS doc_id, tok, score, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY d ORDER BY score DESC, tok) AS rk
+      FROM scored) WHERE rk <= {TFIDF_K}
+    ORDER BY doc_id, rk
+"""
+
+EXTENDED_ORACLES["x3_label_centroids"] = """
+    SELECT label, CAST(u.i - 1 AS INT) AS i,
+           ROUND(AVG(CAST(u.x AS DOUBLE)), 4) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n
+    FROM embeddings,
+    LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i) u
+    GROUP BY label, u.i ORDER BY label, i
+"""
+
+EXTENDED_ORACLES["x8_weighted_sample"] = f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_sample_frac_sql('wbench')} < n_chars / CAST({WEIGHTED_SCALE!r} AS DOUBLE)
+    ORDER BY doc_id
+"""
+
+# Same closed-form normal equations as the pandas UDF: exact integer sums
+# (DuckDB HUGEINT / python int), ONE double division at the end.
+EXTENDED_ORACLES["x8_grouped_linfit"] = f"""
+    WITH f AS (
+      SELECT lang, CAST(len({_TOKS_EXPR}) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM f GROUP BY lang
+    )
+    SELECT lang, n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+           ROUND((sy - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * sx) / n, 6)
+             AS intercept
+    FROM s ORDER BY lang
+"""
+
+EXTENDED_ORACLES["x9_merge_upsert"] = """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS price
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 31 = 0
+    )
+    SELECT o_orderkey, price FROM (
+      SELECT o_orderkey, o_totalprice AS price FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT o_orderkey, price FROM upd
+    ) ORDER BY o_orderkey
 """
 
 

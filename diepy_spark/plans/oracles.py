@@ -304,4 +304,16 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CAST(greatest(r_regionkey, 2) AS BIGINT) AS g
         FROM region ORDER BY r_regionkey
     """,
+    # r41: the Spark plan exercises map_from_entries/element_at/map_keys;
+    # the oracle computes the same VALUES with conditional aggregation
+    # (element_at on a missing key is NULL == SUM(CASE) with no ELSE).
+    "r41_map_functions": """
+        SELECT o_orderpriority AS priority,
+               CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
 }

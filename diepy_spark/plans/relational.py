@@ -680,6 +680,35 @@ def r40_null_functions(spark, sf_dir):
     )
 
 
+def r41_map_functions(spark, sf_dir):
+    """Map-typed processing: per-priority map of order-status -> count
+    built with map_from_entries over a sorted collect_list, then queried
+    with element_at / map_keys / cardinality. Output is scalar-only (map
+    lookups + joined key list) so the cross-engine compare stays total;
+    the oracle computes the same values with conditional aggregation.
+
+    Scale: the collect_list group is bounded by |distinct statuses| (3),
+    never by row count — the heavy aggregation below it is an ordinary
+    two-key count with map-side combine."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "c")))
+        ).alias("m")
+    )
+    return m.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.size("m").alias("n_statuses"),
+        F.element_at("m", "F").alias("cnt_f"),
+        F.element_at("m", "O").alias("cnt_o"),
+        F.element_at("m", "P").alias("cnt_p"),
+        F.concat_ws(",", F.map_keys("m")).alias("statuses"),
+    ).orderBy("priority")
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -722,4 +751,5 @@ RELATIONAL_QUERIES = {
     "r38_date_arith": r38_date_arith,
     "r39_scalar_subquery": r39_scalar_subquery,
     "r40_null_functions": r40_null_functions,
+    "r41_map_functions": r41_map_functions,
 }

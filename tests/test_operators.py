@@ -371,3 +371,88 @@ def test_connected_components_diameter_guard(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1, local_threshold=0)
+
+
+# --------------------------------------------------------------------------
+# vocab / tf-idf / weighted sampling / grouped fit / centroids / merge
+# --------------------------------------------------------------------------
+
+def test_vocab_counts_and_doc_freq(docs):
+    from diepy_spark.operators.text import vocab
+
+    rows = {r["tok"]: (r["n"], r["doc_freq"]) for r in vocab(docs, top_n=3).collect()}
+    # 'the' appears twice in docs 1/2/4 -> n=6, doc_freq=3
+    assert rows["the"] == (6, 3)
+    assert len(rows) == 3
+
+
+def test_tfidf_ranks_distinctive_terms(docs):
+    from diepy_spark.operators.text import tfidf_top_terms
+
+    top = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+    # doc 2's most distinctive term is 'cat' (docs 1/4 have 'dog' instead);
+    # universal words never take rank 1
+    assert by_doc[2][0] == "cat"
+    assert by_doc[3][0] != "the"
+
+
+def test_weighted_sample_includes_heavy_rows_always(spark):
+    from diepy_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, 10_000 if i % 2 == 0 else 0) for i in range(100)], "id long, w long"
+    )
+    got = {r["id"] for r in weighted_hash_sample(df, "id", "w", 1000.0).collect()}
+    assert got == {i for i in range(100) if i % 2 == 0}  # w>=scale always; w=0 never
+
+
+def test_group_linfit_exact_line(spark):
+    from diepy_spark.operators.grouped import group_linfit
+
+    # y = 3x + 7 exactly; one degenerate group (single x value -> den 0)
+    rows = [("a", x, 3 * x + 7) for x in range(10)] + [("b", 5, 1), ("b", 5, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in group_linfit(df, "g", "x", "y").collect()}
+    assert got["a"]["slope"] == 3.0 and got["a"]["intercept"] == 7.0
+    assert got["a"]["n"] == 10
+    assert got["b"]["slope"] is None  # degenerate: single x value
+
+
+def test_label_centroids_long_form(spark):
+    from diepy_spark.operators.similarity import label_centroids
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [3.0, 2.0], 7), (2, [5.0, 5.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["i"]): (r["centroid_val"], r["n"]) for r in label_centroids(vecs).collect()}
+    assert got[(7, 0)] == (2.0, 2) and got[(7, 1)] == (1.0, 2)
+    assert got[(8, 0)] == (5.0, 1)
+
+
+def test_merge_upsert_semantics(spark):
+    from diepy_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver int")
+    upd = spark.createDataFrame([(2, "B", 2), (4, "D", 2)], "k long, v string, ver int")
+    got = {r["k"]: r["v"] for r in merge_upsert(base, upd, ["k"], "ver").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+    # stale update (lower version) must NOT replace the base row
+    stale = spark.createDataFrame([(1, "STALE", 0)], "k long, v string, ver int")
+    got2 = {r["k"]: r["v"] for r in merge_upsert(base, stale, ["k"], "ver").collect()}
+    assert got2[1] == "a"
+    # without version_col the update always wins
+    got3 = {r["k"]: r["v"] for r in merge_upsert(base, stale, ["k"]).collect()}
+    assert got3[1] == "STALE"
+
+
+def test_merge_upsert_rejects_mismatched_columns(spark):
+    from diepy_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    upd = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="column sets differ"):
+        merge_upsert(base, upd, ["k"])
