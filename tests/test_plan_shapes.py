@@ -172,3 +172,40 @@ def test_pivot_is_single_aggregate(spark, qs):
     # formatted output lists the scan in the tree AND the detail section
     assert plan.count("(1) Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_vocab_topn_is_take_ordered(spark, qs):
+    """Top-n over the token aggregate must compile to TakeOrderedAndProject
+    (never a global sort) and keep map-side partial aggregation."""
+    plan = plan_of(qs["x5_vocab"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_merge_upsert_single_key_shuffle_no_join(spark):
+    """CDC merge = union + ONE keyed window shuffle; a join-based rewrite
+    (or a per-side shuffle) would double the data movement."""
+    from diepy_spark.operators.merge import merge_upsert
+
+    base = load_table(spark, SF, "orders")
+    upd = base.limit(10)
+    plan = plan_of(merge_upsert(base, upd, ["o_orderkey"]))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(o_orderkey") == 1
+
+
+def test_label_centroids_single_partial_agg_shuffle(spark, qs):
+    """posexplode then ONE aggregate shuffle with map-side combine — the
+    scalable centroid-update shape."""
+    plan = plan_of(qs["x3_label_centroids"](spark, SF))
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "partial_avg" in plan or "partial_average" in plan.lower()
+    assert plan.count("hashpartitioning(") <= 1
+
+
+def test_weighted_sample_is_narrow(spark, qs):
+    """The weighted-sample predicate must stay a narrow filter: no
+    Exchange anywhere in the plan (the declared ORDER BY adds only a
+    rangepartitioning for presentation)."""
+    plan = plan_of(qs["x8_weighted_sample"](spark, SF))
+    assert "hashpartitioning(" not in plan
