@@ -66,6 +66,11 @@ _PRIORITY = [
     "x8_grouped_linfit",
     "x9_merge_upsert",
     "r41_map_functions",
+    "x5_repetition",
+    "x5_pii_redact",
+    "x2_contamination",
+    "x2_winnow_pairs",
+    "x8_hll_distinct",
 ]
 
 

@@ -54,26 +54,30 @@ def tokens_col(text_col: str = "text"):
     return F.expr(tokens_expr(text_col))
 
 
-def _shingles_over(tok_sql: str, n: int) -> str:
-    """SQL for distinct word n-gram shingles over a token-array SQL
-    fragment (trusted — built by this module, not user input). The fragment
-    is referenced several times, which is why callers should pass an
-    ALREADY-MATERIALIZED column: inlining the tokenize expression would
-    re-tokenize once per reference under interpreted HOF eval (measured 4x
-    tokenization per row — see shingle_frame)."""
+def _grams_over(tok_sql: str, n: int) -> str:
+    """SQL for the ORDERED, NON-distinct word n-gram array over a
+    token-array SQL fragment (trusted — built by this module, not user
+    input). The fragment is referenced several times, which is why callers
+    should pass an ALREADY-MATERIALIZED column: inlining the tokenize
+    expression would re-tokenize once per reference under interpreted HOF
+    eval (measured 4x tokenization per row — see shingle_frame)."""
     t = tok_sql
     if n == 2:
         # fast path: pairwise zip of the array with its own tail
-        body = (
+        return (
             f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)), "
             f"slice({t}, 2, greatest(size({t}) - 1, 0)), (a, b) -> concat(a, ' ', b))"
         )
-    else:
-        body = (
-            f"if(size({t}) >= {n}, transform(sequence(1, size({t}) - {n - 1}), "
-            f"i -> array_join(slice({t}, i, {n}), ' ')), array())"
-        )
-    return f"array_distinct({body})"
+    return (
+        f"if(size({t}) >= {n}, transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> array_join(slice({t}, i, {n}), ' ')), array())"
+    )
+
+
+def _shingles_over(tok_sql: str, n: int) -> str:
+    """SQL for DISTINCT word n-gram shingles (set semantics — the dedup
+    operators' currency) over a token-array SQL fragment."""
+    return f"array_distinct({_grams_over(tok_sql, n)})"
 
 
 def shingles_col(text_col: str = "text", n: int = 2):
@@ -505,4 +509,99 @@ def winnow_fingerprints(
         .where(F.col("__rn") == 1)
         .select(id_col, "h", "i")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Train/benchmark contamination check: for each training document,
+    the number of distinct word n-grams it shares with ANY benchmark
+    document (and the lexicographically smallest such n-gram as evidence).
+    Documents with zero overlap are absent — the output is the
+    contamination report a pipeline joins back to quarantine documents
+    before training.
+
+    Scale design: the benchmark side (eval suites — thousands of docs, not
+    terabytes) collapses to its DISTINCT n-gram set and is broadcast, so
+    the 100 TB train side is scanned ONCE with a broadcast hash join on the
+    gram — no shuffle of train grams at all; the only shuffle is the final
+    per-doc count, keyed by doc id (even) and sized by matches (tiny).
+    Set ``broadcast_bench=False`` when the reference corpus is itself too
+    big to broadcast — the join falls back to a shuffle equi-join on the
+    gram (high-cardinality key, AQE handles residual skew).
+    """
+    tg = shingle_frame(train, n, text_col, id_col).select(
+        "d", F.explode("sh_arr").alias("gram")
+    )
+    bg = (
+        shingle_frame(bench, n, text_col, id_col)
+        .select(F.explode("sh_arr").alias("gram"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "gram")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.min("gram").alias("sample_gram"),
+        )
+        .select(F.col("d").alias(id_col), "n_shared_grams", "sample_gram")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """The CONSUMING operator of winnowing: document pairs sharing at least
+    `min_shared` distinct fingerprint hashes — the plagiarism/overlap
+    detection step MOSS runs over its fingerprint index. By the winnowing
+    guarantee, any shared token run of length >= w+k-1 produces a shared
+    fingerprint, so true containment/overlap cannot be missed.
+
+    Scale: the fingerprint index is ~2/(w+1) of the gram stream; the pair
+    step is an equi-join on the fingerprint hash (high-cardinality md5 →
+    even partitioning), pre-shuffled ONCE on the hash so self-join sides
+    reuse a single exchange, and never all-pairs. Ubiquitous hashes would
+    blow up Σdf² like any inverted index — at corpus scale add the same
+    max-df stop cap used by ngram_jaccard_pairs (the fixture corpus needs
+    none).
+
+    Output: (da, db, n_shared_fp), da < db.
+    """
+    spark = df.sparkSession
+    # IDENTICAL subplans on both join sides (aliases applied only after the
+    # join) + pre-shuffle on the join key -> Spark's ReuseExchange computes
+    # the fingerprint index ONCE for both sides (same trick as
+    # minhash_lsh_pairs; asserted in tests/test_plan_shapes.py)
+    fp = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(F.col(id_col).alias("d"), "h")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, F.col("h"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b.hint("shuffle_hash"), "h")
+        .where(F.col("a.d") < F.col("b.d"))
+        .select(F.col("a.d").alias("da"), F.col("b.d").alias("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= min_shared)
     )

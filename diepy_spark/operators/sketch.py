@@ -74,3 +74,127 @@ def kmv_distinct(
     if include_exact:
         aggs.insert(0, F.count(F.lit(1)).alias("n_distinct_true"))
     return ranked.groupBy(*on).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with a portable register layout
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers: bucket = first two md5 nibbles
+
+# Flajolet et al. 2007 bias constant for m >= 128, computed ONCE in Python
+# and embedded as the same double literal in both engines.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_bucket_sql(col: str) -> str:
+    """Register index 0..255 from the first two hex nibbles of md5 column
+    `col`. Valid and bit-identical in Spark SQL and DuckDB."""
+    return (
+        f"((instr('{_HEX}', substr({col},1,1))-1)*16"
+        f" + (instr('{_HEX}', substr({col},2,1))-1))"
+    )
+
+
+def hll_rho_sql(col: str) -> str:
+    """Leading-zero rank (rho) of the 32-bit window in hex nibbles 3..10 of
+    md5 column `col`: 1 + count of leading zero bits, 33 if all-zero.
+
+    Computed via STRING ops (strip leading '0' nibbles, then a 4-entry
+    CASE on the first nonzero nibble) instead of floor(log2(x)) — log2
+    rounds up to the next integer for x just below a power of two at the
+    top of the 53-bit mantissa, while string arithmetic is exact in both
+    engines. The 32-bit window (not the full 128) keeps every register
+    term 2^-rho >= 2^-33, so the register SUM spans < 53 bits of binary
+    magnitude and is EXACT (order-independent) — a wider window would make
+    the sum's low bits depend on aggregation order and break cross-engine
+    hash equality."""
+    stripped = f"regexp_replace(substr({col},3,8), '^0+', '')"
+    d1 = f"substr({stripped},1,1)"
+    clz4 = (
+        f"(CASE WHEN {d1} = '1' THEN 3 WHEN {d1} IN ('2','3') THEN 2 "
+        f"WHEN {d1} IN ('4','5','6','7') THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"(CASE WHEN {stripped} = '' THEN 33 "
+        f"ELSE 4*(8 - length({stripped})) + {clz4} + 1 END)"
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    on: list[str],
+    value_col: str,
+    include_exact: bool = False,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a REPRODUCIBLE HyperLogLog:
+    md5-derived registers (hll_bucket_sql/hll_rho_sql) with the standard
+    alpha_m bias constant and small-range linear counting. Unlike Spark's
+    approx_count_distinct (whose HLL++ register layout is
+    implementation-private), every intermediate here is portable SQL — the
+    DuckDB oracle reproduces the estimate bit-for-bit (see the exact-sum
+    argument in hll_rho_sql), making the sketch itself testable.
+
+    Scale: NO distinct pre-shuffle (HLL absorbs duplicates by max) — one
+    (group, bucket) aggregation with map-side combine carrying at most
+    m=256 rows per group, then a per-group fold. This is the sketch to use
+    when KMV's distinct materialization is too expensive.
+
+    Output: ``on`` + ``hll_estimate`` (double, rounded to 4 decimals; the
+    only non-exact step is linear counting's ln(), identical to <1 ulp
+    across libm implementations — far inside the rounding guard), plus
+    ``n_exact`` when ``include_exact``.
+    """
+    m, alpha = HLL_M, HLL_ALPHA
+    h = df.select(*on, F.md5(F.col(value_col).cast("string")).alias("h"))
+    reg = (
+        h.select(
+            *on,
+            F.expr(hll_bucket_sql("h")).alias("bucket"),
+            F.expr(hll_rho_sql("h")).alias("rho"),
+        )
+        .groupBy(*on, "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    agg = reg.groupBy(*on).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nb")))
+    v = F.lit(m) - F.col("nb")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    out = agg.select(*on, F.round(est, 4).alias("hll_estimate"))
+    if include_exact:
+        exact = df.groupBy(*on).agg(F.countDistinct(value_col).alias("n_exact"))
+        out = exact.join(out, on).select(*on, "n_exact", "hll_estimate")
+    return out
+
+
+def hll_oracle_sql(
+    table: str, on: str, value_col: str, include_exact: bool = False
+) -> str:
+    """DuckDB SQL computing hll_distinct's EXACT output (same register
+    layout, same fold, same literals) for the oracle gate. `on` is a single
+    group column name."""
+    m, alpha = HLL_M, HLL_ALPHA
+    exact_col = f"count(DISTINCT {value_col}) AS n_exact, " if include_exact else ""
+    exact_sel = "e.n_exact, " if include_exact else ""
+    return f"""
+    WITH h AS (SELECT {on}, md5(CAST({value_col} AS VARCHAR)) AS h FROM {table}),
+    r AS (SELECT {on}, {hll_bucket_sql('h')} AS bucket, {hll_rho_sql('h')} AS rho FROM h),
+    reg AS (SELECT {on}, bucket, max(rho) AS mr FROM r GROUP BY 1, 2),
+    agg AS (SELECT {on}, sum(power(2.0, -mr)) AS s, count(*) AS nb FROM reg GROUP BY 1),
+    est AS (
+      SELECT {on},
+             CASE WHEN {alpha * m * m!r} / (s + ({m} - nb)) <= {2.5 * m!r}
+                       AND ({m} - nb) > 0
+                  THEN {float(m)!r} * ln({m} / ({m} - nb))
+                  ELSE {alpha * m * m!r} / (s + ({m} - nb)) END AS e
+      FROM agg
+    ),
+    ex AS (SELECT {on}, {exact_col}1 AS one FROM {table} GROUP BY {on})
+    SELECT est.{on}, {exact_sel}ROUND(est.e, 4) AS hll_estimate
+    FROM est JOIN ex e USING ({on})
+    """

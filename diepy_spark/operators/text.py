@@ -215,3 +215,82 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         mean_len.alias("mean_tok_len"),
         score.alias("score"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters,
+    Rae et al. 2021 §A1.1): for each n in `ns`, the fraction of word
+    n-grams that are duplicates of an earlier n-gram in the same document
+    (``1 - distinct/total``). High values flag boilerplate/spam docs that
+    survive corpus-level dedup because they only repeat *internally*.
+
+    Scale: pure per-row higher-order array expressions — the gram arrays
+    never explode and nothing shuffles; the whole operator is one narrow
+    projection pipeline over the corpus scan. The n-gram arrays are
+    materialized as real columns in their own projection so the three
+    downstream references (two sizes + distinct) don't re-evaluate the
+    gram build under interpreted HOF eval.
+
+    Docs with fewer than max(ns) tokens are dropped (no n-gram of every
+    requested length exists; ratios would be 0/0).
+    """
+    from diepy_spark.operators.dedup import _grams_over
+
+    tf = _token_frame(df, text_col, id_col, min_tokens=max(ns))
+    grams = tf.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        *[F.expr(_grams_over("toks", n)).alias(f"g{n}") for n in ns],
+    )
+    cols: list[Column] = [F.col(id_col), F.col("n_tokens")]
+    for n in ns:
+        g = F.col(f"g{n}")
+        # int/int division -> double, bit-identical in Spark and DuckDB
+        cols.append(F.size(g).alias(f"n_grams{n}"))
+        cols.append(
+            ((F.size(g) - F.size(F.array_distinct(g))) / F.size(g)).alias(f"dup_frac{n}")
+        )
+    return grams.select(*cols)
+
+
+# PII patterns shared verbatim by the Spark plan and the DuckDB oracle.
+# Deliberately backslash-free (character classes like [.] instead of \.) so
+# the SAME string is a valid, identical regex in Java (Spark) and RE2
+# (DuckDB) without double-escaping games.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+    "phone": "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ip": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing: counts matches of each pattern in the original text
+    and replaces them with ``<name>`` placeholders, applied in dict order.
+    Counts are taken against the ORIGINAL text (reporting), replacements
+    chain (sanitizing) — the standard shape of a corpus scrubbing pass.
+
+    Scale: regexp_extract_all/regexp_replace are JVM-side codegen'd
+    expressions — one narrow projection, no shuffle, no Python. Pattern
+    strings must avoid backslash escapes (see PII_PATTERNS) so the same
+    pattern text is portable to the SQL oracle.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    cols: list[Column] = [F.col(id_col)]
+    red = F.col(text_col)
+    for name, pat in patterns.items():
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    cols.append(red.alias("redacted"))
+    return df.select(*cols)

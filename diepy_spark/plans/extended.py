@@ -396,6 +396,83 @@ def x8_hash_sample(spark, sf_dir):
     )
 
 
+CONTAM_N = 4  # word n-gram length for the contamination check
+CONTAM_BENCH_FRAC = 0.2  # deterministic benchmark split fraction
+WINNOW_MIN_SHARED = 1  # min shared fingerprints to report a pair (the
+# fixture corpus's word-salad docs rarely share more than one winnowed
+# k-gram; real plagiarism detection raises this with corpus size)
+
+
+def x5_repetition(spark, sf_dir):
+    """Within-doc repetition (Gopher duplicate-ngram-fraction filters):
+    per-row HOF arrays, zero shuffle (operators/text.py:repetition_stats)."""
+    return T.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# Deterministic synthetic PII derived from doc_id arithmetic — the corpus
+# text itself is clean word salad, so the declared query plants
+# reconstructible emails/phones/IPs and the operator must find ALL of them.
+# The same formula is emitted into both engines (cast spelling differs).
+def _pii_text(cast_str) -> str:
+    return (
+        "concat(substr(text, 1, 40), ' mail u', {d}, '@ex', {d7}, "
+        "'.org call 555-', lpad({d1000}, 3, '0'), '-', lpad({d10000}, 4, '0'), "
+        "' from 10.', {d256}, '.0.', {d100})"
+    ).format(
+        d=cast_str("doc_id"),
+        d7=cast_str("doc_id % 7"),
+        d1000=cast_str("doc_id % 1000"),
+        d10000=cast_str("doc_id % 10000"),
+        d256=cast_str("doc_id % 256"),
+        d100=cast_str("doc_id % 100"),
+    )
+
+
+def x5_pii_redact(spark, sf_dir):
+    """PII scrubbing pass (operators/text.py:redact_pii): count + mask
+    emails/phones/IPv4s, one narrow JVM-side projection."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_pii_text(lambda x: f"CAST({x} AS STRING)")).alias("text"),
+    )
+    return T.redact_pii(d).orderBy("doc_id")
+
+
+def x2_contamination(spark, sf_dir):
+    """Benchmark-contamination check (operators/dedup.py:contamination):
+    hash-split the corpus into train/benchmark, report train docs sharing
+    any word 4-gram with the benchmark side. Benchmark gram set broadcast —
+    the train side never shuffles its grams."""
+    from diepy_spark.operators.sampling import hash_frac
+
+    d = _docs(spark, sf_dir)
+    f = hash_frac("doc_id", "contam")
+    bench = d.where(f < CONTAM_BENCH_FRAC)
+    train = d.where(f >= CONTAM_BENCH_FRAC)
+    return D.contamination(train, bench, n=CONTAM_N).orderBy("doc_id")
+
+
+def x2_winnow_pairs(spark, sf_dir):
+    """Document-overlap pairs from the winnowing fingerprint index
+    (operators/dedup.py:winnow_pairs) — MOSS's detection step."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < FP_DOC_MAX)
+    return D.winnow_pairs(
+        d, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    ).orderBy("da", "db")
+
+
+def x8_hll_distinct(spark, sf_dir):
+    """Reproducible HyperLogLog distinct-count sketch
+    (operators/sketch.py:hll_distinct) vs the exact count, per event type."""
+    from diepy_spark.operators.sketch import hll_distinct
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id", include_exact=True).orderBy(
+        "event_type"
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -428,6 +505,11 @@ EXTENDED_QUERIES = {
     "x8_weighted_sample": x8_weighted_sample,
     "x8_grouped_linfit": x8_grouped_linfit,
     "x9_merge_upsert": x9_merge_upsert,
+    "x5_repetition": x5_repetition,
+    "x5_pii_redact": x5_pii_redact,
+    "x2_contamination": x2_contamination,
+    "x2_winnow_pairs": x2_winnow_pairs,
+    "x8_hll_distinct": x8_hll_distinct,
 }
 
 
@@ -784,8 +866,10 @@ EXTENDED_ORACLES["x2_dedup_stats"] = f"""
     FROM tot, drops
 """
 
-EXTENDED_ORACLES["x5_winnow"] = f"""
-    WITH toks AS (
+# winnowing fingerprint set (d, h, i) — shared by the x5_winnow summary
+# oracle and the x2_winnow_pairs detection oracle
+_WINNOW_FP_CTES = f"""
+    toks AS (
       SELECT doc_id AS d, {_TOKS_EXPR} AS toks FROM documents
       WHERE doc_id < {FP_DOC_MAX} AND len({_TOKS_EXPR}) >= {WINNOW_K}
     ),
@@ -809,9 +893,22 @@ EXTENDED_ORACLES["x5_winnow"] = f"""
       FROM wins
     ),
     fp AS (SELECT DISTINCT d, h, i FROM sel WHERE rn = 1)
+"""
+
+EXTENDED_ORACLES["x5_winnow"] = f"""
+    WITH {_WINNOW_FP_CTES}
     SELECT d AS doc_id, COUNT(*) AS n_fp,
            md5(array_to_string(list_sort(list(h || ':' || CAST(i AS VARCHAR))), '|')) AS fp_sig
     FROM fp GROUP BY d ORDER BY doc_id
+"""
+
+EXTENDED_ORACLES["x2_winnow_pairs"] = f"""
+    WITH {_WINNOW_FP_CTES},
+    dfp AS (SELECT DISTINCT d, h FROM fp)
+    SELECT a.d AS da, b.d AS db, COUNT(*) AS n_shared_fp
+    FROM dfp a JOIN dfp b ON a.h = b.h AND a.d < b.d
+    GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY da, db
 """
 
 
@@ -970,3 +1067,76 @@ EXTENDED_ORACLES["x3_ann_topk_lsh"] = f"""
       FROM scored) WHERE rk <= {TOPK_K}
     ORDER BY qid, rk
 """
+
+
+EXTENDED_ORACLES["x5_repetition"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents
+      WHERE len({_TOKS_EXPR}) >= 3
+    ),
+    g AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             list_transform(generate_series(1, len(toks)-1),
+               j -> toks[j] || ' ' || toks[j+1]) AS g2,
+             list_transform(generate_series(1, len(toks)-2),
+               j -> array_to_string(list_slice(toks, j, j+2), ' ')) AS g3
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(g2) AS INT) AS n_grams2,
+           (len(g2) - len(list_distinct(g2))) / len(g2) AS dup_frac2,
+           CAST(len(g3) AS INT) AS n_grams3,
+           (len(g3) - len(list_distinct(g3))) / len(g3) AS dup_frac3
+    FROM g ORDER BY doc_id
+"""
+
+_PII_ORACLE_TEXT = _pii_text(lambda x: f"CAST({x} AS VARCHAR)")
+_PII_E = T.PII_PATTERNS["email"]
+_PII_P = T.PII_PATTERNS["phone"]
+_PII_I = T.PII_PATTERNS["ip"]
+
+# DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's default)
+EXTENDED_ORACLES["x5_pii_redact"] = f"""
+    WITH p AS (SELECT doc_id, {_PII_ORACLE_TEXT} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_E}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_P}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_I}')) AS INT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_E}', '<email>', 'g'),
+             '{_PII_P}', '<phone>', 'g'),
+             '{_PII_I}', '<ip>', 'g') AS redacted
+    FROM p ORDER BY doc_id
+"""
+
+_CONTAM_GRAMS = (
+    f"list_distinct(list_transform(generate_series(1, len({{t}})-{CONTAM_N - 1}), "
+    f"j -> array_to_string(list_slice({{t}}, j, j+{CONTAM_N - 1}), ' ')))"
+)
+
+EXTENDED_ORACLES["x2_contamination"] = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_EXPR} AS toks, {_sample_frac_sql('contam')} AS f
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id AS d, g.gram FROM s,
+      LATERAL (SELECT unnest({_CONTAM_GRAMS.format(t='toks')}) AS gram) g
+      WHERE f >= {CONTAM_BENCH_FRAC}
+    ),
+    bg AS (
+      SELECT DISTINCT g.gram FROM s,
+      LATERAL (SELECT unnest({_CONTAM_GRAMS.format(t='toks')}) AS gram) g
+      WHERE f < {CONTAM_BENCH_FRAC}
+    )
+    SELECT d AS doc_id, COUNT(*) AS n_shared_grams, MIN(gram) AS sample_gram
+    FROM tg JOIN bg USING (gram)
+    GROUP BY d ORDER BY doc_id
+"""
+
+from diepy_spark.operators.sketch import hll_oracle_sql as _hll_oracle_sql
+
+EXTENDED_ORACLES["x8_hll_distinct"] = (
+    _hll_oracle_sql("events", "event_type", "user_id", include_exact=True)
+    + " ORDER BY event_type"
+)

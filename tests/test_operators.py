@@ -456,3 +456,122 @@ def test_merge_upsert_rejects_mismatched_columns(spark):
     upd = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="column sets differ"):
         merge_upsert(base, upd, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# round 2b: repetition, PII, contamination, winnow pairs, HLL
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_exact_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 6 tokens; g2: 5 grams, 2 distinct; g3: 4 grams, 2 distinct
+            (2, "u v w x y z"),          # all unique -> 0 duplicate fraction
+            (3, "too short"),            # 2 tokens < max(ns)=3 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["n_grams2"] == 5 and r1["dup_frac2"] == (5 - 2) / 5
+    assert r1["n_grams3"] == 4 and r1["dup_frac3"] == (4 - 2) / 4
+    r2 = rows[2]
+    assert r2["dup_frac2"] == 0.0 and r2["dup_frac3"] == 0.0
+
+
+def test_redact_pii_counts_and_masks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith@corp.example.org or call 555-123-4567 now"),
+            (2, "server at 192.168.0.12 and 10.0.0.1 (backup bob@ex.io)"),
+            (3, "no personal data in this sentence at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) == (1, 1, 0)
+    assert rows[1]["redacted"] == "write to <email> or call <phone> now"
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ip"]) == (1, 0, 2)
+    assert rows[2]["redacted"] == "server at <ip> and <ip> (backup <email>)"
+    assert rows[3]["redacted"] == rows[3]["redacted"] and rows[3]["n_email"] == 0
+
+
+def test_contamination_counts_shared_grams(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # shares the bench 4-gram twice? once
+            (11, "alpha beta gamma delta zeta"),      # shares 'alpha beta gamma delta'
+            (12, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(90, "alpha beta gamma delta epsilon unseen tail")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.contamination(train, bench, n=4).collect()}
+    # doc 10 shares both 4-grams of its 5 tokens; doc 11 only the first
+    assert rows[10]["n_shared_grams"] == 2
+    assert rows[11]["n_shared_grams"] == 1
+    assert rows[11]["sample_gram"] == "alpha beta gamma delta"
+    assert 12 not in rows
+
+
+def test_contamination_shuffle_fallback_matches(spark):
+    train = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "x y z w v")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "p q r s")], "doc_id long, text string")
+    a = sorted(D.contamination(train, bench, n=4, broadcast_bench=True).collect())
+    b = sorted(D.contamination(train, bench, n=4, broadcast_bench=False).collect())
+    assert a == b and len(a) == 1
+
+
+def test_winnow_pairs_shared_run(spark):
+    # guarantee: a shared token run of >= w+k-1 = 6 tokens must yield a
+    # shared fingerprint -> pair reported at min_shared=1
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven unique1 end1"),
+            (2, "zz one two three four five six seven other tail"),
+            (3, "nothing in common with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["da"], r["db"]): r["n_shared_fp"] for r in
+             D.winnow_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # raising the bar filters the pair out when it only shares few prints
+    strict = D.winnow_pairs(df, min_shared=99).collect()
+    assert strict == []
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    from diepy_spark.operators.sketch import hll_distinct
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 1500).alias("v")
+    )
+    rows = {r["g"]: r for r in
+            hll_distinct(df, ["g"], "v", include_exact=True).collect()}
+    for g in (0, 1):
+        assert rows[g]["n_exact"] == 750
+        # HLL with m=256 has ~6.5% standard error; 3 sigma bound
+        assert abs(rows[g]["hll_estimate"] - 750) < 0.2 * 750
+    # determinism: same input partitioned differently -> same estimate
+    again = {r["g"]: r["hll_estimate"] for r in
+             hll_distinct(df.repartition(7), ["g"], "v").collect()}
+    assert again == {g: rows[g]["hll_estimate"] for g in (0, 1)}
+
+
+def test_hll_small_range_linear_counting_is_near_exact(spark):
+    from diepy_spark.operators.sketch import hll_distinct
+
+    df = spark.range(0, 40).select(F.lit("k").alias("g"), (F.col("id") % 20).alias("v"))
+    [r] = hll_distinct(df, ["g"], "v", include_exact=True).collect()
+    assert r["n_exact"] == 20
+    # linear counting at tiny cardinality is within a couple of counts
+    assert abs(r["hll_estimate"] - 20) <= 2

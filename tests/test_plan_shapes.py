@@ -209,3 +209,78 @@ def test_weighted_sample_is_narrow(spark, qs):
     rangepartitioning for presentation)."""
     plan = plan_of(qs["x8_weighted_sample"](spark, SF))
     assert "hashpartitioning(" not in plan
+
+
+def test_repetition_stats_no_explode_one_repartition(spark):
+    """Repetition signals are per-row HOF arrays: no Generate (explode),
+    no aggregation, and exactly the one deliberate CPU-spread repartition."""
+    from diepy_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(repetition_stats(docs))
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_redact_pii_is_narrow(spark):
+    """PII scrubbing is one JVM-side projection: no shuffle at all, no
+    Python (BatchEvalPython/ArrowEvalPython) in the plan, and the regex
+    work must not block scan-level column pruning."""
+    from diepy_spark.operators.text import redact_pii
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(redact_pii(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "text"}
+
+
+def test_contamination_broadcasts_bench_grams(spark):
+    """The benchmark gram set must broadcast: the 100 TB train side joins
+    without shuffling its grams (only the final per-doc count shuffles)."""
+    from diepy_spark.operators.dedup import contamination
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    train = docs.where(F.col("doc_id") >= 20)
+    df = contamination(train, bench, n=4)
+    # simple mode prints the join's build side inline
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # bench side is the broadcast build side
+    assert re.search(r"BroadcastHashJoin \[gram#\d+\], \[gram#\d+\], Inner, BuildRight", plan)
+    # only the bench-side DISTINCT shuffles on the gram key; the train
+    # side's grams must never hit an exchange
+    assert plan.count("hashpartitioning(gram") == 1
+
+
+def test_winnow_pairs_reuses_fingerprint_exchange(spark):
+    """Both self-join sides are canonically identical subplans pre-shuffled
+    on the hash: classic planning reuses ONE exchange (AQE's stage cache
+    does the same at runtime via the identical canonical form)."""
+    from diepy_spark.operators.dedup import winnow_pairs
+
+    docs = load_table(spark, SF, "documents").where(F.col("doc_id") < 50)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(winnow_pairs(docs))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan
+
+
+def test_hll_distinct_no_explode_partial_agg(spark):
+    """The HLL register build is narrow (no explode, no distinct
+    pre-shuffle); both aggregations combine map-side."""
+    from diepy_spark.operators.sketch import hll_distinct
+
+    ev = load_table(spark, SF, "events")
+    plan = plan_of(hll_distinct(ev, ["event_type"], "user_id"))
+    assert "Generate" not in plan
+    assert "partial_max" in plan
+    # no Expand/distinct materialization of the value column
+    assert "Expand" not in plan
