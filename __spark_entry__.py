@@ -71,6 +71,9 @@ _PRIORITY = [
     "x2_contamination",
     "x2_winnow_pairs",
     "x8_hll_distinct",
+    "x5_chunk_pack",
+    "x3_quantize_int8",
+    "x7_stream_enrich",
 ]
 
 

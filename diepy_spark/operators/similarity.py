@@ -314,3 +314,69 @@ def ann_topk_lsh(
         .where(F.col("rk") <= k)
         .select("qid", "cid", "cos", "rk")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the compression
+    step that shrinks a 100 TB float32 vector store 4x before ANN serving:
+    per-DIMENSION min/max over the corpus define an affine grid;
+    code = floor((x - mn) / (mx - mn) * 255) clamped to [0, 255].
+
+    Two passes, both scale-shaped:
+    1. stats: posexplode to (i, x) and aggregate min/max per dimension —
+       the shuffle carries only `dim` keys after map-side combine;
+    2. apply: the tiny stats table (dim rows) broadcast-joins back to the
+       exploded values; codes re-assemble per vector in index order.
+
+    Output: (id_col, q_md5, recon_mse) — md5 over the ordered code string
+    (the compact content id) and the reconstruction mean-squared error at
+    grid midpoints. The per-vector error fold runs in INDEX order (sorted
+    struct array → ordered fold), not aggregation order, so the double sum
+    is deterministic and bit-identical to the SQL oracle's ordered
+    list_sum. Constant dimensions (mx == mn) code as 0 with zero error.
+    """
+    u = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select(id_col, "i", F.col("x").cast("double").alias("x"))
+    stats = u.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    coded = u.join(F.broadcast(stats), "i").select(
+        id_col,
+        "i",
+        "x",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") == F.col("mn"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(255),
+                F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255),
+            )
+        ).cast("int").alias("code"),
+    )
+    err = (
+        F.col("x")
+        - (F.col("mn") + (F.col("code") + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / 255)
+    )
+    per_dim = coded.select(
+        id_col, F.struct("i", "code", (err * err).alias("e2")).alias("s")
+    )
+    arr = per_dim.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    return arr.select(
+        id_col,
+        F.md5(F.expr("array_join(transform(ss, s -> cast(s.code as string)), ',')")).alias(
+            "q_md5"
+        ),
+        F.round(
+            F.expr("aggregate(transform(ss, s -> s.e2), 0.0D, (acc, v) -> acc + v)")
+            / F.size("ss"),
+            6,
+        ).alias("recon_mse"),
+    )

@@ -294,3 +294,39 @@ def redact_pii(
         red = F.regexp_replace(red, pat, f"<{name}>")
     cols.append(red.alias("redacted"))
     return df.select(*cols)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing / context-window chunking: split each document's
+    token stream into windows of `chunk_size` tokens starting every
+    `stride` tokens (overlap = chunk_size - stride), the step that turns a
+    cleaned corpus into training sequences. Emits one row per (doc, chunk)
+    with the chunk's token count and an md5 over its joined tokens (the
+    content id downstream shuffles/dedups on, instead of moving the text).
+
+    Scale: tokenize + window-start generation are per-row HOF arrays; the
+    only Generate is the per-chunk posexplode (fan-out = ~1/stride of the
+    token volume); no shuffle at all. Trailing chunks are partial (every
+    token appears in >= 1 chunk); empty docs emit nothing.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError(f"chunk_size and stride must be positive: {chunk_size}, {stride}")
+    tf = _token_frame(df, text_col, id_col, min_tokens=1)
+    starts = tf.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.posexplode(F.expr(f"sequence(1, size(toks), {stride})")).alias("chunk_idx", "start"),
+    )
+    chunk = F.expr(f"slice(toks, start, {chunk_size})")
+    return starts.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

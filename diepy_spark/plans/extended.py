@@ -461,6 +461,26 @@ def x2_winnow_pairs(spark, sf_dir):
     ).orderBy("da", "db")
 
 
+CHUNK_SIZE = 16  # tokens per training sequence window
+CHUNK_STRIDE = 12  # window start step (overlap = 4)
+
+
+def x5_chunk_pack(spark, sf_dir):
+    """Context-window chunking / sequence packing
+    (operators/text.py:chunk_tokens): per-doc token windows of CHUNK_SIZE
+    every CHUNK_STRIDE, with content md5 per chunk. Zero shuffle."""
+    return T.chunk_tokens(
+        _docs(spark, sf_dir), chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def x3_quantize_int8(spark, sf_dir):
+    """Scalar int8 embedding quantization
+    (operators/similarity.py:quantize_int8): corpus-wide per-dimension
+    affine grid, broadcast stats apply, ordered error fold."""
+    return S.quantize_int8(_vecs(spark, sf_dir)).orderBy("vec_id")
+
+
 def x8_hll_distinct(spark, sf_dir):
     """Reproducible HyperLogLog distinct-count sketch
     (operators/sketch.py:hll_distinct) vs the exact count, per event type."""
@@ -510,6 +530,8 @@ EXTENDED_QUERIES = {
     "x2_contamination": x2_contamination,
     "x2_winnow_pairs": x2_winnow_pairs,
     "x8_hll_distinct": x8_hll_distinct,
+    "x5_chunk_pack": x5_chunk_pack,
+    "x3_quantize_int8": x3_quantize_int8,
 }
 
 
@@ -1140,3 +1162,46 @@ EXTENDED_ORACLES["x8_hll_distinct"] = (
     _hll_oracle_sql("events", "event_type", "user_id", include_exact=True)
     + " ORDER BY event_type"
 )
+
+
+EXTENDED_ORACLES["x5_chunk_pack"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents
+      WHERE len({_TOKS_EXPR}) >= 1
+    ),
+    s AS (
+      SELECT doc_id, toks, u.s, u.i FROM t,
+      LATERAL (SELECT unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS s,
+                      generate_subscripts(generate_series(1, len(toks), {CHUNK_STRIDE}), 1) AS i) u
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, s, s + {CHUNK_SIZE - 1})) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, s, s + {CHUNK_SIZE - 1}), ' ')) AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_idx
+"""
+
+# same arithmetic ORDER as the Spark plan: (x-mn)/(mx-mn)*255, floor,
+# midpoint reconstruction, per-vector error summed in INDEX order
+EXTENDED_ORACLES["x3_quantize_int8"] = """
+    WITH u AS (
+      SELECT vec_id, t.i, CAST(t.x AS DOUBLE) AS x FROM embeddings,
+      LATERAL (SELECT unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS i) t
+    ),
+    st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+    c AS (
+      SELECT vec_id, u.i, x, mn, mx,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE least(255, floor((x - mn) / (mx - mn) * 255)) END AS INT) AS code
+      FROM u JOIN st USING (i)
+    ),
+    e AS (
+      SELECT vec_id, i, code,
+             (x - (mn + (code + 0.5) * (mx - mn) / 255)) AS err
+      FROM c
+    )
+    SELECT vec_id,
+           md5(array_to_string(list(CAST(code AS VARCHAR) ORDER BY i), ',')) AS q_md5,
+           ROUND(list_sum(list(err * err ORDER BY i)) / count(*), 6) AS recon_mse
+    FROM e GROUP BY vec_id ORDER BY vec_id
+"""

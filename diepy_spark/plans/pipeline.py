@@ -175,6 +175,30 @@ def x7_stream_dedup(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
 
 
+def x7_stream_enrich(spark, sf_dir):
+    """Stream-STATIC enrichment: the events stream broadcast-joins the
+    customer dimension per micro-batch, then tumbling counts/sums per
+    nation key (streaming/events.py:enrich_counts). The join is stateless;
+    window state is watermark-bounded as in x7_stream_tumbling."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    out = _run_stream(
+        ST.enrich_counts(
+            _events_src(spark, sf_dir),
+            cust,
+            on="user_id",
+            dim_key="c_custkey",
+            group_col="c_nationkey",
+            window="1 hour",
+            watermark=WATERMARK,
+        ),
+        "append",
+    )
+    return out.select(
+        "w", "c_nationkey", "c", F.round("s", 2).alias("s")
+    ).orderBy("w", "c_nationkey")
+
+
 def t1_roundtrip_csv(spark, sf_dir):
     """Full import/export stack under the correctness gate: orders →
     rendered CSV (K4/K7) → all-string scan (S1) → inference lattice
@@ -222,6 +246,7 @@ PIPELINE_QUERIES = {
     "x7_stream_sessions": x7_stream_sessions,
     "x7_stream_stateful": x7_stream_stateful,
     "x7_stream_dedup": x7_stream_dedup,
+    "x7_stream_enrich": x7_stream_enrich,
     "t1_roundtrip_csv": t1_roundtrip_csv,
 }
 
@@ -281,6 +306,13 @@ PIPELINE_ORACLES: dict[str, str] = {
         SELECT user_id, COUNT(*) AS events_seen,
                ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "x7_stream_enrich": f"""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, c_nationkey,
+               COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "t1_roundtrip_csv": """
         SELECT * FROM orders ORDER BY o_orderkey

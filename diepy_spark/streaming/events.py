@@ -86,6 +86,35 @@ def sliding_counts(
     )
 
 
+def enrich_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_key: str,
+    group_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STATIC enrichment join then tumbling aggregation: each
+    micro-batch inner-joins the (bounded) dimension table and aggregates
+    per (window, dim attribute) — the standard "enrich events with
+    reference data, then roll up" streaming pipeline.
+
+    Scale: the dimension side is broadcast (stream-static joins never
+    shuffle the stream side against a broadcast dim; Spark re-plans the
+    static side per micro-batch, picking up dim updates between batches).
+    State is bounded by the watermark exactly as in tumbling_counts —
+    the join itself is stateless."""
+    joined = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), events[on] == dim[dim_key]
+    )
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("w"), group_col, "c", "s")
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Session windows: a session per user closes after `gap` of inactivity."""
     return (

@@ -575,3 +575,46 @@ def test_hll_small_range_linear_counting_is_near_exact(spark):
     assert r["n_exact"] == 20
     # linear counting at tiny cardinality is within a couple of counts
     assert abs(r["hll_estimate"] - 20) <= 2
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        T.chunk_tokens(df, chunk_size=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,4,7 -> sizes 4,4,1; overlap token t4 in chunks 0 and 1
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [4, 4, 1]
+    assert [r["chunk_idx"] for r in by_doc[1]] == [0, 1, 2]
+    # doc 2: single partial chunk
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    # empty doc emits nothing
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        T.chunk_tokens(df, chunk_size=0)
+
+
+def test_quantize_int8_roundtrip_error_bounds(spark):
+    import math
+
+    rows = [(i, [float(i), 100.0 * i, -5.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in S.quantize_int8(df).collect()}
+    assert len(out) == 8
+    # per-dim ranges: [0,7], [0,700], constant -5. Max cell width/2 error:
+    # dim0 7/255/2, dim1 700/255/2, dim2 exact 0 -> mse bounded
+    max_mse = ((7 / 255 / 2) ** 2 + (700 / 255 / 2) ** 2 + 0.0) / 3
+    for r in out.values():
+        assert r["recon_mse"] <= max_mse + 1e-9
+    # distinct vectors get distinct codes under a grid this coarse
+    assert len({r["q_md5"] for r in out.values()}) == 8
+    # determinism across partitionings (ordered error fold)
+    again = {r["vec_id"]: r for r in S.quantize_int8(df.repartition(5)).collect()}
+    assert all(again[k]["recon_mse"] == out[k]["recon_mse"] and
+               again[k]["q_md5"] == out[k]["q_md5"] for k in out)

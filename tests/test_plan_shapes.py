@@ -284,3 +284,28 @@ def test_hll_distinct_no_explode_partial_agg(spark):
     assert "partial_max" in plan
     # no Expand/distinct materialization of the value column
     assert "Expand" not in plan
+
+
+def test_chunk_tokens_no_shuffle_single_generate(spark):
+    """Chunking is narrow: one posexplode Generate, zero aggregation, and
+    only the deliberate CPU-spread repartition exchanges."""
+    from diepy_spark.operators.text import chunk_tokens
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(chunk_tokens(docs))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert "HashAggregate" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_quantize_stats_broadcast_back(spark):
+    """The per-dimension stats table (dim rows) must broadcast into the
+    apply pass — the corpus-wide exploded values never shuffle for the
+    stats join; the only hash shuffles are the dim-keyed stats aggregate
+    and the per-vector reassembly."""
+    from diepy_spark.operators.similarity import quantize_int8
+
+    vecs = load_table(spark, SF, "embeddings")
+    plan = plan_of(quantize_int8(vecs))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
