@@ -218,12 +218,14 @@ def t1_roundtrip_csv(spark, sf_dir):
         write_csv(load_table(spark, sf_dir, "orders"), path, unix=True)
         _scratch_cache[key] = path
     raw = read_untyped_csv(spark, _scratch_cache[key])
-    # A multiLine CSV file is NOT splittable, so spread the rows across
-    # cores once and run BOTH passes distributed: inference in full-scan
-    # mode (one aggregate over every row — the 100 TB path; the
-    # reference-faithful 20k-sample mode is unit-tested separately) and
-    # then the cast-heavy typed projection. At scale imports arrive as
-    # many files and the repartition is a cheap rebalance of raw strings.
+    # The reader's quote census picks the splittable non-multiLine path
+    # for this quote-free file, but a SMALL single file is still one input
+    # split — so spread the rows across cores once and run BOTH passes
+    # distributed: inference in full-scan mode (one aggregate over every
+    # row — the 100 TB path; the reference-faithful 20k-sample mode is
+    # unit-tested separately) and then the cast-heavy typed projection.
+    # At scale imports arrive as many files/splits and the repartition is
+    # a cheap rebalance of raw strings.
     # Persisted: inference and the typed projection are TWO passes, and the
     # multiLine parse is single-core — cache the post-shuffle raw strings so
     # the file is parsed once. Spark's CacheManager keys on the canonical

@@ -76,18 +76,44 @@ def extract_zip_members(path: str) -> list[str]:
     return [os.path.join(out, m) for m in members]
 
 
+def _needs_multiline(spark: SparkSession, src: str | list[str]) -> bool:
+    """Distributed quote census: embedded newlines can only live inside
+    QUOTED fields, so a file containing no quote character at all is safe
+    to scan in splittable (non-multiLine) mode. The census reads the file
+    as plain text — itself splittable — and early-stops at the first
+    quote-bearing line; counting quote characters is line-split-agnostic,
+    so the census is correct even when quoted newlines DO break text rows."""
+    probe = spark.read.text(src).where(F.col("value").contains('"')).limit(1)
+    return len(probe.take(1)) > 0
+
+
 def read_untyped_csv(
-    spark: SparkSession, path: str, delimiter: str = ",", header: bool = True
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    multiline: bool | str = "auto",
 ) -> DataFrame:
-    """All-string scan of a delimited file. multiLine handles quoted embedded
-    newlines (the reference's csv module does the same). Gzip decompresses
-    transparently by extension; .zip archives are expanded to scratch first
-    (extract_zip_members) since Hadoop input streams can't unzip."""
+    """All-string scan of a delimited file.
+
+    multiLine parsing (needed for quoted embedded newlines — the
+    reference's csv module accepts them, core.py:234-254) makes a file
+    UNSPLITTABLE: one task parses everything. The default "auto" runs a
+    cheap distributed quote census (_needs_multiline) and keeps the scan
+    splittable whenever the file provably contains no quoted fields — on a
+    100 TB import that is the difference between a single-core parse and a
+    full-cluster one. Pass multiline=True/False to skip the probe when the
+    producer is known. Gzip decompresses transparently by extension (a
+    single stream per file either way); .zip archives are expanded to
+    scratch first (extract_zip_members) since Hadoop input streams can't
+    unzip."""
     src = extract_zip_members(path) if path.lower().endswith(".zip") else path
+    if multiline == "auto":
+        multiline = _needs_multiline(spark, src)
     df = (
         spark.read.option("header", header)
         .option("sep", delimiter)
-        .option("multiLine", True)
+        .option("multiLine", bool(multiline))
         .option("quote", '"')
         .option("escape", '"')
         .option("mode", "PERMISSIVE")

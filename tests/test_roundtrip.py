@@ -187,3 +187,26 @@ def test_decorate_filename():
     assert decorate_filename("out.csv", timestamp=True, now=now) == "out-2026.08.13.1405.csv"
     assert decorate_filename("out.csv.gz", datestamp=True, now=now) == "out-2026.08.13.csv.gz"
     assert decorate_filename("out.csv") == "out.csv"
+
+
+def test_auto_multiline_quote_census(spark, tmp_path):
+    from diepy_spark.sources.files import _needs_multiline, read_untyped_csv
+
+    clean = tmp_path / "clean.csv"
+    clean.write_text("a,b\n1,x\n2,y\n")
+    quoted = tmp_path / "quoted.csv"
+    quoted.write_text('a,b\n1,"line one\nline two"\n2,plain\n')
+
+    # census: clean file -> splittable path; quoted file -> multiLine
+    assert _needs_multiline(spark, str(clean)) is False
+    assert _needs_multiline(spark, str(quoted)) is True
+
+    # both parse correctly under auto
+    c = read_untyped_csv(spark, str(clean))
+    assert c.count() == 2 and c.columns == ["a", "b"]
+    q = read_untyped_csv(spark, str(quoted)).orderBy("a").collect()
+    assert len(q) == 2
+    assert q[0]["b"] == "line one\nline two"
+
+    # explicit override skips the probe and still parses the clean file
+    assert read_untyped_csv(spark, str(clean), multiline=False).count() == 2
