@@ -74,6 +74,7 @@ _PRIORITY = [
     "x5_chunk_pack",
     "x3_quantize_int8",
     "x7_stream_enrich",
+    "x10_clean_corpus",
 ]
 
 

@@ -481,6 +481,31 @@ def x3_quantize_int8(spark, sf_dir):
     return S.quantize_int8(_vecs(spark, sf_dir)).orderBy("vec_id")
 
 
+CLEAN_MIN_TOKENS = 5
+CLEAN_MIN_SCORE = 0.5
+CLEAN_MAX_DUP3 = 0.5
+
+
+def x10_clean_corpus(spark, sf_dir):
+    """The COMPOSED cleaning pipeline (operators/corpus.py:clean_corpus):
+    quality gate -> exact dedup -> near-dup dedup, end to end in one call,
+    hash-checked against a single recursive-CTE oracle that replays every
+    stage over the same thresholds."""
+    from diepy_spark.operators.corpus import clean_corpus
+
+    out = clean_corpus(
+        _docs(spark, sf_dir),
+        min_tokens=CLEAN_MIN_TOKENS,
+        min_score=CLEAN_MIN_SCORE,
+        max_dup3=CLEAN_MAX_DUP3,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+    return out.select("doc_id", "lang", "n_tokens", "score", "cluster").orderBy(
+        "doc_id"
+    )
+
+
 def x8_hll_distinct(spark, sf_dir):
     """Reproducible HyperLogLog distinct-count sketch
     (operators/sketch.py:hll_distinct) vs the exact count, per event type."""
@@ -532,6 +557,7 @@ EXTENDED_QUERIES = {
     "x8_hll_distinct": x8_hll_distinct,
     "x5_chunk_pack": x5_chunk_pack,
     "x3_quantize_int8": x3_quantize_int8,
+    "x10_clean_corpus": x10_clean_corpus,
 }
 
 
@@ -542,10 +568,13 @@ EXTENDED_QUERIES = {
 _TOKS_EXPR = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 # (doc_id, shingle) pairs: word 2-grams, DISTINCT per doc — identical
-# semantics to operators.dedup.shingles_col.
-_SH_CTES = f"""
+# semantics to operators.dedup.shingles_col. Parameterized over the source
+# relation so composed pipelines (x10_clean_corpus) can run the same graph
+# over a FILTERED corpus CTE.
+def _sh_ctes(table: str = "documents") -> str:
+    return f"""
 toks AS (
-  SELECT doc_id AS d, t.tok, t.i FROM documents,
+  SELECT doc_id AS d, t.tok, t.i FROM {table},
   LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
                   generate_subscripts({_TOKS_EXPR}, 1) AS i) t
 ),
@@ -555,8 +584,13 @@ sh AS (
 )
 """
 
-_JACCARD_CTES = f"""
-{_SH_CTES},
+
+_SH_CTES = _sh_ctes()
+
+
+def _jaccard_ctes(table: str = "documents") -> str:
+    return f"""
+{_sh_ctes(table)},
 kept AS (
   SELECT sh.d, sh.s FROM sh
   JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}) k USING (s)
@@ -571,6 +605,9 @@ jacs AS (
   FROM common JOIN sizes sa ON sa.d = da JOIN sizes sb ON sb.d = db
 )
 """
+
+
+_JACCARD_CTES = _jaccard_ctes()
 
 
 def _minhash_cols(num_hashes: int) -> str:
@@ -855,9 +892,11 @@ EXTENDED_ORACLES["x2_dup_clusters"] = f"""
 """
 
 # Shared closure CTE body for the dedup-consumer oracles: same pair graph,
-# same min-reachable-node labels as x2_dup_clusters.
-_CLOSURE_CTES = f"""
-    {_JACCARD_CTES},
+# same min-reachable-node labels as x2_dup_clusters. Parameterized over the
+# source relation for composed pipelines.
+def _closure_ctes(table: str = "documents") -> str:
+    return f"""
+    {_jaccard_ctes(table)},
     e AS (SELECT da, db FROM jacs WHERE jac >= {JACCARD_THRESHOLD}),
     und AS (SELECT da AS n, db AS m FROM e UNION SELECT db, da FROM e),
     reach AS (
@@ -867,6 +906,9 @@ _CLOSURE_CTES = f"""
     ),
     comp AS (SELECT n AS node, least(n, MIN(m)) AS cluster FROM reach GROUP BY n)
 """
+
+
+_CLOSURE_CTES = _closure_ctes()
 
 EXTENDED_ORACLES["x2_dedup_apply"] = f"""
     WITH RECURSIVE {_CLOSURE_CTES}
@@ -1204,4 +1246,59 @@ EXTENDED_ORACLES["x3_quantize_int8"] = """
            md5(array_to_string(list(CAST(code AS VARCHAR) ORDER BY i), ',')) AS q_md5,
            ROUND(list_sum(list(err * err ORDER BY i)) / count(*), 6) AS recon_mse
     FROM e GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# The composed pipeline oracle replays every clean_corpus stage in one
+# statement: quality + repetition gate, exact dedup, then the SAME
+# jaccard/closure graph as x2_dedup_apply — over the filtered corpus CTE
+# (the parameterized _closure_ctes makes that literal reuse possible).
+EXTENDED_ORACLES["x10_clean_corpus"] = f"""
+    WITH RECURSIVE
+    qf AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_EXPR}) AS INT) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_EXPR})) AS INT) AS n_distinct,
+             CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                  t -> CASE WHEN t IN ({_QUALITY_EN}) THEN 1 ELSE 0 END)), 0) AS INT) AS n_stop,
+             CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                  t -> length(t))), 0) AS INT) AS sum_len,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id, n_tokens,
+             0.3 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (n_distinct / n_tokens)
+               + 0.2 * least((n_stop / n_tokens) * 5, 1.0)
+               + 0.2 * least((sum_len / n_tokens) / 8, 1.0) AS score
+      FROM qf WHERE n_tokens > 0
+    ),
+    rep AS (
+      SELECT doc_id,
+             (len(g3) - len(list_distinct(g3))) / len(g3) AS dup_frac3
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len({_TOKS_EXPR})-2),
+                 j -> array_to_string(list_slice({_TOKS_EXPR}, j, j+2), ' ')) AS g3
+        FROM documents WHERE len({_TOKS_EXPR}) >= 3
+      )
+    ),
+    gate AS (
+      SELECT q.doc_id, q.n_tokens, q.score
+      FROM qual q JOIN rep r USING (doc_id)
+      WHERE q.n_tokens >= {CLEAN_MIN_TOKENS} AND q.score >= {CLEAN_MIN_SCORE!r}
+        AND r.dup_frac3 <= {CLEAN_MAX_DUP3!r}
+    ),
+    d1 AS (
+      SELECT d.doc_id, d.text, d.lang, g.n_tokens, g.score
+      FROM documents d JOIN gate g USING (doc_id)
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+    d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id)),
+    {_closure_ctes('d2').strip().lstrip()}
+    SELECT d2.doc_id, d2.lang, d2.n_tokens, d2.score, c.cluster
+    FROM d2 LEFT JOIN comp c ON c.node = d2.doc_id
+    WHERE c.cluster IS NULL OR d2.doc_id = c.cluster
+    ORDER BY d2.doc_id
 """

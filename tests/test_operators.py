@@ -618,3 +618,28 @@ def test_quantize_int8_roundtrip_error_bounds(spark):
     again = {r["vec_id"]: r for r in S.quantize_int8(df.repartition(5)).collect()}
     assert all(again[k]["recon_mse"] == out[k]["recon_mse"] and
                again[k]["q_md5"] == out[k]["q_md5"] for k in out)
+
+
+def test_clean_corpus_stages(spark):
+    from diepy_spark.operators.corpus import clean_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, good),                                  # clean, unique
+        (2, good),                                  # exact dup of 1 -> dropped
+        (3, good + " tonight"),                     # near-dup of 1 -> clustered, dropped
+        (4, "spam spam spam spam spam spam spam"),  # repetitive -> gate-dropped
+        (5, "tiny doc"),                            # < min_tokens -> gate-dropped
+        (6, "completely different quality words appear here in this other document thing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    out = {r["doc_id"]: r for r in
+           clean_corpus(df, min_tokens=5, min_score=0.3, max_dup3=0.3,
+                        jaccard_threshold=0.5).collect()}
+    assert set(out) == {1, 6}
+    # doc 1 survived as its cluster's representative
+    assert out[1]["cluster"] == 1
+    assert out[6]["cluster"] is None
+    assert out[1]["n_tokens"] > 5 and 0 < out[1]["score"] <= 1
