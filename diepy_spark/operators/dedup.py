@@ -540,12 +540,20 @@ def contamination(
     big to broadcast — the join falls back to a shuffle equi-join on the
     gram (high-cardinality key, AQE handles residual skew).
     """
-    tg = shingle_frame(train, n, text_col, id_col).select(
-        "d", F.explode("sh_arr").alias("gram")
+    # explode_OUTER + null guard: a plain explode makes Catalyst infer
+    # isnotnull(sh_arr), which FilterExec hoists below the projection and
+    # re-evaluates the interpreted shingle chain per scanned row (the
+    # pitfall pinned by tests/test_plan_shapes.py's no-hoisted-isnotnull
+    # guard; measured 5x on this operator).
+    tg = (
+        shingle_frame(train, n, text_col, id_col)
+        .select("d", F.explode_outer("sh_arr").alias("gram"))
+        .where(F.col("gram").isNotNull())
     )
     bg = (
         shingle_frame(bench, n, text_col, id_col)
-        .select(F.explode("sh_arr").alias("gram"))
+        .select(F.explode_outer("sh_arr").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
     )
     if broadcast_bench:

@@ -171,49 +171,62 @@ def tfidf_top_terms(
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + a composite score in [0,1]:
-    length signal, type-token ratio, stopword ratio, mean token length.
-    All ratios are single divisions of exact integers → bit-stable.
-    Zero-token docs are dropped by a cheap pre-filter (the former
-    post-filter on the aliased count pushed down as a full re-tokenize)."""
-    tf = _token_frame(
-        df, text_col, id_col, F.length(text_col).alias("n_chars_raw"), min_tokens=1
+def quality_exprs(toks_col: str = "toks", n_chars_col: str = "n_chars_raw") -> dict[str, Column]:
+    """The quality feature expressions over a MATERIALIZED token-array
+    column and a raw char-length column — shared by quality_score and the
+    fused corpus-cleaning gate (operators/corpus.py), so the formula can't
+    drift between them (the SQL oracles restate it from the same shape).
+    Built as expr STRINGS, not the Python-lambda HOF API — same plan, but
+    the lambda API measures ~10-15x slower per row in Spark 4 (see
+    dedup.tokens_expr note).
+
+    Ratios of exact integers are emitted as RAW doubles — IEEE division is
+    bit-identical across engines, while ROUND(double) is not (Spark rounds
+    the exact binary value, DuckDB the decimal rendering; values landing
+    on .xxxx5 diverge). Only float-sum-derived values ever get rounded."""
+    from diepy_spark.operators.dedup import _ident
+
+    t = _ident(toks_col)
+    en_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    n_tok = F.expr(f"size({t})")
+    n_distinct = F.expr(f"size(array_distinct({t}))")
+    n_stop = F.expr(
+        f"aggregate(transform({t}, x -> if(x in ({en_list}), 1, 0)), 0, (a, v) -> a + v)"
     )
-    t = F.col("toks")
-    en = LANG_PROFILES["en"]
-    n_tok = F.size(t)
-    n_chars = F.col("n_chars_raw")
-    n_distinct = F.size(F.array_distinct(t))
-    n_stop = F.aggregate(
-        F.transform(t, lambda x: F.when(x.isin(*en), 1).otherwise(0)),
-        F.lit(0),
-        lambda a, v: a + v,
+    sum_tok_len = F.expr(
+        f"aggregate(transform({t}, x -> length(x)), 0, (a, v) -> a + v)"
     )
-    sum_tok_len = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
-    )
-    # Ratios of exact integers are emitted as RAW doubles — IEEE division is
-    # bit-identical across engines, while ROUND(double) is not (Spark rounds
-    # the exact binary value, DuckDB the decimal rendering; values landing
-    # on .xxxx5 diverge). Only float-sum-derived values ever get rounded.
     ttr = n_distinct / n_tok
     stop_ratio = n_stop / n_tok
     mean_len = sum_tok_len / n_tok
-    len_signal = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    len_signal = F.least(F.col(_ident(n_chars_col)) / F.lit(500.0), F.lit(1.0))
     score = (
         0.3 * len_signal
         + 0.3 * ttr
         + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * F.least(mean_len / 8, F.lit(1.0))
     )
+    return {
+        "n_tokens": n_tok,
+        "ttr": ttr,
+        "stop_ratio": stop_ratio,
+        "mean_tok_len": mean_len,
+        "score": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length signal, type-token ratio, stopword ratio, mean token length
+    (see quality_exprs for the bit-stability contract).
+    Zero-token docs are dropped by a cheap pre-filter (the former
+    post-filter on the aliased count pushed down as a full re-tokenize)."""
+    tf = _token_frame(
+        df, text_col, id_col, F.length(text_col).alias("n_chars_raw"), min_tokens=1
+    )
+    q = quality_exprs()
     return tf.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        ttr.alias("ttr"),
-        stop_ratio.alias("stop_ratio"),
-        mean_len.alias("mean_tok_len"),
-        score.alias("score"),
+        F.col(id_col), *[expr.alias(name) for name, expr in q.items()]
     )
 
 
