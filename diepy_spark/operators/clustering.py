@@ -6,22 +6,27 @@ those pairs — i.e. connected components. The reference has no graph or
 iteration surface at all (SURVEY.md §2.5); this is north-star extension
 surface for training-data dedup at scale.
 
-Algorithm: iterative min-label propagation. Every node starts labeled with
-itself; each round, a node adopts the minimum label in its closed
-neighborhood; convergence (no label changed) is detected with a cheap
-aggregate. The fixpoint — every node labeled with the minimum node id of
-its component — is unique, so results are deterministic regardless of
-execution order. Rounds needed = graph diameter; near-dup clusters are
-shallow (pairs/stars), so 2–4 rounds is typical.
+Three execution paths, picked adaptively:
+- tiny graphs (below ``local_threshold`` edges) solve with driver-side
+  union-find — a dedup pair graph is usually orders of magnitude smaller
+  than its corpus;
+- the distributed default is the LARGE-STAR/SMALL-STAR alternation of
+  Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14):
+  rounds grow with log(diameter), not diameter, so a pathological chain of
+  near-dups (doc A ~ B ~ C ~ ...) converges in a handful of rounds where
+  plain propagation needs one round per hop;
+- ``algorithm="min-label"`` keeps the simpler min-propagation variant
+  (one self-join + aggregate per round, rounds = diameter) — marginally
+  cheaper per round on the shallow star-shaped graphs dedup usually emits.
 
-Scale design: each round is one self-join shuffle on the node id + one
-aggregate — the standard distributed-CC shape (cf. the large-star/small-star
-construction of Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14 — this is the simpler min-propagation variant, fine for
-bounded-diameter dedup graphs). Each round's result is persisted and the
-previous round unpersisted, keeping the lineage flat (no exponential plan
-growth). The driver loop only ever collects ONE scalar (the change count)
-per round.
+Both distributed variants reach the same unique fixpoint — every node
+labeled with the minimum node id of its component — so results are
+deterministic regardless of execution order or algorithm choice (pinned by
+tests/test_operators.py equivalence tests and the recursive-CTE oracle).
+
+Scale design: each round persists its frame and unpersists the previous
+one, keeping lineage flat (no exponential plan growth); the driver loop
+collects ONE scalar per round (a change count / edge-set signature).
 """
 
 from __future__ import annotations
@@ -29,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_corpus", "dedup_stats"]
+__all__ = [
+    "connected_components",
+    "connected_components_two_phase",
+    "dedup_corpus",
+    "dedup_stats",
+]
 
 
 def connected_components(
@@ -38,18 +48,21 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 20,
     local_threshold: int = 1_000_000,
+    algorithm: str = "two-phase",
 ) -> DataFrame:
     """(node, cluster) for every node appearing in `edges`, where `cluster`
     is the minimum node id of the node's connected component. Raises if the
-    graph hasn't converged after `max_iter` rounds (diameter > max_iter).
+    graph hasn't converged after `max_iter` rounds.
 
     Adaptive execution: when the (deduplicated) edge list is below
     `local_threshold`, the closure is solved with driver-side union-find —
     a dedup pair graph is usually a few orders of magnitude smaller than
     the corpus, and a millisecond union-find beats several sequential
-    shuffle rounds. Above the threshold the distributed min-label
-    iteration runs. Both paths reach the same unique min-id fixpoint;
-    pass ``local_threshold=0`` to force the distributed path."""
+    shuffle rounds. Above the threshold the distributed path runs:
+    large-star/small-star by default (rounds ~ log diameter), or
+    ``algorithm="min-label"`` for plain min propagation (rounds =
+    diameter). All paths reach the same unique min-id fixpoint; pass
+    ``local_threshold=0`` to force a distributed path."""
     spark = edges.sparkSession
     und = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
@@ -65,6 +78,11 @@ def connected_components(
             head = und.collect()
             und.unpersist()
             return _local_union_find(spark, head, und.schema["n"].dataType)
+    if algorithm == "two-phase":
+        try:
+            return connected_components_two_phase(und, "n", "m", max_iter=max_iter)
+        finally:
+            und.unpersist()
 
     # least(min(neighbor), self) is already one propagation step — saves a
     # round. Lazy persist: round 0's action materializes everything in one
@@ -79,6 +97,112 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         return _iterate(und, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+
+
+def connected_components_two_phase(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 30
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): alternate
+
+    - LARGE-STAR: every node v links each STRICTLY LARGER neighbor to the
+      minimum of v's closed neighborhood;
+    - SMALL-STAR: every node u links each smaller-or-equal neighbor (and
+      itself) to the minimum of that set;
+
+    until the edge set is a fixed point — at which point every node points
+    directly at its component's minimum. Rounds grow with log(diameter)
+    (empirically ~log_2), which is why this is the 100 TB-safe default:
+    a duplicate CHAIN of length d needs ~log d rounds here vs d rounds of
+    plain min propagation.
+
+    Per round: two keyed aggregations + two joins (all on node ids, even
+    partitioning) and ONE driver scalar — an order-independent edge-set
+    signature (count + sum of xxhash64) whose fixpoint detects
+    convergence. Each round's edge frame is localCheckpoint'ed: unlike
+    persist, that TRUNCATES the logical plan, which otherwise multiplies
+    ~4x per round (e appears four times in a round's expression) and blows
+    the driver up around round 10 on plan-string construction alone.
+
+    Output: (node, cluster) for every node appearing in `edges` —
+    identical contract and fixpoint as `connected_components`.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    # canonical directed big -> small, self-loops dropped
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sig = None
+        for _ in range(max_iter):
+            # LARGE-STAR over the undirected view: center n, neighbor m
+            und = e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionByName(
+                e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+            )
+            mn = und.groupBy("n").agg(F.least(F.min("m"), F.col("n")).alias("mn"))
+            e1 = (
+                und.join(mn, "n")
+                .where(F.col("m") > F.col("n"))
+                .select(F.col("m").alias("u"), F.col("mn").alias("v"))
+                .distinct()
+            )
+            # SMALL-STAR over the directed big->small edges: group by the
+            # big endpoint u; every small neighbor (and u itself) links to
+            # the group minimum.
+            mn2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
+            e2 = (
+                e1.join(mn2, "u")
+                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                .unionByName(mn2.select("u", F.col("mn").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=False)  # lazy: the signature action
+                # below materializes it — one job per round, lineage cut
+            )
+            [row] = e2.agg(
+                F.count(F.lit(1)).alias("c"),
+                # decimal(38) accumulator: a bigint sum of 64-bit hashes
+                # overflows (an error under ANSI), decimal can't
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+            ).collect()
+            new_sig = (row["c"], row["h"])
+            e = e2
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            nodes.unpersist()
+            raise RuntimeError(
+                f"two-phase connected components did not converge in {max_iter} rounds"
+            )
+        # star edges point non-roots at the component min; roots label
+        # themselves (and isolated self-loop nodes never entered e)
+        result = (
+            nodes.join(e.withColumnRenamed("u", "node"), "node", "left")
+            .select("node", F.coalesce(F.col("v"), F.col("node")).alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        nodes.unpersist()
+        return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
 
@@ -112,7 +236,6 @@ def _local_union_find(spark, rows, node_type) -> DataFrame:
 
 
 def _iterate(und: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
-    prev_persisted = labels
     for _ in range(max_iter):
         # candidate: min label among closed neighborhood
         nbr_min = (
@@ -120,6 +243,11 @@ def _iterate(und: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             .groupBy("n")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint, not persist: labels feeds THREE places in the
+        # next round's expression, so the logical plan multiplies per round
+        # and the driver dies building plan strings near round ~10 even
+        # though every round's data is cached. Checkpointing truncates the
+        # lineage; the count below materializes it (one job per round).
         new_labels = (
             labels.join(nbr_min, "n", "left")
             .select(
@@ -129,25 +257,13 @@ def _iterate(und: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
                 ),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
         changes = new_labels.where(F.col("changed")).count()
-        # new_labels is now materialized; labels reads FROM that cache (it is
-        # a column-drop of it). Only unpersist the previous round's artifact
-        # — unpersisting new_labels here would silently re-run the whole
-        # lineage every later round (measured: per-round cost grew 1.7s →
-        # 3.8s over 3 rounds on a 2k-edge graph).
-        prev_persisted.unpersist()
-        prev_persisted = new_labels
         labels = new_labels.select("n", "label")
         if changes == 0:
-            # localCheckpoint pins the small (node, cluster) frame and cuts
-            # the lineage, so BOTH caches can be released here instead of
-            # leaking one entry per call (the caller can't know when it is
-            # safe to unpersist).
             result = labels.select(
                 F.col("n").alias("node"), F.col("label").alias("cluster")
             ).localCheckpoint(eager=True)
-            prev_persisted.unpersist()
             und.unpersist()
             return result
     und.unpersist()

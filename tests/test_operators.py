@@ -348,8 +348,8 @@ def test_winnow_short_doc_single_window(spark):
 
 @pytest.mark.parametrize("local_threshold", [1_000_000, 0])
 def test_connected_components_chain_and_islands(spark, local_threshold):
-    """Both execution paths (driver union-find and distributed min-label
-    iteration) must reach the identical min-id fixpoint."""
+    """All execution paths (driver union-find, two-phase, min-label) must
+    reach the identical min-id fixpoint."""
     from diepy_spark.operators.clustering import connected_components
 
     # chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
@@ -358,11 +358,19 @@ def test_connected_components_chain_and_islands(spark, local_threshold):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
         "a long, b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     got = {
         r["node"]: r["cluster"]
         for r in connected_components(edges, local_threshold=local_threshold).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == want
+    ml = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            edges, local_threshold=local_threshold, algorithm="min-label"
+        ).collect()
+    }
+    assert ml == want
 
 
 def test_connected_components_diameter_guard(spark):
@@ -370,7 +378,48 @@ def test_connected_components_diameter_guard(spark):
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1, local_threshold=0)
+        connected_components(edges, max_iter=1, local_threshold=0, algorithm="min-label")
+
+
+def test_two_phase_solves_long_chain_in_log_rounds(spark):
+    """The scale story of large-star/small-star: an 80-hop duplicate chain
+    (diameter 80) converges within ~log rounds — min-label propagation
+    with the same budget cannot (one round per hop)."""
+    from diepy_spark.operators.clustering import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 81)], "a long, b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components_two_phase(edges, max_iter=12).collect()
+    }
+    assert got == {i: 1 for i in range(1, 82)}
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=12, local_threshold=0, algorithm="min-label")
+
+
+def test_two_phase_random_graphs_match_union_find(spark):
+    """Equivalence on random graphs: the distributed two-phase fixpoint ==
+    driver union-find ground truth (deterministic seeds)."""
+    import random
+
+    from diepy_spark.operators.clustering import connected_components
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        truth = {
+            r["node"]: r["cluster"]
+            for r in connected_components(df, local_threshold=10**6).collect()
+        }
+        two = {
+            r["node"]: r["cluster"]
+            for r in connected_components(df, local_threshold=0).collect()
+        }
+        assert two == truth
 
 
 # --------------------------------------------------------------------------
