@@ -75,6 +75,7 @@ _PRIORITY = [
     "x3_quantize_int8",
     "x7_stream_enrich",
     "x10_clean_corpus",
+    "x5_lm_score",
 ]
 
 

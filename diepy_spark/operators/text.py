@@ -343,3 +343,43 @@ def chunk_tokens(
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style perplexity quality
+    filter, Wenzek et al. 2020, with the simplest possible LM): train a
+    corpus unigram model (p = count/total) in one aggregate, then score
+    each document by its mean negative log-likelihood and perplexity.
+    Low-probability token soup scores high NLL; fluent/common text low.
+
+    Scale: pass 1 is a token-keyed count with map-side combine (the model
+    is vocabulary-sized); pass 2 broadcast-joins the model to the exploded
+    token stream and re-aggregates per doc. The per-doc log-prob sum folds
+    in TOKEN ORDER (sorted struct array -> ordered fold), not aggregation
+    order, so the double sum is deterministic and oracle-reproducible.
+
+    Output: (id_col, n_tokens, nll, ppl) — nll = -(1/n) Σ ln p(tok_i)
+    rounded to 6, ppl = exp(nll) rounded to 4.
+    """
+    toks = _token_frame(df, text_col, id_col, min_tokens=1).select(
+        F.col(id_col).alias("d"), F.posexplode("toks").alias("i", "tok")
+    )
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.select(F.sum("cnt").alias("total"))
+    probs = model.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    scored = toks.join(F.broadcast(probs), "tok").select(
+        "d", F.struct("i", (-F.log("p")).alias("lp")).alias("s")
+    )
+    arr = scored.groupBy("d").agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    nll = (
+        F.expr("aggregate(transform(ss, s -> s.lp), 0.0D, (acc, v) -> acc + v)")
+        / F.size("ss")
+    )
+    return arr.select(
+        F.col("d").alias(id_col),
+        F.size("ss").alias("n_tokens"),
+        F.round(nll, 6).alias("nll"),
+        F.round(F.exp(nll), 4).alias("ppl"),
+    )

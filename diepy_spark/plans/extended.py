@@ -506,6 +506,13 @@ def x10_clean_corpus(spark, sf_dir):
     )
 
 
+def x5_lm_score(spark, sf_dir):
+    """Unigram LM perplexity scoring (operators/text.py:lm_score) — the
+    CCNet-style quality filter; model trained and applied in two passes
+    with ordered per-doc log-prob folds."""
+    return T.lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def x8_hll_distinct(spark, sf_dir):
     """Reproducible HyperLogLog distinct-count sketch
     (operators/sketch.py:hll_distinct) vs the exact count, per event type."""
@@ -558,6 +565,7 @@ EXTENDED_QUERIES = {
     "x5_chunk_pack": x5_chunk_pack,
     "x3_quantize_int8": x3_quantize_int8,
     "x10_clean_corpus": x10_clean_corpus,
+    "x5_lm_score": x5_lm_score,
 }
 
 
@@ -1301,4 +1309,23 @@ EXTENDED_ORACLES["x10_clean_corpus"] = f"""
     FROM d2 LEFT JOIN comp c ON c.node = d2.doc_id
     WHERE c.cluster IS NULL OR d2.doc_id = c.cluster
     ORDER BY d2.doc_id
+"""
+
+
+# unigram LM: same two passes, per-doc log-prob sum in TOKEN order
+EXTENDED_ORACLES["x5_lm_score"] = f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.i, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
+                      generate_subscripts({_TOKS_EXPR}, 1) AS i) t
+    ),
+    model AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM model),
+    probs AS (SELECT tok, cnt / total AS p FROM model, tot),
+    sc AS (SELECT d, i, -ln(p) AS lp FROM tk JOIN probs USING (tok)),
+    g AS (SELECT d, list_sum(list(lp ORDER BY i)) AS s,
+                 count(*) AS n FROM sc GROUP BY d)
+    SELECT d AS doc_id, CAST(n AS INT) AS n_tokens,
+           ROUND(s / n, 6) AS nll, ROUND(exp(s / n), 4) AS ppl
+    FROM g ORDER BY doc_id
 """

@@ -692,3 +692,92 @@ def test_clean_corpus_stages(spark):
     assert out[1]["cluster"] == 1
     assert out[6]["cluster"] is None
     assert out[1]["n_tokens"] > 5 and 0 < out[1]["score"] <= 1
+
+
+def test_lm_score_matches_python_reference(spark):
+    import math
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the the the the",
+        3: "unique words only here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.lm_score(df).collect()}
+
+    toks = {d: t.split() for d, t in texts.items()}
+    from collections import Counter
+    model = Counter(w for ws in toks.values() for w in ws)
+    total = sum(model.values())
+    for d, ws in toks.items():
+        s = 0.0
+        for w in ws:  # token order, like the operator's ordered fold
+            s += -math.log(model[w] / total)
+        nll = s / len(ws)
+        assert got[d]["n_tokens"] == len(ws)
+        assert got[d]["nll"] == round(nll, 6)
+        assert got[d]["ppl"] == round(math.exp(nll), 4)
+    # repetitive doc of common tokens scores LOWER nll than rare-word doc
+    assert got[2]["nll"] < got[3]["nll"]
+
+
+def test_chunk_tokens_total_coverage_property(spark):
+    """Every token must land in at least one chunk; chunk sizes follow
+    min(chunk_size, n - start + 1) — across assorted doc lengths."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, " ".join(f"t{j}" for j in range(rng.randrange(1, 40))))
+            for i in range(1, 25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    size, stride = 7, 5
+    out = T.chunk_tokens(df, chunk_size=size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        n = len(text.split())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        starts = [1 + c["chunk_idx"] * stride for c in chunks]
+        # starts cover 1..n with step stride while start <= n
+        assert starts == list(range(1, n + 1, stride))
+        covered = set()
+        for c, s in zip(chunks, starts):
+            assert c["n_chunk_tokens"] == min(size, n - s + 1)
+            covered.update(range(s, s + c["n_chunk_tokens"]))
+        assert covered == set(range(1, n + 1))
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Pin the full register scheme: a pure-Python replica (hashlib md5,
+    same bucket/rho/fold arithmetic) must reproduce the Spark estimate
+    EXACTLY — the property that makes the sketch engine-portable."""
+    import hashlib
+
+    from diepy_spark.operators.sketch import HLL_ALPHA, HLL_M, hll_distinct
+
+    values = [f"v{i}" for i in range(700)]
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v string")
+    [r] = hll_distinct(df, ["g"], "v").collect()
+
+    regs: dict = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        bucket = int(h[0], 16) * 16 + int(h[1], 16)
+        window = h[2:10]
+        stripped = window.lstrip("0")
+        if not stripped:
+            rho = 33
+        else:
+            clz4 = {"1": 3, "2": 2, "3": 2}.get(
+                stripped[0], 1 if stripped[0] in "4567" else 0
+            )
+            rho = 4 * (8 - len(stripped)) + clz4 + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(2.0 ** -mr for mr in regs.values())
+    nb = len(regs)
+    raw = HLL_ALPHA * HLL_M * HLL_M / (s + (HLL_M - nb))
+    v0 = HLL_M - nb
+    import math
+    est = HLL_M * math.log(HLL_M / v0) if (raw <= 2.5 * HLL_M and v0 > 0) else raw
+    assert r["hll_estimate"] == round(est, 4)
