@@ -309,3 +309,16 @@ def test_quantize_stats_broadcast_back(spark):
     plan = plan_of(quantize_int8(vecs))
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_lm_score_model_broadcasts(spark):
+    """The unigram model (vocabulary-sized) must broadcast into the apply
+    pass; the token stream never shuffles for the probability join. The
+    only hash shuffles: the model count aggregate and the per-doc fold."""
+    from diepy_spark.operators.text import lm_score
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(lm_score(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # model count combines map-side
+    assert "SortMergeJoin" not in plan
