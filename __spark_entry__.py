@@ -76,6 +76,7 @@ _PRIORITY = [
     "x7_stream_enrich",
     "x10_clean_corpus",
     "x5_lm_score",
+    "x2_minhash_est",
 ]
 
 

@@ -506,6 +506,40 @@ def x10_clean_corpus(spark, sf_dir):
     )
 
 
+def x2_minhash_est(spark, sf_dir):
+    """MinHash estimator CALIBRATION: for every verified near-dup pair,
+    the signature-agreement Jaccard estimate (matching components / k)
+    next to the exact shingle Jaccard — the sketch-quality report that
+    justifies trusting signatures at 100 TB (where exact verification is
+    sampled, not total). est is an integer ratio — bit-exact in both
+    engines; the signature frames join the (tiny) pair list by doc id."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, LSH_NUM_HASHES)
+    pairs = D.minhash_lsh_pairs(
+        d,
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+    a = sigs.select(
+        F.col("d").alias("da"), *[F.col(f"mh{h}").alias(f"a{h}") for h in range(LSH_NUM_HASHES)]
+    )
+    b = sigs.select(
+        F.col("d").alias("db"), *[F.col(f"mh{h}").alias(f"b{h}") for h in range(LSH_NUM_HASHES)]
+    )
+    agree = None
+    for h in range(LSH_NUM_HASHES):
+        term = (F.col(f"a{h}") == F.col(f"b{h}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(a, "da")
+        .join(b, "db")
+        .select("da", "db", "jac", (agree / F.lit(LSH_NUM_HASHES)).alias("jac_est"))
+        .orderBy("da", "db")
+    )
+
+
 def x5_lm_score(spark, sf_dir):
     """Unigram LM perplexity scoring (operators/text.py:lm_score) — the
     CCNet-style quality filter; model trained and applied in two passes
@@ -566,6 +600,7 @@ EXTENDED_QUERIES = {
     "x3_quantize_int8": x3_quantize_int8,
     "x10_clean_corpus": x10_clean_corpus,
     "x5_lm_score": x5_lm_score,
+    "x2_minhash_est": x2_minhash_est,
 }
 
 
@@ -1328,4 +1363,26 @@ EXTENDED_ORACLES["x5_lm_score"] = f"""
     SELECT d AS doc_id, CAST(n AS INT) AS n_tokens,
            ROUND(s / n, 6) AS nll, ROUND(exp(s / n), 4) AS ppl
     FROM g ORDER BY doc_id
+"""
+
+
+_MH_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{h} = sb.mh{h} THEN 1 ELSE 0 END" for h in range(LSH_NUM_HASHES)
+)
+
+EXTENDED_ORACLES["x2_minhash_est"] = f"""
+    WITH {_JACCARD_CTES},
+    sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+    bands AS ({_bands_union(LSH_NUM_HASHES, LSH_BAND_SIZE)}),
+    cand AS (
+      SELECT DISTINCT x.d AS da, y.d AS db
+      FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.d < y.d
+    ),
+    p AS (
+      SELECT c.da, c.db, j.jac FROM cand c JOIN jacs j ON j.da = c.da AND j.db = c.db
+      WHERE j.jac >= {LSH_THRESHOLD}
+    )
+    SELECT p.da, p.db, p.jac, ({_MH_AGREE}) / {LSH_NUM_HASHES} AS jac_est
+    FROM p JOIN sig sa ON sa.d = p.da JOIN sig sb ON sb.d = p.db
+    ORDER BY p.da, p.db
 """
