@@ -271,6 +271,28 @@ def minhash_signatures(
     return sh.select("d", *cols)
 
 
+def band_frame(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(d, band, sig): LSH band signatures from a wide minhash-signature
+    frame. One explode of a (band, signature) struct array — NOT a
+    per-band union, which would re-evaluate the whole signature DAG
+    n_bands times."""
+    n_bands = num_hashes // band_size
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "#", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("d", F.explode(band_arr).alias("bs")).select(
+        "d", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 16,
@@ -288,29 +310,13 @@ def minhash_lsh_pairs(
     Verification joins back through the exact shingle Jaccard so the output
     is exact above `threshold` (up to LSH recall)."""
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    n_bands = num_hashes // band_size
-    # one explode of a (band, signature) struct array — NOT a per-band union,
-    # which would re-evaluate the whole signature DAG n_bands times
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "#", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                ).alias("sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = (
-        sigs.select("d", F.explode(band_arr).alias("bs"))
-        .select("d", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = band_frame(sigs, num_hashes, band_size).repartition(
         # pre-shuffle on the join key → ReuseExchange computes the
         # signature subplan once for both self-join sides (see
         # ngram_jaccard_pairs note)
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism, F.col("band"), F.col("sig")
-        )
+        df.sparkSession.sparkContext.defaultParallelism,
+        F.col("band"),
+        F.col("sig"),
     )
     x = bands.alias("x")
     y = bands.alias("y")
