@@ -25,58 +25,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness records the FIRST 50 entries of
-# queries() in insertion order.  Round 1 proved R1-R40 + the first ten
-# X-entries green (CORRECTNESS_r01.json); this priority list front-loads
-# the families that have not yet earned a driver row (x3/x5/x6/x7/x8,
-# t1_roundtrip, the formerly oracle-less embedding-LSH entry) plus the
-# queries new in round 2, so they land inside the checked window.
+# queries() in insertion order.  Rotation policy (one window per round):
+# round 1 proved r1-r40 + the x1/x2 era; round 2 refreshed r1-r9 and
+# proved the 41 then-new/unchecked entries (CORRECTNESS_r02.json, 49/50
+# green).  Round 3 front-loads the 40 rows whose latest driver check is
+# round 1, plus r41_map_functions (red in r2 — oracle HUGEINT cast fixed
+# this round, needs a fresh green), plus the queries new in round 3.
 # Everything not named here follows in its module's natural order and
-# keeps its round-1 green row as the standing record.
+# keeps its round-2 green row as the standing record.
 _PRIORITY = [
-    # round-1 declared but driver-unchecked (19)
-    "x3_cosine_topk",
-    "x3_ann_topk_lsh",
-    "x3_ivf_topk",
-    "x5_lang_id",
-    "x5_token_stats",
-    "x5_quality_score",
-    "x5_winnow",
-    "x6_media_meta",
-    "x6_frame_sample",
-    "x6_features",
-    "x6_resize",
-    "x7_stream_tumbling",
-    "x7_stream_sliding",
-    "x7_stream_sessions",
-    "x7_stream_stateful",
-    "x7_stream_dedup",
-    "x8_hash_split",
-    "x8_hash_sample",
-    "t1_roundtrip_csv",
-    # round-1 row existed but was no_oracle; round 2 adds a real oracle
-    "x2_embedding_near_dup_lsh",
-    # new in round 2
-    "x2_dedup_apply",
-    "x2_dedup_stats",
-    "r28b_histogram_quantiles",
-    "x5_vocab",
-    "x5_tfidf",
-    "x3_label_centroids",
-    "x8_weighted_sample",
-    "x8_grouped_linfit",
-    "x9_merge_upsert",
+    # red in round 2 (oracle cast fixed) — must re-earn green first
     "r41_map_functions",
-    "x5_repetition",
-    "x5_pii_redact",
-    "x2_contamination",
-    "x2_winnow_pairs",
-    "x8_hll_distinct",
-    "x5_chunk_pack",
-    "x3_quantize_int8",
-    "x7_stream_enrich",
-    "x10_clean_corpus",
-    "x5_lm_score",
-    "x2_minhash_est",
+    # new in round 3
+    "x3_ann_recall",
+    "x2_cross_split_contamination",
+    "x5_domain_mix",
+    "x8_reservoir_sample",
+    "r42_variance_stats",
+    "r43_string_agg_filter",
+    "x5_ngram_profile",
+    "x1_norm_dedup",
+    # last driver-checked in round 1 (40) — refresh their greens
+    "r10_union",
+    "r11_date_functions",
+    "r12_string_functions",
+    "r13_conditional_aggregation",
+    "r14_ranking_window",
+    "r15_dedup_accounting",
+    "r16_tumbling_window",
+    "r17_text_stats",
+    "r18_rollup",
+    "r19_range_join",
+    "r20_cosine_pairs",
+    "r21_intersect",
+    "r22_except",
+    "r23_cube",
+    "r24_sliding_frame",
+    "r25_json_extraction",
+    "r26_lag_window",
+    "r27_grouping_sets",
+    "r28_percentiles",
+    "r29_exists_subquery",
+    "r30_regexp",
+    "r31_array_agg",
+    "r32_asof_join",
+    "r33_kmv_sketch",
+    "r34_sessionize",
+    "r35_pivot",
+    "r36_array_hof",
+    "r37_window_analytics",
+    "r38_date_arith",
+    "r39_scalar_subquery",
+    "r40_null_functions",
+    "x1_dedup_exact",
+    "x1_fingerprint",
+    "x2_dup_clusters",
+    "x2_embedding_near_dup",
+    "x2_minhash_lsh_pairs",
+    "x2_minhash_signatures",
+    "x2_ngram_jaccard_pairs",
+    "x2_simhash",
+    "x2_simhash_pairs",
 ]
 
 

@@ -90,15 +90,34 @@ def clean_corpus(
         & (F.col("dup_frac3") <= max_dup3)
     ).select(id_col, "n_tokens", "score")
     survivors = df.join(gate, id_col)
-    exact_rep = survivors.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    # Persisted: connected_components (inside dedup_corpus) runs its own
-    # actions (size probe + label materialization), and each action would
-    # otherwise recompute the ENTIRE gate->dedup pipeline above (measured
-    # 4x the runtime). Spark's CacheManager keys on the canonical plan, so
-    # repeated clean_corpus calls share one cache entry per input rather
-    # than accumulating.
-    deduped = survivors.join(exact_rep.select(id_col), id_col, "left_semi").persist()
+    # Exact stage keyed on md5(text): the dedup shuffle moves 32-byte
+    # fingerprints, never full documents (see dedup.exact_dups for the
+    # 100 TB rationale; oracle's `ex` CTE groups on the same md5).
+    exact_rep = survivors.groupBy(F.md5(F.col(text_col)).alias("_fp")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    # Eager localCheckpoint, not persist: connected_components (inside
+    # dedup_corpus) runs its own actions (size probe + label
+    # materialization), and each would otherwise recompute the ENTIRE
+    # gate->dedup pipeline above (measured 4x the runtime). Checkpoint
+    # blocks — unlike CacheManager entries — are reference-counted by the
+    # ContextCleaner: once the caller drops the returned frame they are
+    # GC-reclaimed, so repeated calls never accumulate cache state
+    # (pinned by tests/test_operators.py::test_clean_corpus_cache_lifecycle).
+    deduped = survivors.join(
+        exact_rep.select(id_col), id_col, "left_semi"
+    ).localCheckpoint(eager=True)
+    # feat fed only the gate that deduped has now materialized through;
+    # release it before the (expensive) pair stage runs.
+    feat.unpersist()
     pairs = ngram_jaccard_pairs(
         deduped, threshold=jaccard_threshold, max_df=max_df, text_col=text_col, id_col=id_col
     ).persist()
-    return dedup_corpus(deduped, pairs, id_col=id_col)
+    try:
+        # dedup_corpus materializes the cluster labels EAGERLY (the CC loop
+        # acts per round and localCheckpoints the result), so by the time it
+        # returns, `pairs` has been consumed and can be released — the
+        # returned frame depends only on `deduped` + the checkpointed labels.
+        return dedup_corpus(deduped, pairs, id_col=id_col)
+    finally:
+        pairs.unpersist()

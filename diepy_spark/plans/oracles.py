@@ -310,9 +310,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "r41_map_functions": """
         SELECT o_orderpriority AS priority,
                CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS cnt_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS cnt_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS cnt_p,
                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         FROM orders GROUP BY o_orderpriority ORDER BY priority
     """,

@@ -37,6 +37,20 @@ WATERMARK = "10 minutes"
 SESSION_GAP = "30 minutes"
 STREAM_FILES = 4  # events split into N time-range files -> N input batches
 
+
+def _mfpt() -> int:
+    """Files per trigger: batches per replay = STREAM_FILES / mfpt.
+
+    Default 1 → full 4-batch replay (tests, check_oracle — maximum
+    watermark/state exercise). bench.py sets SPARK_GRAFT_STREAM_MFPT=2 →
+    2-batch replay: still genuinely multi-batch (watermark advancement and
+    cross-batch state exercised) but half the per-micro-batch machinery
+    cost. The ts-range files are disjoint, so the final append-mode
+    emission set is IDENTICAL for any grouping — this knob trades replay
+    granularity for time, never correctness (pinned by
+    tests/test_streaming.py which runs both settings)."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_MFPT", "1"))
+
 _counter = itertools.count()
 _scratch_cache: dict[tuple[str, str], str] = {}
 
@@ -93,9 +107,9 @@ def _run_stream(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 
 def _events_src(spark, sf_dir):
-    """Multi-batch streaming source: one file (= one ts range) per trigger."""
+    """Multi-batch streaming source: _mfpt() files (= ts ranges) per trigger."""
     return ST.read_events_stream(
-        spark, _events_stream_dir(spark, sf_dir), max_files_per_trigger=1
+        spark, _events_stream_dir(spark, sf_dir), max_files_per_trigger=_mfpt()
     )
 
 
@@ -168,8 +182,8 @@ def x7_stream_dedup(spark, sf_dir):
     horizon and are suppressed across the whole replay."""
     tune(spark)
     d = _events_stream_dir(spark, sf_dir)
-    src = ST.read_events_stream(spark, d, max_files_per_trigger=1).unionByName(
-        ST.read_events_stream(spark, d, max_files_per_trigger=1)
+    src = ST.read_events_stream(spark, d, max_files_per_trigger=_mfpt()).unionByName(
+        ST.read_events_stream(spark, d, max_files_per_trigger=_mfpt())
     )
     out = _run_stream(ST.dedup_stream(src), "append")
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")

@@ -90,8 +90,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     partitioned scratch copy so scans parallelize (see _localize)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Driver data stores ts as parquet timestamp[us] WITHOUT tz, which
+        # Spark's NTZ inference surfaces as TIMESTAMP_NTZ — a type functions
+        # like unix_micros/window() reject. Session tz is pinned UTC, so the
+        # cast is a pure re-tag (identical wall clock, identical oracle
+        # rendering); narrow projection, no shuffle.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     try:
         groups, rows = _source_row_groups(path)
     except Exception:  # directory input or exotic layout: leave as-is

@@ -82,6 +82,25 @@ def test_cosine_topk_exact(spark):
     assert top[0]["cos"] == 1.0
 
 
+def test_cosine_pairs_guard(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # bounded call: unchanged behavior, finds the identical pair
+    got = S.cosine_pairs(vecs, threshold=0.99).collect()
+    assert [(r["va"], r["vb"]) for r in got] == [(0, 1)]
+    # over the bound → refuses (the O(n²) guard)
+    with pytest.raises(ValueError, match="exceeds max_rows"):
+        S.cosine_pairs(vecs, max_rows=2)
+    # no bound and no force → refuses
+    with pytest.raises(ValueError, match="O\\(n"):
+        S.cosine_pairs(vecs, max_rows=None)
+    # force bypasses the probe entirely
+    forced = S.cosine_pairs(vecs, max_rows=None, force=True).collect()
+    assert [(r["va"], r["vb"]) for r in forced] == [(0, 1)]
+
+
 def test_ann_lsh_self_match(spark):
     vecs = spark.createDataFrame(
         [(i, [float(i == j) for j in range(8)]) for i in range(8)]
@@ -692,6 +711,28 @@ def test_clean_corpus_stages(spark):
     assert out[1]["cluster"] == 1
     assert out[6]["cluster"] is None
     assert out[1]["n_tokens"] > 5 and 0 < out[1]["score"] <= 1
+
+
+def test_clean_corpus_cache_lifecycle(spark):
+    """Repeated clean_corpus calls must not accumulate CacheManager entries:
+    intermediates are eager localCheckpoints (GC-reclaimed) or unpersisted
+    before return."""
+    from diepy_spark.operators.corpus import clean_corpus
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def n_cached() -> int:
+        return cm.cachedData().size()
+
+    before = n_cached()
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    for i in range(2):
+        df = spark.createDataFrame(
+            [(1, good), (2, good), (6, f"different content round {i} with many plain words")],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit("en"))
+        clean_corpus(df, min_tokens=3, min_score=0.1, max_dup3=0.9).collect()
+        assert n_cached() == before, f"cache entries leaked after call {i + 1}"
 
 
 def test_lm_score_matches_python_reference(spark):

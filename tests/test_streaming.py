@@ -155,3 +155,19 @@ def test_dedup_stream_drops_doubled_input(spark, events_dir, tmp_path):
     n_orig = load_table(spark, SF, "events").count()
     assert got.count() == n_orig  # every duplicate suppressed, none lost
     assert got.select("event_id").distinct().count() == n_orig
+
+
+def test_mfpt_bench_profile_same_result(spark, monkeypatch):
+    """The bench profile's 2-files-per-trigger replay (SPARK_GRAFT_STREAM_MFPT=2)
+    must emit the EXACT same final result set as the default full 4-batch
+    replay — the knob trades micro-batch count for time, never output."""
+    from diepy_spark.plans.pipeline import x7_stream_tumbling
+
+    def fp(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MFPT", raising=False)
+    full = fp(x7_stream_tumbling(spark, SF))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "2")
+    fast = fp(x7_stream_tumbling(spark, SF))
+    assert full == fast and len(full) > 0

@@ -27,8 +27,10 @@ def _norm_cell(v) -> str:
     if v is None or v != v:  # None / NaN
         return ""
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # DRIVER-STRICT: never collapse integral floats to ints. The driver's
+        # fingerprint distinguishes bigint 1000 from float64 1000.0 (this is
+        # exactly how r41 passed locally but hash-failed at the driver in r2);
+        # keeping the dtype visible means local green == driver green.
         return repr(round(v, 9))
     if hasattr(v, "isoformat"):
         return v.isoformat()
