@@ -150,6 +150,23 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def normalized_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup AFTER text normalization (lowercase, non-alphanumeric →
+    space, collapse runs, trim): catches the trivially-different duplicates
+    raw exact dedup misses (case, punctuation, whitespace) — the standard
+    second rung of a dedup ladder between byte-exact and near-dup.
+
+    Same scale shape as exact_dups: the groupBy key is md5 of the
+    normalized text (32-byte shuffle keys, map-side partial agg); the
+    normalization itself is one narrow JVM regex projection."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return (
+        df.groupBy(F.md5(norm).alias("_fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2a: exact n-gram Jaccard pairs (shingle join)
 # ---------------------------------------------------------------------------
@@ -586,6 +603,70 @@ def contamination(
             F.min("gram").alias("sample_gram"),
         )
         .select(F.col("d").alias(id_col), "n_shared_grams", "sample_gram")
+    )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-integrity report for a train/valid/test split: for every
+    NON-train split, how many of its documents share at least one word
+    n-gram with ANY train document. This is the number you check before
+    trusting held-out metrics — a leaky split inflates them.
+
+    Output: (split, docs, docs_contaminated, contam_frac), one row per
+    non-train split.
+
+    Scale design (train = the 100 TB side, eval splits = small):
+    1. the DISTINCT eval-side gram set is broadcast into ONE scan of the
+       train side, which emits only the grams that actually occur in train
+       (bounded by |eval grams| — small);
+    2. that matched-gram set broadcast-joins back to the eval (split, doc,
+       gram) frame to flag contaminated docs.
+    The train side is never shuffled and never scanned twice; no all-pairs
+    doc join exists anywhere in the plan."""
+    eval_docs = df.where(F.col(split_col) != train_split)
+    # shingle_frame keeps only (d, sh_arr); rejoin the split label through
+    # the narrow (id, split) frame — broadcastable (eval splits are small)
+    # and evaluated without re-deriving the split hash per gram.
+    labels = eval_docs.select(F.col(id_col).alias("d"), F.col(split_col).alias("_split"))
+    eg = (
+        shingle_frame(eval_docs, n, text_col, id_col)
+        .select("d", F.explode_outer("sh_arr").alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .join(F.broadcast(labels), "d")
+    )
+    tg = (
+        shingle_frame(df.where(F.col(split_col) == train_split), n, text_col, id_col)
+        .select(F.explode_outer("sh_arr").alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    matched = (
+        tg.join(F.broadcast(eg.select("gram").distinct()), "gram").select("gram").distinct()
+    )
+    contam = (
+        eg.join(F.broadcast(matched), "gram")
+        .groupBy("_split")
+        .agg(F.countDistinct("d").alias("docs_contaminated"))
+    )
+    totals = eval_docs.groupBy(F.col(split_col).alias("_split")).agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+    return (
+        totals.join(contam, "_split", "left")
+        .select(
+            F.col("_split").alias(split_col),
+            "docs",
+            F.coalesce("docs_contaminated", F.lit(0)).alias("docs_contaminated"),
+            F.round(
+                F.coalesce("docs_contaminated", F.lit(0)) / F.col("docs"), 4
+            ).alias("contam_frac"),
+        )
     )
 
 

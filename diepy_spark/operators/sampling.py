@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from diepy_spark.operators.sketch import hex_frac_sql
 
-__all__ = ["hash_frac", "hash_sample", "hash_split", "weighted_hash_sample"]
+__all__ = [
+    "hash_frac",
+    "hash_sample",
+    "hash_split",
+    "reservoir_per_group",
+    "weighted_hash_sample",
+]
 
 
 def hash_frac(id_col: str, seed: str = "") -> "F.Column":
@@ -91,3 +97,34 @@ def hash_split(
         expr = clause if expr is None else expr.when(f < acc, name)
     expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
     return df.withColumn(split_col, expr)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample: the k rows with the SMALLEST hash
+    fraction per group (ties broken by id). Statistically this is a
+    uniform without-replacement sample of k per group — the same guarantee
+    classic reservoir sampling gives — but reproducible across runs,
+    engines, and partitionings, because membership depends only on row
+    identity, not arrival order.
+
+    Scale: one shuffle on the group key; the per-group top-k is a window
+    with rank pushdown (Spark inserts a per-partition k-row limit before
+    the exchange via WindowGroupLimit), so the shuffle carries at most
+    k rows per (task, group) — never the whole group."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", group_col):
+        raise ValueError(f"group_col must be a plain identifier: {group_col!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _frac_expr(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

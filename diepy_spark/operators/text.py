@@ -383,3 +383,75 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         F.round(nll, 6).alias("nll"),
         F.round(F.exp(nll), 4).alias("ppl"),
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture report: per (domain, language), document count, total
+    word tokens, total characters, and the group's share of all tokens —
+    the table a pretraining run uses to set/verify sampling weights per
+    source.
+
+    Scale: ONE aggregate shuffle with map-side combine (the token count is
+    a per-row expression evaluated before the exchange); the share is a
+    window over the GROUPED frame, whose cardinality is |domains|x|langs|
+    — trivially single-partition no matter the corpus size."""
+    from pyspark.sql import Window
+
+    g = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(lang_col).alias("lang"),
+            F.expr(f"size({tokens_expr(text_col)})").cast("bigint").alias("_t"),
+            F.length(text_col).cast("bigint").alias("_c"),
+        )
+        .groupBy("domain", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_t").alias("tokens"),
+            F.sum("_c").alias("chars"),
+        )
+    )
+    total = F.sum("tokens").over(Window.partitionBy())
+    return g.withColumn("token_share", F.round(F.col("tokens") / total, 6))
+
+
+def char_ngram_profile(
+    df: DataFrame,
+    n: int = 3,
+    top_n: int = 20,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language character n-gram frequency profile: the top_n most
+    frequent character n-grams per language with counts and rank — the
+    profile table a trainable language identifier (textcat / CLD-style)
+    is built from, and a drift check between corpus snapshots.
+
+    Scale: the n-gram explode multiplies rows by ~doc length, but the
+    count aggregate combines map-side, so the ONE shuffle carries
+    (lang, gram, partial-count) — bounded by the distinct-gram count per
+    task, not corpus size. Top-n per lang is a window over the grouped
+    frame (|langs| x |distinct grams| rows, far smaller than the corpus)."""
+    from pyspark.sql import Window
+
+    grams = df.where(F.length(text_col) >= n).select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {n - 1}), "
+                f"j -> substring({text_col}, j, {n}))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select("lang", "gram", "cnt", "rk")
+    )

@@ -566,6 +566,106 @@ def x8_hll_distinct(spark, sf_dir):
     )
 
 
+def x1_norm_dedup(spark, sf_dir):
+    """Normalization-insensitive exact dedup
+    (operators/dedup.py:normalized_dups): catches case/punctuation/
+    whitespace-variant duplicates raw exact dedup misses."""
+    return D.normalized_dups(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+XSPLIT_SEED = "xsplit"
+XSPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def x2_cross_split_contamination(spark, sf_dir):
+    """Eval-integrity report (operators/dedup.py:cross_split_contamination):
+    hash-split the corpus 80/10/10, then per held-out split count documents
+    sharing any word 4-gram with the train split — the leakage number that
+    decides whether held-out metrics can be trusted."""
+    from diepy_spark.operators.sampling import hash_split
+
+    d = hash_split(_docs(spark, sf_dir), "doc_id", XSPLIT_WEIGHTS, seed=XSPLIT_SEED)
+    return D.cross_split_contamination(d, n=CONTAM_N).orderBy("split")
+
+
+def x5_domain_mix(spark, sf_dir):
+    """Data-mixture report (operators/text.py:domain_mix): per
+    (source, lang) docs/tokens/chars and token share — the table that sets
+    pretraining sampling weights."""
+    return T.domain_mix(_docs(spark, sf_dir)).orderBy("domain", "lang")
+
+
+RESERVOIR_K = 5
+
+
+def x8_reservoir_sample(spark, sf_dir):
+    """Deterministic k-per-group sample
+    (operators/sampling.py:reservoir_per_group): uniform
+    without-replacement k docs per source, reproducible across engines and
+    partitionings."""
+    from diepy_spark.operators.sampling import reservoir_per_group
+
+    return (
+        reservoir_per_group(
+            _docs(spark, sf_dir), "source", "doc_id", RESERVOIR_K, seed="resv"
+        )
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+NGRAM_PROFILE_N = 3
+NGRAM_PROFILE_TOP = 20
+
+
+def x5_ngram_profile(spark, sf_dir):
+    """Per-language character-trigram profile
+    (operators/text.py:char_ngram_profile) — the feature table of a
+    trainable language identifier."""
+    return T.char_ngram_profile(
+        _docs(spark, sf_dir), n=NGRAM_PROFILE_N, top_n=NGRAM_PROFILE_TOP
+    ).orderBy("lang", "rk")
+
+
+def x3_ann_recall(spark, sf_dir):
+    """ANN CALIBRATION: recall@k of the two approximate paths
+    (hyperplane-LSH buckets, IVF-flat) against the exact cosine top-k on
+    the same (query, corpus) splits — the number a user needs before
+    trusting ANN at 100 TB, and the companion of x2_minhash_est (which
+    calibrates the minhash sketch the same way). Each side reuses the
+    declared operators unchanged; recall = |ANN ∩ exact| / |exact| over
+    (qid, cid) pairs, deterministic because both rankings tie-break on
+    rounded cos then id."""
+    v = _vecs(spark, sf_dir)
+    q1 = v.where(F.col("vec_id") < TOPK_QUERY_MAX)
+    c1 = v.where(F.col("vec_id") >= TOPK_QUERY_MAX)
+    exact1 = S.cosine_topk(q1, c1, k=TOPK_K)
+    ann1 = S.ann_topk_lsh(q1, c1, k=TOPK_K, num_planes=ANN_NUM_PLANES, dim=EMB_DIM)
+    cents = v.where(F.col("vec_id") < IVF_CENTROID_MAX)
+    q2 = v.where(
+        (F.col("vec_id") >= IVF_CENTROID_MAX)
+        & (F.col("vec_id") < IVF_CENTROID_MAX + TOPK_QUERY_MAX)
+    )
+    c2 = v.where(F.col("vec_id") >= IVF_CENTROID_MAX + TOPK_QUERY_MAX)
+    exact2 = S.cosine_topk(q2, c2, k=TOPK_K)
+    ann2 = S.ivf_topk(q2, c2, cents, k=TOPK_K)
+
+    def rec(exact, ann, method):
+        matched = exact.join(ann.select("qid", "cid"), ["qid", "cid"], "left_semi")
+        return (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(matched.agg(F.count(F.lit(1)).alias("hits")))
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "hits",
+                F.round(F.col("hits") / F.col("n_exact"), 4).alias("recall"),
+            )
+        )
+
+    return rec(exact1, ann1, "lsh").unionByName(rec(exact2, ann2, "ivf")).orderBy("method")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -608,6 +708,12 @@ EXTENDED_QUERIES = {
     "x10_clean_corpus": x10_clean_corpus,
     "x5_lm_score": x5_lm_score,
     "x2_minhash_est": x2_minhash_est,
+    "x1_norm_dedup": x1_norm_dedup,
+    "x2_cross_split_contamination": x2_cross_split_contamination,
+    "x5_domain_mix": x5_domain_mix,
+    "x8_reservoir_sample": x8_reservoir_sample,
+    "x5_ngram_profile": x5_ngram_profile,
+    "x3_ann_recall": x3_ann_recall,
 }
 
 
@@ -1392,4 +1498,134 @@ EXTENDED_ORACLES["x2_minhash_est"] = f"""
     SELECT p.da, p.db, p.jac, ({_MH_AGREE}) / {LSH_NUM_HASHES} AS jac_est
     FROM p JOIN sig sa ON sa.d = p.da JOIN sig sb ON sb.d = p.db
     ORDER BY p.da, p.db
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions
+# ---------------------------------------------------------------------------
+
+EXTENDED_ORACLES["x1_norm_dedup"] = """
+    SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ORDER BY keep_id
+"""
+
+# Split thresholds: the SAME accumulated IEEE floats the Spark operator
+# compares against (repr keeps the exact value in the SQL text).
+_XSPLIT_CASE = (
+    f"CASE WHEN {_sample_frac_sql(XSPLIT_SEED)} < {0.8!r} THEN 'train' "
+    f"WHEN {_sample_frac_sql(XSPLIT_SEED)} < {0.8 + 0.1!r} THEN 'valid' "
+    f"ELSE 'test' END"
+)
+
+EXTENDED_ORACLES["x2_cross_split_contamination"] = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_EXPR} AS toks, {_XSPLIT_CASE} AS split
+      FROM documents
+    ),
+    eg AS (
+      SELECT s.split, s.doc_id AS d, g.gram FROM s,
+      LATERAL (SELECT unnest({_CONTAM_GRAMS.format(t='toks')}) AS gram) g
+      WHERE s.split <> 'train'
+    ),
+    tg AS (
+      SELECT DISTINCT g.gram FROM s,
+      LATERAL (SELECT unnest({_CONTAM_GRAMS.format(t='toks')}) AS gram) g
+      WHERE s.split = 'train'
+    ),
+    contam AS (
+      SELECT split, count(DISTINCT d) AS docs_contaminated
+      FROM eg JOIN tg USING (gram) GROUP BY split
+    ),
+    totals AS (
+      SELECT split, count(*) AS docs FROM s WHERE split <> 'train' GROUP BY split
+    )
+    SELECT t.split, CAST(t.docs AS BIGINT) AS docs,
+           CAST(coalesce(c.docs_contaminated, 0) AS BIGINT) AS docs_contaminated,
+           ROUND(CAST(coalesce(c.docs_contaminated, 0) AS DOUBLE) / t.docs, 4)
+             AS contam_frac
+    FROM totals t LEFT JOIN contam c USING (split)
+    ORDER BY t.split
+"""
+
+EXTENDED_ORACLES["x5_domain_mix"] = f"""
+    WITH g AS (
+      SELECT source AS domain, lang,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(SUM(len({_TOKS_EXPR})) AS BIGINT) AS tokens,
+             CAST(SUM(len(text)) AS BIGINT) AS chars
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT domain, lang, docs, tokens, chars,
+           ROUND(CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE), 6)
+             AS token_share
+    FROM g ORDER BY domain, lang
+"""
+
+EXTENDED_ORACLES["x8_reservoir_sample"] = f"""
+    SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_sample_frac_sql('resv')} ASC, doc_id)
+               AS rk
+      FROM documents) WHERE rk <= {RESERVOIR_K}
+    ORDER BY source, rk
+"""
+
+EXTENDED_ORACLES["x5_ngram_profile"] = f"""
+    WITH grams AS (
+      SELECT lang, g.gram FROM documents,
+      LATERAL (SELECT unnest(list_transform(
+                 generate_series(1, len(text) - {NGRAM_PROFILE_N - 1}),
+                 j -> substring(text, j, {NGRAM_PROFILE_N}))) AS gram) g
+      WHERE len(text) >= {NGRAM_PROFILE_N}
+    ),
+    counts AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY lang, gram
+    )
+    SELECT lang, gram, cnt, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rk
+      FROM counts) WHERE rk <= {NGRAM_PROFILE_TOP}
+    ORDER BY lang, rk
+"""
+
+# Exact top-k on the IVF split (same shape as x3_cosine_topk, shifted
+# bounds) — needed so each ANN method's recall is judged against the exact
+# ranking over ITS OWN (query, corpus) split.
+_EXACT_TOPK_IVF = f"""
+    WITH {_COS_CTE},
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+      FROM u q JOIN u c ON q.i = c.i
+      WHERE q.vec_id >= {IVF_CENTROID_MAX}
+        AND q.vec_id < {IVF_CENTROID_MAX + TOPK_QUERY_MAX}
+        AND c.vec_id >= {IVF_CENTROID_MAX + TOPK_QUERY_MAX}
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= {TOPK_K}
+"""
+
+EXTENDED_ORACLES["x3_ann_recall"] = f"""
+    WITH e1 AS ({EXTENDED_ORACLES['x3_cosine_topk']}),
+    a1 AS ({EXTENDED_ORACLES['x3_ann_topk_lsh']}),
+    e2 AS ({_EXACT_TOPK_IVF}),
+    a2 AS ({EXTENDED_ORACLES['x3_ivf_topk']}),
+    m AS (
+      SELECT 'lsh' AS method,
+             (SELECT count(*) FROM e1) AS n_exact,
+             (SELECT count(*) FROM e1 JOIN a1 USING (qid, cid)) AS hits
+      UNION ALL
+      SELECT 'ivf' AS method,
+             (SELECT count(*) FROM e2) AS n_exact,
+             (SELECT count(*) FROM e2 JOIN a2 USING (qid, cid)) AS hits
+    )
+    SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(hits AS BIGINT) AS hits,
+           ROUND(CAST(hits AS DOUBLE) / n_exact, 4) AS recall
+    FROM m ORDER BY method
 """

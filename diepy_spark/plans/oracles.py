@@ -316,4 +316,57 @@ RELATIONAL_ORACLES: dict[str, str] = {
                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         FROM orders GROUP BY o_orderpriority ORDER BY priority
     """,
+    # r42: moments from EXACT integer sums (x*100 is integral; HUGEINT in
+    # DuckDB mirrors Spark's DECIMAL(38,0)) — aggregation-order independent,
+    # one double division at the end. Mirrors the Spark plan's closed forms.
+    "r42_variance_stats": """
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 SUM(CAST(round(l_quantity*100) AS HUGEINT)) AS sx,
+                 SUM(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy,
+                 SUM(CAST(round(l_quantity*100) AS HUGEINT)
+                     * CAST(round(l_quantity*100) AS HUGEINT)) AS sxx,
+                 SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
+                     * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy,
+                 SUM(CAST(round(l_quantity*100) AS HUGEINT)
+                     * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 6) AS mean_qty,
+               ROUND(CAST(n*sxx - sx*sx AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 10000), 6) AS var_qty,
+               ROUND(SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 10000)), 6) AS std_qty,
+               ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                 AS corr_qty_price
+        FROM s ORDER BY l_returnflag
+    """,
+    # r43: FILTER-clause aggregates + ordered string_agg of the top-3
+    # customers by balance (row_number CTE replicates Spark's window rank).
+    "r43_string_agg_filter": """
+        WITH ranked AS (
+          SELECT c_nationkey, c_name, c_acctbal, c_mktsegment, c_custkey,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer
+        ),
+        g AS (
+          SELECT c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_positive,
+                 ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                            FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE)
+                       / count(*) FILTER (WHERE c_mktsegment = 'BUILDING'), 4)
+                   AS avg_bal_building,
+                 string_agg(c_name, ',' ORDER BY rk) FILTER (WHERE rk <= 3) AS top3_names
+          FROM ranked GROUP BY c_nationkey
+        )
+        SELECT n_name, n_cust, n_positive, avg_bal_building, top3_names
+        FROM g JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY n_name
+    """,
 }

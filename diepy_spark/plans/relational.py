@@ -709,6 +709,96 @@ def r41_map_functions(spark, sf_dir):
     ).orderBy("priority")
 
 
+def r42_variance_stats(spark, sf_dir):
+    """Second-moment statistics (variance / stddev / correlation) per
+    return flag, computed from EXACT integer sums so the result is
+    independent of aggregation order — the built-in var_samp/corr
+    accumulate doubles whose partial-merge order differs between engines
+    (and between runs under AQE), which breaks hash-checking and, at
+    cluster scale, run-to-run reproducibility.
+
+    Trick: quantity/price carry <= 2 decimals, so x*100 is an exact
+    integer; sums run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both
+    exact — and the classic n*Sxx - Sx^2 closed forms divide once into a
+    double at the end. One aggregate, map-side combine, same shuffle shape
+    as any groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("nd")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(F.col("sx").cast("double") / (n.cast("double") * 100), 6).alias("mean_qty"),
+        # sample variance of qty: (n*Sxx - Sx^2) / (100^2 * n * (n-1))
+        F.round(vx / (n.cast("double") * (n.cast("double") - 1) * 10000), 6).alias("var_qty"),
+        F.round(F.sqrt(vx / (n.cast("double") * (n.cast("double") - 1) * 10000)), 6).alias(
+            "std_qty"
+        ),
+        # Pearson r: the 100x scale cancels
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def r43_string_agg_filter(spark, sf_dir):
+    """FILTER-clause aggregates + ORDERED string aggregation per nation:
+    count/avg restricted by FILTER predicates next to an ordered
+    string_agg of the top-3 customers by balance.
+
+    Scale: the rank is one window over the customer shuffle (nation key);
+    WindowGroupLimit prunes each task to its top rows before the exchange.
+    The ordered concat collects only the <=3 surviving (rk, name) structs
+    per group — array_sort on 3 elements, never a whole-group collect.
+    FILTER aggregates are plain conditional accumulators (map-side
+    combine)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = c.withColumn("rk", F.row_number().over(w))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.expr("count(*) FILTER (WHERE c_acctbal > 0)").alias("n_positive"),
+        # exact decimal sum / count, not avg(double): double partial-sum
+        # merge order differs between engines and runs (see _dec_sum)
+        F.expr(
+            "round(cast(sum(cast(c_acctbal as decimal(18,2))) "
+            "FILTER (WHERE c_mktsegment = 'BUILDING') as double) / "
+            "count(*) FILTER (WHERE c_mktsegment = 'BUILDING'), 4)"
+        ).alias("avg_bal_building"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rk") <= 3, F.struct("rk", "c_name"))
+                    )
+                ),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top3_names"),
+    )
+    return (
+        g.join(broadcast(n), g.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name", "n_cust", "n_positive", "avg_bal_building", "top3_names"
+        )
+        .orderBy("n_name")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -752,4 +842,6 @@ RELATIONAL_QUERIES = {
     "r39_scalar_subquery": r39_scalar_subquery,
     "r40_null_functions": r40_null_functions,
     "r41_map_functions": r41_map_functions,
+    "r42_variance_stats": r42_variance_stats,
+    "r43_string_agg_filter": r43_string_agg_filter,
 }

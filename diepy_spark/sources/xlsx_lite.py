@@ -6,9 +6,12 @@ This module implements the subset the import/export surface needs so the
 Excel path works everywhere:
 
 - read: sheet names + cell values (shared strings, inline strings, formula
-  string results, booleans, numbers). Date-STYLED numeric cells surface as
-  their raw serial numbers (style-table interpretation needs openpyxl —
-  callers prefer openpyxl when installed and fall back here).
+  string results, booleans, numbers). Date-STYLED numeric cells are
+  converted from their Excel serial to datetime/time exactly as openpyxl
+  does (1899-12-30 epoch, +1 day below serial 60 for the 1900 leap-year
+  bug, pure fractions -> time), via the minimal styles-part read:
+  cellXfs numFmtId in the builtin date ranges (14-22, 45-47) or a custom
+  numFmt whose code contains date tokens outside quotes/brackets.
 - write: minimal valid workbook with inline strings (no sharedStrings
   part), one worksheet per sheet; readable by Excel, openpyxl and pandas.
 
@@ -19,7 +22,9 @@ reaching here.
 
 from __future__ import annotations
 
+import datetime
 import os
+import re
 import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
@@ -51,7 +56,57 @@ def _col_letter(idx: int) -> str:
     return letters
 
 
-def _cell_value(c: ET.Element, shared: list[str]):
+# Builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30).
+_BUILTIN_DATE_FMTS = set(range(14, 23)) | set(range(45, 48))
+_EXCEL_EPOCH = datetime.datetime(1899, 12, 30)
+
+
+def _is_date_format(code: str) -> bool:
+    """True when a custom format code renders as a date/time: contains a
+    y/m/d/h/s token outside quoted literals and [bracketed] sections."""
+    bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+    return bool(re.search(r"[ymdhsYMDHS]", bare))
+
+
+def _date_styles(zf: zipfile.ZipFile) -> set[int]:
+    """Indices into cellXfs (the cell `s` attribute) whose number format is
+    a date/time format — the minimal styles-part read needed to match
+    openpyxl's typed cell values."""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return set()
+    custom_date = {
+        int(nf.get("numFmtId"))
+        for nf in root.iter(f"{{{_NS_MAIN}}}numFmt")
+        if _is_date_format(nf.get("formatCode") or "")
+    }
+    date_ids = _BUILTIN_DATE_FMTS | custom_date
+    out = set()
+    cellxfs = root.find(f"{{{_NS_MAIN}}}cellXfs")
+    if cellxfs is None:
+        return out
+    for i, xf in enumerate(cellxfs.findall(f"{{{_NS_MAIN}}}xf")):
+        if int(xf.get("numFmtId", "0")) in date_ids:
+            out.add(i)
+    return out
+
+
+def _serial_to_datetime(serial: float):
+    """Excel serial -> datetime/time, matching openpyxl.utils.datetime
+    .from_excel: 1899-12-30 epoch, +1 day for serials below 60 (Excel's
+    phantom 1900-02-29), pure fractions -> time-of-day."""
+    if 0 <= serial < 1:
+        us = round(serial * 86_400_000_000)
+        return (datetime.datetime.min + datetime.timedelta(microseconds=us)).time()
+    day, frac = divmod(serial, 1)
+    if serial < 60:
+        day += 1
+    us = round(frac * 86_400_000_000)
+    return _EXCEL_EPOCH + datetime.timedelta(days=day, microseconds=us)
+
+
+def _cell_value(c: ET.Element, shared: list[str], date_styles: frozenset[int] | set[int] = frozenset()):
     t = c.get("t", "n")
     if t == "inlineStr":
         return "".join(
@@ -74,6 +129,9 @@ def _cell_value(c: ET.Element, shared: list[str]):
         f = float(txt)
     except ValueError:
         return txt
+    s_attr = c.get("s")
+    if s_attr is not None and int(s_attr) in date_styles and f >= 0:
+        return _serial_to_datetime(f)
     return int(f) if f == int(f) and ("." not in txt and "e" not in txt.lower()) else f
 
 
@@ -114,6 +172,7 @@ def read_workbook(path: str) -> dict[str, list[list[object]]]:
     the sheet's max width. Values: str | int | float | bool | None."""
     with zipfile.ZipFile(path) as zf:
         shared = _shared_strings(zf)
+        date_styles = _date_styles(zf)
         sheets: dict[str, list[list[object]]] = {}
         for name, member in _sheet_targets(zf):
             root = ET.fromstring(zf.read(member))
@@ -126,7 +185,7 @@ def read_workbook(path: str) -> dict[str, list[list[object]]]:
                     idx = _col_index(ref) if ref else next_idx
                     while len(cells) < idx:
                         cells.append(None)
-                    cells.append(_cell_value(c, shared))
+                    cells.append(_cell_value(c, shared, date_styles))
                     next_idx = idx + 1
                 rows.append(cells)
             width = max((len(r) for r in rows), default=0)

@@ -822,3 +822,77 @@ def test_hll_registers_match_python_reference(spark):
     import math
     est = HLL_M * math.log(HLL_M / v0) if (raw <= 2.5 * HLL_M and v0 > 0) else raw
     assert r["hll_estimate"] == round(est, 4)
+
+
+def test_normalized_dups(spark):
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),       # same after normalization -> dup of 1
+        (3, "HELLO  WORLD?!"),    # same after normalization -> dup of 1
+        (4, "different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["keep_id"]: r["dup_count"] for r in D.normalized_dups(df).collect()}
+    assert got == {1: 3, 4: 1}
+
+
+def test_cross_split_contamination(spark):
+    rows = [
+        (1, "train", "alpha beta gamma delta epsilon"),
+        (2, "valid", "alpha beta gamma delta zeta"),    # shares the 4-gram? no:
+        # train grams: 'alpha beta gamma delta', 'beta gamma delta epsilon'
+        # valid doc 2 grams: 'alpha beta gamma delta' (shared!), 'beta gamma delta zeta'
+        (3, "valid", "totally different words here now"),
+        (4, "test", "unrelated content in this document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = {
+        r["split"]: (r["docs"], r["docs_contaminated"], r["contam_frac"])
+        for r in D.cross_split_contamination(df, n=4).collect()
+    }
+    assert got == {"valid": (2, 1, 0.5), "test": (1, 0, 0.0)}
+
+
+def test_domain_mix(spark):
+    rows = [
+        (1, "web", "en", "one two three"),
+        (2, "web", "en", "four five"),
+        (3, "books", "de", "sechs sieben acht neun zehn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    got = {(r["domain"], r["lang"]): r for r in T.domain_mix(df).collect()}
+    assert got[("web", "en")]["docs"] == 2
+    assert got[("web", "en")]["tokens"] == 5
+    assert got[("books", "de")]["tokens"] == 5
+    assert got[("web", "en")]["token_share"] == 0.5
+    assert got[("books", "de")]["token_share"] == 0.5
+
+
+def test_reservoir_per_group_deterministic(spark):
+    from diepy_spark.operators.sampling import reservoir_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 else "g2") for i in range(100)], "doc_id long, grp string"
+    )
+    a = {(r["grp"], r["rk"]): r["doc_id"]
+         for r in reservoir_per_group(df, "grp", "doc_id", 3, seed="s").collect()}
+    # 3 rows per group, stable under repartitioning
+    assert len(a) == 6
+    b = {(r["grp"], r["rk"]): r["doc_id"]
+         for r in reservoir_per_group(df.repartition(7), "grp", "doc_id", 3, seed="s").collect()}
+    assert a == b
+    # a different seed gives a different sample (overwhelmingly likely)
+    c = {(r["grp"], r["rk"]): r["doc_id"]
+         for r in reservoir_per_group(df, "grp", "doc_id", 3, seed="other").collect()}
+    assert a != c
+
+
+def test_char_ngram_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "aaab"), (2, "en", "aab"), (3, "de", "xy")],  # doc 3 too short
+        "doc_id long, lang string, text string",
+    )
+    got = [(r["lang"], r["gram"], r["cnt"], r["rk"])
+           for r in T.char_ngram_profile(df, n=3, top_n=2).collect()]
+    # 'aaa' x1 + 'aab' x2 (one from each doc) -> aab ranks first
+    assert sorted(got) == [("en", "aaa", 1, 2), ("en", "aab", 2, 1)]

@@ -96,3 +96,76 @@ def test_sheet_replace_appends_at_end(tmp_path):
     back = xlsx_lite.read_workbook(p)
     assert list(back) == ["two", "one"]
     assert back["one"][1] == [9]
+
+
+def test_date_styled_cells(tmp_path):
+    """Date-STYLED numeric cells convert from Excel serials to
+    datetime/time the way openpyxl does (1899-12-30 epoch, +1 day below
+    serial 60, fractions -> time); unstyled and non-date-styled numerics
+    stay numeric. Covers builtin date ids, a custom date numFmt, and a
+    custom non-date numFmt."""
+    import datetime
+
+    p = str(tmp_path / "dates.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="d" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        # xf 0: general; xf 1: builtin date (14); xf 2: custom date (164);
+        # xf 3: custom NON-date (165 — 'm' only inside quotes); xf 4: time (21)
+        zf.writestr(
+            "xl/styles.xml",
+            f'<styleSheet xmlns="{ns}">'
+            '<numFmts count="2">'
+            '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/>'
+            '<numFmt numFmtId="165" formatCode="0.00&quot;mm&quot;"/>'
+            "</numFmts>"
+            "<cellXfs count=\"5\">"
+            '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>'
+            '<xf numFmtId="165"/><xf numFmtId="21"/>'
+            "</cellXfs></styleSheet>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            # 45000 = 2023-03-15; 45000.5 adds 12h; 59 = 1900-02-28 (leap-bug
+            # boundary); 61 = 1900-03-01; 0.75 = 18:00:00
+            '<row r="1">'
+            '<c r="A1" s="1"><v>45000</v></c>'
+            '<c r="B1" s="2"><v>45000.5</v></c>'
+            '<c r="C1" s="1"><v>59</v></c>'
+            '<c r="D1" s="1"><v>61</v></c>'
+            '<c r="E1" s="4"><v>0.75</v></c>'
+            '<c r="F1" s="3"><v>45000</v></c>'
+            '<c r="G1"><v>45000</v></c>'
+            "</row></sheetData></worksheet>",
+        )
+    row = xlsx_lite.read_workbook(p)["d"][0]
+    assert row[0] == datetime.datetime(2023, 3, 15)
+    assert row[1] == datetime.datetime(2023, 3, 15, 12, 0)
+    assert row[2] == datetime.datetime(1900, 2, 28)
+    assert row[3] == datetime.datetime(1900, 3, 1)
+    assert row[4] == datetime.time(18, 0)
+    assert row[5] == 45000  # custom format with quoted 'mm' is NOT a date
+    assert row[6] == 45000  # unstyled stays numeric
