@@ -45,6 +45,8 @@ _PRIORITY = [
     "r43_string_agg_filter",
     "x5_ngram_profile",
     "x1_norm_dedup",
+    "t2_roundtrip_jsonl",
+    "x7_stream_join",
     # last driver-checked in round 1 (40) — refresh their greens
     "r10_union",
     "r11_date_functions",

@@ -96,28 +96,32 @@ def clean_corpus(
     exact_rep = survivors.groupBy(F.md5(F.col(text_col)).alias("_fp")).agg(
         F.min(id_col).alias(id_col)
     )
-    # Eager localCheckpoint, not persist: connected_components (inside
+    # LAZY localCheckpoint, not persist: connected_components (inside
     # dedup_corpus) runs its own actions (size probe + label
     # materialization), and each would otherwise recompute the ENTIRE
-    # gate->dedup pipeline above (measured 4x the runtime). Checkpoint
+    # gate->dedup pipeline above (measured 4x the runtime). Lazy (not
+    # eager) so the first CC action materializes gate pipeline + pairs +
+    # checkpoint blocks in ONE pass — an eager checkpoint adds a blocking
+    # extra job that measured +60% on this operator at sf0.1. Checkpoint
     # blocks — unlike CacheManager entries — are reference-counted by the
     # ContextCleaner: once the caller drops the returned frame they are
-    # GC-reclaimed, so repeated calls never accumulate cache state
-    # (pinned by tests/test_operators.py::test_clean_corpus_cache_lifecycle).
+    # GC-reclaimed, and the persisted feat/pairs frames below are
+    # explicitly released before returning, so repeated calls never
+    # accumulate cache state (pinned by
+    # tests/test_operators.py::test_clean_corpus_cache_lifecycle).
     deduped = survivors.join(
         exact_rep.select(id_col), id_col, "left_semi"
-    ).localCheckpoint(eager=True)
-    # feat fed only the gate that deduped has now materialized through;
-    # release it before the (expensive) pair stage runs.
-    feat.unpersist()
+    ).localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(
         deduped, threshold=jaccard_threshold, max_df=max_df, text_col=text_col, id_col=id_col
     ).persist()
     try:
         # dedup_corpus materializes the cluster labels EAGERLY (the CC loop
         # acts per round and localCheckpoints the result), so by the time it
-        # returns, `pairs` has been consumed and can be released — the
-        # returned frame depends only on `deduped` + the checkpointed labels.
+        # returns, `feat` and `pairs` have been consumed — the returned
+        # frame depends only on deduped's checkpoint blocks + the
+        # checkpointed labels.
         return dedup_corpus(deduped, pairs, id_col=id_col)
     finally:
+        feat.unpersist()
         pairs.unpersist()

@@ -514,13 +514,15 @@ def x2_minhash_est(spark, sf_dir):
     sampled, not total). est is an integer ratio — bit-exact in both
     engines; the signature frames join the (tiny) pair list by doc id."""
     d = _docs(spark, sf_dir)
-    # One signature pass, three consumers (banding inside minhash_lsh_pairs
-    # + both sides of the agreement join): persist the narrow signature
-    # frame instead of recomputing the shingle→minhash chain per consumer.
-    # CacheManager keys on the canonical plan, so repeated calls at the
-    # same sf_dir reuse one entry (no per-call leak); measured ~2x on this
-    # query at sf0.1.
-    sigs = D.minhash_signatures(d, LSH_NUM_HASHES).persist()
+    # ONE signature frame, three consumers (banding inside minhash_lsh_pairs
+    # + both sides of the agreement join). Shared UNPERSISTED: identical
+    # subtrees let Spark reuse coinciding exchanges, and the A/B at sf0.1
+    # measured shared=1.3s < recompute=1.5s < persist=2.1s — the persist's
+    # eager materialization barrier costs more here than the duplicate
+    # compute it saves. At real corpus scale (where the signature pass is
+    # a full 100 TB scan) a caller should persist/checkpoint the frame
+    # before passing it in; the operator accepts either.
+    sigs = D.minhash_signatures(d, LSH_NUM_HASHES)
     pairs = D.minhash_lsh_pairs(
         d,
         num_hashes=LSH_NUM_HASHES,

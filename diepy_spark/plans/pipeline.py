@@ -256,6 +256,66 @@ def t1_roundtrip_csv(spark, sf_dir):
     return typed.select(*cols).orderBy("o_orderkey")
 
 
+JOIN_BOUND = "30 minutes"
+
+
+def x7_stream_join(spark, sf_dir):
+    """Stream-STREAM interval join (streaming/events.py:interval_join):
+    click → purchase by the same user within 30 minutes, both sides
+    genuine multi-batch streams over the same time-range replay. Pairs
+    straddling batch boundaries exercise cross-batch join state; the
+    in-order replay guarantees no late input, so the result equals the
+    batch interval join (the oracle)."""
+    tune(spark)
+    d = _events_stream_dir(spark, sf_dir)
+    clicks = ST.read_events_stream(spark, d, max_files_per_trigger=_mfpt()).where(
+        F.col("event_type") == "click"
+    )
+    buys = ST.read_events_stream(spark, d, max_files_per_trigger=_mfpt()).where(
+        F.col("event_type") == "purchase"
+    )
+    out = _run_stream(
+        ST.interval_join(clicks, buys, on="user_id", bound=JOIN_BOUND, watermark=WATERMARK),
+        "append",
+    )
+    return out.select("user_id", "a_id", "b_id", "a_ts", "b_ts").orderBy(
+        "user_id", "a_id", "b_id"
+    )
+
+
+def t2_roundtrip_jsonl(spark, sf_dir):
+    """The import/export stack over JSON-Lines: orders → rendered JSONL
+    (write_jsonl, K7 value rendering) → all-string scan
+    (read_untyped_jsonl) → inference lattice → typed cast projection.
+    Must VALUE-match the original table, proving the JSONL path is as
+    lossless as the CSV one (t1). Same canonicalization contract as t1
+    (integral widths → bigint, midnight-rule DATE → timestamp); JSON's
+    null-field omission exercises the empty⇒NULL path differently from
+    CSV's empty strings."""
+    from diepy_spark.sources.files import read_untyped_jsonl
+    from diepy_spark.sources.writers import write_jsonl
+
+    tune(spark)
+    key = ("roundtrip_jsonl", sf_dir)
+    if key not in _scratch_cache:
+        path = os.path.join(tempfile.mkdtemp(prefix="diepy-rt-"), "orders.jsonl")
+        write_jsonl(load_table(spark, sf_dir, "orders"), path)
+        _scratch_cache[key] = path
+    raw = read_untyped_jsonl(spark, _scratch_cache[key])
+    # Same distributed two-pass layout as t1: spread once, full-scan
+    # inference + typed projection over the persisted raw strings.
+    spread = raw.repartition(spark.sparkContext.defaultParallelism).persist()
+    typed = apply_schema(spread, infer_from_dataframe(spread, sample_size=None))
+    casts = {"smallint": "bigint", "int": "bigint", "date": "timestamp"}
+    cols = [
+        F.col(f.name).cast(casts[f.dataType.simpleString()]).alias(f.name)
+        if f.dataType.simpleString() in casts
+        else F.col(f.name)
+        for f in typed.schema.fields
+    ]
+    return typed.select(*cols).orderBy("o_orderkey")
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -263,7 +323,9 @@ PIPELINE_QUERIES = {
     "x7_stream_stateful": x7_stream_stateful,
     "x7_stream_dedup": x7_stream_dedup,
     "x7_stream_enrich": x7_stream_enrich,
+    "x7_stream_join": x7_stream_join,
     "t1_roundtrip_csv": t1_roundtrip_csv,
+    "t2_roundtrip_jsonl": t2_roundtrip_jsonl,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -330,7 +392,19 @@ PIPELINE_ORACLES: dict[str, str] = {
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "x7_stream_join": f"""
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               CAST(a.ts AS TIMESTAMP) AS a_ts, CAST(b.ts AS TIMESTAMP) AS b_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {JOIN_BOUND}
+        ORDER BY a.user_id, a_id, b_id
+    """,
     "t1_roundtrip_csv": """
+        SELECT * FROM orders ORDER BY o_orderkey
+    """,
+    "t2_roundtrip_jsonl": """
         SELECT * FROM orders ORDER BY o_orderkey
     """,
 }

@@ -123,6 +123,23 @@ def read_untyped_csv(
     return df.toDF(*fixed)
 
 
+def read_untyped_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """All-string scan of a JSON-Lines file — the S1 import contract
+    (typing happens in the inference lattice, never in the reader) applied
+    to the other ubiquitous pipeline interchange format.
+
+    primitivesAsString keeps Spark's JSON reader from guessing types; the
+    trailing cast flattens anything non-primitive (nested objects/arrays
+    surface as their JSON text, exactly how an all-string CSV row would
+    carry them). JSON-Lines is newline-delimited by construction, so the
+    scan is always splittable — no multiLine census needed. Gzip
+    decompresses transparently by extension."""
+    df = spark.read.option("primitivesAsString", True).json(path)
+    out = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    fixed = normalize_headers(list(out.columns))
+    return out.toDF(*fixed)
+
+
 # Formats accepted by the fast JVM cast path for inferred datetime/date/time
 # columns. The reference accepts anything dateutil does; these cover ISO +
 # the overwhelmingly common variants. lenient=True switches to dateutil in a

@@ -141,3 +141,34 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str, max_rows: int = 1_000_
         ws.append(row)
     wb.save(path)
     return path
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = True) -> str:
+    """JSON-Lines export with the SAME value rendering as write_csv (K7:
+    bools as 1/0, Python-isoformat timestamps, NULL fields omitted per the
+    JSON convention and read back as NULL) so either format round-trips
+    through the inference lattice identically.
+
+    single_file=True mirrors write_csv's exact-filename contract;
+    single_file=False writes a directory of parts (the 100 TB path). Gzip
+    by filename extension, as with CSV."""
+    compressed = path.endswith(".gz")
+    rendered = render_for_export(df)
+    if not single_file:
+        w = rendered.write.mode("overwrite")
+        if compressed:
+            w = w.option("compression", "gzip")
+        w.json(path)
+        return path
+    tmp = tempfile.mkdtemp(
+        prefix="diepy-export-", dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+    try:
+        rendered.coalesce(1).write.mode("overwrite").option(
+            "compression", "gzip" if compressed else "none"
+        ).json(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

@@ -125,6 +125,46 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    bound: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM inner join within an event-time bound: for every left
+    event, the right events with the same key whose timestamp falls in
+    (left.ts, left.ts + bound] — the funnel/attribution join (click →
+    purchase within 30 minutes).
+
+    State on BOTH sides is bounded: the time-interval join condition lets
+    Spark compute a state watermark per side and evict rows that can no
+    longer match (left rows older than watermark − bound, right rows older
+    than the watermark) — the only stream-stream join shape that survives
+    an unbounded stream. Inner joins emit each match as soon as both sides
+    have arrived; with an in-order replay (disjoint ascending time-range
+    files) no input is ever late, so the emitted set equals the batch
+    interval join exactly — which is what the oracle checks."""
+    a = left.withWatermark("ts", watermark).select(
+        F.col(on).alias("a_key"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = right.withWatermark("ts", watermark).select(
+        F.col(on).alias("b_key"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    return a.join(b, cond).select(
+        F.col("a_key").alias(on), "a_id", "b_id", "a_ts", "b_ts"
+    )
+
+
 STATEFUL_OUTPUT_SCHEMA = "user_id bigint, events_seen bigint, total_value double"
 STATEFUL_STATE_SCHEMA = "events_seen bigint, total_value double"
 
