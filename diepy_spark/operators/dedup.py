@@ -658,7 +658,7 @@ def cross_split_contamination(
         F.count(F.lit(1)).alias("docs")
     )
     return (
-        totals.join(contam, "_split", "left")
+        totals.join(F.broadcast(contam), "_split", "left")
         .select(
             F.col("_split").alias(split_col),
             "docs",

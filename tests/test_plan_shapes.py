@@ -322,3 +322,61 @@ def test_lm_score_model_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan  # model count combines map-side
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_shuffles_fingerprints_not_text(spark):
+    """The dedup aggregates must exchange on the 32-byte md5 key with the
+    md5 evaluated BELOW the exchange (map-side partial agg) — a full-text
+    shuffle here is the difference between moving 100 TB and moving ~3 TB
+    of keys."""
+    from diepy_spark.operators.dedup import exact_dups, normalized_dups
+
+    docs = load_table(spark, SF, "documents")
+    for op in (exact_dups, normalized_dups):
+        plan = plan_of(op(docs))
+        # Catalyst materializes the md5 alias as _groupingexpression; either
+        # way the exchange key is the fingerprint, never the text column
+        assert re.search(r"hashpartitioning\((_fp|_groupingexpression)", plan), op.__name__
+        assert "partial_min" in plan, op.__name__  # map-side combine
+        assert not re.search(r"hashpartitioning\(text", plan), op.__name__
+
+
+def test_reservoir_per_group_has_window_group_limit(spark):
+    """The per-group top-k must prune BEFORE the exchange (partial
+    WindowGroupLimit) so the shuffle carries at most k rows per
+    (task, group) — never the whole group."""
+    from diepy_spark.operators.sampling import reservoir_per_group
+
+    docs = load_table(spark, SF, "documents")
+    df = reservoir_per_group(docs, "source", "doc_id", 3, seed="s")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_cross_split_contamination_broadcasts_eval_grams(spark):
+    """Both gram joins must be broadcasts: the train side (the 100 TB
+    side) never exchanges its grams — its only shuffles are within the
+    tiny eval-side frames and the final per-split aggregate."""
+    from diepy_spark.operators.dedup import cross_split_contamination
+    from diepy_spark.operators.sampling import hash_split
+
+    docs = hash_split(load_table(spark, SF, "documents"), "doc_id", seed="t")
+    df = cross_split_contamination(docs, n=4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_single_agg_shuffle(spark):
+    """One aggregate exchange (map-side combine); the share window runs
+    over the grouped frame, not the corpus."""
+    from diepy_spark.operators.text import domain_mix
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(domain_mix(docs))
+    assert "partial_count" in plan
+    # exchanges: the group-by hash exchange + the single-partition window
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
