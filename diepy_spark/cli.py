@@ -1,6 +1,6 @@
-"""CLI: ``python -m diepy_spark.cli import|export`` (reference cli.py:47-144).
+"""CLI: ``python -m diepy_spark.cli import|export|clean|dedup``.
 
-Flags mirror the reference:
+import/export mirror the reference (cli.py:47-144):
   import [--truncate] [--tab] [--config F] SRC... SERVER[.DB[.SCHEMA[.TABLE]]]
   export [--unix] [--windows] [--datestamp] [--timestamp] [--zip] [--config F]
          SERVER.DB.SCHEMA.TABLE OUTFILE
@@ -8,6 +8,15 @@ Flags mirror the reference:
 Faithful quirks: 2-part dbpath is server+database (never table — Q3);
 export delimiter comes from the output extension, not --tab (Q9). The CLI
 runs lenient (log-and-continue per file, Q2); the library API is fail-fast.
+
+clean/dedup are the extension surface's entry points (no reference
+analog — the operators behind SURVEY §2.6 X1/X2/X10):
+  clean SRC DST [--min-tokens N] [--min-score F] [--max-dup3 F]
+        [--jaccard F] [--max-df N] [--text-col C] [--id-col C]
+  dedup SRC DST [--method exact|minhash] [--threshold F] [--text-col C]
+        [--id-col C]
+SRC is a parquet path/dir (the cluster-scale interchange format); DST is
+written as parquet. Both print a one-line JSON stats summary to stdout.
 """
 
 from __future__ import annotations
@@ -40,7 +49,81 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--timestamp", action="store_true", help="decorate filename with date+time")
     exp.add_argument("--zip", action="store_true", help="gzip the output")
     exp.add_argument("--config", default=None, help="config file path")
+
+    cln = sub.add_parser("clean", help="quality-gate + dedup a document corpus (parquet in/out)")
+    cln.add_argument("src", help="input parquet path/dir with at least (id, text) columns")
+    cln.add_argument("dst", help="output parquet dir for the cleaned corpus")
+    cln.add_argument("--min-tokens", type=int, default=5)
+    cln.add_argument("--min-score", type=float, default=0.5)
+    cln.add_argument("--max-dup3", type=float, default=0.5)
+    cln.add_argument("--jaccard", type=float, default=0.2, help="near-dup Jaccard threshold")
+    cln.add_argument("--max-df", type=int, default=100, help="stop-shingle document-frequency cap")
+    cln.add_argument("--text-col", default="text")
+    cln.add_argument("--id-col", default="doc_id")
+
+    ddp = sub.add_parser("dedup", help="deduplicate a document corpus (parquet in/out)")
+    ddp.add_argument("src", help="input parquet path/dir")
+    ddp.add_argument("dst", help="output parquet dir for the deduplicated corpus")
+    ddp.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    ddp.add_argument("--threshold", type=float, default=0.5, help="minhash: verified-Jaccard threshold")
+    ddp.add_argument("--max-df", type=int, default=100)
+    ddp.add_argument("--text-col", default="text")
+    ddp.add_argument("--id-col", default="doc_id")
     return p
+
+
+def _cmd_clean(spark, args) -> int:
+    import json
+
+    from diepy_spark.operators.corpus import clean_corpus
+
+    df = spark.read.parquet(args.src)
+    n_in = df.count()
+    out = clean_corpus(
+        df,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_tokens=args.min_tokens,
+        min_score=args.min_score,
+        max_dup3=args.max_dup3,
+        jaccard_threshold=args.jaccard,
+        max_df=args.max_df,
+    )
+    out.write.mode("overwrite").parquet(args.dst)
+    n_out = spark.read.parquet(args.dst).count()
+    print(json.dumps({"command": "clean", "docs_in": n_in, "docs_out": n_out,
+                      "removed": n_in - n_out, "dst": args.dst}))
+    return 0
+
+
+def _cmd_dedup(spark, args) -> int:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators import dedup as D
+    from diepy_spark.operators.clustering import dedup_corpus
+
+    df = spark.read.parquet(args.src)
+    n_in = df.count()
+    if args.method == "exact":
+        # keep the min-id representative per identical text; one fingerprint
+        # aggregate + a semi join — never shuffles document text
+        reps = df.groupBy(
+            F.md5(F.col(args.text_col)).alias("_fp")
+        ).agg(F.min(args.id_col).alias(args.id_col))
+        out = df.join(reps.select(args.id_col), args.id_col, "left_semi")
+    else:
+        pairs = D.minhash_lsh_pairs(
+            df, threshold=args.threshold, max_df=args.max_df,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        out = dedup_corpus(df, pairs, id_col=args.id_col).drop("cluster")
+    out.write.mode("overwrite").parquet(args.dst)
+    n_out = spark.read.parquet(args.dst).count()
+    print(json.dumps({"command": "dedup", "method": args.method, "docs_in": n_in,
+                      "docs_out": n_out, "removed": n_in - n_out, "dst": args.dst}))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -52,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     from diepy_spark.sources.writers import decorate_filename
 
     spark = get_spark("diepy-cli")
+
+    if args.command == "clean":
+        return _cmd_clean(spark, args)
+    if args.command == "dedup":
+        return _cmd_dedup(spark, args)
 
     if args.command == "import":
         server, database, schema, table = parse_dbpath(args.dst)

@@ -60,3 +60,55 @@ def test_cli_export_datestamp_decorates(env, tmp_path):
     assert rc == 0
     produced = [p for p in os.listdir(tmp_path) if p.startswith("stamped-")]
     assert len(produced) == 1 and produced[0].endswith(".csv")
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, good),
+        (2, good),                                  # exact dup
+        (3, good + " tonight"),                     # near dup
+        (4, "spam spam spam spam spam spam spam"),  # low quality
+        (5, "completely different quality words appear here in this other document thing"),
+    ]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+def test_cli_dedup_exact(docs_parquet, tmp_path, spark, capsys):
+    out = str(tmp_path / "out1")
+    rc = cli.main(["dedup", docs_parquet, out, "--method", "exact"])
+    assert rc == 0
+    import json
+
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (stats["docs_in"], stats["docs_out"], stats["removed"]) == (5, 4, 1)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 collapsed into 1
+
+
+def test_cli_dedup_minhash(docs_parquet, tmp_path, spark, capsys):
+    out = str(tmp_path / "out2")
+    rc = cli.main(["dedup", docs_parquet, out, "--method", "minhash", "--threshold", "0.5"])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 1, 2, 3 form one near-dup cluster -> min id 1 survives
+    assert kept == {1, 4, 5}
+
+
+def test_cli_clean(docs_parquet, tmp_path, spark, capsys):
+    out = str(tmp_path / "out3")
+    rc = cli.main([
+        "clean", docs_parquet, out,
+        "--min-tokens", "5", "--min-score", "0.3", "--max-dup3", "0.3",
+        "--jaccard", "0.5",
+    ])
+    assert rc == 0
+    import json
+
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 5
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 5}  # gate drops 4; dedup collapses 2 and 3 into 1
