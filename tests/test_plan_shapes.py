@@ -380,3 +380,29 @@ def test_domain_mix_single_agg_shuffle(spark):
     assert "partial_count" in plan
     # exchanges: the group-by hash exchange + the single-partition window
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_partitioning_independence(spark):
+    """The determinism contract: results must be identical under a
+    different shuffle-partition count and input partitioning — the
+    property that makes fingerprints comparable between a 32-thread local
+    run and a 1000-executor cluster. Exercises the most
+    aggregation-order-sensitive declared queries."""
+    from tools.check_oracle import frame_fingerprint
+
+    qs = entry.queries()
+    sensitive = [
+        "r42_variance_stats",   # closed-form moments from exact sums
+        "x8_grouped_linfit",    # applyInPandas OLS
+        "x2_minhash_est",       # signature agreement ratios
+        "x8_hll_distinct",      # IEEE register sums
+        "x3_quantize_int8",     # ordered error fold
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {n: frame_fingerprint(qs[n](spark, SF).toPandas()) for n in sensitive}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = {n: frame_fingerprint(qs[n](spark, SF).toPandas()) for n in sensitive}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
