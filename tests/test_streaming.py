@@ -171,3 +171,44 @@ def test_mfpt_bench_profile_same_result(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "2")
     fast = fp(x7_stream_tumbling(spark, SF))
     assert full == fast and len(full) > 0
+
+
+def test_interval_join_matches_across_batches(spark, tmp_path):
+    """Stream-stream join state must carry a left row across micro-batch
+    boundaries: the click in batch 0 matches the purchase in batch 1.
+    Pairs outside the 30-minute bound or with a different user must not
+    match."""
+    import datetime as dt
+
+    d = str(tmp_path / "join_events")
+    os.makedirs(d, exist_ok=True)
+
+    def ev(i, h, m, typ, uid=1):
+        return (i, dt.datetime(2026, 1, 1, h, m, 0), uid, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batches = [
+        # clicks early; one purchase in-batch within bound (10:00 -> 10:20)
+        [ev(1, 10, 0, "click"), ev(2, 10, 20, "purchase"),
+         ev(3, 10, 50, "click"), ev(4, 10, 0, "click", uid=2)],
+        # purchase 11:10 matches click 10:50 (20 min, CROSS-batch);
+        # purchase 11:40 matches nothing (50 min after click 10:50);
+        # uid-2 purchase within bound but different user than click 3
+        [ev(5, 11, 10, "purchase"), ev(6, 11, 40, "purchase"),
+         ev(7, 10, 25, "purchase", uid=2)],
+    ]
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"b{i}.parquet")
+        spark.createDataFrame(rows, cols).toPandas().to_parquet(f, coerce_timestamps="us")
+        os.utime(f, (1_600_000_000 + i * 60,) * 2)
+
+    clicks = ST.read_events_stream(spark, d, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    buys = ST.read_events_stream(spark, d, max_files_per_trigger=1).where(
+        F.col("event_type") == "purchase"
+    )
+    stream = ST.interval_join(clicks, buys, on="user_id", bound="30 minutes")
+    ST.run_to_memory(stream, "ivj_t", str(tmp_path / "ck_ivj"))
+    got = {(r["a_id"], r["b_id"]) for r in spark.table("ivj_t").collect()}
+    assert got == {(1, 2), (3, 5), (4, 7)}
