@@ -47,6 +47,8 @@ _PRIORITY = [
     "x1_norm_dedup",
     "t2_roundtrip_jsonl",
     "x7_stream_join",
+    "r44_resample_gapfill",
+    "x11_pagerank",
     # last driver-checked in round 1 (40) — refresh their greens
     "r10_union",
     "r11_date_functions",

@@ -321,3 +321,60 @@ def dedup_stats(
         F.sum(drop).alias("dups_removed"),
         F.round(F.sum(drop) / F.count(F.lit(1)), 4).alias("dup_ratio"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """PageRank in PURE INTEGER arithmetic — ranks are bigints in units of
+    1/scale, damping is the exact rational damp_num/damp_den, and every
+    division is a floor division. Floating-point PageRank is
+    aggregation-order dependent (partial sums of doubles merge in
+    nondeterministic order), so its values can't be hash-compared across
+    engines or even across runs; the integer form is bit-identical
+    everywhere, at the cost of 1/scale quantization (~1e-9 here).
+
+    r_{t+1}(v) = (1-d)*scale + d * Σ_{u→v} floor(r_t(u) / outdeg(u)),
+    with the damping product also floor-divided. Nodes with no out-edges
+    leak their mass (standard simplification — symmetrize the edge set if
+    every node must redistribute, as the declared query does).
+
+    Scale: per iteration ONE shuffle join of ranks against edges on the
+    source key plus ONE aggregate on the destination key — the textbook
+    distributed PageRank shape. The edge/degree subplans are identical
+    across iterations, so classic planning reuses their exchanges; at
+    many more iterations than the default 5, localCheckpoint each round
+    to cut lineage (see connected_components).
+
+    Overflow audit: Σ ranks ≈ N*scale; damp_num * inflow therefore needs
+    N*scale*damp_num < 2^63 — at scale=1e9 that allows ~10^8 nodes.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+        .select(F.col("u").alias("node"))
+    )
+    teleport = (scale * (damp_den - damp_num)) // damp_den
+    ranks = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("u"), "r"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({teleport} AS BIGINT) + "
+                f"({damp_num} * coalesce(inflow, CAST(0 AS BIGINT))) div {damp_den}"
+            ).alias("r"),
+        )
+    return ranks

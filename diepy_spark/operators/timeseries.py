@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "assign_sessions"]
+__all__ = ["asof_join", "assign_sessions", "resample_gapfill"]
+
+
+def _q(ident: str) -> str:
+    """Backtick-quote a column name for embedding in an expr string."""
+    return f"`{ident}`"
 
 
 def asof_join(
@@ -120,4 +125,65 @@ def assign_sessions(
     )
     return flagged.withColumn("session_seq", F.sum("__new_session").over(wcum)).drop(
         "__new_session"
+    )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    every_seconds: int,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style resample + gap-fill: bucket rows into fixed
+    `every_seconds` windows per key, aggregate the value (exact decimal
+    sum cast to double), then densify each key's timeline — every bucket
+    between the key's first and last appears, with missing buckets filled
+    by last-observation-carried-forward (LOCF) and flagged `was_gap`.
+
+    The downsampling step every time-series store exposes (TimescaleDB
+    time_bucket_gapfill / InfluxDB GROUP BY time fill(previous)), needed
+    before charting or windowed feature extraction over sparse streams.
+
+    Scale: the bucket aggregate is ONE shuffle with map-side combine; the
+    spine is generated per key from its (min, max) bucket — a sequence
+    explode whose row count equals the dense timeline, never a cross
+    join against a global calendar — and the LOCF fill is one window over
+    the same key partitioning, so the exchange is reused."""
+    # pure integer floor-division on microseconds: identical truncation in
+    # Spark (`div`) and DuckDB (`//`) — never a double in the bucket math
+    us = every_seconds * 1_000_000
+    bucket = (
+        F.expr(f"unix_micros(cast({_q(ts_col)} as timestamp)) div {us}") * every_seconds
+    ).alias("bucket_s")
+    agg = (
+        df.select(F.col(on).alias("k"), bucket, F.col(value_col))
+        .groupBy("k", "bucket_s")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    spine = (
+        agg.groupBy("k")
+        .agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(int(every_seconds)))
+            ).alias("bucket_s"),
+        )
+    )
+    dense = spine.join(agg, ["k", "bucket_s"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.col("k").alias(on),
+        F.timestamp_seconds("bucket_s").alias("bucket"),
+        F.last("s", ignorenulls=True).over(w).alias("s_filled"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.col("s").isNull().alias("was_gap"),
     )

@@ -668,6 +668,36 @@ def x3_ann_recall(spark, sf_dir):
     return rec(exact1, ann1, "lsh").unionByName(rec(exact2, ann2, "ivf")).orderBy("method")
 
 
+PR_ITER = 5
+PR_SCALE = 10**9
+PR_TOP = 30
+
+
+def x11_pagerank(spark, sf_dir):
+    """Iterative numeric graph algorithm beyond connected components:
+    integer-arithmetic PageRank (operators/clustering.py:pagerank) over
+    the symmetrized part↔supplier supply graph (distinct lineitem
+    (l_partkey, l_suppkey) pairs; part nodes = 10k+1, supplier nodes =
+    10k+2 keep the id spaces disjoint). Bit-identical across engines by
+    construction — the oracle unrolls the same 5 iterations as chained
+    CTEs. Top PR_TOP nodes by rank."""
+    from diepy_spark.operators.clustering import pagerank
+
+    li = _t_load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(ps.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(sym, iterations=PR_ITER, scale=PR_SCALE)
+    return ranks.orderBy(F.col("r").desc(), "node").limit(PR_TOP)
+
+
+def _t_load(spark, sf_dir, name):
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -716,6 +746,7 @@ EXTENDED_QUERIES = {
     "x8_reservoir_sample": x8_reservoir_sample,
     "x5_ngram_profile": x5_ngram_profile,
     "x3_ann_recall": x3_ann_recall,
+    "x11_pagerank": x11_pagerank,
 }
 
 
@@ -1631,3 +1662,34 @@ EXTENDED_ORACLES["x3_ann_recall"] = f"""
            ROUND(CAST(hits AS DOUBLE) / n_exact, 4) AS recall
     FROM m ORDER BY method
 """
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-iteration mirror of operators.clustering.pagerank: the
+    same integer floor divisions (DuckDB // == Spark div for the
+    non-negative ranks here), one CTE per iteration."""
+    teleport = (PR_SCALE * 15) // 100
+    ctes = [
+        """d0 AS (SELECT DISTINCT l_partkey * 10 + 1 AS u, l_suppkey * 10 + 2 AS v
+                  FROM lineitem)""",
+        "e AS (SELECT u, v FROM d0 UNION SELECT v AS u, u AS v FROM d0)",
+        "deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u)",
+        "nodes AS (SELECT DISTINCT u AS node FROM (SELECT u FROM e UNION SELECT v FROM e))",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(PR_ITER):
+        ctes.append(f"""r{i + 1} AS (
+          SELECT n.node,
+                 CAST({teleport} + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(p.r // d.deg) AS inflow
+            FROM e JOIN r{i} p ON p.node = e.u JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+          ) i ON i.node = n.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r FROM r{PR_ITER} ORDER BY r DESC, node LIMIT {PR_TOP}"
+    )
+
+
+EXTENDED_ORACLES["x11_pagerank"] = _pagerank_oracle_sql()

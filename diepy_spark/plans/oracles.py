@@ -369,4 +369,29 @@ RELATIONAL_ORACLES: dict[str, str] = {
         FROM g JOIN nation ON c_nationkey = n_nationkey
         ORDER BY n_name
     """,
+    # r44: bucket on integer floor-divided microseconds (identical
+    # truncation to Spark's `div`), dense spine per key via range(), LOCF
+    # via last_value IGNORE NULLS.
+    "r44_resample_gapfill": """
+        WITH agg AS (
+          SELECT event_type AS k,
+                 (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS s,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT k, min(bucket_s) AS lo, max(bucket_s) AS hi FROM agg GROUP BY k),
+        spine AS (SELECT k, unnest(range(lo, hi + 1, 900)) AS bucket_s FROM bounds),
+        dense AS (
+          SELECT s.k, s.bucket_s, a.s, a.n
+          FROM spine s LEFT JOIN agg a ON a.k = s.k AND a.bucket_s = s.bucket_s
+        )
+        SELECT k AS event_type,
+               CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS bucket,
+               last_value(s IGNORE NULLS) OVER (
+                 PARTITION BY k ORDER BY bucket_s ROWS UNBOUNDED PRECEDING) AS s_filled,
+               CAST(coalesce(n, 0) AS BIGINT) AS n,
+               s IS NULL AS was_gap
+        FROM dense ORDER BY event_type, bucket
+    """,
 }

@@ -799,6 +799,27 @@ def r43_string_agg_filter(spark, sf_dir):
     )
 
 
+RESAMPLE_EVERY_S = 900  # 15-minute buckets
+
+
+def r44_resample_gapfill(spark, sf_dir):
+    """Hypertable-style resample + LOCF gap-fill over the events stream
+    (operators/timeseries.py:resample_gapfill): 15-minute buckets of
+    sum(value) per event type, densified so every bucket between a type's
+    first and last appears, gaps carried forward and flagged."""
+    from diepy_spark.operators.timeseries import resample_gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_gapfill(ev, RESAMPLE_EVERY_S, on="event_type")
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("s_filled", 2).alias("s_filled"),
+        "n",
+        "was_gap",
+    ).orderBy("event_type", "bucket")
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -844,4 +865,5 @@ RELATIONAL_QUERIES = {
     "r41_map_functions": r41_map_functions,
     "r42_variance_stats": r42_variance_stats,
     "r43_string_agg_filter": r43_string_agg_filter,
+    "r44_resample_gapfill": r44_resample_gapfill,
 }

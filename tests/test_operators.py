@@ -896,3 +896,31 @@ def test_char_ngram_profile(spark):
            for r in T.char_ngram_profile(df, n=3, top_n=2).collect()]
     # 'aaa' x1 + 'aab' x2 (one from each doc) -> aab ranks first
     assert sorted(got) == [("en", "aaa", 1, 2), ("en", "aab", 2, 1)]
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Integer PageRank vs a literal python re-implementation on a small
+    asymmetric graph (hub node 1 <- 2,3,4; chain 4 -> 5)."""
+    from diepy_spark.operators.clustering import pagerank
+
+    edges = [(2, 1), (3, 1), (4, 1), (4, 5), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["r"] for r in pagerank(df, iterations=5, scale=10**9).collect()}
+
+    scale, it = 10**9, 5
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    nodes = {n for e in edges for n in e}
+    r = {n: scale for n in nodes}
+    teleport = (scale * 15) // 100
+    for _ in range(it):
+        inflow = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            c = r[u] // len(vs)
+            for v in vs:
+                inflow[v] += c
+        r = {n: teleport + (85 * inflow[n]) // 100 for n in nodes}
+    assert got == r
+    # hub collects the most mass; dangling-chain end the least of the linked
+    assert max(r, key=r.get) == 1
