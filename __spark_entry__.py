@@ -49,6 +49,8 @@ _PRIORITY = [
     "x7_stream_join",
     "r44_resample_gapfill",
     "x11_pagerank",
+    "x8_stratified_sample",
+    "x3_tfidf_cosine_pairs",
     # last driver-checked in round 1 (40) — refresh their greens
     "r10_union",
     "r11_date_functions",

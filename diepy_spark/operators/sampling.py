@@ -128,3 +128,42 @@ def reservoir_per_group(
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic STRATIFIED sample: each group is sampled at its own
+    fraction. fractions=None equalizes strata — every group is sampled at
+    min_group_count / its_count, the rebalancing step that flattens a
+    skewed source/language mix before training. Explicit fractions give
+    per-group rates (missing groups default to 1.0 = keep all).
+
+    Same reproducibility contract as hash_sample (membership is a pure
+    function of row identity), so resampling with the same seed on any
+    cluster yields the same rows. Scale: the per-group fraction frame is
+    |groups|-sized and broadcast; the filter stays a narrow predicate —
+    no shuffle of the data being sampled."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", group_col):
+        raise ValueError(f"group_col must be a plain identifier: {group_col!r}")
+    if fractions is None:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        # min over a |groups|-row frame: a 1-row broadcast, not a collect
+        min_cnt = counts.agg(F.min("_cnt").alias("_min_cnt"))
+        fr = counts.crossJoin(F.broadcast(min_cnt)).select(
+            group_col, (F.col("_min_cnt") / F.col("_cnt")).alias("_frac")
+        )
+    else:
+        spark = df.sparkSession
+        fr = spark.createDataFrame(
+            [(k, float(v)) for k, v in fractions.items()], f"{group_col} string, _frac double"
+        )
+    out = df.join(F.broadcast(fr), group_col, "left")
+    return (
+        out.where(_frac_expr(id_col, seed) < F.coalesce("_frac", F.lit(1.0)))
+        .drop("_frac")
+    )

@@ -455,3 +455,83 @@ def char_ngram_profile(
         .where(F.col("rk") <= top_n)
         .select("lang", "gram", "cnt", "rk")
     )
+
+
+TFIDF_W_SCALE = 10**6
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-pair cosine similarity over SPARSE tf-idf vectors — the
+    lexical near-dup/recommendation measure that complements the dense
+    embedding paths (operators/similarity.py). Pairs are generated
+    through the token inverted index, so only documents sharing at least
+    one (non-ubiquitous) token are ever scored — sub-quadratic like every
+    pair path in this repo.
+
+    Determinism: tf-idf weights are rounded then scaled to INTEGERS
+    (units of 1/TFIDF_W_SCALE), so the pair dot products and the norm
+    sums are exact integer arithmetic in both engines; the single
+    float division happens once per pair at the end. Tokens in more than
+    max_df docs are dropped (stop tokens — they dominate Σdf² and carry
+    no signal). Output: (da, db, cos) with da < db, cos >= threshold.
+    """
+    from pyspark.sql import Window
+
+    toks = _token_frame(df, text_col, id_col).select(
+        F.col(id_col).alias("d"), F.explode("toks").alias("tok")
+    )
+    tf = toks.groupBy("d", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.withColumn("tot", F.sum("cnt").over(Window.partitionBy("d")))
+    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = tf.select(F.countDistinct("d").alias("n_docs"))
+    w = (
+        tf.join(docfreq.where(F.col("doc_freq") <= max_df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "d",
+            "tok",
+            F.round(
+                (F.col("cnt") / F.col("tot")) * F.log(F.col("n_docs") / F.col("doc_freq")),
+                6,
+            ).alias("_wf"),
+        )
+        .select(
+            "d",
+            "tok",
+            # ROUND before the int cast: a bare double->bigint cast
+            # truncates in Spark but rounds in DuckDB; _wf has <= 6
+            # decimals so _wf*SCALE sits within 1e-9 of an integer and
+            # round(x, 0) is boundary-safe in both engines
+            F.round(F.col("_wf") * TFIDF_W_SCALE, 0).cast("bigint").alias("w"),
+        )
+    )
+    norms = w.groupBy("d").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # pre-shuffle both self-join sides on the token -> one reused exchange
+    wp = w.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("tok"))
+    a, b = wp.alias("a"), wp.alias("b")
+    dots = (
+        a.join(b.hint("shuffle_hash"), "tok")
+        .where(F.col("a.d") < F.col("b.d"))
+        .groupBy(F.col("a.d").alias("da"), F.col("b.d").alias("db"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("d").alias("da"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("d").alias("db"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -698,6 +698,36 @@ def _t_load(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+STRAT_SEED = "strat"
+TFIDF_COS_THRESHOLD = 0.2
+
+
+def x8_stratified_sample(spark, sf_dir):
+    """Stratified rebalancing sample
+    (operators/sampling.py:stratified_hash_sample): every language
+    sampled at min_lang_count/its_count — the mix-flattening step before
+    training. Deterministic by row identity."""
+    from diepy_spark.operators.sampling import stratified_hash_sample
+
+    d = _docs(spark, sf_dir)
+    return (
+        stratified_hash_sample(d, "lang", "doc_id", seed=STRAT_SEED)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def x3_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse LEXICAL document similarity
+    (operators/text.py:tfidf_cosine_pairs): tf-idf cosine pairs through
+    the token inverted index (stop-token df cap keeps it sub-quadratic),
+    integer-exact dot products. The lexical complement of the dense
+    embedding similarity paths."""
+    return T.tfidf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=TFIDF_COS_THRESHOLD, max_df=JACCARD_MAX_DF
+    ).orderBy("da", "db")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -747,6 +777,8 @@ EXTENDED_QUERIES = {
     "x5_ngram_profile": x5_ngram_profile,
     "x3_ann_recall": x3_ann_recall,
     "x11_pagerank": x11_pagerank,
+    "x8_stratified_sample": x8_stratified_sample,
+    "x3_tfidf_cosine_pairs": x3_tfidf_cosine_pairs,
 }
 
 
@@ -1693,3 +1725,45 @@ def _pagerank_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_pagerank"] = _pagerank_oracle_sql()
+
+
+EXTENDED_ORACLES["x8_stratified_sample"] = f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT min(cnt) AS min_cnt FROM c),
+    fr AS (SELECT lang, CAST(min_cnt AS DOUBLE) / cnt AS frac FROM c, m)
+    SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
+    WHERE {_sample_frac_sql(STRAT_SEED)} < fr.frac
+    ORDER BY doc_id
+"""
+
+# tf-idf weights rounded to 6 decimals then scaled to exact integers; the
+# ROUND(x*1e6, 0) (never a bare double->int cast: Spark truncates, DuckDB
+# rounds) makes the scaling engine-portable.
+EXTENDED_ORACLES["x3_tfidf_cosine_pairs"] = f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+    ),
+    tf AS (SELECT d, tok, count(*) AS cnt FROM tk GROUP BY d, tok),
+    tot AS (SELECT d, SUM(cnt) AS tot FROM tf GROUP BY d),
+    dfq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+    nd AS (SELECT count(DISTINCT d) AS n_docs FROM tf),
+    w AS (
+      SELECT d, tok,
+             CAST(ROUND(ROUND((CAST(cnt AS DOUBLE) / tot)
+                   * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6)
+                   * {T.TFIDF_W_SCALE}, 0) AS BIGINT) AS w
+      FROM tf JOIN tot USING (d) JOIN dfq USING (tok), nd
+      WHERE doc_freq <= {JACCARD_MAX_DF}
+    ),
+    norms AS (SELECT d, SUM(w*w) AS n2 FROM w GROUP BY d),
+    dots AS (
+      SELECT a.d AS da, b.d AS db, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2
+    )
+    SELECT da, db,
+           ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 4) AS cos
+    FROM dots JOIN norms na ON na.d = da JOIN norms nb ON nb.d = db
+    WHERE ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 4) >= {TFIDF_COS_THRESHOLD}
+    ORDER BY da, db
+"""
