@@ -331,6 +331,7 @@ def pagerank(
     scale: int = 10**9,
     damp_num: int = 85,
     damp_den: int = 100,
+    materialize_static: bool = True,
 ) -> DataFrame:
     """PageRank in PURE INTEGER arithmetic — ranks are bigints in units of
     1/scale, damping is the exact rational damp_num/damp_den, and every
@@ -361,6 +362,16 @@ def pagerank(
         e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
         .select(F.col("u").alias("node"))
     )
+    if materialize_static:
+        # the edge/degree/node frames are referenced by EVERY iteration;
+        # lazy localCheckpoint computes each once at the first action
+        # instead of once per reference (measured ~30% at sf0.1, growing
+        # with iteration count). Blocks are GC-reclaimed when the result
+        # frame is dropped; pass False for a pure plan (e.g. to inspect
+        # the un-truncated lineage).
+        e = e.localCheckpoint(eager=False)
+        deg = deg.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     teleport = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("r"))
     for _ in range(iterations):

@@ -23,8 +23,21 @@ def main() -> int:
         return 2
     def load(p):
         with open(p) as f:
-            d = json.load(f)
-        # driver BENCH_r{N}.json wraps bench.py's line under "parsed"
+            text = f.read()
+        # bench.py emits TWO JSON lines (full map first, compact summary
+        # last — truncation-proofing); take the first line carrying a
+        # per-query map. Falls back to whole-file JSON for driver
+        # BENCH_r{N}.json, which wraps bench.py's output under "parsed".
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(d.get("queries"), dict):
+                    return d
+        d = json.loads(text)
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
         return d
