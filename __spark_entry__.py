@@ -28,11 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() in insertion order.  Rotation policy (one window per round):
 # round 1 proved r1-r40 + the x1/x2 era; round 2 refreshed r1-r9 and
 # proved the 41 then-new/unchecked entries (CORRECTNESS_r02.json, 49/50
-# green).  Round 3 front-loads the 40 rows whose latest driver check is
-# round 1, plus r41_map_functions (red in r2 — oracle HUGEINT cast fixed
-# this round, needs a fresh green), plus the queries new in round 3.
-# Everything not named here follows in its module's natural order and
-# keeps its round-2 green row as the standing record.
+# green).  Round 3 front-loads r41_map_functions (red in r2 — oracle
+# HUGEINT cast fixed this round), the queries NEW in round 3 (no driver
+# row at all), then the rows whose latest driver check is round 1.  The
+# list is deliberately longer than the 50-slot window: the new queries
+# displace the LAST five round-1-stale entries (x2_minhash_lsh_pairs,
+# x2_minhash_signatures, x2_ngram_jaccard_pairs, x2_simhash,
+# x2_simhash_pairs land at positions 51-55), which keep their round-1
+# greens and are front-loaded next round.  Everything not named follows
+# in module order and keeps its round-2 green as the standing record.
 _PRIORITY = [
     # red in round 2 (oracle cast fixed) — must re-earn green first
     "r41_map_functions",

@@ -99,19 +99,15 @@ def _cmd_clean(spark, args) -> int:
 def _cmd_dedup(spark, args) -> int:
     import json
 
-    from pyspark.sql import functions as F
-
     from diepy_spark.operators import dedup as D
     from diepy_spark.operators.clustering import dedup_corpus
 
     df = spark.read.parquet(args.src)
     n_in = df.count()
     if args.method == "exact":
-        # keep the min-id representative per identical text; one fingerprint
-        # aggregate + a semi join — never shuffles document text
-        reps = df.groupBy(
-            F.md5(F.col(args.text_col)).alias("_fp")
-        ).agg(F.min(args.id_col).alias(args.id_col))
+        # min-id representative per identical text (fingerprint aggregate
+        # + semi join — never shuffles document text)
+        reps = D.exact_representatives(df, args.text_col, args.id_col)
         out = df.join(reps.select(args.id_col), args.id_col, "left_semi")
     else:
         pairs = D.minhash_lsh_pairs(

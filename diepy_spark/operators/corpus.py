@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from diepy_spark.operators.clustering import dedup_corpus
-from diepy_spark.operators.dedup import _grams_over, ngram_jaccard_pairs
+from diepy_spark.operators.dedup import (
+    _grams_over,
+    exact_representatives,
+    ngram_jaccard_pairs,
+)
 from diepy_spark.operators.text import _token_frame, quality_exprs
 
 
@@ -91,11 +95,9 @@ def clean_corpus(
     ).select(id_col, "n_tokens", "score")
     survivors = df.join(gate, id_col)
     # Exact stage keyed on md5(text): the dedup shuffle moves 32-byte
-    # fingerprints, never full documents (see dedup.exact_dups for the
-    # 100 TB rationale; oracle's `ex` CTE groups on the same md5).
-    exact_rep = survivors.groupBy(F.md5(F.col(text_col)).alias("_fp")).agg(
-        F.min(id_col).alias(id_col)
-    )
+    # fingerprints, never full documents (dedup.exact_representatives;
+    # the oracle's `ex` CTE groups on the same md5).
+    exact_rep = exact_representatives(survivors, text_col, id_col)
     # LAZY localCheckpoint, not persist: connected_components (inside
     # dedup_corpus) runs its own actions (size probe + label
     # materialization), and each would otherwise recompute the ENTIRE

@@ -150,6 +150,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def exact_representatives(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One (id_col) row per distinct text: the minimum id. The shared
+    exact-dedup kernel behind clean_corpus's exact stage and the CLI dedup
+    command — semi-join the corpus against it to drop duplicates. Keys on
+    md5(text) so the shuffle carries 32-byte fingerprints, never documents
+    (see exact_dups)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("_fp")).agg(
+        F.min(id_col).alias(id_col)
+    )
+
+
 def normalized_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup AFTER text normalization (lowercase, non-alphanumeric →
     space, collapse runs, trim): catches the trivially-different duplicates

@@ -30,6 +30,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "reservoir_per_group",
+    "stratified_hash_sample",
     "weighted_hash_sample",
 ]
 

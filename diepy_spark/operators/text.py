@@ -474,9 +474,12 @@ def tfidf_cosine_pairs(
     one (non-ubiquitous) token are ever scored — sub-quadratic like every
     pair path in this repo.
 
-    Determinism: tf-idf weights are rounded then scaled to INTEGERS
-    (units of 1/TFIDF_W_SCALE), so the pair dot products and the norm
-    sums are exact integer arithmetic in both engines; the single
+    Determinism: the ONLY float operation in the weight derivation is the
+    per-TOKEN idf quantization round(ln(N/df)*SCALE) — a vocabulary-sized
+    value set, minimizing exposure to the ROUND(double) boundary hazard
+    (see quality_exprs) — after which weights are pure integer floor
+    arithmetic: w = (tf_count * idf_int) div doc_total, and the pair dot
+    products and norm sums are exact bigints in both engines. The single
     float division happens once per pair at the end. Tokens in more than
     max_df docs are dropped (stop tokens — they dominate Σdf² and carry
     no signal). Output: (da, db, cos) with da < db, cos >= threshold.
@@ -490,26 +493,20 @@ def tfidf_cosine_pairs(
     tf = tf.withColumn("tot", F.sum("cnt").over(Window.partitionBy("d")))
     docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = tf.select(F.countDistinct("d").alias("n_docs"))
-    w = (
-        tf.join(docfreq.where(F.col("doc_freq") <= max_df), "tok")
+    # idf quantized ONCE PER TOKEN (round(x, 0) then cast — a bare
+    # double->bigint cast truncates in Spark but rounds in DuckDB)
+    idf = (
+        docfreq.where(F.col("doc_freq") <= max_df)
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "d",
             "tok",
-            F.round(
-                (F.col("cnt") / F.col("tot")) * F.log(F.col("n_docs") / F.col("doc_freq")),
-                6,
-            ).alias("_wf"),
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")) * TFIDF_W_SCALE, 0)
+            .cast("bigint")
+            .alias("idf_int"),
         )
-        .select(
-            "d",
-            "tok",
-            # ROUND before the int cast: a bare double->bigint cast
-            # truncates in Spark but rounds in DuckDB; _wf has <= 6
-            # decimals so _wf*SCALE sits within 1e-9 of an integer and
-            # round(x, 0) is boundary-safe in both engines
-            F.round(F.col("_wf") * TFIDF_W_SCALE, 0).cast("bigint").alias("w"),
-        )
+    )
+    w = tf.join(idf, "tok").select(
+        "d", "tok", F.expr("(cnt * idf_int) div tot").alias("w")
     )
     norms = w.groupBy("d").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     # pre-shuffle both self-join sides on the token -> one reused exchange

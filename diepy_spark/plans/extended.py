@@ -683,7 +683,8 @@ def x11_pagerank(spark, sf_dir):
     CTEs. Top PR_TOP nodes by rank."""
     from diepy_spark.operators.clustering import pagerank
 
-    li = _t_load(spark, sf_dir, "lineitem")
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         (F.col("l_partkey") * 10 + 1).alias("src"),
         (F.col("l_suppkey") * 10 + 2).alias("dst"),
@@ -691,11 +692,6 @@ def x11_pagerank(spark, sf_dir):
     sym = ps.unionByName(ps.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(sym, iterations=PR_ITER, scale=PR_SCALE)
     return ranks.orderBy(F.col("r").desc(), "node").limit(PR_TOP)
-
-
-def _t_load(spark, sf_dir, name):
-    tune(spark)
-    return load_table(spark, sf_dir, name)
 
 
 STRAT_SEED = "strat"
@@ -1736,9 +1732,9 @@ EXTENDED_ORACLES["x8_stratified_sample"] = f"""
     ORDER BY doc_id
 """
 
-# tf-idf weights rounded to 6 decimals then scaled to exact integers; the
-# ROUND(x*1e6, 0) (never a bare double->int cast: Spark truncates, DuckDB
-# rounds) makes the scaling engine-portable.
+# idf quantized per TOKEN (ROUND(x, 0) — never a bare double->int cast:
+# Spark truncates, DuckDB rounds), then weights are pure integer floor
+# arithmetic mirroring operators.text.tfidf_cosine_pairs.
 EXTENDED_ORACLES["x3_tfidf_cosine_pairs"] = f"""
     WITH tk AS (
       SELECT doc_id AS d, t.tok FROM documents,
@@ -1748,13 +1744,15 @@ EXTENDED_ORACLES["x3_tfidf_cosine_pairs"] = f"""
     tot AS (SELECT d, SUM(cnt) AS tot FROM tf GROUP BY d),
     dfq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
     nd AS (SELECT count(DISTINCT d) AS n_docs FROM tf),
+    idf AS (
+      SELECT tok,
+             CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / doc_freq) * {T.TFIDF_W_SCALE}, 0)
+                  AS BIGINT) AS idf_int
+      FROM dfq, nd WHERE doc_freq <= {JACCARD_MAX_DF}
+    ),
     w AS (
-      SELECT d, tok,
-             CAST(ROUND(ROUND((CAST(cnt AS DOUBLE) / tot)
-                   * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6)
-                   * {T.TFIDF_W_SCALE}, 0) AS BIGINT) AS w
-      FROM tf JOIN tot USING (d) JOIN dfq USING (tok), nd
-      WHERE doc_freq <= {JACCARD_MAX_DF}
+      SELECT d, tok, (cnt * idf_int) // tot AS w
+      FROM tf JOIN idf USING (tok) JOIN tot USING (d)
     ),
     norms AS (SELECT d, SUM(w*w) AS n2 FROM w GROUP BY d),
     dots AS (

@@ -715,8 +715,11 @@ def test_clean_corpus_stages(spark):
 
 def test_clean_corpus_cache_lifecycle(spark):
     """Repeated clean_corpus calls must not accumulate CacheManager entries:
-    intermediates are eager localCheckpoints (GC-reclaimed) or unpersisted
-    before return."""
+    intermediates are LAZY localCheckpoints (materialized by the first CC
+    action, blocks GC-reclaimed with the result) or persisted frames
+    explicitly released in the finally block — never a lingering cache
+    entry. (Lazy, not eager: the eager barrier measured +60% at sf0.1 —
+    see corpus.py.)"""
     from diepy_spark.operators.corpus import clean_corpus
 
     cm = spark._jsparkSession.sharedState().cacheManager()

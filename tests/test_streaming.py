@@ -157,19 +157,33 @@ def test_dedup_stream_drops_doubled_input(spark, events_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_orig
 
 
-def test_mfpt_bench_profile_same_result(spark, monkeypatch):
+@pytest.mark.parametrize(
+    "qname",
+    [
+        # the batching-invariance least-obvious profiles: windowed append,
+        # update-mode custom state, doubled-source dedup, stream-stream
+        # join state
+        "x7_stream_tumbling",
+        "x7_stream_stateful",
+        "x7_stream_dedup",
+        "x7_stream_join",
+    ],
+)
+def test_mfpt_bench_profile_same_result(spark, monkeypatch, qname):
     """The bench profile's 2-files-per-trigger replay (SPARK_GRAFT_STREAM_MFPT=2)
     must emit the EXACT same final result set as the default full 4-batch
     replay — the knob trades micro-batch count for time, never output."""
-    from diepy_spark.plans.pipeline import x7_stream_tumbling
+    from diepy_spark.plans import pipeline as P
+
+    fn = P.PIPELINE_QUERIES[qname]
 
     def fp(df):
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MFPT", raising=False)
-    full = fp(x7_stream_tumbling(spark, SF))
+    full = fp(fn(spark, SF))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "2")
-    fast = fp(x7_stream_tumbling(spark, SF))
+    fast = fp(fn(spark, SF))
     assert full == fast and len(full) > 0
 
 
