@@ -463,7 +463,7 @@ TFIDF_W_SCALE = 10**6
 def tfidf_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.3,
-    max_df: int = 100,
+    max_df_frac: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -481,8 +481,12 @@ def tfidf_cosine_pairs(
     arithmetic: w = (tf_count * idf_int) div doc_total, and the pair dot
     products and norm sums are exact bigints in both engines. The single
     float division happens once per pair at the end. Tokens in more than
-    max_df docs are dropped (stop tokens — they dominate Σdf² and carry
-    no signal). Output: (da, db, cos) with da < db, cos >= threshold.
+    ceil(max_df_frac * N) docs are dropped (stop tokens — they dominate
+    Σdf² and carry no signal). The cap is a FRACTION of the corpus, not
+    an absolute count, so the operator's semantics are scale-invariant:
+    an absolute cap that keeps mid-frequency tokens at 500 docs silently
+    empties the index at 5M. Output: (da, db, cos) with da < db,
+    cos >= threshold.
     """
     from pyspark.sql import Window
 
@@ -496,8 +500,8 @@ def tfidf_cosine_pairs(
     # idf quantized ONCE PER TOKEN (round(x, 0) then cast — a bare
     # double->bigint cast truncates in Spark but rounds in DuckDB)
     idf = (
-        docfreq.where(F.col("doc_freq") <= max_df)
-        .crossJoin(F.broadcast(n_docs))
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") <= F.ceil(F.lit(max_df_frac) * F.col("n_docs")))
         .select(
             "tok",
             F.round(F.log(F.col("n_docs") / F.col("doc_freq")) * TFIDF_W_SCALE, 0)

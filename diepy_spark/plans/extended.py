@@ -696,6 +696,7 @@ def x11_pagerank(spark, sf_dir):
 
 STRAT_SEED = "strat"
 TFIDF_COS_THRESHOLD = 0.2
+TFIDF_MAX_DF_FRAC = 0.1
 
 
 def x8_stratified_sample(spark, sf_dir):
@@ -720,7 +721,9 @@ def x3_tfidf_cosine_pairs(spark, sf_dir):
     integer-exact dot products. The lexical complement of the dense
     embedding similarity paths."""
     return T.tfidf_cosine_pairs(
-        _docs(spark, sf_dir), threshold=TFIDF_COS_THRESHOLD, max_df=JACCARD_MAX_DF
+        _docs(spark, sf_dir),
+        threshold=TFIDF_COS_THRESHOLD,
+        max_df_frac=TFIDF_MAX_DF_FRAC,
     ).orderBy("da", "db")
 
 
@@ -1748,7 +1751,7 @@ EXTENDED_ORACLES["x3_tfidf_cosine_pairs"] = f"""
       SELECT tok,
              CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / doc_freq) * {T.TFIDF_W_SCALE}, 0)
                   AS BIGINT) AS idf_int
-      FROM dfq, nd WHERE doc_freq <= {JACCARD_MAX_DF}
+      FROM dfq, nd WHERE doc_freq <= ceil({TFIDF_MAX_DF_FRAC} * n_docs)
     ),
     w AS (
       SELECT d, tok, (cnt * idf_int) // tot AS w
