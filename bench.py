@@ -54,15 +54,21 @@ def main() -> None:
     # driver's correctness window, which changes round to round; timing in
     # name order keeps per-query numbers comparable across rounds (early
     # queries otherwise absorb JVM/codegen/Python-worker warmup).
+    # Per-query: the MIN is the headline (steady-state), but BOTH runs are
+    # emitted — min-of-2 at sf0.1 still admits multi-second outliers under
+    # sandbox load, and the raw pair lets a reader separate noise (one bad
+    # run) from regression (two consistent slow runs) without re-running.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in sorted(qs):
         fn = qs[name]
-        best = float("inf")
+        pair: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            pair.append(round(time.perf_counter() - t0, 3))
+        runs[name] = pair
+        timings[name] = min(pair)
 
     total = round(sum(timings.values()), 3)
     # Truncation-proof output: the driver may capture only the TAIL of
@@ -77,6 +83,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -626,6 +626,7 @@ def cross_split_contamination(
     n: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Eval-integrity report for a train/valid/test split: for every
     NON-train split, how many of its documents share at least one word
@@ -642,17 +643,28 @@ def cross_split_contamination(
     2. that matched-gram set broadcast-joins back to the eval (split, doc,
        gram) frame to flag contaminated docs.
     The train side is never shuffled and never scanned twice; no all-pairs
-    doc join exists anywhere in the plan."""
+    doc join exists anywhere in the plan.
+
+    ``broadcast_eval`` bounds the design: the default assumes the distinct
+    eval-side gram set (and the eval (id, split) label frame) fit in a
+    broadcast — true when eval splits are curated benchmark-sized suites,
+    NOT when eval is a fixed fraction of the corpus (an 80/10/10 split of
+    100 TB puts ~10 TB of grams past Spark's 8 GB broadcast ceiling). Pass
+    ``broadcast_eval=False`` there: the same plan runs with shuffle
+    equi-joins on the gram (high-cardinality key; AQE splits residual
+    skew), keeping the one-scan-of-train property — only the join strategy
+    changes (pinned by test_cross_split_shuffle_fallback_matches)."""
+    maybe_bc = F.broadcast if broadcast_eval else (lambda d: d)
     eval_docs = df.where(F.col(split_col) != train_split)
     # shingle_frame keeps only (d, sh_arr); rejoin the split label through
-    # the narrow (id, split) frame — broadcastable (eval splits are small)
+    # the narrow (id, split) frame — broadcastable when eval is small —
     # and evaluated without re-deriving the split hash per gram.
     labels = eval_docs.select(F.col(id_col).alias("d"), F.col(split_col).alias("_split"))
     eg = (
         shingle_frame(eval_docs, n, text_col, id_col)
         .select("d", F.explode_outer("sh_arr").alias("gram"))
         .where(F.col("gram").isNotNull())
-        .join(F.broadcast(labels), "d")
+        .join(maybe_bc(labels), "d")
     )
     tg = (
         shingle_frame(df.where(F.col(split_col) == train_split), n, text_col, id_col)
@@ -660,10 +672,10 @@ def cross_split_contamination(
         .where(F.col("gram").isNotNull())
     )
     matched = (
-        tg.join(F.broadcast(eg.select("gram").distinct()), "gram").select("gram").distinct()
+        tg.join(maybe_bc(eg.select("gram").distinct()), "gram").select("gram").distinct()
     )
     contam = (
-        eg.join(F.broadcast(matched), "gram")
+        eg.join(maybe_bc(matched), "gram")
         .groupBy("_split")
         .agg(F.countDistinct("d").alias("docs_contaminated"))
     )

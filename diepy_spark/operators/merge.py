@@ -9,6 +9,13 @@ latest-row window. With the base stored bucketed by key (sources/
 bucketing.py) the base side's shuffle disappears; at 100 TB the practical
 deployment partitions by an ingest-date column so only touched partitions
 rewrite (classic merge-on-read compaction shape).
+
+At warehouse scale the right tool is a MERGE-capable table format
+(Delta Lake / Apache Iceberg `MERGE INTO`): transactional, file-level
+skipping, no full-table rewrite. This operator is the FORMAT-FREE
+fallback — plain parquet in, plain DataFrame out — for pipelines that
+haven't adopted a table format; it recomputes the merged result rather
+than committing a delta.
 """
 
 from __future__ import annotations

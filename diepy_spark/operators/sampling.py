@@ -114,6 +114,11 @@ def reservoir_per_group(
     engines, and partitionings, because membership depends only on row
     identity, not arrival order.
 
+    Output contract: the input columns plus ``rk`` (int, 1..k) — the
+    row's rank within its group by (hash fraction asc, id asc). ``rk`` is
+    part of the public surface (declared queries select it as the stable
+    within-sample ordering); renaming it is a breaking change.
+
     Scale: one shuffle on the group key; the per-group top-k is a window
     with rank pushdown (Spark inserts a per-partition k-row limit before
     the exchange via WindowGroupLimit), so the shuffle carries at most
@@ -159,9 +164,22 @@ def stratified_hash_sample(
             group_col, (F.col("_min_cnt") / F.col("_cnt")).alias("_frac")
         )
     else:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         spark = df.sparkSession
+        # key column typed FROM THE SOURCE SCHEMA — a hardcoded string key
+        # against e.g. an int group column would join through implicit
+        # casts (or match nothing); deriving the type makes the equi-join
+        # exact for any group column type.
+        key_type = df.schema[group_col].dataType
         fr = spark.createDataFrame(
-            [(k, float(v)) for k, v in fractions.items()], f"{group_col} string, _frac double"
+            [(k, float(v)) for k, v in fractions.items()],
+            StructType(
+                [
+                    StructField(group_col, key_type, nullable=True),
+                    StructField("_frac", DoubleType(), nullable=False),
+                ]
+            ),
         )
     out = df.join(F.broadcast(fr), group_col, "left")
     return (

@@ -143,9 +143,12 @@ def x2_simhash_pairs(spark, sf_dir):
 def x2_embedding_near_dup(spark, sf_dir):
     """Brute-force pairs are O(n²); the declared query bounds the candidate
     set (vec_id < NEAR_DUP_MAX) — at scale the bound comes from an LSH
-    bucket instead (see x3_ann_topk_lsh for the bucketed path)."""
+    bucket instead (see x3_ann_topk_lsh for the bucketed path).
+    force=True: the filter one line up IS the row bound, so the operator's
+    limit-probe job (a defensive count against unbounded inputs) would
+    re-verify a bound that holds by construction on every bench run."""
     v = _vecs(spark, sf_dir).where(F.col("vec_id") < NEAR_DUP_MAX)
-    return S.cosine_pairs(v, threshold=NEAR_DUP_COS).orderBy("va", "vb")
+    return S.cosine_pairs(v, threshold=NEAR_DUP_COS, force=True).orderBy("va", "vb")
 
 
 def x2_embedding_near_dup_lsh(spark, sf_dir):

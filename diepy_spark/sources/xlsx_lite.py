@@ -169,7 +169,15 @@ def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
 
 def read_workbook(path: str) -> dict[str, list[list[object]]]:
     """{sheet_name: rows} where each row is a list of cell values padded to
-    the sheet's max width. Values: str | int | float | bool | None."""
+    the sheet's max width. Values: str | int | float | bool | None, plus
+    datetime.datetime / datetime.time for cells whose style carries a
+    date/time number format (matching openpyxl's typed values).
+
+    Known heuristic edge: _is_date_format flags any custom format with a
+    bare y/m/d/h/s letter outside quotes/brackets, so an exotic TEXT
+    format like ``0"d"`` escapes correctly but ``0d`` (unquoted literal d)
+    would misread its numeric cells as dates — quote literal letters in
+    custom formats, as Excel itself requires."""
     with zipfile.ZipFile(path) as zf:
         shared = _shared_strings(zf)
         date_styles = _date_styles(zf)

@@ -856,6 +856,33 @@ def test_cross_split_contamination(spark):
     assert got == {"valid": (2, 1, 0.5), "test": (1, 0, 0.0)}
 
 
+def test_cross_split_shuffle_fallback_matches(spark):
+    rows = [
+        (1, "train", "alpha beta gamma delta epsilon"),
+        (2, "valid", "alpha beta gamma delta zeta"),
+        (3, "valid", "totally different words here now"),
+        (4, "test", "unrelated content in this document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    a = sorted(D.cross_split_contamination(df, n=4, broadcast_eval=True).collect())
+    b = sorted(D.cross_split_contamination(df, n=4, broadcast_eval=False).collect())
+    assert a == b and len(a) == 2
+
+
+def test_stratified_explicit_fractions_typed_key(spark):
+    # explicit-fractions path with a NON-string group column: the fractions
+    # frame must take the key type from the source schema, not "string"
+    from diepy_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(200)], "doc_id long, grp int"
+    )
+    kept = stratified_hash_sample(
+        df, "grp", "doc_id", fractions={0: 1.0, 1: 0.0}, seed="s"
+    ).collect()
+    assert len(kept) == 100 and all(r["grp"] == 0 for r in kept)
+
+
 def test_domain_mix(spark):
     rows = [
         (1, "web", "en", "one two three"),
