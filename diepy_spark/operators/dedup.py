@@ -739,3 +739,189 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (duplicated token spans)
+# ---------------------------------------------------------------------------
+
+def _pos_gram_frame(
+    df: DataFrame, L: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(d, i, h): EVERY word L-gram with its 1-based start position and md5
+    hash — the dense positional gram index (winnow_fingerprints is the
+    sampled ~2/(w+1) sibling). Same plan-shape guards as the winnow path:
+    cheap token-count predicate on raw text below the projections, and
+    posexplode_OUTER + pos-null guard so Catalyst can't hoist an
+    `isnotnull(<gram expr>)` filter that re-evaluates the interpreted gram
+    build per scanned row (see winnow_fingerprints)."""
+    base = (
+        df.where(F.expr(f"size({tokens_expr(text_col)}) >= {L}"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("d"), tokens_col(text_col).alias("__toks"))
+        .select(
+            "d",
+            F.expr(
+                f"transform(sequence(1, size(__toks)-{L}+1),"
+                f" j -> concat_ws(' ', slice(__toks, j, {L})))"
+            ).alias("gs"),
+        )
+    )
+    g = base.select("d", F.posexplode_outer("gs").alias("pos", "gram")).where(
+        F.col("pos").isNotNull()
+    )
+    return g.select("d", (F.col("pos") + 1).alias("i"), F.md5("gram").alias("h"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    L: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact dedup REPORT (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": duplicated spans, not
+    duplicated documents): every maximal token span built from word
+    L-grams whose exact text occurs >= min_count times anywhere in the
+    corpus (across documents or repeated within one). Document-level dedup
+    (exact_dups / the X2 near-dup paths) cannot see a 2,000-token
+    boilerplate run shared by millions of otherwise-distinct pages; this
+    operator reports exactly those spans. The reference has no dedup
+    surface at all (SURVEY.md §2.5) — north-star extension.
+
+    Semantics: an L-gram occurrence is duplicated when its gram text has
+    total corpus occurrence count >= min_count. Overlapping or adjacent
+    duplicated occurrences in a document (start-position gap <= L) merge
+    into one maximal span [span_start, span_end] (1-based token
+    positions, inclusive). Lee et al.'s suffix-array criterion with
+    character spans swapped for word L-grams — the join currency that
+    distributes.
+
+    Scale design: the positional gram index is hash-repartitioned ONCE on
+    the md5 gram hash; the occurrence count (map-side combine collapses a
+    boilerplate gram to one row per map task — the ubiquitous-gram skew
+    killer) and the flag-back equi-join both consume that single exchange
+    (ReuseExchange, pinned by a plan-shape test). The shuffle carries
+    32-byte hashes + integer positions, never text. The island merge is a
+    per-document window (key = doc id, even; rows per doc bounded by doc
+    length). No self-join, no all-pairs path anywhere.
+
+    Output: (id_col, span_start, span_end, span_tokens, n_grams) —
+    n_grams = duplicated L-gram occurrences merged into the span.
+    """
+    spark = df.sparkSession
+    g = _pos_gram_frame(df, L, text_col, id_col).repartition(
+        spark.sparkContext.defaultParallelism, F.col("h")
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("h")
+    )
+    flagged = g.join(dup.hint("shuffle_hash"), "h").select("d", "i")
+    wo = Window.partitionBy("d").orderBy("i")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        flagged.withColumn("prev", F.lag("i").over(wo))
+        .withColumn(
+            "new",
+            F.when(
+                F.col("prev").isNull() | (F.col("i") - F.col("prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new").over(run))
+    )
+    return (
+        isl.groupBy("d", "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(L - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("d").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    L: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CONSUMING operator of duplicated_spans: remove every duplicated
+    span occurrence EXCEPT the canonical one (Lee et al. keep-one-copy
+    semantics), rebuilding each document from its surviving tokens.
+
+    Canonical occurrence of a duplicated L-gram = the (min doc id, then
+    min position) occurrence — a unique global fixpoint, so the result is
+    deterministic on any cluster. A token survives when it is covered by
+    no duplicated gram occurrence, or by at least one CANONICAL
+    occurrence (overlap between a kept and a cut span resolves to keep).
+
+    Output: (id_col, text, n_tokens, n_removed) — `text` is rebuilt from
+    the NORMALIZED token stream (lowercased, punctuation split — the same
+    stream every dedup operator here keys on, like chunk_tokens), not the
+    raw bytes; n_removed counts cut tokens. Docs with < L tokens pass
+    through unchanged.
+
+    Scale: the canonical pick is one window over the gram hash (same key
+    as the occurrence count); coverage explode is a constant factor L over
+    duplicated occurrences only; the final rebuild is a per-doc window
+    aggregate keyed by doc id. Text never shuffles — only (hash, doc,
+    position) triples do. Docs with zero tokens are absent from the
+    output (no token stream to rebuild — same contract as chunk_tokens)."""
+    spark = df.sparkSession
+    g = _pos_gram_frame(df, L, text_col, id_col).repartition(
+        spark.sparkContext.defaultParallelism, F.col("h")
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("h")
+    )
+    flagged = g.join(dup.hint("shuffle_hash"), "h")
+    canon = Window.partitionBy("h").orderBy("d", "i")
+    cover = flagged.withColumn(
+        "is_canon", (F.row_number().over(canon) == 1).cast("int")
+    ).select(
+        "d", F.explode(F.expr(f"sequence(i, i + {L - 1})")).alias("p"), "is_canon"
+    )
+    cut = (
+        cover.groupBy("d", "p")
+        .agg(F.max("is_canon").alias("keep"))
+        .where(F.col("keep") == 0)
+        .select("d", "p")
+    )
+    toks = (
+        df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("d"), tokens_col(text_col).alias("__toks"))
+        .select("d", F.posexplode_outer("__toks").alias("pos", "tok"))
+        .where(F.col("pos").isNotNull())
+        .select("d", (F.col("pos") + 1).alias("p"), "tok")
+    )
+    kept = toks.join(cut, ["d", "p"], "left_anti")
+    rebuilt = kept.groupBy("d").agg(
+        F.array_sort(F.collect_list(F.struct("p", "tok"))).alias("ss")
+    )
+    n_orig = toks.groupBy("d").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        n_orig.join(rebuilt, "d", "left")
+        .select(
+            F.col("d").alias(id_col),
+            F.expr("array_join(transform(ss, s -> s.tok), ' ')").alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.size("ss"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -730,6 +730,22 @@ def x3_tfidf_cosine_pairs(spark, sf_dir):
     ).orderBy("da", "db")
 
 
+SPAN_L = 6  # tokens per span gram; shared runs >= L tokens are reported
+
+
+def x1_span_dedup(spark, sf_dir):
+    """Substring-level exact dedup (operators/dedup.py:duplicated_spans —
+    the Lee et al. duplicated-span criterion over word L-grams): maximal
+    token spans whose L-gram text occurs >= 2 times anywhere in the
+    corpus. The report document-level dedup cannot produce: long shared
+    runs INSIDE otherwise-distinct documents. Gram index pre-shuffled once
+    on the md5 hash (count + flag-back join share the exchange); island
+    merge is a per-doc window."""
+    return D.duplicated_spans(_docs(spark, sf_dir), L=SPAN_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -781,6 +797,7 @@ EXTENDED_QUERIES = {
     "x11_pagerank": x11_pagerank,
     "x8_stratified_sample": x8_stratified_sample,
     "x3_tfidf_cosine_pairs": x3_tfidf_cosine_pairs,
+    "x1_span_dedup": x1_span_dedup,
 }
 
 
@@ -1770,4 +1787,39 @@ EXTENDED_ORACLES["x3_tfidf_cosine_pairs"] = f"""
     FROM dots JOIN norms na ON na.d = da JOIN norms nb ON nb.d = db
     WHERE ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 4) >= {TFIDF_COS_THRESHOLD}
     ORDER BY da, db
+"""
+
+# L-gram text via chained lead() — same strings as the Spark side's
+# concat_ws over token slices; positions are the 1-based token index, so
+# the island merge (lag gap > L starts a new span) is symbol-for-symbol
+# the operator's window logic.
+_SPAN_LEADS = " || ' ' || ".join(
+    f"lead(tok, {j}) OVER (PARTITION BY d ORDER BY i)" for j in range(1, SPAN_L)
+)
+
+EXTENDED_ORACLES["x1_span_dedup"] = f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.i, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
+                      generate_subscripts({_TOKS_EXPR}, 1) AS i) t
+    ),
+    g AS (
+      SELECT d, i, tok || ' ' || {_SPAN_LEADS} AS s FROM tk
+      QUALIFY lead(tok, {SPAN_L - 1}) OVER (PARTITION BY d ORDER BY i) IS NOT NULL
+    ),
+    dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+    f AS (SELECT g.d, g.i FROM g JOIN dup USING (s)),
+    isl AS (
+      SELECT d, i,
+             SUM(CASE WHEN prev IS NULL OR i - prev > {SPAN_L} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY d ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT d, i, lag(i) OVER (PARTITION BY d ORDER BY i) AS prev FROM f)
+    )
+    SELECT d AS doc_id,
+           CAST(min(i) AS INT) AS span_start,
+           CAST(max(i) + {SPAN_L - 1} AS INT) AS span_end,
+           CAST(max(i) + {SPAN_L - 1} - min(i) + 1 AS INT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY d, island
+    ORDER BY doc_id, span_start
 """

@@ -898,6 +898,57 @@ def test_domain_mix(spark):
     assert got[("books", "de")]["token_share"] == 0.5
 
 
+SPAN_DOCS = [
+    (1, "a b c d e f g h"),
+    (2, "x x a b c d e f z z"),          # shares the 6-token run a..f with doc 1
+    (3, "p q r s t u v"),                # unique
+    (4, "m n o p z1 z2 m n o p"),        # within-doc repeat of 'm n o p'
+]
+
+
+def test_duplicated_spans(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_tokens"], r["n_grams"])
+        for r in D.duplicated_spans(df, L=4).collect()
+    }
+    assert got == {
+        (1, 1): (6, 6, 3),   # grams at 1,2,3 merge -> tokens 1..6
+        (2, 3): (8, 6, 3),   # same run shifted by the x x prefix
+        (4, 1): (4, 4, 1),   # first 'm n o p'
+        (4, 7): (10, 4, 1),  # second occurrence, gap > L -> separate span
+    }
+
+
+def test_duplicated_spans_min_count(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    # min_count=3: nothing occurs 3 times -> empty report
+    assert D.duplicated_spans(df, L=4, min_count=3).count() == 0
+
+
+def test_strip_duplicated_spans_keeps_canonical(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in D.strip_duplicated_spans(df, L=4).collect()
+    }
+    assert got[1] == ("a b c d e f g h", 8, 0)       # canonical copy survives
+    assert got[2] == ("x x z z", 10, 6)              # shared run cut
+    assert got[3] == ("p q r s t u v", 7, 0)         # untouched
+    assert got[4] == ("m n o p z1 z2", 10, 4)        # keep first occurrence
+
+
+def test_strip_duplicated_spans_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    # docs below L tokens have no grams (L=4): non-empty pass through,
+    # zero-token docs are absent by contract
+    got = {r["doc_id"]: r for r in D.strip_duplicated_spans(df, L=4).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["text"] == "a b" and got[1]["n_removed"] == 0
+
+
 def test_reservoir_per_group_deterministic(spark):
     from diepy_spark.operators.sampling import reservoir_per_group
 

@@ -273,6 +273,26 @@ def test_winnow_pairs_reuses_fingerprint_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_duplicated_spans_hash_keyed_reused_exchange(spark):
+    """The span flag-back join must be keyed on the md5 gram hash (32-byte
+    keys, never text), with the occurrence count combining map-side (the
+    ubiquitous-boilerplate skew killer) and the pre-shuffled gram index
+    feeding both the count and the join through ONE exchange."""
+    from diepy_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, SF, "documents")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(duplicated_spans(docs))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "hashpartitioning(h" in plan
+    assert not re.search(r"hashpartitioning\(text", plan)
+    assert "partial_count" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_hll_distinct_no_explode_partial_agg(spark):
     """The HLL register build is narrow (no explode, no distinct
     pre-shuffle); both aggregations combine map-side."""
