@@ -463,6 +463,146 @@ def char_ngram_profile(
 
 TFIDF_W_SCALE = 10**6
 
+LANGCLF_SCALE = 10**6
+
+
+def lang_classify(
+    df: DataFrame,
+    n: int = 3,
+    top_n: int = 64,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAINED language identification — the inference step that closes the
+    char_ngram_profile loop (that operator builds the feature table; this
+    one trains a multinomial Naive Bayes over the same char n-grams and
+    applies it): per language, the top_n most frequent n-grams form the
+    model vocabulary; add-one-smoothed log-probabilities (plus the class
+    log-prior) score each document; argmax predicts. lang_id (stopword
+    heuristic) is the zero-training sibling; this is the CLD/fastText-style
+    trainable shape.
+
+    Determinism: every model weight is quantized ONCE per (lang, gram) —
+    round(ln(p) * SCALE) over a model-sized value set (the idf_int
+    pattern, see tfidf_cosine_pairs) — after which doc scores are exact
+    integer dot products in both engines; ties break (score desc, lang
+    asc).
+
+    Scale design: training is one (lang, gram) count with map-side combine
+    (shuffle carries the distinct-gram frame, not the corpus); the model
+    grid (|langs| x vocab, with per-lang OOV weight and prior) is a
+    BROADCAST — scoring is one narrow pass over the per-doc gram counts
+    plus a |langs|-way broadcast nested-loop fan-out, argmax per doc via
+    window. The corpus text never shuffles; only (doc, gram hash-sized)
+    count rows do. Train-once/apply-everywhere at 100 TB: fit the model on
+    a labeled seed corpus, persist the grid, broadcast-apply to the rest.
+
+    Output: (id_col, <lang_col> actual, pred_lang) — one row per document
+    with at least one n-gram."""
+    from pyspark.sql import Window
+
+    dg = (
+        df.where(F.length(text_col) >= n)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("d"),
+            F.col(lang_col).alias("_lang"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.expr(f"sequence(1, length({text_col}) - {n - 1})")).alias("_j"),
+        )
+        .select("d", "_lang", F.expr(f"substring(_t, _j, {n})").alias("gram"))
+        .groupBy("d", "_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lg = dg.groupBy("_lang", "gram").agg(F.sum("cnt").alias("lcnt"))
+    wtop = Window.partitionBy("_lang").orderBy(F.col("lcnt").desc(), "gram")
+    model = (
+        lg.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= top_n)
+        .select("_lang", "gram", "lcnt")
+    )
+    vocab = model.select("gram").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("V"))
+    tot = model.groupBy("_lang").agg(F.sum("lcnt").alias("tot"))
+    ndocs = df.where(F.length(text_col) >= n).agg(F.count(F.lit(1)).alias("N"))
+    docs_l = (
+        df.where(F.length(text_col) >= n)
+        .groupBy(F.col(lang_col).alias("_lang"))
+        .agg(F.count(F.lit(1)).alias("ldocs"))
+    )
+    # per-lang constants: OOV weight and class prior, quantized once
+    lang_consts = (
+        tot.join(docs_l, "_lang")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "_lang",
+            "tot",
+            F.round(-F.log(F.col("tot") + F.col("V")) * LANGCLF_SCALE, 0)
+            .cast("bigint")
+            .alias("w_oov"),
+            F.round(F.log(F.col("ldocs") / F.col("N")) * LANGCLF_SCALE, 0)
+            .cast("bigint")
+            .alias("prior"),
+        )
+    )
+    # full langs x vocab grid -> one quantized weight per cell
+    grid = (
+        lang_consts.select("_lang", "tot")
+        .crossJoin(vocab)
+        .join(model, ["_lang", "gram"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "_lang",
+            "gram",
+            F.round(
+                F.log((F.coalesce("lcnt", F.lit(0)) + 1) / (F.col("tot") + F.col("V")))
+                * LANGCLF_SCALE,
+                0,
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    feats = dg.groupBy("d").agg(F.sum("cnt").alias("n_grams"))
+    matched = (
+        dg.select("d", "gram", "cnt")
+        .join(F.broadcast(grid.select(F.col("_lang").alias("cand"), "gram", "w")), "gram")
+        .groupBy("d", "cand")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("mw"),
+            F.sum("cnt").alias("nm"),
+        )
+    )
+    scored = (
+        feats.crossJoin(
+            F.broadcast(lang_consts.select(F.col("_lang").alias("cand"), "w_oov", "prior"))
+        )
+        .join(matched, ["d", "cand"], "left")
+        .select(
+            "d",
+            "cand",
+            (
+                F.col("prior")
+                + F.coalesce("mw", F.lit(0))
+                + (F.col("n_grams") - F.coalesce("nm", F.lit(0))) * F.col("w_oov")
+            ).alias("score"),
+        )
+    )
+    wbest = Window.partitionBy("d").orderBy(F.col("score").desc(), F.col("cand").asc())
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select("d", F.col("cand").alias("pred_lang"))
+    )
+    actual = df.where(F.length(text_col) >= n).select(
+        F.col(id_col).alias("d"), F.col(lang_col)
+    )
+    return actual.join(pred, "d").select(
+        F.col("d").alias(id_col), F.col(lang_col), "pred_lang"
+    )
+
 
 def tfidf_cosine_pairs(
     df: DataFrame,

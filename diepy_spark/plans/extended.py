@@ -731,6 +731,38 @@ def x3_tfidf_cosine_pairs(spark, sf_dir):
 
 
 SPAN_L = 6  # tokens per span gram; shared runs >= L tokens are reported
+LANGCLF_N = 3  # char n-gram order of the trained language identifier
+LANGCLF_TOP = 64  # model vocabulary: top n-grams per language
+
+
+def x5_lang_classify(spark, sf_dir):
+    """TRAINED language-ID inference (operators/text.py:lang_classify):
+    multinomial NB over char trigrams — the operator that closes the
+    x5_ngram_profile loop (profile = features, this = train + broadcast
+    apply + argmax). Output: per actual language, docs / correct /
+    accuracy — near-chance on this fixture corpus BY CONSTRUCTION (every
+    lang draws from the same word vocabulary; the lang column is a
+    synthetic label), which is itself the useful signal: the report is
+    how a pipeline detects that its labels aren't learnable."""
+    pred = T.lang_classify(
+        _docs(spark, sf_dir), n=LANGCLF_N, top_n=LANGCLF_TOP
+    )
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("bigint")).alias(
+                "correct"
+            ),
+        )
+        .select(
+            "lang",
+            "docs",
+            "correct",
+            F.round(F.col("correct") / F.col("docs"), 4).alias("acc"),
+        )
+        .orderBy("lang")
+    )
 
 
 def x1_span_dedup(spark, sf_dir):
@@ -798,6 +830,7 @@ EXTENDED_QUERIES = {
     "x8_stratified_sample": x8_stratified_sample,
     "x3_tfidf_cosine_pairs": x3_tfidf_cosine_pairs,
     "x1_span_dedup": x1_span_dedup,
+    "x5_lang_classify": x5_lang_classify,
 }
 
 
@@ -1822,4 +1855,78 @@ EXTENDED_ORACLES["x1_span_dedup"] = f"""
            CAST(count(*) AS BIGINT) AS n_grams
     FROM isl GROUP BY d, island
     ORDER BY doc_id, span_start
+"""
+
+# Char-trigram extraction shared with the x5_ngram_profile oracle; every
+# model weight is quantized ONCE per (lang, gram) cell — the idf_int
+# pattern — after which doc scores are exact integer dot products. The
+# -ln(x) spelling (not ln(1/x)) matches the Spark side operation-for-
+# operation; sums of BIGINT go HUGEINT in DuckDB, so the output counts
+# are CAST back.
+_LANGCLF_GRAMS = f"""
+  SELECT doc_id AS d, lang AS _lang, g.gram, count(*) AS cnt
+  FROM d3, LATERAL (SELECT unnest(list_transform(
+             generate_series(1, len(text) - {LANGCLF_N - 1}),
+             j -> substring(text, j, {LANGCLF_N}))) AS gram) g
+  GROUP BY 1, 2, 3
+"""
+
+EXTENDED_ORACLES["x5_lang_classify"] = f"""
+    WITH d3 AS (
+      SELECT doc_id, lang, text FROM documents WHERE len(text) >= {LANGCLF_N}
+    ),
+    dg AS ({_LANGCLF_GRAMS}),
+    lg AS (SELECT _lang, gram, SUM(cnt) AS lcnt FROM dg GROUP BY 1, 2),
+    model AS (
+      SELECT _lang, gram, lcnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY _lang
+                                     ORDER BY lcnt DESC, gram) AS rk
+        FROM lg) WHERE rk <= {LANGCLF_TOP}
+    ),
+    vocab AS (SELECT DISTINCT gram FROM model),
+    vs AS (SELECT count(*) AS V FROM vocab),
+    tot AS (SELECT _lang, SUM(lcnt) AS tot FROM model GROUP BY 1),
+    nd AS (SELECT count(*) AS N FROM d3),
+    dl AS (SELECT lang AS _lang, count(*) AS ldocs FROM d3 GROUP BY 1),
+    lc AS (
+      SELECT t._lang, t.tot,
+             CAST(ROUND(-ln(CAST(t.tot + V AS DOUBLE)) * {T.LANGCLF_SCALE}, 0)
+                  AS BIGINT) AS w_oov,
+             CAST(ROUND(ln(CAST(ldocs AS DOUBLE) / N) * {T.LANGCLF_SCALE}, 0)
+                  AS BIGINT) AS prior
+      FROM tot t JOIN dl USING (_lang), vs, nd
+    ),
+    grid AS (
+      SELECT lc._lang, v.gram,
+             CAST(ROUND(ln((coalesce(m.lcnt, 0) + 1)
+                           / CAST(lc.tot + V AS DOUBLE)) * {T.LANGCLF_SCALE}, 0)
+                  AS BIGINT) AS w
+      FROM lc CROSS JOIN vocab v
+      LEFT JOIN model m ON m._lang = lc._lang AND m.gram = v.gram, vs
+    ),
+    feats AS (SELECT d, SUM(cnt) AS n_grams FROM dg GROUP BY d),
+    matched AS (
+      SELECT dg.d, g._lang AS cand, SUM(dg.cnt * g.w) AS mw, SUM(dg.cnt) AS nm
+      FROM dg JOIN grid g USING (gram) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT f.d, c._lang AS cand,
+             c.prior + coalesce(m.mw, 0)
+               + (f.n_grams - coalesce(m.nm, 0)) * c.w_oov AS score
+      FROM feats f CROSS JOIN lc c
+      LEFT JOIN matched m ON m.d = f.d AND m.cand = c._lang
+    ),
+    pred AS (
+      SELECT d, cand AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY d
+                                     ORDER BY score DESC, cand ASC) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT d3.lang, CAST(count(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN p.pred_lang = d3.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS correct,
+           ROUND(CAST(SUM(CASE WHEN p.pred_lang = d3.lang THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS acc
+    FROM d3 JOIN pred p ON p.d = d3.doc_id
+    GROUP BY 1 ORDER BY 1
 """

@@ -906,6 +906,25 @@ SPAN_DOCS = [
 ]
 
 
+def test_lang_classify_separable(spark):
+    rows = [
+        (1, "en", "the quick brown fox and the lazy dog went to the market"),
+        (2, "en", "to be or not to be that is the question and the answer"),
+        (3, "de", "der schnelle braune fuchs und der faule hund nicht gut"),
+        (4, "de", "sein oder nicht sein das ist hier die frage und antwort"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in T.lang_classify(df, top_n=64).collect()}
+    assert got == {1: "en", 2: "en", 3: "de", 4: "de"}
+
+
+def test_lang_classify_skips_gramless_docs(spark):
+    rows = [(1, "en", "the and the and the or"), (2, "en", "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = T.lang_classify(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
 def test_duplicated_spans(spark):
     df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
     got = {

@@ -273,6 +273,25 @@ def test_winnow_pairs_reuses_fingerprint_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_lang_classify_model_broadcasts(spark):
+    """The trained model grid (|langs| x vocab) and the per-lang constant
+    frame must BROADCAST into the scoring pass — the per-doc gram frame
+    never shuffles for the model join; its only exchanges are the
+    doc-keyed count aggregates and the argmax window."""
+    from diepy_spark.operators.text import lang_classify
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(lang_classify(docs))
+    assert "BroadcastHashJoin" in plan      # gram-keyed model-grid join
+    assert "BroadcastNestedLoopJoin" in plan  # |langs|-way score fan-out
+    assert "partial_count" in plan          # training counts combine map-side
+    # the only sort-merge joins allowed are the DOC-keyed score/label
+    # left joins (both sides corpus-sized, keyed on (d[, cand]) — the
+    # correct strategy); the model/vocab side must never reach one
+    smj = re.findall(r"SortMergeJoin (\w+)", plan)
+    assert len(smj) <= 2 and all(t in ("LeftOuter", "Inner") for t in smj), smj
+
+
 def test_duplicated_spans_hash_keyed_reused_exchange(spark):
     """The span flag-back join must be keyed on the md5 gram hash (32-byte
     keys, never text), with the occurrence count combining map-side (the
