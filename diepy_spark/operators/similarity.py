@@ -154,14 +154,20 @@ def lsh_near_dup_pairs(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 1,
 ) -> DataFrame:
-    """(id, cell): assign each vector to its nearest centroid by rounded
-    cosine (ties broken by centroid id — deterministic, oracle-matching).
+    """(id, cell): assign each vector to its `n` nearest centroids by
+    rounded cosine (ties broken by centroid id — deterministic,
+    oracle-matching). n=1 is the storage assignment; n>1 is the query-side
+    multi-probe list (one row per probed cell).
 
     IVF coarse quantization: centroids are few (100-65k at scale) and ride
     in as a broadcast; assignment is one narrow pass over the corpus (K dot
-    products per row), then a per-vector argmin via window row_number."""
+    products per row), then a per-vector top-n via window row_number."""
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
     c = F.broadcast(centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")))
     scored = v.join(c).select(
@@ -170,7 +176,7 @@ def ivf_assign(
     w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cell"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+        .where(F.col("rk") <= n)
         .select(F.col("vid"), "cell")
     )
 
@@ -182,15 +188,20 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: search only the corpus vectors whose
-    nearest centroid matches the query's (nprobe=1; raise recall by probing
-    more cells). At scale this is the classic two-level ANN: a broadcast
-    K-centroid quantizer partitions the corpus into cells, and each query
-    scans one cell instead of the full corpus. Exact within the probed
-    cell; recall < 1 across cells (documented)."""
+    """IVF-flat approximate top-k: search only the corpus vectors stored
+    in the query's `nprobe` nearest cells. At scale this is the classic
+    two-level ANN: a broadcast K-centroid quantizer partitions the corpus
+    into cells, and each query scans nprobe cells instead of the full
+    corpus. Exact within the probed cells; recall rises with nprobe at
+    proportional scan cost (x3_ann_recall reports the recall-vs-probe
+    tradeoff on both ANN paths). Probe expansion is query-side only —
+    the corpus keeps its single-cell storage assignment, and a (query,
+    doc) candidate can arise from at most one probed cell, so no dedup
+    step is needed."""
     ca = ivf_assign(corpus, centroids, id_col, vec_col)
-    qa = ivf_assign(queries, centroids, id_col, vec_col)
+    qa = ivf_assign(queries, centroids, id_col, vec_col, n=nprobe)
     c = (
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -305,16 +316,27 @@ def lsh_bucket(
 def ann_topk_lsh(
     queries: DataFrame, corpus: DataFrame, k: int = 3, num_planes: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int | None = None,
+    dim: int | None = None, hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. At scale this turns a full scan per query into one equi-join on
-    bucket id (query side broadcast). Recall < 1.0 by construction
-    (documented); multi-probe or more tables raise it. Buckets are inline
-    per-row expressions — no self-joins, no pre-bucketing shuffle.
+    bucket(s). At scale this turns a full scan per query into one equi-join
+    on bucket id (query side broadcast). Buckets are inline per-row
+    expressions — no self-joins, no pre-bucketing shuffle.
+
+    hamming=0 probes the exact bucket (recall < 1.0 by construction);
+    hamming=1 is MULTI-PROBE: each query also probes every bucket one
+    plane-sign flip away (num_planes + 1 buckets total — the nearest
+    neighbors most likely to be lost sit just across one hyperplane, so
+    recall rises steeply for a ~(p+1)x candidate cost; x3_ann_recall
+    measures it). Probe expansion is a per-row array explode on the
+    (broadcast) query side — zero new shuffles; probed buckets are
+    distinct and a corpus vector lives in exactly one bucket, so a
+    candidate pair arises at most once.
 
     Pass `dim` explicitly to keep plan construction job-free (the fallback
     peeks at the first row — one tiny Spark job)."""
+    if hamming not in (0, 1):
+        raise ValueError(f"hamming must be 0 or 1, got {hamming}")
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     q = queries.select(
@@ -322,6 +344,12 @@ def ann_topk_lsh(
         F.col(vec_col).alias("qv"),
         bucket_expr(vec_col, dim, num_planes).alias("bucket"),
     )
+    if hamming == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+        q = q.select("qid", "qv", F.explode(probes).alias("bucket"))
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(

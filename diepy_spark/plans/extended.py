@@ -637,8 +637,11 @@ def x3_ann_recall(spark, sf_dir):
     (hyperplane-LSH buckets, IVF-flat) against the exact cosine top-k on
     the same (query, corpus) splits — the number a user needs before
     trusting ANN at 100 TB, and the companion of x2_minhash_est (which
-    calibrates the minhash sketch the same way). Each side reuses the
-    declared operators unchanged; recall = |ANN ∩ exact| / |exact| over
+    calibrates the minhash sketch the same way). Since round 4 the report
+    also measures the MULTI-PROBE variants (lsh_h1 = Hamming-1 bucket
+    expansion, ivf_p2 = nprobe 2), so it answers the operational question
+    directly: how much recall does each extra probe buy. Each side reuses
+    the declared operators; recall = |ANN ∩ exact| / |exact| over
     (qid, cid) pairs, deterministic because both rankings tie-break on
     rounded cos then id."""
     v = _vecs(spark, sf_dir)
@@ -646,6 +649,9 @@ def x3_ann_recall(spark, sf_dir):
     c1 = v.where(F.col("vec_id") >= TOPK_QUERY_MAX)
     exact1 = S.cosine_topk(q1, c1, k=TOPK_K)
     ann1 = S.ann_topk_lsh(q1, c1, k=TOPK_K, num_planes=ANN_NUM_PLANES, dim=EMB_DIM)
+    ann1m = S.ann_topk_lsh(
+        q1, c1, k=TOPK_K, num_planes=ANN_NUM_PLANES, dim=EMB_DIM, hamming=1
+    )
     cents = v.where(F.col("vec_id") < IVF_CENTROID_MAX)
     q2 = v.where(
         (F.col("vec_id") >= IVF_CENTROID_MAX)
@@ -654,6 +660,7 @@ def x3_ann_recall(spark, sf_dir):
     c2 = v.where(F.col("vec_id") >= IVF_CENTROID_MAX + TOPK_QUERY_MAX)
     exact2 = S.cosine_topk(q2, c2, k=TOPK_K)
     ann2 = S.ivf_topk(q2, c2, cents, k=TOPK_K)
+    ann2p = S.ivf_topk(q2, c2, cents, k=TOPK_K, nprobe=2)
 
     def rec(exact, ann, method):
         matched = exact.join(ann.select("qid", "cid"), ["qid", "cid"], "left_semi")
@@ -668,7 +675,13 @@ def x3_ann_recall(spark, sf_dir):
             )
         )
 
-    return rec(exact1, ann1, "lsh").unionByName(rec(exact2, ann2, "ivf")).orderBy("method")
+    return (
+        rec(exact1, ann1, "lsh")
+        .unionByName(rec(exact1, ann1m, "lsh_h1"))
+        .unionByName(rec(exact2, ann2, "ivf"))
+        .unionByName(rec(exact2, ann2p, "ivf_p2"))
+        .orderBy("method")
+    )
 
 
 PR_ITER = 5
@@ -1728,19 +1741,96 @@ _EXACT_TOPK_IVF = f"""
       FROM scored) WHERE rk <= {TOPK_K}
 """
 
+# Multi-probe LSH ANN: the query side probes its bucket plus every
+# Hamming-1 neighbor (xor with each plane bit). Probed buckets are
+# distinct and a corpus vector has exactly one bucket, so the pair join
+# multiplicity stays 1 — mirrors similarity.ann_topk_lsh(hamming=1).
+_ANN_LSH_H1 = f"""
+    WITH b AS (
+      SELECT vec_id, {S.bucket_sql('embedding', EMB_DIM, ANN_NUM_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    pq AS (
+      SELECT vec_id, unnest([bucket{''.join(f', xor(bucket, {1 << p})' for p in range(ANN_NUM_PLANES))}]) AS bucket
+      FROM b WHERE vec_id < {TOPK_QUERY_MAX}
+    ),
+    {_COS_CTE},
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+      FROM u q JOIN u c ON q.i = c.i
+      JOIN pq bq ON bq.vec_id = q.vec_id
+      JOIN b bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket
+      WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= {TOPK_K}
+"""
+
+# IVF with nprobe=2: the QUERY assignment keeps its top-2 cells (rn <= 2);
+# the corpus keeps its single storage cell — mirrors ivf_topk(nprobe=2).
+_IVF_NP2 = f"""
+    WITH {_COS_CTE},
+    cc AS (
+      SELECT a.vec_id AS vid, b.vec_id AS cell,
+             ROUND(SUM(a.x*b.x)/(SQRT(SUM(a.x*a.x))*SQRT(SUM(b.x*b.x))), 4) AS ccos
+      FROM u a JOIN u b ON a.i = b.i
+      WHERE b.vec_id < {IVF_CENTROID_MAX} AND a.vec_id >= {IVF_CENTROID_MAX}
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vid, cell FROM (
+        SELECT vid, cell,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, cell) AS rn
+        FROM cc) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vid, cell FROM (
+        SELECT vid, cell,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ccos DESC, cell) AS rn
+        FROM cc) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+      FROM u q JOIN u c ON q.i = c.i
+      JOIN qassign aq ON aq.vid = q.vec_id
+      JOIN assign ac ON ac.vid = c.vec_id AND ac.cell = aq.cell
+      WHERE q.vec_id >= {IVF_CENTROID_MAX}
+        AND q.vec_id < {IVF_CENTROID_MAX + TOPK_QUERY_MAX}
+        AND c.vec_id >= {IVF_CENTROID_MAX + TOPK_QUERY_MAX}
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= {TOPK_K}
+"""
+
 EXTENDED_ORACLES["x3_ann_recall"] = f"""
     WITH e1 AS ({EXTENDED_ORACLES['x3_cosine_topk']}),
     a1 AS ({EXTENDED_ORACLES['x3_ann_topk_lsh']}),
+    a1m AS ({_ANN_LSH_H1}),
     e2 AS ({_EXACT_TOPK_IVF}),
     a2 AS ({EXTENDED_ORACLES['x3_ivf_topk']}),
+    a2p AS ({_IVF_NP2}),
     m AS (
       SELECT 'lsh' AS method,
              (SELECT count(*) FROM e1) AS n_exact,
              (SELECT count(*) FROM e1 JOIN a1 USING (qid, cid)) AS hits
       UNION ALL
+      SELECT 'lsh_h1' AS method,
+             (SELECT count(*) FROM e1) AS n_exact,
+             (SELECT count(*) FROM e1 JOIN a1m USING (qid, cid)) AS hits
+      UNION ALL
       SELECT 'ivf' AS method,
              (SELECT count(*) FROM e2) AS n_exact,
              (SELECT count(*) FROM e2 JOIN a2 USING (qid, cid)) AS hits
+      UNION ALL
+      SELECT 'ivf_p2' AS method,
+             (SELECT count(*) FROM e2) AS n_exact,
+             (SELECT count(*) FROM e2 JOIN a2p USING (qid, cid)) AS hits
     )
     SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(hits AS BIGINT) AS hits,
            ROUND(CAST(hits AS DOUBLE) / n_exact, 4) AS recall

@@ -906,6 +906,32 @@ SPAN_DOCS = [
 ]
 
 
+def test_ann_multiprobe_recall_monotone(spark, sf_small):
+    # multi-probe candidate sets are supersets of the single-probe ones,
+    # so recall@k vs the exact ranking must not drop
+    import __spark_entry__ as entry
+
+    rec = {
+        r["method"]: r["recall"]
+        for r in entry.queries()["x3_ann_recall"](spark, sf_small).collect()
+    }
+    assert set(rec) == {"lsh", "lsh_h1", "ivf", "ivf_p2"}
+    assert rec["lsh_h1"] >= rec["lsh"]
+    assert rec["ivf_p2"] >= rec["ivf"]
+
+
+def test_ivf_assign_nprobe_rows(spark):
+    import pyspark.sql.functions as SF
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(10 - i)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = vecs.where(SF.col("vec_id") < 3)
+    two = S.ivf_assign(vecs, cents, n=2).groupBy("vid").count().collect()
+    assert all(r["count"] == 2 for r in two)
+
+
 def test_lang_classify_separable(spark):
     rows = [
         (1, "en", "the quick brown fox and the lazy dog went to the market"),
