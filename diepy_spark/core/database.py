@@ -23,45 +23,111 @@ from diepy_spark.core.config import connection_url
 from diepy_spark.functions.inference import ColumnSpec, to_create_table_column_types, to_struct_type
 
 
-class JdbcBackend:
-    """JDBC-backed storage (reference's RDBMS role). Not exercisable in this
-    container (no JDBC driver jars) but the full surface is here: reads use
-    partitioned scans when partition_column is given; writes batch at 1000."""
+# URL scheme -> JDBC driver class. Spark must be told the class explicitly
+# when the jar arrives via spark.jars (its classloader, not the system
+# one): java.sql.DriverManager's ServiceLoader scan runs at JVM boot and
+# never sees late-added jars, so getDriver(url) throws "No suitable
+# driver"; with option("driver", ...) Spark Class.forName's it through the
+# right loader and wraps it (DriverRegistry).
+_DRIVER_CLASSES = {
+    "jdbc:duckdb:": "org.duckdb.DuckDBDriver",
+    "jdbc:sqlite:": "org.sqlite.JDBC",
+    "jdbc:h2:": "org.h2.Driver",
+    "jdbc:postgresql:": "org.postgresql.Driver",
+    "jdbc:mysql:": "com.mysql.cj.jdbc.Driver",
+}
 
-    def __init__(self, spark: SparkSession, url: str):
+
+def _driver_for_url(url: str) -> str | None:
+    for prefix, cls in _DRIVER_CLASSES.items():
+        if url.startswith(prefix):
+            return cls
+    return None
+
+
+class JdbcBackend:
+    """JDBC-backed storage (reference's RDBMS role): reads use partitioned
+    scans when partition_column is given; writes batch at 1000. Exercised
+    live (tests/test_jdbc_live.py) whenever session.find_jdbc_jars()
+    discovers a driver jar; contract-tested by recording otherwise."""
+
+    def __init__(self, spark: SparkSession, url: str, driver: str | None = None):
         self.spark = spark
         self.url = url
+        self.driver = driver if driver is not None else _driver_for_url(url)
+
+    def _opts(self, rw):
+        rw = rw.option("url", self.url)
+        if self.driver:
+            rw = rw.option("driver", self.driver)
+        return rw
 
     def table_exists(self, table: str, schema: str | None = None) -> bool:
         name = f"{schema}.{table}" if schema else table
         try:
-            self.spark.read.format("jdbc").option("url", self.url).option(
+            self._opts(self.spark.read.format("jdbc")).option(
                 "dbtable", f"(SELECT 1 FROM {name} WHERE 1=0) probe"
             ).load().schema
             return True
         except Exception:
             return False
 
+    def _execute_update(self, sql: str) -> None:
+        """One DDL statement over a direct JDBC connection in the JVM.
+        DDL goes driver-side because Spark's v1 JDBC sink can only CREATE
+        TABLE after its dialect classifies the probe failure as
+        object-not-found (isObjectNotFoundException), which drivers that
+        don't set SQLState (DuckDB) defeat — the probe SQLException
+        rethrows instead of returning false. One statement, one
+        connection; all data movement stays on the parallel Spark path."""
+        jvm = self.spark._jvm
+        if self.driver:
+            jvm.org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry.register(
+                self.driver
+            )
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
     def create_table(self, table: str, specs: list[ColumnSpec], schema: str | None = None) -> None:
+        """CREATE TABLE from the inferred DDL surface (varchar buckets /
+        SMALLINT / TIME — to_create_table_column_types, the reference's
+        emitted types). Raises FileExistsError when the table exists
+        (WarehouseBackend parity)."""
         name = f"{schema}.{table}" if schema else table
-        empty = self.spark.createDataFrame([], to_struct_type(specs))
-        (
-            empty.write.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", name)
-            .option("createTableColumnTypes", to_create_table_column_types(specs))
-            .mode("errorifexists")
-            .save()
+        if self.table_exists(table, schema):
+            raise FileExistsError(f"table {name} already exists")
+        self._execute_update(
+            f"CREATE TABLE {name} ({to_create_table_column_types(specs)})"
         )
 
-    def append(self, df: DataFrame, table: str, schema: str | None = None, truncate: bool = False) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: str | None = None,
+        truncate: bool = False,
+        num_partitions: int | None = None,
+    ) -> None:
+        """num_partitions caps the write connections (Spark coalesces the
+        frame first). Pass 1 for single-writer targets (file DBs like
+        DuckDB/SQLite) — the same single-connection shape as the
+        reference's executemany loop; leave None for server databases
+        where parallel inserts are the point."""
         name = f"{schema}.{table}" if schema else table
         writer = (
-            df.write.format("jdbc")
-            .option("url", self.url)
+            self._opts(df.write.format("jdbc"))
             .option("dbtable", name)
             .option("batchsize", 1000)
         )
+        if num_partitions is not None:
+            writer = writer.option("numPartitions", num_partitions)
         if truncate:
             writer.option("truncate", True).mode("overwrite").save()
         else:
@@ -70,8 +136,7 @@ class JdbcBackend:
     def read_table(self, table: str, schema: str | None = None) -> DataFrame:
         name = f"{schema}.{table}" if schema else table
         return (
-            self.spark.read.format("jdbc")
-            .option("url", self.url)
+            self._opts(self.spark.read.format("jdbc"))
             .option("dbtable", name)
             .load()
         )

@@ -54,18 +54,61 @@ def decode_stub(payload: bytes, strict: bool = False) -> tuple[int, int]:
     return (payload[0] % 256, len(payload) % 256)
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id", strict: bool = False) -> DataFrame:
-    """Vectorized 'decode' over Arrow batches via mapInPandas.
+def codecs_available() -> bool:
+    """Feature probe: True when a real image codec (PIL) is importable.
+    The sandbox ships none; when one appears, decode_media's real path
+    activates without touching the Arrow plumbing."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    The UDF signature, batch iteration, and output schema are exactly what a
-    real image decode would use; only the pixel work is the stub."""
+        return True
+    except ImportError:
+        return False
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strict: bool = False,
+    use_codecs: bool | None = None,
+) -> DataFrame:
+    """Vectorized decode over Arrow batches via mapInPandas.
+
+    use_codecs=None probes for PIL (codecs_available) at plan build;
+    True decodes real pixels (Image.open per payload, stub fallback for
+    undecodable bytes); False pins the deterministic stub — the DECLARED
+    x6 queries pass False so their oracle hashes cannot flip if codecs
+    appear in the environment. The UDF signature, batch iteration, and
+    output schema are identical on every path; only the pixel work
+    changes. Probe runs driver-side: on a heterogeneous cluster where
+    executors lack PIL, pass use_codecs explicitly."""
+    if use_codecs is None:
+        use_codecs = codecs_available()
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        if use_codecs:
+            import io as _io
+
+            from PIL import Image
+
+            def _dims(p):
+                if not p:
+                    return (0, 0)
+                try:
+                    with Image.open(_io.BytesIO(p)) as im:
+                        return im.size
+                except Exception:
+                    return decode_stub(p, strict)
+        else:
+
+            def _dims(p):
+                return decode_stub(p, strict)
+
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [decode_stub(p, strict) for p in payloads]
+            dims = [_dims(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -215,8 +215,11 @@ def x5_quality_score(spark, sf_dir):
 
 
 def x6_media_meta(spark, sf_dir):
+    # use_codecs=False PINS the deterministic stub dims: the payloads here
+    # are fake (text bytes), and the oracle hash must not flip if an image
+    # codec appears in the environment (decode_media probes PIL otherwise)
     d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
-    return M.decode_media(M.with_binary_payload(d)).orderBy("doc_id")
+    return M.decode_media(M.with_binary_payload(d), use_codecs=False).orderBy("doc_id")
 
 
 def x6_frame_sample(spark, sf_dir):

@@ -10,6 +10,7 @@ Defaults chosen for correctness + 100 TB-mindset:
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import SparkSession
@@ -40,6 +41,38 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def find_jdbc_jars() -> list[str]:
+    """Best-effort discovery of JDBC driver jars in standard local
+    artifact caches (coursier, maven, system java dirs). The Spark distro
+    ships no database drivers, so the live-JDBC path (core/database.py
+    JdbcBackend, tests/test_jdbc_live.py) only activates when a cached
+    driver jar (e.g. org.duckdb:duckdb_jdbc from Maven) is discoverable.
+    Override or disable with SPARK_GRAFT_JDBC_JARS (comma-separated
+    paths; empty string = none). Results are static per process — call
+    before the first get_spark (jars are a JVM-start config)."""
+    env = os.environ.get("SPARK_GRAFT_JDBC_JARS")
+    if env is not None:
+        return [p for p in env.split(",") if p]
+    pats = (
+        "duckdb_jdbc*.jar",
+        "sqlite-jdbc*.jar",
+        "h2-[0-9]*.jar",
+        "postgresql-[0-9]*.jar",
+    )
+    roots = (
+        os.path.expanduser("~/.cache/coursier"),
+        os.path.expanduser("~/.m2"),
+        "/usr/share/java",
+    )
+    out: set[str] = set()
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for pat in pats:
+            out.update(glob.glob(os.path.join(root, "**", pat), recursive=True))
+    return sorted(out)
+
+
 def get_spark(app_name: str = "diepy-spark", cpus: str | None = None) -> SparkSession:
     """Build (or fetch) a local session with engine defaults."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -51,6 +84,9 @@ def get_spark(app_name: str = "diepy-spark", cpus: str | None = None) -> SparkSe
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
+    jars = find_jdbc_jars()
+    if jars:
+        builder = builder.config("spark.jars", ",".join(jars))
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())

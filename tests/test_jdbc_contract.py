@@ -78,21 +78,26 @@ def backend():
     return b, log
 
 
-def test_create_table_emits_ddl_types(backend):
+def test_create_table_emits_ddl_types(backend, monkeypatch):
+    # DDL executes driver-side (one connection, one statement — see
+    # JdbcBackend._execute_update for why Spark's sink can't create on
+    # SQLState-less drivers); the full reference DDL surface rides in the
+    # emitted CREATE TABLE: varchar bucket, INT (40000 > smallint), TIME
     b, log = backend
     specs = _specs()
+    ddl: list[str] = []
+    monkeypatch.setattr(b, "_execute_update", ddl.append)
+    monkeypatch.setattr(b, "table_exists", lambda *a, **k: False)
     b.create_table("people", specs, schema="s")
-    (w,) = log
-    assert w.fmt == "jdbc"
-    assert w.opts["url"] == "jdbc:postgresql://db/x"
-    assert w.opts["dbtable"] == "s.people"
-    # the full reference DDL surface rides in createTableColumnTypes:
-    # varchar bucket, INT (40000 > smallint max), TIME
-    assert w.opts["createTableColumnTypes"] == to_create_table_column_types(specs)
-    assert w.opts["createTableColumnTypes"] == "name VARCHAR(50), n INT, t TIME"
-    assert w.saved_mode == "errorifexists"
-    # the empty frame carries the Spark-side schema
-    assert [f.name for f in b.spark.created_schemas[0].fields] == ["name", "n", "t"]
+    assert ddl == ["CREATE TABLE s.people (name VARCHAR(50), n INT, t TIME)"]
+    assert to_create_table_column_types(specs) == "name VARCHAR(50), n INT, t TIME"
+
+
+def test_create_table_refuses_existing(backend, monkeypatch):
+    b, log = backend
+    monkeypatch.setattr(b, "table_exists", lambda *a, **k: True)
+    with pytest.raises(FileExistsError):
+        b.create_table("people", _specs())
 
 
 def test_append_batches_at_1000(backend):

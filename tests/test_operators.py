@@ -906,6 +906,27 @@ SPAN_DOCS = [
 ]
 
 
+def test_decode_media_real_codec_path(spark):
+    # gated on a real codec being importable: generate a tiny real image,
+    # push it through the SAME Arrow plumbing, expect true pixel dims
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
+    (row,) = M.decode_media(df, use_codecs=True).collect()
+    assert (row["width"], row["height"]) == (5, 3)
+
+
+def test_decode_media_stub_pinned_without_codecs(spark):
+    # use_codecs=False must produce the deterministic stub dims regardless
+    # of environment — the declared x6 queries depend on this pin
+    df = spark.createDataFrame([(1, b"abcd")], "doc_id long, payload binary")
+    (row,) = M.decode_media(df, use_codecs=False).collect()
+    assert (row["width"], row["height"]) == (ord("a") % 256, 4 % 256)
+
+
 def test_ann_multiprobe_recall_monotone(spark, sf_small):
     # multi-probe candidate sets are supersets of the single-probe ones,
     # so recall@k vs the exact ranking must not drop
