@@ -918,7 +918,11 @@ def strip_duplicated_spans(
         n_orig.join(rebuilt, "d", "left")
         .select(
             F.col("d").alias(id_col),
-            F.expr("array_join(transform(ss, s -> s.tok), ' ')").alias("text"),
+            # a doc whose every token is cut (a full non-canonical
+            # duplicate) has no surviving rows -> empty text, not NULL
+            F.coalesce(
+                F.expr("array_join(transform(ss, s -> s.tok), ' ')"), F.lit("")
+            ).alias("text"),
             "n_tokens",
             (F.col("n_tokens") - F.coalesce(F.size("ss"), F.lit(0))).alias(
                 "n_removed"

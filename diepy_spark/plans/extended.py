@@ -794,6 +794,15 @@ def x1_span_dedup(spark, sf_dir):
     )
 
 
+def x1_span_strip(spark, sf_dir):
+    """The CONSUMING operator of span dedup
+    (operators/dedup.py:strip_duplicated_spans): Lee et al. keep-one-copy
+    removal — every duplicated-span occurrence except the canonical
+    (min doc, min pos) one is cut, documents rebuilt from surviving
+    tokens. A full non-canonical duplicate rebuilds to empty text."""
+    return D.strip_duplicated_spans(_docs(spark, sf_dir), L=SPAN_L).orderBy("doc_id")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -847,6 +856,7 @@ EXTENDED_QUERIES = {
     "x3_tfidf_cosine_pairs": x3_tfidf_cosine_pairs,
     "x1_span_dedup": x1_span_dedup,
     "x5_lang_classify": x5_lang_classify,
+    "x1_span_strip": x1_span_strip,
 }
 
 
@@ -1948,6 +1958,50 @@ EXTENDED_ORACLES["x1_span_dedup"] = f"""
            CAST(count(*) AS BIGINT) AS n_grams
     FROM isl GROUP BY d, island
     ORDER BY doc_id, span_start
+"""
+
+# Keep-one-copy span removal: canonical occurrence per duplicated gram =
+# (min doc, min pos) via ROW_NUMBER over the gram; a token survives when
+# no covering occurrence is a non-canonical duplicate or at least one is
+# canonical (max(is_canon)) — symbol-for-symbol strip_duplicated_spans.
+EXTENDED_ORACLES["x1_span_strip"] = f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.i, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
+                      generate_subscripts({_TOKS_EXPR}, 1) AS i) t
+    ),
+    g AS (
+      SELECT d, i, tok || ' ' || {_SPAN_LEADS} AS s FROM tk
+      QUALIFY lead(tok, {SPAN_L - 1}) OVER (PARTITION BY d ORDER BY i) IS NOT NULL
+    ),
+    dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+    f AS (SELECT g.d, g.i, g.s FROM g JOIN dup USING (s)),
+    canon AS (
+      SELECT d, i, s,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY s ORDER BY d, i) = 1
+                  THEN 1 ELSE 0 END AS ic
+      FROM f
+    ),
+    cover AS (
+      SELECT canon.d, p.p, canon.ic FROM canon,
+      LATERAL (SELECT unnest(generate_series(i, i + {SPAN_L - 1})) AS p) p
+    ),
+    cut AS (SELECT d, p FROM cover GROUP BY d, p HAVING max(ic) = 0),
+    kept AS (
+      SELECT tk.d, tk.i, tk.tok FROM tk
+      LEFT JOIN cut ON cut.d = tk.d AND cut.p = tk.i
+      WHERE cut.d IS NULL
+    ),
+    reb AS (
+      SELECT d, string_agg(tok, ' ' ORDER BY i) AS text, count(*) AS n_kept
+      FROM kept GROUP BY d
+    ),
+    norig AS (SELECT d, count(*) AS n_tokens FROM tk GROUP BY d)
+    SELECT norig.d AS doc_id, coalesce(reb.text, '') AS text,
+           CAST(norig.n_tokens AS BIGINT) AS n_tokens,
+           CAST(norig.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM norig LEFT JOIN reb ON reb.d = norig.d
+    ORDER BY doc_id
 """
 
 # Char-trigram extraction shared with the x5_ngram_profile oracle; every

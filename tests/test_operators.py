@@ -1004,6 +1004,17 @@ def test_strip_duplicated_spans_keeps_canonical(spark):
     assert got[4] == ("m n o p z1 z2", 10, 4)        # keep first occurrence
 
 
+def test_strip_duplicated_spans_full_duplicate_empties(spark):
+    # an exact duplicate doc is one maximal span, entirely non-canonical
+    # -> rebuilds to EMPTY text (not NULL — pinned for the oracle hash)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in
+           D.strip_duplicated_spans(df, L=4).collect()}
+    assert got == {1: ("a b c d e", 0), 2: ("", 5)}
+
+
 def test_strip_duplicated_spans_short_docs_pass_through(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, ""), (3, "a b")], "doc_id long, text string"
