@@ -565,7 +565,14 @@ def lang_classify(
             .alias("w"),
         )
     )
-    feats = dg.groupBy("d").agg(F.sum("cnt").alias("n_grams"))
+    # total grams per doc is a CLOSED FORM of the text length (every
+    # position yields one n-gram), so the feature frame is a narrow
+    # projection — no dependency on the exploded gram stream, one fewer
+    # aggregate consumer of dg
+    feats = df.where(F.length(text_col) >= n).select(
+        F.col(id_col).alias("d"),
+        (F.length(text_col) - F.lit(n - 1)).cast("bigint").alias("n_grams"),
+    )
     matched = (
         dg.select("d", "gram", "cnt")
         .join(F.broadcast(grid.select(F.col("_lang").alias("cand"), "gram", "w")), "gram")
