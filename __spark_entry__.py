@@ -37,17 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
 # force, cross-split broadcast knob, stratified typed fractions), then
 # (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  Eleven round-2 rows are displaced past the window and keep
+# order).  Twelve round-2 rows are displaced past the window and keep
 # their round-2 greens (2 rounds old — the round-5 front-load):
-# x9_merge_upsert, x5_repetition, x5_pii_redact, x2_contamination,
-# x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack, x3_quantize_int8,
-# x10_clean_corpus, x5_lm_score, x2_minhash_est.  Everything not named
-# keeps its round-2/3 green as the standing record.
+# x8_grouped_linfit, x9_merge_upsert, x5_repetition, x5_pii_redact,
+# x2_contamination, x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack,
+# x3_quantize_int8, x10_clean_corpus, x5_lm_score, x2_minhash_est.
+# Everything not named keeps its round-2/3 green as the standing record.
 _PRIORITY = [
     # new in round 4 (no driver row at all)
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",
+    "x5_shard_pack",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # last driver-checked in round 1 — the documented round-4 front-load
@@ -99,7 +100,6 @@ _PRIORITY = [
     "x8_hash_split",
     "x8_hash_sample",
     "x8_weighted_sample",
-    "x8_grouped_linfit",
 ]
 
 

@@ -345,6 +345,58 @@ def chunk_tokens(
     )
 
 
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budgeted corpus SHARDING: assign each document to an output
+    shard so that every (group, shard) holds at most ~budget_tokens word
+    tokens — the step that turns a cleaned corpus into training files of
+    roughly equal token count (chunk_tokens is the within-doc sibling;
+    this packs across docs). Streaming first-fit in id order: a doc goes
+    to shard floor(cum_tokens_before / budget), so a shard may overflow
+    by at most one document (the standard one-pass packing bound);
+    deterministic because the order is the stable id, never arrival.
+
+    Scale design: token counts are a narrow projection; the only state is
+    ONE running-sum window partitioned by `group_col` — packing
+    parallelizes across groups (sources/languages), which is how a 100 TB
+    corpus shards in practice. A single global pack would serialize into
+    one partition; that is the physics of exact sequential packing, so
+    this operator requires a group column and leaves global packing to a
+    two-level compose (pack per group, then concatenate shard ranges).
+
+    Output: (id_col, group_col, shard, n_tokens) — int shard ids from 0
+    per group. Zero-token docs pack too (they consume no budget)."""
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.dedup import _ident
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    _ident(group_col)
+    tf = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.expr(f"size({tokens_expr(text_col)})").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return tf.select(
+        id_col,
+        group_col,
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("int").alias("shard"),
+        "n_tokens",
+    )
+
+
 def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Unigram language-model scoring (the CCNet-style perplexity quality
     filter, Wenzek et al. 2020, with the simplest possible LM): train a

@@ -794,6 +794,27 @@ def x1_span_dedup(spark, sf_dir):
     )
 
 
+SHARD_BUDGET = 2000  # tokens per training shard
+
+
+def x5_shard_pack(spark, sf_dir):
+    """Token-budgeted corpus sharding (operators/text.py:pack_shards):
+    one-pass first-fit packing of docs into ~SHARD_BUDGET-token shards
+    per source — the cleaned-corpus -> training-files step. Output: per
+    (source, shard) doc and token totals plus the max doc id (a spot
+    check that packing order is the stable id order)."""
+    p = T.pack_shards(_docs(spark, sf_dir), budget_tokens=SHARD_BUDGET)
+    return (
+        p.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
 def x1_span_strip(spark, sf_dir):
     """The CONSUMING operator of span dedup
     (operators/dedup.py:strip_duplicated_spans): Lee et al. keep-one-copy
@@ -857,6 +878,7 @@ EXTENDED_QUERIES = {
     "x1_span_dedup": x1_span_dedup,
     "x5_lang_classify": x5_lang_classify,
     "x1_span_strip": x1_span_strip,
+    "x5_shard_pack": x5_shard_pack,
 }
 
 
@@ -1958,6 +1980,27 @@ EXTENDED_ORACLES["x1_span_dedup"] = f"""
            CAST(count(*) AS BIGINT) AS n_grams
     FROM isl GROUP BY d, island
     ORDER BY doc_id, span_start
+"""
+
+# Packing mirror: the same running-sum window (cum BEFORE the doc, so a
+# shard overflows by at most one doc); integer floor division both sides.
+EXTENDED_ORACLES["x5_shard_pack"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS_EXPR}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {SHARD_BUDGET} AS INT) AS shard
+      FROM t
+    )
+    SELECT source, shard, CAST(count(*) AS BIGINT) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           max(doc_id) AS max_doc_id
+    FROM p GROUP BY source, shard
+    ORDER BY source, shard
 """
 
 # Keep-one-copy span removal: canonical occurrence per duplicated gram =

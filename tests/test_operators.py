@@ -953,6 +953,26 @@ def test_ivf_assign_nprobe_rows(spark):
     assert all(r["count"] == 2 for r in two)
 
 
+def test_pack_shards_first_fit(spark):
+    rows = [(i, "g", "a b c") for i in range(1, 5)]  # 3 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r["shard"] for r in
+           T.pack_shards(df, budget_tokens=5).collect()}
+    # cum-before: 0,3,6,9 -> shards 0,0,1,1 (shard 0 overflows by one doc)
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_pack_shards_per_group_and_empty_docs(spark):
+    rows = [(1, "a", "x y"), (2, "a", ""), (3, "b", "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"]) for r in
+           T.pack_shards(df, budget_tokens=3).collect()}
+    # groups pack independently; empty doc consumes no budget
+    assert got == {1: (0, 2), 2: (0, 0), 3: (0, 4)}
+    with pytest.raises(ValueError):
+        T.pack_shards(df, budget_tokens=0)
+
+
 def test_lang_classify_separable(spark):
     rows = [
         (1, "en", "the quick brown fox and the lazy dog went to the market"),
