@@ -898,6 +898,78 @@ def test_domain_mix(spark):
     assert got[("books", "de")]["token_share"] == 0.5
 
 
+def _brute_spans(docs: dict, L: int):
+    """Driver-side reference implementation of duplicated_spans: count
+    every L-gram, flag occurrences with corpus count >= 2, merge flagged
+    starts whose gap <= L into maximal spans."""
+    from collections import Counter
+
+    cnt = Counter()
+    grams = {}
+    for d, toks in docs.items():
+        g = [tuple(toks[i:i + L]) for i in range(len(toks) - L + 1)]
+        grams[d] = g
+        cnt.update(g)
+    out = []
+    for d, g in grams.items():
+        spans = []
+        last_start = None
+        for i, gr in enumerate(g, start=1):
+            if cnt[gr] < 2:
+                continue
+            if last_start is not None and i - last_start <= L:
+                s, _, n = spans[-1]
+                spans[-1] = (s, i, n + 1)
+            else:
+                spans.append((i, i, 1))
+            last_start = i
+        out.extend((d, s, e + L - 1, e + L - 1 - s + 1, n) for s, e, n in spans)
+    return sorted(out)
+
+
+def test_duplicated_spans_random_vs_bruteforce(spark):
+    # seeded pseudo-random corpora over a tiny vocabulary: duplicated
+    # grams are dense, island merges and within-doc repeats are exercised
+    # far past the handcrafted cases
+    import random
+
+    L = 3
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        docs = {
+            d: [rng.choice("abcdef") for _ in range(rng.randint(0, 12))]
+            for d in range(1, 21)
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+            for r in D.duplicated_spans(df, L=L).collect()
+        )
+        assert got == _brute_spans(docs, L), f"seed={seed}"
+
+
+def test_pack_shards_random_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (d, rng.choice(["a", "b"]), " ".join("tok" for _ in range(rng.randint(0, 9))))
+        for d in range(1, 41)
+    ]
+    budget = 10
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"]) for r in
+           T.pack_shards(df, budget_tokens=budget).collect()}
+    cum = {}
+    for d, src, text in rows:  # id order within group
+        n = len(text.split()) if text else 0
+        before = cum.get(src, 0)
+        assert got[d] == (before // budget, n), d
+        cum[src] = before + n
+
+
 SPAN_DOCS = [
     (1, "a b c d e f g h"),
     (2, "x x a b c d e f z z"),          # shares the 6-token run a..f with doc 1
