@@ -37,11 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
 # force, cross-split broadcast knob, stratified typed fractions), then
 # (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  Twelve round-2 rows are displaced past the window and keep
-# their round-2 greens (2 rounds old — the round-5 front-load):
-# x8_grouped_linfit, x9_merge_upsert, x5_repetition, x5_pii_redact,
-# x2_contamination, x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack,
-# x3_quantize_int8, x10_clean_corpus, x5_lm_score, x2_minhash_est.
+# order).  The 7 mid-round additions (r45/r46/x8_bloom/x9_diff/x11_tri/
+# x2_fuzzy/x12_dq) joined group (a), pushing the window tail 7 deeper:
+# the last 7 of group (d) (x8_hash_split, x8_hash_sample,
+# x8_weighted_sample, x3_label_centroids, x5_tfidf, x5_vocab, x5_winnow)
+# keep their round-2/3 greens and move to the round-5 front-load along
+# with the twelve already-displaced round-2 rows (x8_grouped_linfit,
+# x9_merge_upsert, x5_repetition, x5_pii_redact, x2_contamination,
+# x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack, x3_quantize_int8,
+# x10_clean_corpus, x5_lm_score, x2_minhash_est).
 # Everything not named keeps its round-2/3 green as the standing record.
 _PRIORITY = [
     # new in round 4 (no driver row at all)
@@ -49,6 +53,13 @@ _PRIORITY = [
     "x1_span_strip",
     "x5_lang_classify",
     "x5_shard_pack",
+    "r45_cohort_retention",
+    "r46_market_basket",
+    "x8_bloom_semijoin",
+    "x9_snapshot_diff",
+    "x11_triangle_count",
+    "x2_fuzzy_join",
+    "x12_dq_profile",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # last driver-checked in round 1 — the documented round-4 front-load

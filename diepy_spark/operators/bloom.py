@@ -1,0 +1,107 @@
+"""Bloom-filter semi-join: the shuffle-free alternative to a semi join.
+
+A classic semi join (``WHERE key IN (SELECT ...)``) shuffles BOTH sides on
+the key. When the probe side is the 100 TB fact table and the build side is
+merely large-ish (too big to broadcast raw, small enough to sketch), the
+scale-correct plan is: build a Bloom filter over the build side's keys (a
+few KB–MB regardless of build-side row width), broadcast the filter, and
+bit-test the probe side in a pure projection — no probe-side shuffle at
+all. False positives pass through (to be removed by the real join later if
+exactness is required); false negatives never occur. This is exactly what
+Spark's own runtime-filter optimization (`spark.sql.optimizer.
+runtimeFilter.bloomFilter.enabled`) injects for selective joins; this
+operator is the EXPLICIT, engine-portable form whose bit pattern is
+deterministic — so the same filter can be computed (and the result
+hash-verified) in any engine with md5 + integer arithmetic.
+
+Portability contract: positions derive from non-overlapping 4-nibble
+slices of ``md5(seed || ':' || key)`` — pure ``instr``/``substr``
+arithmetic identical in Spark SQL and DuckDB (same trick as
+operators/sketch.py:hex_frac_sql, integer- instead of fraction-valued).
+``m`` must divide 16**4 (slice values are uniform mod m only then).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hex_int_sql", "bloom_build", "bloom_probe", "bloom_position_sql"]
+
+_HEX = "0123456789abcdef"
+
+
+def hex_int_sql(col: str, start: int, nibbles: int = 4) -> str:
+    """SQL expression for the integer value of ``nibbles`` hex chars of
+    `col` starting at 1-based `start`. Identical in Spark SQL and DuckDB."""
+    terms = [
+        f"(instr('{_HEX}', substr({col},{start + i},1))-1)*{16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bloom_position_sql(key_sql: str, seed: str, i: int, m: int) -> str:
+    """Bit position of hash function `i` for `key_sql` in an m-bit filter.
+
+    Each hash uses its own 4-nibble slice of one shared md5 — 16 bits per
+    slice, so k <= 8 and m must divide 65536."""
+    if 16 ** 4 % m != 0:
+        raise ValueError(f"m={m} must divide 65536 for uniform slices")
+    md5 = f"md5(concat('{seed}:', CAST({key_sql} AS STRING)))"
+    return f"({hex_int_sql(md5, 1 + 4 * i)} % {m})"
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m: int = 16384, k: int = 3, seed: str = "bloom"
+) -> DataFrame:
+    """Aggregate the distinct keys of `df` into ONE row holding the filter
+    as a word->mask map (32-bit words, ceil(m/32) entries max, absent word
+    == all-zero). One shuffle of (word, bit) pairs — map-side combined to
+    at most m/32 rows per task — then a singleton map_from_entries.
+
+    The single-row result is meant to be broadcast (crossJoin) onto the
+    probe side; at m = 16 Ki bits the map is ~4 KB."""
+    pos = [
+        F.expr(bloom_position_sql(key_col, seed, i, m)).alias(f"p{i}")
+        for i in range(k)
+    ]
+    bits = (
+        df.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            (F.col("pos") / 32).cast("int").alias("word"),
+            F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double"))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    return bits.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("word", "mask")))
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    key_col: str,
+    bloom_row: DataFrame,
+    m: int = 16384,
+    k: int = 3,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Filter `probe` to rows whose `key_col` the Bloom filter accepts
+    (all k bits set). Plan: broadcast the 1-row filter map, then a pure
+    projection per probe row — zero probe-side shuffle, fully codegen'd.
+    """
+    out = probe.crossJoin(F.broadcast(bloom_row))
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.expr(bloom_position_sql(key_col, seed, i, m))
+        word = (pos / 32).cast("int")
+        bit = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+        mask = F.element_at(F.col("bloom"), word)
+        cond = cond & mask.isNotNull() & (mask.bitwiseAND(bit) != 0)
+    return out.where(cond).drop("bloom")

@@ -39,6 +39,7 @@ __all__ = [
     "connected_components_two_phase",
     "dedup_corpus",
     "dedup_stats",
+    "triangle_count",
 ]
 
 
@@ -389,3 +390,77 @@ def pagerank(
             ).alias("r"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle counting with DEGREE-BASED ORIENTATION — the
+    standard distributed-join formulation (the MR adaptation of
+    Schank/Wagner's forward algorithm; same shape as Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+
+    Input: an edge list, interpreted as UNDIRECTED (self-loops dropped,
+    direction and multiplicity ignored). Output: one row per triangle
+    vertex — ``node`` + ``tri`` (number of triangles through it).
+
+    Why orientation matters at scale: the naive wedge join generates
+    sum-over-nodes deg² candidates — a single celebrity node with 10M
+    neighbors yields 10^14 wedges (the "last reducer" that never
+    finishes). Orienting every edge from the (degree, id)-lower endpoint
+    to the higher one caps every out-degree at O(sqrt(|E|)), so the wedge
+    join is bounded by |E|^1.5 TOTAL and no reducer is hot, while still
+    counting each triangle exactly once (its lowest-ordered vertex emits
+    the wedge). Two shuffles build degrees + orientation; the triangle
+    step is one self-join on the wedge midpoint plus one semi-join back
+    onto the oriented edge set — all equi-joins AQE can re-plan.
+
+    Determinism: the (degree, id) total order is data-defined, so output
+    is independent of partitioning and engine (oracle-checkable).
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: s -> t iff (deg(s), s) < (deg(t), t)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    # wedges from each low vertex: s -> t1, s -> t2 with (t1, t2) oriented
+    e1 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_a"))
+    e2 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_b"))
+    wedges = e1.join(e2, "w_s").where(F.col("w_a") != F.col("w_b"))
+    # the closing edge w_a -> w_b exists in oriented form exactly once for
+    # the correctly-ordered one of the two (w_a, w_b) permutations
+    closing = oriented.select(F.col("s").alias("w_a"), F.col("t").alias("w_b"))
+    tris = wedges.join(closing, ["w_a", "w_b"])
+    per_node = (
+        tris.select(F.col("w_s").alias("node"))
+        .unionAll(tris.select(F.col("w_a").alias("node")))
+        .unionAll(tris.select(F.col("w_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return per_node

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "snapshot_diff"]
 
 _SRC = "__diepy_src"
 _RN = "__diepy_rn"
@@ -60,4 +60,59 @@ def merge_upsert(
         .withColumn(_RN, F.row_number().over(w))
         .where(F.col(_RN) == 1)
         .drop(_RN, _SRC)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The inverse of :func:`merge_upsert`: given two snapshots of a keyed
+    table, derive the CHANGESET that turns `old` into `new` — one row per
+    changed key with ``change_type`` in ``('insert', 'delete', 'update')``.
+    Unchanged keys are dropped. Output columns: the key columns, then
+    ``change_type``, then ``old_<c>`` / ``new_<c>`` for every compare
+    column (NULL on the side the key is absent from).
+
+    ``compare_cols`` defaults to every shared non-key column. Two rows are
+    "unchanged" when all compare columns are null-safe-equal (``<=>``).
+
+    Scale: ONE full outer join on the key — both sides shuffle once on the
+    same key, so with key-bucketed storage neither side shuffles at all.
+    The change classification is a pure projection (codegen'd). This is
+    the snapshot-reconciliation shape (audit two loads, build an
+    incremental feed from full dumps); at 100 TB the practical deployment
+    partitions both snapshots by the same ingest-date/bucket layout so the
+    join is per-partition zipper, and the changeset out the other end is
+    exactly what `merge_upsert` (or a warehouse MERGE) replays.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *key_cols, *compare_cols, F.lit(1).alias("__in_old")
+    ).withColumnsRenamed({c: f"old_{c}" for c in compare_cols})
+    n = new.select(
+        *key_cols, *compare_cols, F.lit(1).alias("__in_new")
+    ).withColumnsRenamed({c: f"new_{c}" for c in compare_cols})
+    j = o.join(n, on=key_cols, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    out_cols = (
+        [*key_cols, F.col("__ct").alias("change_type")]
+        + [f"old_{c}" for c in compare_cols]
+        + [f"new_{c}" for c in compare_cols]
+    )
+    return (
+        j.withColumn("__ct", change)
+        .where(F.col("__ct").isNotNull())
+        .select(*out_cols)
     )

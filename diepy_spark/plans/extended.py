@@ -824,6 +824,184 @@ def x1_span_strip(spark, sf_dir):
     return D.strip_duplicated_spans(_docs(spark, sf_dir), L=SPAN_L).orderBy("doc_id")
 
 
+BLOOM_M = 16384
+BLOOM_K = 3
+BLOOM_SEED = "bloom"
+BLOOM_SEGMENT = "BUILDING"
+
+
+def x8_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join (operators/bloom.py): orders of customers in
+    one market segment, filtered by a BROADCAST 16 Ki-bit Bloom filter of
+    the segment's custkeys instead of a key shuffle — the runtime-filter
+    pattern Spark injects for selective joins, made explicit and
+    engine-portable (md5-slice bit positions, deterministic down to the
+    bit, so false positives are REPRODUCIBLE and the oracle matches them
+    exactly). The probe side never shuffles; the filter build aggregates
+    to <= m/32 words. Output includes any false positives by design —
+    the downstream exact join removes them when exactness is required."""
+    from diepy_spark.operators.bloom import bloom_build, bloom_probe
+
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.where(F.col("c_mktsegment") == BLOOM_SEGMENT).select("c_custkey")
+    filt = bloom_build(keys, "c_custkey", m=BLOOM_M, k=BLOOM_K, seed=BLOOM_SEED)
+    return (
+        bloom_probe(orders, "o_custkey", filt, m=BLOOM_M, k=BLOOM_K, seed=BLOOM_SEED)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+SNAP_DEL_MOD = 7  # old-only keys (deleted in new snapshot)
+SNAP_INS_MOD = 5  # new-only keys (inserted in new snapshot)
+SNAP_UPD_MOD = 3  # keys whose price changed between snapshots
+
+
+def x9_snapshot_diff(spark, sf_dir):
+    """CDC changeset derivation (operators/merge.py:snapshot_diff — the
+    inverse of x9_merge_upsert): two simulated snapshots of orders (key
+    mod-classes deleted / inserted / price-bumped) reconciled into one
+    insert/update/delete changeset via a single full outer join on the
+    key. The price bump is integer-cents arithmetic ((cents*11) div 10 —
+    a 10% raise) so the updated double is bit-identical in both engines
+    (round(x*1.1, 2) is NOT: the engines break .005 ties differently)."""
+    from diepy_spark.operators.merge import snapshot_diff
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bump = F.expr(
+        "CAST((CAST(round(o_totalprice * 100) AS BIGINT) * 11) div 10 AS DOUBLE) / 100"
+    )
+    old = orders.where(F.col("o_orderkey") % SNAP_DEL_MOD != 0)
+    new = orders.where(F.col("o_orderkey") % SNAP_INS_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % SNAP_UPD_MOD == 0, bump).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        "old_o_orderstatus",
+        F.col("old_o_totalprice").alias("old_price"),
+        "new_o_orderstatus",
+        F.col("new_o_totalprice").alias("new_price"),
+    ).orderBy("o_orderkey")
+
+
+TRI_N = 2000  # synthetic graph node-space size
+
+
+def x11_triangle_count(spark, sf_dir):
+    """Exact triangle counting with degree-based orientation
+    (operators/clustering.py:triangle_count — the Suri–Vassilvitskii
+    'last reducer' fix: orienting edges low→high by (degree, id) caps
+    every out-degree at O(sqrt(E)), bounding the wedge join at |E|^1.5
+    instead of sum(deg²)). Graph: a deterministic order/customer hash
+    projection into a TRI_N-node space (dense enough to close triangles
+    at every sf). Output: per-node triangle counts."""
+    from diepy_spark.operators.clustering import triangle_count
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        ((F.col("o_orderkey") * 37 + 11) % TRI_N).alias("src"),
+        ((F.col("o_custkey") * 101 + 7) % TRI_N).alias("dst"),
+    )
+    return triangle_count(edges).orderBy("node")
+
+
+FUZZY_MAX_DIST = 4  # levenshtein acceptance threshold
+FUZZY_BLOCK_CHARS = 3  # suffix-blocking key length
+
+
+def x2_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy join (record linkage): part names within the same
+    3-char-suffix block whose Levenshtein distance <= FUZZY_MAX_DIST.
+    The scale contract of every linkage pipeline: NEVER all-pairs —
+    names are distinct-compressed first (the name dimension is orders of
+    magnitude smaller than the row count), then paired only within
+    blocking-key groups, so the quadratic term is bounded by the largest
+    block, not the corpus. Output pairs carry the distance and each
+    name's part count (the match-weight inputs)."""
+    tune(spark)
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    blocked = names.withColumn(
+        "blk", F.substring(F.col("name"), -FUZZY_BLOCK_CHARS, FUZZY_BLOCK_CHARS)
+    )
+    a = blocked.select(
+        "blk", F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+    )
+    b = blocked.select(
+        "blk", F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    return pairs.select(
+        "name_a", "name_b", "dist", "n_parts_a", "n_parts_b"
+    ).orderBy("name_a", "name_b")
+
+
+DQ_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _dq_render(col: str, kind: str, agg: str) -> str:
+    """Engine-portable string rendering of a min/max aggregate (Spark SQL
+    spelling; the DuckDB mirror lives in the oracle)."""
+    if kind == "double":
+        return f"CAST(CAST(round({agg}({col}), 2) AS DECIMAL(18,2)) AS STRING)"
+    if kind == "ts":
+        return f"date_format({agg}({col}), 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    return f"CAST({agg}({col}) AS STRING)"
+
+
+def x12_dq_profile(spark, sf_dir):
+    """Data-quality profile of a table in ONE scan: per column — row
+    count, null count, exact distinct count, rendered min/max. The
+    pre-ingest audit every warehouse load runs. Plan shape: a single
+    aggregate produces one wide row (count(DISTINCT c1..cn) expands the
+    input n-ways with map-side partial aggregation — at 100 TB swap the
+    exact distincts for approx_count_distinct and the scan count drops to
+    1x), then `stack` unpivots the row into one row per column. Rendering
+    is engine-portable: doubles via exact DECIMAL(18,2) text, timestamps
+    via explicit microsecond format."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in DQ_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        aggs.append(F.expr(_dq_render(c, kind, "min")).alias(f"min_{c}"))
+        aggs.append(F.expr(_dq_render(c, kind, "max")).alias(f"max_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c, _ in DQ_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(DQ_COLS)}, {stack_args}) AS (col_name, n_null, n_distinct, min_s, max_s)",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"
+    ).orderBy("col_name")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -879,6 +1057,11 @@ EXTENDED_QUERIES = {
     "x5_lang_classify": x5_lang_classify,
     "x1_span_strip": x1_span_strip,
     "x5_shard_pack": x5_shard_pack,
+    "x8_bloom_semijoin": x8_bloom_semijoin,
+    "x9_snapshot_diff": x9_snapshot_diff,
+    "x11_triangle_count": x11_triangle_count,
+    "x2_fuzzy_join": x2_fuzzy_join,
+    "x12_dq_profile": x12_dq_profile,
 }
 
 
@@ -2120,3 +2303,134 @@ EXTENDED_ORACLES["x5_lang_classify"] = f"""
     FROM d3 JOIN pred p ON p.d = d3.doc_id
     GROUP BY 1 ORDER BY 1
 """
+
+
+def _bloom_oracle_sql() -> str:
+    """DuckDB mirror of x8_bloom_semijoin: same md5-slice positions via
+    operators.bloom.bloom_position_sql (shared verbatim — Spark SQL and
+    DuckDB agree on instr/substr/power), build via UNION ALL explode +
+    bit_or, probe via one EXISTS per hash function."""
+    from diepy_spark.operators.bloom import bloom_position_sql
+
+    pos = lambda key, i: bloom_position_sql(key, BLOOM_SEED, i, BLOOM_M)  # noqa: E731
+    flat = " UNION ALL ".join(
+        f"SELECT {pos('c_custkey', i)} AS p FROM keys" for i in range(BLOOM_K)
+    )
+    tests = " AND ".join(
+        f"""EXISTS (SELECT 1 FROM bloom b
+             WHERE b.word = CAST(({pos('o.o_custkey', i)}) // 32 AS INT)
+               AND (b.mask & CAST(power(2, ({pos('o.o_custkey', i)}) % 32) AS BIGINT)) != 0)"""
+        for i in range(BLOOM_K)
+    )
+    return f"""
+        WITH keys AS (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = '{BLOOM_SEGMENT}'),
+        flat AS ({flat}),
+        bloom AS (SELECT CAST(p // 32 AS INT) AS word,
+                         bit_or(CAST(power(2, p % 32) AS BIGINT)) AS mask
+                  FROM flat GROUP BY 1)
+        SELECT o.o_orderkey, o.o_custkey FROM orders o
+        WHERE {tests} ORDER BY o.o_orderkey
+    """
+
+
+EXTENDED_ORACLES["x8_bloom_semijoin"] = _bloom_oracle_sql()
+
+
+EXTENDED_ORACLES["x9_snapshot_diff"] = f"""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % {SNAP_DEL_MOD} != 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % {SNAP_UPD_MOD} = 0
+                  THEN CAST((CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                            AS DOUBLE) / 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % {SNAP_INS_MOD} != 0
+    ),
+    d AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                            AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                  THEN 'update' END AS change_type,
+             o.o_orderstatus AS old_o_orderstatus,
+             o.o_totalprice AS old_price,
+             n.o_orderstatus AS new_o_orderstatus,
+             n.o_totalprice AS new_price
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM d WHERE change_type IS NOT NULL ORDER BY o_orderkey
+"""
+
+
+EXTENDED_ORACLES["x11_triangle_count"] = f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+        SELECT (o_orderkey * 37 + 11) % {TRI_N} AS a,
+               (o_custkey * 101 + 7) % {TRI_N} AS b FROM orders
+      ) WHERE a <> b
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM
+            (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+    o AS (SELECT CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN u ELSE v END AS s,
+                 CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN v ELSE u END AS t
+          FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+    tri AS (SELECT e1.s AS x, e1.t AS y, e2.t AS z
+            FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t <> e2.t
+            JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t)
+    SELECT node, count(*) AS tri FROM (
+      SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY 1 ORDER BY node
+"""
+
+
+EXTENDED_ORACLES["x2_fuzzy_join"] = f"""
+    WITH names AS (SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1),
+    b AS (SELECT name, n_parts,
+                 substr(name, length(name) - {FUZZY_BLOCK_CHARS - 1},
+                        {FUZZY_BLOCK_CHARS}) AS blk
+          FROM names)
+    SELECT a.name AS name_a, bb.name AS name_b,
+           CAST(levenshtein(a.name, bb.name) AS INT) AS dist,
+           a.n_parts AS n_parts_a, bb.n_parts AS n_parts_b
+    FROM b a JOIN b bb ON a.blk = bb.blk AND a.name < bb.name
+    WHERE levenshtein(a.name, bb.name) <= {FUZZY_MAX_DIST}
+    ORDER BY name_a, name_b
+"""
+
+
+def _dq_oracle_sql() -> str:
+    aggs = []
+    sels = []
+    renders = {
+        "double": lambda c, a: f"CAST(CAST(round({a}({c}), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+        "ts": lambda c, a: f"strftime({a}({c}), '%Y-%m-%d %H:%M:%S.%f')",
+        "int": lambda c, a: f"CAST({a}({c}) AS VARCHAR)",
+        "str": lambda c, a: f"CAST({a}({c}) AS VARCHAR)",
+    }
+    for c, kind in DQ_COLS:
+        r = renders[kind]
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c},"
+            f" count(DISTINCT {c}) AS nd_{c},"
+            f" {r(c, 'min')} AS min_{c}, {r(c, 'max')} AS max_{c}"
+        )
+        sels.append(
+            f"SELECT '{c}' AS col_name, n_rows, null_{c} AS n_null,"
+            f" nd_{c} AS n_distinct, min_{c} AS min_s, max_{c} AS max_s FROM a"
+        )
+    return (
+        "WITH a AS (SELECT count(*) AS n_rows, "
+        + ", ".join(aggs)
+        + " FROM orders)\n"
+        + "\nUNION ALL ".join(sels)
+        + "\nORDER BY col_name"
+    )
+
+
+EXTENDED_ORACLES["x12_dq_profile"] = _dq_oracle_sql()

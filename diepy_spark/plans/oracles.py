@@ -394,4 +394,37 @@ RELATIONAL_ORACLES: dict[str, str] = {
                s IS NULL AS was_gap
         FROM dense ORDER BY event_type, bucket
     """,
+    # r45: epoch-day = integer floor-division of microseconds — identical
+    # arithmetic to the Spark plan, no tz/calendar dependence
+    "r45_cohort_retention": """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        ),
+        cohort AS (
+          SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+        ),
+        ret AS (
+          SELECT c.cohort_day, e.d - c.cohort_day AS day_offset,
+                 count(DISTINCT e.user_id) AS active_users
+          FROM ev e JOIN cohort c ON e.user_id = c.user_id
+          GROUP BY 1, 2
+        )
+        SELECT cohort_day, day_offset, active_users,
+               round(active_users / max(CASE WHEN day_offset = 0 THEN active_users END)
+                     OVER (PARTITION BY cohort_day), 4) AS retention_pct
+        FROM ret ORDER BY cohort_day, day_offset
+    """,
+    "r46_market_basket": """
+        WITH ob0 AS (
+          SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        sz AS (SELECT ok, count(*) AS bs FROM ob0 GROUP BY ok),
+        ob AS (SELECT ob0.ok, ob0.brand FROM ob0 JOIN sz ON sz.ok = ob0.ok
+               WHERE sz.bs <= 30)
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_orders
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY n_orders DESC, brand_a, brand_b LIMIT 50
+    """,
 }

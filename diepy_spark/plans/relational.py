@@ -820,6 +820,81 @@ def r44_resample_gapfill(spark, sf_dir):
     ).orderBy("event_type", "bucket")
 
 
+DAY_US = 86400 * 1_000_000  # epoch-day index: microseconds per day
+
+
+def r45_cohort_retention(spark, sf_dir):
+    """Cohort / retention analysis over the events stream: cohort = the
+    epoch-day of a user's FIRST event; retention = distinct users active
+    at each day offset from their cohort, as a fraction of cohort size.
+
+    Scale: two shuffles, both on user_id — the min-week cohort aggregate
+    (map-side combined) and the cohort⋈events join, which reuses the same
+    hash partitioning (one Exchange feeds both); the final
+    (cohort, offset) aggregate is output-dimension-sized. count(DISTINCT
+    user) inside that aggregate is exact; the events row count per
+    (cohort, offset) cell is corpus-scale but the distinct runs after the
+    user-keyed join, where Spark plans a partial distinct before the
+    final exchange. Week arithmetic is integer microsecond floor-division
+    (identical in both engines, no tz/calendar dependence)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("d"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    ret = (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    w = Window.partitionBy("cohort_day")
+    size0 = F.max(F.when(F.col("day_offset") == 0, F.col("active_users"))).over(w)
+    return ret.select(
+        "cohort_day",
+        "day_offset",
+        "active_users",
+        F.round(F.col("active_users") / size0, 4).alias("retention_pct"),
+    ).orderBy("cohort_day", "day_offset")
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP = 50
+BASKET_MAX_ITEMS = 30
+
+
+def r46_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence mining: brand pairs bought together in
+    the same order, support counted over distinct (order, brand) baskets,
+    top pairs by support.
+
+    Scale: the classic pair-explosion hazard is a single huge basket
+    (quadratic in basket size), so baskets above BASKET_MAX_ITEMS distinct
+    items are dropped BEFORE pairing — the standard market-basket cap
+    (here no basket comes close; the guard is the 100 TB contract). The
+    basket frame shuffles once on the basket key; the self-join reuses
+    that exchange twice (identical subplan → ReusedExchange), and the
+    per-pair aggregate is map-side combined. part is a broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    sized = ob.withColumn("bs", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+    ob = sized.where(F.col("bs") <= BASKET_MAX_ITEMS).drop("bs")
+    a = ob.select("ok", F.col("brand").alias("brand_a"))
+    b = ob.select("ok", F.col("brand").alias("brand_b"))
+    pairs = a.join(b, "ok").where(F.col("brand_a") < F.col("brand_b"))
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(BASKET_TOP)
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -866,4 +941,6 @@ RELATIONAL_QUERIES = {
     "r42_variance_stats": r42_variance_stats,
     "r43_string_agg_filter": r43_string_agg_filter,
     "r44_resample_gapfill": r44_resample_gapfill,
+    "r45_cohort_retention": r45_cohort_retention,
+    "r46_market_basket": r46_market_basket,
 }

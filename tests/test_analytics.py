@@ -1,0 +1,229 @@
+"""Round-4 analytics operators: snapshot diff (CDC), triangle counting,
+Bloom semi-join, cohort retention, market basket, fuzzy join, DQ profile.
+
+Style follows test_operators.py: tiny hand-computed cases plus seeded
+randomized equivalence against literal pure-python reference
+implementations."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from diepy_spark.operators.bloom import bloom_build, bloom_position_sql, bloom_probe
+from diepy_spark.operators.clustering import triangle_count
+from diepy_spark.operators.merge import snapshot_diff
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", None), (4, "D", 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_s"], r["new_s"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 deleted; 2 unchanged (absent); 3 unchanged with NULL<=>NULL; 4
+    # updated (case change); 5 inserted
+    assert got == {
+        1: ("delete", "a", None),
+        4: ("update", "d", "D"),
+        5: ("insert", None, "e"),
+    }
+
+
+def test_snapshot_diff_roundtrip_through_merge(spark):
+    """Applying the changeset's insert/update rows via merge_upsert and
+    filtering its deletes reconstructs the new snapshot exactly."""
+    from diepy_spark.operators.merge import merge_upsert
+
+    old = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(20)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(i, f"s{i}" if i % 3 else "mut", float(i)) for i in range(5, 25)],
+        "k long, s string, v double",
+    )
+    d = snapshot_diff(old, new, ["k"]).cache()
+    ups = d.where(F.col("change_type") != "delete").select(
+        "k", F.col("new_s").alias("s"), F.col("new_v").alias("v")
+    )
+    dels = [r["k"] for r in d.where(F.col("change_type") == "delete").collect()]
+    rebuilt = merge_upsert(old, ups, ["k"]).where(~F.col("k").isin(dels))
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+    d.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def _tri_reference(edges):
+    """Literal per-node triangle counts via itertools over the canonical
+    undirected edge set."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    cnt = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def test_triangle_count_k4(spark):
+    # K4 has 4 triangles; every node sits in 3 of them. Edges fed with
+    # duplicates, reversals, and a self-loop to exercise canonicalization.
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b] + [(2, 2), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["tri"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_random_vs_bruteforce(spark):
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["tri"] for r in triangle_count(df).collect()}
+        assert got == _tri_reference(edges), f"seed {seed}"
+
+
+def test_triangle_count_triangle_free(spark):
+    # even cycle = bipartite = triangle-free
+    edges = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom filter semi-join
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    keys = spark.createDataFrame([(i * 3,) for i in range(200)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(600)], "k long")
+    filt = bloom_build(keys, "k", m=4096, k=3)
+    passed = {r["k"] for r in bloom_probe(probe, "k", filt, m=4096, k=3).collect()}
+    members = {i * 3 for i in range(200)}
+    assert members <= passed  # Bloom guarantee: zero false negatives
+    # FP rate sanity: (1 - e^(-kn/m))^k ~ 0.007 at n=200,m=4096,k=3; allow 5x
+    fp = len(passed - members) / 400
+    assert fp < 0.05, fp
+    # bit-deterministic under repartitioning
+    filt2 = bloom_build(keys.repartition(7), "k", m=4096, k=3)
+    passed2 = {
+        r["k"] for r in bloom_probe(probe.repartition(5), "k", filt2, m=4096, k=3).collect()
+    }
+    assert passed == passed2
+
+
+def test_bloom_m_must_divide_slice_space():
+    with pytest.raises(ValueError):
+        bloom_position_sql("k", "s", 0, 10000)  # not a divisor of 16^4
+
+
+def test_bloom_probe_side_never_shuffles(spark):
+    """The operator's reason to exist: the probe side is filtered by a
+    broadcast + projection only. Both Exchanges in the plan belong to the
+    filter BUILD (word aggregation + singleton map collect); the probe
+    scan feeds the broadcast join directly — `:- Scan` as the join's left
+    child, no probe-side Exchange."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = bloom_probe(probe, "k", bloom_build(keys, "k"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # probe branch (the ':-' child of the join) is the bare scan
+    assert re.search(r":- Scan \w+ \(1\)", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# declared-query consistency (constants shared with the oracles)
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_small(spark, sf_small):
+    from diepy_spark.plans.relational import r45_cohort_retention
+
+    rows = r45_cohort_retention(spark, sf_small).collect()
+    assert rows, "retention frame empty"
+    by_key = {(r["cohort_day"], r["day_offset"]): r for r in rows}
+    # offset-0 cell exists per cohort and carries retention 1.0
+    for (cd, off), r in by_key.items():
+        assert off >= 0
+        assert by_key[(cd, 0)]["retention_pct"] == 1.0
+        assert r["active_users"] <= by_key[(cd, 0)]["active_users"] or off == 0
+
+
+def test_market_basket_cap_excludes_megabasket(spark):
+    """A basket above BASKET_MAX_ITEMS must contribute no pairs."""
+    from diepy_spark.plans.relational import BASKET_MAX_ITEMS
+
+    from pyspark.sql import Window
+
+    rows = [(1, f"b{i}") for i in range(BASKET_MAX_ITEMS + 5)] + [
+        (2, "x"),
+        (2, "y"),
+    ]
+    ob = spark.createDataFrame(rows, "ok long, brand string")
+    sized = ob.withColumn("bs", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+    kept = sized.where(F.col("bs") <= BASKET_MAX_ITEMS)
+    assert {r["ok"] for r in kept.select("ok").distinct().collect()} == {2}
+
+
+def test_dq_profile_counts(spark, sf_small):
+    from diepy_spark.plans.extended import x12_dq_profile
+
+    rows = {r["col_name"]: r for r in x12_dq_profile(spark, sf_small).collect()}
+    n = rows["o_orderkey"]["n_rows"]
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderkey"]["n_null"] == 0
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+    # rendered min/max are strings and ordered
+    assert rows["o_totalprice"]["min_s"] <= rows["o_totalprice"]["max_s"] or float(
+        rows["o_totalprice"]["min_s"]
+    ) <= float(rows["o_totalprice"]["max_s"])
+
+
+def test_fuzzy_join_levenshtein_blocked(spark):
+    from diepy_spark.plans.extended import FUZZY_MAX_DIST
+
+    # same suffix block ('ing'), within distance; different block excluded
+    df = spark.createDataFrame(
+        [("small ring",), ("smal ring",), ("small ring",), ("blue bolt",)],
+        "p_name string",
+    )
+    names = df.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    blocked = names.withColumn("blk", F.substring("name", -3, 3))
+    a = blocked.select("blk", F.col("name").alias("na"))
+    b = blocked.select("blk", F.col("name").alias("nb"))
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("na") < F.col("nb"))
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .collect()
+    )
+    assert [(r["na"], r["nb"], r["dist"]) for r in pairs] == [
+        ("smal ring", "small ring", 1)
+    ]
