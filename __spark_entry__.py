@@ -37,10 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
 # force, cross-split broadcast knob, stratified typed fractions), then
 # (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  The 7 mid-round additions (r45/r46/x8_bloom/x9_diff/x11_tri/
-# x2_fuzzy/x12_dq) joined group (a), pushing the window tail 7 deeper:
-# the last 7 of group (d) (x8_hash_split, x8_hash_sample,
-# x8_weighted_sample, x3_label_centroids, x5_tfidf, x5_vocab, x5_winnow)
+# order).  The 10 mid-round additions (r45-r47, x8_bloom/x8_cms/x9_diff/
+# x9_inc/x11_tri/x2_fuzzy/x12_dq) joined group (a), pushing the window
+# tail 10 deeper: the last 10 of group (d) (x8_hash_split,
+# x8_hash_sample, x8_weighted_sample, x3_label_centroids, x5_tfidf,
+# x5_vocab, x5_winnow, x5_quality_score, x5_token_stats, x5_lang_id)
 # keep their round-2/3 greens and move to the round-5 front-load along
 # with the twelve already-displaced round-2 rows (x8_grouped_linfit,
 # x9_merge_upsert, x5_repetition, x5_pii_redact, x2_contamination,
@@ -60,6 +61,9 @@ _PRIORITY = [
     "x11_triangle_count",
     "x2_fuzzy_join",
     "x12_dq_profile",
+    "r47_funnel",
+    "x8_cms_heavy_hitters",
+    "x9_incremental_agg",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # last driver-checked in round 1 — the documented round-4 front-load

@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "hex_frac_sql"]
+__all__ = [
+    "kmv_distinct",
+    "hex_frac_sql",
+    "cms_position_sql",
+    "cms_cells",
+    "cms_estimate",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -198,3 +204,60 @@ def hll_oracle_sql(
     SELECT est.{on}, {exact_sel}ROUND(est.e, 4) AS hll_estimate
     FROM est JOIN ex e USING ({on})
     """
+
+
+def cms_position_sql(key_sql: str, seed: str, row: int, w: int) -> str:
+    """Column index of CMS row `row` for `key_sql` in a width-`w` sketch —
+    one 4-nibble md5 slice per row, valid in Spark SQL and DuckDB alike
+    (same slice scheme as operators/bloom.py). `w` must divide 16**4."""
+    if 16 ** 4 % w != 0:
+        raise ValueError(f"w={w} must divide 65536 for uniform slices")
+    md5 = f"md5(concat('{seed}:', CAST({key_sql} AS STRING)))"
+    terms = [
+        f"(instr('{_HEX}', substr({md5},{1 + 4 * row + i},1))-1)*{16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "((" + " + ".join(terms) + f") % {w})"
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, d: int = 3, w: int = 1024, seed: str = "cms"
+) -> DataFrame:
+    """Count-min sketch build: aggregate `df` into d*w cells
+    (``r``, ``c``, ``cnt``). ONE shuffle of (r, c) pairs — map-side
+    combined down to at most d*w rows per task regardless of input size;
+    the sketch itself is a few KB and independent of cardinality. This is
+    the mergeable-summary property that makes CMS the 100 TB frequency
+    instrument: shard sketches add cell-wise."""
+    rows = [
+        F.struct(
+            F.lit(i).alias("r"),
+            F.expr(cms_position_sql(key_col, seed, i, w)).alias("c"),
+        )
+        for i in range(d)
+    ]
+    return (
+        df.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.r", "p.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, cells: DataFrame, key_col: str, d: int = 3, w: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for `keys`: min over the d cells each key
+    hashes to. `cells` is sketch-sized — broadcast it; the probe is d
+    broadcast lookups per key, no shuffle. Estimates are exact-or-over,
+    never under (the CMS guarantee)."""
+    out = keys
+    for i in range(d):
+        ci = cells.select(
+            F.col("r"), F.col("c"), F.col("cnt").alias(f"cnt_{i}")
+        ).where(F.col("r") == i).drop("r")
+        pos = F.expr(cms_position_sql(key_col, seed, i, w))
+        out = out.join(F.broadcast(ci), pos == ci.c, "left").drop("c")
+    est = F.least(*[F.coalesce(F.col(f"cnt_{i}"), F.lit(0)) for i in range(d)])
+    return out.withColumn("cms_est", est).drop(*[f"cnt_{i}" for i in range(d)])

@@ -1002,6 +1002,89 @@ def x12_dq_profile(spark, sf_dir):
     ).orderBy("col_name")
 
 
+CMS_D = 3
+CMS_W = 1024
+CMS_SEED = "cms"
+CMS_TOP = 20
+
+
+def x8_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation, calibrated against exact
+    counts (operators/sketch.py:cms_cells/cms_estimate): the top-CMS_TOP
+    part keys by lineitem frequency, each with its exact count and its
+    CMS estimate — err >= 0 always (CMS never underestimates). Like
+    x2_minhash_est / x3_ann_recall, this is the TRUST instrument: at
+    100 TB the exact side of this query is what you can no longer afford,
+    and the sketch (d*w cells, a few KB, cell-wise mergeable across
+    shards) is what you ship; the declared query proves the error bound
+    holds on real data. One shuffle builds the sketch; estimation is d
+    broadcast lookups."""
+    from diepy_spark.operators.sketch import cms_cells, cms_estimate
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "l_partkey")
+        .limit(CMS_TOP)
+    )
+    cells = cms_cells(li, "l_partkey", d=CMS_D, w=CMS_W, seed=CMS_SEED)
+    est = cms_estimate(exact, cells, "l_partkey", d=CMS_D, w=CMS_W, seed=CMS_SEED)
+    return est.select(
+        "l_partkey",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("err"),
+    ).orderBy(F.col("n_exact").desc(), "l_partkey")
+
+
+INC_SPLIT = "1999-01-01"
+
+
+def x9_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance: the base aggregate (orders before
+    INC_SPLIT) is NOT recomputed when the delta batch (orders on/after)
+    arrives — both sides reduce to PARTIAL aggregate states (count / exact
+    decimal sum / min / max, all mergeable) and the states merge. The
+    oracle recomputes from scratch; hash-equality proves the
+    incremental path is lossless — the algebraic property every
+    streaming/incremental pipeline stands on. Derived columns (avg) come
+    from merged states, never from merging averages."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(INC_SPLIT).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp"),
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < split))
+    delta = partial(orders.where(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sp").alias("sp"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "cnt",
+        F.col("sp").cast("double").alias("sum_price"),
+        F.round(F.col("sp").cast("double") / F.col("cnt"), 4).alias("avg_price"),
+        F.col("mn").alias("min_date"),
+        F.col("mx").alias("max_date"),
+    ).orderBy("o_orderstatus")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1062,6 +1145,8 @@ EXTENDED_QUERIES = {
     "x11_triangle_count": x11_triangle_count,
     "x2_fuzzy_join": x2_fuzzy_join,
     "x12_dq_profile": x12_dq_profile,
+    "x8_cms_heavy_hitters": x8_cms_heavy_hitters,
+    "x9_incremental_agg": x9_incremental_agg,
 }
 
 
@@ -2434,3 +2519,45 @@ def _dq_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_dq_profile"] = _dq_oracle_sql()
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB mirror of x8_cms_heavy_hitters — position expressions shared
+    verbatim from operators.sketch.cms_position_sql."""
+    from diepy_spark.operators.sketch import cms_position_sql
+
+    pos = lambda key, i: cms_position_sql(key, CMS_SEED, i, CMS_W)  # noqa: E731
+    flat = " UNION ALL ".join(
+        f"SELECT {i} AS r, {pos('l_partkey', i)} AS c FROM lineitem"
+        for i in range(CMS_D)
+    )
+    joins = " ".join(
+        f"JOIN cells c{i} ON c{i}.r = {i} AND c{i}.c = {pos('ex.l_partkey', i)}"
+        for i in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"c{i}.cnt" for i in range(CMS_D)) + ")"
+    return f"""
+        WITH ex AS (
+          SELECT l_partkey, count(*) AS n_exact FROM lineitem GROUP BY 1
+          ORDER BY n_exact DESC, l_partkey LIMIT {CMS_TOP}
+        ),
+        flat AS ({flat}),
+        cells AS (SELECT r, c, count(*) AS cnt FROM flat GROUP BY 1, 2)
+        SELECT ex.l_partkey, ex.n_exact, {least} AS cms_est,
+               {least} - ex.n_exact AS err
+        FROM ex {joins}
+        ORDER BY ex.n_exact DESC, ex.l_partkey
+    """
+
+
+EXTENDED_ORACLES["x8_cms_heavy_hitters"] = _cms_oracle_sql()
+
+
+EXTENDED_ORACLES["x9_incremental_agg"] = f"""
+    SELECT o_orderstatus, count(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""

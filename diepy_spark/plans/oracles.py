@@ -427,4 +427,25 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY n_orders DESC, brand_a, brand_b LIMIT 50
     """,
+    # r47: strict-order funnel; ts comparisons are micros-exact in both
+    # engines (DuckDB truncates the parquet nanos identically)
+    "r47_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS since FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS since
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.since
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS since
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.since
+              WHERE e.event_type = 'purchase' GROUP BY 1),
+        s AS (
+          SELECT 1 AS step, 'view' AS stage, count(*) AS users FROM v
+          UNION ALL SELECT 2, 'click', count(*) FROM c
+          UNION ALL SELECT 3, 'purchase', count(*) FROM p
+        )
+        SELECT step, stage, users,
+               round(users / lag(users) OVER (ORDER BY step), 4) AS conv_from_prev,
+               round(users / first_value(users) OVER (ORDER BY step), 4) AS conv_from_first
+        FROM s ORDER BY step
+    """,
 }

@@ -895,6 +895,55 @@ def r46_market_basket(spark, sf_dir):
     )
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def r47_funnel(spark, sf_dir):
+    """Ordered funnel analysis over the events stream: users who viewed,
+    then clicked strictly AFTER their first view, then purchased strictly
+    after that first qualifying click — the product-analytics sequence
+    query (strict event-order matters: a purchase before the click does
+    not convert).
+
+    Scale: every stage is one user-keyed aggregate (min ts) joined to the
+    previous stage's user frame — all three shuffles hash on user_id, so
+    one exchange layout serves the whole chain; stage frames shrink
+    monotonically. The final 3-row stage table is driver-sized; its
+    conversion-rate windows are free."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    stage = None
+    counts = []
+    for name in FUNNEL_STAGES:
+        cur = ev.where(F.col("event_type") == name)
+        if stage is not None:
+            cur = cur.join(stage, "user_id").where(F.col("ts") > F.col("since"))
+        stage = cur.groupBy("user_id").agg(F.min("ts").alias("since"))
+        counts.append(
+            stage.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(name).alias("stage"), "users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # stage order == FUNNEL_STAGES order; make it sortable without arrays
+    order = F.when(F.col("stage") == "view", 1).when(F.col("stage") == "click", 2).otherwise(3)
+    w = Window.orderBy(order)
+    return (
+        out.withColumn("step", order)
+        .withColumn(
+            "conv_from_prev", F.round(F.col("users") / F.lag("users").over(w), 4)
+        )
+        .withColumn(
+            "conv_from_first", F.round(F.col("users") / F.first("users").over(w), 4)
+        )
+        .select("step", "stage", "users", "conv_from_prev", "conv_from_first")
+        .orderBy("step")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -943,4 +992,5 @@ RELATIONAL_QUERIES = {
     "r44_resample_gapfill": r44_resample_gapfill,
     "r45_cohort_retention": r45_cohort_retention,
     "r46_market_basket": r46_market_basket,
+    "r47_funnel": r47_funnel,
 }

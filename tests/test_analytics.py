@@ -227,3 +227,92 @@ def test_fuzzy_join_levenshtein_blocked(spark):
     assert [(r["na"], r["nb"], r["dist"]) for r in pairs] == [
         ("smal ring", "small ring", 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# funnel / CMS / incremental aggregation
+# ---------------------------------------------------------------------------
+
+def test_funnel_strict_event_order(spark):
+    """A purchase BEFORE the first qualifying click must not convert."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: purchase precedes click -> stops at click
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(4)),
+        # user 3: click precedes view -> stops at view
+        (3, "click", t(1)), (3, "view", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    from pyspark.sql import functions as F
+
+    stage = None
+    counts = {}
+    for name in ["view", "click", "purchase"]:
+        cur = df.where(F.col("event_type") == name)
+        if stage is not None:
+            cur = cur.join(stage, "user_id").where(F.col("ts") > F.col("since"))
+        stage = cur.groupBy("user_id").agg(F.min("ts").alias("since"))
+        counts[name] = stage.count()
+    assert counts == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    from diepy_spark.operators.sketch import cms_cells, cms_estimate
+
+    rows = [(k,) for k in [1] * 50 + [2] * 30 + [3] * 20 + list(range(10, 40))]
+    df = spark.createDataFrame(rows, "k long")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    cells = cms_cells(df, "k", d=3, w=4096)
+    est = cms_estimate(exact, cells, "k", d=3, w=4096).collect()
+    for r in est:
+        assert r["cms_est"] >= r["n"], r
+    # 33 distinct keys in 3x4096 cells: heavy keys essentially collision-free
+    by_k = {r["k"]: r["cms_est"] for r in est}
+    assert by_k[1] == 50 and by_k[2] == 30
+
+
+def test_cms_cells_mergeable(spark):
+    """CMS's reason to exist at scale: sketches of shards ADD cell-wise to
+    the sketch of the union."""
+    a = spark.createDataFrame([(i % 7,) for i in range(40)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(25)], "k long")
+    from diepy_spark.operators.sketch import cms_cells
+
+    def cell_map(df):
+        return {(r["r"], r["c"]): r["cnt"] for r in cms_cells(df, "k", d=2, w=256).collect()}
+
+    ca, cb, cu = cell_map(a), cell_map(b), cell_map(a.unionAll(b))
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == cu
+
+
+def test_incremental_agg_split_invariant(spark, sf_small):
+    """The merged partial states must equal the full recompute for ANY
+    split point — run the declared plan against a one-shot groupBy."""
+    from diepy_spark.plans.extended import x9_incremental_agg
+    from diepy_spark.sources.registry import load_table
+
+    inc = {tuple(r) for r in x9_incremental_agg(spark, sf_small).collect()}
+    o = load_table(spark, sf_small, "orders")
+    full = {
+        tuple(r)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .collect()
+    }
+    assert inc == full
