@@ -55,18 +55,17 @@ def bloom_position_sql(key_sql: str, seed: str, i: int, m: int) -> str:
 def bloom_build(
     df: DataFrame, key_col: str, m: int = 16384, k: int = 3, seed: str = "bloom"
 ) -> DataFrame:
-    """Aggregate the distinct keys of `df` into ONE row holding the filter
-    as a word->mask map (32-bit words, ceil(m/32) entries max, absent word
-    == all-zero). One shuffle of (word, bit) pairs — map-side combined to
-    at most m/32 rows per task — then a singleton map_from_entries.
-
-    The single-row result is meant to be broadcast (crossJoin) onto the
-    probe side; at m = 16 Ki bits the map is ~4 KB."""
+    """Aggregate the keys of `df` into the filter's word table:
+    (``word`` int, ``mask`` long) — 32-bit words, ceil(m/32) rows max,
+    absent word == all-zero. One shuffle of (word, bit) pairs — map-side
+    combined to at most m/32 rows per task regardless of input size. At
+    m = 16 Ki bits the table is ~4 KB: broadcast it onto the probe side
+    (bloom_probe does)."""
     pos = [
         F.expr(bloom_position_sql(key_col, seed, i, m)).alias(f"p{i}")
         for i in range(k)
     ]
-    bits = (
+    return (
         df.select(F.explode(F.array(*pos)).alias("pos"))
         .select(
             (F.col("pos") / 32).cast("int").alias("word"),
@@ -77,31 +76,48 @@ def bloom_build(
         .groupBy("word")
         .agg(F.bit_or("bit").alias("mask"))
     )
-    return bits.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("word", "mask")))
-        ).alias("bloom")
-    )
 
 
 def bloom_probe(
     probe: DataFrame,
     key_col: str,
-    bloom_row: DataFrame,
+    bloom: DataFrame,
     m: int = 16384,
     k: int = 3,
     seed: str = "bloom",
 ) -> DataFrame:
     """Filter `probe` to rows whose `key_col` the Bloom filter accepts
-    (all k bits set). Plan: broadcast the 1-row filter map, then a pure
-    projection per probe row — zero probe-side shuffle, fully codegen'd.
+    (all k bits set). Plan: ONE md5 per row in a codegen'd projection
+    (all k positions slice the same digest), then k BROADCAST hash joins
+    on the word index — zero probe-side shuffle, whole-stage codegen
+    throughout. (A cross-join against a packed single-row map reads
+    nicer, but Catalyst pushes the bit tests into a
+    BroadcastNestedLoopJoin condition, which is evaluated interpreted,
+    per row, with every md5 re-derived — measured ~10x slower at sf0.1.)
     """
-    out = probe.crossJoin(F.broadcast(bloom_row))
+    md5c = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")).cast("binary")
+    )
+    out = probe.withColumn("__bloom_md5", md5c)
+    for i in range(k):
+        out = out.withColumn(
+            f"__bp{i}", F.expr(hex_int_sql("__bloom_md5", 1 + 4 * i)) % m
+        )
     cond = F.lit(True)
     for i in range(k):
-        pos = F.expr(bloom_position_sql(key_col, seed, i, m))
-        word = (pos / 32).cast("int")
-        bit = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
-        mask = F.element_at(F.col("bloom"), word)
-        cond = cond & mask.isNotNull() & (mask.bitwiseAND(bit) != 0)
-    return out.where(cond).drop("bloom")
+        bi = bloom.select(
+            F.col("word").alias(f"__bw{i}"), F.col("mask").alias(f"__bk{i}")
+        )
+        out = out.join(
+            F.broadcast(bi),
+            (F.col(f"__bp{i}") / 32).cast("int") == F.col(f"__bw{i}"),
+            "left",
+        )
+        bit = F.pow(F.lit(2.0), (F.col(f"__bp{i}") % 32).cast("double")).cast("long")
+        cond = cond & F.col(f"__bk{i}").isNotNull() & (
+            F.col(f"__bk{i}").bitwiseAND(bit) != 0
+        )
+    helpers = ["__bloom_md5"] + [
+        c for i in range(k) for c in (f"__bp{i}", f"__bw{i}", f"__bk{i}")
+    ]
+    return out.where(cond).drop(*helpers)

@@ -134,26 +134,32 @@ def test_bloom_m_must_divide_slice_space():
 
 
 def test_bloom_probe_side_never_shuffles(spark):
-    """The operator's reason to exist: the probe side is filtered by a
-    broadcast + projection only. Both Exchanges in the plan belong to the
-    filter BUILD (word aggregation + singleton map collect); the probe
-    scan feeds the broadcast join directly — `:- Scan` as the join's left
-    child, no probe-side Exchange."""
+    """The operator's reason to exist: the probe side is filtered by
+    broadcast hash joins + a codegen'd projection only. Every shuffle
+    Exchange in the plan belongs to the filter BUILD's word aggregation
+    (one per hash-join branch — 512-row builds); the probe path carries
+    none, and no BroadcastNestedLoopJoin appears (the interpreted-
+    condition shape this operator regressed to once — ~10x slower)."""
     import io
     import re
     from contextlib import redirect_stdout
 
     keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
     probe = spark.createDataFrame([(i,) for i in range(500)], "k long")
-    out = bloom_probe(probe, "k", bloom_build(keys, "k"))
+    out = bloom_probe(probe, "k", bloom_build(keys, "k"), k=3)
     buf = io.StringIO()
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
-    assert "BroadcastNestedLoopJoin" in plan
-    # probe branch (the ':-' child of the join) is the bare scan
-    assert re.search(r":- Scan \w+ \(1\)", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3, plan
+    # all shuffle exchanges are build-side word aggregations: each is
+    # preceded in the tree by a partial HashAggregate on the keys side
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 3, plan
+    # probe branch (the ':-' child of the first join) is scan + projection
+    # only — no Exchange id may appear on a ':-' line
+    assert not re.search(r":- Exchange", plan), plan
 
 
 # ---------------------------------------------------------------------------
