@@ -447,6 +447,12 @@ def triangle_count(
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        # referenced three times below (both wedge legs + the closing
+        # edge); without a lineage cut Catalyst inlines the canon+degree
+        # subplan into every reference (3x scans/shuffles of the raw edge
+        # list — 45 scans at one audit). Lazy local checkpoint = compute
+        # once, same values (pagerank's static-frame pattern).
+        .localCheckpoint(eager=False)
     )
     # wedges from each low vertex: s -> t1, s -> t2 with (t1, t2) oriented
     e1 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_a"))
@@ -456,11 +462,9 @@ def triangle_count(
     # the correctly-ordered one of the two (w_a, w_b) permutations
     closing = oriented.select(F.col("s").alias("w_a"), F.col("t").alias("w_b"))
     tris = wedges.join(closing, ["w_a", "w_b"])
-    per_node = (
-        tris.select(F.col("w_s").alias("node"))
-        .unionAll(tris.select(F.col("w_a").alias("node")))
-        .unionAll(tris.select(F.col("w_b").alias("node")))
+    # one pass over tris: each triangle contributes its three vertices
+    return (
+        tris.select(F.explode(F.array("w_s", "w_a", "w_b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri"))
     )
-    return per_node
