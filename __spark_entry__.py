@@ -37,16 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
 # force, cross-split broadcast knob, stratified typed fractions), then
 # (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  The 10 mid-round additions (r45-r47, x8_bloom/x8_cms/x9_diff/
-# x9_inc/x11_tri/x2_fuzzy/x12_dq) joined group (a), pushing the window
-# tail 10 deeper: the last 10 of group (d) (x8_hash_split,
-# x8_hash_sample, x8_weighted_sample, x3_label_centroids, x5_tfidf,
-# x5_vocab, x5_winnow, x5_quality_score, x5_token_stats, x5_lang_id)
-# keep their round-2/3 greens and move to the round-5 front-load along
-# with the twelve already-displaced round-2 rows (x8_grouped_linfit,
-# x9_merge_upsert, x5_repetition, x5_pii_redact, x2_contamination,
-# x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack, x3_quantize_int8,
-# x10_clean_corpus, x5_lm_score, x2_minhash_est).
+# order).  The 14 mid-round additions (r45-r48, x8_bloom/x8_cms,
+# x9_diff/x9_inc/x9_scd2, x11_tri, x2_fuzzy, x3_knn, x12_dq/x12_skew)
+# joined group (a), pushing the window tail 14 deeper: the last 14 of
+# group (d) (x8_hash_split, x8_hash_sample, x8_weighted_sample,
+# x3_label_centroids, x5_tfidf, x5_vocab, x5_winnow, x5_quality_score,
+# x5_token_stats, x5_lang_id, x3_cosine_topk, x2_embedding_near_dup_lsh,
+# x2_dedup_stats, x2_dedup_apply) keep their round-2/3 greens and move
+# to the round-5 front-load along with the twelve already-displaced
+# round-2 rows (x8_grouped_linfit, x9_merge_upsert, x5_repetition,
+# x5_pii_redact, x2_contamination, x2_winnow_pairs, x8_hll_distinct,
+# x5_chunk_pack, x3_quantize_int8, x10_clean_corpus, x5_lm_score,
+# x2_minhash_est).
 # Everything not named keeps its round-2/3 green as the standing record.
 _PRIORITY = [
     # new in round 4 (no driver row at all)
@@ -64,6 +66,10 @@ _PRIORITY = [
     "r47_funnel",
     "x8_cms_heavy_hitters",
     "x9_incremental_agg",
+    "r48_transitions",
+    "x3_knn_classify",
+    "x9_scd2",
+    "x12_skew_diag",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # last driver-checked in round 1 — the documented round-4 front-load

@@ -1085,6 +1085,118 @@ def x9_incremental_agg(spark, sf_dir):
     ).orderBy("o_orderstatus")
 
 
+KNN_K = 5
+KNN_QUERY_MAX = 50
+
+
+def x3_knn_classify(spark, sf_dir):
+    """k-NN label prediction — the weak-supervision / label-propagation
+    step of an embedding pipeline: the first KNN_QUERY_MAX vectors are
+    'unlabeled' queries, classified by majority vote of their KNN_K exact
+    nearest neighbors in the rest of the corpus (ties: smaller label).
+    Output carries the true label and a correct flag, so the query IS the
+    accuracy report. Plan: the query block is broadcast (cosine_topk),
+    the vote is a (qid, label) aggregate over k*|Q| rows, and the label
+    join touches only neighbor ids."""
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.col("vec_id") < KNN_QUERY_MAX)
+    c = v.where(F.col("vec_id") >= KNN_QUERY_MAX)
+    nn = S.cosine_topk(q, c, k=KNN_K)
+    lab = c.select(F.col("vec_id").alias("cid"), F.col("label").alias("nlabel"))
+    votes = nn.join(lab, "cid").groupBy("qid", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("nlabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("pred_label"), "votes")
+    )
+    truth = q.select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "qid")
+        .select(
+            "qid",
+            "pred_label",
+            "votes",
+            "true_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("qid")
+    )
+
+
+def x9_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: each customer's
+    order-priority timeline compressed to change intervals —
+    ``valid_from`` / ``valid_to`` / ``is_current`` — keeping only rows
+    where the tracked attribute CHANGED vs the previous version (the
+    dimension-table build step of every warehouse). One shuffle on the
+    key; both windows (change detection + interval close) share its sort.
+    Determinism: ties on o_orderdate break by o_orderkey."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = o.withColumn("prev", F.lag("o_orderpriority").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changed.withColumn("valid_to", F.lead("o_orderdate").over(w2))
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from", "priority")
+    )
+
+
+SKEW_TOP = 10
+
+
+def x12_skew_diag(spark, sf_dir):
+    """Join-key skew diagnostic — the instrument you run BEFORE a 100 TB
+    join to decide between plain shuffle, salting, and AQE skew-join: the
+    SKEW_TOP heaviest l_partkey values with their row share and skew
+    factor (count / mean-per-key). One aggregate builds the key histogram;
+    the global stats are windows over the keys-dimension frame, never the
+    fact table."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    stats = keys.select(
+        "l_partkey",
+        "cnt",
+        F.sum("cnt").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_keys"),
+    )
+    return (
+        stats.select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 4).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(SKEW_TOP)
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1147,6 +1259,9 @@ EXTENDED_QUERIES = {
     "x12_dq_profile": x12_dq_profile,
     "x8_cms_heavy_hitters": x8_cms_heavy_hitters,
     "x9_incremental_agg": x9_incremental_agg,
+    "x3_knn_classify": x3_knn_classify,
+    "x9_scd2": x9_scd2,
+    "x12_skew_diag": x12_skew_diag,
 }
 
 
@@ -2560,4 +2675,60 @@ EXTENDED_ORACLES["x9_incremental_agg"] = f"""
                  / count(*), 4) AS avg_price,
            min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+EXTENDED_ORACLES["x3_knn_classify"] = f"""
+    WITH {_COS_CTE},
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+      FROM u q JOIN u c ON q.i = c.i
+      WHERE q.vec_id < {KNN_QUERY_MAX} AND c.vec_id >= {KNN_QUERY_MAX}
+      GROUP BY 1, 2
+    ),
+    nn AS (SELECT qid, cid FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      FROM scored) WHERE rk <= {KNN_K}),
+    votes AS (
+      SELECT nn.qid, e.label AS nlabel, count(*) AS votes
+      FROM nn JOIN embeddings e ON e.vec_id = nn.cid GROUP BY 1, 2
+    ),
+    pred AS (SELECT qid, nlabel AS pred_label, votes FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY votes DESC, nlabel) AS rn
+      FROM votes) WHERE rn = 1)
+    SELECT p.qid, p.pred_label, p.votes, e.label AS true_label,
+           p.pred_label = e.label AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.qid ORDER BY p.qid
+"""
+
+
+EXTENDED_ORACLES["x9_scd2"] = """
+    WITH w1 AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    ch AS (SELECT * FROM w1 WHERE prev IS NULL OR prev <> o_orderpriority)
+    SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) IS NULL)
+             AS is_current
+    FROM ch ORDER BY o_custkey, valid_from, priority
+"""
+
+
+EXTENDED_ORACLES["x12_skew_diag"] = f"""
+    WITH keys AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+    s AS (SELECT l_partkey, cnt,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS total,
+                 count(*) OVER () AS n_keys
+          FROM keys)
+    SELECT l_partkey, cnt, round(cnt / total, 6) AS share,
+           round(cnt * n_keys / total, 4) AS skew_factor
+    FROM s ORDER BY cnt DESC, l_partkey LIMIT {SKEW_TOP}
 """

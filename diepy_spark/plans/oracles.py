@@ -448,4 +448,19 @@ RELATIONAL_ORACLES: dict[str, str] = {
                round(users / first_value(users) OVER (ORDER BY step), 4) AS conv_from_first
         FROM s ORDER BY step
     """,
+    "r48_transitions": """
+        WITH pairs AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        counts AS (
+          SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+          FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 4) AS p
+        FROM counts ORDER BY from_type, to_type
+    """,
 }

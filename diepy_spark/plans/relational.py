@@ -944,6 +944,34 @@ def r47_funnel(spark, sf_dir):
     )
 
 
+def r48_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream: for
+    each user's time-ordered events, count (previous type -> type) pairs
+    and normalize per source type — the path-analysis companion to
+    r47_funnel (funnel fixes the path; this measures ALL of them).
+
+    Scale: one shuffle on user_id for the lag window; the pair aggregate
+    is map-side combined into a |types|² frame, and the normalizing
+    window runs on that tiny frame, never the events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -993,4 +1021,5 @@ RELATIONAL_QUERIES = {
     "r45_cohort_retention": r45_cohort_retention,
     "r46_market_basket": r46_market_basket,
     "r47_funnel": r47_funnel,
+    "r48_transitions": r48_transitions,
 }

@@ -322,3 +322,86 @@ def test_incremental_agg_split_invariant(spark, sf_small):
         .collect()
     }
     assert inc == full
+
+
+# ---------------------------------------------------------------------------
+# kNN classify / SCD2 / skew diag / transitions
+# ---------------------------------------------------------------------------
+
+def test_knn_majority_vote_tiebreak(spark):
+    """Vote counting + smaller-label tiebreak, independent of the ANN
+    machinery: replicate the vote/argmax stage on a fixed neighbor set."""
+    from pyspark.sql import Window
+
+    nn = spark.createDataFrame(
+        # qid 1: labels 2,2,3 -> 2 wins; qid 2: 5,7 tie at 1+... -> 5,5,7,7 tie -> 5
+        [(1, 2), (1, 2), (1, 3), (2, 5), (2, 5), (2, 7), (2, 7)],
+        "qid long, nlabel int",
+    )
+    votes = nn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("nlabel"))
+    pred = {
+        r["qid"]: r["nlabel"]
+        for r in votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert pred == {1: 2, 2: 5}
+
+
+def test_scd2_compresses_runs_and_closes_intervals(spark):
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        (1, "LOW", t(1), 10), (1, "LOW", t(2), 11), (1, "HIGH", t(3), 12),
+        (1, "LOW", t(5), 13),
+        (2, "MED", t(1), 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderpriority string, o_orderdate timestamp, o_orderkey long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = df.withColumn("prev", F.lag("o_orderpriority").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    out = changed.withColumn("valid_to", F.lead("o_orderdate").over(w)).select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "valid_to"
+    )
+    got = sorted(map(tuple, out.collect()))
+    # run LOW,LOW collapses; re-appearance of LOW on day 5 is a NEW version
+    assert got == [
+        (1, "LOW", t(1), t(3)),
+        (1, "LOW", t(5), None),
+        (1, "HIGH", t(3), t(5)),
+        (2, "MED", t(1), None),
+    ] or got == sorted(
+        [(1, "LOW", t(1), t(3)), (1, "HIGH", t(3), t(5)), (1, "LOW", t(5), None),
+         (2, "MED", t(1), None)]
+    )
+
+
+def test_transitions_rows_sum_to_one(spark, sf_small):
+    from diepy_spark.plans.relational import r48_transitions
+
+    rows = r48_transitions(spark, sf_small).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0 < r["p"] <= 1
+        by_from[r["from_type"]] += r["p"]
+    for k, s in by_from.items():
+        assert abs(s - 1.0) < 0.01, (k, s)  # rounding slack
+
+
+def test_skew_diag_share_and_factor(spark, sf_small):
+    from diepy_spark.plans.extended import x12_skew_diag
+
+    rows = x12_skew_diag(spark, sf_small).collect()
+    assert len(rows) == 10
+    assert all(r["skew_factor"] >= 1.0 for r in rows[:1])  # top key is above mean
+    assert rows == sorted(rows, key=lambda r: (-r["cnt"], r["l_partkey"]))
