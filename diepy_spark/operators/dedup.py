@@ -929,3 +929,85 @@ def strip_duplicated_spans(
             ),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rsync/LBFS boundary trick, the chunk
+    former behind chunk-level dedup): a chunk boundary falls after token
+    position t whenever the hash of the k-gram ENDING at t is ≡ 0 mod
+    `divisor`. Because boundaries depend only on local content, inserting
+    or deleting a token reshapes ONLY the chunk it touches — unlike
+    fixed-size chunking (chunk_tokens), where one insertion shifts every
+    later chunk and destroys all downstream dedup hits. Expected chunk
+    length ≈ `divisor` tokens.
+
+    Output: one row per chunk — (id_col, chunk_idx, tok_start, n_tokens,
+    chunk_hash, dup) where chunk_hash is the md5 of the space-joined
+    tokens and dup marks hashes occurring more than once corpus-wide
+    (the chunk-level duplication signal).
+
+    Scale: the boundary flags are a per-row array transform (narrow); one
+    shuffle on the doc id serves both the running-boundary-count window
+    and the per-(doc, chunk) rebuild; the dup flag is a window over the
+    chunk-hash dimension. Hash arithmetic is the md5-nibble-slice shared
+    with operators/bloom.py — bit-identical in DuckDB, so the whole
+    operator is oracle-checkable.
+    """
+    from diepy_spark.operators.bloom import hex_int_sql
+
+    _ident(id_col)
+    toks = tokens_expr(text_col)
+    grams = _grams_over("__toks", k)
+    flag = f"IF(({hex_int_sql('md5(g)', 1)} % {divisor}) = 0, 1, 0)"
+    base = (
+        df.where(F.expr(f"size({toks}) >= 1"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .select(
+            id_col,
+            "__toks",
+            F.expr(
+                f"concat(array_repeat(0, least(size(__toks), {k - 1})),"
+                f" transform({grams}, g -> {flag}))"
+            ).alias("__flags"),
+        )
+    )
+    tok = base.select(
+        id_col,
+        F.posexplode_outer(F.arrays_zip("__toks", "__flags")).alias("pos", "z"),
+    ).where(F.col("pos").isNotNull()).select(
+        id_col,
+        (F.col("pos") + 1).alias("i"),
+        F.col("z.__toks").alias("tok"),
+        F.col("z.__flags").alias("flag"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk_idx", F.coalesce(F.sum("flag").over(w), F.lit(0)).cast("bigint")
+    )
+    per_chunk = chunked.groupBy(id_col, "chunk_idx").agg(
+        F.min("i").cast("bigint").alias("tok_start"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, tok))), s -> s.tok)"
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    wd = Window.partitionBy("chunk_hash")
+    return per_chunk.withColumn(
+        "dup", (F.count(F.lit(1)).over(wd) > 1)
+    )

@@ -1197,6 +1197,23 @@ def x12_skew_diag(spark, sf_dir):
     )
 
 
+CDC_K = 4
+CDC_DIV = 8
+
+
+def x1_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + chunk-level dedup
+    (operators/dedup.py:cdc_chunks — the rsync/LBFS rolling-boundary
+    trick): chunk boundaries fall where the k-gram hash ≡ 0 mod CDC_DIV,
+    so an insertion reshapes one chunk instead of shifting all later ones
+    (what makes chunk-level dedup edit-robust, vs the fixed-size
+    x5_chunk_pack). Output: every chunk with its corpus-wide duplication
+    flag."""
+    return D.cdc_chunks(_docs(spark, sf_dir), k=CDC_K, divisor=CDC_DIV).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1262,6 +1279,7 @@ EXTENDED_QUERIES = {
     "x3_knn_classify": x3_knn_classify,
     "x9_scd2": x9_scd2,
     "x12_skew_diag": x12_skew_diag,
+    "x1_cdc_chunks": x1_cdc_chunks,
 }
 
 
@@ -2732,3 +2750,48 @@ EXTENDED_ORACLES["x12_skew_diag"] = f"""
            round(cnt * n_keys / total, 4) AS skew_factor
     FROM s ORDER BY cnt DESC, l_partkey LIMIT {SKEW_TOP}
 """
+
+
+def _cdc_oracle_sql() -> str:
+    """DuckDB mirror of x1_cdc_chunks: gram-ending-at-token via lag
+    concatenation, boundary via the shared md5-nibble-slice arithmetic
+    (operators.bloom.hex_int_sql — verbatim in both engines)."""
+    from diepy_spark.operators.bloom import hex_int_sql
+
+    lags = " || ' ' || ".join(
+        [f"lag(tok, {CDC_K - 1 - j}) OVER w" for j in range(CDC_K - 1)] + ["tok"]
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_EXPR}) AS tok,
+                 generate_subscripts({_TOKS_EXPR}, 1) AS i
+          FROM documents
+        ),
+        flagged AS (
+          SELECT doc_id, i, tok,
+                 CASE WHEN i >= {CDC_K}
+                      AND ({hex_int_sql(f"md5({lags})", 1)} % {CDC_DIV}) = 0
+                 THEN 1 ELSE 0 END AS flag
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        chunked AS (
+          SELECT doc_id, i, tok,
+                 CAST(coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS chunk_idx
+          FROM flagged
+        ),
+        per_chunk AS (
+          SELECT doc_id, chunk_idx,
+                 CAST(min(i) AS BIGINT) AS tok_start,
+                 count(*) AS n_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+          FROM chunked GROUP BY 1, 2
+        )
+        SELECT doc_id, chunk_idx, tok_start, n_tokens, chunk_hash,
+               count(*) OVER (PARTITION BY chunk_hash) > 1 AS dup
+        FROM per_chunk ORDER BY doc_id, chunk_idx
+    """
+
+
+EXTENDED_ORACLES["x1_cdc_chunks"] = _cdc_oracle_sql()

@@ -405,3 +405,76 @@ def test_skew_diag_share_and_factor(spark, sf_small):
     assert len(rows) == 10
     assert all(r["skew_factor"] >= 1.0 for r in rows[:1])  # top key is above mean
     assert rows == sorted(rows, key=lambda r: (-r["cnt"], r["l_partkey"]))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_reference(text, k=4, div=8):
+    """Literal python re-implementation of cdc_chunks for one document."""
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+    chunks, cur = [], []
+    for i, t in enumerate(toks, 1):
+        cur.append((i, t))
+        if i >= k:
+            # gram ending at i uses the ORIGINAL token stream, not cur
+            gram = " ".join(toks[i - k:i])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:4], 16)
+            if h % div == 0:
+                chunks.append(cur)
+                cur = []
+    if cur:
+        chunks.append(cur)
+    out = []
+    for idx, ch in enumerate(chunks):
+        body = " ".join(t for _, t in ch)
+        out.append(
+            (idx, ch[0][0], len(ch), hashlib.md5(body.encode()).hexdigest())
+        )
+    return out
+
+
+def test_cdc_chunks_random_vs_bruteforce(spark):
+    from diepy_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 80))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["tok_start"], r["n_tokens"], r["chunk_hash"])
+        for r in cdc_chunks(df).collect()
+    }
+    for d, text in docs:
+        for idx, start, n, h in _cdc_reference(text):
+            assert got[(d, idx)] == (start, n, h), (d, idx)
+    assert len(got) == sum(len(_cdc_reference(t)) for _, t in docs)
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The operator's reason to exist: one inserted token must leave every
+    chunk outside its neighborhood intact (fixed-size chunking shifts ALL
+    later chunks)."""
+    from diepy_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(9)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    toks = [rng.choice(vocab) for _ in range(400)]
+    edited = toks[:200] + ["INSERTED"] + toks[200:]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    # all but the edited chunk (and possibly its immediate successor merge)
+    # are shared
+    assert len(h1 - h2) <= 2, (len(h1), len(h1 - h2))
+    assert len(h1 & h2) >= len(h1) - 2
