@@ -1214,6 +1214,100 @@ def x1_cdc_chunks(spark, sf_dir):
     )
 
 
+def x8_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation via CMS inner product — the classic
+    sketch instrument for join planning (AGMS/CMS join-size estimate:
+    |A ⋈ B| = Σ_key cntA·cntB, estimated by min over rows of the
+    cell-wise sketch dot product, never an underestimate). The query
+    reports the exact join size next to the estimate and their ratio —
+    at 100 TB you compute the two sketches in one pass each (a few KB)
+    and skip the exact side entirely when choosing broadcast vs shuffle
+    vs skew handling. Same cells/constants as x8_cms_heavy_hitters."""
+    from diepy_spark.operators.sketch import cms_cells
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ca = cms_cells(o, "o_custkey", d=CMS_D, w=CMS_W, seed=CMS_SEED).select(
+        "r", "c", F.col("cnt").alias("cnt_a")
+    )
+    cb = cms_cells(c, "c_custkey", d=CMS_D, w=CMS_W, seed=CMS_SEED).select(
+        "r", "c", F.col("cnt").alias("cnt_b")
+    )
+    per_row = (
+        ca.join(cb, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    est = per_row.agg(F.min("dot").alias("cms_join_size"))
+    oa = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("na"))
+    cb2 = c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        oa.join(cb2, oa.o_custkey == cb2.c_custkey)
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "cms_join_size",
+        F.round(F.col("cms_join_size") / F.col("exact_join_size"), 4).alias("ratio"),
+    )
+
+
+DRIFT_SPLIT = INC_SPLIT
+
+
+def x12_drift(spark, sf_dir):
+    """Distribution-drift monitor between two loads: the order-status mix
+    before vs after DRIFT_SPLIT, with per-class share delta and the total
+    variation distance repeated on every row (the single drift headline a
+    pipeline alerts on). Counts are exact integers; shares are single
+    divisions rounded — deterministic cross-engine. One aggregate per
+    side over the class dimension; at 100 TB this is two map-side-combined
+    scans and a |classes|-row join."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+
+    def mix(df, cname):
+        g = df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias(cname))
+        return g
+
+    a = mix(orders.where(F.col("o_orderdate") < split), "n_base")
+    b = mix(orders.where(F.col("o_orderdate") >= split), "n_new")
+    j = a.join(b, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.partitionBy()
+    # TVD from exact integer numerators: |sn - sb| = |n_new*tb - n_base*tn|
+    # / (tb*tn), so the accumulated sum is an exact bigint and only the
+    # FINAL division is floating — summing the per-class double deltas
+    # instead would hash-differ across engines (accumulation order).
+    totals = j.select(
+        "*",
+        F.sum("n_base").over(w).alias("tb"),
+        F.sum("n_new").over(w).alias("tn"),
+    ).withColumn(
+        "num", F.abs(F.col("n_new") * F.col("tb") - F.col("n_base") * F.col("tn"))
+    )
+    return totals.select(
+        "o_orderstatus",
+        "n_base",
+        "n_new",
+        F.round(F.col("n_base") / F.col("tb"), 6).alias("share_base"),
+        F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
+        F.round(
+            F.col("n_new") / F.col("tn") - F.col("n_base") / F.col("tb"), 6
+        ).alias("share_delta"),
+        F.round(
+            F.sum("num").over(w) / (F.lit(2.0) * F.col("tb") * F.col("tn")), 6
+        ).alias("tvd"),
+    ).orderBy("o_orderstatus")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1280,6 +1374,8 @@ EXTENDED_QUERIES = {
     "x9_scd2": x9_scd2,
     "x12_skew_diag": x12_skew_diag,
     "x1_cdc_chunks": x1_cdc_chunks,
+    "x8_cms_join_size": x8_cms_join_size,
+    "x12_drift": x12_drift,
 }
 
 
@@ -2795,3 +2891,55 @@ def _cdc_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x1_cdc_chunks"] = _cdc_oracle_sql()
+
+
+def _cms_join_oracle_sql() -> str:
+    from diepy_spark.operators.sketch import cms_position_sql
+
+    def flat(table, key):
+        pos = lambda i: cms_position_sql(key, CMS_SEED, i, CMS_W)  # noqa: E731
+        return " UNION ALL ".join(
+            f"SELECT {i} AS r, {pos(i)} AS c FROM {table}" for i in range(CMS_D)
+        )
+
+    return f"""
+        WITH fa AS ({flat('orders', 'o_custkey')}),
+        fb AS ({flat('customer', 'c_custkey')}),
+        ca AS (SELECT r, c, count(*) AS cnt FROM fa GROUP BY 1, 2),
+        cb AS (SELECT r, c, count(*) AS cnt FROM fb GROUP BY 1, 2),
+        dot AS (SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+                FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY 1),
+        est AS (SELECT min(dot) AS cms_join_size FROM dot),
+        exact AS (
+          SELECT CAST(sum(a.na * b.nb) AS BIGINT) AS exact_join_size FROM
+          (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY 1) a
+          JOIN (SELECT c_custkey AS k, count(*) AS nb FROM customer GROUP BY 1) b
+          ON a.k = b.k
+        )
+        SELECT exact_join_size, cms_join_size,
+               round(cms_join_size / exact_join_size, 4) AS ratio
+        FROM exact, est
+    """
+
+
+EXTENDED_ORACLES["x8_cms_join_size"] = _cms_join_oracle_sql()
+
+
+EXTENDED_ORACLES["x12_drift"] = f"""
+    WITH a AS (SELECT o_orderstatus, count(*) AS n_base FROM orders
+               WHERE o_orderdate < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1),
+    b AS (SELECT o_orderstatus, count(*) AS n_new FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1),
+    j AS (SELECT coalesce(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                 coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new
+          FROM a FULL OUTER JOIN b ON a.o_orderstatus = b.o_orderstatus),
+    t AS (SELECT *, CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                 CAST(sum(n_new) OVER () AS BIGINT) AS tn FROM j),
+    n AS (SELECT *, abs(n_new * tb - n_base * tn) AS num FROM t)
+    SELECT o_orderstatus, n_base, n_new,
+           round(n_base / tb, 6) AS share_base,
+           round(n_new / tn, 6) AS share_new,
+           round(n_new / tn - n_base / tb, 6) AS share_delta,
+           round(CAST(sum(num) OVER () AS BIGINT) / (2.0 * tb * tn), 6) AS tvd
+    FROM n ORDER BY o_orderstatus
+"""

@@ -882,7 +882,12 @@ def r46_market_basket(spark, sf_dir):
         .distinct()
     )
     sized = ob.withColumn("bs", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-    ob = sized.where(F.col("bs") <= BASKET_MAX_ITEMS).drop("bs")
+    # both sides of the self-join reference the basket frame; without a
+    # lineage cut the join+distinct+window subplan runs twice (4 scans,
+    # ~1s of the ~3s total at sf0.1). Lazy localCheckpoint = compute once.
+    ob = sized.where(F.col("bs") <= BASKET_MAX_ITEMS).drop("bs").localCheckpoint(
+        eager=False
+    )
     a = ob.select("ok", F.col("brand").alias("brand_a"))
     b = ob.select("ok", F.col("brand").alias("brand_b"))
     pairs = a.join(b, "ok").where(F.col("brand_a") < F.col("brand_b"))

@@ -478,3 +478,43 @@ def test_cdc_chunks_edit_locality(spark):
     # are shared
     assert len(h1 - h2) <= 2, (len(h1), len(h1 - h2))
     assert len(h1 & h2) >= len(h1) - 2
+
+
+def test_cms_join_size_upper_bound(spark):
+    """CMS join-size estimate never underestimates the true join size."""
+    from diepy_spark.operators.sketch import cms_cells
+
+    a = spark.createDataFrame([(i % 9,) for i in range(60)], "k long")
+    b = spark.createDataFrame([(i % 6,) for i in range(30)], "k long")
+    ca = cms_cells(a, "k", d=2, w=256).selectExpr("r", "c", "cnt AS cnt_a")
+    cb = cms_cells(b, "k", d=2, w=256).selectExpr("r", "c", "cnt AS cnt_b")
+    est = (
+        ca.join(cb, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.expr("cnt_a * cnt_b")).alias("dot"))
+        .agg(F.min("dot"))
+        .collect()[0][0]
+    )
+    exact = a.join(b, "k").count()
+    assert est >= exact
+
+
+def test_drift_tvd_zero_when_identical(spark):
+    """Identical mixes on both sides -> share deltas and TVD all zero."""
+    from pyspark.sql import Window
+
+    j = spark.createDataFrame(
+        [("A", 10, 20), ("B", 30, 60)], "s string, n_base long, n_new long"
+    )
+    w = Window.partitionBy()
+    t = j.select(
+        "*",
+        F.sum("n_base").over(w).alias("tb"),
+        F.sum("n_new").over(w).alias("tn"),
+    ).withColumn(
+        "num", F.abs(F.col("n_new") * F.col("tb") - F.col("n_base") * F.col("tn"))
+    )
+    out = t.select(
+        F.round(F.sum("num").over(w) / (F.lit(2.0) * F.col("tb") * F.col("tn")), 6).alias("tvd")
+    ).collect()
+    assert all(r["tvd"] == 0.0 for r in out)
