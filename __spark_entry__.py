@@ -37,19 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
 # force, cross-split broadcast knob, stratified typed fractions), then
 # (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  The 17 mid-round additions (r45-r48, x8_bloom/x8_cms/
+# order).  The 18 mid-round additions (r45-r48, x8_bloom/x8_cms/
 # x8_cms_join, x9_diff/x9_inc/x9_scd2, x11_tri, x2_fuzzy, x3_knn,
-# x12_dq/x12_skew/x12_drift, x1_cdc_chunks) joined group (a), pushing
-# the window tail 17 deeper: the last 17 of group (d) (x8_hash_split,
-# x8_hash_sample, x8_weighted_sample, x3_label_centroids, x5_tfidf,
-# x5_vocab, x5_winnow, x5_quality_score, x5_token_stats, x5_lang_id,
-# x3_cosine_topk, x2_embedding_near_dup_lsh, x2_dedup_stats,
-# x2_dedup_apply, r28b_histogram_quantiles, t1_roundtrip_csv,
-# x7_stream_enrich) keep their round-2/3 greens and move to the round-5
-# front-load along with the twelve already-displaced round-2 rows
-# (x8_grouped_linfit, x9_merge_upsert, x5_repetition, x5_pii_redact,
-# x2_contamination, x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack,
-# x3_quantize_int8, x10_clean_corpus, x5_lm_score, x2_minhash_est).
+# x12_dq/x12_skew/x12_drift, x1_cdc_chunks, t3_roundtrip_parquet)
+# joined group (a), pushing the window tail 18 deeper: the window now
+# ends at x7_stream_stateful, and everything from x7_stream_dedup
+# through x8_weighted_sample in the list below (18 rows, all
+# round-2/3-green) is displaced to the round-5 front-load along with
+# the twelve already-displaced round-2 rows (x8_grouped_linfit,
+# x9_merge_upsert, x5_repetition, x5_pii_redact, x2_contamination,
+# x2_winnow_pairs, x8_hll_distinct, x5_chunk_pack, x3_quantize_int8,
+# x10_clean_corpus, x5_lm_score, x2_minhash_est).
 # Everything not named keeps its round-2/3 green as the standing record.
 _PRIORITY = [
     # new in round 4 (no driver row at all)
@@ -74,6 +72,7 @@ _PRIORITY = [
     "x1_cdc_chunks",
     "x8_cms_join_size",
     "x12_drift",
+    "t3_roundtrip_parquet",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # last driver-checked in round 1 — the documented round-4 front-load

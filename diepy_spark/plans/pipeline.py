@@ -316,6 +316,38 @@ def t2_roundtrip_jsonl(spark, sf_dir):
     return typed.select(*cols).orderBy("o_orderkey")
 
 
+def t3_roundtrip_parquet(spark, sf_dir):
+    """Warehouse-native roundtrip: orders written to scratch as parquet
+    PARTITIONED BY o_orderstatus (the 100 TB layout — one directory per
+    status), read back filtered to one partition. The filter must prune
+    at the DIRECTORY level (PartitionFilters in the scan, pinned by
+    tests/test_analytics.py::test_partitioned_roundtrip_prunes) — the
+    non-selected partitions are never opened. Output value-matches the
+    source rows of that status, proving the write→layout→read path is
+    lossless including timestamp micros."""
+    import tempfile as _tf
+
+    tune(spark)
+    key = ("parquet-part", sf_dir)
+    if key not in _scratch_cache:
+        d = os.path.join(_tf.mkdtemp(prefix="diepy-pq-"), "orders")
+        load_table(spark, sf_dir, "orders").write.partitionBy(
+            "o_orderstatus"
+        ).parquet(d)
+        _scratch_cache[key] = d
+    back = spark.read.parquet(_scratch_cache[key]).where(
+        F.col("o_orderstatus") == "F"
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).orderBy("o_orderkey")
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -326,6 +358,7 @@ PIPELINE_QUERIES = {
     "x7_stream_join": x7_stream_join,
     "t1_roundtrip_csv": t1_roundtrip_csv,
     "t2_roundtrip_jsonl": t2_roundtrip_jsonl,
+    "t3_roundtrip_parquet": t3_roundtrip_parquet,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -406,5 +439,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     """,
     "t2_roundtrip_jsonl": """
         SELECT * FROM orders ORDER BY o_orderkey
+    """,
+    "t3_roundtrip_parquet": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey
     """,
 }

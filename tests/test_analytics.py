@@ -518,3 +518,24 @@ def test_drift_tvd_zero_when_identical(spark):
         F.round(F.sum("num").over(w) / (F.lit(2.0) * F.col("tb") * F.col("tn")), 6).alias("tvd")
     ).collect()
     assert all(r["tvd"] == 0.0 for r in out)
+
+
+def test_partitioned_roundtrip_prunes(spark, sf_small):
+    """The t3 scan must prune non-selected status partitions at the
+    directory level: PartitionFilters carries the o_orderstatus predicate
+    and the row filter does NOT reappear as a data filter."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from diepy_spark.plans.pipeline import t3_roundtrip_parquet
+
+    df = t3_roundtrip_parquet(spark, sf_small)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "o_orderstatus" not in pushed.group(1), plan
