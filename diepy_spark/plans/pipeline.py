@@ -316,6 +316,65 @@ def t2_roundtrip_jsonl(spark, sf_dir):
     return typed.select(*cols).orderBy("o_orderkey")
 
 
+def x7_stream_upsert(spark, sf_dir):
+    """Streaming UPSERT sink via foreachBatch — the canonical Structured
+    Streaming pattern for maintaining a keyed latest-state table (the
+    file/Kafka → warehouse MERGE loop): each micro-batch reduces to its
+    per-user latest event (one window inside the batch), then merges into
+    the accumulating state with merge_upsert semantics (ts wins; the
+    replay's ts-range batches are disjoint so later batches strictly
+    supersede). State is eagerly localCheckpointed per batch — batch
+    frames are only valid inside their micro-batch, and the checkpoint
+    also keeps the merge chain's lineage flat across batches (at
+    production scale the state table is a MERGE-capable warehouse table
+    instead and this operator IS the foreachBatch body). Final result:
+    the latest event per user — identical for any replay granularity."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.merge import merge_upsert
+
+    tune(spark)
+    src = _events_src(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    state: dict[str, DataFrame | None] = {"df": None}
+
+    def fb(batch_df: DataFrame, _bid: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["df"] is None:
+            merged = latest
+        else:
+            merged = merge_upsert(state["df"], latest, ["user_id"], version_col="ts")
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", _tf.mkdtemp(prefix="diepy-ck-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = state["df"]
+    assert out is not None
+    return out.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).orderBy("user_id")
+
+
 def t3_roundtrip_parquet(spark, sf_dir):
     """Warehouse-native roundtrip: orders written to scratch as parquet
     PARTITIONED BY o_orderstatus (the 100 TB layout — one directory per
@@ -359,6 +418,7 @@ PIPELINE_QUERIES = {
     "t1_roundtrip_csv": t1_roundtrip_csv,
     "t2_roundtrip_jsonl": t2_roundtrip_jsonl,
     "t3_roundtrip_parquet": t3_roundtrip_parquet,
+    "x7_stream_upsert": x7_stream_upsert,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -444,5 +504,11 @@ PIPELINE_ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+    """,
+    "x7_stream_upsert": """
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1 ORDER BY user_id
     """,
 }

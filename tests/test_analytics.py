@@ -539,3 +539,18 @@ def test_partitioned_roundtrip_prunes(spark, sf_small):
     assert m and "o_orderstatus" in m.group(1), plan
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed is None or "o_orderstatus" not in pushed.group(1), plan
+
+
+def test_stream_upsert_replay_granularity_invariant(spark, sf_small, monkeypatch):
+    """The foreachBatch upsert's final state must not depend on how many
+    micro-batches the replay used (4-batch test profile vs 2-batch bench
+    profile) — later ts-range batches strictly supersede either way."""
+    import os as _os
+
+    from diepy_spark.plans.pipeline import x7_stream_upsert
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MFPT", raising=False)
+    a = sorted(map(tuple, x7_stream_upsert(spark, sf_small).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "2")
+    b = sorted(map(tuple, x7_stream_upsert(spark, sf_small).collect()))
+    assert a == b and len(a) > 0
