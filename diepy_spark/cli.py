@@ -1,4 +1,4 @@
-"""CLI: ``python -m diepy_spark.cli import|export|clean|dedup``.
+"""CLI: ``python -m diepy_spark.cli import|export|clean|dedup|profile|diff``.
 
 import/export mirror the reference (cli.py:47-144):
   import [--truncate] [--tab] [--config F] SRC... SERVER[.DB[.SCHEMA[.TABLE]]]
@@ -15,8 +15,10 @@ analog — the operators behind SURVEY §2.6 X1/X2/X10):
         [--jaccard F] [--max-df N] [--text-col C] [--id-col C]
   dedup SRC DST [--method exact|minhash] [--threshold F] [--text-col C]
         [--id-col C]
+  profile SRC [--columns a,b,c]           # DQ audit, one JSON line/column
+  diff OLD NEW DST --keys k1[,k2] [--compare a,b]  # CDC changeset
 SRC is a parquet path/dir (the cluster-scale interchange format); DST is
-written as parquet. Both print a one-line JSON stats summary to stdout.
+written as parquet. Each prints a one-line JSON stats summary to stdout.
 """
 
 from __future__ import annotations
@@ -69,6 +71,26 @@ def _build_parser() -> argparse.ArgumentParser:
     ddp.add_argument("--max-df", type=int, default=100)
     ddp.add_argument("--text-col", default="text")
     ddp.add_argument("--id-col", default="doc_id")
+
+    prf = sub.add_parser(
+        "profile", help="data-quality profile of a parquet table (one JSON line per column)"
+    )
+    prf.add_argument("src", help="input parquet path/dir")
+    prf.add_argument(
+        "--columns", default=None, help="comma-separated subset (default: all columns)"
+    )
+
+    dff = sub.add_parser(
+        "diff", help="CDC changeset between two parquet snapshots (parquet out)"
+    )
+    dff.add_argument("old", help="old snapshot parquet path")
+    dff.add_argument("new", help="new snapshot parquet path")
+    dff.add_argument("dst", help="output parquet dir for the changeset")
+    dff.add_argument("--keys", required=True, help="comma-separated key columns")
+    dff.add_argument(
+        "--compare", default=None,
+        help="comma-separated compared columns (default: all shared non-key)",
+    )
     return p
 
 
@@ -122,6 +144,60 @@ def _cmd_dedup(spark, args) -> int:
     return 0
 
 
+def _cmd_profile(spark, args) -> int:
+    """Per-column audit in ONE scan (the generic form of the declared
+    x12_dq_profile): row count, nulls, exact distincts, stringified
+    min/max. Output: one JSON line per column, ordered by name."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(args.src)
+    cols = args.columns.split(",") if args.columns else df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"max_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    for c in sorted(cols):
+        print(json.dumps({
+            "column": c, "n_rows": row["n_rows"], "n_null": row[f"null_{c}"],
+            "n_distinct": row[f"nd_{c}"], "min": row[f"min_{c}"],
+            "max": row[f"max_{c}"],
+        }))
+    return 0
+
+
+def _cmd_diff(spark, args) -> int:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators.merge import snapshot_diff
+
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    keys = args.keys.split(",")
+    compare = args.compare.split(",") if args.compare else None
+    d = snapshot_diff(old, new, keys, compare)
+    d.write.mode("overwrite").parquet(args.dst)
+    counts = {
+        r["change_type"]: r["n"]
+        for r in spark.read.parquet(args.dst)
+        .groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({
+        "command": "diff",
+        "insert": counts.get("insert", 0),
+        "update": counts.get("update", 0),
+        "delete": counts.get("delete", 0),
+        "dst": args.dst,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
     args = _build_parser().parse_args(argv)
@@ -136,6 +212,10 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_clean(spark, args)
     if args.command == "dedup":
         return _cmd_dedup(spark, args)
+    if args.command == "profile":
+        return _cmd_profile(spark, args)
+    if args.command == "diff":
+        return _cmd_diff(spark, args)
 
     if args.command == "import":
         server, database, schema, table = parse_dbpath(args.dst)

@@ -112,3 +112,35 @@ def test_cli_clean(docs_parquet, tmp_path, spark, capsys):
     assert stats["docs_in"] == 5
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 5}  # gate drops 4; dedup collapses 2 and 3 into 1
+
+
+def test_cli_profile(docs_parquet, tmp_path, spark, capsys):
+    rc = cli.main(["profile", docs_parquet, "--columns", "doc_id,text"])
+    assert rc == 0
+    import json
+
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    by_col = {d["column"]: d for d in lines}
+    assert set(by_col) == {"doc_id", "text"}
+    assert by_col["doc_id"]["n_null"] == 0
+    assert by_col["doc_id"]["n_distinct"] == by_col["doc_id"]["n_rows"]
+
+
+def test_cli_diff(docs_parquet, tmp_path, spark, capsys):
+    import json
+
+    old = docs_parquet
+    newdir = str(tmp_path / "docs_new")
+    df = spark.read.parquet(old)
+    from pyspark.sql import functions as F
+
+    df.where(F.col("doc_id") != 1).withColumn(
+        "text", F.when(F.col("doc_id") == 4, F.lit("mutated")).otherwise(F.col("text"))
+    ).write.parquet(newdir)
+    out = str(tmp_path / "changeset")
+    rc = cli.main(["diff", old, newdir, out, "--keys", "doc_id"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (stats["insert"], stats["update"], stats["delete"]) == (0, 1, 1)
+    got = {(r["doc_id"], r["change_type"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "delete"), (4, "update")}
