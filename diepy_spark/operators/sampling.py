@@ -186,3 +186,72 @@ def stratified_hash_sample(
         out.where(_frac_expr(id_col, seed) < F.coalesce("_frac", F.lit(1.0)))
         .drop("_frac")
     )
+
+
+# P(X <= k) for Poisson(lambda=1), k = 0..5; beyond caps at 6. repr()'d
+# into SQL so Spark and DuckDB compare against bit-identical literals.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def poisson_weight_sql(u_sql: str) -> str:
+    """SQL CASE mapping a uniform [0,1) expression to a Poisson(1) draw by
+    inverse CDF (capped at 6). Identical text in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {u_sql} < {POISSON1_CDF[k]!r} THEN {k}" for k in range(6)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    on: str,
+    cents_col: str,
+    id_col: str,
+    b: int = 20,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap replicate means — THE one-pass distributed
+    bootstrap (each replicate reweights every row by an independent
+    Poisson(1) draw instead of resampling, so all B replicates compute in
+    a single scan with ordinary map-side-combined aggregation; the
+    with-replacement bootstrap would need B shuffled resamples).
+
+    Determinism contract: the per-(row, replicate) draw inverts the
+    Poisson CDF on a uniform derived from ``md5(seed || b || ':' || id)``
+    (operators/sketch.py:hex_frac_sql), and each replicate mean is
+    sum(weight*cents)/sum(weight) — exact integer sums, ONE final
+    division — so replicate means are bit-identical in any engine and
+    under any partitioning.
+
+    Output: one row per (``on``, ``rep``) with ``boot_mean`` (double,
+    cents / 100)."""
+    from diepy_spark.operators.sketch import hex_frac_sql
+
+    u = hex_frac_sql(
+        f"md5(concat('{seed}', CAST(rep AS STRING), ':', CAST({id_col} AS STRING)))"
+    )
+    weighted = df.select(
+        on,
+        cents_col,
+        id_col,
+        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("rep"),
+    ).withColumn("w", F.expr(poisson_weight_sql(f"({u})")))
+    return (
+        weighted.groupBy(on, "rep")
+        .agg(
+            F.sum(F.col("w") * F.col(cents_col)).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            on,
+            "rep",
+            (F.col("swx").cast("double") / F.col("sw") / 100.0).alias("boot_mean"),
+        )
+    )

@@ -1308,6 +1308,116 @@ def x12_drift(spark, sf_dir):
     ).orderBy("o_orderstatus")
 
 
+GAP_MIN_PRICE = 150000
+GAP_TOP = 100
+
+
+def x12_gaps(spark, sf_dir):
+    """Islands-and-gaps detection over a key sequence (the missing-id DQ
+    audit every ingest runs): contiguous RUNS of absent keys in the
+    filtered orderkey set, top GAP_TOP by length.
+
+    Scale shape: the textbook windowed-lag solution needs a GLOBAL sort
+    (one task at 100 TB). This plan never sorts the data: gap starts and
+    island starts are two ANTI self-joins on key±1 (distributed hash
+    joins), and only the BOUNDARY dimension — orders of magnitude smaller
+    than the key set — enters the single window that pairs each gap start
+    with the next island start. The trailing non-gap after the max key is
+    excluded via one broadcast scalar."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > GAP_MIN_PRICE)
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    mx = keys.agg(F.max("key").alias("mx"))
+    succ = keys.select((F.col("key") + 1).alias("key"))
+    gap_starts = (
+        succ.join(keys, "key", "left_anti")
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("key") <= F.col("mx"))
+        .select(F.col("key").alias("pos"), F.lit("g").alias("tag"))
+    )
+    # island start: key present whose PREDECESSOR is absent == key NOT in
+    # the successor set {k+1} (an anti join against {k-1} keeps island
+    # ENDS instead — the bug the oracle hash caught on first run)
+    island_starts = keys.join(succ, "key", "left_anti").select(
+        F.col("key").alias("pos"), F.lit("i").alias("tag")
+    )
+    u = gap_starts.unionByName(island_starts)
+    # "min island pos among FOLLOWING rows" spelled as a RUNNING min over
+    # the DESCENDING order: Spark evaluates UNBOUNDED FOLLOWING frames by
+    # recomputing the aggregate per row (O(n²) — measured 58 s on 60k
+    # boundary rows), while UNBOUNDED PRECEDING running frames are
+    # incremental (O(n) — 2 s). Same value, same determinism.
+    w = Window.orderBy(F.desc("pos")).rowsBetween(Window.unboundedPreceding, -1)
+    paired = u.withColumn(
+        "next_island", F.min(F.when(F.col("tag") == "i", F.col("pos"))).over(w)
+    ).where(F.col("tag") == "g")
+    return (
+        paired.select(
+            F.col("pos").alias("gap_start"),
+            (F.col("next_island") - 1).alias("gap_end"),
+            (F.col("next_island") - F.col("pos")).alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(GAP_TOP)
+    )
+
+
+BOOT_B = 20
+BOOT_SEED = "boot"
+
+
+def x8_bootstrap_ci(spark, sf_dir):
+    """Uncertainty quantification at scale: Poisson-bootstrap confidence
+    band for mean order price per status
+    (operators/sampling.py:poisson_bootstrap_means — the ONE-PASS
+    distributed bootstrap: every replicate reweights rows by a
+    deterministic Poisson(1) draw, so B=20 replicates cost one scan and
+    one aggregate, no resampling shuffles). The band comes from ORDER
+    STATISTICS of the sorted replicate means (min / exact middle pair /
+    max — element_at on a sorted 20-element array, no percentile
+    interpolation to disagree across engines). Point estimate from exact
+    integer cents."""
+    from diepy_spark.operators.sampling import poisson_bootstrap_means
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = poisson_bootstrap_means(
+        orders, "o_orderstatus", "cents", "o_orderkey", b=BOOT_B, seed=BOOT_SEED
+    )
+    point = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias("mean_price"),
+    )
+    band = reps.groupBy("o_orderstatus").agg(
+        F.array_sort(F.collect_list("boot_mean")).alias("ms")
+    )
+    half = BOOT_B // 2
+    return (
+        point.join(band, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            F.round("mean_price", 4).alias("mean_price"),
+            F.round(F.element_at("ms", 1), 4).alias("boot_lo"),
+            F.round(
+                (F.element_at("ms", half) + F.element_at("ms", half + 1)) / 2.0, 4
+            ).alias("boot_median"),
+            F.round(F.element_at("ms", BOOT_B), 4).alias("boot_hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1376,6 +1486,8 @@ EXTENDED_QUERIES = {
     "x1_cdc_chunks": x1_cdc_chunks,
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
+    "x12_gaps": x12_gaps,
+    "x8_bootstrap_ci": x8_bootstrap_ci,
 }
 
 
@@ -2943,3 +3055,64 @@ EXTENDED_ORACLES["x12_drift"] = f"""
            round(CAST(sum(num) OVER () AS BIGINT) / (2.0 * tb * tn), 6) AS tvd
     FROM n ORDER BY o_orderstatus
 """
+
+
+EXTENDED_ORACLES["x12_gaps"] = f"""
+    WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders
+               WHERE o_totalprice > {GAP_MIN_PRICE}),
+    mx AS (SELECT max(key) AS mx FROM k),
+    g AS (SELECT k.key + 1 AS pos, 'g' AS tag FROM k, mx
+          WHERE k.key + 1 <= mx
+            AND NOT EXISTS (SELECT 1 FROM k k2 WHERE k2.key = k.key + 1)),
+    i AS (SELECT key AS pos, 'i' AS tag FROM k
+          WHERE NOT EXISTS (SELECT 1 FROM k k2 WHERE k2.key = k.key - 1)),
+    u AS (SELECT * FROM g UNION ALL SELECT * FROM i),
+    p AS (SELECT pos, tag,
+                 min(CASE WHEN tag = 'i' THEN pos END) OVER
+                   (ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_island
+          FROM u)
+    SELECT pos AS gap_start, next_island - 1 AS gap_end,
+           next_island - pos AS gap_len
+    FROM p WHERE tag = 'g'
+    ORDER BY gap_len DESC, gap_start LIMIT {GAP_TOP}
+"""
+
+
+def _bootstrap_oracle_sql() -> str:
+    from diepy_spark.operators.sampling import poisson_weight_sql
+    from diepy_spark.operators.sketch import hex_frac_sql
+
+    reps = ", ".join(f"({i})" for i in range(BOOT_B))
+    u = hex_frac_sql(
+        f"md5(concat('{BOOT_SEED}', CAST(r.rep AS VARCHAR), ':',"
+        f" CAST(o_orderkey AS VARCHAR)))"
+    )
+    half = BOOT_B // 2
+    return f"""
+        WITH o AS (SELECT o_orderstatus, o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        wtd AS (SELECT o.o_orderstatus, o.cents, r.rep,
+                       {poisson_weight_sql(f'({u})')} AS w
+                FROM o, (VALUES {reps}) AS r(rep)),
+        rm AS (SELECT o_orderstatus, rep,
+                      CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+                        / 100.0 AS boot_mean
+               FROM wtd GROUP BY 1, 2),
+        band AS (SELECT o_orderstatus,
+                        list(boot_mean ORDER BY boot_mean) AS ms
+                 FROM rm GROUP BY 1),
+        pt AS (SELECT o_orderstatus, count(*) AS n,
+                      CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS mean_price
+               FROM o GROUP BY 1)
+        SELECT pt.o_orderstatus, pt.n, round(pt.mean_price, 4) AS mean_price,
+               round(ms[1], 4) AS boot_lo,
+               round((ms[{half}] + ms[{half + 1}]) / 2.0, 4) AS boot_median,
+               round(ms[{BOOT_B}], 4) AS boot_hi
+        FROM pt JOIN band ON band.o_orderstatus = pt.o_orderstatus
+        ORDER BY pt.o_orderstatus
+    """
+
+
+EXTENDED_ORACLES["x8_bootstrap_ci"] = _bootstrap_oracle_sql()

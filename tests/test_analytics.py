@@ -554,3 +554,68 @@ def test_stream_upsert_replay_granularity_invariant(spark, sf_small, monkeypatch
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "2")
     b = sorted(map(tuple, x7_stream_upsert(spark, sf_small).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# gaps / bootstrap
+# ---------------------------------------------------------------------------
+
+def test_gaps_random_vs_bruteforce(spark):
+    """Boundary-anti-join islands/gaps == the sorted-scan reference."""
+    from pyspark.sql import Window
+
+    for seed in (3, 14):
+        rng = random.Random(seed)
+        ks = sorted(rng.sample(range(200), 80))
+        keys = spark.createDataFrame([(k,) for k in ks], "key long")
+        mx = keys.agg(F.max("key").alias("mx"))
+        succ = keys.select((F.col("key") + 1).alias("key"))
+        gap_starts = (
+            succ.join(keys, "key", "left_anti")
+            .crossJoin(F.broadcast(mx))
+            .where(F.col("key") <= F.col("mx"))
+            .select(F.col("key").alias("pos"), F.lit("g").alias("tag"))
+        )
+        island_starts = keys.join(succ, "key", "left_anti").select(
+            F.col("key").alias("pos"), F.lit("i").alias("tag")
+        )
+        w = Window.orderBy("pos").rowsBetween(1, Window.unboundedFollowing)
+        got = sorted(
+            (r["pos"], r["next_island"] - 1)
+            for r in gap_starts.unionByName(island_starts)
+            .withColumn(
+                "next_island",
+                F.min(F.when(F.col("tag") == "i", F.col("pos"))).over(w),
+            )
+            .where(F.col("tag") == "g")
+            .collect()
+        )
+        ref = sorted(
+            (a + 1, b - 1) for a, b in zip(ks, ks[1:]) if b - a > 1
+        )
+        assert got == ref, seed
+
+
+def test_poisson_bootstrap_deterministic_and_unit_mean(spark):
+    from diepy_spark.operators.sampling import poisson_bootstrap_means
+
+    df = spark.createDataFrame(
+        [("g", i, (i % 50) * 100) for i in range(500)], "grp string, id long, cents long"
+    )
+    a = sorted(
+        map(tuple, poisson_bootstrap_means(df, "grp", "cents", "id", b=10).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            poisson_bootstrap_means(
+                df.repartition(7), "grp", "cents", "id", b=10
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 10
+    # replicate means hover around the true mean; Poisson(1) weights keep
+    # each replicate's effective n near 500
+    true_mean = sum((i % 50) for i in range(500)) / 500
+    means = [m for (_, _, m) in a]
+    assert all(abs(m - true_mean) < true_mean * 0.2 for m in means), means
