@@ -40,6 +40,7 @@ __all__ = [
     "dedup_corpus",
     "dedup_stats",
     "triangle_count",
+    "kmeans_int",
 ]
 
 
@@ -468,3 +469,89 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri"))
     )
+
+
+def kmeans_int(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column with INTEGER-EXACT
+    arithmetic, so assignments are bit-identical in any engine and under
+    any partitioning (the float version is not: both the per-dimension
+    centroid sums and the distance folds depend on accumulation order).
+
+    Determinism contract: vectors quantize once to ints
+    (``round(x * scale)``); distances are exact integer sums of squares
+    (order-free); centroid updates are ``floor(sum / n)`` with the
+    division done in doubles small enough to be exact (< 2^53); argmin
+    ties break toward the smaller cluster id. Seeds: the k rows with the
+    smallest ids (deterministic, and mirrorable in SQL).
+
+    Scale shape (the standard distributed Lloyd's): centroids are a
+    k*dim literal BROADCAST into a per-row projection — assignment is
+    zero-shuffle; the update explodes (cluster, dim, x) and aggregates
+    with map-side combine to k*dim rows; the only driver action per
+    iteration is collecting the k*dim centroid table (a few KB), exactly
+    like pagerank's loop scalars. Output: (id_col, cluster, dist) — the
+    final assignment with its exact integer squared distance.
+    """
+    # The double cast is semantic, not defensive: a float32 source times an
+    # int in FLOAT arithmetic rounds 1040.49995 -> 1040.5f -> 1041, while
+    # double arithmetic keeps 1040.49995 -> 1040 (a real sf0.1 value that
+    # hash-failed before the oracle spelled the same cast).
+    q = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col},"
+            f" v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("xi"),
+    )
+    q = q.localCheckpoint(eager=False)  # reused every iteration
+    seeds = (
+        q.orderBy(id_col).limit(k).select("xi").collect()
+    )
+    cents: list[list[int]] = [list(r["xi"]) for r in seeds]
+
+    def assign(cents_now: list[list[int]]) -> DataFrame:
+        dists = [
+            F.expr(
+                "aggregate(zip_with(xi, array({lits}), (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
+                    lits=", ".join(f"CAST({c} AS BIGINT)" for c in cv)
+                )
+            ).alias(f"d{j}")
+            for j, cv in enumerate(cents_now)
+        ]
+        scored = q.select(id_col, "xi", *dists)
+        best = F.least(*[F.col(f"d{j}") for j in range(len(cents_now))])
+        cluster = F.lit(None).cast("int")
+        for j in reversed(range(len(cents_now))):
+            cluster = F.when(F.col(f"d{j}") == best, F.lit(j)).otherwise(cluster)
+        return scored.withColumn("cluster", cluster).withColumn("dist", best)
+
+    for _ in range(iterations):
+        a = assign(cents)
+        upd = (
+            a.select("cluster", F.posexplode("xi").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        import math
+
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], {})[r["i"]] = int(
+                math.floor(r["s"] / r["n"])
+            )
+        cents = [
+            [by_cluster[j][i] for i in range(len(cents[j]))]
+            if j in by_cluster
+            else cents[j]  # empty cluster keeps its centroid
+            for j in range(k)
+        ]
+    return assign(cents).select(id_col, "cluster", "dist")

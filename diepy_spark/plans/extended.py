@@ -1418,6 +1418,29 @@ def x8_bootstrap_ci(spark, sf_dir):
     )
 
 
+KM_K = 8
+KM_ITER = 3
+KM_SCALE = 10_000
+
+
+def x3_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/clustering.py:kmeans_int) with INTEGER-EXACT arithmetic —
+    assignments and squared distances are bit-identical across engines
+    and partitionings, which is what makes an iterative ML algorithm
+    hash-checkable at all (float k-means isn't: accumulation order moves
+    boundary points). Seeds = the k smallest vec_ids; the oracle unrolls
+    the same KM_ITER assign/update rounds as chained CTEs (the pagerank
+    pattern). Output: the full final assignment with exact distances."""
+    from diepy_spark.operators.clustering import kmeans_int
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    return kmeans_int(
+        v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE
+    ).orderBy("vec_id")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1488,6 +1511,7 @@ EXTENDED_QUERIES = {
     "x12_drift": x12_drift,
     "x12_gaps": x12_gaps,
     "x8_bootstrap_ci": x8_bootstrap_ci,
+    "x3_kmeans": x3_kmeans,
 }
 
 
@@ -3116,3 +3140,47 @@ def _bootstrap_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_bootstrap_ci"] = _bootstrap_oracle_sql()
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled-iteration mirror of operators.clustering.kmeans_int:
+    c0 = seeds (k smallest ids), then KM_ITER rounds of
+    assign (exact integer argmin, ties -> smaller cluster) and update
+    (floor(sum/n) per dimension, empty clusters keep their centroid),
+    then the FINAL assignment — same loop structure as the Spark
+    operator, one CTE pair per round (the pagerank pattern)."""
+    ctes = [
+        f"""u AS (SELECT vec_id,
+                    CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+             FROM (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings))""",
+        f"""seeds AS (SELECT vec_id,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+               FROM (SELECT DISTINCT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT {KM_K}))""",
+        "c0 AS (SELECT s.j AS cluster, u.i, u.x AS c FROM seeds s JOIN u ON u.vec_id = s.vec_id)",
+    ]
+    for t in range(KM_ITER + 1):
+        ctes.append(f"""d{t} AS (
+            SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+            FROM u JOIN c{t} c ON c.i = u.i GROUP BY 1, 2)""")
+        ctes.append(f"""a{t} AS (
+            SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cluster) AS rn FROM d{t}) WHERE rn = 1)""")
+        if t < KM_ITER:
+            ctes.append(f"""c{t + 1} AS (
+                SELECT a.cluster, u.i,
+                       CAST(floor(CAST(sum(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+                FROM a{t} a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2
+                UNION ALL
+                SELECT * FROM c{t} WHERE cluster NOT IN
+                  (SELECT DISTINCT cluster FROM a{t}))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, dist FROM a{KM_ITER} ORDER BY vec_id"
+    )
+
+
+EXTENDED_ORACLES["x3_kmeans"] = _kmeans_oracle_sql()

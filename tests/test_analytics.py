@@ -619,3 +619,42 @@ def test_poisson_bootstrap_deterministic_and_unit_mean(spark):
     true_mean = sum((i % 50) for i in range(500)) / 500
     means = [m for (_, _, m) in a]
     assert all(abs(m - true_mean) < true_mean * 0.2 for m in means), means
+
+
+def test_kmeans_int_vs_python_reference(spark):
+    """Literal python Lloyd's with the same quantization, floor-mean
+    update, and smaller-cluster tie-break, on seeded random vectors."""
+    import math
+
+    from diepy_spark.operators.clustering import kmeans_int
+
+    rng = random.Random(21)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_int(df, k=3, iterations=2, scale=1000).collect()
+    }
+
+    xs = {i: [int(round(v * 1000)) for v in vec] for i, vec in vecs}
+    cents = [xs[i][:] for i in range(3)]  # seeds: smallest ids
+
+    def assign(cs):
+        out = {}
+        for i, x in xs.items():
+            ds = [sum((a - b) ** 2 for a, b in zip(x, c)) for c in cs]
+            best = min(ds)
+            j = ds.index(best)  # first == smallest cluster id on ties
+            out[i] = (j, best)
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        for j in range(3):
+            members = [xs[i] for i, (c, _) in a.items() if c == j]
+            if members:
+                cents[j] = [
+                    int(math.floor(sum(col) / len(members)))
+                    for col in zip(*members)
+                ]
+    assert got == assign(cents)
