@@ -32,6 +32,7 @@ __all__ = [
     "reservoir_per_group",
     "stratified_hash_sample",
     "weighted_hash_sample",
+    "weighted_topk_sample",
 ]
 
 
@@ -254,4 +255,46 @@ def poisson_bootstrap_means(
             "rep",
             (F.col("swx").cast("double") / F.col("sw") / 100.0).alias("boot_mean"),
         )
+    )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wtk",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis A-ES algorithm (IPL 2006): each row draws
+    u = hash_frac(id) and ranks by the key u^(1/w); the top-k keys are
+    exactly a weight-proportional without-replacement sample. The
+    Bernoulli sampler (weighted_hash_sample) can't deliver a FIXED
+    sample size; this is the standard fix, and it's one narrow
+    projection + one per-group top-k window (WindowGroupLimit prunes
+    per-task) — no iterative draw-and-remove.
+
+    Ranking uses the monotone-equivalent key ln(u)/w (maximizing
+    u^(1/w) == maximizing ln(u)/w since ln(u) < 0), with the id as
+    tie-break. Determinism: u is the md5-derived fraction (stable across
+    engines/partitionings); ln is the one libm primitive here — both
+    engines are within 1 ulp, and a rank flip would need two keys within
+    1 ulp of each other, which the continuous hash makes negligible (and
+    the cross-engine oracle would catch).
+
+    Output: input columns + ``rk`` (1..k, the sample order). Rows with
+    non-positive weight are excluded (u^(1/w) undefined)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", weight_col):
+        raise ValueError(f"weight_col must be a plain identifier: {weight_col!r}")
+    from pyspark.sql import Window
+
+    keyed = df.where(F.col(weight_col) > 0).withColumn(
+        "__aes", F.log(_frac_expr(id_col, seed)) / F.col(weight_col)
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__aes").desc(), F.col(id_col))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("__aes")
     )

@@ -1441,6 +1441,28 @@ def x3_kmeans(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+WTK_K = 5
+WTK_SEED = "wtk"
+
+
+def x8_weighted_topk(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, fixed size per group — the
+    Efraimidis–Spirakis A-ES algorithm
+    (operators/sampling.py:weighted_topk_sample): top WTK_K docs per
+    language by the key u^(1/n_chars), i.e. a length-proportional
+    without-replacement draw with an exact sample size (the Bernoulli
+    sampler x8_weighted_sample can't fix the size). One narrow keyed
+    projection + one per-group top-k window."""
+    from diepy_spark.operators.sampling import weighted_topk_sample
+
+    d = _docs(spark, sf_dir)
+    return (
+        weighted_topk_sample(d, "lang", "doc_id", "n_chars", k=WTK_K, seed=WTK_SEED)
+        .select("doc_id", "lang", "n_chars", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1512,6 +1534,7 @@ EXTENDED_QUERIES = {
     "x12_gaps": x12_gaps,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
+    "x8_weighted_topk": x8_weighted_topk,
 }
 
 
@@ -3184,3 +3207,24 @@ def _kmeans_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_kmeans"] = _kmeans_oracle_sql()
+
+
+def _wtk_oracle_sql() -> str:
+    from diepy_spark.operators.sketch import hex_frac_sql
+
+    u = hex_frac_sql(f"md5(concat('{WTK_SEED}:', CAST(doc_id AS VARCHAR)))")
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars, ln({u}) / n_chars AS aes
+          FROM documents WHERE n_chars > 0
+        ),
+        r AS (SELECT doc_id, lang, n_chars,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY aes DESC, doc_id) AS INT) AS rk
+              FROM keyed)
+        SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= {WTK_K}
+        ORDER BY lang, rk
+    """
+
+
+EXTENDED_ORACLES["x8_weighted_topk"] = _wtk_oracle_sql()

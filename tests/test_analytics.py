@@ -658,3 +658,29 @@ def test_kmeans_int_vs_python_reference(spark):
                     for col in zip(*members)
                 ]
     assert got == assign(cents)
+
+
+def test_weighted_topk_sample_properties(spark):
+    """A-ES: fixed size per group, partition-independent, and
+    weight-sensitive (heavy rows oversampled across seeds)."""
+    from diepy_spark.operators.sampling import weighted_topk_sample
+
+    rows = [(g, i, 1000 if i % 10 == 0 else 1) for g in ("a", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = weighted_topk_sample(df, "grp", "id", "w", k=5).collect()
+    assert {r["grp"] for r in got} == {"a", "b"}
+    assert all(
+        sorted(r["rk"] for r in got if r["grp"] == g) == [1, 2, 3, 4, 5]
+        for g in ("a", "b")
+    )
+    again = weighted_topk_sample(df.repartition(9), "grp", "id", "w", k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # weight sensitivity: the 1000x rows (10% of ids) dominate the sample
+    heavy = sum(1 for r in got if r["id"] % 10 == 0)
+    assert heavy >= 8, heavy
+
+    # zero/negative weights are excluded entirely
+    dfz = spark.createDataFrame([("a", 1, 0), ("a", 2, -3), ("a", 3, 7)],
+                                "grp string, id long, w long")
+    kept = weighted_topk_sample(dfz, "grp", "id", "w", k=5).collect()
+    assert [r["id"] for r in kept] == [3]
