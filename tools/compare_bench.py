@@ -37,21 +37,50 @@ def main() -> int:
                     continue
                 if isinstance(d.get("queries"), dict):
                     return d
-        d = json.loads(text)
-        if "queries" not in d and isinstance(d.get("parsed"), dict):
+        whole = json.loads(text)
+        d = whole
+        if "queries" not in d and isinstance(d.get("parsed"), dict) and \
+                "queries" in d["parsed"]:
             d = d["parsed"]
+        if "queries" not in d and isinstance(whole.get("tail"), str):
+            d = whole
+            # driver wrappers from truncation-era rounds carry only a
+            # "tail" fragment of the per-query map — recover what's
+            # visible so old baselines stay comparable
+            import re as _re
+
+            parsed = whole.get("parsed") or {}
+            d = {
+                "value": parsed.get("value", whole.get("value")),
+                "queries": {
+                    m.group(1): float(m.group(2))
+                    for m in _re.finditer(
+                        r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', d["tail"]
+                    )
+                },
+            }
         return d
+
+    def t_of(v):
+        """Per-query value: plain float, {'min': x, 'runs': [...]}, or a
+        raw [a, b] runs pair (min is the steady-state headline)."""
+        if isinstance(v, dict):
+            return float(v.get("min", min(v.get("runs", [float("inf")]))))
+        if isinstance(v, list):
+            return float(min(v))
+        return float(v)
 
     new, old = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
     nq, oq = new["queries"], old["queries"]
     regressions = []
-    for name, t_new in sorted(nq.items()):
+    for name, v_new in sorted(nq.items()):
+        t_new = t_of(v_new)
         if name not in oq:
             print(f"  new  {name}: {t_new:.3f}s (no baseline)")
             continue
-        t_old = oq[name]
+        t_old = t_of(oq[name])
         if t_new <= FLOOR_SEC and t_old <= FLOOR_SEC:
             continue
         r = t_new / t_old if t_old > 0 else float("inf")
@@ -59,10 +88,11 @@ def main() -> int:
             regressions.append((name, t_old, t_new, r))
             print(f"REGRESSION {name}: {t_old:.3f}s -> {t_new:.3f}s ({r:.2f}x)")
 
-    print(
-        f"\ntotal: {old['value']:.1f}s -> {new['value']:.1f}s; "
-        f"{len(regressions)} regression(s) over {ratio}x"
+    ov, nv = old.get("value"), new.get("value")
+    tot = (
+        f"{ov:.1f}s -> {nv:.1f}s" if ov is not None and nv is not None else "(partial baseline)"
     )
+    print(f"\ntotal: {tot}; {len(regressions)} regression(s) over {ratio}x")
     return 1 if regressions else 0
 
 
