@@ -237,14 +237,24 @@ def ngram_jaccard_pairs(
     max_df: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold.
+    """All pairs with shingle-set similarity ≥ threshold.
+
+    ``metric``: ``"jaccard"`` (|∩|/|∪|, output column ``jac``) or
+    ``"containment"`` (|∩|/min(|A|,|B|), output column ``cont``) — the
+    ASYMMETRIC criterion that catches a short document quoted wholesale
+    inside a long one, which Jaccard structurally cannot (a 50-shingle doc
+    fully contained in a 5000-shingle doc has jac ≈ 0.01 but cont = 1.0).
 
     Exact but join-based: cost is Σ_shingle df², bounded by the max_df cap.
-    Jaccard is computed over the KEPT shingle set — documented, mirrored in
-    the oracle. The stop set is removed with a broadcast anti-join (narrow);
-    per-doc sizes come from a narrow array projection, so the only large
-    shuffles are the unavoidable shingle self-join and the pair aggregation."""
+    Similarity is computed over the KEPT shingle set — documented, mirrored
+    in the oracle. The stop set is removed with a broadcast anti-join
+    (narrow); per-doc sizes come from a narrow array projection, so the
+    only large shuffles are the unavoidable shingle self-join and the pair
+    aggregation."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be jaccard|containment: {metric!r}")
     shingles = shingle_frame(df, n, text_col, id_col)
     # explode_OUTER + null guard: a plain explode makes Catalyst infer
     # isnotnull(sh_arr), which FilterExec hoists ahead of every cheap
@@ -272,11 +282,18 @@ def ngram_jaccard_pairs(
     sizes = _kept_shingle_arrays(shingles, stop).select("d", F.size("ks").alias("n_sh"))
     # sizes is one row per doc — not broadcastable at corpus scale; AQE
     # picks broadcast when it actually fits.
+    paired = common.join(
+        sizes.withColumnRenamed("d", "da").withColumnRenamed("n_sh", "na"), "da"
+    ).join(sizes.withColumnRenamed("d", "db").withColumnRenamed("n_sh", "nb"), "db")
+    # raw double ratio (bit-identical across engines; never rounded)
+    if metric == "containment":
+        return (
+            paired.withColumn("cont", F.col("c") / F.least("na", "nb"))
+            .where(F.col("cont") >= threshold)
+            .select("da", "db", "cont")
+        )
     return (
-        common.join(sizes.withColumnRenamed("d", "da").withColumnRenamed("n_sh", "na"), "da")
-        .join(sizes.withColumnRenamed("d", "db").withColumnRenamed("n_sh", "nb"), "db")
-        # raw double ratio (bit-identical across engines; never rounded)
-        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        paired.withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .where(F.col("jac") >= threshold)
         .select("da", "db", "jac")
     )

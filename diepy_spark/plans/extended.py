@@ -1463,6 +1463,25 @@ def x8_weighted_topk(spark, sf_dir):
     )
 
 
+CONT_THRESHOLD = 0.6
+
+
+def x2_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC near-dup detection: shingle-set CONTAINMENT
+    |∩| / min(|A|,|B|) ≥ CONT_THRESHOLD — the criterion that catches a
+    short document quoted wholesale inside a long one, which Jaccard
+    structurally cannot (full inclusion of a small doc scores jac ≈
+    |A|/|B| but cont = 1.0). Same bounded shingle self-join machinery as
+    x2_ngram_jaccard_pairs (operators/dedup.py:ngram_jaccard_pairs with
+    metric='containment')."""
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        threshold=CONT_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+        metric="containment",
+    ).orderBy("da", "db")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1535,6 +1554,7 @@ EXTENDED_QUERIES = {
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x8_weighted_topk": x8_weighted_topk,
+    "x2_containment_pairs": x2_containment_pairs,
 }
 
 
@@ -3228,3 +3248,14 @@ def _wtk_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_weighted_topk"] = _wtk_oracle_sql()
+
+
+EXTENDED_ORACLES["x2_containment_pairs"] = f"""
+    WITH {_JACCARD_CTES},
+    conts AS (
+      SELECT da, db, c / least(sa.n, sb.n) AS cont
+      FROM common JOIN sizes sa ON sa.d = da JOIN sizes sb ON sb.d = db
+    )
+    SELECT da, db, cont FROM conts WHERE cont >= {CONT_THRESHOLD}
+    ORDER BY da, db
+"""

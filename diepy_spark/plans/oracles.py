@@ -463,4 +463,19 @@ RELATIONAL_ORACLES: dict[str, str] = {
                round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 4) AS p
         FROM counts ORDER BY from_type, to_type
     """,
+    # r49: each (day, user) pair contributes to the 7 following window
+    # anchors — exact rolling distinct without per-day self-joins
+    "r49_rolling_dau": """
+        WITH du AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        ),
+        b AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+        e AS (
+          SELECT du.user_id, b.lo, unnest(range(du.d, least(du.d + 7, b.hi + 1))) AS day
+          FROM du, b
+        )
+        SELECT CAST(day - lo AS BIGINT) AS day_idx,
+               count(DISTINCT user_id) AS wau
+        FROM e GROUP BY 1 ORDER BY day_idx
+    """,
 }

@@ -977,6 +977,48 @@ def r48_transitions(spark, sf_dir):
     ).orderBy("from_type", "to_type")
 
 
+ROLLING_DAYS = 7
+
+
+def r49_rolling_dau(spark, sf_dir):
+    """Rolling 7-day distinct active users per day (the WAU-style
+    engagement metric). Distinct counts do NOT merge across window frames
+    — you cannot sum daily DAU into a weekly number — so the
+    scale-correct exact plan is: dedupe to the (day, user) grain (one
+    shuffle, map-side combined), EXPLODE each pair onto the ROLLING_DAYS
+    target days it contributes to (a bounded constant fan-out, narrow),
+    and run one exact distinct per target day. No per-day self-joins, no
+    quadratic range join; approximate variants swap the final distinct
+    for an HLL sketch (x8_hll_distinct) with the same shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("d"),
+    )
+    du = ev.distinct()
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    exploded = (
+        du.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.expr(f"sequence(d, least(d + {ROLLING_DAYS - 1}, hi))")
+            ).alias("day"),
+        )
+    )
+    return (
+        exploded.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("day") - F.col("lo")).alias("day_idx"),
+            "wau",
+        )
+        .orderBy("day_idx")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -1027,4 +1069,5 @@ RELATIONAL_QUERIES = {
     "r46_market_basket": r46_market_basket,
     "r47_funnel": r47_funnel,
     "r48_transitions": r48_transitions,
+    "r49_rolling_dau": r49_rolling_dau,
 }

@@ -684,3 +684,52 @@ def test_weighted_topk_sample_properties(spark):
                                 "grp string, id long, w long")
     kept = weighted_topk_sample(dfz, "grp", "id", "w", k=5).collect()
     assert [r["id"] for r in kept] == [3]
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment == 1.0
+    while jaccard stays below any useful threshold."""
+    from diepy_spark.operators.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i+1}" for i in range(0, 120, 2))
+    long_doc = filler + " " + short + " " + filler[::-1].replace("w", "v")
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = ngram_jaccard_pairs(df, threshold=0.9, metric="containment").collect()
+    assert [(r["da"], r["db"]) for r in cont] == [(1, 2)]
+    assert cont[0]["cont"] == 1.0
+    jac = ngram_jaccard_pairs(df, threshold=0.2, metric="jaccard").collect()
+    assert jac == []  # inclusion is invisible to jaccard at any sane bar
+
+
+def test_rolling_dau_window_semantics(spark):
+    """WAU(day) counts users active in the trailing 7 days exactly."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (2, dt.datetime(2024, 1, 3)),
+        (1, dt.datetime(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    ev = df.select(
+        "user_id", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).distinct()
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    ex = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id", "lo",
+        F.explode(F.expr("sequence(d, least(d + 6, hi))")).alias("day"),
+    )
+    got = {
+        r["day_idx"]: r["wau"]
+        for r in ex.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+        .crossJoin(F.broadcast(bounds))
+        .select((F.col("day") - F.col("lo")).alias("day_idx"), "wau")
+        .collect()
+    }
+    # day 0: {1}; days 2-6: {1,2}; day 7: u1's window expired -> {2};
+    # day 8: {2}; day 9: {1} (re-activity)
+    assert got[0] == 1 and got[2] == 2 and got[6] == 2
+    assert got[7] == 1 and got[8] == 1 and got[9] == 1
