@@ -36,6 +36,7 @@ __all__ = [
     "cms_position_sql",
     "cms_cells",
     "cms_estimate",
+    "kmv_set_overlap",
 ]
 
 _HEX = "0123456789abcdef"
@@ -261,3 +262,88 @@ def cms_estimate(
         out = out.join(F.broadcast(ci), pos == ci.c, "left").drop("c")
     est = F.least(*[F.coalesce(F.col(f"cnt_{i}"), F.lit(0)) for i in range(d)])
     return out.withColumn("cms_est", est).drop(*[f"cnt_{i}" for i in range(d)])
+
+
+def kmv_set_overlap(
+    items: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: str = "kmvo",
+) -> DataFrame:
+    """Set-operation estimates BETWEEN groups from KMV sketches — the
+    corpus-overlap instrument: estimate |A ∪ B| and |A ∩ B| for every
+    group pair from k-minimum-value samples instead of a full
+    distinct-join (at 100 TB you sketch each crawl in one pass and
+    estimate the dedup benefit between crawls without ever joining them).
+
+    Estimator (Beyer et al., SIGMOD'07 KMV set arithmetic): over each
+    pair's UNION of distinct values, take the k smallest md5 fractions;
+    with θ = the k-th smallest, |A∪B| ≈ (k-1)/θ and |A∩B| ≈ (m/k)·(k-1)/θ
+    where m counts sampled values present in BOTH groups. Below capacity
+    (union smaller than k) both estimates are exact by construction.
+
+    Input: `items` = DISTINCT (group, value) pairs. Output per unordered
+    group pair: exact union/overlap (the calibration truth — drop these
+    at scale) and the KMV estimates, all deterministic (md5 fractions,
+    ties broken by value).
+
+    Scale: the pair expansion joins items against the |groups|²-sized
+    pair list (broadcast); the per-pair top-k is one window with rank
+    pushdown. Exact counts ride the same aggregate."""
+    from pyspark.sql import Window
+
+    g = items.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("string").alias("v")
+    ).distinct()
+    pairs = (
+        g.select(F.col("g").alias("ga")).distinct()
+        .crossJoin(g.select(F.col("g").alias("gb")).distinct())
+        .where(F.col("ga") < F.col("gb"))
+    )
+    frac = F.expr(hex_frac_sql(f"md5(concat('{seed}:', v))"))
+    tok = g.withColumn("frac", frac)
+    pa = pairs.join(tok, tok.g == pairs.ga).select(
+        "ga", "gb", "v", "frac", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    pb = pairs.join(tok, tok.g == pairs.gb).select(
+        "ga", "gb", "v", "frac", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        pa.unionByName(pb)
+        .groupBy("ga", "gb", "v")
+        .agg(
+            F.max("in_a").alias("in_a"),
+            F.max("in_b").alias("in_b"),
+            F.first("frac").alias("frac"),
+        )
+    )
+    exact = u.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_overlap"),
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("frac", "v")
+    sk = (
+        u.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("frac").alias("theta"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("m"),
+        )
+    )
+    est_union = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (F.lit(k - 1)) / F.col("theta")
+    )
+    est_overlap = F.when(F.col("n") < k, F.col("m").cast("double")).otherwise(
+        F.col("m") * ((F.lit(k - 1)) / F.col("theta")) / F.lit(k)
+    )
+    return exact.join(sk, ["ga", "gb"]).select(
+        "ga",
+        "gb",
+        "exact_union",
+        F.round(est_union, 2).alias("est_union"),
+        "exact_overlap",
+        F.round(est_overlap, 2).alias("est_overlap"),
+    )

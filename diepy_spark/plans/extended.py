@@ -1482,6 +1482,39 @@ def x2_containment_pairs(spark, sf_dir):
     ).orderBy("da", "db")
 
 
+KMV_OV_K = 64
+KMV_OV_SEED = "kmvo"
+KMV_OV_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def x8_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimation WITHOUT a join
+    (operators/sketch.py:kmv_set_overlap — Beyer et al. KMV set
+    arithmetic): pairwise token-vocabulary union/intersection estimates
+    between sources from k-minimum-value samples, next to the exact
+    counts (the calibration truth you drop at 100 TB, where each crawl is
+    sketched in one pass and the dedup benefit between crawls is
+    estimated from a few KB per side). Scoped to KMV_OV_SOURCES (10
+    pairs)."""
+    from diepy_spark.operators.sketch import kmv_set_overlap
+
+    d = _docs(spark, sf_dir).where(F.col("source").isin(KMV_OV_SOURCES))
+    items = (
+        d.select("source", F.explode_outer(tokens_col_ref()).alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
+    return kmv_set_overlap(
+        items, "source", "v", k=KMV_OV_K, seed=KMV_OV_SEED
+    ).orderBy("ga", "gb")
+
+
+def tokens_col_ref():
+    from diepy_spark.operators.dedup import tokens_col
+
+    return tokens_col("text")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1555,6 +1588,7 @@ EXTENDED_QUERIES = {
     "x3_kmeans": x3_kmeans,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
+    "x8_kmv_overlap": x8_kmv_overlap,
 }
 
 
@@ -3259,3 +3293,49 @@ EXTENDED_ORACLES["x2_containment_pairs"] = f"""
     SELECT da, db, cont FROM conts WHERE cont >= {CONT_THRESHOLD}
     ORDER BY da, db
 """
+
+
+def _kmv_overlap_oracle_sql() -> str:
+    from diepy_spark.operators.sketch import hex_frac_sql
+
+    srcs = ", ".join(f"'{s}'" for s in KMV_OV_SOURCES)
+    frac = hex_frac_sql(f"md5(concat('{KMV_OV_SEED}:', v))")
+    k = KMV_OV_K
+    return f"""
+        WITH tok AS (
+          SELECT DISTINCT source AS g, v FROM (
+            SELECT source, unnest({_TOKS_EXPR}) AS v FROM documents
+            WHERE source IN ({srcs}))
+        ),
+        f AS (SELECT g, v, {frac} AS frac FROM tok),
+        gs AS (SELECT DISTINCT g FROM tok),
+        pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        u AS (
+          SELECT p.ga, p.gb, f.v,
+                 max(CASE WHEN f.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN f.g = p.gb THEN 1 ELSE 0 END) AS in_b,
+                 min(f.frac) AS frac
+          FROM pairs p JOIN f ON f.g IN (p.ga, p.gb)
+          GROUP BY 1, 2, 3
+        ),
+        ex AS (SELECT ga, gb, count(*) AS exact_union,
+                      CAST(sum(in_a * in_b) AS BIGINT) AS exact_overlap
+               FROM u GROUP BY 1, 2),
+        sk AS (SELECT ga, gb, count(*) AS n, max(frac) AS theta,
+                      CAST(sum(in_a * in_b) AS BIGINT) AS m
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb
+                              ORDER BY frac, v) AS rk FROM u)
+               WHERE rk <= {k} GROUP BY 1, 2)
+        SELECT ex.ga, ex.gb, ex.exact_union,
+               round(CASE WHEN sk.n < {k} THEN CAST(sk.n AS DOUBLE)
+                          ELSE {k - 1} / sk.theta END, 2) AS est_union,
+               ex.exact_overlap,
+               round(CASE WHEN sk.n < {k} THEN CAST(sk.m AS DOUBLE)
+                          ELSE (sk.m * ({k - 1} / sk.theta)) / {k} END, 2)
+                 AS est_overlap
+        FROM ex JOIN sk ON sk.ga = ex.ga AND sk.gb = ex.gb
+        ORDER BY ex.ga, ex.gb
+    """
+
+
+EXTENDED_ORACLES["x8_kmv_overlap"] = _kmv_overlap_oracle_sql()

@@ -733,3 +733,27 @@ def test_rolling_dau_window_semantics(spark):
     # day 8: {2}; day 9: {1} (re-activity)
     assert got[0] == 1 and got[2] == 2 and got[6] == 2
     assert got[7] == 1 and got[8] == 1 and got[9] == 1
+
+
+def test_kmv_overlap_exact_below_capacity_and_sane_above(spark):
+    from diepy_spark.operators.sketch import kmv_set_overlap
+
+    # below capacity: estimates are exact by construction
+    small = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(30)] + [("b", f"v{i}") for i in range(15, 45)],
+        "g string, v string",
+    )
+    r = kmv_set_overlap(small, "g", "v", k=64).collect()[0]
+    assert (r["exact_union"], r["exact_overlap"]) == (45, 15)
+    assert (r["est_union"], r["est_overlap"]) == (45.0, 15.0)
+
+    # above capacity: estimates within a loose band of the truth
+    big = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(1000)]
+        + [("b", f"v{i}") for i in range(500, 1500)],
+        "g string, v string",
+    )
+    r = kmv_set_overlap(big, "g", "v", k=128).collect()[0]
+    assert (r["exact_union"], r["exact_overlap"]) == (1500, 500)
+    assert abs(r["est_union"] - 1500) / 1500 < 0.35, r
+    assert abs(r["est_overlap"] - 500) / 500 < 0.6, r
