@@ -478,4 +478,25 @@ RELATIONAL_ORACLES: dict[str, str] = {
                count(DISTINCT user_id) AS wau
         FROM e GROUP BY 1 ORDER BY day_idx
     """,
+    "r50_equidepth_binning": """
+        WITH h AS (SELECT floor(o_totalprice / 1000.0) AS bucket, count(*) AS c
+                   FROM orders GROUP BY 1),
+        w AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum,
+                     sum(c) OVER () AS n FROM h),
+        b AS (SELECT min(CASE WHEN cum >= ceil(n * 0.1) THEN bucket * 1000.0 END) AS b1,
+                     min(CASE WHEN cum >= ceil(n * 0.2) THEN bucket * 1000.0 END) AS b2,
+                     min(CASE WHEN cum >= ceil(n * 0.3) THEN bucket * 1000.0 END) AS b3,
+                     min(CASE WHEN cum >= ceil(n * 0.4) THEN bucket * 1000.0 END) AS b4,
+                     min(CASE WHEN cum >= ceil(n * 0.5) THEN bucket * 1000.0 END) AS b5,
+                     min(CASE WHEN cum >= ceil(n * 0.6) THEN bucket * 1000.0 END) AS b6,
+                     min(CASE WHEN cum >= ceil(n * 0.7) THEN bucket * 1000.0 END) AS b7,
+                     min(CASE WHEN cum >= ceil(n * 0.8) THEN bucket * 1000.0 END) AS b8,
+                     min(CASE WHEN cum >= ceil(n * 0.9) THEN bucket * 1000.0 END) AS b9
+              FROM w)
+        SELECT bin, count(*) AS cnt, round(min(p), 2) AS lo, round(max(p), 2) AS hi
+        FROM (SELECT o.o_totalprice AS p,
+                     1 + (CASE WHEN o.o_totalprice >= b.b1 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b2 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b3 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b4 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b5 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b6 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b7 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b8 THEN 1 ELSE 0 END) + (CASE WHEN o.o_totalprice >= b.b9 THEN 1 ELSE 0 END) AS bin
+              FROM orders o, b)
+        GROUP BY bin ORDER BY bin
+    """,
 }

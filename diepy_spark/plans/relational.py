@@ -1019,6 +1019,62 @@ def r49_rolling_dau(spark, sf_dir):
     )
 
 
+R50_W = 1000.0  # histogram bucket width (price units)
+R50_QS = [i / 10 for i in range(1, 10)]  # decile boundaries
+
+
+def r50_equidepth_binning(spark, sf_dir):
+    """Equi-depth discretization (the QuantileDiscretizer fit+transform):
+    decile boundaries for o_totalprice estimated from a FIXED-WIDTH
+    histogram (r28b's scale-safe estimator — aggregation state bounded by
+    the bucket count, never the row count; error bounded by the bucket
+    width), then every order assigned its bin by a BROADCAST 1-row
+    boundary frame — the transform is a pure 9-comparison projection, no
+    second shuffle of the data. Output: per-bin count and actual price
+    range — the sanity report that the bins really are equi-depth."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("p"))
+    h = o.groupBy(F.floor(F.col("p") / R50_W).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("bucket")
+    wall = Window.partitionBy()
+    cum = h.select(
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    bounds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("n") * F.lit(q)),
+                    F.col("bucket") * R50_W,
+                )
+            ).alias(f"b{i}")
+            for i, q in enumerate(R50_QS, 1)
+        ]
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        sum(
+            [F.lit(1)]
+            + [
+                F.when(F.col("p") >= F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(1, len(R50_QS) + 1)
+            ]
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("p"), 2).alias("lo"),
+            F.round(F.max("p"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_scan_projection": r1_scan_projection,
     "r2_filter": r2_filter,
@@ -1070,4 +1126,5 @@ RELATIONAL_QUERIES = {
     "r47_funnel": r47_funnel,
     "r48_transitions": r48_transitions,
     "r49_rolling_dau": r49_rolling_dau,
+    "r50_equidepth_binning": r50_equidepth_binning,
 }

@@ -757,3 +757,17 @@ def test_kmv_overlap_exact_below_capacity_and_sane_above(spark):
     assert (r["exact_union"], r["exact_overlap"]) == (1500, 500)
     assert abs(r["est_union"] - 1500) / 1500 < 0.35, r
     assert abs(r["est_overlap"] - 500) / 500 < 0.6, r
+
+
+def test_equidepth_bins_monotone_and_balanced(spark, sf_small):
+    from diepy_spark.plans.relational import r50_equidepth_binning
+
+    rows = r50_equidepth_binning(spark, sf_small).collect()
+    assert [r["bin"] for r in rows] == list(range(1, len(rows) + 1))
+    # ranges are disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+    # equi-depth within histogram-resolution slack: no bin is wildly off
+    n = sum(r["cnt"] for r in rows)
+    for r in rows:
+        assert r["cnt"] < n * 0.35, (r["bin"], r["cnt"], n)
