@@ -1515,6 +1515,29 @@ def tokens_col_ref():
     return tokens_col("text")
 
 
+def x6_media_dedup(spark, sf_dir):
+    """Exact dedup of MEDIA payloads — the X1 hash-groupBy applied to the
+    binary column (the multimodal corpora problem: identical assets
+    uploaded under many ids). Groups on md5 of the raw bytes, so the
+    shuffle carries 32-byte digests, never payloads (the same 100 TB
+    argument as x1_dedup_exact); Spark's md5(binary) of the UTF-8 payload
+    equals DuckDB's md5(varchar) of the text by construction (both digest
+    the UTF-8 byte sequence). Output: one row per distinct payload —
+    canonical id, copy count, byte length."""
+    d = _docs(spark, sf_dir)
+    p = M.with_binary_payload(d)
+    return (
+        p.groupBy(F.md5("payload").alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col("media_meta.byte_len")).alias("byte_len"),
+        )
+        .select("keep_id", "n_copies", "byte_len")
+        .orderBy("keep_id")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1589,6 +1612,7 @@ EXTENDED_QUERIES = {
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
     "x8_kmv_overlap": x8_kmv_overlap,
+    "x6_media_dedup": x6_media_dedup,
 }
 
 
@@ -3339,3 +3363,10 @@ def _kmv_overlap_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_kmv_overlap"] = _kmv_overlap_oracle_sql()
+
+
+EXTENDED_ORACLES["x6_media_dedup"] = """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+           CAST(min(octet_length(encode(text))) AS INT) AS byte_len
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""

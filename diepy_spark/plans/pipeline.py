@@ -124,6 +124,32 @@ def x7_stream_tumbling(spark, sf_dir):
     ).orderBy("w", "event_type")
 
 
+STREAM_TOPK = 2
+
+
+def x7_stream_topk(spark, sf_dir):
+    """Streaming aggregation COMPOSED with downstream batch ranking — the
+    standard split for per-window top-k (rank is not expressible inside
+    an append-mode stream: a window's champion isn't known until the
+    watermark closes it, so the streaming stage emits finalized window
+    aggregates and the rank runs as a batch window over the sink — at
+    production scale, the materialized-view reader). Top STREAM_TOPK
+    event types per hour by count (ties: event_type order)."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    out = _run_stream(
+        ST.tumbling_counts(_events_src(spark, sf_dir), "1 hour", WATERMARK), "append"
+    )
+    rk = Window.partitionBy("w").orderBy(F.col("c").desc(), "event_type")
+    return (
+        out.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= STREAM_TOPK)
+        .select("w", "event_type", "c", "rk")
+        .orderBy("w", "rk")
+    )
+
+
 def x7_stream_sliding(spark, sf_dir):
     """Hopping windows (1 hour, every 15 minutes) via the streaming engine."""
     tune(spark)
@@ -419,6 +445,7 @@ PIPELINE_QUERIES = {
     "t2_roundtrip_jsonl": t2_roundtrip_jsonl,
     "t3_roundtrip_parquet": t3_roundtrip_parquet,
     "x7_stream_upsert": x7_stream_upsert,
+    "x7_stream_topk": x7_stream_topk,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -510,5 +537,18 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         WHERE rn = 1 ORDER BY user_id
+    """,
+    "x7_stream_topk": f"""
+        WITH agg AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
+                 COUNT(*) AS c
+          FROM events
+          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
+          GROUP BY 1, 2
+        )
+        SELECT w, event_type, c, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+                      ORDER BY c DESC, event_type) AS rk FROM agg)
+        WHERE rk <= {STREAM_TOPK} ORDER BY w, rk
     """,
 }
