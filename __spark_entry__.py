@@ -37,14 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
 # force, cross-split broadcast knob, stratified typed fractions), then
 # (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  The 29 mid-round additions (r45-r50, x6_media_dedup, x8_bloom/x8_cms/
+# order).  The 30 mid-round additions (r45-r50, x6_media_dedup, x2_lsh_curve, x8_bloom/x8_cms/
 # x8_cms_join/x8_bootstrap/x8_weighted_topk/x8_kmv_overlap,
 # x9_diff/x9_inc/x9_scd2, x11_tri, x2_fuzzy/x2_containment,
 # x3_knn/x3_kmeans, x12_dq/x12_skew/x12_drift/x12_gaps, x1_cdc_chunks,
 # t3_roundtrip_parquet, x7_stream_upsert/x7_stream_topk) joined group
-# (a), pushing the window tail 29 deeper: the window now ends at
-# r5_left_outer_join (index 49), and everything from r6_semi_join
-# through x8_weighted_sample in the list below (29 rows, all
+# (a), pushing the window tail 30 deeper: the window now ends at
+# r4_join3_aggregate (index 49), and everything from r5_left_outer_join
+# through x8_weighted_sample in the list below (30 rows, all
 # round-2/3-green) is displaced to the
 # round-5 front-load along with the twelve already-displaced round-2
 # rows (x8_grouped_linfit, x9_merge_upsert, x5_repetition,
@@ -87,6 +87,7 @@ _PRIORITY = [
     "r50_equidepth_binning",
     "x6_media_dedup",
     "x7_stream_topk",
+    "x2_lsh_curve",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # last driver-checked in round 1 — the documented round-4 front-load

@@ -1538,6 +1538,59 @@ def x6_media_dedup(spark, sf_dir):
     )
 
 
+def x2_lsh_curve(spark, sf_dir):
+    """The LSH TUNING instrument: the empirical banding s-curve — per
+    exact-Jaccard bucket, what fraction of pairs became LSH candidates —
+    next to the textbook theoretical curve 1-(1-s^r)^b at the bucket
+    midpoint (r = LSH_BAND_SIZE, b = bands). This is how band/row
+    parameters are actually chosen at 100 TB: move the s-curve's knee to
+    the dedup threshold and read the false-negative mass directly off
+    this table. Universe = shingle-sharing pairs (the only ones with
+    jac > 0); the theoretical value uses squaring-chain multiplication
+    only, so both engines compute the identical double."""
+    from diepy_spark.operators.dedup import band_frame, minhash_signatures
+
+    d = _docs(spark, sf_dir)
+    allp = D.ngram_jaccard_pairs(d, threshold=0.0, max_df=JACCARD_MAX_DF)
+    sigs = minhash_signatures(d, LSH_NUM_HASHES)
+    bands = band_frame(sigs, LSH_NUM_HASHES, LSH_BAND_SIZE).repartition(
+        spark.sparkContext.defaultParallelism, F.col("band"), F.col("sig")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y.hint("shuffle_hash"), ["band", "sig"])
+        .where(F.col("x.d") < F.col("y.d"))
+        .select(F.col("x.d").alias("da"), F.col("y.d").alias("db"))
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    j = allp.join(cand, ["da", "db"], "left").select(
+        F.least(F.floor(F.col("jac") * 10), F.lit(9)).alias("bucket"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    n_bands = LSH_NUM_HASHES // LSH_BAND_SIZE
+    assert LSH_BAND_SIZE == 2 and n_bands == 8  # the squaring chain below
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_cand").alias("n_cand"),
+        )
+        .withColumn("s_mid", (F.col("bucket") + 0.5) / 10)
+        .withColumn("t1", 1 - F.col("s_mid") * F.col("s_mid"))
+        .withColumn("t2", F.col("t1") * F.col("t1"))
+        .withColumn("t4", F.col("t2") * F.col("t2"))
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_cand",
+            F.round(F.col("n_cand") / F.col("n_pairs"), 4).alias("cand_rate"),
+            F.round(1 - F.col("t4") * F.col("t4"), 4).alias("theoretical"),
+        )
+        .orderBy("bucket")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -1613,6 +1666,7 @@ EXTENDED_QUERIES = {
     "x2_containment_pairs": x2_containment_pairs,
     "x8_kmv_overlap": x8_kmv_overlap,
     "x6_media_dedup": x6_media_dedup,
+    "x2_lsh_curve": x2_lsh_curve,
 }
 
 
@@ -3369,4 +3423,33 @@ EXTENDED_ORACLES["x6_media_dedup"] = """
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
            CAST(min(octet_length(encode(text))) AS INT) AS byte_len
     FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+EXTENDED_ORACLES["x2_lsh_curve"] = f"""
+    WITH {_JACCARD_CTES},
+    sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+    bands AS ({_bands_union(LSH_NUM_HASHES, LSH_BAND_SIZE)}),
+    cand AS (
+      SELECT DISTINCT x.d AS da, y.d AS db
+      FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.d < y.d
+    ),
+    j AS (
+      SELECT least(CAST(floor(jacs.jac * 10) AS BIGINT), 9) AS bucket,
+             CASE WHEN cand.da IS NULL THEN 0 ELSE 1 END AS is_cand
+      FROM jacs LEFT JOIN cand ON cand.da = jacs.da AND cand.db = jacs.db
+    ),
+    agg AS (
+      SELECT bucket, count(*) AS n_pairs,
+             CAST(sum(is_cand) AS BIGINT) AS n_cand
+      FROM j GROUP BY 1
+    ),
+    t AS (SELECT *, (bucket + 0.5) / 10 AS s_mid FROM agg),
+    t1 AS (SELECT *, 1 - s_mid * s_mid AS v1 FROM t),
+    t2 AS (SELECT *, v1 * v1 AS v2 FROM t1),
+    t4 AS (SELECT *, v2 * v2 AS v4 FROM t2)
+    SELECT bucket, n_pairs, n_cand,
+           round(n_cand / n_pairs, 4) AS cand_rate,
+           round(1 - v4 * v4, 4) AS theoretical
+    FROM t4 ORDER BY bucket
 """
