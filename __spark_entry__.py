@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything not named keeps its round-2/3 green as the standing record.
 _PRIORITY = [
     # new in round 4 (no driver row at all)
+    "x3_ivf_trained",
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",

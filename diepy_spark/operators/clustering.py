@@ -499,42 +499,83 @@ def kmeans_int(
     like pagerank's loop scalars. Output: (id_col, cluster, dist) — the
     final assignment with its exact integer squared distance.
     """
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    q = q.localCheckpoint(eager=False)  # reused every iteration
+    cents = _train_loop(q, id_col, k, iterations)
+    return assign_to_centroids(q, cents, id_col).select(id_col, "cluster", "dist")
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", scale: int = 10_000
+) -> DataFrame:
+    """(id_col, xi): the vector column quantized to an exact integer grid —
+    the shared front door of every integer-exact vector operator here
+    (kmeans_int, kmeans_centroids_int, similarity.ivf_topk_trained)."""
     # The double cast is semantic, not defensive: a float32 source times an
     # int in FLOAT arithmetic rounds 1040.49995 -> 1040.5f -> 1041, while
     # double arithmetic keeps 1040.49995 -> 1040 (a real sf0.1 value that
     # hash-failed before the oracle spelled the same cast).
-    q = df.select(
+    return df.select(
         F.col(id_col),
         F.expr(
             f"transform({vec_col},"
             f" v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("xi"),
     )
-    q = q.localCheckpoint(eager=False)  # reused every iteration
+
+
+def centroid_dist_columns(cents: list[list[int]]):
+    """One exact-integer squared-L2 column per centroid literal, evaluated
+    against the quantized `xi` array column. The centroid table rides into
+    the plan as k*dim literals — per-row scoring is zero-shuffle."""
+    return [
+        F.expr(
+            "aggregate(zip_with(xi, array({lits}), (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
+                lits=", ".join(f"CAST({c} AS BIGINT)" for c in cv)
+            )
+        ).alias(f"d{j}")
+        for j, cv in enumerate(cents)
+    ]
+
+
+def assign_to_centroids(q: DataFrame, cents: list[list[int]], id_col: str = "vec_id") -> DataFrame:
+    """(id_col, xi, d0..dk-1, cluster, dist): exact argmin assignment of a
+    quantized frame to centroid literals; ties break toward the smaller
+    cluster id (the determinism contract of kmeans_int)."""
+    scored = q.select(id_col, "xi", *centroid_dist_columns(cents))
+    best = F.least(*[F.col(f"d{j}") for j in range(len(cents))])
+    cluster = F.lit(None).cast("int")
+    for j in reversed(range(len(cents))):
+        cluster = F.when(F.col(f"d{j}") == best, F.lit(j)).otherwise(cluster)
+    return scored.withColumn("cluster", cluster).withColumn("dist", best)
+
+
+def kmeans_centroids_int(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 10_000,
+) -> list[list[int]]:
+    """The trained centroid table of kmeans_int as a k x dim list of ints
+    (quantized grid) — the coarse-quantizer training step of a trained IVF
+    index (similarity.ivf_topk_trained). Driver-sized by construction:
+    k*dim ints, the same thing kmeans_int collects each iteration."""
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    q = q.localCheckpoint(eager=False)
+    return _train_loop(q, id_col, k, iterations)
+
+
+def _train_loop(q: DataFrame, id_col: str, k: int, iterations: int) -> list[list[int]]:
     seeds = (
         q.orderBy(id_col).limit(k).select("xi").collect()
     )
     cents: list[list[int]] = [list(r["xi"]) for r in seeds]
 
-    def assign(cents_now: list[list[int]]) -> DataFrame:
-        dists = [
-            F.expr(
-                "aggregate(zip_with(xi, array({lits}), (a, b) -> (a - b) * (a - b)),"
-                " CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
-                    lits=", ".join(f"CAST({c} AS BIGINT)" for c in cv)
-                )
-            ).alias(f"d{j}")
-            for j, cv in enumerate(cents_now)
-        ]
-        scored = q.select(id_col, "xi", *dists)
-        best = F.least(*[F.col(f"d{j}") for j in range(len(cents_now))])
-        cluster = F.lit(None).cast("int")
-        for j in reversed(range(len(cents_now))):
-            cluster = F.when(F.col(f"d{j}") == best, F.lit(j)).otherwise(cluster)
-        return scored.withColumn("cluster", cluster).withColumn("dist", best)
-
     for _ in range(iterations):
-        a = assign(cents)
+        a = assign_to_centroids(q, cents, id_col)
         upd = (
             a.select("cluster", F.posexplode("xi").alias("i", "x"))
             .groupBy("cluster", "i")
@@ -554,4 +595,4 @@ def kmeans_int(
             else cents[j]  # empty cluster keeps its centroid
             for j in range(k)
         ]
-    return assign(cents).select(id_col, "cluster", "dist")
+    return cents

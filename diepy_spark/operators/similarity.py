@@ -432,3 +432,86 @@ def quantize_int8(
             6,
         ).alias("recon_mse"),
     )
+
+
+def probe_cells(
+    df: DataFrame,
+    cents: list[list[int]],
+    nprobe: int = 1,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, xi, cell): each vector's `nprobe` nearest TRAINED cells by
+    exact integer squared L2 (ties -> smaller cell id). nprobe=1 is the
+    storage assignment of an IVF index; nprobe>1 is the query-side probe
+    list. The centroid table rides in as k*dim literals, so cell scoring
+    is a zero-shuffle projection regardless of corpus size."""
+    from diepy_spark.operators.clustering import (
+        centroid_dist_columns,
+        quantize_vectors,
+    )
+
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    scored = q.select(F.col(id_col).alias("vid"), "xi", *centroid_dist_columns(cents))
+    pc = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("cell"), F.col(f"d{j}").alias("cdist"))
+                for j in range(len(cents))
+            ]
+        )
+    ).alias("pc")
+    cells = scored.select("vid", "xi", pc).select("vid", "xi", "pc.cell", "pc.cdist")
+    w = Window.partitionBy("vid").orderBy("cdist", "cell")
+    return (
+        cells.withColumn("prk", F.row_number().over(w))
+        .where(F.col("prk") <= nprobe)
+        .select("vid", "xi", "cell")
+    )
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[int]],
+    k: int = 3,
+    nprobe: int = 1,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat top-k over a TRAINED coarse quantizer — the composition the
+    build plan called out: clustering.kmeans_centroids_int learns the cells
+    (distributed Lloyd's, integer-exact), and search runs entirely on the
+    quantized integer grid, so every distance — cell assignment and
+    candidate scoring — is bit-identical across engines and partitionings
+    (the float-cosine IVF in ivf_topk is exact too, but only because its
+    values round to 4dp; here nothing rounds at all).
+
+    Scale shape: corpus vectors score against k*dim centroid LITERALS
+    (zero shuffle), land in exactly one cell; the query frame (small by
+    definition) expands to nprobe cells and BROADCASTs into the cell join,
+    so the 100 TB side never shuffles. A (query, doc) candidate arises
+    from at most one probed cell (docs store one cell), so no dedup step.
+
+    Output: (qid, cid, dist, rk) with dist the exact integer squared L2
+    on the quantized grid.
+    """
+    ca = probe_cells(corpus, cents, 1, scale, id_col, vec_col).select(
+        F.col("vid").alias("cid"), F.col("xi").alias("cxi"), "cell"
+    )
+    qa = probe_cells(queries, cents, nprobe, scale, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("xi").alias("qxi"), "cell"
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qxi, cxi, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = ca.join(F.broadcast(qa), "cell").withColumn("dist", dist)
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "cid", "dist", "rk")
+    )

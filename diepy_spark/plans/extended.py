@@ -1441,6 +1441,37 @@ def x3_kmeans(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+IVFT_NQ = 6
+IVFT_NPROBE = 2
+IVFT_K = 3
+
+
+def x3_ivf_trained(spark, sf_dir):
+    """TRAINED IVF — the composition the build plan named: the coarse
+    quantizer is learned by distributed integer-exact Lloyd's
+    (clustering.kmeans_centroids_int, same k/iterations/scale as
+    x3_kmeans so the oracle reuses the unrolled CTE chain), then
+    similarity.ivf_topk_trained searches nprobe cells per query with
+    exact integer squared L2 — nothing in train or search rounds, so the
+    whole two-level index is hash-checkable end to end. Queries = the
+    IVFT_NQ smallest vec_ids, corpus = the rest; training sees the full
+    table (queries are drawn from the indexed corpus, as in a recall
+    benchmark)."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE)
+    return S.ivf_topk_trained(
+        v.where(F.col("vec_id") < IVFT_NQ),
+        v.where(F.col("vec_id") >= IVFT_NQ),
+        cents,
+        k=IVFT_K,
+        nprobe=IVFT_NPROBE,
+        scale=KM_SCALE,
+    ).orderBy("qid", "rk")
+
+
 WTK_K = 5
 WTK_SEED = "wtk"
 
@@ -1662,6 +1693,7 @@ EXTENDED_QUERIES = {
     "x12_gaps": x12_gaps,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
+    "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
     "x8_kmv_overlap": x8_kmv_overlap,
@@ -3297,13 +3329,15 @@ def _bootstrap_oracle_sql() -> str:
 EXTENDED_ORACLES["x8_bootstrap_ci"] = _bootstrap_oracle_sql()
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled-iteration mirror of operators.clustering.kmeans_int:
-    c0 = seeds (k smallest ids), then KM_ITER rounds of
-    assign (exact integer argmin, ties -> smaller cluster) and update
-    (floor(sum/n) per dimension, empty clusters keep their centroid),
-    then the FINAL assignment — same loop structure as the Spark
-    operator, one CTE pair per round (the pagerank pattern)."""
+def _kmeans_ctes() -> list[str]:
+    """The unrolled k-means CTE chain shared by the x3_kmeans and
+    x3_ivf_trained oracles: u = quantized long form, c0 = seeds (k
+    smallest ids), then KM_ITER rounds of assign (exact integer argmin,
+    ties -> smaller cluster) and update (floor(sum/n) per dimension,
+    empty clusters keep their centroid). After the chain, a{KM_ITER} is
+    the final assignment and c{KM_ITER} the trained centroid table —
+    same loop structure as the Spark operator, one CTE pair per round
+    (the pagerank pattern)."""
     ctes = [
         f"""u AS (SELECT vec_id,
                     CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
@@ -3332,13 +3366,56 @@ def _kmeans_oracle_sql() -> str:
                 UNION ALL
                 SELECT * FROM c{t} WHERE cluster NOT IN
                   (SELECT DISTINCT cluster FROM a{t}))""")
+    return ctes
+
+
+def _kmeans_oracle_sql() -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_kmeans_ctes())
         + f"\nSELECT vec_id, cluster, dist FROM a{KM_ITER} ORDER BY vec_id"
     )
 
 
 EXTENDED_ORACLES["x3_kmeans"] = _kmeans_oracle_sql()
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Mirror of x3_ivf_trained: the trained centroids c{KM_ITER} from the
+    shared k-means chain, cell assignment by exact integer argmin (corpus
+    rn = 1, queries rn <= nprobe), then exact integer squared L2 between
+    quantized vectors within probed cells and a per-query top-k."""
+    ctes = _kmeans_ctes()
+    ctes.append(f"""cd AS (
+        SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+        FROM u JOIN c{KM_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
+    ctes.append(f"""cellc AS (
+        SELECT vec_id AS cid, cluster AS cell FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cluster) AS rn
+          FROM cd WHERE vec_id >= {IVFT_NQ}) WHERE rn = 1)""")
+    ctes.append(f"""cellq AS (
+        SELECT vec_id AS qid, cluster AS cell FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cluster) AS rn
+          FROM cd WHERE vec_id < {IVFT_NQ}) WHERE rn <= {IVFT_NPROBE})""")
+    ctes.append("""pairs AS (
+        SELECT q.qid, c.cid,
+               CAST(SUM((uq.x - uc.x) * (uq.x - uc.x)) AS BIGINT) AS dist
+        FROM cellq q JOIN cellc c ON c.cell = q.cell
+        JOIN u uq ON uq.vec_id = q.qid
+        JOIN u uc ON uc.vec_id = c.cid AND uc.i = uq.i
+        GROUP BY 1, 2)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT qid, cid, dist, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY dist, cid) AS rk FROM pairs)
+        WHERE rk <= {IVFT_K} ORDER BY qid, rk"""
+    )
+
+
+EXTENDED_ORACLES["x3_ivf_trained"] = _ivf_trained_oracle_sql()
 
 
 def _wtk_oracle_sql() -> str:

@@ -771,3 +771,56 @@ def test_equidepth_bins_monotone_and_balanced(spark, sf_small):
     n = sum(r["cnt"] for r in rows)
     for r in rows:
         assert r["cnt"] < n * 0.35, (r["bin"], r["cnt"], n)
+
+
+def test_ivf_topk_trained_vs_python_reference(spark):
+    """Trained IVF = kmeans centroids + integer-L2 cell search. The
+    reference trains the same quantized Lloyd's in python, assigns corpus
+    rows to their argmin cell, probes each query's 2 nearest cells, and
+    brute-forces top-k inside the probed cells only."""
+    import math
+
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+    from diepy_spark.operators.similarity import ivf_topk_trained
+
+    rng = random.Random(33)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    nq, k, nprobe = 4, 3, 2
+    cents = kmeans_centroids_int(df, k=3, iterations=2, scale=1000)
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_trained(
+                df.where(F.col("vec_id") < nq),
+                df.where(F.col("vec_id") >= nq),
+                cents,
+                k=k,
+                nprobe=nprobe,
+                scale=1000,
+            ).collect(),
+        )
+    )
+
+    # python mirror of the whole pipeline
+    xs = {i: [int(round(v * 1000)) for v in vec] for i, vec in vecs}
+    pc = [xs[i][:] for i in range(3)]
+    def d2(a, b):
+        return sum((p - q) ** 2 for p, q in zip(a, b))
+    for _ in range(2):
+        a = {i: min(range(3), key=lambda j: (d2(x, pc[j]), j)) for i, x in xs.items()}
+        for j in range(3):
+            members = [xs[i] for i, c in a.items() if c == j]
+            if members:
+                pc[j] = [int(math.floor(sum(col) / len(members))) for col in zip(*members)]
+    assert pc == cents
+
+    cell = {i: min(range(3), key=lambda j: (d2(xs[i], pc[j]), j)) for i in xs if i >= nq}
+    ref = []
+    for qi in range(nq):
+        probes = sorted(range(3), key=lambda j: (d2(xs[qi], pc[j]), j))[:nprobe]
+        cand = sorted(
+            (d2(xs[qi], xs[ci]), ci) for ci in cell if cell[ci] in probes
+        )
+        ref += [(qi, ci, d, rk + 1) for rk, (d, ci) in enumerate(cand[:k])]
+    assert got == sorted(ref)
