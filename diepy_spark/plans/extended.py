@@ -1368,6 +1368,40 @@ def x12_gaps(spark, sf_dir):
     )
 
 
+OUT_K_MAD = 5
+
+
+def x12_outliers(spark, sf_dir):
+    """Robust per-group outlier monitor (operators/robust.py): median/MAD
+    rule over event values in exact integer cents — |x - med| > k*MAD
+    flags a row, and the medians come from VALUE-FREQUENCY histograms
+    (bounded aggregation state, the scale-safe exact-median shape; see
+    the robust.py module docstring for why percentile() isn't usable at
+    100 TB). All-integer arithmetic end to end except the final reported
+    ratios, which are single divisions — hash-exact cross-engine."""
+    from diepy_spark.operators.robust import robust_outliers
+
+    tune(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    r = robust_outliers(e, "event_type", "cents", k=OUT_K_MAD)
+    return r.select(
+        "event_type",
+        "n",
+        F.round(F.col("med") / 100.0, 2).alias("med_val"),
+        F.round(F.col("mad") / 100.0, 2).alias("mad_val"),
+        "n_out",
+        F.round(F.col("n_out") / F.col("n"), 4).alias("out_share"),
+        F.round(F.col("max_dev") / 100.0, 2).alias("max_dev_val"),
+    ).orderBy("event_type")
+
+
 BOOT_B = 20
 BOOT_SEED = "boot"
 
@@ -1691,6 +1725,7 @@ EXTENDED_QUERIES = {
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
     "x12_gaps": x12_gaps,
+    "x12_outliers": x12_outliers,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x3_ivf_trained": x3_ivf_trained,
@@ -3287,6 +3322,43 @@ EXTENDED_ORACLES["x12_gaps"] = f"""
            next_island - pos AS gap_len
     FROM p WHERE tag = 'g'
     ORDER BY gap_len DESC, gap_start LIMIT {GAP_TOP}
+"""
+
+
+EXTENDED_ORACLES["x12_outliers"] = f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY 1, 2),
+    w AS (SELECT event_type, cents,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM h),
+    m AS (SELECT event_type, MIN(cents) AS med FROM w
+          WHERE cum >= (n + 1) // 2 GROUP BY 1),
+    d AS (SELECT e.event_type, e.cents, m.med,
+                 abs(e.cents - m.med) AS dev
+          FROM e JOIN m USING (event_type)),
+    h2 AS (SELECT event_type, dev, count(*) AS c FROM d GROUP BY 1, 2),
+    w2 AS (SELECT event_type, dev,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                  SUM(c) OVER (PARTITION BY event_type) AS n
+           FROM h2),
+    m2 AS (SELECT event_type, MIN(dev) AS mad FROM w2
+           WHERE cum >= (n + 1) // 2 GROUP BY 1)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           round(MIN(d.med) / 100.0, 2) AS med_val,
+           round(MIN(m2.mad) / 100.0, 2) AS mad_val,
+           CAST(SUM(CASE WHEN d.dev > {OUT_K_MAD} * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out,
+           round(CAST(SUM(CASE WHEN d.dev > {OUT_K_MAD} * m2.mad
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS out_share,
+           round(MAX(d.dev) / 100.0, 2) AS max_dev_val
+    FROM d JOIN m2 USING (event_type)
+    GROUP BY 1 ORDER BY 1
 """
 
 

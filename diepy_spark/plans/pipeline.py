@@ -433,6 +433,42 @@ def t3_roundtrip_parquet(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def t4_roundtrip_orc(spark, sf_dir):
+    """ORC roundtrip — the second columnar format Spark ships natively
+    (orc-core is in the distro; spark-avro is not, so Avro stays out of
+    scope). Orders write to scratch as ORC sorted by o_totalprice within
+    partitions, read back under a o_totalprice range predicate: ORC keeps
+    min/max stride statistics, so the sorted layout lets the reader skip
+    row groups wholesale (the ORC analog of parquet row-group pruning;
+    PushedFilters visibility pinned by
+    tests/test_analytics.py::test_orc_roundtrip_pushes_filter). Output
+    value-matches the source rows in the range, proving the
+    write→read path is lossless including DECIMAL and DATE columns."""
+    import tempfile as _tf
+
+    tune(spark)
+    key = ("orc", sf_dir)
+    if key not in _scratch_cache:
+        d = os.path.join(_tf.mkdtemp(prefix="diepy-orc-"), "orders")
+        (
+            load_table(spark, sf_dir, "orders")
+            .sortWithinPartitions("o_totalprice")
+            .write.orc(d)
+        )
+        _scratch_cache[key] = d
+    back = spark.read.orc(_scratch_cache[key]).where(
+        (F.col("o_totalprice") >= 100_000) & (F.col("o_totalprice") < 150_000)
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).orderBy("o_orderkey")
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -444,6 +480,7 @@ PIPELINE_QUERIES = {
     "t1_roundtrip_csv": t1_roundtrip_csv,
     "t2_roundtrip_jsonl": t2_roundtrip_jsonl,
     "t3_roundtrip_parquet": t3_roundtrip_parquet,
+    "t4_roundtrip_orc": t4_roundtrip_orc,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
 }
@@ -531,6 +568,13 @@ PIPELINE_ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+    """,
+    "t4_roundtrip_orc": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_totalprice >= 100000 AND o_totalprice < 150000
+        ORDER BY o_orderkey
     """,
     "x7_stream_upsert": """
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value

@@ -824,3 +824,51 @@ def test_ivf_topk_trained_vs_python_reference(spark):
         )
         ref += [(qi, ci, d, rk + 1) for rk, (d, ci) in enumerate(cand[:k])]
     assert got == sorted(ref)
+
+
+def test_orc_roundtrip_pushes_filter(spark, sf_small):
+    """The t4 ORC scan must push the o_totalprice range predicate into the
+    reader (PushedFilters), where ORC stride min/max stats skip row groups
+    in the totalprice-sorted layout."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from diepy_spark.plans.pipeline import t4_roundtrip_orc
+
+    df = t4_roundtrip_orc(spark, sf_small)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "o_totalprice" in pushed.group(1), plan
+
+
+def test_robust_outliers_vs_python_reference(spark):
+    """freq_median is the LOWER median (position ceil(n/2), no
+    interpolation); MAD and outlier counts follow from it. Includes a
+    group whose outlier would wreck a mean/stddev rule."""
+    from diepy_spark.operators.robust import freq_median, robust_outliers
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 100]] + [
+        ("b", v) for v in [10, 10, 11, 12]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    med = {r["g"]: r["med"] for r in freq_median(df, "g", "v").collect()}
+    assert med == {"a": 3, "b": 10}  # lower median for even n
+
+    got = {r["g"]: r.asDict() for r in robust_outliers(df, "g", "v", k=5).collect()}
+    # group a: med=3, devs=[2,1,0,1,97], mad=1 -> 100 is the only outlier
+    assert got["a"]["mad"] == 1 and got["a"]["n_out"] == 1
+    assert got["a"]["max_dev"] == 97
+    # group b: med=10, devs=[0,0,1,2], lower median -> MAD=0; the
+    # documented degeneracy: with MAD=0 every nonzero deviation flags
+    assert got["b"]["mad"] == 0 and got["b"]["n_out"] == 2
+
+    again = {
+        r["g"]: r.asDict()
+        for r in robust_outliers(df.repartition(7), "g", "v", k=5).collect()
+    }
+    assert got == again
