@@ -31,7 +31,7 @@ collects ONE scalar per round (a change count / edge-set signature).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -596,3 +596,60 @@ def _train_loop(q: DataFrame, id_col: str, k: int, iterations: int) -> list[list
             for j in range(k)
         ]
     return cents
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with two determinism amendments that make an LPA run
+    hash-comparable across engines and partitionings: ties in the
+    neighbor-label vote break toward the SMALLEST label, and each node's
+    own current label joins the vote (self-vote) — which also damps the
+    two-coloring oscillation synchronous LPA exhibits on bipartite
+    graphs. Labels start as node ids; after t rounds a node's label is a
+    community id (the min-id bias makes low ids community anchors).
+
+    Feed SYMMETRIZED edges (label flows dst -> src); nodes are the
+    distinct sources. Unlike connected_components (which this converges
+    toward as t grows on well-connected graphs), few-round LPA keeps
+    DENSITY structure: bridges between dense regions don't merge them.
+
+    Scale shape: per iteration ONE shuffle join (labels onto edges by
+    dst) and ONE vote aggregate + per-node top-1 window — both keyed on
+    node ids, the same two-exchange round as pagerank. The static edge
+    frame lazily checkpoints once; the evolving label frame checkpoints
+    per round to cut lineage growth (the connected_components pattern).
+
+    Output: (node, label).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iterations):
+        nbr = e.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select("src", "label")
+        votes = nbr.unionByName(
+            labels.select(F.col("node").alias("src"), "label")
+        )
+        c = votes.groupBy("src", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            c.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -739,3 +739,76 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEANLEN_LO = 3
+GOPHER_MEANLEN_HI = 10
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_SHORT_LEN = 2
+GOPHER_SHORT_MAX_TENTHS = 3  # short-token share <= 0.3
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rule-based document filter in the style of the Gopher quality
+    heuristics (Rae et al. 2021 §A1.1) — the accept/reject sibling of
+    quality_score's soft composite: word count within bounds, mean word
+    length within [3,10], at least 2 distinct English stopwords, and a
+    bounded share of very short tokens. The pre-dedup gate of a training
+    pipeline: cheap, per-row, and it removes the machine-generated and
+    boilerplate mass BEFORE the expensive dedup/similarity stages.
+
+    Every rule is an INTEGER comparison — mean bounds cross-multiplied
+    (sum_len >= 3*n), shares in tenths (10*n_short <= 3*n) — so flags
+    are hash-exact in any engine, with no division anywhere.
+
+    Scale: one narrow projection over the corpus scan (the token array
+    materializes once per row, HOF folds only) — zero shuffle.
+
+    Output: (id_col, *passthrough, n_tokens, r_wordcount, r_meanlen,
+    r_stopwords, r_shorttok, keep) with rules as 0/1 ints and keep their
+    conjunction; `passthrough` names input columns carried along so a
+    downstream rollup needs no join back to the corpus.
+    """
+    tf = _token_frame(
+        df, text_col, id_col, *[F.col(c) for c in passthrough], min_tokens=1
+    )
+    en_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    n_tok = F.expr("size(toks)")
+    sum_len = F.expr("aggregate(transform(toks, x -> length(x)), 0, (a, v) -> a + v)")
+    n_short = F.expr(
+        f"size(filter(toks, x -> length(x) <= {GOPHER_SHORT_LEN}))"
+    )
+    n_stop_d = F.expr(f"size(filter(array_distinct(toks), x -> x in ({en_list})))")
+    feats = tf.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        n_tok.alias("n_tokens"),
+        sum_len.alias("sum_len"),
+        n_short.alias("n_short"),
+        n_stop_d.alias("n_stop_d"),
+    )
+    r_wc = (F.col("n_tokens") >= GOPHER_MIN_WORDS) & (
+        F.col("n_tokens") <= GOPHER_MAX_WORDS
+    )
+    r_ml = (F.col("sum_len") >= GOPHER_MEANLEN_LO * F.col("n_tokens")) & (
+        F.col("sum_len") <= GOPHER_MEANLEN_HI * F.col("n_tokens")
+    )
+    r_st = F.col("n_stop_d") >= GOPHER_MIN_STOPWORDS
+    r_sh = 10 * F.col("n_short") <= GOPHER_SHORT_MAX_TENTHS * F.col("n_tokens")
+    return feats.select(
+        id_col,
+        *passthrough,
+        "n_tokens",
+        r_wc.cast("int").alias("r_wordcount"),
+        r_ml.cast("int").alias("r_meanlen"),
+        r_st.cast("int").alias("r_stopwords"),
+        r_sh.cast("int").alias("r_shorttok"),
+        (r_wc & r_ml & r_st & r_sh).cast("int").alias("keep"),
+    )

@@ -1368,6 +1368,59 @@ def x12_gaps(spark, sf_dir):
     )
 
 
+LP_ITER = 3
+
+
+def x11_label_prop(spark, sf_dir):
+    """Community detection via deterministic synchronous label
+    propagation (operators/clustering.py:label_propagation — min-label
+    tie-break + self-vote) over the same symmetrized part↔supplier
+    supply graph as x11_pagerank. Complements the component/PageRank
+    surface with DENSITY communities: LP_ITER rounds keep locally dense
+    groups separate where connected components would merge everything
+    reachable. The oracle unrolls the same rounds as chained CTEs (the
+    pagerank pattern). Output: the full final (node, label) assignment."""
+    from diepy_spark.operators.clustering import label_propagation
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(sym, iterations=LP_ITER).orderBy("node")
+
+
+def x5_gopher(spark, sf_dir):
+    """Per-source pass rates of the Gopher-style rule filter
+    (operators/text.py:gopher_rules — integer-only accept/reject rules:
+    word count, mean word length, distinct stopwords, short-token
+    share). The pre-dedup corpus gate, reported as the per-source audit
+    a pipeline operator actually reads: how much of each source survives,
+    and which rule bites. Source rides through the rule projection as a
+    passthrough column, so the rollup is one narrow scan + one
+    |sources|-key aggregate — no join back to the corpus."""
+    from diepy_spark.operators.text import gopher_rules
+
+    r = gopher_rules(_docs(spark, sf_dir), passthrough=("source",))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r_wordcount").alias("n_wordcount"),
+            F.sum("r_meanlen").alias("n_meanlen"),
+            F.sum("r_stopwords").alias("n_stopwords"),
+            F.sum("r_shorttok").alias("n_shorttok"),
+            F.sum("keep").alias("n_keep"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("keep_share"),
+        )
+        .orderBy("source")
+    )
+
+
 OUT_K_MAD = 5
 
 
@@ -1726,6 +1779,8 @@ EXTENDED_QUERIES = {
     "x12_drift": x12_drift,
     "x12_gaps": x12_gaps,
     "x12_outliers": x12_outliers,
+    "x5_gopher": x5_gopher,
+    "x11_label_prop": x11_label_prop,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x3_ivf_trained": x3_ivf_trained,
@@ -3323,6 +3378,90 @@ EXTENDED_ORACLES["x12_gaps"] = f"""
     FROM p WHERE tag = 'g'
     ORDER BY gap_len DESC, gap_start LIMIT {GAP_TOP}
 """
+
+
+def _label_prop_oracle_sql() -> str:
+    """Unrolled mirror of x11_label_prop: per round, votes = neighbor
+    labels (via the dst join) UNION ALL the node's own label, then the
+    per-node (count DESC, label ASC) top-1."""
+    ctes = [
+        """ps AS (SELECT DISTINCT l_partkey * 10 + 1 AS src,
+                         l_suppkey * 10 + 2 AS dst FROM lineitem)""",
+        "e AS (SELECT src, dst FROM ps UNION SELECT dst, src FROM ps)",
+        "l0 AS (SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM e))",
+    ]
+    for t in range(LP_ITER):
+        ctes.append(f"""v{t} AS (
+            SELECT e.src, l.label FROM e JOIN l{t} l ON l.node = e.dst
+            UNION ALL SELECT node AS src, label FROM l{t})""")
+        ctes.append(f"""c{t} AS (
+            SELECT src, label, count(*) AS c FROM v{t} GROUP BY 1, 2)""")
+        ctes.append(f"""l{t + 1} AS (
+            SELECT src AS node, label FROM (
+              SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY c DESC, label) AS rn FROM c{t})
+            WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{LP_ITER} ORDER BY node"
+    )
+
+
+EXTENDED_ORACLES["x11_label_prop"] = _label_prop_oracle_sql()
+
+
+def _gopher_oracle_sql() -> str:
+    from diepy_spark.operators.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MEANLEN_HI,
+        GOPHER_MEANLEN_LO,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_SHORT_LEN,
+        GOPHER_SHORT_MAX_TENTHS,
+    )
+
+    en_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, source, {_TOKS_EXPR} AS toks FROM documents
+        ),
+        f AS (
+          SELECT source,
+                 len(toks) AS n_tok,
+                 list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+                 len(list_filter(toks, x -> length(x) <= {GOPHER_SHORT_LEN}))
+                   AS n_short,
+                 len(list_filter(list_distinct(toks),
+                                 x -> x IN ({en_list}))) AS n_stop_d
+          FROM tf WHERE len(toks) >= 1
+        ),
+        r AS (
+          SELECT source,
+                 CASE WHEN n_tok >= {GOPHER_MIN_WORDS}
+                       AND n_tok <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS r_wc,
+                 CASE WHEN sum_len >= {GOPHER_MEANLEN_LO} * n_tok
+                       AND sum_len <= {GOPHER_MEANLEN_HI} * n_tok
+                      THEN 1 ELSE 0 END AS r_ml,
+                 CASE WHEN n_stop_d >= {GOPHER_MIN_STOPWORDS}
+                      THEN 1 ELSE 0 END AS r_st,
+                 CASE WHEN 10 * n_short <= {GOPHER_SHORT_MAX_TENTHS} * n_tok
+                      THEN 1 ELSE 0 END AS r_sh
+          FROM f
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(r_wc) AS BIGINT) AS n_wordcount,
+               CAST(SUM(r_ml) AS BIGINT) AS n_meanlen,
+               CAST(SUM(r_st) AS BIGINT) AS n_stopwords,
+               CAST(SUM(r_sh) AS BIGINT) AS n_shorttok,
+               CAST(SUM(r_wc * r_ml * r_st * r_sh) AS BIGINT) AS n_keep,
+               round(CAST(SUM(r_wc * r_ml * r_st * r_sh) AS DOUBLE)
+                     / COUNT(*), 4) AS keep_share
+        FROM r GROUP BY 1 ORDER BY 1
+    """
+
+
+EXTENDED_ORACLES["x5_gopher"] = _gopher_oracle_sql()
 
 
 EXTENDED_ORACLES["x12_outliers"] = f"""

@@ -872,3 +872,78 @@ def test_robust_outliers_vs_python_reference(spark):
         for r in robust_outliers(df.repartition(7), "g", "v", k=5).collect()
     }
     assert got == again
+
+
+def test_gopher_rules_each_rule_bites(spark):
+    """One crafted doc per rule violation + one clean doc; integer rule
+    flags match hand computation."""
+    from diepy_spark.operators.text import gopher_rules
+
+    clean = "the cat and dog walked into the house with food today extra words"
+    docs = [
+        (1, clean),  # passes all
+        (2, "the of short doc"),  # < 10 words -> r_wordcount = 0
+        (3, "the of " + " ".join(["a"] * 20)),  # mean len < 3, many short
+        (4, " ".join(f"word{i}" for i in range(20))),  # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert got[1]["keep"] == 1, got[1]
+    assert got[2]["r_wordcount"] == 0 and got[2]["keep"] == 0
+    assert got[3]["r_meanlen"] == 0 and got[3]["r_shorttok"] == 0
+    assert got[4]["r_stopwords"] == 0 and got[4]["r_wordcount"] == 1
+
+
+def _lpa_reference(edges, iterations):
+    """Literal synchronous LPA with self-vote and (count desc, label asc)
+    tie-break on a symmetrized edge set."""
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for n in adj:
+            votes = {}
+            for m in adj[n]:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            votes[labels[n]] = votes.get(labels[n], 0) + 1
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by one bridge: LPA keeps them as two
+    communities anchored at each clique's min id, where connected
+    components would merge them."""
+    from diepy_spark.operators.clustering import label_propagation
+
+    k5a = [(a, b) for a in range(5) for b in range(5) if a < b]
+    k5b = [(a + 10, b + 10) for a, b in k5a]
+    edges = k5a + k5b + [(4, 10)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    assert {got[n] for n in range(5)} == {0}
+    assert {got[n + 10] for n in range(5)} == {10}
+
+
+def test_label_propagation_random_vs_reference(spark):
+    from diepy_spark.operators.clustering import label_propagation
+
+    for seed in (3, 19):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+        sym = [(a, b) for a, b in edges if a != b]
+        sym = sym + [(b, a) for a, b in sym]
+        if not sym:
+            continue
+        df = spark.createDataFrame(sym, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=3).collect()
+        }
+        assert got == _lpa_reference(edges, 3), f"seed {seed}"
