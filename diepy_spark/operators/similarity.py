@@ -515,3 +515,127 @@ def ivf_topk_trained(
         .where(F.col("rk") <= k)
         .select("qid", "cid", "dist", "rk")
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ncodes: int = 8,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Deterministic product-quantization codebooks: split the quantized
+    vector into `m` equal subspaces; subspace s's codebook = the s-th
+    subvectors of the `ncodes` smallest-id vectors (the same
+    deterministic-quantizer trick as x3_ivf_topk's centroids — a TRAINED
+    PQ would swap in clustering.kmeans_centroids_int per subspace, same
+    shapes). Returns m x ncodes x (dim/m) ints — driver-sized
+    (m*ncodes*dim total, a few KB)."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    rows = q.orderBy(id_col).limit(ncodes).select("xi").collect()
+    dim = len(rows[0]["xi"])
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    return [
+        [list(r["xi"][s * sub : (s + 1) * sub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_dists(books: list[list[list[int]]], s: int):
+    """Exact integer squared-L2 columns from subspace s of `xi` to each
+    code of subspace s's codebook (slice is 1-indexed in Spark SQL)."""
+    sub = len(books[s][0])
+    lo = s * sub + 1
+    return [
+        F.expr(
+            "aggregate(zip_with(slice(xi, {lo}, {n}), array({lits}),"
+            " (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
+                lo=lo, n=sub, lits=", ".join(f"CAST({c} AS BIGINT)" for c in cv)
+            )
+        ).alias(f"d{s}_{j}")
+        for j, cv in enumerate(books[s])
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, code_0..code_{m-1}): each vector compressed to m small
+    code ids — argmin over its subspace's codebook by exact integer
+    squared L2, ties -> smaller code. The 100 TB story: dim floats
+    become m bytes per vector (here 64 floats -> 4 codes, 64x), and the
+    codebooks are plan literals, so encoding is a zero-shuffle
+    projection over the corpus scan."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    cols = [c for s in range(len(books)) for c in _pq_sub_dists(books, s)]
+    scored = q.select(F.col(id_col), *cols)
+    out = [F.col(id_col)]
+    for s, book in enumerate(books):
+        best = F.least(*[F.col(f"d{s}_{j}") for j in range(len(book))])
+        code = F.lit(None).cast("int")
+        for j in reversed(range(len(book))):
+            code = F.when(F.col(f"d{s}_{j}") == best, F.lit(j)).otherwise(code)
+        out.append(code.alias(f"code_{s}"))
+    return scored.select(*out)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 3,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are stored only
+    as their m PQ codes; each query precomputes a lookup table of exact
+    integer distances from its own (uncompressed) subvectors to every
+    code, and a corpus candidate's approximate distance is m table
+    lookups + adds — no float math, no decompression.
+
+    Scale shape: the corpus side carries m small ints per row and never
+    shuffles; the query frame (with its m x ncodes LUT arrays) BROADCASTs
+    into the scan. This is the PQ promise: approximate brute force over
+    the full corpus at bytes-per-vector cost, one narrow pass + a
+    per-query top-k window. Output: (qid, cid, dist, rk), all ints."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    cc = pq_encode(corpus, books, scale, id_col, vec_col).withColumnRenamed(
+        id_col, "cid"
+    )
+    qq = quantize_vectors(queries, id_col, vec_col, scale)
+    luts = qq.select(
+        F.col(id_col).alias("qid"),
+        *[c for s in range(len(books)) for c in _pq_sub_dists(books, s)],
+    ).select(
+        "qid",
+        *[
+            F.array(*[F.col(f"d{s}_{j}") for j in range(len(books[s]))]).alias(
+                f"lut_{s}"
+            )
+            for s in range(len(books))
+        ],
+    )
+    dist = None
+    for s in range(len(books)):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        dist = term if dist is None else dist + term
+    scored = cc.join(F.broadcast(luts)).withColumn("dist", dist)
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "cid", "dist", "rk")
+    )

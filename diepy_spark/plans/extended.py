@@ -1368,6 +1368,36 @@ def x12_gaps(spark, sf_dir):
     )
 
 
+PQ_M = 4
+PQ_CODES = 8
+PQ_NQ = 4
+PQ_K = 3
+
+
+def x3_pq_adc(spark, sf_dir):
+    """Product-quantization ADC search
+    (operators/similarity.py:pq_encode/pq_adc_topk): the corpus is
+    stored as PQ_M code ids per vector (64 floats -> 4 bytes, the
+    compression that makes billion-vector stores fit), queries search by
+    LUT lookups only. Codebooks are the deterministic first-PQ_CODES
+    subvectors (swap in per-subspace kmeans_centroids_int to train);
+    everything is exact integer arithmetic, so encode + search
+    hash-check end to end. Queries = PQ_NQ smallest vec_ids, corpus =
+    the rest."""
+    from diepy_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    books = pq_codebooks(v, m=PQ_M, ncodes=PQ_CODES, scale=KM_SCALE)
+    return pq_adc_topk(
+        v.where(F.col("vec_id") < PQ_NQ),
+        v.where(F.col("vec_id") >= PQ_NQ),
+        books,
+        k=PQ_K,
+        scale=KM_SCALE,
+    ).orderBy("qid", "rk")
+
+
 LP_ITER = 3
 
 
@@ -1781,6 +1811,7 @@ EXTENDED_QUERIES = {
     "x12_outliers": x12_outliers,
     "x5_gopher": x5_gopher,
     "x11_label_prop": x11_label_prop,
+    "x3_pq_adc": x3_pq_adc,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x3_ivf_trained": x3_ivf_trained,
@@ -3378,6 +3409,48 @@ EXTENDED_ORACLES["x12_gaps"] = f"""
     FROM p WHERE tag = 'g'
     ORDER BY gap_len DESC, gap_start LIMIT {GAP_TOP}
 """
+
+
+def _pq_adc_oracle_sql() -> str:
+    """Mirror of x3_pq_adc: u = quantized long form, cb = the codebook
+    rows (code j = rank among the PQ_CODES smallest vec_ids, subspace s
+    = (i-1)//subdim), sd = every vector's exact integer distance to
+    every code of its subspace, codes = corpus argmin per (vector,
+    subspace), pairs = ADC sums via the (s, code) lookup join."""
+    sub = EMB_DIM // PQ_M
+    return f"""
+        WITH u AS (SELECT vec_id,
+                     CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+              FROM (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)),
+        seeds AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                FROM (SELECT DISTINCT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {PQ_CODES})),
+        cb AS (SELECT s.j, u.i, (u.i - 1) // {sub} AS s, u.x AS c
+               FROM seeds s JOIN u ON u.vec_id = s.vec_id),
+        sd AS (SELECT u.vec_id, cb.s, cb.j,
+                      SUM((u.x - cb.c) * (u.x - cb.c)) AS d
+               FROM u JOIN cb ON cb.i = u.i
+               GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id AS cid, s, j AS code FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d, j) AS rn
+                    FROM sd WHERE vec_id >= {PQ_NQ}) WHERE rn = 1),
+        pairs AS (SELECT q.vec_id AS qid, c.cid,
+                         CAST(SUM(q.d) AS BIGINT) AS dist
+                  FROM codes c JOIN sd q ON q.s = c.s AND q.j = c.code
+                  WHERE q.vec_id < {PQ_NQ}
+                  GROUP BY 1, 2)
+        SELECT qid, cid, dist, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY dist, cid) AS rk FROM pairs)
+        WHERE rk <= {PQ_K} ORDER BY qid, rk
+    """
+
+
+EXTENDED_ORACLES["x3_pq_adc"] = _pq_adc_oracle_sql()
 
 
 def _label_prop_oracle_sql() -> str:

@@ -947,3 +947,68 @@ def test_label_propagation_random_vs_reference(spark):
             for r in label_propagation(df, iterations=3).collect()
         }
         assert got == _lpa_reference(edges, 3), f"seed {seed}"
+
+
+def test_pq_adc_vs_python_reference(spark):
+    """PQ encode + ADC distances mirror a literal python implementation:
+    codebooks from the first-8 subvectors, corpus codes by argmin, ADC =
+    sum of per-subspace LUT entries."""
+    from diepy_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = random.Random(44)
+    dim, m, ncodes, nq, k = 12, 3, 4, 3, 2
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, m=m, ncodes=ncodes, scale=1000)
+
+    xs = {i: [int(round(v * 1000)) for v in vec] for i, vec in vecs}
+    sub = dim // m
+    ref_books = [
+        [xs[j][s * sub : (s + 1) * sub] for j in range(ncodes)] for s in range(m)
+    ]
+    assert books == ref_books
+
+    def d2(a, b):
+        return sum((p - q) ** 2 for p, q in zip(a, b))
+
+    def encode(x):
+        return [
+            min(range(ncodes), key=lambda j: (d2(x[s * sub:(s + 1) * sub], ref_books[s][j]), j))
+            for s in range(m)
+        ]
+
+    got_codes = {
+        r["vec_id"]: [r[f"code_{s}"] for s in range(m)]
+        for r in pq_encode(df, books, scale=1000).collect()
+    }
+    assert got_codes == {i: encode(x) for i, x in xs.items()}
+
+    got = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                df.where(F.col("vec_id") < nq),
+                df.where(F.col("vec_id") >= nq),
+                books,
+                k=k,
+                scale=1000,
+            ).collect(),
+        )
+    )
+    ref = []
+    for qi in range(nq):
+        cand = []
+        for ci in range(nq, 40):
+            codes = encode(xs[ci])
+            adc = sum(
+                d2(xs[qi][s * sub:(s + 1) * sub], ref_books[s][codes[s]])
+                for s in range(m)
+            )
+            cand.append((adc, ci))
+        cand.sort()
+        ref += [(qi, ci, d, rk + 1) for rk, (d, ci) in enumerate(cand[:k])]
+    assert got == sorted(ref)
