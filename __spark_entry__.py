@@ -55,6 +55,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new in round 4 (no driver row at all)
     "x3_ivf_trained",
+    "t4_roundtrip_orc",
+    "x12_outliers",
+    "x5_gopher",
+    "x11_label_prop",
+    "x3_pq_adc",
+    "r51_unpivot",
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",

@@ -499,4 +499,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
               FROM orders o, b)
         GROUP BY bin ORDER BY bin
     """,
+    "r51_unpivot": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
 }

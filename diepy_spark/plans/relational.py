@@ -583,6 +583,30 @@ def r35_pivot(spark, sf_dir):
     )
 
 
+def r51_unpivot(spark, sf_dir):
+    """Unpivot (wide->long, the melt operation): the r35 priority x
+    status count grid flattens back to (priority, status, n) rows via
+    DataFrame.unpivot — Spark's Expand node, one pass, no shuffle beyond
+    the source aggregate. Zero cells are dropped so the long form equals
+    the plain GROUP BY the oracle states (the pivot/unpivot pair is
+    lossless on the populated cells)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="o_orderstatus",
+        valueColumnName="n",
+    )
+    return long.where(F.col("n").isNotNull()).orderBy(
+        "o_orderpriority", "o_orderstatus"
+    )
+
+
 def r36_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/aggregate) over the
     embedding column — entirely JVM-side lambda evaluation, zero Python.
@@ -1127,4 +1151,5 @@ RELATIONAL_QUERIES = {
     "r48_transitions": r48_transitions,
     "r49_rolling_dau": r49_rolling_dau,
     "r50_equidepth_binning": r50_equidepth_binning,
+    "r51_unpivot": r51_unpivot,
 }
