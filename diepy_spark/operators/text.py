@@ -569,10 +569,19 @@ def lang_classify(
     )
     lg = dg.groupBy("_lang", "gram").agg(F.sum("cnt").alias("lcnt"))
     wtop = Window.partitionBy("_lang").orderBy(F.col("lcnt").desc(), "gram")
+    # The model frame fans out to FIVE consumers (vocab, vsize, tot, the
+    # grid join, and through them the broadcast constants); without a
+    # lineage cut each consumer re-derives the full corpus gram explode —
+    # measured 8 Generate nodes / 28 scans at sf0.1 (5.1 s), collapsing
+    # to 2 / a handful (~2x faster) with this |langs| x top_n-row
+    # checkpoint (the triangle-count lesson). dg itself stays recomputed
+    # by its two consumers — it is corpus-sized, and materializing it is
+    # exactly what a 100 TB caller must opt into, not default.
     model = (
         lg.withColumn("rk", F.row_number().over(wtop))
         .where(F.col("rk") <= top_n)
         .select("_lang", "gram", "lcnt")
+        .localCheckpoint(eager=False)
     )
     vocab = model.select("gram").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("V"))
@@ -598,6 +607,7 @@ def lang_classify(
             .cast("bigint")
             .alias("prior"),
         )
+        .localCheckpoint(eager=False)  # |langs| rows, two consumers
     )
     # full langs x vocab grid -> one quantized weight per cell
     grid = (
