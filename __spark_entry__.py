@@ -61,6 +61,8 @@ _PRIORITY = [
     "x11_label_prop",
     "x3_pq_adc",
     "r51_unpivot",
+    "x8_temperature_mix",
+    "x7_stream_outliers",
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",

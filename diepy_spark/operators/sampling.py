@@ -31,6 +31,7 @@ __all__ = [
     "hash_split",
     "reservoir_per_group",
     "stratified_hash_sample",
+    "temperature_mix",
     "weighted_hash_sample",
     "weighted_topk_sample",
 ]
@@ -297,4 +298,68 @@ def weighted_topk_sample(
         keyed.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .drop("__aes")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    budget_frac: float,
+    alpha: float = 0.5,
+    seed: str = "tmix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the data-MIXING sampler of
+    LLM training pipelines: target share of group g ∝ n_g^alpha (alpha=1
+    keeps the natural mix, alpha=0 flattens to uniform; 0.5 is the usual
+    compromise that upweights small high-quality sources without
+    swamping the mix), scaled so the expected total is budget_frac of
+    the corpus. Rows are kept by the deterministic hash-fraction draw
+    (hash_frac), so the sample is reproducible across runs, engines, and
+    partitionings; per-group keep rates cap at 1 (a small group whose
+    target exceeds its size contributes everything it has).
+
+    Determinism contract: the weight normalizer sums n^alpha over groups
+    in GROUP-KEY ORDER (array_sort + ordered fold — IEEE addition is not
+    associative, so an unordered SUM of doubles would hash-diverge); the
+    per-group rate is then a fixed left-to-right expression both engines
+    state identically.
+
+    Scale shape: group stats are a |groups|-row aggregate; the stats +
+    rates frame BROADCASTs back onto the corpus scan as a filter — no
+    shuffle of the corpus, no global ranks (an exact-size variant would
+    need a per-group rank — use reservoir_per_group if exact counts
+    matter more than scan-shape).
+
+    Output: the kept rows with (n, share, rate) attached per group.
+    """
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    w = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    tot = (
+        stats.select(F.col(group_col).alias("g"), w.alias("w"), F.col("n"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(g, w))),"
+                " 0.0D, (acc, s) -> acc + s.w)"
+            ).alias("wtot"),
+            F.sum("n").alias("ntot"),
+        )
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n",
+            (w / F.col("wtot")).alias("share"),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.col("ntot")
+                * (w / F.col("wtot"))
+                / F.col("n"),
+            ).alias("rate"),
+        )
+    )
+    return df.join(F.broadcast(rates), group_col).where(
+        _frac_expr(id_col, seed) < F.col("rate")
     )

@@ -1368,6 +1368,34 @@ def x12_gaps(spark, sf_dir):
     )
 
 
+TMIX_FRAC = 0.25
+TMIX_ALPHA = 0.5
+TMIX_SEED = "tmix"
+
+
+def x8_temperature_mix(spark, sf_dir):
+    """Temperature data mixing (operators/sampling.py:temperature_mix):
+    per-source keep rates ∝ n^alpha, overall budget TMIX_FRAC of the
+    corpus, rows drawn by the deterministic hash fraction. The report is
+    the mixing table a training run ships with: each source's natural
+    count, its temperature share, and what the sampler actually kept."""
+    from diepy_spark.operators.sampling import temperature_mix
+
+    s = temperature_mix(
+        _docs(spark, sf_dir), "source", TMIX_FRAC, TMIX_ALPHA, TMIX_SEED
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.min("n").alias("n"),
+            F.round(F.min("share"), 6).alias("share"),
+            F.count(F.lit(1)).alias("kept"),
+            F.round(F.count(F.lit(1)) / F.min("n"), 4).alias("kept_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 PQ_M = 4
 PQ_CODES = 8
 PQ_NQ = 4
@@ -1812,6 +1840,7 @@ EXTENDED_QUERIES = {
     "x5_gopher": x5_gopher,
     "x11_label_prop": x11_label_prop,
     "x3_pq_adc": x3_pq_adc,
+    "x8_temperature_mix": x8_temperature_mix,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x3_ivf_trained": x3_ivf_trained,
@@ -3409,6 +3438,34 @@ EXTENDED_ORACLES["x12_gaps"] = f"""
     FROM p WHERE tag = 'g'
     ORDER BY gap_len DESC, gap_start LIMIT {GAP_TOP}
 """
+
+
+def _temperature_mix_oracle_sql() -> str:
+    from diepy_spark.operators.sketch import hex_frac_sql
+
+    frac = hex_frac_sql(f"md5(concat('{TMIX_SEED}:', CAST(doc_id AS VARCHAR)))")
+    a = TMIX_ALPHA
+    return f"""
+        WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        t AS (SELECT list_sum(list(pow(CAST(n AS DOUBLE), {a})
+                               ORDER BY source)) AS wtot,
+                     sum(n) AS ntot FROM s),
+        r AS (SELECT source, n,
+                     pow(CAST(n AS DOUBLE), {a}) / wtot AS share,
+                     least(1.0, {TMIX_FRAC} * ntot
+                           * (pow(CAST(n AS DOUBLE), {a}) / wtot) / n) AS rate
+              FROM s, t),
+        k AS (SELECT d.source FROM documents d JOIN r USING (source)
+              WHERE {frac} < r.rate)
+        SELECT r.source, r.n, round(r.share, 6) AS share,
+               count(*) AS kept,
+               round(CAST(count(*) AS DOUBLE) / r.n, 4) AS kept_rate
+        FROM k JOIN r USING (source)
+        GROUP BY r.source, r.n, r.share ORDER BY r.source
+    """
+
+
+EXTENDED_ORACLES["x8_temperature_mix"] = _temperature_mix_oracle_sql()
 
 
 def _pq_adc_oracle_sql() -> str:

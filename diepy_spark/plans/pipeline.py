@@ -433,6 +433,57 @@ def t3_roundtrip_parquet(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+STREAM_OUT_K = 5  # |cents - med| > K * MAD flags an event (mirrors x12)
+
+
+def x7_stream_outliers(spark, sf_dir):
+    """Streaming anomaly counter with BATCH-TRAINED robust thresholds —
+    the train-offline/serve-online composition: per-type median and MAD
+    come from the batch history (operators/robust.freq_median, the
+    bounded-state exact-median shape), the tiny threshold table
+    BROADCASTs into the stream, and each micro-batch counts threshold
+    breaches per (hour window, event_type) under the watermark. The
+    stream side carries a stateless filter + the usual windowed count —
+    no new state kind; thresholds refresh per micro-batch like any
+    stream-static join side."""
+    from diepy_spark.operators.robust import freq_median
+
+    tune(spark)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", cents.alias("cents"))
+    )
+    med = freq_median(ev, "event_type", "cents")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    thr = med.join(
+        freq_median(dev, "event_type", "dev").withColumnRenamed("med", "mad"),
+        "event_type",
+    )
+    src = (
+        _events_src(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .withColumn("cents", cents)
+    )
+    joined = (
+        src.withWatermark("ts", WATERMARK)
+        .join(F.broadcast(thr), "event_type")
+        .where(
+            F.abs(F.col("cents") - F.col("med"))
+            > F.lit(STREAM_OUT_K) * F.col("mad")
+        )
+    )
+    agg = (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_anom"))
+        .select(F.col("w.start").alias("w"), "event_type", "n_anom")
+    )
+    return _run_stream(agg, "append").orderBy("w", "event_type")
+
+
 def t4_roundtrip_orc(spark, sf_dir):
     """ORC roundtrip — the second columnar format Spark ships natively
     (orc-core is in the distro; spark-avro is not, so Avro stays out of
@@ -483,6 +534,7 @@ PIPELINE_QUERIES = {
     "t4_roundtrip_orc": t4_roundtrip_orc,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
+    "x7_stream_outliers": x7_stream_outliers,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -581,6 +633,34 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         WHERE rn = 1 ORDER BY user_id
+    """,
+    "x7_stream_outliers": f"""
+        WITH e AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, ts
+          FROM events WHERE value IS NOT NULL
+        ),
+        h AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY 1, 2),
+        w AS (SELECT event_type, cents,
+                     SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                     SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM h),
+        m AS (SELECT event_type, MIN(cents) AS med FROM w
+              WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        d AS (SELECT e.event_type, abs(e.cents - m.med) AS dev
+              FROM e JOIN m USING (event_type)),
+        h2 AS (SELECT event_type, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        w2 AS (SELECT event_type, dev,
+                      SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                      SUM(c) OVER (PARTITION BY event_type) AS n
+               FROM h2),
+        m2 AS (SELECT event_type, MIN(dev) AS mad FROM w2
+               WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS w, e.event_type,
+               COUNT(*) AS n_anom
+        FROM e JOIN m USING (event_type) JOIN m2 USING (event_type)
+        WHERE abs(e.cents - m.med) > {STREAM_OUT_K} * m2.mad
+          AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= {_WM_END}
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "x7_stream_topk": f"""
         WITH agg AS (

@@ -1012,3 +1012,29 @@ def test_pq_adc_vs_python_reference(spark):
         cand.sort()
         ref += [(qi, ci, d, rk + 1) for rk, (d, ci) in enumerate(cand[:k])]
     assert got == sorted(ref)
+
+
+def test_temperature_mix_properties(spark):
+    """alpha=0 flattens toward uniform budget, alpha=1 keeps the natural
+    mix; draws are partition-independent; rates cap at 1."""
+    from diepy_spark.operators.sampling import temperature_mix
+
+    rows = [(f"d{i}", "big" if i % 10 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    # alpha=1: rate == budget_frac for every group (n^1 / sum n cancels)
+    a1 = temperature_mix(df, "source", 0.3, alpha=1.0)
+    rates = {r["source"]: r["rate"] for r in a1.select("source", "rate").distinct().collect()}
+    assert all(abs(v - 0.3) < 1e-12 for v in rates.values()), rates
+    # alpha=0: equal target count per group -> the small group's rate caps at 1
+    a0 = temperature_mix(df, "source", 0.3, alpha=0.0)
+    r0 = {r["source"]: r["rate"] for r in a0.select("source", "rate").distinct().collect()}
+    assert r0["small"] == 1.0 and r0["big"] < 0.3, r0
+    # determinism under repartitioning
+    k1 = sorted(r["doc_id"] for r in a0.select("doc_id").collect())
+    k2 = sorted(
+        r["doc_id"]
+        for r in temperature_mix(df.repartition(13), "source", 0.3, alpha=0.0)
+        .select("doc_id")
+        .collect()
+    )
+    assert k1 == k2
