@@ -63,6 +63,8 @@ _PRIORITY = [
     "r51_unpivot",
     "x8_temperature_mix",
     "x7_stream_outliers",
+    "x2_dedup_best",
+    "x1_incremental_dedup",
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",

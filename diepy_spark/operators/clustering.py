@@ -38,6 +38,7 @@ __all__ = [
     "connected_components",
     "connected_components_two_phase",
     "dedup_corpus",
+    "dedup_corpus_best",
     "dedup_stats",
     "triangle_count",
     "kmeans_int",
@@ -653,3 +654,38 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def dedup_corpus_best(
+    docs: DataFrame,
+    edges: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "da",
+    dst: str = "db",
+) -> DataFrame:
+    """dedup_corpus with a QUALITY keep policy: per duplicate cluster keep
+    the highest-`score_col` member (ties -> smallest id) instead of the
+    smallest id. The policy production pipelines actually want — of N
+    near-identical pages keep the longest / highest-quality capture, not
+    whichever crawled first. `score_col` must be deterministic per row
+    (exact ints like n_chars, or any hash-stable score) for the choice
+    to be engine-portable.
+
+    Scale: identical to dedup_corpus except clustered docs route through
+    one per-cluster top-1 window — partitions are duplicate clusters
+    (small by construction), and only docs IN clusters enter the window;
+    the unique mass bypasses it entirely."""
+    cc = connected_components(edges, src, dst)
+    lab = cc.withColumnRenamed("node", id_col)
+    j = docs.join(lab, id_col, "left")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    best = (
+        j.where(F.col("cluster").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return j.where(F.col("cluster").isNull()).unionByName(best)

@@ -1028,3 +1028,43 @@ def cdc_chunks(
     return per_chunk.withColumn(
         "dup", (F.count(F.lit(1)).over(wd) > 1)
     )
+
+
+def incremental_exact_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL exact dedup — the arriving-batch shape of exact_dups:
+    an existing corpus (`index`) is already deduplicated and only its
+    fingerprint set matters; the new `batch` must learn, per document,
+    whether it duplicates the index (`dup_of_index`) or an earlier
+    document of the same batch (`dup_in_batch`, earlier = smaller id).
+    A pipeline ingesting crawl N+1 runs exactly this instead of
+    re-deduplicating the whole corpus.
+
+    Scale: both sides reduce to md5 fingerprints before any shuffle (the
+    X1 contract — 32-byte keys, never text); the index side ships only
+    its DISTINCT fingerprint set (at 100 TB this is the persisted
+    fingerprint table, not a corpus rescan), and the within-batch check
+    is one window over the batch's own fingerprints.
+
+    Output: (id_col, dup_of_index, dup_in_batch) as 0/1 ints, one row
+    per batch document."""
+    fpb = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+    fpi = (
+        index.select(F.md5(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("in_idx", F.lit(1))
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fpb.join(fpi, "fp", "left")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            id_col,
+            F.coalesce("in_idx", F.lit(0)).alias("dup_of_index"),
+            (F.col("rk") > 1).cast("int").alias("dup_in_batch"),
+        )
+    )

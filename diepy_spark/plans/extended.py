@@ -123,6 +123,40 @@ def x2_dedup_apply(spark, sf_dir):
     )
 
 
+INC_DEDUP_MOD = 5  # batch = doc_id % 5 == 0 (~20%), index = the rest
+
+
+def x1_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup (operators/dedup.py:incremental_exact_dedup):
+    the arriving 20% batch checks its md5 fingerprints against the
+    standing 80% index and against earlier rows of its own batch — the
+    crawl-N+1 ingest step that avoids re-deduplicating the corpus."""
+    from diepy_spark.operators.dedup import incremental_exact_dedup
+
+    d = _docs(spark, sf_dir)
+    return incremental_exact_dedup(
+        d.where(F.col("doc_id") % INC_DEDUP_MOD != 0),
+        d.where(F.col("doc_id") % INC_DEDUP_MOD == 0),
+    ).orderBy("doc_id")
+
+
+def x2_dedup_best(spark, sf_dir):
+    """dedup_corpus with the KEEP-BEST policy
+    (operators/clustering.py:dedup_corpus_best): per duplicate cluster
+    keep the LONGEST member (n_chars desc, ties -> smaller id) — of N
+    near-identical pages a pipeline keeps the fullest capture, not the
+    min-id one. Same pair graph and closure as x2_dedup_apply, so the
+    two queries differ exactly by the representative choice."""
+    from diepy_spark.operators.clustering import dedup_corpus_best
+
+    d = _docs(spark, sf_dir)
+    return (
+        dedup_corpus_best(d, _jaccard_pairs(spark, sf_dir), "n_chars")
+        .select("doc_id", "lang", "n_chars", "cluster")
+        .orderBy("doc_id")
+    )
+
+
 def x2_dedup_stats(spark, sf_dir):
     """One-row dedup accounting (docs in/out, removed, ratio) — what a
     pipeline reports after each dedup pass."""
@@ -1775,6 +1809,8 @@ EXTENDED_QUERIES = {
     "x2_ngram_jaccard_pairs": x2_ngram_jaccard_pairs,
     "x2_dup_clusters": x2_dup_clusters,
     "x2_dedup_apply": x2_dedup_apply,
+    "x2_dedup_best": x2_dedup_best,
+    "x1_incremental_dedup": x1_incremental_dedup,
     "x2_dedup_stats": x2_dedup_stats,
     "x2_simhash": x2_simhash,
     "x2_simhash_pairs": x2_simhash_pairs,
@@ -2206,6 +2242,34 @@ EXTENDED_ORACLES["x2_dedup_apply"] = f"""
     SELECT d.doc_id, d.lang, d.n_chars, c.cluster
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     WHERE c.cluster IS NULL OR d.doc_id = c.cluster
+    ORDER BY d.doc_id
+"""
+
+EXTENDED_ORACLES["x1_incremental_dedup"] = f"""
+    WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents
+               WHERE doc_id % {INC_DEDUP_MOD} = 0),
+    i AS (SELECT DISTINCT md5(text) AS fp FROM documents
+          WHERE doc_id % {INC_DEDUP_MOD} <> 0)
+    SELECT b.doc_id,
+           CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_of_index,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+                THEN 1 ELSE 0 END AS dup_in_batch
+    FROM b LEFT JOIN i USING (fp) ORDER BY b.doc_id
+"""
+
+EXTENDED_ORACLES["x2_dedup_best"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    best AS (
+      SELECT c.cluster, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, c.cluster
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN best b ON b.doc_id = d.doc_id
+    WHERE c.cluster IS NULL OR b.rn = 1
     ORDER BY d.doc_id
 """
 

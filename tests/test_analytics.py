@@ -1038,3 +1038,41 @@ def test_temperature_mix_properties(spark):
         .collect()
     )
     assert k1 == k2
+
+
+def test_dedup_corpus_best_keeps_longest(spark):
+    from diepy_spark.operators.clustering import dedup_corpus_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # {1,2,3} one cluster (longest tie 2 vs 3 -> min id 2); 4 unique; 9 unique
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "da long, db long")
+    got = sorted(
+        (r["doc_id"], r["cluster"])
+        for r in dedup_corpus_best(docs, edges, "n_chars").collect()
+    )
+    assert got == [(2, 1), (4, None), (9, None)]
+
+
+def test_incremental_exact_dedup_flags(spark):
+    from diepy_spark.operators.dedup import incremental_exact_dedup
+
+    index = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "aaa"), (11, "new"), (12, "new"), (13, "ccc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_of_index"], r["dup_in_batch"])
+        for r in incremental_exact_dedup(index, batch).collect()
+    }
+    assert got == {
+        10: (1, 0),  # duplicates the index
+        11: (0, 0),  # first copy within the batch
+        12: (0, 1),  # duplicates an earlier batch row
+        13: (0, 0),
+    }
