@@ -1,0 +1,80 @@
+"""Plan-shape audit across the declared query set.
+
+For every (lazily-buildable) query, captures `explain("formatted")` and
+tallies the plan-smell counters that predict 100 TB pain:
+
+- parquet scans (re-derived subtrees show up as duplicate scans of the
+  same table — the lang_classify/triangle_count disease),
+- exchanges (shuffles) net of ReusedExchange,
+- Generate (explode) nodes — duplicated corpus explodes are the most
+  expensive re-derivation,
+- BroadcastNestedLoopJoin (the interpreted-condition trap),
+- row-at-a-time Python eval nodes (BatchEvalPython — must stay 0).
+
+Queries that EXECUTE during plan construction (streaming replays, file
+roundtrips) are skipped — their returned frame is a memory/scratch scan,
+not the interesting plan.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Prints one line per query sorted by (scans + exchanges) descending.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SKIP_PREFIXES = ("x7_", "t1_", "t2_", "t3_", "t4_")
+
+
+def audit(plan: str) -> dict[str, int]:
+    return {
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "reused": len(re.findall(r"ReusedExchange", plan)),
+        "generates": len(re.findall(r"\) Generate", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "pyeval": len(re.findall(r"BatchEvalPython", plan)),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from diepy_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark()
+    rows = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        if not only and name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            rows.append((name, audit(buf.getvalue())))
+        except Exception as exc:  # noqa: BLE001 - audit must not abort
+            print(f"  ERR {name}: {exc}")
+    rows.sort(key=lambda r: -(r[1]["scans"] + r[1]["exchanges"]))
+    print(f"{'query':34s} scans exch reused gen bnlj pyeval")
+    for name, a in rows:
+        print(
+            f"{name:34s} {a['scans']:5d} {a['exchanges']:4d} {a['reused']:6d}"
+            f" {a['generates']:3d} {a['bnlj']:4d} {a['pyeval']:6d}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
