@@ -65,6 +65,9 @@ _PRIORITY = [
     "x7_stream_outliers",
     "x2_dedup_best",
     "x1_incremental_dedup",
+    "x12_ref_integrity",
+    "x8_ab_test",
+    "x11_kcore",
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",

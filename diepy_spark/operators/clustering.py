@@ -41,6 +41,7 @@ __all__ = [
     "dedup_corpus_best",
     "dedup_stats",
     "triangle_count",
+    "kcore",
     "kmeans_int",
 ]
 
@@ -689,3 +690,57 @@ def dedup_corpus_best(
         .drop("rk")
     )
     return j.where(F.col("cluster").isNull()).unionByName(best)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int | DataFrame = 3,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: each round drops every
+    node with degree < k, which lowers neighbors' degrees, so the next
+    round peels again — after convergence the survivors are the k-core
+    (the maximal subgraph of minimum degree k), the standard dense-region
+    extractor (spam-farm / community-core detection on link graphs). A
+    fixed `iterations` keeps the operator deterministic and
+    oracle-unrollable; peeling converges in few rounds on the shallow
+    graphs dedup/supply data emits (run more rounds until the node set
+    fixpoints for the general case).
+
+    Feed SYMMETRIZED edges. Per round: ONE degree aggregate + the
+    two-sided semi-join restriction, each keyed on node ids;
+    round frames localCheckpoint to keep lineage flat (the
+    connected_components pattern). Output: (node, deg) of the surviving
+    subgraph after the last round.
+
+    `k` is an int, or a ONE-ROW DataFrame with column `k` for a
+    DATA-DERIVED threshold (e.g. median degree + 1 via
+    robust.freq_median) — the frame broadcasts into each round's filter,
+    keeping the whole operator lazy and oracle-mirrorable."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    kf = k.localCheckpoint(eager=False) if isinstance(k, DataFrame) else None
+    for _ in range(iterations):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        if kf is not None:
+            keep = (
+                deg.crossJoin(F.broadcast(kf))
+                .where(F.col("deg") >= F.col("k"))
+                .select("src")
+            )
+        else:
+            keep = deg.where(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

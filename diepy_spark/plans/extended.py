@@ -1402,6 +1402,123 @@ def x12_gaps(spark, sf_dir):
     )
 
 
+KC_ITER = 3
+
+
+def x11_kcore(spark, sf_dir):
+    """k-core extraction (operators/clustering.py:kcore — iterative
+    peeling, KC_ITER rounds) over the symmetrized part↔supplier supply
+    graph, with a DATA-DERIVED threshold: k = the median initial degree
+    (exact lower median via the freq_median value-histogram; peel =
+    strictly below median — no fixed k bites at every scale factor on
+    this bipartite graph, and +1 over-cascades the small fixtures). Completes the graph surface (components /
+    pagerank / triangles / LPA / k-core). The oracle unrolls the same
+    peel rounds as chained CTEs. Output: surviving (node, deg)."""
+    from diepy_spark.operators.clustering import kcore
+    from diepy_spark.operators.robust import freq_median
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg0 = (
+        sym.where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.lit(1).alias("g"), "deg")
+    )
+    kf = freq_median(deg0, "g", "deg").select(F.col("med").alias("k"))
+    return kcore(sym, k=kf, iterations=KC_ITER).orderBy("node")
+
+
+AB_CONV_MIN = 180
+
+
+def x8_ab_test(spark, sf_dir):
+    """Two-proportion A/B comparison — the experimentation primitive: the
+    even/odd user-id split as cohorts, conversion = user emitted at
+    least one HIGH-VALUE purchase (value > AB_CONV_MIN — plain purchase
+    is universal in this fixture, which would zero the pooled standard
+    error). Counts are exact integers from one
+    distinct-user aggregate per side; the pooled two-proportion z
+    statistic is a single closed-form double expression stated
+    IDENTICALLY in both engines (each sub-term is one IEEE op on exact
+    int-derived doubles, so the hash can't drift). One row out:
+    cohort sizes, converters, rates, and z."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_MIN)
+            ).cast("int")
+        ).alias("conv")
+    )
+    g = per_user.withColumn("grp", (F.col("user_id") % 2 == 0).cast("int"))
+    agg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    a = agg.where(F.col("grp") == 1).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = agg.where(F.col("grp") == 0).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_a - p_b) / se, 4).alias("z"),
+    )
+
+
+def x12_ref_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema — the classic
+    post-load DQ check: for each FK relation, total child rows and
+    orphans (child keys with no parent). Each relation is one LEFT ANTI
+    join on the key (distributed hash join; the parent key set is the
+    build side and broadcasts when small) plus two count aggregates; the
+    report is a 4-row union. Zero orphans on this generator's output is
+    itself the assertion — the query proves the check runs, the counts
+    prove against the oracle that it counts correctly."""
+    tune(spark)
+
+    def pair(child, key, parent, pkey, label):
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = c.select(F.col(key)).join(
+            p.select(F.col(pkey).alias(key)).distinct(), key, "left_anti"
+        )
+        return (
+            c.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(label).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    return (
+        pair("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
+        .unionByName(pair("orders", "o_custkey", "customer", "c_custkey", "orders->customer"))
+        .unionByName(pair("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation"))
+        .unionByName(pair("supplier", "s_nationkey", "nation", "n_nationkey", "supplier->nation"))
+        .orderBy("relation")
+    )
+
+
 TMIX_FRAC = 0.25
 TMIX_ALPHA = 0.5
 TMIX_SEED = "tmix"
@@ -1811,6 +1928,9 @@ EXTENDED_QUERIES = {
     "x2_dedup_apply": x2_dedup_apply,
     "x2_dedup_best": x2_dedup_best,
     "x1_incremental_dedup": x1_incremental_dedup,
+    "x12_ref_integrity": x12_ref_integrity,
+    "x8_ab_test": x8_ab_test,
+    "x11_kcore": x11_kcore,
     "x2_dedup_stats": x2_dedup_stats,
     "x2_simhash": x2_simhash,
     "x2_simhash_pairs": x2_simhash_pairs,
@@ -3574,6 +3694,41 @@ def _pq_adc_oracle_sql() -> str:
 EXTENDED_ORACLES["x3_pq_adc"] = _pq_adc_oracle_sql()
 
 
+def _kcore_oracle_sql() -> str:
+    """Unrolled mirror of x11_kcore: the data-derived threshold (lower
+    median of initial degrees + 1), then per round a degree aggregate,
+    the >= k filter, and the two-sided node restriction."""
+    ctes = [
+        """ps AS (SELECT DISTINCT l_partkey * 10 + 1 AS src,
+                         l_suppkey * 10 + 2 AS dst FROM lineitem)""",
+        "e0 AS (SELECT src, dst FROM ps UNION SELECT dst, src FROM ps)",
+        """kv AS (SELECT MIN(deg) AS k FROM (
+             SELECT deg, SUM(c) OVER (ORDER BY deg) AS cum,
+                    SUM(c) OVER () AS n
+             FROM (SELECT deg, count(*) AS c FROM (
+                     SELECT src, count(*) AS deg FROM e0 GROUP BY 1)
+                   GROUP BY 1))
+           WHERE cum >= (n + 1) // 2)""",
+    ]
+    for t in range(KC_ITER):
+        ctes.append(f"""k{t} AS (
+            SELECT src FROM (SELECT src, count(*) AS deg FROM e{t} GROUP BY 1), kv
+            WHERE deg >= kv.k)""")
+        ctes.append(f"""e{t + 1} AS (
+            SELECT e.src, e.dst FROM e{t} e
+            JOIN k{t} a ON a.src = e.src
+            JOIN k{t} b ON b.src = e.dst)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e{KC_ITER} GROUP BY 1 ORDER BY node"""
+    )
+
+
+EXTENDED_ORACLES["x11_kcore"] = _kcore_oracle_sql()
+
+
 def _label_prop_oracle_sql() -> str:
     """Unrolled mirror of x11_label_prop: per round, votes = neighbor
     labels (via the dst join) UNION ALL the node's own label, then the
@@ -3657,6 +3812,57 @@ def _gopher_oracle_sql() -> str:
 
 EXTENDED_ORACLES["x5_gopher"] = _gopher_oracle_sql()
 
+
+EXTENDED_ORACLES["x8_ab_test"] = f"""
+    WITH pu AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_MIN}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp, conv FROM pu),
+    agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(conv) AS BIGINT) AS c
+            FROM g GROUP BY 1),
+    a AS (SELECT n AS n_a, c AS c_a FROM agg WHERE grp = 1),
+    b AS (SELECT n AS n_b, c AS c_b FROM agg WHERE grp = 0)
+    SELECT n_a, c_a, n_b, c_b,
+           round(c_a / n_a, 6) AS rate_a,
+           round(c_b / n_b, 6) AS rate_b,
+           round((c_a / n_a - c_b / n_b)
+                 / sqrt(((c_a + c_b) / (n_a + n_b))
+                        * (1 - (c_a + c_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+    FROM a, b
+"""
+
+EXTENDED_ORACLES["x12_ref_integrity"] = """
+    WITH rel AS (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT count(*) FROM lineitem) AS n_rows,
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer->nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'supplier->nation',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    )
+    SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans
+    FROM rel ORDER BY relation
+"""
 
 EXTENDED_ORACLES["x12_outliers"] = f"""
     WITH e AS (

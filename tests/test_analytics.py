@@ -1076,3 +1076,19 @@ def test_incremental_exact_dedup_flags(spark):
         12: (0, 1),  # duplicates an earlier batch row
         13: (0, 0),
     }
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    """A 4-clique with pendant nodes: k=3 peels the pendants in round 1
+    and the clique survives with its internal degrees."""
+    from diepy_spark.operators.clustering import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    pendants = [(0, 10), (10, 0), (1, 11), (11, 1)]
+    df = spark.createDataFrame(clique + pendants, "src long, dst long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=3, iterations=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # DataFrame threshold variant agrees with the int form
+    kf = spark.createDataFrame([(3,)], "k long")
+    got2 = {r["node"]: r["deg"] for r in kcore(df, k=kf, iterations=2).collect()}
+    assert got2 == got
