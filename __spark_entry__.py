@@ -68,6 +68,7 @@ _PRIORITY = [
     "x12_ref_integrity",
     "x8_ab_test",
     "x11_kcore",
+    "x9_rollup_cascade",
     "x1_span_dedup",
     "x1_span_strip",
     "x5_lang_classify",

@@ -1402,6 +1402,41 @@ def x12_gaps(spark, sf_dir):
     )
 
 
+def x9_rollup_cascade(spark, sf_dir):
+    """Hypertable-style CONTINUOUS-AGGREGATE cascade: the daily rollup is
+    computed FROM the hourly rollup, never from raw events — the
+    multi-resolution reuse that makes a 100 TB metrics store affordable
+    (the 1-day view re-aggregates 24 tiny rows per key instead of
+    rescanning the fact table; count/sum states are algebraic, so the
+    cascade is lossless by construction). The oracle aggregates raw
+    events straight to daily — hash equality IS the losslessness proof.
+    Money stays in exact integer cents until the final render."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("h")).alias("d"), "event_type"
+        )
+        .agg(F.sum("c").alias("c"), F.sum("cents").alias("cents"))
+    )
+    return daily.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "event_type",
+        "c",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+    ).orderBy("d", "event_type")
+
+
 KC_ITER = 3
 
 
@@ -1931,6 +1966,7 @@ EXTENDED_QUERIES = {
     "x12_ref_integrity": x12_ref_integrity,
     "x8_ab_test": x8_ab_test,
     "x11_kcore": x11_kcore,
+    "x9_rollup_cascade": x9_rollup_cascade,
     "x2_dedup_stats": x2_dedup_stats,
     "x2_simhash": x2_simhash,
     "x2_simhash_pairs": x2_simhash_pairs,
@@ -3692,6 +3728,16 @@ def _pq_adc_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_pq_adc"] = _pq_adc_oracle_sql()
+
+
+EXTENDED_ORACLES["x9_rollup_cascade"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+           count(*) AS c,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def _kcore_oracle_sql() -> str:
