@@ -25,7 +25,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness records the FIRST 50 entries of
-# queries() in insertion order.  Rotation policy (one window per round):
+# queries() in insertion order.
+#
+# WINDOW ARITHMETIC as committed (third working window of round 4): the
+# 15 queries added in this window (x3_ivf_trained .. x9_rollup_cascade,
+# list head below) plus the 34 mid-round additions = 49 queries with NO
+# driver row at all; they fill positions 0-48, and x3_ann_recall
+# (output changed this round — multi-probe rows) takes position 49.
+# That is exactly the 50-row window, so the five round-1-stale x2 rows
+# (x2_minhash_lsh_pairs .. x2_simhash_pairs, positions 50-54) stay
+# displaced ANOTHER round — no-row queries outrank stale-green ones by
+# necessity. They remain the round-5 front-load, now joined by the 30
+# displaced round-2/3 rows listed further down.
+#
+# Rotation policy (one window per round):
 # round 1 proved r1-r40 + the x1/x2 era; round 2 refreshed r1-r9 and the
 # 41 then-new entries; round 3 re-earned r41 + the 14 round-3 additions
 # and refreshed r10-r40/x1/x2 (CORRECTNESS_r03.json, 50/50 green).
