@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "assign_sessions", "resample_gapfill"]
+__all__ = ["asof_join", "assign_sessions", "ewma", "resample_gapfill"]
 
 
 def _q(ident: str) -> str:
@@ -126,6 +126,67 @@ def assign_sessions(
     return flagged.withColumn("session_seq", F.sum("__new_session").over(wcum)).drop(
         "__new_session"
     )
+
+
+def ewma(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    tiebreak: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponential smoothing (EWMA): ``s_1 = x_1``,
+    ``s_t = alpha*x_t + (1-alpha)*s_{t-1}`` over each key's events ordered
+    by ``(ts_col, *tiebreak)``. Returns the input rows (projected to key +
+    order + value columns) plus ``out_col`` — the running smoothed value
+    at every event.
+
+    A recurrence is the one shape Spark's declarative surface cannot
+    express (no window SCAN primitive, and the closed-form weight
+    ``(1-a)^(t-i)`` overflows the double mantissa for long series), so
+    this is the documented Pandas-UDF escape hatch: ``groupBy(on).
+    applyInPandas`` — ONE shuffle on the key, each key's series handed to
+    Python as a single Arrow batch. The per-key series is the
+    irreducible state of any EWMA implementation, so "group must fit in
+    memory" is inherent to the operator, not this plan; for unbounded
+    keys a streaming sibling (`streaming.events.sessionize_stateful`'s
+    applyInPandasWithState pattern) carries the recurrence incrementally.
+
+    Cross-engine exactness: the update is evaluated exactly as
+    ``alpha*x + beta*acc`` (beta precomputed as ``1.0 - alpha``) in
+    float64 — two products then one sum, the same IEEE-754 operation
+    order a DuckDB ``list_reduce(list(x ORDER BY ...), (a, x) ->
+    alpha*x + beta*a)`` fold performs, so results are bit-identical.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    order = [ts_col] + list(tiebreak or [])
+    cols: list[str] = []
+    for c in list(on) + order + [value_col]:
+        if c not in cols:
+            cols.append(c)
+    sub = df.select(*cols)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in sub.schema.fields]
+        + [f"{out_col} double"]
+    )
+    beta = 1.0 - alpha
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort")
+        acc = None
+        run: list[float] = []
+        for x in pdf[value_col].astype("float64"):
+            x = float(x)
+            acc = x if acc is None else alpha * x + beta * acc
+            run.append(acc)
+        pdf = pdf.copy()
+        pdf[out_col] = run
+        return pdf
+
+    return sub.groupBy(*[F.col(c) for c in on]).applyInPandas(smooth, schema=out_schema)
 
 
 def resample_gapfill(

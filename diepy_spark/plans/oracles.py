@@ -504,3 +504,33 @@ RELATIONAL_ORACLES: dict[str, str] = {
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+
+def _ewma_oracle() -> str:
+    # constants shared with the Spark plan (memory: never hardcode a copy);
+    # the fold lambda spells alpha*x + beta*a in the SAME operation order
+    # as operators/timeseries.py:ewma. list_reduce treats the first
+    # element as the initial accumulator — exactly s_1 = x_1. The per-
+    # prefix list_reduce is O(n^2) per key, fine for an oracle; the Spark
+    # side is the linear recurrence.
+    from diepy_spark.plans.relational import EWMA_ALPHA
+
+    a, b = repr(EWMA_ALPHA), repr(1.0 - EWMA_ALPHA)
+    return f"""
+        WITH s AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY user_id
+        ),
+        e AS (
+          SELECT user_id, len(vs) AS n,
+                 list_transform(generate_series(1, len(vs)),
+                   i -> list_reduce(vs[1:i], (acc, x) -> {a} * x + {b} * acc)) AS es
+          FROM s
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_events, es[n] AS ewma_last,
+               list_max(es) AS ewma_max, list_min(es) AS ewma_min
+        FROM e ORDER BY user_id
+    """
+
+
+RELATIONAL_ORACLES["r52_ewma"] = _ewma_oracle()

@@ -607,6 +607,40 @@ def r51_unpivot(spark, sf_dir):
     )
 
 
+EWMA_ALPHA = 0.5
+
+
+def r52_ewma(spark, sf_dir):
+    """Per-user exponential smoothing over the event stream
+    (operators/timeseries.py:ewma — the applyInPandas recurrence, ONE
+    shuffle on user_id): s_1 = x_1, s_t = a*x_t + (1-a)*s_{t-1} ordered
+    by (ts, event_id). Summarized per user: event count, the smoothed
+    value at the final event, and the running-series max/min — numbers
+    that depend on EVERY intermediate state, so a single drifted float
+    op anywhere in the recurrence fails the hash."""
+    from diepy_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    sm = ewma(
+        ev,
+        on=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        alpha=EWMA_ALPHA,
+        tiebreak=["event_id"],
+    )
+    return (
+        sm.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("ewma", F.struct("ts", "event_id")).alias("ewma_last"),
+            F.max("ewma").alias("ewma_max"),
+            F.min("ewma").alias("ewma_min"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def r36_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/aggregate) over the
     embedding column — entirely JVM-side lambda evaluation, zero Python.
@@ -1152,4 +1186,5 @@ RELATIONAL_QUERIES = {
     "r49_rolling_dau": r49_rolling_dau,
     "r50_equidepth_binning": r50_equidepth_binning,
     "r51_unpivot": r51_unpivot,
+    "r52_ewma": r52_ewma,
 }

@@ -256,6 +256,51 @@ def test_assign_sessions_gap_boundary(spark):
     assert got[(2, "2024-01-01 00:00:00")] == 1
 
 
+def test_ewma_recurrence_and_partitioning_independence(spark):
+    from diepy_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, 3, 8.0),   # out of ts order on purpose: operator must sort
+        (1, 1, 4.0),
+        (1, 2, 6.0),
+        (2, 1, 10.0),  # single-event key: s_1 = x_1, no smoothing
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, value double")
+    got = {
+        (r["k"], r["ts"]): r["ewma"]
+        for r in ewma(df, on=["k"], ts_col="ts", alpha=0.5).collect()
+    }
+    # s1=4, s2=0.5*6+0.5*4=5, s3=0.5*8+0.5*5=6.5 — exact in binary fp
+    assert got[(1, 1)] == 4.0
+    assert got[(1, 2)] == 5.0
+    assert got[(1, 3)] == 6.5
+    assert got[(2, 1)] == 10.0
+    # deterministic under any input partitioning (the cross-engine /
+    # cross-cluster contract): repartition(7) must not change a bit
+    re = {
+        (r["k"], r["ts"]): r["ewma"]
+        for r in ewma(df.repartition(7), on=["k"], ts_col="ts", alpha=0.5).collect()
+    }
+    assert re == got
+
+
+def test_ewma_alpha_and_tiebreak(spark):
+    from diepy_spark.operators.timeseries import ewma
+
+    # equal ts: tiebreak column orders the fold; alpha=0.25 exercises the
+    # generic alpha*x + (1-alpha)*acc path (0.25/0.75 exact in binary fp)
+    rows = [(1, 5, 1, 0.0), (1, 5, 2, 8.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long, value double")
+    got = {
+        r["eid"]: r["ewma"]
+        for r in ewma(
+            df, on=["k"], ts_col="ts", alpha=0.25, tiebreak=["eid"]
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 0.25 * 8.0 + 0.75 * 0.0
+
+
 # --------------------------------------------------------------------------
 # sketch: KMV distinct estimator
 # --------------------------------------------------------------------------
