@@ -118,11 +118,12 @@ _PRIORITY = [
     "x2_lsh_curve",
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
-    # new in the fourth round-4 window (position 50 — first row PAST the
-    # 50-row driver window, so it has no driver row until round 5; it is
-    # locally driver-strict green (check_oracle sf0.01) and heads the
+    # new in the fourth round-4 window (positions 50+ — first rows PAST
+    # the 50-row driver window, so no driver row until round 5; both are
+    # locally driver-strict green (check_oracle sf0.01) and head the
     # round-5 front-load together with the displaced rows below)
     "r52_ewma",
+    "x8_cuped",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -1522,6 +1522,129 @@ def x8_ab_test(spark, sf_dir):
     )
 
 
+# CUPED (Controlled-experiment Using Pre-Experiment Data): every float
+# formula below is a module constant f-stringed into BOTH the Spark
+# selectExpr and the DuckDB oracle — textual identity is what makes the
+# multi-op IEEE chains hash-exact cross-engine. All inputs to the float
+# layer are EXACT integer cents (per-user decimal sums -> bigint), so the
+# only float ops are the stated closed forms.
+_CUPED_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CUPED_DERIVED = [
+    ("mean_pre", "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("mean_post", "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"),
+    (
+        "var_post",
+        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+    ),
+    (
+        "var_pre",
+        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))",
+    ),
+    (
+        "cov_xy",
+        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+    ),
+]
+_CUPED_THETA = (
+    "(CAST(n_all AS DOUBLE) * CAST(sxy_all AS DOUBLE)"
+    " - CAST(sx_all AS DOUBLE) * CAST(sy_all AS DOUBLE))"
+    " / (CAST(n_all AS DOUBLE) * CAST(sxx_all AS DOUBLE)"
+    " - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE))"
+)
+_CUPED_PRE_ALL = "CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)"
+_CUPED_MEAN_ADJ = "mean_post - theta * (mean_pre - pre_mean_all)"
+_CUPED_VAR_ADJ = "var_post - 2 * theta * cov_xy + theta * theta * var_pre"
+
+
+def x8_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013, the production A/B
+    covariate adjustment): per-user spend split into pre/post periods at
+    the integer-microsecond time midpoint, theta = cov(pre, post)/var(pre)
+    fitted on ALL users, each cohort's post-period mean adjusted by
+    theta*(pre_mean - global pre_mean). Output per even/odd-user cohort:
+    the raw and adjusted means, raw and adjusted variances, and the
+    variance-reduction ratio — the number that says how much experiment
+    sensitivity the covariate buys.
+
+    Exactness: per-user pre/post sums are exact integer cents; every
+    covariance/variance term is an algebraic closed form over those
+    integer sums cast to double (never a per-user float fold — the SAME
+    textual expression runs in both engines, see _CUPED_* constants).
+    Scale: two map-side-combinable aggregates (per-user, then per-cohort)
+    plus a 1-row broadcast of the global stats — no extra pass, no
+    user-level shuffle beyond the groupBy(user_id)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr(_CUPED_CENTS).alias("cents"),
+    )
+    mid = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    pu = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.expr("coalesce(sum(CASE WHEN us < mid THEN cents END), 0)").alias(
+                "pre_c"
+            ),
+            F.expr("coalesce(sum(CASE WHEN us >= mid THEN cents END), 0)").alias(
+                "post_c"
+            ),
+        )
+    )
+    g = pu.selectExpr(
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp", "pre_c", "post_c"
+    )
+    cg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").alias("sx"),
+        F.sum("post_c").alias("sy"),
+        F.expr("sum(pre_c * pre_c)").alias("sxx"),
+        F.expr("sum(post_c * post_c)").alias("syy"),
+        F.expr("sum(pre_c * post_c)").alias("sxy"),
+    )
+    allr = g.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("pre_c").alias("sx_all"),
+        F.sum("post_c").alias("sy_all"),
+        F.expr("sum(pre_c * pre_c)").alias("sxx_all"),
+        F.expr("sum(pre_c * post_c)").alias("sxy_all"),
+    )
+    d1 = cg.crossJoin(F.broadcast(allr)).selectExpr(
+        "grp",
+        "n",
+        *[f"{sql} AS {name}" for name, sql in _CUPED_DERIVED],
+        f"{_CUPED_THETA} AS theta",
+        f"{_CUPED_PRE_ALL} AS pre_mean_all",
+    )
+    d2 = d1.selectExpr(
+        "grp",
+        "n AS n_users",
+        "mean_post",
+        f"{_CUPED_MEAN_ADJ} AS mean_adj",
+        "var_post",
+        f"{_CUPED_VAR_ADJ} AS var_adj",
+        "theta",
+    )
+    return d2.selectExpr(
+        "grp",
+        "n_users",
+        "round(mean_post, 6) AS mean_post",
+        "round(mean_adj, 6) AS mean_adj",
+        "round(var_post, 6) AS var_post",
+        "round(var_adj, 6) AS var_adj",
+        "round(var_adj / var_post, 6) AS var_reduction",
+        "round(theta, 6) AS theta",
+    ).orderBy("grp")
+
+
 def x12_ref_integrity(spark, sf_dir):
     """Referential-integrity audit across the star schema — the classic
     post-load DQ check: for each FK relation, total child rows and
@@ -1965,6 +2088,7 @@ EXTENDED_QUERIES = {
     "x1_incremental_dedup": x1_incremental_dedup,
     "x12_ref_integrity": x12_ref_integrity,
     "x8_ab_test": x8_ab_test,
+    "x8_cuped": x8_cuped,
     "x11_kcore": x11_kcore,
     "x9_rollup_cascade": x9_rollup_cascade,
     "x2_dedup_stats": x2_dedup_stats,
@@ -4186,4 +4310,55 @@ EXTENDED_ORACLES["x2_lsh_curve"] = f"""
            round(n_cand / n_pairs, 4) AS cand_rate,
            round(1 - v4 * v4, 4) AS theoretical
     FROM t4 ORDER BY bucket
+"""
+
+# CUPED oracle: identical integer layer (cents, midpoint split, per-user
+# sums, cohort/global moments — DuckDB HUGEINT sums cast back to BIGINT)
+# and the SAME float formula constants as the Spark plan.
+_CUPED_D1 = ", ".join(
+    [f"{sql} AS {name}" for name, sql in _CUPED_DERIVED]
+    + [f"{_CUPED_THETA} AS theta", f"{_CUPED_PRE_ALL} AS pre_mean_all"]
+)
+EXTENDED_ORACLES["x8_cuped"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, {_CUPED_CENTS} AS cents FROM events
+    ),
+    m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+    pu AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN us < mid THEN cents END), 0) AS BIGINT) AS pre_c,
+             CAST(coalesce(sum(CASE WHEN us >= mid THEN cents END), 0) AS BIGINT) AS post_c
+      FROM e, m GROUP BY 1
+    ),
+    g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp, pre_c, post_c
+          FROM pu),
+    cg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_c) AS BIGINT) AS sx, CAST(sum(post_c) AS BIGINT) AS sy,
+             CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
+             CAST(sum(post_c * post_c) AS BIGINT) AS syy,
+             CAST(sum(pre_c * post_c) AS BIGINT) AS sxy
+      FROM g GROUP BY 1
+    ),
+    al AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(pre_c) AS BIGINT) AS sx_all,
+             CAST(sum(post_c) AS BIGINT) AS sy_all,
+             CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx_all,
+             CAST(sum(pre_c * post_c) AS BIGINT) AS sxy_all
+      FROM g
+    ),
+    d1 AS (SELECT grp, n, {_CUPED_D1} FROM cg, al),
+    d2 AS (
+      SELECT grp, n AS n_users, mean_post,
+             {_CUPED_MEAN_ADJ} AS mean_adj, var_post,
+             {_CUPED_VAR_ADJ} AS var_adj, theta
+      FROM d1
+    )
+    SELECT grp, n_users,
+           round(mean_post, 6) AS mean_post, round(mean_adj, 6) AS mean_adj,
+           round(var_post, 6) AS var_post, round(var_adj, 6) AS var_adj,
+           round(var_adj / var_post, 6) AS var_reduction,
+           round(theta, 6) AS theta
+    FROM d2 ORDER BY grp
 """
