@@ -124,6 +124,7 @@ _PRIORITY = [
     # round-5 front-load together with the displaced rows below)
     "r52_ewma",
     "x8_cuped",
+    "x8_mwu",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -1645,6 +1645,87 @@ def x8_cuped(spark, sf_dir):
     ).orderBy("grp")
 
 
+# Mann-Whitney: shared float-layer formulas (same f-string-into-both-
+# engines discipline as _CUPED_*). Inputs are exact BIGINTs: r2_* are
+# DOUBLED rank sums (avg tie rank = r + (c-1)/2 doubled to 2r + c - 1
+# stays integer), tie = sum(t^3 - t) over tie groups, nn = n_a + n_b.
+_MWU_U_A = (
+    "(CAST(r2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2"
+)
+_MWU_MU = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2"
+_MWU_VAR = (
+    "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12"
+    " * ((CAST(nn AS DOUBLE) + 1)"
+    " - CAST(tie AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1)))"
+)
+
+
+def x8_mwu(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (the nonparametric A/B sibling of
+    x8_ab_test / x8_cuped): do even- and odd-user cohorts draw event
+    values from the same distribution? U from tie-averaged ranks plus the
+    tie-corrected normal approximation z.
+
+    Scale shape — NO global row rank (a global window is a single
+    partition at 100 TB). Ranks come from a VALUE-FREQUENCY histogram:
+    per distinct cent value its count and cumulative count-before, so
+    the only ordered window runs over the histogram frame, whose size is
+    bounded by the value DOMAIN (cents), not the row count — the same
+    bounded-state argument as freq_median/r28b. Rank arithmetic stays in
+    exact integers (DOUBLED average ranks: avg = r + (c-1)/2 doubled to
+    2r + c - 1), so U, the tie term sum(t^3 - t), and the cohort counts
+    are all exact BIGINTs; the z closed form is the only float layer and
+    is textually shared with the oracle (_MWU_* constants)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).selectExpr(
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
+    )
+    from pyspark.sql import Window
+
+    h = e.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    hd = h.select(
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("before"),
+    ).selectExpr("cents", "cnt", "2 * (before + 1) + cnt - 1 AS d")
+    hg = e.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("cnt_g"))
+    rg = (
+        hg.join(F.broadcast(hd.select("cents", "d")), "cents")
+        .groupBy("grp")
+        .agg(
+            F.expr("sum(cnt_g * d)").alias("r2"),
+            F.sum("cnt_g").alias("n"),
+        )
+    )
+    a = rg.where(F.col("grp") == 1).select(
+        F.col("r2").alias("r2_a"), F.col("n").alias("n_a")
+    )
+    b = rg.where(F.col("grp") == 0).select(
+        F.col("r2").alias("r2_b"), F.col("n").alias("n_b")
+    )
+    t = hd.agg(F.expr("sum(cnt * cnt * cnt - cnt)").alias("tie"))
+    j = a.crossJoin(b).crossJoin(F.broadcast(t)).selectExpr(
+        "r2_a", "n_a", "n_b", "tie", "n_a + n_b AS nn"
+    )
+    d1 = j.selectExpr(
+        "n_a",
+        "n_b",
+        f"{_MWU_U_A} AS u_a",
+        f"{_MWU_MU} AS mu",
+        f"{_MWU_VAR} AS var_u",
+    )
+    return d1.selectExpr(
+        "n_a",
+        "n_b",
+        "u_a",
+        "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b",
+        "round((u_a - mu) / sqrt(var_u), 4) AS z",
+    )
+
+
 def x12_ref_integrity(spark, sf_dir):
     """Referential-integrity audit across the star schema — the classic
     post-load DQ check: for each FK relation, total child rows and
@@ -2089,6 +2170,7 @@ EXTENDED_QUERIES = {
     "x12_ref_integrity": x12_ref_integrity,
     "x8_ab_test": x8_ab_test,
     "x8_cuped": x8_cuped,
+    "x8_mwu": x8_mwu,
     "x11_kcore": x11_kcore,
     "x9_rollup_cascade": x9_rollup_cascade,
     "x2_dedup_stats": x2_dedup_stats,
@@ -4361,4 +4443,41 @@ EXTENDED_ORACLES["x8_cuped"] = f"""
            round(var_adj / var_post, 6) AS var_reduction,
            round(theta, 6) AS theta
     FROM d2 ORDER BY grp
+"""
+
+# Mann-Whitney oracle: same histogram rank layer in exact integers
+# (DuckDB HUGEINT sums cast back to BIGINT), same _MWU_* float formulas.
+EXTENDED_ORACLES["x8_mwu"] = f"""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+    hd AS (
+      SELECT cents, cnt,
+             2 * (coalesce(SUM(cnt) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+               + cnt - 1 AS d
+      FROM h
+    ),
+    hg AS (SELECT cents, grp, CAST(count(*) AS BIGINT) AS cnt_g
+           FROM e GROUP BY 1, 2),
+    rg AS (
+      SELECT grp, CAST(sum(cnt_g * d) AS BIGINT) AS r2,
+             CAST(sum(cnt_g) AS BIGINT) AS n
+      FROM hg JOIN hd USING (cents) GROUP BY grp
+    ),
+    a AS (SELECT r2 AS r2_a, n AS n_a FROM rg WHERE grp = 1),
+    b AS (SELECT r2 AS r2_b, n AS n_b FROM rg WHERE grp = 0),
+    t AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie FROM hd),
+    j AS (SELECT r2_a, n_a, n_b, tie, n_a + n_b AS nn FROM a, b, t),
+    d1 AS (
+      SELECT n_a, n_b, {_MWU_U_A} AS u_a, {_MWU_MU} AS mu, {_MWU_VAR} AS var_u
+      FROM j
+    )
+    SELECT n_a, n_b, u_a,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
+           round((u_a - mu) / sqrt(var_u), 4) AS z
+    FROM d1
 """

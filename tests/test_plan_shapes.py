@@ -445,3 +445,27 @@ def test_partitioning_independence(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt
+
+
+def test_ewma_single_shuffle_pandas_groups(spark):
+    """The EWMA recurrence is ONE key shuffle feeding FlatMapGroupsInPandas
+    — no extra exchange, no window, no row-at-a-time Python eval."""
+    from diepy_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, SF, "events")
+    plan = plan_of(ewma(ev, on=["user_id"], tiebreak=["event_id"]))
+    assert "FlatMapGroupsInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_cuped_broadcasts_scalar_frames(spark, qs):
+    """CUPED's midpoint row and global-stats row must BROADCAST into the
+    per-cohort frame — the only hash shuffles are the user and cohort
+    aggregates; no sort-merge join anywhere."""
+    plan = plan_of(qs["x8_cuped"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-user + per-cohort + global: three aggregate key shapes, each
+    # with a partial (map-side) phase
+    assert "partial_count" in plan
