@@ -125,6 +125,8 @@ _PRIORITY = [
     "r52_ewma",
     "x8_cuped",
     "x8_mwu",
+    "r53_dist_windows",
+    "x8_srm",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -1645,6 +1645,49 @@ def x8_cuped(spark, sf_dir):
     ).orderBy("grp")
 
 
+# Sample-ratio mismatch: chi-square against a 50/50 split, per segment.
+# With two cells and equal expectation the statistic collapses to
+# (n_a - n_b)^2 / N — stated once, run in both engines.
+_SRM_CHI2 = (
+    "(CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+    " * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+    " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+)
+_SRM_RATIO = "CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+
+
+def x8_srm(spark, sf_dir):
+    """Sample-ratio-mismatch audit (the first thing a trustworthy A/B
+    platform checks): per event-type segment, DISTINCT users in each
+    cohort of the even/odd split, the observed assignment ratio, and the
+    chi-square statistic against the designed 50/50 — a big chi2 in any
+    segment means the randomization is broken there (bot traffic,
+    logging loss) and every downstream test (x8_ab_test/x8_cuped/x8_mwu)
+    on that segment is invalid.
+
+    Scale: one distinct on (segment, user, cohort) — map-side combinable
+    — then a segment-keyed conditional count; integer counts feed the
+    shared one-line chi2 float form (df=1 collapses to (n_a-n_b)^2/N)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.selectExpr(
+        "event_type",
+        "user_id",
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
+    ).distinct()
+    agg = g.groupBy("event_type").agg(
+        F.expr("sum(grp)").alias("n_a"),
+        F.expr("sum(1 - grp)").alias("n_b"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        f"round({_SRM_RATIO}, 6) AS ratio_a",
+        f"round({_SRM_CHI2}, 6) AS chi2",
+    ).orderBy("event_type")
+
+
 # Mann-Whitney: shared float-layer formulas (same f-string-into-both-
 # engines discipline as _CUPED_*). Inputs are exact BIGINTs: r2_* are
 # DOUBLED rank sums (avg tie rank = r + (c-1)/2 doubled to 2r + c - 1
@@ -2171,6 +2214,7 @@ EXTENDED_QUERIES = {
     "x8_ab_test": x8_ab_test,
     "x8_cuped": x8_cuped,
     "x8_mwu": x8_mwu,
+    "x8_srm": x8_srm,
     "x11_kcore": x11_kcore,
     "x9_rollup_cascade": x9_rollup_cascade,
     "x2_dedup_stats": x2_dedup_stats,
@@ -4480,4 +4524,23 @@ EXTENDED_ORACLES["x8_mwu"] = f"""
            CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
            round((u_a - mu) / sqrt(var_u), 4) AS z
     FROM d1
+"""
+
+# SRM oracle: distinct (segment, user, cohort) then conditional counts;
+# HUGEINT sums cast back; the same _SRM_* formulas.
+EXTENDED_ORACLES["x8_srm"] = f"""
+    WITH g AS (
+      SELECT DISTINCT event_type, user_id,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, CAST(sum(grp) AS BIGINT) AS n_a,
+             CAST(sum(1 - grp) AS BIGINT) AS n_b
+      FROM g GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+           round({_SRM_RATIO}, 6) AS ratio_a,
+           round({_SRM_CHI2}, 6) AS chi2
+    FROM agg ORDER BY event_type
 """

@@ -534,3 +534,15 @@ def _ewma_oracle() -> str:
 
 
 RELATIONAL_ORACLES["r52_ewma"] = _ewma_oracle()
+
+# percent_rank/cume_dist: both engines define them identically
+# ((rank-1)/(n-1), cum_rows/n — exact integer rationals); ties broken by
+# the same (price, orderkey) order so ranks are deterministic.
+RELATIONAL_ORACLES["r53_dist_windows"] = """
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders WHERE o_custkey < 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_custkey, o_orderkey
+"""

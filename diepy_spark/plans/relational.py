@@ -688,6 +688,27 @@ def r37_window_analytics(spark, sf_dir):
     )
 
 
+def r53_dist_windows(spark, sf_dir):
+    """Distribution window functions — percent_rank and cume_dist per
+    customer partition (the analytic surface r37's ntile battery doesn't
+    cover). One shuffle on o_custkey feeds both; outputs are exact
+    rationals of integer ranks/counts so the doubles are bit-identical
+    cross-engine (rounded 6 for rendering only)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 def r38_date_arith(spark, sf_dir):
     """Date arithmetic kernel: interval add, last_day, ISO day-of-week,
     day difference from an epoch date. Pure codegen'd projection (no
@@ -1187,4 +1208,5 @@ RELATIONAL_QUERIES = {
     "r50_equidepth_binning": r50_equidepth_binning,
     "r51_unpivot": r51_unpivot,
     "r52_ewma": r52_ewma,
+    "r53_dist_windows": r53_dist_windows,
 }
