@@ -639,3 +639,85 @@ def pq_adc_topk(
         .where(F.col("rk") <= k)
         .select("qid", "cid", "dist", "rk")
     )
+
+
+def semdedup_flags(
+    vecs: DataFrame,
+    cents: list[list[int]],
+    thr_num: int = 9,
+    thr_den: int = 10,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with a trained coarse quantizer, then mark as semantic
+    duplicates the vectors whose WITHIN-CLUSTER cosine to a smaller-id
+    neighbor exceeds thr_num/thr_den — the keep-lowest-id policy every
+    X1/X2 dedup here uses. Document-level exact/near-dup (X1/X2) keys on
+    surface text; this is the embedding-space sibling that catches
+    paraphrases sharing no n-grams.
+
+    Exactness: vectors quantize to the `scale` integer grid; the cosine
+    threshold test is the CROSS-MULTIPLIED integer comparison
+    ``dot > 0 AND thr_den^2 * dot^2 > thr_num^2 * |a|^2 * |b|^2`` — no
+    float anywhere, so flags are bit-identical cross-engine. `scale`
+    defaults to 1000 (not the kmeans 10000) so dot^2 at dim 64 stays
+    inside int64.
+
+    Scale shape: the cluster assignment is a zero-shuffle projection
+    against broadcast centroid literals (clustering.assign_to_centroids);
+    the pair join is keyed on the cluster id, so the quadratic blow-up is
+    bounded by Sum |c|^2 — the SemDeDup contract is that k grows with n
+    to cap cluster sizes (the paper uses ~100k clusters for web scale);
+    arrays ride the join (zip_with dot), never an exploded dim table.
+    Output: (id_col, cluster, is_dup) for every input vector."""
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        quantize_vectors,
+    )
+
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    a = assign_to_centroids(q, cents, id_col).select(
+        F.col(id_col).alias("id"), "cluster", "xi"
+    )
+    a = a.withColumn(
+        "nn", F.expr("aggregate(xi, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    )
+    left = a.select(
+        F.col("id").alias("da"),
+        "cluster",
+        F.col("xi").alias("xa"),
+        F.col("nn").alias("na"),
+    )
+    right = a.select(
+        F.col("id").alias("db"),
+        F.col("cluster").alias("cb"),
+        F.col("xi").alias("xb"),
+        F.col("nn").alias("nb"),
+    )
+    pr = left.join(
+        right, (F.col("cluster") == F.col("cb")) & (F.col("da") < F.col("db"))
+    ).withColumn(
+        "dot",
+        F.expr(
+            "aggregate(zip_with(xa, xb, (p, q) -> p * q),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ),
+    )
+    dup = pr.where(
+        (F.col("dot") > 0)
+        & (
+            F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
+            > F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+        )
+    )
+    flags = (
+        dup.select(F.col("db").alias("id")).distinct().withColumn("is_dup", F.lit(True))
+    )
+    return a.select("id", "cluster").join(flags, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )

@@ -2019,6 +2019,48 @@ def x3_kmeans(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+SD_SCALE = 1000  # coarser grid than KM_SCALE: keeps dot^2 inside int64
+SD_THR_NUM = 2
+SD_THR_DEN = 5  # cosine threshold 2/5: this fixture's embeddings are
+# near-orthogonal (max pairwise cosine ~0.51), so the paper's ~0.9 would
+# never fire; 2/5 flags the top ~0.05%-similar within-cluster neighbors
+
+
+def x2_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py:semdedup_flags — Abbas et al.
+    2023): integer-exact kmeans partitions the embedding space, then
+    within each cluster any vector whose cosine to a smaller-id neighbor
+    exceeds SD_THR (cross-multiplied integer test, zero float ops) is
+    flagged a semantic duplicate. The embedding-space sibling of the
+    text dedup surface: catches paraphrases that share no n-grams.
+    Output: per-cluster vector counts, flagged counts, and keep
+    fraction."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=SD_SCALE)
+    fl = S.semdedup_flags(
+        v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
+    )
+    return (
+        fl.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_flagged"),
+        )
+        .selectExpr(
+            "cluster",
+            "n_vecs",
+            "n_flagged",
+            "n_vecs - n_flagged AS n_kept",
+            "round(CAST(n_vecs - n_flagged AS DOUBLE)"
+            " / CAST(n_vecs AS DOUBLE), 4) AS keep_frac",
+        )
+        .orderBy("cluster")
+    )
+
+
 IVFT_NQ = 6
 IVFT_NPROBE = 2
 IVFT_K = 3
@@ -2285,6 +2327,7 @@ EXTENDED_QUERIES = {
     "x8_temperature_mix": x8_temperature_mix,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
+    "x2_semdedup": x2_semdedup,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -4236,7 +4279,7 @@ def _bootstrap_oracle_sql() -> str:
 EXTENDED_ORACLES["x8_bootstrap_ci"] = _bootstrap_oracle_sql()
 
 
-def _kmeans_ctes() -> list[str]:
+def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITER, scale: int = KM_SCALE) -> list[str]:
     """The unrolled k-means CTE chain shared by the x3_kmeans and
     x3_ivf_trained oracles: u = quantized long form, c0 = seeds (k
     smallest ids), then KM_ITER rounds of assign (exact integer argmin,
@@ -4245,6 +4288,7 @@ def _kmeans_ctes() -> list[str]:
     the final assignment and c{KM_ITER} the trained centroid table —
     same loop structure as the Spark operator, one CTE pair per round
     (the pagerank pattern)."""
+    KM_K, KM_ITER, KM_SCALE = k, iters, scale  # shadow for the f-strings
     ctes = [
         f"""u AS (SELECT vec_id,
                     CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
@@ -4544,3 +4588,50 @@ EXTENDED_ORACLES["x8_srm"] = f"""
            round({_SRM_CHI2}, 6) AS chi2
     FROM agg ORDER BY event_type
 """
+
+def _semdedup_oracle_sql() -> str:
+    """Mirror of x2_semdedup: the kmeans chain at SD_SCALE trains
+    c{KM_ITER}, every vector assigns to its argmin cell, within-cell
+    pairs (smaller id first) take the integer cross-multiplied cosine
+    test, and the summary counts flagged (= has a more-similar-than-threshold
+    smaller-id neighbor) vectors per cluster."""
+    ctes = _kmeans_ctes(scale=SD_SCALE)
+    ctes.append(f"""cd AS (
+        SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+        FROM u JOIN c{KM_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
+    ctes.append("""cell AS (
+        SELECT vec_id AS cid, cluster AS cell FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cluster) AS rn FROM cd) WHERE rn = 1)""")
+    ctes.append("nrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn FROM u GROUP BY 1)")
+    ctes.append("""p AS (
+        SELECT a.cid AS da, b.cid AS db, a.cell,
+               CAST(SUM(ua.x * ub.x) AS BIGINT) AS dot
+        FROM cell a JOIN cell b ON b.cell = a.cell AND a.cid < b.cid
+        JOIN u ua ON ua.vec_id = a.cid
+        JOIN u ub ON ub.vec_id = b.cid AND ub.i = ua.i
+        GROUP BY 1, 2, 3)""")
+    ctes.append(f"""dup AS (
+        SELECT p.db FROM p
+        JOIN nrm na ON na.vec_id = p.da
+        JOIN nrm nb ON nb.vec_id = p.db
+        WHERE dot > 0
+          AND {SD_THR_DEN * SD_THR_DEN} * dot * dot
+              > {SD_THR_NUM * SD_THR_NUM} * na.nn * nb.nn)""")
+    ctes.append("fl AS (SELECT DISTINCT db FROM dup)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN fl.db IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(count(*) - sum(CASE WHEN fl.db IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               round(CAST(count(*) - sum(CASE WHEN fl.db IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_frac
+        FROM cell LEFT JOIN fl ON fl.db = cell.cid
+        GROUP BY 1 ORDER BY cluster"""
+    )
+
+
+EXTENDED_ORACLES["x2_semdedup"] = _semdedup_oracle_sql()

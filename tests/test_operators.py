@@ -1219,3 +1219,25 @@ def test_pagerank_matches_python_reference(spark):
     assert got == r
     # hub collects the most mass; dangling-chain end the least of the linked
     assert max(r, key=r.get) == 1
+
+
+def test_semdedup_flags_keep_lowest_id(spark):
+    from diepy_spark.operators.similarity import semdedup_flags
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.1]),   # cos to v1 ~ 0.995 > 9/10 -> flagged (larger id)
+            (3, [0.0, 1.0]),    # orthogonal -> kept
+            (4, [-1.0, 0.05]),  # negative dot to v1 -> kept (dot > 0 guard)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # axis centroids (quantized grid, scale=1000): 1/2 land in cluster 0,
+    # 3/4 in cluster 1 — the cross-cluster pair (1,3) is never compared
+    cents = [[1000, 0], [0, 1000]]
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semdedup_flags(vecs, cents, thr_num=9, thr_den=10).collect()
+    }
+    assert got == {1: (0, False), 2: (0, True), 3: (1, False), 4: (1, False)}
