@@ -128,6 +128,7 @@ _PRIORITY = [
     "r53_dist_windows",
     "x8_srm",
     "x2_semdedup",
+    "x11_bfs",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

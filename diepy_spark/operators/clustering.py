@@ -744,3 +744,54 @@ def kcore(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: shortest hop distance from ANY seed node to every
+    node reachable within `iterations` hops. The remaining primitive of
+    the graph surface (components / pagerank / triangles / LPA / k-core
+    cover connectivity, centrality, density — this adds DISTANCE): crawl
+    frontier analysis, link-graph locality, contamination radius from a
+    flagged seed set.
+
+    Pure integer arithmetic (hop counts), so the result is bit-identical
+    cross-engine and the oracle unrolls the same rounds as chained CTEs
+    (the pagerank pattern).
+
+    Scale shape: per round ONE shuffle join (distances onto edges by
+    source) and ONE min-aggregate by node — the same two-exchange round
+    as pagerank; the static edge frame lazily checkpoints once and the
+    evolving distance frame per round (flat lineage). Feed SYMMETRIZED
+    edges for undirected semantics. Output: (node, d) for the reached
+    set only; d <= iterations."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        nxt = (
+            e.join(dist.select(F.col("node").alias("src"), "d"), "src")
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -685,6 +685,12 @@ def semdedup_flags(
     a = a.withColumn(
         "nn", F.expr("aggregate(xi, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
     )
+    # The assignment rides the k*dim literal distance expression and is
+    # consumed THREE times (both pair sides + the flag join-back); without
+    # a lineage cut each consumer re-plans and re-runs that expression
+    # tree (measured 8.6s -> 3.2s at sf0.1). SemDeDup materializes
+    # assignments at scale too — the paper's pipeline writes them out.
+    a = a.localCheckpoint(eager=False)
     left = a.select(
         F.col("id").alias("da"),
         "cluster",

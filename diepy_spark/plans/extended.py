@@ -747,6 +747,37 @@ def x11_pagerank(spark, sf_dir):
     return ranks.orderBy(F.col("r").desc(), "node").limit(PR_TOP)
 
 
+BFS_ITER = 4
+BFS_SEED_MAX = 5  # seeds = part nodes with l_partkey <= 5
+
+
+def x11_bfs(spark, sf_dir):
+    """Multi-source BFS distances (operators/clustering.py:bfs_distances)
+    over the symmetrized part↔supplier supply graph, seeded at the
+    BFS_SEED_MAX smallest part nodes — the DISTANCE primitive the graph
+    surface lacked (contamination radius / crawl-frontier shape). Hop
+    counts are pure integers, the oracle unrolls the same BFS_ITER
+    rounds as chained CTEs. Output: every node reached within BFS_ITER
+    hops with its shortest distance."""
+    from diepy_spark.operators.clustering import bfs_distances
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.where(F.col("l_partkey") <= BFS_SEED_MAX)
+        .select((F.col("l_partkey") * 10 + 1).alias("node"))
+        .distinct()
+    )
+    return bfs_distances(sym, seeds, iterations=BFS_ITER).orderBy("node")
+
+
 STRAT_SEED = "strat"
 TFIDF_COS_THRESHOLD = 0.2
 TFIDF_MAX_DF_FRAC = 0.1
@@ -2328,6 +2359,7 @@ EXTENDED_QUERIES = {
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x2_semdedup": x2_semdedup,
+    "x11_bfs": x11_bfs,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -4635,3 +4667,33 @@ def _semdedup_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x2_semdedup"] = _semdedup_oracle_sql()
+
+def _bfs_oracle_sql() -> str:
+    """Mirror of x11_bfs: seeds at distance 0, then BFS_ITER unrolled
+    rounds of (carry forward UNION expand one hop) -> min per node."""
+    ctes = [
+        f"""e AS (
+          SELECT src, dst FROM (
+            SELECT l_partkey * 10 + 1 AS src, l_suppkey * 10 + 2 AS dst
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT l_suppkey * 10 + 2, l_partkey * 10 + 1
+            FROM lineitem GROUP BY 1, 2) WHERE src <> dst)""",
+        f"""d0 AS (
+          SELECT DISTINCT l_partkey * 10 + 1 AS node, 0 AS d
+          FROM lineitem WHERE l_partkey <= {BFS_SEED_MAX})""",
+    ]
+    for t in range(BFS_ITER):
+        ctes.append(f"""d{t + 1} AS (
+          SELECT node, CAST(min(d) AS INT) AS d FROM (
+            SELECT node, d FROM d{t}
+            UNION ALL
+            SELECT e.dst AS node, x.d + 1 AS d
+            FROM d{t} x JOIN e ON e.src = x.node) GROUP BY node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, d FROM d{BFS_ITER} ORDER BY node"
+    )
+
+
+EXTENDED_ORACLES["x11_bfs"] = _bfs_oracle_sql()

@@ -1241,3 +1241,21 @@ def test_semdedup_flags_keep_lowest_id(spark):
         for r in semdedup_flags(vecs, cents, thr_num=9, thr_den=10).collect()
     }
     assert got == {1: (0, False), 2: (0, True), 3: (1, False), 4: (1, False)}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from diepy_spark.operators.clustering import bfs_distances
+
+    # path graph 1-2-3-4-5 plus seed 5: node 3 is 2 hops from seed 1 and
+    # 2 hops from seed 5 -> min holds; node 4 is 1 hop from 5, not 3 from 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r["node"]: r["d"] for r in bfs_distances(sym, seeds, iterations=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+    # iteration bound respected: 1 round from seed 1 only reaches 2
+    one = {r["node"]: r["d"] for r in bfs_distances(
+        sym, seeds.where(F.col("node") == 1), iterations=1).collect()}
+    assert one == {1: 0, 2: 1}

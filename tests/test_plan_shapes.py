@@ -447,14 +447,17 @@ def test_partitioning_independence(spark):
     assert base == alt
 
 
-def test_ewma_single_shuffle_pandas_groups(spark):
-    """The EWMA recurrence is ONE key shuffle feeding FlatMapGroupsInPandas
-    — no extra exchange, no window, no row-at-a-time Python eval."""
+def test_ewma_single_shuffle_pandas_scan(spark):
+    """The EWMA recurrence is ONE key shuffle + within-partition sort
+    feeding a MapInPandas batch scan (one Python call per Arrow batch,
+    not per key) — no extra exchange, no window, no per-group
+    FlatMapGroupsInPandas, no row-at-a-time Python eval."""
     from diepy_spark.operators.timeseries import ewma
 
     ev = load_table(spark, SF, "events")
     plan = plan_of(ewma(ev, on=["user_id"], tiebreak=["event_id"]))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "BatchEvalPython" not in plan
 
