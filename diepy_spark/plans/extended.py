@@ -596,6 +596,55 @@ def x5_lm_score(spark, sf_dir):
     return T.lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def x5_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiering (Wenzek et al. 2020): the corpus
+    splits into head/middle/tail thirds by LM perplexity (x5_lm_score's
+    unigram model), the quality partition CCNet feeds to training-data
+    selection. Tercile boundaries come from a value-frequency histogram
+    over the ROUNDED ppl (bounded state, the freq_median argument) using
+    pure integer rank arithmetic (3*cum >= n / 3*cum >= 2n — no float
+    quantile); output per (lang, tier): doc count, token total, and the
+    tier's ppl range. No per-group float sums anywhere — the only
+    doubles are ppl values selected (min/max), never accumulated."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    base = T.lm_score(d)
+    h = base.groupBy("ppl").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h2 = h.withColumn("cum", F.sum("c").over(w))
+    tot = h.agg(F.sum("c").alias("n"))
+    b = (
+        h2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("ppl"))).alias("b1"),
+            F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("ppl"))).alias(
+                "b2"
+            ),
+        )
+    )
+    tiered = (
+        base.crossJoin(F.broadcast(b))
+        .withColumn(
+            "tier",
+            1
+            + (F.col("ppl") > F.col("b1")).cast("int")
+            + (F.col("ppl") > F.col("b2")).cast("int"),
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        tiered.groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+        )
+        .orderBy("lang", "tier")
+    )
+
+
 def x8_hll_distinct(spark, sf_dir):
     """Reproducible HyperLogLog distinct-count sketch
     (operators/sketch.py:hll_distinct) vs the exact count, per event type."""
@@ -2360,6 +2409,7 @@ EXTENDED_QUERIES = {
     "x3_kmeans": x3_kmeans,
     "x2_semdedup": x2_semdedup,
     "x11_bfs": x11_bfs,
+    "x5_ppl_buckets": x5_ppl_buckets,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -3141,8 +3191,10 @@ EXTENDED_ORACLES["x10_clean_corpus"] = f"""
 
 
 # unigram LM: same two passes, per-doc log-prob sum in TOKEN order
-EXTENDED_ORACLES["x5_lm_score"] = f"""
-    WITH tk AS (
+# lm_score CTE body shared between the x5_lm_score oracle and the
+# x5_ppl_buckets oracle (same discipline as _CUPED_*: one text, two
+# consumers). `lmbase` ends as (doc_id, n_tokens, nll, ppl).
+_LM_SCORE_CTES = f"""tk AS (
       SELECT doc_id AS d, t.i, t.tok FROM documents,
       LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
                       generate_subscripts({_TOKS_EXPR}, 1) AS i) t
@@ -3152,10 +3204,15 @@ EXTENDED_ORACLES["x5_lm_score"] = f"""
     probs AS (SELECT tok, cnt / total AS p FROM model, tot),
     sc AS (SELECT d, i, -ln(p) AS lp FROM tk JOIN probs USING (tok)),
     g AS (SELECT d, list_sum(list(lp ORDER BY i)) AS s,
-                 count(*) AS n FROM sc GROUP BY d)
-    SELECT d AS doc_id, CAST(n AS INT) AS n_tokens,
-           ROUND(s / n, 6) AS nll, ROUND(exp(s / n), 4) AS ppl
-    FROM g ORDER BY doc_id
+                 count(*) AS n FROM sc GROUP BY d),
+    lmbase AS (
+      SELECT d AS doc_id, CAST(n AS INT) AS n_tokens,
+             ROUND(s / n, 6) AS nll, ROUND(exp(s / n), 4) AS ppl
+      FROM g)"""
+
+EXTENDED_ORACLES["x5_lm_score"] = f"""
+    WITH {_LM_SCORE_CTES}
+    SELECT doc_id, n_tokens, nll, ppl FROM lmbase ORDER BY doc_id
 """
 
 
@@ -4697,3 +4754,26 @@ def _bfs_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_bfs"] = _bfs_oracle_sql()
+
+# ppl-bucket oracle: the shared lm_score CTEs, then the same pure-integer
+# tercile ranks over the rounded-ppl histogram.
+EXTENDED_ORACLES["x5_ppl_buckets"] = f"""
+    WITH {_LM_SCORE_CTES},
+    h AS (SELECT ppl, CAST(count(*) AS BIGINT) AS c FROM lmbase GROUP BY 1),
+    h2 AS (SELECT ppl, c, SUM(c) OVER (ORDER BY ppl
+             ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+    ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+    b AS (SELECT min(CASE WHEN 3 * cum >= n THEN ppl END) AS b1,
+                 min(CASE WHEN 3 * cum >= 2 * n THEN ppl END) AS b2
+          FROM h2, ntot),
+    tiered AS (
+      SELECT d.lang, lmbase.n_tokens, lmbase.ppl,
+             1 + (CASE WHEN lmbase.ppl > b.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN lmbase.ppl > b.b2 THEN 1 ELSE 0 END) AS tier
+      FROM lmbase, b JOIN documents d ON d.doc_id = lmbase.doc_id
+    )
+    SELECT lang, CAST(tier AS INT) AS tier, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           min(ppl) AS ppl_min, max(ppl) AS ppl_max
+    FROM tiered GROUP BY 1, 2 ORDER BY lang, tier
+"""
