@@ -130,6 +130,7 @@ _PRIORITY = [
     "x2_semdedup",
     "x11_bfs",
     "x5_ppl_buckets",
+    "x9_scd2_lookup",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -1275,6 +1275,59 @@ def x9_scd2(spark, sf_dir):
     )
 
 
+def x9_scd2_lookup(spark, sf_dir):
+    """The CONSUMING side of SCD2 (x9_scd2 builds the history; this query
+    USES it): as-of attach to every order the dimension version active at
+    its date — the point-in-time lookup every warehouse fact load runs
+    against a type-2 dimension. History rows that share (key, valid_from)
+    (two same-day changes) are first collapsed to the day's FINAL state
+    (max orderkey), making the as-of pick deterministic (the asof_join
+    docstring's precondition). Output per customer: fact count and how
+    many facts matched their as-of version — n_matched == n_orders is
+    the referential self-consistency audit (every order sees the version
+    its own change produced, ties resolved to end-of-day).
+
+    Scale: history build = one key shuffle (two windows share the sort);
+    the as-of attach is the union+last_value single sort-merge pass of
+    operators/timeseries.py:asof_join — never a range join."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.timeseries import asof_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = o.withColumn("prev", F.lag("o_orderpriority").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    wday = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    hist = (
+        changed.withColumn("rn", F.row_number().over(wday))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("active_priority"),
+        )
+    )
+    facts = o.select("o_custkey", F.col("o_orderdate").alias("ts"), "o_orderpriority")
+    looked = asof_join(facts, hist, on=["o_custkey"], ts_col="ts")
+    return (
+        looked.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("active_priority") == F.col("o_orderpriority")).cast("bigint")
+            ).alias("n_matched"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 SKEW_TOP = 10
 
 
@@ -2410,6 +2463,7 @@ EXTENDED_QUERIES = {
     "x2_semdedup": x2_semdedup,
     "x11_bfs": x11_bfs,
     "x5_ppl_buckets": x5_ppl_buckets,
+    "x9_scd2_lookup": x9_scd2_lookup,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -4776,4 +4830,36 @@ EXTENDED_ORACLES["x5_ppl_buckets"] = f"""
            CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
            min(ppl) AS ppl_min, max(ppl) AS ppl_max
     FROM tiered GROUP BY 1, 2 ORDER BY lang, tier
+"""
+
+# SCD2 lookup oracle: same change detection + same-day collapse, then a
+# correlated point-in-time pick (latest valid_from <= fact date — unique
+# per (key, day) after the collapse, so deterministic).
+EXTENDED_ORACLES["x9_scd2_lookup"] = """
+    WITH ch AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM (
+        SELECT *, lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders)
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderpriority AS active_priority
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderkey DESC) AS rn
+        FROM ch) WHERE rn = 1
+    ),
+    looked AS (
+      SELECT o.o_custkey, o.o_orderpriority,
+             (SELECT h.active_priority FROM hist h
+              WHERE h.o_custkey = o.o_custkey AND h.ts <= o.o_orderdate
+              ORDER BY h.ts DESC LIMIT 1) AS active_priority
+      FROM orders o
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN active_priority = o_orderpriority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM looked GROUP BY 1 ORDER BY o_custkey
 """
