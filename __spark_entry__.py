@@ -131,6 +131,7 @@ _PRIORITY = [
     "x11_bfs",
     "x5_ppl_buckets",
     "x9_scd2_lookup",
+    "x7_stream_ewma",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -520,6 +520,32 @@ def t4_roundtrip_orc(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def x7_stream_ewma(spark, sf_dir):
+    """The streaming sibling of r52_ewma (streaming/events.py:
+    ewma_stateful): the SAME recurrence carried incrementally across
+    micro-batches in per-user state — the promise in the batch
+    operator's docstring, made real and hash-checked against the same
+    list_reduce oracle shape. Update mode emits the running state per
+    touched user each batch; the final row per user (max n_events) must
+    be BIT-IDENTICAL to the batch fold because time-ordered disjoint
+    batches x in-batch (ts, event_id) sort = the global fold order."""
+    from pyspark.sql import Window
+
+    from diepy_spark.plans.relational import EWMA_ALPHA
+
+    tune(spark)
+    out = _run_stream(
+        ST.ewma_stateful(_events_src(spark, sf_dir), alpha=EWMA_ALPHA), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "ewma")
+        .orderBy("user_id")
+    )
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -535,6 +561,7 @@ PIPELINE_QUERIES = {
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
+    "x7_stream_ewma": x7_stream_ewma,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -676,3 +703,23 @@ PIPELINE_ORACLES: dict[str, str] = {
         WHERE rk <= {STREAM_TOPK} ORDER BY w, rk
     """,
 }
+
+
+def _stream_ewma_oracle() -> str:
+    # same fold text discipline as plans/oracles._ewma_oracle: constants
+    # shared with the Spark plan, list_reduce's first element = s_1.
+    from diepy_spark.plans.relational import EWMA_ALPHA
+
+    a, b = repr(EWMA_ALPHA), repr(1.0 - EWMA_ALPHA)
+    return f"""
+        WITH s AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+               list_reduce(vs, (acc, x) -> {a} * x + {b} * acc) AS ewma
+        FROM s ORDER BY user_id
+    """
+
+
+PIPELINE_ORACLES["x7_stream_ewma"] = _stream_ewma_oracle()

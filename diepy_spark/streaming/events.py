@@ -213,3 +213,50 @@ def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint: str, output
     )
     q.awaitTermination()
     return q
+
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+EWMA_STATE_SCHEMA = "n bigint, acc double"
+
+
+def ewma_stateful(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming EWMA — the incremental sibling of
+    operators/timeseries.py:ewma the batch docstring promises: per-user
+    state carries (count, accumulator) across micro-batches via
+    applyInPandasWithState; each batch's rows fold in (ts, event_id)
+    order on top of the carried accumulator. Because the replay source
+    feeds disjoint, time-ordered ranges (plans/pipeline._events_stream_dir),
+    the concatenation of per-batch sorted folds IS the global-order fold,
+    so the final state is bit-identical to the batch operator (same
+    alpha*x + beta*acc IEEE op order). Update mode emits the running
+    (n_events, ewma) per touched user each batch; the final row per user
+    (max n_events) is the replay's answer."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    beta = 1.0 - alpha
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        acc = 0.0
+        if state.exists:
+            n, acc = state.get
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for x in pdf["value"].astype("float64"):
+                x = float(x)
+                acc = x if n == 0 else alpha * x + beta * acc
+                n += 1
+        state.update((n, acc))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
