@@ -132,6 +132,8 @@ _PRIORITY = [
     "x5_ppl_buckets",
     "x9_scd2_lookup",
     "x7_stream_ewma",
+    "x11_assortativity",
+    "x8_perm_test",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

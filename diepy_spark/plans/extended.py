@@ -1821,6 +1821,80 @@ def x8_srm(spark, sf_dir):
     ).orderBy("event_type")
 
 
+# Permutation test: PERM_P deterministic pseudo-random cohort
+# reassignments, each a parity bit of md5('perm{p}:' || user_id) — the
+# hex_frac_sql idiom reduced to one nibble mod 2, valid and bit-identical
+# in both engines. All texts below are generated ONCE and f-strung into
+# both the Spark selectExpr and the DuckDB oracle.
+PERM_P = 24
+
+
+def _perm_bit(p: int) -> str:
+    return (
+        f"(instr('0123456789abcdef', substr(md5(concat('perm{p}:',"
+        f" CAST(user_id AS STRING))), 1, 1)) - 1) % 2"
+    )
+
+
+def _perm_mean_diff(na: str, sa: str) -> str:
+    return (
+        f"(CAST({sa} AS DOUBLE) / CAST({na} AS DOUBLE)"
+        f" - (CAST(s AS DOUBLE) - CAST({sa} AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - CAST({na} AS DOUBLE)))"
+    )
+
+
+def x8_perm_test(spark, sf_dir):
+    """Permutation test for the cohort spend difference — inference with
+    NO distributional assumption (the z/U tests' nonparametric backstop):
+    the observed even/odd difference in mean per-user spend is compared
+    against PERM_P deterministic md5-seeded reassignments of users to
+    cohorts; p = fraction of permutations at least as extreme. The
+    whole null distribution is ONE scan — every permutation is a pair of
+    conditional integer sums in the same aggregate (user-level data
+    never re-shuffles per permutation), the simulation-in-one-pass shape
+    that works at any scale. Exact integer cents end-to-end; the mean
+    differences are the only float layer, text-shared with the oracle."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.selectExpr("user_id", f"{_CUPED_CENTS} AS cents")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("tot"))
+    )
+    bits = pu.selectExpr(
+        "tot",
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g_obs",
+        *[f"{_perm_bit(p)} AS b{p}" for p in range(PERM_P)],
+    )
+    agg = bits.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tot").alias("s"),
+        F.expr("sum(g_obs)").alias("na_o"),
+        F.expr("sum(g_obs * tot)").alias("sa_o"),
+        *[F.expr(f"sum(b{p})").alias(f"na{p}") for p in range(PERM_P)],
+        *[F.expr(f"sum(b{p} * tot)").alias(f"sa{p}") for p in range(PERM_P)],
+    )
+    d1 = agg.selectExpr(
+        "n",
+        f"{_perm_mean_diff('na_o', 'sa_o')} AS obs_diff",
+        *[
+            f"{_perm_mean_diff(f'na{p}', f'sa{p}')} AS diff{p}"
+            for p in range(PERM_P)
+        ],
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs(diff{p}) >= abs(obs_diff) THEN 1 ELSE 0 END)"
+        for p in range(PERM_P)
+    )
+    return d1.selectExpr(
+        "n AS n_users",
+        "round(obs_diff, 4) AS obs_diff",
+        f"CAST({extreme} AS BIGINT) AS n_extreme",
+        f"round(CAST({extreme} AS DOUBLE) / {PERM_P}, 4) AS p_value",
+    )
+
+
 # Mann-Whitney: shared float-layer formulas (same f-string-into-both-
 # engines discipline as _CUPED_*). Inputs are exact BIGINTs: r2_* are
 # DOUBLED rank sums (avg tie rank = r + (c-1)/2 doubled to 2r + c - 1
@@ -2016,6 +2090,61 @@ def x11_label_prop(spark, sf_dir):
         ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(sym, iterations=LP_ITER).orderBy("node")
+
+
+# Degree assortativity: Pearson r of endpoint degrees over directed edge
+# instances of the symmetrized graph. Same shared-formula discipline as
+# _CUPED_*: exact integer moment sums cast to double, one closed form.
+_ASSORT_R = (
+    "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+def x11_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (Newman 2002) of the symmetrized
+    part↔supplier graph — do high-degree nodes attach to high-degree
+    nodes? The one-number structural summary that distinguishes social
+    graphs (r > 0) from technological/bipartite ones (r < 0); this
+    supply graph is strongly disassortative by construction. Degrees
+    from one count aggregate, two key joins attach endpoint degrees to
+    every directed edge, then ONE moment aggregate (m, Σx, Σy, Σxy,
+    Σx², Σy² — exact BIGINTs) feeds the shared closed-form Pearson text
+    (_ASSORT_R). Output: edge count, node count, and r."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = (
+        sym.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")), "dst"
+        )
+    )
+    mom = e2.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.expr("sum(dx * dy)").alias("sxy"),
+        F.expr("sum(dx * dx)").alias("sxx"),
+        F.expr("sum(dy * dy)").alias("syy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return mom.crossJoin(F.broadcast(nodes)).selectExpr(
+        "m AS n_edges",
+        "n_nodes",
+        f"round({_ASSORT_R}, 6) AS assortativity",
+    )
 
 
 def x5_gopher(spark, sf_dir):
@@ -2464,6 +2593,8 @@ EXTENDED_QUERIES = {
     "x11_bfs": x11_bfs,
     "x5_ppl_buckets": x5_ppl_buckets,
     "x9_scd2_lookup": x9_scd2_lookup,
+    "x11_assortativity": x11_assortativity,
+    "x8_perm_test": x8_perm_test,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -4863,3 +4994,81 @@ EXTENDED_ORACLES["x9_scd2_lookup"] = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
     FROM looked GROUP BY 1 ORDER BY o_custkey
 """
+
+# Assortativity oracle: same edge/degree/moment layer (HUGEINT sums cast
+# back to BIGINT), same _ASSORT_R closed form.
+EXTENDED_ORACLES["x11_assortativity"] = f"""
+    WITH ps AS (
+      SELECT l_partkey * 10 + 1 AS src, l_suppkey * 10 + 2 AS dst
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sym AS (SELECT src, dst FROM ps
+            UNION ALL SELECT dst, src FROM ps),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    e2 AS (
+      SELECT dx.deg AS dx, dy.deg AS dy
+      FROM sym JOIN deg dx ON dx.src = sym.src
+      JOIN deg dy ON dy.src = sym.dst
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM e2
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT m AS n_edges, n_nodes, round({_ASSORT_R}, 6) AS assortativity
+    FROM mom, nn
+"""
+
+def _perm_test_oracle_sql() -> str:
+    """Mirror of x8_perm_test from the same generated texts."""
+    bit_cols = ",\n             ".join(
+        f"{_perm_bit(p)} AS b{p}" for p in range(PERM_P)
+    )
+    na_cols = ",\n             ".join(
+        f"CAST(sum(b{p}) AS BIGINT) AS na{p}" for p in range(PERM_P)
+    )
+    sa_cols = ",\n             ".join(
+        f"CAST(sum(b{p} * tot) AS BIGINT) AS sa{p}" for p in range(PERM_P)
+    )
+    diff_cols = ",\n             ".join(
+        f"{_perm_mean_diff(f'na{p}', f'sa{p}')} AS diff{p}" for p in range(PERM_P)
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs(diff{p}) >= abs(obs_diff) THEN 1 ELSE 0 END)"
+        for p in range(PERM_P)
+    )
+    return f"""
+    WITH pu AS (
+      SELECT user_id, CAST(sum({_CUPED_CENTS}) AS BIGINT) AS tot
+      FROM events GROUP BY 1
+    ),
+    bits AS (
+      SELECT tot, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g_obs,
+             {bit_cols}
+      FROM pu
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(tot) AS BIGINT) AS s,
+             CAST(sum(g_obs) AS BIGINT) AS na_o,
+             CAST(sum(g_obs * tot) AS BIGINT) AS sa_o,
+             {na_cols},
+             {sa_cols}
+      FROM bits
+    ),
+    d1 AS (
+      SELECT n, {_perm_mean_diff('na_o', 'sa_o')} AS obs_diff,
+             {diff_cols}
+      FROM agg
+    )
+    SELECT n AS n_users, round(obs_diff, 4) AS obs_diff,
+           CAST({extreme} AS BIGINT) AS n_extreme,
+           round(CAST({extreme} AS DOUBLE) / {PERM_P}, 4) AS p_value
+    FROM d1
+"""
+
+
+EXTENDED_ORACLES["x8_perm_test"] = _perm_test_oracle_sql()
