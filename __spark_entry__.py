@@ -134,6 +134,7 @@ _PRIORITY = [
     "x7_stream_ewma",
     "x11_assortativity",
     "x8_perm_test",
+    "t5_roundtrip_nested",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -546,6 +546,62 @@ def x7_stream_ewma(spark, sf_dir):
     )
 
 
+def t5_roundtrip_nested(spark, sf_dir):
+    """Nested-schema JSON roundtrip — the surface the flat t1/t2 lattice
+    path deliberately excludes (the reference's inference is flat by
+    design): each order becomes {header struct, array of line-item
+    structs}, written as native JSON, read back through Spark's nested
+    schema inference, then FLATTENED by exploding the item array. Hash
+    equality of the flattened output against a plain relational oracle
+    proves structs, arrays, and array ORDER survive the JSON sink/source
+    byte-exactly. Money rides as integer cents (JSON doubles would not
+    round-trip bitwise); the item array is sorted before writing so the
+    array order is deterministic and the explode replays it."""
+    tune(spark)
+    key = ("roundtrip_nested", sf_dir)
+    if key not in _scratch_cache:
+        li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 4000)
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+        items = li.groupBy("l_orderkey").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("qty_c"),
+                    )
+                )
+            ).alias("items")
+        )
+        nested = o.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("price_c"),
+            ).alias("hdr"),
+        ).join(items, o.o_orderkey == items.l_orderkey).drop("l_orderkey")
+        d = os.path.join(tempfile.mkdtemp(prefix="diepy-rt-"), "nested_json")
+        nested.write.json(d)
+        _scratch_cache[key] = d
+    back = spark.read.json(_scratch_cache[key])
+    return (
+        back.select(
+            "o_orderkey",
+            F.col("hdr.status").alias("status"),
+            F.col("hdr.price_c").alias("price_c"),
+            F.posexplode("items").alias("pos", "it"),
+        )
+        .select(
+            "o_orderkey",
+            "status",
+            "price_c",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("it.ln").alias("ln"),
+            F.col("it.qty_c").alias("qty_c"),
+        )
+        .orderBy("o_orderkey", "pos")
+    )
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -562,6 +618,7 @@ PIPELINE_QUERIES = {
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
     "x7_stream_ewma": x7_stream_ewma,
+    "t5_roundtrip_nested": t5_roundtrip_nested,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -723,3 +780,25 @@ def _stream_ewma_oracle() -> str:
 
 
 PIPELINE_ORACLES["x7_stream_ewma"] = _stream_ewma_oracle()
+
+
+# Nested roundtrip oracle: the same flattened relation built relationally
+# — if any layer of the JSON nest (struct fields, array elements, array
+# order) were lost or reordered, the row set or the pos column diverges.
+PIPELINE_ORACLES["t5_roundtrip_nested"] = """
+    WITH it AS (
+      SELECT l_orderkey, l_linenumber AS ln,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber,
+                             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS INT) AS pos
+      FROM lineitem WHERE l_orderkey < 4000
+    )
+    SELECT o.o_orderkey, o.o_orderstatus AS status,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+           it.pos, it.ln, it.qty_c
+    FROM orders o JOIN it ON it.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 4000
+    ORDER BY o.o_orderkey, it.pos
+"""
