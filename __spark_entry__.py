@@ -135,6 +135,8 @@ _PRIORITY = [
     "x11_assortativity",
     "x8_perm_test",
     "t5_roundtrip_nested",
+    "x2_semdedup_apply",
+    "x8_trimmed_mean",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -2092,6 +2092,108 @@ def x11_label_prop(spark, sf_dir):
     return label_propagation(sym, iterations=LP_ITER).orderBy("node")
 
 
+
+
+def x2_semdedup_apply(spark, sf_dir):
+    """The corpus CONSUMER of SemDeDup (pairs with x2_semdedup the way
+    x2_dedup_apply pairs with the MinHash surface): the embedding-space
+    duplicate flags (vec_id aligned 1:1 with doc_id in this fixture)
+    prune the document corpus; per language, how many docs and chars
+    survive semantic dedup. The flag frame is node-sized relative to a
+    100 TB corpus — it broadcast-joins back, the corpus never reshuffles."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=SD_SCALE)
+    fl = S.semdedup_flags(
+        v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
+    )
+    d = _docs(spark, sf_dir)
+    j = d.join(
+        F.broadcast(fl.select(F.col("vec_id").alias("doc_id"), "is_dup")),
+        "doc_id",
+        "left",
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.coalesce("is_dup", F.lit(False))).cast("bigint")).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(~F.coalesce("is_dup", F.lit(False)), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+TRIM_DEN = 10  # trim n/10 ranks off each tail
+
+
+def x8_trimmed_mean(spark, sf_dir):
+    """10% trimmed mean of event value per type — the robust-location
+    estimator between the mean (outlier-fragile) and the median
+    (discards too much), completing the robust family around
+    x12_outliers' median/MAD. NO per-group value buffering and NO global
+    rank: per type a value-frequency histogram (bounded by the cent
+    domain — the freq_median argument) gets a cumulative window, and the
+    per-bin KEPT mass is pure integer clamp arithmetic
+    (least/greatest of cumulative ranks vs the trim cuts), handling
+    partial bins exactly. The only float op is the final division."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    e = ev.where(F.col("value").isNotNull()).selectExpr(
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS cents"
+    )
+    h = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    h2 = h.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    h3 = h2.selectExpr(
+        "event_type",
+        "cents",
+        "c",
+        "cum",
+        "n",
+        f"n div {TRIM_DEN} AS cut",
+    ).selectExpr(
+        "event_type",
+        "cents",
+        "n",
+        "greatest(least(cum, n - cut) - greatest(cum - c, cut),"
+        " CAST(0 AS BIGINT)) AS kept",
+    )
+    return (
+        h3.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("kept").alias("trimmed_n"),
+            F.expr("sum(cents * kept)").alias("tsum"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "trimmed_n",
+            "round(CAST(tsum AS DOUBLE) / CAST(trimmed_n AS DOUBLE) / 100, 4)"
+            " AS trimmed_mean",
+        )
+        .orderBy("event_type")
+    )
+
+
 # Degree assortativity: Pearson r of endpoint degrees over directed edge
 # instances of the symmetrized graph. Same shared-formula discipline as
 # _CUPED_*: exact integer moment sums cast to double, one closed form.
@@ -2595,6 +2697,8 @@ EXTENDED_QUERIES = {
     "x9_scd2_lookup": x9_scd2_lookup,
     "x11_assortativity": x11_assortativity,
     "x8_perm_test": x8_perm_test,
+    "x2_semdedup_apply": x2_semdedup_apply,
+    "x8_trimmed_mean": x8_trimmed_mean,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -4863,12 +4967,10 @@ EXTENDED_ORACLES["x8_srm"] = f"""
     FROM agg ORDER BY event_type
 """
 
-def _semdedup_oracle_sql() -> str:
-    """Mirror of x2_semdedup: the kmeans chain at SD_SCALE trains
-    c{KM_ITER}, every vector assigns to its argmin cell, within-cell
-    pairs (smaller id first) take the integer cross-multiplied cosine
-    test, and the summary counts flagged (= has a more-similar-than-threshold
-    smaller-id neighbor) vectors per cluster."""
+def _semdedup_ctes() -> list:
+    """The shared SemDeDup chain (through `cell` assignments and `fl`
+    flagged ids) consumed by the x2_semdedup summary oracle and the
+    x2_semdedup_apply corpus-consumer oracle."""
     ctes = _kmeans_ctes(scale=SD_SCALE)
     ctes.append(f"""cd AS (
         SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
@@ -4893,8 +4995,14 @@ def _semdedup_oracle_sql() -> str:
           AND {SD_THR_DEN * SD_THR_DEN} * dot * dot
               > {SD_THR_NUM * SD_THR_NUM} * na.nn * nb.nn)""")
     ctes.append("fl AS (SELECT DISTINCT db FROM dup)")
+    return ctes
+
+
+def _semdedup_oracle_sql() -> str:
+    """Mirror of x2_semdedup: argmin cell assignment, within-cell integer
+    cross-multiplied cosine pairs, per-cluster flag summary."""
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_semdedup_ctes())
         + """
         SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
                CAST(sum(CASE WHEN fl.db IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -5072,3 +5180,53 @@ def _perm_test_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_perm_test"] = _perm_test_oracle_sql()
+
+# semdedup-apply oracle: the shared SemDeDup chain, flags joined back to
+# documents (vec_id == doc_id in this fixture), per-lang survival.
+EXTENDED_ORACLES["x2_semdedup_apply"] = (
+    "WITH " + ",\n".join(_semdedup_ctes())
+    + """,
+    flags AS (
+      SELECT cell.cid AS doc_id,
+             CASE WHEN fl.db IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM cell LEFT JOIN fl ON fl.db = cell.cid
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(f.is_dup, 0) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN coalesce(f.is_dup, 0) = 0 THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents d LEFT JOIN flags f ON f.doc_id = d.doc_id
+    GROUP BY 1 ORDER BY d.lang"""
+)
+
+# Trimmed-mean oracle: identical histogram + integer clamp arithmetic;
+# the division-by-100 restores currency units at the very end.
+EXTENDED_ORACLES["x8_trimmed_mean"] = f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+    h2 AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    h3 AS (
+      SELECT event_type, cents, n,
+             greatest(least(cum, n - (n // {TRIM_DEN}))
+                      - greatest(cum - c, n // {TRIM_DEN}),
+                      CAST(0 AS BIGINT)) AS kept
+      FROM h2
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(kept) AS BIGINT) AS trimmed_n,
+           round(CAST(CAST(sum(cents * kept) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE) / 100, 4)
+             AS trimmed_mean
+    FROM h3 GROUP BY 1 ORDER BY event_type
+"""
