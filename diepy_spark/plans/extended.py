@@ -609,7 +609,12 @@ def x5_ppl_buckets(spark, sf_dir):
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    base = T.lm_score(d)
+    # lm_score is consumed by BOTH the boundary histogram and the tier
+    # projection; uncut, each re-runs the two-pass LM (4 corpus explodes,
+    # measured 2.9s -> 2.1s warm / 12.5s -> 3.5s cold at sf0.1). Its
+    # output is ~40 bytes/doc — far smaller than the corpus; a 100 TB
+    # pipeline materializes LM scores exactly the same way (CCNet does).
+    base = T.lm_score(d).localCheckpoint(eager=False)
     h = base.groupBy("ppl").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     h2 = h.withColumn("cum", F.sum("c").over(w))
@@ -1743,12 +1748,15 @@ def x8_cuped(spark, sf_dir):
         F.expr("sum(post_c * post_c)").alias("syy"),
         F.expr("sum(pre_c * post_c)").alias("sxy"),
     )
-    allr = g.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.sum("pre_c").alias("sx_all"),
-        F.sum("post_c").alias("sy_all"),
-        F.expr("sum(pre_c * pre_c)").alias("sxx_all"),
-        F.expr("sum(pre_c * post_c)").alias("sxy_all"),
+    # global stats ROLL UP from the cohort stats (cohorts partition
+    # users, integer sums of sums are exact) — the per-user frame is
+    # scanned once, not twice (plan-audit fix; was 8 scans)
+    allr = cg.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("sx").alias("sx_all"),
+        F.sum("sy").alias("sy_all"),
+        F.sum("sxx").alias("sxx_all"),
+        F.sum("sxy").alias("sxy_all"),
     )
     d1 = cg.crossJoin(F.broadcast(allr)).selectExpr(
         "grp",
@@ -1934,14 +1942,17 @@ def x8_mwu(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    h = e.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    hg0 = e.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("cnt_g"))
+    # total per-value counts ROLL UP from the cohort histogram — one
+    # event scan feeds both layers (plan-audit fix; was 10 scans)
+    h = hg0.groupBy("cents").agg(F.sum("cnt_g").alias("cnt"))
     wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     hd = h.select(
         "cents",
         "cnt",
         F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("before"),
     ).selectExpr("cents", "cnt", "2 * (before + 1) + cnt - 1 AS d")
-    hg = e.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("cnt_g"))
+    hg = hg0
     rg = (
         hg.join(F.broadcast(hd.select("cents", "d")), "cents")
         .groupBy("grp")
@@ -2197,13 +2208,14 @@ def x8_trimmed_mean(spark, sf_dir):
 # Degree assortativity: Pearson r of endpoint degrees over directed edge
 # instances of the symmetrized graph. Same shared-formula discipline as
 # _CUPED_*: exact integer moment sums cast to double, one closed form.
+# On a symmetrized graph the x- and y-marginals coincide: Σx = Σy = Σdeg²
+# (= s2) and Σx² = Σy² = Σdeg³ (= s3), both computable from the DEGREE
+# TABLE alone — only Σxy needs edges. Pearson r then loses its sqrt:
 _ASSORT_R = (
     "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-    " * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
-    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    " / (CAST(m AS DOUBLE) * CAST(s3 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
 )
 
 
@@ -2227,22 +2239,26 @@ def x11_assortativity(spark, sf_dir):
         ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e2 = (
-        sym.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
-        .join(
-            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")), "dst"
+    # node-sized frame consumed three times -> cut lineage once
+    deg = deg.localCheckpoint(eager=False)
+    mom1 = deg.agg(
+        F.sum("deg").alias("m"),
+        F.expr("sum(deg * deg)").alias("s2"),
+        F.expr("sum(deg * deg * deg)").alias("s3"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    # the one edge pass: neighbor-degree sums per node, then one
+    # node-sized join for sxy = sum over edges of deg(src)*deg(dst)
+    snb = (
+        sym.join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("degd")),
+            "dst",
         )
+        .groupBy("src")
+        .agg(F.sum("degd").alias("snb"))
     )
-    mom = e2.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.expr("sum(dx * dy)").alias("sxy"),
-        F.expr("sum(dx * dx)").alias("sxx"),
-        F.expr("sum(dy * dy)").alias("syy"),
-    )
-    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    return mom.crossJoin(F.broadcast(nodes)).selectExpr(
+    sxyf = snb.join(deg, "src").agg(F.expr("sum(deg * snb)").alias("sxy"))
+    return mom1.crossJoin(F.broadcast(sxyf)).selectExpr(
         "m AS n_edges",
         "n_nodes",
         f"round({_ASSORT_R}, 6) AS assortativity",
@@ -5113,22 +5129,23 @@ EXTENDED_ORACLES["x11_assortativity"] = f"""
     sym AS (SELECT src, dst FROM ps
             UNION ALL SELECT dst, src FROM ps),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
-    e2 AS (
-      SELECT dx.deg AS dx, dy.deg AS dy
-      FROM sym JOIN deg dx ON dx.src = sym.src
-      JOIN deg dy ON dy.src = sym.dst
+    mom1 AS (
+      SELECT CAST(sum(deg) AS BIGINT) AS m,
+             CAST(sum(deg * deg) AS BIGINT) AS s2,
+             CAST(sum(deg * deg * deg) AS BIGINT) AS s3,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg
     ),
-    mom AS (
-      SELECT CAST(count(*) AS BIGINT) AS m,
-             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-             CAST(sum(dx * dy) AS BIGINT) AS sxy,
-             CAST(sum(dx * dx) AS BIGINT) AS sxx,
-             CAST(sum(dy * dy) AS BIGINT) AS syy
-      FROM e2
+    snb AS (
+      SELECT sym.src, CAST(sum(dd.deg) AS BIGINT) AS snb
+      FROM sym JOIN deg dd ON dd.src = sym.dst GROUP BY 1
     ),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    sxyf AS (
+      SELECT CAST(sum(deg.deg * snb.snb) AS BIGINT) AS sxy
+      FROM snb JOIN deg ON deg.src = snb.src
+    )
     SELECT m AS n_edges, n_nodes, round({_ASSORT_R}, 6) AS assortativity
-    FROM mom, nn
+    FROM mom1, sxyf
 """
 
 def _perm_test_oracle_sql() -> str:
