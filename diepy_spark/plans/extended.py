@@ -1740,6 +1740,8 @@ def x8_cuped(spark, sf_dir):
     g = pu.selectExpr(
         "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp", "pre_c", "post_c"
     )
+    # the cohort-stat frame is TWO rows consumed twice (global roll-up +
+    # final projection) -> cut lineage so per-user aggregation runs once
     cg = g.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pre_c").alias("sx"),
@@ -1747,7 +1749,7 @@ def x8_cuped(spark, sf_dir):
         F.expr("sum(pre_c * pre_c)").alias("sxx"),
         F.expr("sum(post_c * post_c)").alias("syy"),
         F.expr("sum(pre_c * post_c)").alias("sxy"),
-    )
+    ).localCheckpoint(eager=False)
     # global stats ROLL UP from the cohort stats (cohorts partition
     # users, integer sums of sums are exact) — the per-user frame is
     # scanned once, not twice (plan-audit fix; was 8 scans)
@@ -1942,7 +1944,11 @@ def x8_mwu(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    hg0 = e.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("cnt_g"))
+    # both shared frames below are HISTOGRAM-sized (bounded by the cent
+    # domain) -> cut lineage so the event scan happens exactly once
+    hg0 = e.groupBy("cents", "grp").agg(
+        F.count(F.lit(1)).alias("cnt_g")
+    ).localCheckpoint(eager=False)
     # total per-value counts ROLL UP from the cohort histogram — one
     # event scan feeds both layers (plan-audit fix; was 10 scans)
     h = hg0.groupBy("cents").agg(F.sum("cnt_g").alias("cnt"))
@@ -1951,7 +1957,9 @@ def x8_mwu(spark, sf_dir):
         "cents",
         "cnt",
         F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("before"),
-    ).selectExpr("cents", "cnt", "2 * (before + 1) + cnt - 1 AS d")
+    ).selectExpr(
+        "cents", "cnt", "2 * (before + 1) + cnt - 1 AS d"
+    ).localCheckpoint(eager=False)
     hg = hg0
     rg = (
         hg.join(F.broadcast(hd.select("cents", "d")), "cents")
