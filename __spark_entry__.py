@@ -137,6 +137,8 @@ _PRIORITY = [
     "t5_roundtrip_nested",
     "x2_semdedup_apply",
     "x8_trimmed_mean",
+    "r54_mode",
+    "x12_benford",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

@@ -2151,6 +2151,46 @@ def x2_semdedup_apply(spark, sf_dir):
     )
 
 
+def x12_benford(spark, sf_dir):
+    """Benford's-law audit of order amounts — the forensic DQ check for
+    fabricated or truncated numeric columns: the observed leading-digit
+    distribution vs log10(1 + 1/d), with each digit's squared relative
+    deviation. Natural multi-magnitude money data follows Benford;
+    uniform synthetic data (this fixture) visibly does NOT — the
+    deviation column IS the detector firing. One projection (leading
+    digit via a string head — no float log in the bucketing) + one
+    9-group aggregate; expected fractions are shared repr literals."""
+    import math
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = o.selectExpr(
+        "substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS STRING), 1, 1) AS digit"
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    exp_case = " ".join(
+        f"WHEN digit = '{k}' THEN CAST({math.log10(1 + 1 / k)!r} AS DOUBLE)"
+        for k in range(1, 10)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "n_obs",
+            "round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_frac",
+            f"round(CASE {exp_case} END, 6) AS benford_frac",
+            "round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CASE {exp_case} END))"
+            " * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CASE {exp_case} END))"
+            f" / (CASE {exp_case} END), 6) AS sq_dev",
+        )
+        .orderBy("digit")
+    )
+
+
 TRIM_DEN = 10  # trim n/10 ranks off each tail
 
 
@@ -2723,6 +2763,7 @@ EXTENDED_QUERIES = {
     "x8_perm_test": x8_perm_test,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
+    "x12_benford": x12_benford,
     "x3_ivf_trained": x3_ivf_trained,
     "x8_weighted_topk": x8_weighted_topk,
     "x2_containment_pairs": x2_containment_pairs,
@@ -5255,3 +5296,32 @@ EXTENDED_ORACLES["x8_trimmed_mean"] = f"""
              AS trimmed_mean
     FROM h3 GROUP BY 1 ORDER BY event_type
 """
+
+def _benford_oracle_sql() -> str:
+    import math
+
+    exp_case = " ".join(
+        f"WHEN digit = '{k}' THEN CAST({math.log10(1 + 1 / k)!r} AS DOUBLE)"
+        for k in range(1, 10)
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS STRING), 1, 1) AS VARCHAR) AS digit
+      FROM orders
+    ),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_frac,
+           round(CASE {exp_case} END, 6) AS benford_frac,
+           round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CASE {exp_case} END))
+                 * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CASE {exp_case} END))
+                 / (CASE {exp_case} END), 6) AS sq_dev
+    FROM counts, tot ORDER BY digit
+"""
+
+
+EXTENDED_ORACLES["x12_benford"] = _benford_oracle_sql()

@@ -538,6 +538,16 @@ RELATIONAL_ORACLES["r52_ewma"] = _ewma_oracle()
 # percent_rank/cume_dist: both engines define them identically
 # ((rank-1)/(n-1), cum_rows/n — exact integer rationals); ties broken by
 # the same (price, orderkey) order so ranks are deterministic.
+RELATIONAL_ORACLES["r54_mode"] = """
+    SELECT o_orderstatus, mode_priority, mode_count FROM (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority,
+             CAST(count(*) AS BIGINT) AS mode_count,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2)
+    WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
 RELATIONAL_ORACLES["r53_dist_windows"] = """
     SELECT o_custkey, o_orderkey,
            round(percent_rank() OVER w, 6) AS pct_rank,

@@ -641,6 +641,31 @@ def r52_ewma(spark, sf_dir):
     )
 
 
+def r54_mode(spark, sf_dir):
+    """Per-group modal value (most frequent order priority per order
+    status) — the MODE() aggregate built scale-safe: count per (group,
+    value) with map-side combine, then one top-1 window (ties -> the
+    lexically smallest value, pinned in both engines). Never Spark's
+    mode() (tie choice is engine-internal) and never a value buffer."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def r36_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/aggregate) over the
     embedding column — entirely JVM-side lambda evaluation, zero Python.
@@ -1209,4 +1234,5 @@ RELATIONAL_QUERIES = {
     "r51_unpivot": r51_unpivot,
     "r52_ewma": r52_ewma,
     "r53_dist_windows": r53_dist_windows,
+    "r54_mode": r54_mode,
 }
