@@ -27,16 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness records the FIRST 50 entries of
 # queries() in insertion order.
 #
-# WINDOW ARITHMETIC as committed (third working window of round 4): the
-# 15 queries added in this window (x3_ivf_trained .. x9_rollup_cascade,
-# list head below) plus the 34 mid-round additions = 49 queries with NO
-# driver row at all; they fill positions 0-48, and x3_ann_recall
-# (output changed this round — multi-probe rows) takes position 49.
-# That is exactly the 50-row window, so the five round-1-stale x2 rows
-# (x2_minhash_lsh_pairs .. x2_simhash_pairs, positions 50-54) stay
-# displaced ANOTHER round — no-row queries outrank stale-green ones by
-# necessity. They remain the round-5 front-load, now joined by the 30
-# displaced round-2/3 rows listed further down.
+# WINDOW ARITHMETIC at end of round 4 (170 queries): the 49 earliest
+# round-4 additions fill positions 0-48 and x3_ann_recall (output
+# changed this round — multi-probe rows) takes position 49 — exactly
+# the 50-row window. The 18 queries added in the fourth working window
+# (r52_ewma .. x12_benford, positions 50-67) arrived after the window
+# was already full; they are all LOCALLY driver-strict green
+# (tools/check_oracle.py at sf0.01) and head the round-5 front-load,
+# followed by the five round-1-stale x2 rows
+# (x2_minhash_lsh_pairs .. x2_simhash_pairs) and the displaced
+# round-2/3 rows listed further down — no-row queries outrank
+# stale-green ones by necessity.
 #
 # Rotation policy (one window per round):
 # round 1 proved r1-r40 + the x1/x2 era; round 2 refreshed r1-r9 and the

@@ -463,12 +463,10 @@ def test_ewma_single_shuffle_pandas_scan(spark):
 
 
 def test_cuped_broadcasts_scalar_frames(spark, qs):
-    """CUPED's midpoint row and global-stats row must BROADCAST into the
-    per-cohort frame — the only hash shuffles are the user and cohort
-    aggregates; no sort-merge join anywhere."""
+    """CUPED's global-stats row must BROADCAST into the per-cohort frame
+    — no sort-merge join anywhere. The cohort-stat subplan sits behind a
+    localCheckpoint boundary (its own plan pins the user aggregate), so
+    the visible plan is the tiny final join only."""
     plan = plan_of(qs["x8_cuped"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # per-user + per-cohort + global: three aggregate key shapes, each
-    # with a partial (map-side) phase
-    assert "partial_count" in plan
