@@ -2124,7 +2124,7 @@ def x2_semdedup_apply(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=SD_SCALE)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
     fl = S.semdedup_flags(
         v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
     )
@@ -2448,6 +2448,8 @@ def x3_kmeans(spark, sf_dir):
 
 
 SD_SCALE = 1000  # coarser grid than KM_SCALE: keeps dot^2 inside int64
+SD_ITER = 2  # partition quality saturates by round 2 here; dedup flags only
+# need a stable partition, not converged centroids (measured ~0.7s/query)
 SD_THR_NUM = 2
 SD_THR_DEN = 5  # cosine threshold 2/5: this fixture's embeddings are
 # near-orthogonal (max pairwise cosine ~0.51), so the paper's ~0.9 would
@@ -2467,7 +2469,7 @@ def x2_semdedup(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=SD_SCALE)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
     fl = S.semdedup_flags(
         v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
     )
@@ -5036,10 +5038,10 @@ def _semdedup_ctes() -> list:
     """The shared SemDeDup chain (through `cell` assignments and `fl`
     flagged ids) consumed by the x2_semdedup summary oracle and the
     x2_semdedup_apply corpus-consumer oracle."""
-    ctes = _kmeans_ctes(scale=SD_SCALE)
+    ctes = _kmeans_ctes(iters=SD_ITER, scale=SD_SCALE)
     ctes.append(f"""cd AS (
         SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
-        FROM u JOIN c{KM_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
+        FROM u JOIN c{SD_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
     ctes.append("""cell AS (
         SELECT vec_id AS cid, cluster AS cell FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
