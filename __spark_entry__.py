@@ -140,6 +140,7 @@ _PRIORITY = [
     "x8_trimmed_mean",
     "r54_mode",
     "x12_benford",
+    "x2_cluster_size_dist",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

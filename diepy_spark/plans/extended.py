@@ -102,6 +102,33 @@ def x2_dup_clusters(spark, sf_dir):
     )
 
 
+def x2_cluster_size_dist(spark, sf_dir):
+    """Duplicate-cluster SIZE DISTRIBUTION — the one-table answer to "how
+    duplicated is this corpus": for every cluster size (1 = unique doc),
+    how many clusters and how many documents. The report every dedup
+    paper prints (a heavy tail here = boilerplate mega-clusters that
+    keep-one-per-cluster collapses). Composes the near-dup pair graph +
+    connected components (x2_dup_clusters) with docs not in any pair
+    counted as singleton clusters; two tiny aggregates on top of the
+    label frame — no new corpus pass beyond the pair machinery."""
+    from diepy_spark.operators.clustering import connected_components
+
+    d = _docs(spark, sf_dir)
+    cc = connected_components(_jaccard_pairs(spark, sf_dir), "da", "db")
+    lab = d.select("doc_id").join(
+        cc.select(F.col("node").alias("doc_id"), "cluster"), "doc_id", "left"
+    ).select(F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
+    sizes = lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.expr("CAST(count(*) * first(size) AS BIGINT)").alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
 def _jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
@@ -2679,6 +2706,7 @@ EXTENDED_QUERIES = {
     "x2_minhash_lsh_pairs": x2_minhash_lsh_pairs,
     "x2_ngram_jaccard_pairs": x2_ngram_jaccard_pairs,
     "x2_dup_clusters": x2_dup_clusters,
+    "x2_cluster_size_dist": x2_cluster_size_dist,
     "x2_dedup_apply": x2_dedup_apply,
     "x2_dedup_best": x2_dedup_best,
     "x1_incremental_dedup": x1_incremental_dedup,
@@ -5327,3 +5355,18 @@ def _benford_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_benford"] = _benford_oracle_sql()
+
+# Cluster-size distribution oracle: the shared closure CTEs; docs in no
+# pair are size-1 clusters labeled by their own id.
+EXTENDED_ORACLES["x2_cluster_size_dist"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    lab AS (
+      SELECT coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    csizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+               FROM lab GROUP BY 1)
+    SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * size AS BIGINT) AS n_docs
+    FROM csizes GROUP BY size ORDER BY size
+"""
