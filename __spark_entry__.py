@@ -27,11 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness records the FIRST 50 entries of
 # queries() in insertion order.
 #
-# WINDOW ARITHMETIC at end of round 4 (170 queries): the 49 earliest
+# WINDOW ARITHMETIC at end of round 4 (171 queries): the 49 earliest
 # round-4 additions fill positions 0-48 and x3_ann_recall (output
 # changed this round — multi-probe rows) takes position 49 — exactly
-# the 50-row window. The 18 queries added in the fourth working window
-# (r52_ewma .. x12_benford, positions 50-67) arrived after the window
+# the 50-row window. The 19 queries added in the fourth working window
+# (r52_ewma .. x2_cluster_size_dist, positions 50-68) arrived after the window
 # was already full; they are all LOCALLY driver-strict green
 # (tools/check_oracle.py at sf0.01) and head the round-5 front-load,
 # followed by the five round-1-stale x2 rows
@@ -120,7 +120,7 @@ _PRIORITY = [
     # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
     # new in the fourth round-4 window (positions 50+ — first rows PAST
-    # the 50-row driver window, so no driver row until round 5; both are
+    # the 50-row driver window, so no driver row until round 5; ALL are
     # locally driver-strict green (check_oracle sf0.01) and head the
     # round-5 front-load together with the displaced rows below)
     "r52_ewma",
