@@ -602,6 +602,55 @@ def t5_roundtrip_nested(spark, sf_dir):
     )
 
 
+def _embeddings_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The embeddings table as STREAM_FILES vec_id-range parquet files —
+    a replayable vector stream. No mtime choreography needed: the
+    consumer (x7_stream_cluster_assign) is a stateless projection + a
+    complete-mode aggregate, so batch order cannot change the result."""
+    key = ("embeddings", sf_dir)
+    if key not in _scratch_cache:
+        d = os.path.join(tempfile.mkdtemp(prefix="diepy-stream-"), "embeddings")
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .repartitionByRange(STREAM_FILES, F.col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.parquet(d)
+        )
+        _scratch_cache[key] = d
+    return _scratch_cache[key]
+
+
+def x7_stream_cluster_assign(spark, sf_dir):
+    """Train-offline / serve-online for the VECTOR side (the
+    x7_stream_outliers composition applied to the X3 index family): the
+    coarse quantizer is trained on the batch table (integer-exact
+    Lloyd's, same constants as x2_semdedup), its k x dim centroid table
+    rides into the STREAM as broadcast literals, and each arriving
+    micro-batch of embeddings is assigned to its cell by the same
+    zero-shuffle argmin projection — the online ingest path of an IVF /
+    SemDeDup index. Complete-mode cell counts over the replay must equal
+    the batch assignment exactly (hash-checked against the unrolled
+    k-means oracle chain)."""
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_centroids_int,
+        quantize_vectors,
+    )
+    from diepy_spark.plans.extended import KM_K, SD_ITER, SD_SCALE
+
+    tune(spark)
+    v = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    reader = spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+    reader = reader.option("maxFilesPerTrigger", _mfpt())
+    stream = reader.parquet(_embeddings_stream_dir(spark, sf_dir))
+    q = quantize_vectors(stream, "vec_id", "embedding", SD_SCALE)
+    assigned = assign_to_centroids(q, cents, "vec_id").select("vec_id", "cluster")
+    agg = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    out = _run_stream(agg, "complete")
+    return out.orderBy("cluster")
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -619,6 +668,7 @@ PIPELINE_QUERIES = {
     "x7_stream_outliers": x7_stream_outliers,
     "x7_stream_ewma": x7_stream_ewma,
     "t5_roundtrip_nested": t5_roundtrip_nested,
+    "x7_stream_cluster_assign": x7_stream_cluster_assign,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -802,3 +852,27 @@ PIPELINE_ORACLES["t5_roundtrip_nested"] = """
     WHERE o.o_orderkey < 4000
     ORDER BY o.o_orderkey, it.pos
 """
+
+
+def _stream_cluster_assign_oracle() -> str:
+    # the unrolled k-means chain at the SemDeDup constants; final cell
+    # assignment counts — what the streaming replay must converge to.
+    from diepy_spark.plans.extended import SD_ITER, SD_SCALE, _kmeans_ctes
+
+    ctes = _kmeans_ctes(iters=SD_ITER, scale=SD_SCALE)
+    ctes.append(f"""cd AS (
+        SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+        FROM u JOIN c{SD_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
+    ctes.append("""cell AS (
+        SELECT vec_id, cluster FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cluster) AS rn FROM cd) WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM cell GROUP BY 1 ORDER BY cluster"""
+    )
+
+
+PIPELINE_ORACLES["x7_stream_cluster_assign"] = _stream_cluster_assign_oracle()
