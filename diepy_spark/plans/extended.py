@@ -623,6 +623,41 @@ def x5_lm_score(spark, sf_dir):
     return T.lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+HASH_EMBED_DIM = 16  # one md5 nibble = a 16-bucket feature space
+
+
+def x5_hash_embed(spark, sf_dir):
+    """Feature hashing (the Weinberger et al. 2009 hashing trick): each
+    document becomes a HASH_EMBED_DIM-dim term-frequency vector with
+    bucket(tok) = first md5 nibble — the in-engine text→vector bridge
+    that feeds the X3 similarity surface without an external embedding
+    model. Exact integer counts end to end (the vector IS a count
+    histogram), plus the exact squared L2 norm — the quantities a
+    downstream cosine/IVF consumer needs. One token explode + ONE
+    conditional-sum aggregate (no pivot's hidden distinct pass, no
+    per-bucket shuffle)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.expr(D.tokens_expr("text"))).alias("tok")
+    ).withColumn(
+        "b", F.expr("instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1")
+    )
+    vec = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == k, 1).otherwise(0)).alias(f"c{k}")
+            for k in range(HASH_EMBED_DIM)
+        ]
+    )
+    norm = " + ".join(f"c{k} * c{k}" for k in range(HASH_EMBED_DIM))
+    ntok = " + ".join(f"c{k}" for k in range(HASH_EMBED_DIM))
+    return vec.selectExpr(
+        "doc_id",
+        *[f"c{k}" for k in range(HASH_EMBED_DIM)],
+        f"CAST({ntok} AS BIGINT) AS n_tokens",
+        f"CAST({norm} AS BIGINT) AS norm_sq",
+    ).orderBy("doc_id")
+
+
 def x5_ppl_buckets(spark, sf_dir):
     """CCNet-style perplexity tiering (Wenzek et al. 2020): the corpus
     splits into head/middle/tail thirds by LM perplexity (x5_lm_score's
@@ -2788,6 +2823,7 @@ EXTENDED_QUERIES = {
     "x2_semdedup": x2_semdedup,
     "x11_bfs": x11_bfs,
     "x5_ppl_buckets": x5_ppl_buckets,
+    "x5_hash_embed": x5_hash_embed,
     "x9_scd2_lookup": x9_scd2_lookup,
     "x11_assortativity": x11_assortativity,
     "x8_perm_test": x8_perm_test,
@@ -5370,3 +5406,29 @@ EXTENDED_ORACLES["x2_cluster_size_dist"] = f"""
            CAST(count(*) * size AS BIGINT) AS n_docs
     FROM csizes GROUP BY size ORDER BY size
 """
+
+def _hash_embed_oracle_sql() -> str:
+    cs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in range(HASH_EMBED_DIM)
+    )
+    norm = " + ".join(f"c{k} * c{k}" for k in range(HASH_EMBED_DIM))
+    ntok = " + ".join(f"c{k}" for k in range(HASH_EMBED_DIM))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, instr('0123456789abcdef', substr(md5(t.tok), 1, 1)) - 1 AS b
+      FROM documents, LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+    ),
+    vec AS (
+      SELECT doc_id,
+           {cs}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {", ".join(f"c{k}" for k in range(HASH_EMBED_DIM))},
+           CAST({ntok} AS BIGINT) AS n_tokens,
+           CAST({norm} AS BIGINT) AS norm_sq
+    FROM vec ORDER BY doc_id
+"""
+
+
+EXTENDED_ORACLES["x5_hash_embed"] = _hash_embed_oracle_sql()
