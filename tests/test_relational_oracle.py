@@ -51,3 +51,13 @@ def test_query_matches_oracle(name, spark, duck, sf_small):
         return
     odf = duck.execute(ORACLES[name]).fetchdf()
     assert frame_fingerprint(sdf) == frame_fingerprint(odf)
+
+
+def test_priority_rotation_names_all_resolve():
+    """A misspelled name in __spark_entry__._PRIORITY silently drops out of
+    the driver window (the builder loop skips unknown names) — exactly the
+    failure mode a round-5 rotation edit could introduce. Make it loud."""
+    missing = [n for n in entrymod._PRIORITY if n not in QUERIES]
+    assert missing == [], f"_PRIORITY names not in queries(): {missing}"
+    dupes = [n for n in set(entrymod._PRIORITY) if entrymod._PRIORITY.count(n) > 1]
+    assert dupes == [], f"duplicate _PRIORITY entries: {dupes}"
