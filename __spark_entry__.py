@@ -27,47 +27,101 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness records the FIRST 50 entries of
 # queries() in insertion order.
 #
-# WINDOW ARITHMETIC at end of round 4 (173 queries): the 49 earliest
-# round-4 additions fill positions 0-48 and x3_ann_recall (output
-# changed this round — multi-probe rows) takes position 49 — exactly
-# the 50-row window. The 21 queries added in the fourth working window
-# (r52_ewma .. x5_hash_embed, positions 50-70) arrived after the window
-# was already full; they are all LOCALLY driver-strict green
-# (tools/check_oracle.py at sf0.01) and head the round-5 front-load,
-# followed by the five round-1-stale x2 rows
-# (x2_minhash_lsh_pairs .. x2_simhash_pairs) and the displaced
-# round-2/3 rows listed further down — no-row queries outrank
-# stale-green ones by necessity.
-#
-# Rotation policy (one window per round):
-# round 1 proved r1-r40 + the x1/x2 era; round 2 refreshed r1-r9 and the
-# 41 then-new entries; round 3 re-earned r41 + the 14 round-3 additions
-# and refreshed r10-r40/x1/x2 (CORRECTNESS_r03.json, 50/50 green).
-# Round 4 front-loads (a) the queries NEW or OUTPUT-CHANGED this round
-# (x1_span_dedup, x5_lang_classify; x3_ann_recall now reports the
-# multi-probe methods), (b) the five rows whose only driver green was
-# round 1 (the documented round-4 front-load), (c) every query whose
-# OPERATOR code changed this round even where outputs are provably
-# identical (ann/ivf signatures, decode_media codec pin, cosine_pairs
-# force, cross-split broadcast knob, stratified typed fractions), then
-# (d) the oldest round-2 greens (r1-r9, t1, x6/x7 families, then module
-# order).  The 30 mid-round additions (r45-r50, x6_media_dedup, x2_lsh_curve, x8_bloom/x8_cms/
-# x8_cms_join/x8_bootstrap/x8_weighted_topk/x8_kmv_overlap,
-# x9_diff/x9_inc/x9_scd2, x11_tri, x2_fuzzy/x2_containment,
-# x3_knn/x3_kmeans, x12_dq/x12_skew/x12_drift/x12_gaps, x1_cdc_chunks,
-# t3_roundtrip_parquet, x7_stream_upsert/x7_stream_topk) joined group
-# (a), pushing the window tail 30 deeper: the window now ends at
-# r4_join3_aggregate (index 49), and everything from r5_left_outer_join
-# through x8_weighted_sample in the list below (30 rows, all
-# round-2/3-green) is displaced to the
-# round-5 front-load along with the twelve already-displaced round-2
-# rows (x8_grouped_linfit, x9_merge_upsert, x5_repetition,
-# x5_pii_redact, x2_contamination, x2_winnow_pairs, x8_hll_distinct,
-# x5_chunk_pack, x3_quantize_int8, x10_clean_corpus, x5_lm_score,
-# x2_minhash_est).
-# Everything not named keeps its round-2/3 green as the standing record.
+# ROUND-5 WINDOW (executing the rotation VERDICT r4 task #1 documents):
+# positions 0-19 are the 20 fourth-round-4-window queries that have never
+# had a driver row (r52_ewma .. x5_hash_embed); 20-24 are the five
+# round-1-stale x2 rows (x2_minhash_lsh_pairs .. x2_simhash_pairs); the
+# NEW ROUND 5 marker below is where this round's additions slot in (new
+# queries have no row, so they outrank the stale-green displaced rows
+# that follow); the remainder is the displaced round-2/3 backlog in the
+# order round 4 documented, then the round-4-green window (freshest
+# greens, lowest priority). After this round every declared query's
+# latest driver row is round >= 2, and the round-6 front-load is
+# whatever part of the displaced backlog misses this window.
 _PRIORITY = [
-    # new in round 4 (no driver row at all)
+    # (1) fourth round-4 window — never driver-checked (20)
+    "r52_ewma",
+    "x8_cuped",
+    "x8_mwu",
+    "r53_dist_windows",
+    "x8_srm",
+    "x2_semdedup",
+    "x11_bfs",
+    "x5_ppl_buckets",
+    "x9_scd2_lookup",
+    "x7_stream_ewma",
+    "x11_assortativity",
+    "x8_perm_test",
+    "t5_roundtrip_nested",
+    "x2_semdedup_apply",
+    "x8_trimmed_mean",
+    "r54_mode",
+    "x12_benford",
+    "x2_cluster_size_dist",
+    "x7_stream_cluster_assign",
+    "x5_hash_embed",
+    # (2) round-1-stale x2 rows (5)
+    "x2_minhash_lsh_pairs",
+    "x2_minhash_signatures",
+    "x2_ngram_jaccard_pairs",
+    "x2_simhash",
+    "x2_simhash_pairs",
+    # (3) NEW IN ROUND 5 — inserted here as they land (no driver row)
+    "x1_span_dedup_sorted",
+    # (4) displaced round-2/3 backlog (round-4 ordering preserved)
+    "x3_ann_topk_lsh",
+    "x3_ivf_topk",
+    "x6_media_meta",
+    "x2_embedding_near_dup",
+    "x2_cross_split_contamination",
+    "x8_stratified_sample",
+    "r1_scan_projection",
+    "r2_filter",
+    "r3_hash_aggregate",
+    "r4_join3_aggregate",
+    "r5_left_outer_join",
+    "r6_semi_join",
+    "r7_anti_join",
+    "r8_topk",
+    "r9_distinct",
+    "x6_frame_sample",
+    "x6_features",
+    "x6_resize",
+    "x7_stream_tumbling",
+    "x7_stream_sliding",
+    "x7_stream_sessions",
+    "x7_stream_stateful",
+    "x7_stream_dedup",
+    "x7_stream_enrich",
+    "t1_roundtrip_csv",
+    "r28b_histogram_quantiles",
+    "x2_dedup_apply",
+    "x2_dedup_stats",
+    "x2_embedding_near_dup_lsh",
+    "x3_cosine_topk",
+    "x5_lang_id",
+    "x5_token_stats",
+    "x5_quality_score",
+    "x5_winnow",
+    "x5_vocab",
+    "x5_tfidf",
+    "x3_label_centroids",
+    "x8_hash_split",
+    "x8_hash_sample",
+    "x8_weighted_sample",
+    "x8_grouped_linfit",
+    "x9_merge_upsert",
+    "x5_repetition",
+    "x5_pii_redact",
+    "x2_contamination",
+    "x2_winnow_pairs",
+    "x8_hll_distinct",
+    "x5_chunk_pack",
+    "x3_quantize_int8",
+    "x10_clean_corpus",
+    "x5_lm_score",
+    "x2_minhash_est",
+    # (5) round-4 driver window — freshest greens, lowest priority (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",
     "x12_outliers",
@@ -117,82 +171,9 @@ _PRIORITY = [
     "x6_media_dedup",
     "x7_stream_topk",
     "x2_lsh_curve",
-    # output changed in round 4 (multi-probe recall rows added)
     "x3_ann_recall",
-    # new in the fourth round-4 window (positions 50+ — first rows PAST
-    # the 50-row driver window, so no driver row until round 5; ALL are
-    # locally driver-strict green (check_oracle sf0.01) and head the
-    # round-5 front-load together with the displaced rows below)
-    "r52_ewma",
-    "x8_cuped",
-    "x8_mwu",
-    "r53_dist_windows",
-    "x8_srm",
-    "x2_semdedup",
-    "x11_bfs",
-    "x5_ppl_buckets",
-    "x9_scd2_lookup",
-    "x7_stream_ewma",
-    "x11_assortativity",
-    "x8_perm_test",
-    "t5_roundtrip_nested",
-    "x2_semdedup_apply",
-    "x8_trimmed_mean",
-    "r54_mode",
-    "x12_benford",
-    "x2_cluster_size_dist",
-    "x7_stream_cluster_assign",
-    "x5_hash_embed",
-    # last driver-checked in round 1 — the documented round-4 front-load
-    "x2_minhash_lsh_pairs",
-    "x2_minhash_signatures",
-    "x2_ngram_jaccard_pairs",
-    "x2_simhash",
-    "x2_simhash_pairs",
-    # operator code touched in round 4 (outputs verified identical
-    # locally; re-earn driver greens anyway)
-    "x3_ann_topk_lsh",
-    "x3_ivf_topk",
-    "x6_media_meta",
-    "x2_embedding_near_dup",
-    "x2_cross_split_contamination",
-    "x8_stratified_sample",
-    # oldest round-2 greens
-    "r1_scan_projection",
-    "r2_filter",
-    "r3_hash_aggregate",
-    "r4_join3_aggregate",
-    "r5_left_outer_join",
-    "r6_semi_join",
-    "r7_anti_join",
-    "r8_topk",
-    "r9_distinct",
-    "x6_frame_sample",
-    "x6_features",
-    "x6_resize",
-    "x7_stream_tumbling",
-    "x7_stream_sliding",
-    "x7_stream_sessions",
-    "x7_stream_stateful",
-    "x7_stream_dedup",
-    "x7_stream_enrich",
-    "t1_roundtrip_csv",
-    "r28b_histogram_quantiles",
-    "x2_dedup_apply",
-    "x2_dedup_stats",
-    "x2_embedding_near_dup_lsh",
-    "x3_cosine_topk",
-    "x5_lang_id",
-    "x5_token_stats",
-    "x5_quality_score",
-    "x5_winnow",
-    "x5_vocab",
-    "x5_tfidf",
-    "x3_label_centroids",
-    "x8_hash_split",
-    "x8_hash_sample",
-    "x8_weighted_sample",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -796,6 +796,7 @@ def duplicated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "hash",
 ) -> DataFrame:
     """Substring-level exact dedup REPORT (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better": duplicated spans, not
@@ -826,8 +827,38 @@ def duplicated_spans(
 
     Output: (id_col, span_start, span_end, span_tokens, n_grams) —
     n_grams = duplicated L-gram occurrences merged into the span.
+
+    ``mode`` picks the gram-count physical strategy (same rows either way
+    — pinned hash-equal by the declared x1_span_dedup_sorted query):
+
+    - ``"hash"`` (default): hash-agg the occurrence counts + shuffle-hash
+      flag-back join sharing one exchange. Fastest while the per-task
+      DISTINCT-gram hash tables fit in executor memory.
+    - ``"sorted"``: the sorted-run EXTERNAL variant for gram sets past
+      cluster memory (VERDICT r4 task #3): one exchange on the gram hash,
+      external sort within partitions, then a streaming window count over
+      each sorted run. No hash table anywhere — Spark's sort spills runs
+      to disk and merges them, and WindowExec buffers only ONE gram's
+      occurrence run at a time (itself spillable past
+      spark.sql.windowExec.buffer.spill.threshold), so memory bounds on
+      the largest single gram run, never on distinct-gram cardinality.
     """
     spark = df.sparkSession
+    if mode == "sorted":
+        g = (
+            _pos_gram_frame(df, L, text_col, id_col)
+            .repartition(spark.sparkContext.defaultParallelism, F.col("h"))
+            .sortWithinPartitions("h")
+        )
+        occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        flagged = (
+            g.withColumn("occ", occ)
+            .where(F.col("occ") >= min_count)
+            .select("d", "i")
+        )
+        return _merge_islands(flagged, L, id_col)
+    if mode != "hash":
+        raise ValueError(f"duplicated_spans: unknown mode {mode!r}")
     g = _pos_gram_frame(df, L, text_col, id_col).repartition(
         spark.sparkContext.defaultParallelism, F.col("h")
     )
@@ -838,6 +869,14 @@ def duplicated_spans(
         .select("h")
     )
     flagged = g.join(dup.hint("shuffle_hash"), "h").select("d", "i")
+    return _merge_islands(flagged, L, id_col)
+
+
+def _merge_islands(flagged: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Shared island-merge tail of duplicated_spans: merge overlapping or
+    adjacent (gap <= L) duplicated gram occurrences per document into
+    maximal spans. Per-doc window — key is the doc id, rows per doc
+    bounded by doc length."""
     wo = Window.partitionBy("d").orderBy("i")
     run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     isl = (

@@ -498,8 +498,21 @@ def ivf_topk_trained(
     Output: (qid, cid, dist, rk) with dist the exact integer squared L2
     on the quantized grid.
     """
-    ca = probe_cells(corpus, cents, 1, scale, id_col, vec_col).select(
-        F.col("vid").alias("cid"), F.col("xi").alias("cxi"), "cell"
+    # Corpus assignment is a pure argmin PROJECTION (assign_to_centroids),
+    # not probe_cells: probe_cells explodes every vector into k
+    # (cell, dist) rows and resolves them with a row_number window
+    # partitioned by vid — a k x corpus shuffle that would break the
+    # zero-shuffle contract for the 100 TB side. assign_to_centroids
+    # breaks ties toward the smaller cell id exactly as probe_cells'
+    # orderBy(cdist, cell) does at nprobe=1, so outputs are identical.
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        quantize_vectors,
+    )
+
+    cq = quantize_vectors(corpus, id_col, vec_col, scale)
+    ca = assign_to_centroids(cq, cents, id_col).select(
+        F.col(id_col).alias("cid"), F.col("xi").alias("cxi"), F.col("cluster").alias("cell")
     )
     qa = probe_cells(queries, cents, nprobe, scale, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("xi").alias("qxi"), "cell"

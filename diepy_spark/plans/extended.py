@@ -975,6 +975,20 @@ def x1_span_dedup(spark, sf_dir):
     )
 
 
+def x1_span_dedup_sorted(spark, sf_dir):
+    """The sorted-run EXTERNAL tier of x1_span_dedup
+    (operators/dedup.py:duplicated_spans mode="sorted"): identical rows
+    to the hash-mode query — same oracle, hash-checked — but the gram
+    occurrence count runs as one exchange + external sort + streaming
+    window count, with no hash table anywhere, so memory bounds on the
+    largest single-gram run instead of distinct-gram cardinality. The
+    variant a 100 TB corpus whose gram index exceeds cluster memory
+    switches to (plan shape pinned by tests/test_plan_shapes.py)."""
+    return D.duplicated_spans(
+        _docs(spark, sf_dir), L=SPAN_L, mode="sorted"
+    ).orderBy("doc_id", "span_start")
+
+
 SHARD_BUDGET = 2000  # tokens per training shard
 
 
@@ -2796,6 +2810,7 @@ EXTENDED_QUERIES = {
     "x8_stratified_sample": x8_stratified_sample,
     "x3_tfidf_cosine_pairs": x3_tfidf_cosine_pairs,
     "x1_span_dedup": x1_span_dedup,
+    "x1_span_dedup_sorted": x1_span_dedup_sorted,
     "x5_lang_classify": x5_lang_classify,
     "x1_span_strip": x1_span_strip,
     "x5_shard_pack": x5_shard_pack,
@@ -3974,6 +3989,9 @@ EXTENDED_ORACLES["x1_span_dedup"] = f"""
     ORDER BY doc_id, span_start
 """
 
+# Same semantics, different physical strategy — identical oracle.
+EXTENDED_ORACLES["x1_span_dedup_sorted"] = EXTENDED_ORACLES["x1_span_dedup"]
+
 # Packing mirror: the same running-sum window (cum BEFORE the doc, so a
 # shard overflows by at most one doc); integer floor division both sides.
 EXTENDED_ORACLES["x5_shard_pack"] = f"""
@@ -4544,7 +4562,7 @@ EXTENDED_ORACLES["x9_rollup_cascade"] = """
 
 def _kcore_oracle_sql() -> str:
     """Unrolled mirror of x11_kcore: the data-derived threshold (lower
-    median of initial degrees + 1), then per round a degree aggregate,
+    median of initial degrees), then per round a degree aggregate,
     the >= k filter, and the two-sided node restriction."""
     ctes = [
         """ps AS (SELECT DISTINCT l_partkey * 10 + 1 AS src,

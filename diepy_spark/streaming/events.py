@@ -242,9 +242,16 @@ def ewma_stateful(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         acc = 0.0
         if state.exists:
             n, acc = state.get
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for x in pdf["value"].astype("float64"):
+        # Materialize every Arrow chunk for the group and sort ONCE:
+        # a micro-batch whose rows span multiple record batches (>~10k
+        # rows, or multi-file triggers) would otherwise fold chunks in
+        # arrival order rather than global (ts, event_id) order and
+        # silently diverge from the batch operator / oracle.
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            for x in batch["value"].astype("float64"):
                 x = float(x)
                 acc = x if n == 0 else alpha * x + beta * acc
                 n += 1

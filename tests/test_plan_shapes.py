@@ -312,6 +312,34 @@ def test_duplicated_spans_hash_keyed_reused_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_duplicated_spans_sorted_run_shape(spark):
+    """mode="sorted" is the external tier: the gram count must run as ONE
+    exchange on the md5 gram hash + an in-partition sort + a streaming
+    window count over the sorted runs — no hash aggregate and no
+    flag-back join anywhere, so executor memory bounds on the largest
+    single-gram run, never distinct-gram cardinality."""
+    from diepy_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, SF, "documents")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(duplicated_spans(docs, mode="sorted"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "hashpartitioning(h" in plan
+    assert not re.search(r"hashpartitioning\(text", plan)
+    # the gram-count stage is a window over sorted runs, not an aggregate
+    # or a join: exactly the two windows (gram count + island merge lag),
+    # one HashAggregate total (the island groupBy), zero joins.
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) <= 2  # final+partial
+    assert "Join" not in plan
+    # exactly three exchanges: the gram-build doc repartition inside
+    # _pos_gram_frame, the gram hash, then the doc-id island window
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+
+
 def test_hll_distinct_no_explode_partial_agg(spark):
     """The HLL register build is narrow (no explode, no distinct
     pre-shuffle); both aggregations combine map-side."""

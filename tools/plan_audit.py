@@ -13,9 +13,12 @@ tallies the plan-smell counters that predict 100 TB pain:
 
 Queries that EXECUTE during plan construction (streaming replays, file
 roundtrips) are skipped — their returned frame is a memory/scratch scan,
-not the interesting plan.
+not the interesting plan. Queries that TRAIN at build time (k-means /
+codebook collects, limit-probes — `TRAINS_AT_BUILD`) still produce an
+interesting final plan and are audited by default; pass `--lazy-only`
+for a strictly no-execution audit that skips them too.
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Usage: python tools/plan_audit.py [--lazy-only] [sf_dir] [query ...]
 Prints one line per query sorted by (scans + exchanges) descending.
 """
 
@@ -29,7 +32,23 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SKIP_PREFIXES = ("x7_", "t1_", "t2_", "t3_", "t4_")
+SKIP_PREFIXES = ("x7_", "t1_", "t2_", "t3_", "t4_", "t5_")
+
+# Queries whose plan CONSTRUCTION runs driver-side jobs (k-means /
+# codebook training collects, limit-probes): still audited — their final
+# frame is the interesting plan — but listed here so `--lazy-only` can
+# exclude them when a pure no-execution audit is wanted.
+TRAINS_AT_BUILD = {
+    "x2_semdedup",
+    "x2_semdedup_apply",
+    "x2_cluster_size_dist",
+    "x3_ivf_trained",
+    "x3_pq_adc",
+    "x3_kmeans",
+    "x3_knn_classify",
+    "x3_ann_recall",
+    "x12_salted_join",
+}
 
 
 def audit(plan: str) -> dict[str, int]:
@@ -44,8 +63,10 @@ def audit(plan: str) -> dict[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--lazy-only"]
+    lazy_only = "--lazy-only" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from diepy_spark.session import get_spark
 
@@ -57,6 +78,8 @@ def main() -> int:
         if only and name not in only:
             continue
         if not only and name.startswith(SKIP_PREFIXES):
+            continue
+        if lazy_only and name in TRAINS_AT_BUILD:
             continue
         try:
             df = fn(spark, sf_dir)
