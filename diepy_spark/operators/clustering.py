@@ -553,6 +553,30 @@ def assign_to_centroids(q: DataFrame, cents: list[list[int]], id_col: str = "vec
     return scored.withColumn("cluster", cluster).withColumn("dist", best)
 
 
+def assign_top2_to_centroids(
+    q: DataFrame, cents: list[list[int]], id_col: str = "vec_id"
+) -> DataFrame:
+    """assign_to_centroids plus the SECOND-nearest cell — still a pure
+    zero-shuffle projection against centroid literals (no explode, no
+    window): ``cluster2``/``dist2`` = the argmin over the remaining cells
+    after excluding ``cluster``, ties toward the smaller cell id — the
+    exact (dist, cluster) rn=2 row of a per-vector ranking. The probe
+    list of multi-probe SemDeDup (similarity.semdedup_probe_pairs): a
+    boundary vector's nearest neighbor often lives in the SECOND cell,
+    and probing it costs a projection, not a shuffle."""
+    scored = assign_to_centroids(q, cents, id_col)
+    k = len(cents)
+    sec = F.least(
+        *[F.when(F.col("cluster") != j, F.col(f"d{j}")) for j in range(k)]
+    )
+    cluster2 = F.lit(None).cast("int")
+    for j in reversed(range(k)):
+        cluster2 = F.when(
+            (F.col("cluster") != j) & (F.col(f"d{j}") == sec), F.lit(j)
+        ).otherwise(cluster2)
+    return scored.withColumn("cluster2", cluster2).withColumn("dist2", sec)
+
+
 def kmeans_centroids_int(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -740,3 +740,95 @@ def semdedup_flags(
         "cluster",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
     )
+
+
+def semdedup_dup_pairs(
+    vecs: DataFrame,
+    cents: list[list[int]],
+    probes: int | str = 1,
+    thr_num: int = 9,
+    thr_den: int = 10,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PAIR-level SemDeDup surface with MULTI-PROBE cell expansion
+    (VERDICT r4 task #4, the x3_ann_recall trust-instrument pattern
+    applied to dedup): which (da < db) pairs exceed the integer
+    cross-multiplied cosine threshold, where candidate generation probes
+
+    - ``probes=1``: each vector's primary cell only — semdedup_flags'
+      pair set (single-cell SemDeDup misses near-dup pairs straddling a
+      cell boundary),
+    - ``probes=2``: primary + SECOND-nearest cell
+      (clustering.assign_top2_to_centroids — a pure projection, so the
+      expansion adds ZERO shuffles to the assignment side; a pair is
+      examined when either endpoint's probe list covers the other's
+      primary cell),
+    - ``probes="all"``: every cell — exhaustive ground truth (every pair
+      is a candidate; the recall denominator of x2_semdedup_probe).
+
+    Scale shape: the pair join stays keyed on the cell id (quadratic
+    term sum |c| * |probe_c|, k grows with n per the SemDeDup contract);
+    the only addition over semdedup_flags is a DISTINCT on the
+    SURVIVING (da, db) id pairs — integer pairs, duplicate-bounded by 2,
+    never vectors. Output: (da, db) distinct, da < db by construction.
+    """
+    from diepy_spark.operators.clustering import (
+        assign_top2_to_centroids,
+        quantize_vectors,
+    )
+
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    a2 = assign_top2_to_centroids(q, cents, id_col)
+    a2 = a2.withColumn(
+        "nn", F.expr("aggregate(xi, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    ).localCheckpoint(eager=False)
+    prim = a2.select(
+        F.col(id_col).alias("pa"),
+        F.col("cluster").alias("cell"),
+        F.col("xi").alias("xa"),
+        F.col("nn").alias("na"),
+    )
+    pb = a2.select(
+        F.col(id_col).alias("pb"),
+        F.col("xi").alias("xb"),
+        F.col("nn").alias("nb"),
+    )
+    if probes == "all":
+        probe = pb.crossJoin(
+            a2.select(F.col("cluster").alias("cell")).distinct()
+        )
+    elif probes == 2:
+        probe = pb.join(
+            a2.select(
+                F.col(id_col).alias("pb"),
+                F.explode(F.array("cluster", "cluster2")).alias("cell"),
+            ),
+            "pb",
+        )
+    elif probes == 1:
+        probe = pb.join(
+            a2.select(F.col(id_col).alias("pb"), F.col("cluster").alias("cell")),
+            "pb",
+        )
+    else:
+        raise ValueError(f"semdedup_dup_pairs: bad probes {probes!r}")
+    cand = prim.join(probe, "cell").where(F.col("pa") != F.col("pb"))
+    dot = F.expr(
+        "aggregate(zip_with(xa, xb, (p, q) -> p * q),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    dup = cand.withColumn("dot", dot).where(
+        (F.col("dot") > 0)
+        & (
+            F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
+            > F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+        )
+    )
+    return (
+        dup.select(
+            F.least("pa", "pb").alias("da"), F.greatest("pa", "pb").alias("db")
+        )
+        .distinct()
+    )

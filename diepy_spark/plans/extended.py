@@ -2227,6 +2227,59 @@ def x2_semdedup_apply(spark, sf_dir):
     )
 
 
+SD_PROBE_MAX = 400  # instrument subset: absolute id bound => constant cost at every sf
+
+
+def x2_semdedup_probe(spark, sf_dir):
+    """MULTI-PROBE SemDeDup calibration (VERDICT r4 task #4 — the
+    x3_ann_recall trust-instrument pattern applied to semantic dedup):
+    how many of the TRUE near-duplicate pairs does single-cell SemDeDup
+    find, and how much recall does probing each vector's SECOND-nearest
+    k-means cell buy? The second cell comes from
+    clustering.assign_top2_to_centroids — a pure projection against the
+    centroid literals, so the expansion adds zero shuffles to the
+    assignment side (the ann_topk_lsh hamming=1 trick, in cluster space).
+    Ground truth = the exhaustive pair set over an absolute-id-bounded
+    subset (vec_id < SD_PROBE_MAX keeps the instrument constant-cost at
+    every sf); the quantizer itself trains on the FULL corpus exactly as
+    x2_semdedup does. Output: (method, n_exact, n_found, recall)."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    sub = v.where(F.col("vec_id") < SD_PROBE_MAX)
+
+    def pairs(probes):
+        return S.semdedup_dup_pairs(
+            sub,
+            cents,
+            probes=probes,
+            thr_num=SD_THR_NUM,
+            thr_den=SD_THR_DEN,
+            scale=SD_SCALE,
+        )
+
+    exact = pairs("all").localCheckpoint(eager=False)
+
+    def rec(p, method):
+        found = exact.join(p, ["da", "db"], "left_semi")
+        return (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_found",
+                F.round(F.col("n_found") / F.col("n_exact"), 4).alias("recall"),
+            )
+        )
+
+    return rec(pairs(1), "cell1").unionByName(rec(pairs(2), "probe2")).orderBy(
+        "method"
+    )
+
+
 def x12_benford(spark, sf_dir):
     """Benford's-law audit of order amounts — the forensic DQ check for
     fabricated or truncated numeric columns: the observed leading-digit
@@ -2836,6 +2889,7 @@ EXTENDED_QUERIES = {
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
     "x2_semdedup": x2_semdedup,
+    "x2_semdedup_probe": x2_semdedup_probe,
     "x11_bfs": x11_bfs,
     "x5_ppl_buckets": x5_ppl_buckets,
     "x5_hash_embed": x5_hash_embed,
@@ -5166,6 +5220,67 @@ def _semdedup_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x2_semdedup"] = _semdedup_oracle_sql()
+
+
+def _semdedup_probe_oracle_sql() -> str:
+    """Mirror of x2_semdedup_probe: the shared full-corpus k-means chain,
+    per-vector (dist, cluster) ranking for primary (rn=1) and probe list
+    (rn<=2), exhaustive subset pairs as ground truth, candidate sets per
+    probe level, and the two recall rows."""
+    ctes = _kmeans_ctes(iters=SD_ITER, scale=SD_SCALE)
+    ctes.append(f"""cdp AS (
+        SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+        FROM u JOIN c{SD_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
+    ctes.append("""rnk AS (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cluster) AS rn FROM cdp)""")
+    ctes.append(f"""pcell AS (SELECT vec_id AS cid, cluster AS cell
+        FROM rnk WHERE rn = 1 AND vec_id < {SD_PROBE_MAX})""")
+    ctes.append(f"""pcell2 AS (SELECT vec_id AS cid, cluster AS cell
+        FROM rnk WHERE rn <= 2 AND vec_id < {SD_PROBE_MAX})""")
+    ctes.append(f"""pnrm AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+        FROM u WHERE vec_id < {SD_PROBE_MAX} GROUP BY 1)""")
+    ctes.append(f"""pdot AS (
+        SELECT a.cid AS da, b.cid AS db, CAST(SUM(ua.x * ub.x) AS BIGINT) AS dot
+        FROM pcell a JOIN pcell b ON a.cid < b.cid
+        JOIN u ua ON ua.vec_id = a.cid
+        JOIN u ub ON ub.vec_id = b.cid AND ub.i = ua.i
+        GROUP BY 1, 2)""")
+    ctes.append(f"""pdup AS (
+        SELECT p.da, p.db FROM pdot p
+        JOIN pnrm na ON na.vec_id = p.da
+        JOIN pnrm nb ON nb.vec_id = p.db
+        WHERE dot > 0
+          AND {SD_THR_DEN * SD_THR_DEN} * dot * dot
+              > {SD_THR_NUM * SD_THR_NUM} * na.nn * nb.nn)""")
+    ctes.append("""cand1 AS (
+        SELECT a.cid AS da, b.cid AS db
+        FROM pcell a JOIN pcell b ON b.cell = a.cell AND a.cid < b.cid)""")
+    ctes.append("""cand2 AS (
+        SELECT DISTINCT least(p.cid, q.cid) AS da, greatest(p.cid, q.cid) AS db
+        FROM pcell p JOIN pcell2 q ON q.cell = p.cell AND p.cid <> q.cid)""")
+    ctes.append("""sel AS (
+        SELECT 'cell1' AS method,
+               (SELECT CAST(count(*) AS BIGINT) FROM pdup) AS n_exact,
+               (SELECT CAST(count(*) AS BIGINT) FROM pdup d
+                JOIN cand1 c ON c.da = d.da AND c.db = d.db) AS n_found
+        UNION ALL
+        SELECT 'probe2',
+               (SELECT CAST(count(*) AS BIGINT) FROM pdup),
+               (SELECT CAST(count(*) AS BIGINT) FROM pdup d
+                JOIN cand2 c ON c.da = d.da AND c.db = d.db))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT method, n_exact, n_found,
+               round(CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE), 4)
+                 AS recall
+        FROM sel ORDER BY method"""
+    )
+
+
+EXTENDED_ORACLES["x2_semdedup_probe"] = _semdedup_probe_oracle_sql()
 
 def _bfs_oracle_sql() -> str:
     """Mirror of x11_bfs: seeds at distance 0, then BFS_ITER unrolled
