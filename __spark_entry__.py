@@ -69,6 +69,7 @@ _PRIORITY = [
     # (3) NEW IN ROUND 5 — inserted here as they land (no driver row)
     "x1_span_dedup_sorted",
     "x2_semdedup_probe",
+    "x12_salted_join",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

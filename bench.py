@@ -71,6 +71,16 @@ def main() -> None:
         timings[name] = min(pair)
 
     total = round(sum(timings.values()), 3)
+    # Per-family subtotals (r* relational, t* roundtrips, x1..x12 extension
+    # families): with 175+ queries, round-over-round diffs need to be
+    # family-attributable without replaying per-query pairs.
+    families: dict[str, float] = {}
+    fam_counts: dict[str, int] = {}
+    for name, sec in timings.items():
+        m2 = re.match(r"(x\d+|[a-z]+)", name)
+        fam = m2.group(1) if m2 else name
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+        fam_counts[fam] = fam_counts.get(fam, 0) + 1
     # Truncation-proof output: the driver may capture only the TAIL of
     # stdout (round 2 lost the headline because the single giant JSON line
     # was beheaded). Emit the full object (with the per-query map) FIRST,
@@ -84,6 +94,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "families": families,
+                "family_counts": fam_counts,
                 "sf": sf,
             }
         )
@@ -98,6 +110,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "slowest": slowest,
+                "families": families,
             }
         )
     )

@@ -163,6 +163,20 @@ def ewma(
     float64 — two products then one sum, the same IEEE-754 operation
     order a DuckDB ``list_reduce(list(x ORDER BY ...), (a, x) ->
     alpha*x + beta*a)`` fold performs, so results are bit-identical.
+
+    Throughput: the recurrence runs per SEGMENT (one contiguous key run
+    in the sorted batch) through pandas ``ewm(alpha, adjust=False)`` —
+    Cython, and bit-identical to the Python fold because with
+    ``adjust=False`` pandas evaluates ``(beta*acc + alpha*x) /
+    (beta + alpha)``: the addition is commutative under IEEE-754
+    round-to-nearest and the divisor is exactly 1.0 whenever
+    ``alpha + beta == 1.0`` (asserted; the per-row loop remains as the
+    fallback for alphas where that fails and for NaN-bearing segments,
+    where pandas' skip-NaN weighting diverges from NaN-poisoning). A
+    cross-batch carry seeds a continuing segment by prepending the
+    accumulator and dropping the first output row. Measured at sf0.1:
+    the per-row interpreter fold is the ceiling this replaces —
+    see SURVEY §6 (r52 A/B).
     """
     order = [ts_col] + list(tiebreak or [])
     cols: list[str] = []
@@ -177,22 +191,58 @@ def ewma(
     beta = 1.0 - alpha
     keys = list(on)
 
+    vectorizable = (alpha + beta) == 1.0
+
     def scan(batches):
+        import numpy as np
+        import pandas as pd
+
         cur_key = None
-        acc = 0.0
+        acc = None
         for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf = pdf.copy()
+                pdf[out_col] = []
+                yield pdf
+                continue
             vals = pdf[value_col].astype("float64").to_numpy()
             kcols = [pdf[c].to_numpy() for c in keys]
-            out = [0.0] * len(pdf)
-            for i in range(len(pdf)):
-                k = tuple(kc[i] for kc in kcols)
-                x = float(vals[i])
-                if k != cur_key:
-                    cur_key = k
-                    acc = x
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for kc in kcols:
+                change[1:] |= kc[1:] != kc[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            out = np.empty(n, dtype=np.float64)
+            for s, e in zip(starts, ends):
+                k = tuple(kc[s] for kc in kcols)
+                seg = vals[s:e]
+                continuing = k == cur_key and acc is not None
+                if vectorizable and not np.isnan(seg).any():
+                    if continuing:
+                        seeded = np.concatenate(([acc], seg))
+                        out[s:e] = (
+                            pd.Series(seeded)
+                            .ewm(alpha=alpha, adjust=False)
+                            .mean()
+                            .to_numpy()[1:]
+                        )
+                    else:
+                        out[s:e] = (
+                            pd.Series(seg)
+                            .ewm(alpha=alpha, adjust=False)
+                            .mean()
+                            .to_numpy()
+                        )
                 else:
-                    acc = alpha * x + beta * acc
-                out[i] = acc
+                    a = acc if continuing else None
+                    for i in range(s, e):
+                        x = float(vals[i])
+                        a = x if a is None else alpha * x + beta * a
+                        out[i] = a
+                cur_key = k
+                acc = float(out[e - 1])
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf

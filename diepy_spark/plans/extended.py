@@ -1445,6 +1445,45 @@ def x12_skew_diag(spark, sf_dir):
     )
 
 
+SALT_BUCKETS = 8
+
+
+def x12_salted_join(spark, sf_dir):
+    """The FIX x12_skew_diag's diagnosis calls for, on the same skewed
+    key (operators/skew.py:salted_join — the last library-only component
+    earning a correctness row, VERDICT r4 task #7): join lineitem to
+    part on partkey with the fact side salted into SALT_BUCKETS sub-keys
+    and the dimension replicated once per bucket, so a hot partkey's
+    rows spread across SALT_BUCKETS reducers instead of one. Salt is a
+    hash of the fact row's own (orderkey, linenumber) — deterministic
+    under retries, invisible in the result: the aggregate is
+    hash-identical to the plain-join oracle, which is exactly the
+    correctness contract of salting."""
+    tune(spark)
+    from diepy_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    j = salted_join(
+        li, pt, on=["pk"], salt_from=["l_orderkey", "l_linenumber"],
+        buckets=SALT_BUCKETS,
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 CDC_K = 4
 CDC_DIV = 8
 
@@ -2877,6 +2916,7 @@ EXTENDED_QUERIES = {
     "x3_knn_classify": x3_knn_classify,
     "x9_scd2": x9_scd2,
     "x12_skew_diag": x12_skew_diag,
+    "x12_salted_join": x12_salted_join,
     "x1_cdc_chunks": x1_cdc_chunks,
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
@@ -4413,6 +4453,14 @@ EXTENDED_ORACLES["x12_skew_diag"] = f"""
            round(cnt * n_keys / total, 4) AS skew_factor
     FROM s ORDER BY cnt DESC, l_partkey LIMIT {SKEW_TOP}
 """
+
+EXTENDED_ORACLES["x12_salted_join"] = """
+    SELECT p_brand, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
 
 
 def _cdc_oracle_sql() -> str:
