@@ -70,6 +70,11 @@ _PRIORITY = [
     "x1_span_dedup_sorted",
     "x2_semdedup_probe",
     "x12_salted_join",
+    "x5_lang_confusion",
+    "r55_weighted_median",
+    "r56_trailing_range_window",
+    "x3_mips",
+    "x11_neighbor_jaccard",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

@@ -225,6 +225,38 @@ def x2_embedding_near_dup_lsh(spark, sf_dir):
     ).orderBy("va", "vb")
 
 
+def x3_mips(spark, sf_dir):
+    """Maximum-inner-product search (the recommender/reranker sibling of
+    cosine top-k: score = raw dot product, no normalization — MIPS is
+    NOT cosine and the two rank differently whenever norms vary). Exact
+    integer dot on the quantized grid, so ranking ties and values are
+    bit-identical cross-engine; the query side broadcasts and the corpus
+    never shuffles — the same shape cosine_topk pins."""
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    v = _vecs(spark, sf_dir)
+    q = quantize_vectors(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX), "vec_id", "embedding", KM_SCALE
+    ).select(F.col("vec_id").alias("qid"), F.col("xi").alias("qxi"))
+    c = quantize_vectors(
+        v.where(F.col("vec_id") >= TOPK_QUERY_MAX), "vec_id", "embedding", KM_SCALE
+    ).select(F.col("vec_id").alias("cid"), F.col("xi").alias("cxi"))
+    dot = F.expr(
+        "aggregate(zip_with(qxi, cxi, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = c.join(F.broadcast(q)).withColumn("dot", dot)
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK_K)
+        .select("qid", "cid", "dot", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
 def x3_cosine_topk(spark, sf_dir):
     v = _vecs(spark, sf_dir)
     return S.cosine_topk(
@@ -962,6 +994,27 @@ def x5_lang_classify(spark, sf_dir):
     )
 
 
+def x5_lang_confusion(spark, sf_dir):
+    """CONFUSION MATRIX between the two language-ID paths — the
+    zero-cost heuristic (stopword hits, x5_lang_id) against the trained
+    NB classifier (x5_lang_classify): per (heuristic, trained) label
+    pair, how many documents land there. The instrument a pipeline runs
+    before swapping detectors: off-diagonal mass is exactly the
+    disagreement set a human samples. Both predictors are broadcast
+    models applied in one corpus pass each; the join key is the doc id."""
+    d = _docs(spark, sf_dir)
+    heur = T.lang_id(d).select("doc_id", F.col("pred_lang").alias("heur"))
+    trained = T.lang_classify(d, n=LANGCLF_N, top_n=LANGCLF_TOP).select(
+        "doc_id", F.col("pred_lang").alias("trained")
+    )
+    return (
+        heur.join(trained, "doc_id")
+        .groupBy("heur", "trained")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("heur", "trained")
+    )
+
+
 def x1_span_dedup(spark, sf_dir):
     """Substring-level exact dedup (operators/dedup.py:duplicated_spans —
     the Lee et al. duplicated-span criterion over word L-grams): maximal
@@ -1107,6 +1160,59 @@ def x11_triangle_count(spark, sf_dir):
         ((F.col("o_custkey") * 101 + 7) % TRI_N).alias("dst"),
     )
     return triangle_count(edges).orderBy("node")
+
+
+NJ_PART_MAX = 300  # left-side id bound: wedge volume stays constant-ish per sf
+NJ_MIN_COMMON = 2
+NJ_TOP = 30
+
+
+def x11_neighbor_jaccard(spark, sf_dir):
+    """Link-prediction scores on the part–supplier bipartite graph:
+    neighbor-set Jaccard between part pairs — |suppliers(a) ∩
+    suppliers(b)| / |union| — the classic collaborative-filtering /
+    related-items primitive. Scale contract: candidates come from a
+    WEDGE join keyed on the shared supplier (never part×part), so the
+    quadratic term is Σ_s |parts(s)|²; the left side is id-bounded
+    (NJ_PART_MAX) the way every instrument here bounds its probe set,
+    and pairs below NJ_MIN_COMMON shared suppliers never leave the
+    wedge aggregate. Jaccard is an exact integer rational (inclusion–
+    exclusion denominator), rounded only for rendering."""
+    tune(spark)
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < NJ_PART_MAX)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    deg = e.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select(F.col("l_partkey").alias("pa"), "l_suppkey")
+    b = e.select(F.col("l_partkey").alias("pb"), "l_suppkey")
+    common = (
+        a.join(b, "l_suppkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= NJ_MIN_COMMON)
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("deg").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("deg").alias("db"))
+    return (
+        common.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            "pa",
+            "pb",
+            "common",
+            "da",
+            "db",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "pa", "pb")
+        .limit(NJ_TOP)
+    )
 
 
 FUZZY_MAX_DIST = 4  # levenshtein acceptance threshold
@@ -2864,6 +2970,7 @@ EXTENDED_QUERIES = {
     "x2_embedding_near_dup": x2_embedding_near_dup,
     "x2_embedding_near_dup_lsh": x2_embedding_near_dup_lsh,
     "x3_cosine_topk": x3_cosine_topk,
+    "x3_mips": x3_mips,
     "x3_ann_topk_lsh": x3_ann_topk_lsh,
     "x3_ivf_topk": x3_ivf_topk,
     "x5_lang_id": x5_lang_id,
@@ -2904,11 +3011,13 @@ EXTENDED_QUERIES = {
     "x1_span_dedup": x1_span_dedup,
     "x1_span_dedup_sorted": x1_span_dedup_sorted,
     "x5_lang_classify": x5_lang_classify,
+    "x5_lang_confusion": x5_lang_confusion,
     "x1_span_strip": x1_span_strip,
     "x5_shard_pack": x5_shard_pack,
     "x8_bloom_semijoin": x8_bloom_semijoin,
     "x9_snapshot_diff": x9_snapshot_diff,
     "x11_triangle_count": x11_triangle_count,
+    "x11_neighbor_jaccard": x11_neighbor_jaccard,
     "x2_fuzzy_join": x2_fuzzy_join,
     "x12_dq_profile": x12_dq_profile,
     "x8_cms_heavy_hitters": x8_cms_heavy_hitters,
@@ -4165,8 +4274,10 @@ _LANGCLF_GRAMS = f"""
   GROUP BY 1, 2, 3
 """
 
-EXTENDED_ORACLES["x5_lang_classify"] = f"""
-    WITH d3 AS (
+# The full train->broadcast->argmax chain through the per-doc `pred`
+# CTE, shared by the x5_lang_classify accuracy oracle and the
+# x5_lang_confusion heuristic-vs-trained instrument.
+_LANGCLF_PRED_CTES = f"""d3 AS (
       SELECT doc_id, lang, text FROM documents WHERE len(text) >= {LANGCLF_N}
     ),
     dg AS ({_LANGCLF_GRAMS}),
@@ -4215,7 +4326,10 @@ EXTENDED_ORACLES["x5_lang_classify"] = f"""
         SELECT *, ROW_NUMBER() OVER (PARTITION BY d
                                      ORDER BY score DESC, cand ASC) AS rk
         FROM scored) WHERE rk = 1
-    )
+    )"""
+
+EXTENDED_ORACLES["x5_lang_classify"] = f"""
+    WITH {_LANGCLF_PRED_CTES}
     SELECT d3.lang, CAST(count(*) AS BIGINT) AS docs,
            CAST(SUM(CASE WHEN p.pred_lang = d3.lang THEN 1 ELSE 0 END)
                 AS BIGINT) AS correct,
@@ -4224,6 +4338,20 @@ EXTENDED_ORACLES["x5_lang_classify"] = f"""
     FROM d3 JOIN pred p ON p.d = d3.doc_id
     GROUP BY 1 ORDER BY 1
 """
+
+EXTENDED_ORACLES["x5_lang_confusion"] = f"""
+    WITH {_LANGCLF_PRED_CTES},
+    hits AS (
+      SELECT doc_id,
+             {', '.join(f'{_lang_hits_sql(lang)} AS hits_{lang}' for lang in LANG_PROFILES)}
+      FROM documents
+    ),
+    heur AS (SELECT doc_id, {_lang_pred_sql()} AS heur FROM hits)
+    SELECT h.heur, p.pred_lang AS trained, CAST(count(*) AS BIGINT) AS docs
+    FROM heur h JOIN pred p ON p.d = h.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 
 
 def _bloom_oracle_sql() -> str:
@@ -5613,3 +5741,44 @@ def _hash_embed_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x5_hash_embed"] = _hash_embed_oracle_sql()
+
+
+EXTENDED_ORACLES["x3_mips"] = f"""
+    WITH u AS (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    s AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+      FROM u q JOIN u c ON c.i = q.i
+      WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, dot, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, cid) AS rk FROM s)
+    WHERE rk <= {TOPK_K} ORDER BY qid, rk
+"""
+
+EXTENDED_ORACLES["x11_neighbor_jaccard"] = f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey < {NJ_PART_MAX}
+    ),
+    deg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    c AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS common
+      FROM e a JOIN e b ON b.l_suppkey = a.l_suppkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {NJ_MIN_COMMON}
+    )
+    SELECT pa, pb, common, da.deg AS da, db.deg AS db,
+           round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4)
+             AS jaccard
+    FROM c JOIN deg da ON da.l_partkey = pa JOIN deg db ON db.l_partkey = pb
+    ORDER BY jaccard DESC, pa, pb LIMIT {NJ_TOP}
+"""

@@ -556,3 +556,39 @@ RELATIONAL_ORACLES["r53_dist_windows"] = """
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
     ORDER BY o_custkey, o_orderkey
 """
+
+RELATIONAL_ORACLES["r55_weighted_median"] = """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS wc
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, q, wc,
+             CAST(SUM(wc) OVER (PARTITION BY l_returnflag ORDER BY q
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(wc) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM h
+    )
+    SELECT l_returnflag,
+           round(CAST(min(q) AS BIGINT) / 100.0, 2) AS weighted_median_qty
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY 1 ORDER BY l_returnflag
+"""
+
+RELATIONAL_ORACLES["r56_trailing_range_window"] = """
+    WITH d AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_custkey < 500
+    )
+    SELECT o_custkey, o_orderkey, day,
+           round(CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 / 100.0, 2) AS trail_7d
+    FROM d ORDER BY o_custkey, day, o_orderkey
+"""

@@ -666,6 +666,72 @@ def r54_mode(spark, sf_dir):
     )
 
 
+def r55_weighted_median(spark, sf_dir):
+    """Per-group WEIGHTED median (l_quantity weighted by extended-price
+    cents) — the exact-at-scale shape shared with r28b/r50: collapse to a
+    value-frequency histogram with integer weights (map-side combined),
+    one cumulative window over the value order, then the integer rank
+    test 2*cum >= total. No per-group value buffer anywhere, so group
+    cardinality is the only memory driver — unlike percentile(), which
+    buffers every raw value (the r28 scale-shape exception)."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_quantity").cast(DEC) * 100).cast("bigint").alias("q"),
+            (F.col("l_extendedprice").cast(DEC) * 100).cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "q")
+        .agg(F.sum("w").alias("wc"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    return (
+        h.withColumn("cum", F.sum("wc").over(wcum))
+        .withColumn("tot", F.sum("wc").over(wtot))
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("q").alias("qmin"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qmin") / 100.0, 2).alias("weighted_median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def r56_trailing_range_window(spark, sf_dir):
+    """RANGE-frame trailing window — per-customer spend over the trailing
+    7 DAYS (value-based frame, not row count: RANGE BETWEEN 6 PRECEDING
+    AND CURRENT ROW over the epoch-day index). The frame r37/r49 don't
+    cover: rows-frames count events, range-frames measure time, and same-
+    day orders share one frame (ties enter together — deterministic
+    without a tiebreak). Money stays integer cents inside the frame sum;
+    one shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    d = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}").alias(
+            "day"
+        ),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return (
+        d.withColumn("trail_cents", F.sum("cents").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "day",
+            F.round(F.col("trail_cents") / 100.0, 2).alias("trail_7d"),
+        )
+        .orderBy("o_custkey", "day", "o_orderkey")
+    )
+
+
 def r36_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/aggregate) over the
     embedding column — entirely JVM-side lambda evaluation, zero Python.
@@ -1235,4 +1301,6 @@ RELATIONAL_QUERIES = {
     "r52_ewma": r52_ewma,
     "r53_dist_windows": r53_dist_windows,
     "r54_mode": r54_mode,
+    "r55_weighted_median": r55_weighted_median,
+    "r56_trailing_range_window": r56_trailing_range_window,
 }
