@@ -75,6 +75,8 @@ _PRIORITY = [
     "r56_trailing_range_window",
     "x3_mips",
     "x11_neighbor_jaccard",
+    "x3_ivfpq",
+    "x2_incremental_minhash",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

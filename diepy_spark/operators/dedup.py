@@ -1107,3 +1107,93 @@ def incremental_exact_dedup(
             (F.col("rk") > 1).cast("int").alias("dup_in_batch"),
         )
     )
+
+
+def incremental_minhash_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    min_match: int = 8,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the MinHash sibling of
+    incremental_exact_dedup, and the crawl-N+1 shape of
+    minhash_lsh_pairs: an arriving `batch` checks itself against a
+    STANDING signature index without ever re-scanning the index corpus'
+    text. The index side here computes signatures from text for the
+    fixture's sake; at 100 TB the `index` frame is the persisted
+    signature table itself (num_hashes md5 hex strings per doc — the
+    whole point of keeping one).
+
+    A batch document is `dup_of_index` when it shares an LSH band with
+    an index document AND their signatures agree on >= `min_match` of
+    `num_hashes` min-hashes (the unbiased Jaccard estimate of
+    x2_minhash_est as an integer test), `dup_in_batch` when the same
+    holds against an EARLIER (smaller-id) batch document.
+
+    Scale shape: signatures are per-row HOF projections (zero shuffle);
+    banding joins are equi-joins on (band, sig); the verify is one
+    zip_with over two length-`num_hashes` arrays per candidate — the
+    index text is never touched, which is exactly what makes the
+    incremental form cheaper than re-running the full-corpus pair job.
+
+    Output: (id_col, dup_of_index, dup_in_batch) 0/1 ints, one row per
+    batch document that has at least one shingle."""
+    spark = batch.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sigi = minhash_signatures(index, num_hashes, n, text_col, id_col)
+    sigb = minhash_signatures(batch, num_hashes, n, text_col, id_col)
+    bi = band_frame(sigi, num_hashes, band_size).repartition(
+        par, F.col("band"), F.col("sig")
+    )
+    bb = band_frame(sigb, num_hashes, band_size).repartition(
+        par, F.col("band"), F.col("sig")
+    )
+    cand_idx = (
+        bb.select(F.col("d").alias("db"), "band", "sig")
+        .join(
+            bi.select(F.col("d").alias("di"), "band", "sig").hint("shuffle_hash"),
+            ["band", "sig"],
+        )
+        .select("db", "di")
+        .distinct()
+    )
+    cand_bat = (
+        bb.alias("x")
+        .join(bb.alias("y").hint("shuffle_hash"), ["band", "sig"])
+        .where(F.col("y.d") < F.col("x.d"))
+        .select(F.col("x.d").alias("db"), F.col("y.d").alias("di"))
+        .distinct()
+    )
+    mh_arr = F.array(*[F.col(f"mh{h}") for h in range(num_hashes)])
+    vi = sigi.select(F.col("d").alias("di"), mh_arr.alias("vi"))
+    vb = sigb.select(F.col("d").alias("db"), mh_arr.alias("vb"))
+    agree = F.expr(
+        "aggregate(zip_with(vb, vi, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+
+    def flags(cand, out):
+        return (
+            cand.join(vb, "db")
+            .join(vi, "di")
+            .withColumn("m", agree)
+            .groupBy("db")
+            .agg(F.max((F.col("m") >= min_match).cast("int")).alias(out))
+        )
+
+    fi = flags(cand_idx, "dup_of_index")
+    fb = flags(cand_bat, "dup_in_batch")
+    return (
+        sigb.select(F.col("d").alias("db"))
+        .join(fi, "db", "left")
+        .join(fb, "db", "left")
+        .select(
+            F.col("db").alias(id_col),
+            F.coalesce("dup_of_index", F.lit(0)).alias("dup_of_index"),
+            F.coalesce("dup_in_batch", F.lit(0)).alias("dup_in_batch"),
+        )
+    )

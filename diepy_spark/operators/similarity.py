@@ -832,3 +832,75 @@ def semdedup_dup_pairs(
         )
         .distinct()
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    k: int = 3,
+    nprobe: int = 1,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed (the canonical billion-vector index layout:
+    coarse quantizer routes, product quantizer compresses, ADC scores):
+    the corpus stores (cell, m codes) per vector — cell from a pure
+    argmin projection against the trained centroid literals
+    (clustering.assign_to_centroids), codes from per-subspace argmin
+    against the codebook literals — i.e. the 100 TB side is ONE narrow
+    projection pass, never shuffled, at m bytes/vector storage. The
+    query side expands to `nprobe` cells (probe_cells) carrying its
+    m x ncodes LUT arrays and BROADCASTs into the cell-keyed join; a
+    candidate's distance is m lookups + adds, all integers. A (query,
+    candidate) pair arises from at most one probed cell (corpus vectors
+    store one cell), so no dedup step. Output: (qid, cid, dist, rk)."""
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        quantize_vectors,
+    )
+
+    cq = quantize_vectors(corpus, id_col, vec_col, scale)
+    a = assign_to_centroids(cq, cents, id_col)
+    sub_cols = [c for s in range(len(books)) for c in _pq_sub_dists(books, s)]
+    scored = a.select(
+        F.col(id_col).alias("cid"), F.col("cluster").alias("cell"), *sub_cols
+    )
+    enc_cols = [F.col("cid"), F.col("cell")]
+    for s, book in enumerate(books):
+        best = F.least(*[F.col(f"d{s}_{j}") for j in range(len(book))])
+        code = F.lit(None).cast("int")
+        for j in reversed(range(len(book))):
+            code = F.when(F.col(f"d{s}_{j}") == best, F.lit(j)).otherwise(code)
+        enc_cols.append(code.alias(f"code_{s}"))
+    enc = scored.select(*enc_cols)
+
+    qa = probe_cells(queries, cents, nprobe, scale, id_col, vec_col)
+    qd = qa.select(
+        F.col("vid").alias("qid"),
+        "cell",
+        *[c for s in range(len(books)) for c in _pq_sub_dists(books, s)],
+    )
+    luts = qd.select(
+        "qid",
+        "cell",
+        *[
+            F.array(*[F.col(f"d{s}_{j}") for j in range(len(books[s]))]).alias(
+                f"lut_{s}"
+            )
+            for s in range(len(books))
+        ],
+    )
+    dist = None
+    for s in range(len(books)):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        dist = term if dist is None else dist + term
+    cand = enc.join(F.broadcast(luts), "cell").withColumn("dist", dist)
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "cid", "dist", "rk")
+    )

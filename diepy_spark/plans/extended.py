@@ -167,6 +167,30 @@ def x1_incremental_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+MH_MIN_MATCH = 8  # agreeing min-hashes out of LSH_NUM_HASHES (= est jaccard 0.5)
+
+
+def x2_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup dedup (operators/dedup.py:
+    incremental_minhash_dedup — the MinHash sibling of
+    x1_incremental_dedup, same 80/20 split): the arriving batch LSH-bands
+    against the standing signature index and flags docs whose signatures
+    agree on >= MH_MIN_MATCH/16 min-hashes with an index doc
+    (dup_of_index) or an earlier batch doc (dup_in_batch). The index
+    corpus text is never re-scanned — the signature table IS the index,
+    which is what makes crawl-N+1 ingest linear in the batch."""
+    from diepy_spark.operators.dedup import incremental_minhash_dedup
+
+    d = _docs(spark, sf_dir)
+    return incremental_minhash_dedup(
+        d.where(F.col("doc_id") % INC_DEDUP_MOD != 0),
+        d.where(F.col("doc_id") % INC_DEDUP_MOD == 0),
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        min_match=MH_MIN_MATCH,
+    ).orderBy("doc_id")
+
+
 def x2_dedup_best(spark, sf_dir):
     """dedup_corpus with the KEEP-BEST policy
     (operators/clustering.py:dedup_corpus_best): per duplicate cluster
@@ -2306,6 +2330,38 @@ def x3_pq_adc(spark, sf_dir):
     ).orderBy("qid", "rk")
 
 
+IVFPQ_NPROBE = 2
+
+
+def x3_ivfpq(spark, sf_dir):
+    """IVF + PQ composed search (operators/similarity.py:ivfpq_topk) —
+    the full faiss-style index architecture in one declared query: a
+    TRAINED coarse quantizer (clustering.kmeans_centroids_int) routes
+    queries to IVFPQ_NPROBE cells, and within probed cells candidates
+    score by PQ asymmetric distance (m LUT lookups, integer-exact).
+    Corpus-side cost: one projection pass (cell argmin + per-subspace
+    code argmin against literals), m bytes/vector storage, zero
+    shuffles. Queries/corpus split and codebooks match x3_pq_adc so the
+    two reports are comparable: same candidates scored, different
+    candidate generation."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+    from diepy_spark.operators.similarity import ivfpq_topk, pq_codebooks
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE)
+    books = pq_codebooks(v, m=PQ_M, ncodes=PQ_CODES, scale=KM_SCALE)
+    return ivfpq_topk(
+        v.where(F.col("vec_id") < PQ_NQ),
+        v.where(F.col("vec_id") >= PQ_NQ),
+        cents,
+        books,
+        k=PQ_K,
+        nprobe=IVFPQ_NPROBE,
+        scale=KM_SCALE,
+    ).orderBy("qid", "rk")
+
+
 LP_ITER = 3
 
 
@@ -2957,6 +3013,7 @@ EXTENDED_QUERIES = {
     "x2_dedup_apply": x2_dedup_apply,
     "x2_dedup_best": x2_dedup_best,
     "x1_incremental_dedup": x1_incremental_dedup,
+    "x2_incremental_minhash": x2_incremental_minhash,
     "x12_ref_integrity": x12_ref_integrity,
     "x8_ab_test": x8_ab_test,
     "x8_cuped": x8_cuped,
@@ -3034,6 +3091,7 @@ EXTENDED_QUERIES = {
     "x5_gopher": x5_gopher,
     "x11_label_prop": x11_label_prop,
     "x3_pq_adc": x3_pq_adc,
+    "x3_ivfpq": x3_ivfpq,
     "x8_temperature_mix": x8_temperature_mix,
     "x8_bootstrap_ci": x8_bootstrap_ci,
     "x3_kmeans": x3_kmeans,
@@ -4780,6 +4838,57 @@ def _pq_adc_oracle_sql() -> str:
 EXTENDED_ORACLES["x3_pq_adc"] = _pq_adc_oracle_sql()
 
 
+def _ivfpq_oracle_sql() -> str:
+    """Mirror of x3_ivfpq: the shared k-means chain trains the coarse
+    quantizer (c{KM_ITER}); per-vector cell ranking routes the corpus
+    (rn=1) and queries (rn<=IVFPQ_NPROBE); the PQ chain (p-prefixed to
+    avoid CTE collisions with the k-means chain's u/seeds) encodes the
+    corpus and scores candidates by ADC lookup sums within probed
+    cells."""
+    sub = EMB_DIM // PQ_M
+    ctes = _kmeans_ctes()
+    ctes.append(f"""ivdd AS (
+        SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+        FROM u JOIN c{KM_ITER} c ON c.i = u.i GROUP BY 1, 2)""")
+    ctes.append("""ivrk AS (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cluster) AS rn FROM ivdd)""")
+    ctes.append(f"""ccell AS (SELECT vec_id AS cid, cluster AS cell
+        FROM ivrk WHERE rn = 1 AND vec_id >= {PQ_NQ})""")
+    ctes.append(f"""qcell AS (SELECT vec_id AS qid, cluster AS cell
+        FROM ivrk WHERE rn <= {IVFPQ_NPROBE} AND vec_id < {PQ_NQ})""")
+    ctes.append(f"""pseeds AS (SELECT vec_id,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+        FROM (SELECT DISTINCT vec_id FROM embeddings
+              ORDER BY vec_id LIMIT {PQ_CODES}))""")
+    ctes.append(f"""pcb AS (SELECT s.j, u.i, (u.i - 1) // {sub} AS s, u.x AS c
+        FROM pseeds s JOIN u ON u.vec_id = s.vec_id)""")
+    ctes.append("""psd AS (SELECT u.vec_id, pcb.s, pcb.j,
+            SUM((u.x - pcb.c) * (u.x - pcb.c)) AS d
+        FROM u JOIN pcb ON pcb.i = u.i GROUP BY 1, 2, 3)""")
+    ctes.append(f"""pcodes AS (SELECT vec_id AS cid, s, j AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                     ORDER BY d, j) AS rn
+          FROM psd WHERE vec_id >= {PQ_NQ}) WHERE rn = 1)""")
+    ctes.append("""cand AS (SELECT q.qid, c.cid
+        FROM qcell q JOIN ccell c ON c.cell = q.cell)""")
+    ctes.append("""ppairs AS (SELECT cand.qid, cand.cid,
+            CAST(SUM(q.d) AS BIGINT) AS dist
+        FROM cand JOIN pcodes c ON c.cid = cand.cid
+        JOIN psd q ON q.vec_id = cand.qid AND q.s = c.s AND q.j = c.code
+        GROUP BY 1, 2)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT qid, cid, dist, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY dist, cid) AS rk FROM ppairs)
+        WHERE rk <= {PQ_K} ORDER BY qid, rk"""
+    )
+
+
+
 EXTENDED_ORACLES["x9_rollup_cascade"] = """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
            count(*) AS c,
@@ -5085,6 +5194,8 @@ def _kmeans_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_kmeans"] = _kmeans_oracle_sql()
+
+EXTENDED_ORACLES["x3_ivfpq"] = _ivfpq_oracle_sql()
 
 
 def _ivf_trained_oracle_sql() -> str:
@@ -5782,3 +5893,57 @@ EXTENDED_ORACLES["x11_neighbor_jaccard"] = f"""
     FROM c JOIN deg da ON da.l_partkey = pa JOIN deg db ON db.l_partkey = pb
     ORDER BY jaccard DESC, pa, pb LIMIT {NJ_TOP}
 """
+
+
+def _inc_minhash_oracle_sql() -> str:
+    """Mirror of x2_incremental_minhash: the shared shingle/signature
+    chain over the full documents table, split into index/batch by the
+    same id modulus, band joins per side, and the integer agree-count
+    verify (>= MH_MIN_MATCH of LSH_NUM_HASHES)."""
+
+    def bands(src: str) -> str:
+        parts = []
+        for b in range(LSH_NUM_HASHES // LSH_BAND_SIZE):
+            cols = " || '#' || ".join(
+                f"mh{b * LSH_BAND_SIZE + j}" for j in range(LSH_BAND_SIZE)
+            )
+            parts.append(f"SELECT d, {b} AS band, {cols} AS sig FROM {src}")
+        return " UNION ALL ".join(parts)
+
+    return f"""
+    WITH {_SH_CTES},
+    sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+    sigi AS (SELECT * FROM sig WHERE d % {INC_DEDUP_MOD} != 0),
+    sigb AS (SELECT * FROM sig WHERE d % {INC_DEDUP_MOD} = 0),
+    bandsi AS ({bands('sigi')}),
+    bandsb AS ({bands('sigb')}),
+    candi AS (
+      SELECT DISTINCT b.d AS db, i.d AS di
+      FROM bandsb b JOIN bandsi i ON i.band = b.band AND i.sig = b.sig
+    ),
+    candb AS (
+      SELECT DISTINCT x.d AS db, y.d AS di
+      FROM bandsb x JOIN bandsb y
+      ON y.band = x.band AND y.sig = x.sig AND y.d < x.d
+    ),
+    agi AS (
+      SELECT c.db,
+             max(CASE WHEN ({_MH_AGREE}) >= {MH_MIN_MATCH} THEN 1 ELSE 0 END) AS f
+      FROM candi c JOIN sigb sa ON sa.d = c.db JOIN sigi sb ON sb.d = c.di
+      GROUP BY 1
+    ),
+    agb AS (
+      SELECT c.db,
+             max(CASE WHEN ({_MH_AGREE}) >= {MH_MIN_MATCH} THEN 1 ELSE 0 END) AS f
+      FROM candb c JOIN sigb sa ON sa.d = c.db JOIN sigb sb ON sb.d = c.di
+      GROUP BY 1
+    )
+    SELECT sigb.d AS doc_id,
+           CAST(coalesce(agi.f, 0) AS INT) AS dup_of_index,
+           CAST(coalesce(agb.f, 0) AS INT) AS dup_in_batch
+    FROM sigb LEFT JOIN agi ON agi.db = sigb.d LEFT JOIN agb ON agb.db = sigb.d
+    ORDER BY doc_id
+    """
+
+
+EXTENDED_ORACLES["x2_incremental_minhash"] = _inc_minhash_oracle_sql()
