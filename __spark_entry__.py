@@ -77,6 +77,7 @@ _PRIORITY = [
     "x11_neighbor_jaccard",
     "x3_ivfpq",
     "x2_incremental_minhash",
+    "x10_training_corpus",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

@@ -10,6 +10,8 @@ of exact integers, and anything ranked is rounded before ranking.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from diepy_spark.operators import dedup as D
@@ -626,6 +628,59 @@ def x10_clean_corpus(spark, sf_dir):
     )
     return out.select("doc_id", "lang", "n_tokens", "score", "cluster").orderBy(
         "doc_id"
+    )
+
+
+def x10_training_corpus(spark, sf_dir):
+    """The END-TO-END training-corpus pipeline — x10_clean_corpus
+    extended through the round-4 surface into actual training shards:
+    quality gate -> exact dedup -> n-gram near-dup (clean_corpus), then
+    SEMANTIC dedup (SemDeDup flags over the embedding column, broadcast
+    back so the corpus never reshuffles), then token-budget SHARD
+    PACKING per language (pack_shards' one-running-sum-window shape).
+    Output: per (lang, shard) doc/token totals — the manifest a training
+    job reads. Every stage is the declared operator the standalone
+    queries pin, so this is the composition proof: the whole
+    clean->dedup->pack path hash-checks end to end against one oracle."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+    from diepy_spark.operators.corpus import clean_corpus
+
+    tune(spark)
+    base = clean_corpus(
+        _docs(spark, sf_dir),
+        min_tokens=CLEAN_MIN_TOKENS,
+        min_score=CLEAN_MIN_SCORE,
+        max_dup3=CLEAN_MAX_DUP3,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+    v = _vecs(spark, sf_dir)
+    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    fl = S.semdedup_flags(
+        v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
+    )
+    keep = base.join(
+        F.broadcast(fl.select(F.col("vec_id").alias("doc_id"), "is_dup")),
+        "doc_id",
+        "left",
+    ).where(~F.coalesce("is_dup", F.lit(False)))
+    p = keep.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(
+            f"CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id"
+            f" ROWS UNBOUNDED PRECEDING) - n_tokens) div {SHARD_BUDGET} AS INT)"
+        ).alias("shard"),
+    )
+    return (
+        p.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "shard")
     )
 
 
@@ -3054,6 +3109,7 @@ EXTENDED_QUERIES = {
     "x5_chunk_pack": x5_chunk_pack,
     "x3_quantize_int8": x3_quantize_int8,
     "x10_clean_corpus": x10_clean_corpus,
+    "x10_training_corpus": x10_training_corpus,
     "x5_lm_score": x5_lm_score,
     "x2_minhash_est": x2_minhash_est,
     "x1_norm_dedup": x1_norm_dedup,
@@ -5947,3 +6003,48 @@ def _inc_minhash_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x2_incremental_minhash"] = _inc_minhash_oracle_sql()
+
+
+def _training_corpus_oracle_sql() -> str:
+    """Mirror of x10_training_corpus: the x10_clean_corpus chain
+    (quality gate, exact dedup, n-gram closure) through its survivor
+    set, the SemDeDup chain's `fl` flagged ids (shared _semdedup_ctes —
+    no CTE name collisions with the closure chain by construction), then
+    the pack_shards running-sum window per language."""
+    clean = EXTENDED_ORACLES["x10_clean_corpus"]
+    # reuse the clean-corpus oracle's WITH chain verbatim, swap its final
+    # SELECT for the survivor CTE + the semantic-dedup + packing stages
+    head, _, _tail = clean.partition("SELECT d2.doc_id, d2.lang")
+    # the k-means chain's per-round distance CTEs d0/d1/d2 collide with
+    # the clean chain's doc-stage CTEs d1/d2 — prefix them
+    sd = re.sub(r"\bd(\d+)\b", r"kmd\1", ",\n".join(_semdedup_ctes()))
+    return (
+        head.rstrip()
+        + f""",
+    kc1 AS (
+      SELECT d2.doc_id, d2.lang, d2.n_tokens
+      FROM d2 LEFT JOIN comp c ON c.node = d2.doc_id
+      WHERE c.cluster IS NULL OR d2.doc_id = c.cluster
+    ),
+    {sd},
+    kc2 AS (
+      SELECT k.doc_id, k.lang, k.n_tokens FROM kc1 k
+      LEFT JOIN fl ON fl.db = k.doc_id WHERE fl.db IS NULL
+    ),
+    pk AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {SHARD_BUDGET} AS INT) AS shard
+      FROM kc2
+    )
+    SELECT lang, shard, CAST(count(*) AS BIGINT) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           max(doc_id) AS max_doc_id
+    FROM pk GROUP BY lang, shard
+    ORDER BY lang, shard
+    """
+    )
+
+
+EXTENDED_ORACLES["x10_training_corpus"] = _training_corpus_oracle_sql()
