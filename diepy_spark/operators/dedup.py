@@ -1144,8 +1144,18 @@ def incremental_minhash_dedup(
     batch document that has at least one shingle."""
     spark = batch.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sigi = minhash_signatures(index, num_hashes, n, text_col, id_col)
-    sigb = minhash_signatures(batch, num_hashes, n, text_col, id_col)
+    # Both signature frames are multi-consumed (banding + the agree-count
+    # verify + the output id list) and the md5-per-shingle forest is the
+    # expensive subtree — cut lineage so it computes once. This mirrors
+    # the production deployment exactly: the index signatures are a
+    # PERSISTED table (that is the point of an incremental index), and
+    # the batch signatures are batch-sized.
+    sigi = minhash_signatures(index, num_hashes, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    sigb = minhash_signatures(batch, num_hashes, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     bi = band_frame(sigi, num_hashes, band_size).repartition(
         par, F.col("band"), F.col("sig")
     )
