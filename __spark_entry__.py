@@ -78,6 +78,9 @@ _PRIORITY = [
     "x3_ivfpq",
     "x2_incremental_minhash",
     "x10_training_corpus",
+    "x12_key_discovery",
+    "x12_correlation",
+    "x8_power_mde",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

@@ -1630,6 +1630,175 @@ def x12_skew_diag(spark, sf_dir):
     )
 
 
+# Two-sided alpha=.05 / power=.80 normal quantiles, stated once and
+# f-stringed into BOTH engines (the shared-text discipline).
+Z_ALPHA2 = 1.959964
+Z_BETA = 0.841621
+
+# Sample variance of value-cents from exact integer sums; every operand
+# casts to DOUBLE explicitly so the IEEE op sequence is engine-identical.
+_MDE_TXT = (
+    f"(CAST({Z_ALPHA2!r} AS DOUBLE) + CAST({Z_BETA!r} AS DOUBLE))"
+    " * sqrt(CAST(2 AS DOUBLE)"
+    " * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))"
+    " / CAST(n AS DOUBLE)) / CAST(100 AS DOUBLE)"
+)
+
+
+def x8_power_mde(spark, sf_dir):
+    """POWER ANALYSIS — the question asked before every experiment the
+    x8 family evaluates after: per event type, the minimum detectable
+    effect on mean value for a two-sample test at alpha=.05 / power=.80
+    given this traffic ((z_a + z_b) * sqrt(2 * var / n), equal split).
+    Variance comes from exact integer cent sums in ONE aggregate
+    (n, Σx, Σx²) — the same algebraic-moments shape as x12_correlation —
+    and the closed form is a shared double expression, so the report
+    hash-checks. At 100 TB: one map-side-combined pass, rows = event
+    types."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    agg = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sx"),
+            F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        )
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE), 4)"
+        " AS mean_value",
+        f"round({_MDE_TXT}, 4) AS mde",
+    ).orderBy("event_type")
+
+
+# Key-candidate sets probed by x12_key_discovery (name -> column list)
+KEY_CANDS = [
+    ("o_orderkey", ["o_orderkey"]),
+    ("o_custkey", ["o_custkey"]),
+    ("o_custkey+o_orderdate", ["o_custkey", "o_orderdate"]),
+    ("o_orderstatus+o_orderpriority", ["o_orderstatus", "o_orderpriority"]),
+]
+
+
+def x12_key_discovery(spark, sf_dir):
+    """CANDIDATE-KEY discovery — the schema-inference instrument
+    x12_dq_profile's per-column stats can't answer: which column SETS
+    uniquely identify a row (composite keys included)? Per candidate
+    set: rows, distinct tuples, is_key, and the duplicate-group count
+    (distinct tuples occurring more than once — the rows a dedup or
+    MERGE key choice would collapse). One exact distinct aggregate per
+    candidate; at 100 TB the same shape runs on approx_count_distinct
+    first and exact-verifies only the survivors."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    n_rows = o.count()
+    outs = []
+    for name, cols in KEY_CANDS:
+        g = o.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("candidate"),
+                F.lit(n_rows).cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum((F.col("c") > 1).cast("bigint")).alias("dup_groups"),
+            ).select(
+                "candidate",
+                "n_rows",
+                "n_distinct",
+                (F.col("n_distinct") == F.col("n_rows")).cast("int").alias(
+                    "is_key"
+                ),
+                "dup_groups",
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out.orderBy("candidate")
+
+
+# Pearson correlation from exact integer sums: every operand enters the
+# double formula through an explicit CAST, so both engines perform the
+# identical IEEE op sequence (the _CUPED_* discipline).
+_PEARSON_R = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+# (label, integer expression) pairs — exact decimal-derived integers so
+# the moment sums are bit-identical cross-engine. Price in whole dollars
+# (floor of the exact decimal) keeps sum-of-squares far inside int64.
+CORR_VARS = [
+    ("qty", "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    ("price", "CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT)"),
+    ("disc", "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    ("tax", "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+]
+
+
+def x12_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the profiling instrument behind feature selection and
+    multicollinearity checks. ONE scan computes every moment (n, Σx,
+    Σx², Σxy for all pairs) as exact integers on decimal-derived grids;
+    the r formula is a shared double expression over those sums, so the
+    matrix hash-checks. At 100 TB this is the textbook algebraic
+    aggregate: map-side combine does almost all the work, one row
+    reaches the driver."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    proj = li.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in CORR_VARS]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = [name for name, _ in CORR_VARS]
+    for a in names:
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    wide = proj.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        # longest tokens first — replacing 'sx' before 'sxy' would corrupt it
+        r_expr = (
+            _PEARSON_R.replace("sxy", f"sp_{a}_{b}")
+            .replace("sxx", f"ss_{a}")
+            .replace("syy", f"ss_{b}")
+            .replace("sx", f"s_{a}")
+            .replace("sy", f"s_{b}")
+        )
+        rows.append(
+            wide.selectExpr(
+                f"'{a}' AS var_a",
+                f"'{b}' AS var_b",
+                "n",
+                f"round({r_expr}, 6) AS r",
+            )
+        )
+    out = rows[0]
+    for r2 in rows[1:]:
+        out = out.unionByName(r2)
+    return out.orderBy("var_a", "var_b")
+
+
 SALT_BUCKETS = 8
 
 
@@ -3071,6 +3240,7 @@ EXTENDED_QUERIES = {
     "x2_incremental_minhash": x2_incremental_minhash,
     "x12_ref_integrity": x12_ref_integrity,
     "x8_ab_test": x8_ab_test,
+    "x8_power_mde": x8_power_mde,
     "x8_cuped": x8_cuped,
     "x8_mwu": x8_mwu,
     "x8_srm": x8_srm,
@@ -3139,6 +3309,8 @@ EXTENDED_QUERIES = {
     "x9_scd2": x9_scd2,
     "x12_skew_diag": x12_skew_diag,
     "x12_salted_join": x12_salted_join,
+    "x12_key_discovery": x12_key_discovery,
+    "x12_correlation": x12_correlation,
     "x1_cdc_chunks": x1_cdc_chunks,
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
@@ -6048,3 +6220,76 @@ def _training_corpus_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x10_training_corpus"] = _training_corpus_oracle_sql()
+
+
+def _key_discovery_oracle_sql() -> str:
+    parts = []
+    for name, cols in KEY_CANDS:
+        cl = ", ".join(cols)
+        parts.append(f"""
+        SELECT '{name}' AS candidate,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(CASE WHEN count(*) =
+                    (SELECT count(*) FROM orders) THEN 1 ELSE 0 END AS INT)
+                 AS is_key,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_groups
+        FROM (SELECT {cl}, count(*) AS c FROM orders GROUP BY {cl})""")
+    return " UNION ALL ".join(parts) + " ORDER BY candidate"
+
+
+EXTENDED_ORACLES["x12_key_discovery"] = _key_discovery_oracle_sql()
+
+
+def _correlation_oracle_sql() -> str:
+    names = [name for name, _ in CORR_VARS]
+    proj = ", ".join(f"{expr} AS {name}" for name, expr in CORR_VARS)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for a in names:
+        aggs.append(f"CAST(SUM({a}) AS BIGINT) AS s_{a}")
+        aggs.append(f"CAST(SUM({a} * {a}) AS BIGINT) AS ss_{a}")
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    for a, b in pairs:
+        aggs.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    sels = []
+    for a, b in pairs:
+        r = (
+            _PEARSON_R.replace("sxy", f"sp_{a}_{b}")
+            .replace("sxx", f"ss_{a}")
+            .replace("syy", f"ss_{b}")
+            .replace("sx", f"s_{a}")
+            .replace("sy", f"s_{b}")
+        )
+        sels.append(
+            f"SELECT '{a}' AS var_a, '{b}' AS var_b, n, round({r}, 6) AS r FROM w"
+        )
+    return (
+        f"WITH p AS (SELECT {proj} FROM lineitem),\n"
+        f"w AS (SELECT {', '.join(aggs)} FROM p)\n"
+        + " UNION ALL ".join(sels)
+        + " ORDER BY var_a, var_b"
+    )
+
+
+EXTENDED_ORACLES["x12_correlation"] = _correlation_oracle_sql()
+
+
+EXTENDED_ORACLES["x8_power_mde"] = f"""
+    WITH a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                 / CAST(100 AS DOUBLE), 4) AS mean_value,
+           round({_MDE_TXT}, 4) AS mde
+    FROM a ORDER BY event_type
+"""
