@@ -433,6 +433,52 @@ def t3_roundtrip_parquet(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def t6_bucketed_join(spark, sf_dir):
+    """Bucketed-catalog roundtrip + CO-LOCATED join
+    (sources/bucketing.py:save_bucketed): orders and customer written as
+    catalog tables bucketed AND sorted on the customer key, then joined
+    from the catalog — the write-time shuffle amortization that makes
+    the repeated fact-dim join exchange-free on BOTH sides at 100 TB
+    (tests/test_plan_shapes.py pins the no-Exchange plan; this query
+    hash-checks that the bucketed layout is LOSSLESS through
+    write->catalog->join). Output: per-nation order counts and exact
+    totals from the bucketed join."""
+    tune(spark)
+    from diepy_spark.sources.bucketing import save_bucketed
+
+    import re as _re
+
+    sfx = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    ot, ct = f"t6_orders_b_{sfx}", f"t6_customer_b_{sfx}"
+    key = ("bucketed", sf_dir)
+    if key not in _scratch_cache:
+        save_bucketed(
+            load_table(spark, sf_dir, "orders"), ot, ["o_custkey"], num_buckets=8
+        )
+        save_bucketed(
+            load_table(spark, sf_dir, "customer").withColumnRenamed(
+                "c_custkey", "o_custkey"
+            ),
+            ct,
+            ["o_custkey"],
+            num_buckets=8,
+        )
+        _scratch_cache[key] = "done"
+    o = spark.table(ot)
+    c = spark.table(ct)
+    j = o.join(c, "o_custkey")
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 STREAM_OUT_K = 5  # |cents - med| > K * MAD flags an event (mirrors x12)
 
 
@@ -663,6 +709,7 @@ PIPELINE_QUERIES = {
     "t2_roundtrip_jsonl": t2_roundtrip_jsonl,
     "t3_roundtrip_parquet": t3_roundtrip_parquet,
     "t4_roundtrip_orc": t4_roundtrip_orc,
+    "t6_bucketed_join": t6_bucketed_join,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -876,3 +923,10 @@ def _stream_cluster_assign_oracle() -> str:
 
 
 PIPELINE_ORACLES["x7_stream_cluster_assign"] = _stream_cluster_assign_oracle()
+
+PIPELINE_ORACLES["t6_bucketed_join"] = """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+"""
