@@ -30,14 +30,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-5 WINDOW (executing the rotation VERDICT r4 task #1 documents):
 # positions 0-19 are the 20 fourth-round-4-window queries that have never
 # had a driver row (r52_ewma .. x5_hash_embed); 20-24 are the five
-# round-1-stale x2 rows (x2_minhash_lsh_pairs .. x2_simhash_pairs); the
-# NEW ROUND 5 marker below is where this round's additions slot in (new
-# queries have no row, so they outrank the stale-green displaced rows
-# that follow); the remainder is the displaced round-2/3 backlog in the
-# order round 4 documented, then the round-4-green window (freshest
-# greens, lowest priority). After this round every declared query's
-# latest driver row is round >= 2, and the round-6 front-load is
-# whatever part of the displaced backlog misses this window.
+# round-1-stale x2 rows (x2_minhash_lsh_pairs .. x2_simhash_pairs);
+# 25-39 are the 15 ROUND-5 additions (x1_span_dedup_sorted ..
+# t6_bucketed_join — no row, so they outrank the stale-green displaced
+# rows); 40-49 are the first ten displaced round-2/3 rows
+# (x3_ann_topk_lsh .. r4_join3_aggregate) — exactly the 50-row window.
+# All 50 are locally driver-strict green (tools/check_oracle.py at
+# sf0.01, full 188-query run this round).
+#
+# ROUND-6 FRONT-LOAD (documented now so the next context executes it):
+# the remaining displaced round-2/3 backlog in list order below, from
+# r5_left_outer_join through x2_minhash_est (32 rows), then any round-6
+# additions; everything later holds a round-4 green. After round 6 no
+# declared query's latest driver row predates round 3.
 _PRIORITY = [
     # (1) fourth round-4 window — never driver-checked (20)
     "r52_ewma",
@@ -81,6 +86,7 @@ _PRIORITY = [
     "x12_key_discovery",
     "x12_correlation",
     "x8_power_mde",
+    "t6_bucketed_join",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",
