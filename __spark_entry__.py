@@ -87,6 +87,8 @@ _PRIORITY = [
     "x12_correlation",
     "x8_power_mde",
     "t6_bucketed_join",
+    "x5_ngram_novelty",
+    "x12_seasonality",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

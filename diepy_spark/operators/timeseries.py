@@ -219,7 +219,12 @@ def ewma(
                 k = tuple(kc[s] for kc in kcols)
                 seg = vals[s:e]
                 continuing = k == cur_key and acc is not None
-                if vectorizable and not np.isnan(seg).any():
+                # NaN anywhere (segment values OR a carried NaN
+                # accumulator) takes the loop path: pandas ewm SKIPS
+                # NaNs, while the recurrence contract poisons everything
+                # downstream of one.
+                carried_nan = continuing and acc != acc
+                if vectorizable and not carried_nan and not np.isnan(seg).any():
                     if continuing:
                         seeded = np.concatenate(([acc], seg))
                         out[s:e] = (

@@ -169,6 +169,101 @@ def x1_incremental_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+NOVELTY_BUCKET = 100  # docs per crawl-order bucket
+
+
+def x5_ngram_novelty(spark, sf_dir):
+    """N-GRAM NOVELTY DECAY — the diminishing-returns instrument for
+    crawl scheduling: per bucket of NOVELTY_BUCKET docs in id (crawl)
+    order, what fraction of the bucket's distinct bigrams had never
+    appeared in any earlier document? A healthy fresh crawl holds
+    novelty high; a saturated source decays toward its boilerplate
+    floor. One gram explode -> min-first-doc aggregate (map-side
+    combined, 32-byte-boundable keys) -> flag-back join: the same
+    single-shuffle currency as span dedup, no pair joins anywhere."""
+    from diepy_spark.operators.dedup import shingle_frame
+
+    tune(spark)
+    g = shingle_frame(_docs(spark, sf_dir)).select(
+        "d", F.explode("sh_arr").alias("s")
+    )
+    first = g.groupBy("s").agg(F.min("d").alias("first_doc"))
+    per_doc = (
+        g.join(first, "s")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("d")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            (F.col("d") / NOVELTY_BUCKET).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("n_novel").alias("novel"),
+        )
+        .select(
+            "bucket",
+            "docs",
+            "grams",
+            "novel",
+            F.round(F.col("novel") / F.col("grams"), 4).alias("novelty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def x12_seasonality(spark, sf_dir):
+    """Day-of-week SEASONALITY audit — the time-dimension DQ instrument
+    (x12_benford audits value digits; this audits the event-time
+    distribution): per event type, the chi-square of the observed
+    day-of-week histogram against uniform. The detector for
+    scheduler-shaped traffic, ingestion gaps repeating weekly, or —
+    what it correctly fires on here — a capture window spanning a
+    NON-WHOLE number of weeks, which over-represents the wrapped days
+    (the classic dashboard artifact this audit exists to catch).
+    All seven days enter the statistic (absent days count as 0 via a
+    generated day dimension) and the float division happens ONCE: the
+    identity chi2 = sum((7c - n)^2) / (7n) keeps the sum an exact
+    integer, so no order-dependent double accumulation exists to
+    drift."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("dayofweek(ts) - 1").alias("dow")
+    )
+    h = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("c"))
+    days = spark.range(7).select(F.col("id").cast("int").alias("dow"))
+    types = h.select("event_type").distinct()
+    full = (
+        types.crossJoin(F.broadcast(days))
+        .join(h, ["event_type", "dow"], "left")
+        .select("event_type", "dow", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = full.groupBy("event_type").agg(F.sum("c").alias("n"))
+    sq = (
+        full.join(tot, "event_type")
+        .select(
+            "event_type",
+            "n",
+            ((7 * F.col("c") - F.col("n")) * (7 * F.col("c") - F.col("n"))).alias(
+                "sq"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"), F.sum("sq").alias("ssq"))
+    )
+    return sq.selectExpr(
+        "event_type",
+        "n",
+        "round(CAST(ssq AS DOUBLE) / (7 * CAST(n AS DOUBLE)), 4) AS chi2",
+    ).orderBy("event_type")
+
+
 MH_MIN_MATCH = 8  # agreeing min-hashes out of LSH_NUM_HASHES (= est jaccard 0.5)
 
 
@@ -3310,6 +3405,8 @@ EXTENDED_QUERIES = {
     "x12_skew_diag": x12_skew_diag,
     "x12_salted_join": x12_salted_join,
     "x12_key_discovery": x12_key_discovery,
+    "x12_seasonality": x12_seasonality,
+    "x5_ngram_novelty": x5_ngram_novelty,
     "x12_correlation": x12_correlation,
     "x1_cdc_chunks": x1_cdc_chunks,
     "x8_cms_join_size": x8_cms_join_size,
@@ -6292,4 +6389,43 @@ EXTENDED_ORACLES["x8_power_mde"] = f"""
                  / CAST(100 AS DOUBLE), 4) AS mean_value,
            round({_MDE_TXT}, 4) AS mde
     FROM a ORDER BY event_type
+"""
+
+
+EXTENDED_ORACLES["x5_ngram_novelty"] = f"""
+    WITH {_SH_CTES},
+    first AS (SELECT s, min(d) AS first_doc FROM sh GROUP BY s),
+    pd AS (
+      SELECT sh.d, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = sh.d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN first f USING (s) GROUP BY sh.d
+    )
+    SELECT CAST(d // {NOVELTY_BUCKET} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(SUM(n_grams) AS BIGINT) AS grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel,
+           round(CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 4)
+             AS novelty
+    FROM pd GROUP BY 1 ORDER BY bucket
+"""
+
+EXTENDED_ORACLES["x12_seasonality"] = """
+    WITH h AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    fh AS (
+      SELECT t.event_type, d.dow, coalesce(h.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM h) t
+      CROSS JOIN (SELECT CAST(unnest(range(7)) AS INT) AS dow) d
+      LEFT JOIN h ON h.event_type = t.event_type AND h.dow = d.dow
+    ),
+    tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM fh GROUP BY 1)
+    SELECT f.event_type, max(t.n) AS n,
+           round(CAST(SUM((7 * f.c - t.n) * (7 * f.c - t.n)) AS DOUBLE)
+                 / (7 * CAST(max(t.n) AS DOUBLE)), 4) AS chi2
+    FROM fh f JOIN tot t USING (event_type)
+    GROUP BY f.event_type ORDER BY f.event_type
 """

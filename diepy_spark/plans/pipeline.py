@@ -452,6 +452,18 @@ def t6_bucketed_join(spark, sf_dir):
     ot, ct = f"t6_orders_b_{sfx}", f"t6_customer_b_{sfx}"
     key = ("bucketed", sf_dir)
     if key not in _scratch_cache:
+        # A FRESH session's in-memory catalog doesn't know tables a
+        # previous process left in spark-warehouse; saveAsTable then
+        # fails with LOCATION_ALREADY_EXISTS. Clear both catalog entry
+        # and stale location before writing.
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (ot, ct):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
         save_bucketed(
             load_table(spark, sf_dir, "orders"), ot, ["o_custkey"], num_buckets=8
         )
