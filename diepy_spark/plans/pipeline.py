@@ -691,14 +691,12 @@ def x7_stream_cluster_assign(spark, sf_dir):
     k-means oracle chain)."""
     from diepy_spark.operators.clustering import (
         assign_to_centroids,
-        kmeans_centroids_int,
         quantize_vectors,
     )
-    from diepy_spark.plans.extended import KM_K, SD_ITER, SD_SCALE
+    from diepy_spark.plans.extended import KM_K, SD_ITER, SD_SCALE, _cents_cached
 
     tune(spark)
-    v = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids_int(v, k=KM_K, iterations=SD_ITER, scale=SD_SCALE)
+    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
     reader = spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
     reader = reader.option("maxFilesPerTrigger", _mfpt())
     stream = reader.parquet(_embeddings_stream_dir(spark, sf_dir))
