@@ -1171,32 +1171,40 @@ def incremental_minhash_dedup(
         .select("db", "di")
         .distinct()
     )
+    # Distinct projections for the self-join: alias-based self-joins
+    # resolve both sides' `d` to the SAME attribute (the classic Spark
+    # self-join ambiguity), silently turning the y.d < x.d condition
+    # into d < d = false. Renaming the columns first sidesteps it.
+    bx = bb.select(F.col("d").alias("db"), "band", "sig")
+    by = bb.select(F.col("d").alias("di"), "band", "sig")
     cand_bat = (
-        bb.alias("x")
-        .join(bb.alias("y").hint("shuffle_hash"), ["band", "sig"])
-        .where(F.col("y.d") < F.col("x.d"))
-        .select(F.col("x.d").alias("db"), F.col("y.d").alias("di"))
+        bx.join(by.hint("shuffle_hash"), ["band", "sig"])
+        .where(F.col("di") < F.col("db"))
+        .select("db", "di")
         .distinct()
     )
     mh_arr = F.array(*[F.col(f"mh{h}") for h in range(num_hashes)])
     vi = sigi.select(F.col("d").alias("di"), mh_arr.alias("vi"))
     vb = sigb.select(F.col("d").alias("db"), mh_arr.alias("vb"))
+    # the `di` partner of an IN-BATCH candidate is a batch doc — its
+    # signature array comes from the batch frame, not the index's
+    vbi = sigb.select(F.col("d").alias("di"), mh_arr.alias("vi"))
     agree = F.expr(
         "aggregate(zip_with(vb, vi, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
         " 0, (acc, v) -> acc + v)"
     )
 
-    def flags(cand, out):
+    def flags(cand, partner, out):
         return (
             cand.join(vb, "db")
-            .join(vi, "di")
+            .join(partner, "di")
             .withColumn("m", agree)
             .groupBy("db")
             .agg(F.max((F.col("m") >= min_match).cast("int")).alias(out))
         )
 
-    fi = flags(cand_idx, "dup_of_index")
-    fb = flags(cand_bat, "dup_in_batch")
+    fi = flags(cand_idx, vi, "dup_of_index")
+    fb = flags(cand_bat, vbi, "dup_in_batch")
     return (
         sigb.select(F.col("d").alias("db"))
         .join(fi, "db", "left")
