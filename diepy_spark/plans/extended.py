@@ -1808,6 +1808,55 @@ def x8_power_mde(spark, sf_dir):
     ).orderBy("event_type")
 
 
+ENTROPY_COLS = ["o_orderstatus", "o_orderpriority"]
+
+# Per-value entropy contribution, shared text: both engines compute the
+# identical IEEE ops per term, and the terms SUM IN VALUE ORDER (Spark
+# aggregate-over-array_sort == DuckDB list_sum-over-list(ORDER BY) — the
+# established ordered-fold pairing), so the double accumulation cannot
+# drift.
+_ENTROPY_TERM = (
+    "- (CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    " * ln(CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+)
+
+
+def x12_entropy(spark, sf_dir):
+    """Shannon entropy per categorical column — the DQ instrument for
+    value-distribution health (near-zero entropy = a constant column
+    masquerading as a dimension; max entropy = uniform): H = -sum p ln p
+    over the value histogram, folded in VALUE order so the float
+    accumulation is engine-identical. Histogram state is bounded by the
+    column's distinct count — the same bounded-state argument as
+    freq_median; the corpus is scanned once per column with map-side
+    combine."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for c in ENTROPY_COLS:
+        h = o.groupBy(F.col(c).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        h2 = h.withColumn("n", F.sum("c").over(Window.partitionBy()))
+        term = _ENTROPY_TERM.format(c="x.c", n="x.n")
+        outs.append(
+            h2.agg(
+                F.count(F.lit(1)).alias("n_values"),
+                F.max("n").alias("n_rows"),
+                F.expr(
+                    "round(aggregate(array_sort(collect_list(struct(v, c, n))),"
+                    f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({term})), 6)"
+                ).alias("entropy"),
+            ).select(
+                F.lit(c).alias("col_name"), "n_rows", "n_values", "entropy"
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out.orderBy("col_name")
+
+
 # Key-candidate sets probed by x12_key_discovery (name -> column list)
 KEY_CANDS = [
     ("o_orderkey", ["o_orderkey"]),
@@ -1981,6 +2030,79 @@ def x1_cdc_chunks(spark, sf_dir):
     flag."""
     return D.cdc_chunks(_docs(spark, sf_dir), k=CDC_K, divisor=CDC_DIV).orderBy(
         "doc_id", "chunk_idx"
+    )
+
+
+def x1_chunk_dedup_ratio(spark, sf_dir):
+    """The STORAGE CONSUMER of content-defined chunking (pairs with
+    x1_cdc_chunks the way x2_dedup_apply pairs with the pair surface):
+    per source, how many tokens does a chunk-deduplicated store hold vs
+    the raw corpus — the FastCDC/backup-dedup accounting that justifies
+    CDC over fixed-size chunking. Identical chunk hash => identical
+    tokens, so stored_tokens = one copy per distinct (source, hash).
+    Shuffle currency is the 32-byte chunk hash, never chunk text."""
+    ch = D.cdc_chunks(_docs(spark, sf_dir), k=CDC_K, divisor=CDC_DIV)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    per_hash = (
+        ch.join(src, "doc_id")
+        .groupBy("source", "chunk_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("n_tokens").alias("ntok"))
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("chunks"),
+            F.sum(F.col("cnt") * F.col("ntok")).alias("tokens"),
+            F.count(F.lit(1)).alias("uniq_chunks"),
+            F.sum("ntok").alias("stored_tokens"),
+        )
+        .select(
+            "source",
+            "chunks",
+            "tokens",
+            "uniq_chunks",
+            "stored_tokens",
+            F.round(F.col("tokens") / F.col("stored_tokens"), 4).alias(
+                "dedup_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_TOP = 5
+
+
+def x5_bpe_pairs(spark, sf_dir):
+    """The first step of BPE tokenizer training — the most frequent
+    adjacent CHARACTER pairs inside word tokens, per language (each
+    top pair is what merge #1 would fuse; iterating this statistic IS
+    the BPE algorithm). One explode to tokens, one per-row transform to
+    pairs, one count — map-side combined, the pair domain is bounded by
+    the alphabet squared so the aggregate state is tiny at any corpus
+    size. Top BPE_TOP per lang by (count desc, pair)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", F.explode(F.expr(D.tokens_expr("text"))).alias("t")
+    )
+    pairs = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(t) - 1, 0)),"
+                " i -> substring(t, i, 2))"
+            )
+        ).alias("pair"),
+    ).where(F.length("pair") == 2)
+    c = pairs.groupBy("lang", "pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "pair")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BPE_TOP)
+        .select("lang", "pair", "cnt", "rk")
+        .orderBy("lang", "rk")
     )
 
 
@@ -3440,9 +3562,12 @@ EXTENDED_QUERIES = {
     "x12_salted_join": x12_salted_join,
     "x12_key_discovery": x12_key_discovery,
     "x12_seasonality": x12_seasonality,
+    "x12_entropy": x12_entropy,
     "x5_ngram_novelty": x5_ngram_novelty,
     "x12_correlation": x12_correlation,
     "x1_cdc_chunks": x1_cdc_chunks,
+    "x1_chunk_dedup_ratio": x1_chunk_dedup_ratio,
+    "x5_bpe_pairs": x5_bpe_pairs,
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
     "x12_gaps": x12_gaps,
@@ -6463,3 +6588,63 @@ EXTENDED_ORACLES["x12_seasonality"] = """
     FROM fh f JOIN tot t USING (event_type)
     GROUP BY f.event_type ORDER BY f.event_type
 """
+
+
+# Chunk-store accounting rides the full x1_cdc_chunks oracle as a CTE —
+# one text, two consumers (the chunk-level oracle and this ratio).
+EXTENDED_ORACLES["x1_chunk_dedup_ratio"] = f"""
+    WITH chunks_base AS ({EXTENDED_ORACLES["x1_cdc_chunks"]}),
+    ph AS (
+      SELECT d.source, b.chunk_hash,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(min(b.n_tokens) AS BIGINT) AS ntok
+      FROM chunks_base b JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS chunks,
+           CAST(SUM(cnt * ntok) AS BIGINT) AS tokens,
+           CAST(count(*) AS BIGINT) AS uniq_chunks,
+           CAST(SUM(ntok) AS BIGINT) AS stored_tokens,
+           round(CAST(SUM(cnt * ntok) AS DOUBLE)
+                 / CAST(SUM(ntok) AS DOUBLE), 4) AS dedup_ratio
+    FROM ph GROUP BY source ORDER BY source
+"""
+
+EXTENDED_ORACLES["x5_bpe_pairs"] = f"""
+    WITH toks AS (
+      SELECT lang, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+    ),
+    pr AS (
+      SELECT lang, p.pair FROM toks,
+      LATERAL (SELECT unnest(list_transform(
+                 generate_series(1, greatest(length(tok) - 1, 0)),
+                 i -> substring(tok, i, 2))) AS pair) p
+      WHERE length(p.pair) = 2
+    ),
+    c AS (SELECT lang, pair, CAST(count(*) AS BIGINT) AS cnt
+          FROM pr GROUP BY 1, 2)
+    SELECT lang, pair, cnt, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, pair) AS rk FROM c)
+    WHERE rk <= {BPE_TOP} ORDER BY lang, rk
+"""
+
+
+def _entropy_oracle_sql() -> str:
+    parts = []
+    for c in ENTROPY_COLS:
+        term = _ENTROPY_TERM.format(c="c", n="n")
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_values,
+               round(CAST(list_sum(list(({term}) ORDER BY v)) AS DOUBLE), 6)
+                 AS entropy
+        FROM (SELECT v, c, SUM(c) OVER () AS n FROM
+              (SELECT {c} AS v, count(*) AS c FROM orders GROUP BY 1))""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+EXTENDED_ORACLES["x12_entropy"] = _entropy_oracle_sql()

@@ -491,6 +491,52 @@ def t6_bucketed_join(spark, sf_dir):
     )
 
 
+def t7_write_audit_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH — the warehouse ingestion discipline every
+    production load should follow (and the transactional-format-free
+    sibling of sources/table_format.py's MERGE path): the snapshot lands
+    in a STAGING path invisible to readers, a DQ audit gates it (row
+    count > 0, zero null keys, zero duplicate keys — the x12_dq_profile
+    checks as a gate, not a report), and only a passing snapshot is
+    atomically renamed into the published path. A failing audit raises
+    and leaves the published path untouched — readers never see a bad
+    snapshot. The returned aggregate reads the PUBLISHED data, so the
+    hash check proves the staged->audited->published copy is lossless."""
+    tune(spark)
+    key = ("wap", sf_dir)
+    if key not in _scratch_cache:
+        base = tempfile.mkdtemp(prefix="diepy-wap-")
+        stage = os.path.join(base, "_staging", "orders")
+        final = os.path.join(base, "published", "orders")
+        load_table(spark, sf_dir, "orders").write.parquet(stage)
+        staged = spark.read.parquet(stage)
+        audit = staged.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("o_orderkey").isNull().cast("int")).alias("null_keys"),
+            (
+                F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+            ).alias("dup_keys"),
+        ).collect()[0]
+        if audit.rows <= 0 or audit.null_keys or audit.dup_keys:
+            raise ValueError(
+                f"WAP audit failed; snapshot NOT published: {audit}"
+            )
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(stage, final)
+        _scratch_cache[key] = final
+    pub = spark.read.parquet(_scratch_cache[key])
+    return (
+        pub.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 STREAM_OUT_K = 5  # |cents - med| > K * MAD flags an event (mirrors x12)
 
 
@@ -720,6 +766,7 @@ PIPELINE_QUERIES = {
     "t3_roundtrip_parquet": t3_roundtrip_parquet,
     "t4_roundtrip_orc": t4_roundtrip_orc,
     "t6_bucketed_join": t6_bucketed_join,
+    "t7_write_audit_publish": t7_write_audit_publish,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -939,4 +986,10 @@ PIPELINE_ORACLES["t6_bucketed_join"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON c_custkey = o_custkey
     GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+PIPELINE_ORACLES["t7_write_audit_publish"] = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
