@@ -270,7 +270,13 @@ def x12_seasonality(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("dayofweek(ts) - 1").alias("dow")
     )
-    h = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("c"))
+    # the (type, dow) histogram is types*7-bounded and consumed three
+    # times (type dimension, the left join, totals) — cut its lineage
+    h = (
+        ev.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     days = spark.range(7).select(F.col("id").cast("int").alias("dow"))
     types = h.select("event_type").distinct()
     full = (
@@ -1836,7 +1842,11 @@ def x12_entropy(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     outs = []
     for c in ENTROPY_COLS:
-        h = o.groupBy(F.col(c).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        h = (
+            o.groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False)  # distinct-count-bounded histogram
+        )
         h2 = h.withColumn("n", F.sum("c").over(Window.partitionBy()))
         term = _ENTROPY_TERM.format(c="x.c", n="x.n")
         outs.append(
@@ -1895,7 +1905,7 @@ def x12_key_discovery(spark, sf_dir):
                     "is_key"
                 ),
                 "dup_groups",
-            )
+            ).localCheckpoint(eager=False)  # 1-row branch of the union
         )
     out = outs[0]
     for o2 in outs[1:]:
@@ -1952,7 +1962,10 @@ def x12_correlation(spark, sf_dir):
     ]
     for a, b in pairs:
         aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
-    wide = proj.agg(*aggs)
+    # ONE row of moments consumed by six union branches — without the
+    # lineage cut each branch re-runs the corpus scan (plan_audit showed
+    # 12 scans; at 100 TB that is six full passes for one row).
+    wide = proj.agg(*aggs).localCheckpoint(eager=False)
     rows = []
     for a, b in pairs:
         # longest tokens first — replacing 'sx' before 'sxy' would corrupt it
