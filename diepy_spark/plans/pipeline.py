@@ -753,6 +753,76 @@ def x7_stream_cluster_assign(spark, sf_dir):
     return out.orderBy("cluster")
 
 
+def _docs_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The ARRIVING 20% of documents (doc_id % INC_DEDUP_MOD == 0 — the
+    same crawl-N+1 split as x1_incremental_dedup) as STREAM_FILES
+    doc_id-range parquet files: a replayable document-ingest stream. No
+    mtime choreography: the consumer's gate is per-row and its aggregate
+    complete-mode, so batch order cannot change the result."""
+    from diepy_spark.plans.extended import INC_DEDUP_MOD
+
+    key = ("docs", sf_dir)
+    if key not in _scratch_cache:
+        d = os.path.join(tempfile.mkdtemp(prefix="diepy-stream-"), "docs")
+        (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % INC_DEDUP_MOD == 0)
+            .repartitionByRange(STREAM_FILES, F.col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.parquet(d)
+        )
+        _scratch_cache[key] = d
+    return _scratch_cache[key]
+
+
+def x7_stream_ingest(spark, sf_dir):
+    """STREAMING CORPUS INGEST — the production front door of the X10
+    pipeline, composed from declared parts: arriving documents stream in
+    (the crawl-N+1 20% split), a per-row QUALITY GATE (token minimum —
+    pure projection, stateless) and an EXACT-DEDUP check against the
+    STANDING corpus' fingerprint index (md5 keys, stream-static
+    broadcast join — the streaming sibling of x1_incremental_dedup)
+    classify each doc, and a complete-mode per-language aggregate
+    reports arrived / gated_out / dup_of_index / kept. At 100 TB the
+    index side is the persisted fingerprint table and the gate runs at
+    wire speed; nothing here holds per-doc state, so streaming memory is
+    the aggregate's language dimension."""
+    from diepy_spark.operators.dedup import tokens_expr
+    from diepy_spark.plans.extended import CLEAN_MIN_TOKENS, INC_DEDUP_MOD
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = (
+        docs.where(F.col("doc_id") % INC_DEDUP_MOD != 0)
+        .select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_idx", F.lit(1))
+    )
+    reader = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", _mfpt()
+    )
+    stream = reader.parquet(_docs_stream_dir(spark, sf_dir))
+    flagged = (
+        stream.withColumn(
+            "gate_ok",
+            (F.expr(f"size({tokens_expr('text')})") >= CLEAN_MIN_TOKENS).cast(
+                "int"
+            ),
+        )
+        .withColumn("fp", F.md5(F.col("text")))
+        .join(F.broadcast(idx), "fp", "left")
+        .withColumn("dup", F.coalesce("in_idx", F.lit(0)))
+    )
+    agg = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("arrived"),
+        F.sum(1 - F.col("gate_ok")).alias("gated_out"),
+        F.sum("dup").alias("dup_of_index"),
+        F.sum(F.col("gate_ok") * (1 - F.col("dup"))).alias("kept"),
+    )
+    out = _run_stream(agg, "complete")
+    return out.orderBy("lang")
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -767,6 +837,7 @@ PIPELINE_QUERIES = {
     "t4_roundtrip_orc": t4_roundtrip_orc,
     "t6_bucketed_join": t6_bucketed_join,
     "t7_write_audit_publish": t7_write_audit_publish,
+    "x7_stream_ingest": x7_stream_ingest,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -993,3 +1064,36 @@ PIPELINE_ORACLES["t7_write_audit_publish"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+def _stream_ingest_oracle() -> str:
+    """Batch statement of x7_stream_ingest: same split, same token gate,
+    same fingerprint-index membership — stated over the documents table."""
+    from diepy_spark.plans.extended import (
+        CLEAN_MIN_TOKENS,
+        INC_DEDUP_MOD,
+        _TOKS_EXPR,
+    )
+
+    return f"""
+    WITH idx AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE doc_id % {INC_DEDUP_MOD} != 0
+    ),
+    arr AS (
+      SELECT d.lang,
+             CASE WHEN len({_TOKS_EXPR}) >= {CLEAN_MIN_TOKENS}
+                  THEN 1 ELSE 0 END AS gate_ok,
+             CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM documents d LEFT JOIN idx i ON i.fp = md5(d.text)
+      WHERE d.doc_id % {INC_DEDUP_MOD} = 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS arrived,
+           CAST(SUM(1 - gate_ok) AS BIGINT) AS gated_out,
+           CAST(SUM(dup) AS BIGINT) AS dup_of_index,
+           CAST(SUM(gate_ok * (1 - dup)) AS BIGINT) AS kept
+    FROM arr GROUP BY lang ORDER BY lang
+    """
+
+
+PIPELINE_ORACLES["x7_stream_ingest"] = _stream_ingest_oracle()
+
