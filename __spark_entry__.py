@@ -31,15 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # positions 0-19 are the 20 fourth-round-4-window queries that have never
 # had a driver row (r52_ewma .. x5_hash_embed); 20-24 are the five
 # round-1-stale x2 rows (x2_minhash_lsh_pairs .. x2_simhash_pairs);
-# 25-46 are the 22 ROUND-5 additions (x1_span_dedup_sorted ..
-# x7_stream_ingest — no row, so they outrank the stale-green
-# displaced rows); 47-49 are the first three displaced round-2/3 rows
-# (x3_ann_topk_lsh .. x6_media_meta) — exactly the 50-row window. All 50 are locally driver-strict green (tools/check_oracle.py
+# 25-49 are 25 of the ROUND-5 additions (x1_span_dedup_sorted ..
+# x8_did) — exactly the 50-row window; the stale-green displaced
+# round-2/3 backlog holds at its round-2/3 record one more round. All 50 are locally driver-strict green (tools/check_oracle.py
 # at sf0.01, full-set runs this round).
 #
 # ROUND-6 FRONT-LOAD (documented now so the next context executes it):
-# the remaining displaced round-2/3 backlog in list order below, from
-# x2_embedding_near_dup through x2_minhash_est (39 rows), then
+# the displaced round-2/3 backlog in list order below, from
+# x3_ann_topk_lsh through x2_minhash_est (42 rows), then
 # any round-6 additions; everything later holds a round-4 green. After
 # round 6 no declared query's latest driver row predates round 3.
 _PRIORITY = [
@@ -93,6 +92,9 @@ _PRIORITY = [
     "x12_entropy",
     "t7_write_audit_publish",
     "x7_stream_ingest",
+    "x11_modularity",
+    "x3_cluster_purity",
+    "x8_did",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

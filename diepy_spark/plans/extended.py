@@ -2878,6 +2878,158 @@ def x11_label_prop(spark, sf_dir):
 
 
 
+def x11_modularity(spark, sf_dir):
+    """MODULARITY of the label-propagation communities — the quality
+    score that tells you whether x11_label_prop's partition means
+    anything (Q near 0: no better than random; Q > ~0.3: real community
+    structure). Newman's Q stated as ONE integer identity:
+    Q = (A*sum(W_c) - sum(D_c^2)) / A^2 over the symmetric directed edge
+    list (A = 2m), where W_c = directed within-community edges and D_c =
+    community degree sums — every sum an exact integer, one float
+    division at the end, so no order-dependent accumulation exists.
+    Scale shape: two label joins on the edge list + two bounded
+    aggregates; the community dimension is the only driver-sized thing."""
+    from diepy_spark.operators.clustering import label_propagation
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)  # consumed by A, within, and degrees
+    labels = label_propagation(sym, iterations=LP_ITER).localCheckpoint(
+        eager=False
+    )
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    within = (
+        sym.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).alias("sw"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dsq = (
+        deg.join(ls, "src")
+        .groupBy("la")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).alias("sd2"),
+            F.count(F.lit(1)).alias("n_comm"),
+        )
+    )
+    a = sym.agg(F.count(F.lit(1)).alias("a"))
+    return (
+        a.crossJoin(within)
+        .crossJoin(dsq)
+        .selectExpr(
+            "n_comm",
+            "CAST(a / 2 AS BIGINT) AS m_edges",
+            "round(CAST(a * sw - sd2 AS DOUBLE)"
+            " / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 6) AS modularity",
+        )
+    )
+
+
+def x3_cluster_purity(spark, sf_dir):
+    """External validation of the k-means partition against the
+    embeddings table's ground-truth labels — PURITY per cluster (the
+    majority label's share) plus sizes: the number that says whether the
+    learned cells align with the labels kNN/centroid classifiers exploit.
+    All counts exact integers; one rounded division per row."""
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        quantize_vectors,
+    )
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    cents = _cents_cached(spark, sf_dir, KM_K, KM_ITER, KM_SCALE)
+    q = quantize_vectors(v, "vec_id", "embedding", KM_SCALE)
+    asg = assign_to_centroids(q, cents, "vec_id").select("vec_id", "cluster")
+    j = asg.join(v.select("vec_id", "label"), "vec_id")
+    lc = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), "label")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"), F.col("c").alias("top_cnt"))
+    )
+    sz = lc.groupBy("cluster").agg(F.sum("c").alias("n_vecs"))
+    return (
+        sz.join(top, "cluster")
+        .select(
+            "cluster",
+            "n_vecs",
+            "top_label",
+            "top_cnt",
+            F.round(F.col("top_cnt") / F.col("n_vecs"), 4).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# Difference-in-differences closed form: four (sum, count) integer pairs
+# enter the double formula through explicit casts (the _CUPED_* shared-
+# text discipline).
+_DID_MEAN = "CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE) / CAST(100 AS DOUBLE)"
+_DID_EXPR = (
+    f"(({_DID_MEAN.format(s='s_t1', n='n_t1')})"
+    f" - ({_DID_MEAN.format(s='s_t0', n='n_t0')}))"
+    f" - (({_DID_MEAN.format(s='s_c1', n='n_c1')})"
+    f" - ({_DID_MEAN.format(s='s_c0', n='n_c0')}))"
+)
+
+
+def x8_did(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    rollouts without randomization: treatment = the odd-user cohort
+    (x8_ab_test's split), periods = event days before/after the
+    range midpoint, effect = (treated post - pre) - (control post - pre),
+    which nets out both the cohort's level difference and the common
+    time trend. One scan -> eight integer aggregates (sum/count per
+    cohort x period, map-side combined); the estimate is a shared double
+    closed form over them. Output: the four cell means and the DiD."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {86400 * 1_000_000}").alias(
+            "day"
+        ),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    lim = d.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    cells = (
+        d.crossJoin(F.broadcast(lim))
+        .withColumn("post", (F.col("day") > F.col("mid")).cast("int"))
+        .groupBy("grp", "post")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when((F.col("grp") == g) & (F.col("post") == p), F.col(c))
+            ).alias(f"{c}_{'t' if g else 'c'}{p}")
+            for g in (0, 1)
+            for p in (0, 1)
+            for c in ("s", "n")
+        ]
+    )
+    return wide.selectExpr(
+        f"round({_DID_MEAN.format(s='s_c0', n='n_c0')}, 4) AS mean_c_pre",
+        f"round({_DID_MEAN.format(s='s_c1', n='n_c1')}, 4) AS mean_c_post",
+        f"round({_DID_MEAN.format(s='s_t0', n='n_t0')}, 4) AS mean_t_pre",
+        f"round({_DID_MEAN.format(s='s_t1', n='n_t1')}, 4) AS mean_t_post",
+        f"round({_DID_EXPR}, 4) AS did",
+    )
+
+
 def x2_semdedup_apply(spark, sf_dir):
     """The corpus CONSUMER of SemDeDup (pairs with x2_semdedup the way
     x2_dedup_apply pairs with the MinHash surface): the embedding-space
@@ -3587,6 +3739,9 @@ EXTENDED_QUERIES = {
     "x12_outliers": x12_outliers,
     "x5_gopher": x5_gopher,
     "x11_label_prop": x11_label_prop,
+    "x11_modularity": x11_modularity,
+    "x3_cluster_purity": x3_cluster_purity,
+    "x8_did": x8_did,
     "x3_pq_adc": x3_pq_adc,
     "x3_ivfpq": x3_ivfpq,
     "x8_temperature_mix": x8_temperature_mix,
@@ -6661,3 +6816,91 @@ def _entropy_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_entropy"] = _entropy_oracle_sql()
+
+
+def _modularity_oracle_sql() -> str:
+    """The shared LPA chain through l{LP_ITER}, then the integer
+    modularity identity Q = (A*sumW - sumD2) / A^2."""
+    base = _label_prop_oracle_sql()
+    head = base[: base.index("\nSELECT node, label")]
+    return (
+        head
+        + f""",
+    lbl AS (SELECT node, label FROM l{LP_ITER}),
+    aa AS (SELECT CAST(count(*) AS BIGINT) AS a FROM e),
+    sw AS (SELECT CAST(count(*) AS BIGINT) AS sw
+           FROM e JOIN lbl x ON x.node = e.src
+           JOIN lbl y ON y.node = e.dst WHERE x.label = y.label),
+    dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    dc AS (SELECT x.label, CAST(SUM(dg.d) AS BIGINT) AS dcv
+           FROM dg JOIN lbl x ON x.node = dg.src GROUP BY 1),
+    d2 AS (SELECT CAST(SUM(dcv * dcv) AS BIGINT) AS sd2,
+                  CAST(count(*) AS BIGINT) AS n_comm FROM dc)
+    SELECT d2.n_comm, CAST(aa.a / 2 AS BIGINT) AS m_edges,
+           round(CAST(aa.a * sw.sw - d2.sd2 AS DOUBLE)
+                 / (CAST(aa.a AS DOUBLE) * CAST(aa.a AS DOUBLE)), 6)
+             AS modularity
+    FROM aa, sw, d2"""
+    )
+
+
+EXTENDED_ORACLES["x11_modularity"] = _modularity_oracle_sql()
+
+
+def _cluster_purity_oracle_sql() -> str:
+    """The shared k-means chain's final assignment a{KM_ITER} joined to
+    the ground-truth labels; per-cluster majority share."""
+    ctes = _kmeans_ctes()
+    ctes.append(f"""lc AS (
+        SELECT a.cluster, emb.label, CAST(count(*) AS BIGINT) AS c
+        FROM a{KM_ITER} a JOIN embeddings emb ON emb.vec_id = a.vec_id
+        GROUP BY 1, 2)""")
+    ctes.append("""topl AS (
+        SELECT cluster, label AS top_label, c AS top_cnt FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                     ORDER BY c DESC, label) AS rn FROM lc) WHERE rn = 1)""")
+    ctes.append("""szc AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_vecs
+        FROM lc GROUP BY 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT szc.cluster, szc.n_vecs, topl.top_label, topl.top_cnt,
+               round(CAST(topl.top_cnt AS DOUBLE)
+                     / CAST(szc.n_vecs AS DOUBLE), 4) AS purity
+        FROM szc JOIN topl USING (cluster) ORDER BY cluster"""
+    )
+
+
+EXTENDED_ORACLES["x3_cluster_purity"] = _cluster_purity_oracle_sql()
+
+
+EXTENDED_ORACLES["x8_did"] = f"""
+    WITH d AS (
+      SELECT user_id % 2 AS grp,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    lim AS (SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid FROM d),
+    cells AS (
+      SELECT grp, CASE WHEN day > mid THEN 1 ELSE 0 END AS post,
+             CAST(SUM(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM d, lim GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        {', '.join(
+            f"max(CASE WHEN grp = {g} AND post = {p} THEN {c} END)"
+            f" AS {c}_{'t' if g else 'c'}{p}"
+            for g in (0, 1) for p in (0, 1) for c in ('s', 'n')
+        )}
+      FROM cells
+    )
+    SELECT round({_DID_MEAN.format(s='s_c0', n='n_c0')}, 4) AS mean_c_pre,
+           round({_DID_MEAN.format(s='s_c1', n='n_c1')}, 4) AS mean_c_post,
+           round({_DID_MEAN.format(s='s_t0', n='n_t0')}, 4) AS mean_t_pre,
+           round({_DID_MEAN.format(s='s_t1', n='n_t1')}, 4) AS mean_t_post,
+           round({_DID_EXPR}, 4) AS did
+    FROM w
+"""
