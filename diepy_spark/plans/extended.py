@@ -2953,7 +2953,14 @@ def x3_cluster_purity(spark, sf_dir):
     q = quantize_vectors(v, "vec_id", "embedding", KM_SCALE)
     asg = assign_to_centroids(q, cents, "vec_id").select("vec_id", "cluster")
     j = asg.join(v.select("vec_id", "label"), "vec_id")
-    lc = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    # (cluster, label) histogram: k x labels-bounded, consumed by both
+    # the majority pick and the size roll-up — cut lineage so the k*dim
+    # assignment forest runs once
+    lc = (
+        j.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), "label")
     top = (
         lc.withColumn("rn", F.row_number().over(w))
