@@ -282,6 +282,49 @@ def t1_roundtrip_csv(spark, sf_dir):
     return typed.select(*cols).orderBy("o_orderkey")
 
 
+XLSX_CUST_MAX = 100  # xlsx is driver-bound by design — bound the subset
+
+
+def t8_roundtrip_xlsx(spark, sf_dir):
+    """The EXCEL leg of the import/export stack under the correctness
+    gate (S3-S5/K6/T2 were pytest-verified only until now): a bounded
+    orders subset → xlsx worksheet (writers.write_xlsx — openpyxl or the
+    stdlib xlsx_lite bridge, sheet-replace Q10 semantics) → sheet scan
+    (sources/excel.read_excel_sheets) → the same inference lattice +
+    typed cast projection the CSV path uses → value-match against the
+    source rows. Same canonicalization as t1 (lattice SMALLINT/INT
+    widths → bigint, inferred midnight DATE → timestamp). xlsx is
+    driver-bound by design (write_xlsx's max_rows guard documents it),
+    hence the absolute subset bound — the distributed formats are
+    t1-t4's job."""
+    tune(spark)
+    from diepy_spark.sources.excel import read_excel_sheets, sheet_to_untyped_df
+    from diepy_spark.sources.writers import write_xlsx
+
+    key = ("xlsx", sf_dir)
+    if key not in _scratch_cache:
+        path = os.path.join(tempfile.mkdtemp(prefix="diepy-xl-"), "orders.xlsx")
+        write_xlsx(
+            load_table(spark, sf_dir, "orders").where(
+                F.col("o_custkey") < XLSX_CUST_MAX
+            ),
+            path,
+            "orders",
+        )
+        _scratch_cache[key] = path
+    pdf = read_excel_sheets(_scratch_cache[key], "orders")["orders"]
+    sdf, specs = sheet_to_untyped_df(spark, pdf)
+    typed = apply_schema(sdf, specs)
+    casts = {"smallint": "bigint", "int": "bigint", "date": "timestamp"}
+    cols = [
+        F.col(f.name).cast(casts[f.dataType.simpleString()]).alias(f.name)
+        if f.dataType.simpleString() in casts
+        else F.col(f.name)
+        for f in typed.schema.fields
+    ]
+    return typed.select(*cols).orderBy("o_orderkey")
+
+
 JOIN_BOUND = "30 minutes"
 
 
@@ -838,6 +881,7 @@ PIPELINE_QUERIES = {
     "t6_bucketed_join": t6_bucketed_join,
     "t7_write_audit_publish": t7_write_audit_publish,
     "x7_stream_ingest": x7_stream_ingest,
+    "t8_roundtrip_xlsx": t8_roundtrip_xlsx,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -924,6 +968,12 @@ PIPELINE_ORACLES: dict[str, str] = {
     """,
     "t2_roundtrip_jsonl": """
         SELECT * FROM orders ORDER BY o_orderkey
+    """,
+    "t8_roundtrip_xlsx": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(TRUNC(o_totalprice) AS BIGINT) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey
     """,
     "t3_roundtrip_parquet": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

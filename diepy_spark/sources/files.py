@@ -228,6 +228,18 @@ def apply_schema(df: DataFrame, specs: list[ColumnSpec], lenient: bool = False) 
             )
         elif t == "text":
             expr = F.when(F.col(raw) == "", None).otherwise(F.col(raw))  # keep raw spacing
+        elif t == "int":
+            # Reference-faithful truncation (core.py is_int/int(value)):
+            # typed sources (Excel cells arrive as Python floats) can
+            # classify a decimal-valued column as int — int(211445.87)
+            # succeeds — and the reference's insert then TRUNCATES toward
+            # zero. Direct try_cast first (big integers stay exact; a
+            # double round-trip would lose precision past 2^53), the
+            # double route only for decimal-shaped stragglers.
+            st = spec.spark_type().simpleString()
+            expr = F.coalesce(
+                c.try_cast(st), c.try_cast("double").try_cast(st)
+            )
         else:
             expr = c.try_cast(spec.spark_type().simpleString())
         cols.append(expr.alias(spec.name))
