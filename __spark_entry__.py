@@ -97,6 +97,8 @@ _PRIORITY = [
     "x8_did",
     # ROUND-5 additions PAST the 50-row window (round-6 front-load head):
     "t8_roundtrip_xlsx",
+    "x8_sprt",
+    "x12_freshness",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

@@ -2981,6 +2981,95 @@ def x3_cluster_purity(spark, sf_dir):
     )
 
 
+# SPRT (Wald): Bernoulli H0 p=1/2 vs H1 p=3/5 at alpha=beta=0.05. Every
+# constant enters BOTH engines through the same text; ln() evaluates on
+# identical doubles, so the walk and its crossings are bit-identical.
+_SPRT_L1 = "ln(CAST(0.6 AS DOUBLE) / CAST(0.5 AS DOUBLE))"  # success step
+_SPRT_L0 = "ln(CAST(0.4 AS DOUBLE) / CAST(0.5 AS DOUBLE))"  # failure step
+_SPRT_A = "ln(CAST(19 AS DOUBLE))"  # (1-beta)/alpha = 19
+_SPRT_B = "-ln(CAST(19 AS DOUBLE))"
+_SPRT_LLR = f"(CAST(c AS DOUBLE) * ({_SPRT_L1}) + CAST(n - c AS DOUBLE) * ({_SPRT_L0}))"
+
+
+def x8_sprt(spark, sf_dir):
+    """SEQUENTIAL testing (Wald's SPRT) — the x8 family's fixed-horizon
+    tests (z, MWU, permutation) all wait for all the data; SPRT is the
+    peeking-safe alternative: walk the cumulative log-likelihood ratio
+    over trials in a DETERMINISTIC order (per-user conversion bits,
+    user_id order) and stop at the first boundary crossing
+    (ln(19) at alpha=beta=.05). Cumulative counts are one integer window;
+    the LLR and boundaries are shared double texts. Output: decision
+    (accept_h1 / accept_h0 / continue), the trial index and LLR at stop,
+    and the total trials available — the experiment-runtime answer a
+    fixed-horizon test can't give."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_MIN)
+            ).cast("int")
+        ).alias("conv")
+    )
+    w = Window.orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = (
+        per_user.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("c", F.sum("conv").over(w))
+        .selectExpr("n", "c", f"{_SPRT_LLR} AS llr")
+        .localCheckpoint(eager=False)  # one sequential walk, three consumers
+    )
+    crossed = walk.where(
+        F.expr(f"llr >= {_SPRT_A} OR llr <= {_SPRT_B}")
+    )
+    first = crossed.agg(F.min("n").alias("n_dec"))
+    tot = walk.agg(F.max("n").alias("total_n"))
+    at = walk.join(first, walk["n"] == first["n_dec"]).selectExpr(
+        "n_dec",
+        f"CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1' ELSE 'accept_h0' END"
+        " AS decision",
+        "round(llr, 4) AS llr_at_stop",
+    )
+    return (
+        tot.crossJoin(first)
+        .join(at, "n_dec", "left")
+        .selectExpr(
+            "coalesce(decision, 'continue') AS decision",
+            "coalesce(n_dec, total_n) AS n_stop",
+            "llr_at_stop",
+            "total_n",
+        )
+    )
+
+
+def x12_freshness(spark, sf_dir):
+    """Data FRESHNESS audit — per event type, the lag between its newest
+    event and the table's newest event (integer hours on the microsecond
+    grid): the staleness monitor that catches a dead producer whose rows
+    simply stop arriving (row counts and distributions look fine — only
+    recency moves). One aggregate + one broadcast of the global max."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    per = ev.groupBy("event_type").agg(F.max("us").alias("max_us"))
+    g = per.agg(F.max("max_us").alias("gmax"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "event_type",
+            "CAST(max_us div 1000000 AS BIGINT) AS max_epoch_s",
+            "CAST((gmax - max_us) div 3600000000 AS BIGINT) AS staleness_hours",
+        )
+        .orderBy("event_type")
+    )
+
+
 # Difference-in-differences closed form: four (sum, count) integer pairs
 # enter the double formula through explicit casts (the _CUPED_* shared-
 # text discipline).
@@ -3749,6 +3838,8 @@ EXTENDED_QUERIES = {
     "x11_modularity": x11_modularity,
     "x3_cluster_purity": x3_cluster_purity,
     "x8_did": x8_did,
+    "x8_sprt": x8_sprt,
+    "x12_freshness": x12_freshness,
     "x3_pq_adc": x3_pq_adc,
     "x3_ivfpq": x3_ivfpq,
     "x8_temperature_mix": x8_temperature_mix,
@@ -6910,4 +7001,48 @@ EXTENDED_ORACLES["x8_did"] = f"""
            round({_DID_MEAN.format(s='s_t1', n='n_t1')}, 4) AS mean_t_post,
            round({_DID_EXPR}, 4) AS did
     FROM w
+"""
+
+
+EXTENDED_ORACLES["x8_sprt"] = f"""
+    WITH pu AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_MIN}
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    walk AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY user_id) AS n,
+             SUM(conv) OVER (ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM pu
+    ),
+    llrw AS (SELECT n, {_SPRT_LLR} AS llr FROM walk),
+    crossed AS (SELECT * FROM llrw
+                WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}),
+    first AS (SELECT CAST(min(n) AS BIGINT) AS n_dec FROM crossed),
+    tot AS (SELECT CAST(max(n) AS BIGINT) AS total_n FROM llrw),
+    at AS (
+      SELECT f.n_dec,
+             CASE WHEN l.llr >= {_SPRT_A} THEN 'accept_h1'
+                  ELSE 'accept_h0' END AS decision,
+             round(l.llr, 4) AS llr_at_stop
+      FROM first f JOIN llrw l ON l.n = f.n_dec
+    )
+    SELECT coalesce(at.decision, 'continue') AS decision,
+           CAST(coalesce(first.n_dec, tot.total_n) AS BIGINT) AS n_stop,
+           at.llr_at_stop, tot.total_n
+    FROM tot CROSS JOIN first LEFT JOIN at ON at.n_dec = first.n_dec
+"""
+
+EXTENDED_ORACLES["x12_freshness"] = """
+    WITH per AS (
+      SELECT event_type,
+             CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_us
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT CAST(max(max_us) AS BIGINT) AS gmax FROM per)
+    SELECT event_type,
+           CAST(max_us // 1000000 AS BIGINT) AS max_epoch_s,
+           CAST((gmax - max_us) // 3600000000 AS BIGINT) AS staleness_hours
+    FROM per, g ORDER BY event_type
 """
