@@ -99,6 +99,7 @@ _PRIORITY = [
     "t8_roundtrip_xlsx",
     "x8_sprt",
     "x12_freshness",
+    "t9_compaction",
     # (4) displaced round-2/3 backlog (round-4 ordering preserved)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",

@@ -693,6 +693,56 @@ def x7_stream_ewma(spark, sf_dir):
     )
 
 
+COMPACT_SMALL = 64  # the small-file mess
+COMPACT_TARGET = 4  # compacted layout
+
+
+def t9_compaction(spark, sf_dir):
+    """SMALL-FILE COMPACTION — the table-maintenance op every streaming
+    sink eventually needs (a micro-batch writer leaves thousands of tiny
+    files; scan cost and namenode pressure grow with file COUNT, not
+    bytes): the events table is written as COMPACT_SMALL fragments, then
+    compacted by one rebalance into COMPACT_TARGET right-sized files.
+    The code ASSERTS the file count actually dropped (the operational
+    contract) and the returned per-type aggregate reads the COMPACTED
+    layout — so the hash check proves compaction is lossless, which is
+    the failure mode that actually bites (a lost or doubled fragment).
+    At scale this is the same job with maxRecordsPerFile / a file-size
+    target instead of a fixed count."""
+    import glob as globmod
+
+    tune(spark)
+    key = ("compact", sf_dir)
+    if key not in _scratch_cache:
+        base = tempfile.mkdtemp(prefix="diepy-compact-")
+        small = os.path.join(base, "small")
+        packed = os.path.join(base, "compacted")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(COMPACT_SMALL).write.parquet(small)
+        n_small = len(globmod.glob(os.path.join(small, "part-*")))
+        spark.read.parquet(small).repartition(COMPACT_TARGET).write.parquet(
+            packed
+        )
+        n_packed = len(globmod.glob(os.path.join(packed, "part-*")))
+        if not (n_packed < n_small and n_packed <= COMPACT_TARGET):
+            raise ValueError(
+                f"compaction did not shrink the layout: {n_small} -> {n_packed}"
+            )
+        _scratch_cache[key] = packed
+    back = spark.read.parquet(_scratch_cache[key])
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "cents_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def t5_roundtrip_nested(spark, sf_dir):
     """Nested-schema JSON roundtrip — the surface the flat t1/t2 lattice
     path deliberately excludes (the reference's inference is flat by
@@ -882,6 +932,7 @@ PIPELINE_QUERIES = {
     "t7_write_audit_publish": t7_write_audit_publish,
     "x7_stream_ingest": x7_stream_ingest,
     "t8_roundtrip_xlsx": t8_roundtrip_xlsx,
+    "t9_compaction": t9_compaction,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1147,3 +1198,10 @@ def _stream_ingest_oracle() -> str:
 
 PIPELINE_ORACLES["x7_stream_ingest"] = _stream_ingest_oracle()
 
+
+PIPELINE_ORACLES["t9_compaction"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
