@@ -98,6 +98,12 @@ _PRIORITY = [
     "x2_cross_split_contamination",
     "x8_stratified_sample",
     # (4) ROUND-6 additions — inserted here as they land (no driver row)
+    "x5_bpe_train",
+    "r57_window_navigation",
+    "x12_fd_discovery",
+    "x12_dup_keys",
+    "x8_mann_kendall",
+    "x8_cusum",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -81,25 +81,41 @@ def main() -> None:
         fam = m2.group(1) if m2 else name
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
         fam_counts[fam] = fam_counts.get(fam, 0) + 1
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "families": families,
+        "family_counts": fam_counts,
+        "sf": sf,
+    }
+    # Durable per-query detail (VERDICT r5 #6): the driver's BENCH_r{N}
+    # capture clips the giant stdout line, so only ~35 of 200+ per-query
+    # pairs survived into BENCH_r05.json. Persist the full map to
+    # BENCHDETAIL_r{N}.json in the repo (N = next round after the newest
+    # recorded BENCH_r*.json); tools/compare_bench.py prefers it when
+    # sitting next to the BENCH file it's asked to load.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"BENCHDETAIL_r{n}.json"), "w") as fh:
+            json.dump(payload, fh)
+    except OSError:
+        pass
+
     # Truncation-proof output: the driver may capture only the TAIL of
     # stdout (round 2 lost the headline because the single giant JSON line
     # was beheaded). Emit the full object (with the per-query map) FIRST,
     # then a compact summary as the LAST line — any tail capture therefore
     # always ends with a complete, parseable summary line.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "families": families,
-                "family_counts": fam_counts,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(payload))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(

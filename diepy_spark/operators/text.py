@@ -822,3 +822,91 @@ def gopher_rules(
         r_sh.cast("int").alias("r_shorttok"),
         (r_wc & r_ml & r_st & r_sh).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016 — the public byte-pair
+# encoding algorithm for subword vocabularies). No reference counterpart
+# (`/root/reference/diepy/core.py` has no text operators); mandated by the
+# north-star LLM-data-pipeline surface.
+
+# One merge round's fold step — shared TEXT between Spark (`aggregate`)
+# and any engine with a list fold (DuckDB `list_reduce` in the declared
+# oracle). Walking the word left to right with accumulator string acc
+# (tokens joined by ' ', leading separator kept during the fold), pair
+# (a, b) fuses by appending b exactly when the trailing token IS a: the
+# boundary check `right(acc, length(a)+1) = ' '||a` can only match a
+# whole token (tokens never contain the separator), and a just-fused
+# token 'ab' no longer equals a — greedy left-to-right, non-overlapping,
+# the reference BPE merge semantics.
+BPE_STEP = (
+    "CASE WHEN s = b AND right(acc, length(a) + 1) = (' ' || a) "
+    "THEN acc || b ELSE acc || ' ' || s END"
+)
+
+
+def bpe_merge_table(words: DataFrame, n_merges: int) -> DataFrame:
+    """Learn a BPE merge table from a word-TYPE frequency dictionary
+    ``words`` (columns ``w`` string, ``n`` count). Per round: (1) count
+    adjacent symbol pairs weighted by type frequency, (2) take the
+    argmax — count desc, then pair text asc (the ' ' separator sorts
+    below all token characters, so pair-string order equals (a, b)
+    tuple order: the DETERMINISTIC tie-break), (3) fuse that pair in
+    every word via the BPE_STEP string fold, (4) repeat. Returns the
+    ordered merge table (step, a, b, merged, cnt) with n_merges rows.
+
+    Scale shape: callers collapse the corpus to the dictionary first
+    (one shuffle — vocabulary-sized ever after, why real BPE trainers
+    run on frequency dicts); each round is one vocab-sized pair count +
+    a 1-row broadcast argmax + a map-only fold, with per-round
+    localCheckpoint lineage cuts (each dictionary feeds two consumers:
+    the next pair count and the merge projection)."""
+    w = words.selectExpr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
+        "n",
+    ).localCheckpoint(eager=False)
+    merges = []
+    for step in range(1, n_merges + 1):
+        p = (
+            w.where("size(syms) >= 2")
+            .selectExpr(
+                "explode(transform(sequence(1, size(syms) - 1),"
+                " j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1))))"
+                " AS pr",
+                "n",
+            )
+            .groupBy("pr")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        m = (
+            p.orderBy(F.col("cnt").desc(), "pr")
+            .limit(1)
+            .selectExpr(
+                "element_at(split(pr, ' '), 1) AS a",
+                "element_at(split(pr, ' '), 2) AS b",
+                "cnt",
+            )
+            .localCheckpoint(eager=False)  # feeds w_{i} AND the output union
+        )
+        merges.append(
+            m.selectExpr(
+                f"CAST({step} AS INT) AS step",
+                "a",
+                "b",
+                "a || b AS merged",
+                "CAST(cnt AS BIGINT) AS cnt",
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(m.select("a", "b")))
+            .selectExpr(
+                f"split(substring(aggregate(syms, '', (acc, s) -> {BPE_STEP}),"
+                " 2), ' ') AS syms",
+                "n",
+            )
+            .localCheckpoint(eager=False)  # per-round lineage cut
+        )
+    out = merges[0]
+    for mm in merges[1:]:
+        out = out.unionByName(mm)
+    return out.orderBy("step")

@@ -2119,6 +2119,47 @@ def x5_bpe_pairs(spark, sf_dir):
     )
 
 
+# Full BPE training loop (VERDICT r5 #5; Sennrich et al. 2016, "Neural
+# Machine Translation of Rare Words with Subword Units" — the public
+# algorithm). x5_bpe_pairs is merge #1's statistic; this runs the actual
+# loop: count pairs -> pick the argmax -> fuse it everywhere -> repeat.
+BPE_MERGES = 8
+BPE_WORD_MIN = 2   # 1-symbol words carry no pairs and never merge
+BPE_WORD_MAX = 16  # bounds the per-word fold (drops pathological id runs)
+
+# Shared fold-step text (Spark `aggregate` / DuckDB `list_reduce`) —
+# semantics documented at operators/text.py:BPE_STEP.
+_BPE_STEP = T.BPE_STEP
+
+
+def x5_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING — the merge table an LLM data pipeline
+    actually learns, produced by iterating x5_bpe_pairs' statistic
+    BPE_MERGES times in pure integer arithmetic: per round, (1) count
+    adjacent symbol pairs over the word-TYPE dictionary weighted by type
+    frequency, (2) take the argmax (count desc, then pair text — the
+    ' ' separator sorts below [a-z0-9], so pair-string order equals
+    (a, b) tuple order), (3) fuse that pair in every word via a string
+    fold, (4) repeat on the merged dictionary. Output: the ordered merge
+    table (step, a, b, merged, cnt).
+
+    Scale shape: the corpus collapses to the word-type dictionary FIRST
+    (one shuffle on the token — vocabulary-sized ever after, the reason
+    real BPE trainers run on frequency dictionaries, not corpora); each
+    round is then one vocab-sized pair count + a 1-row broadcast argmax
+    + a map-only fold, with a per-round localCheckpoint lineage cut
+    (the pagerank pattern — each dictionary feeds two consumers: the
+    next round's pair count and the merge projection)."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(F.expr(D.tokens_expr("text"))).alias("w"))
+        .where(f"length(w) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return T.bpe_merge_table(words, BPE_MERGES)
+
+
 def x8_cms_join_size(spark, sf_dir):
     """Join-cardinality estimation via CMS inner product — the classic
     sketch instrument for join planning (AGMS/CMS join-size estimate:
@@ -3106,6 +3147,203 @@ def x12_freshness(spark, sf_dir):
     )
 
 
+# Mann–Kendall z with continuity correction — shared float text over the
+# exact integers (S, var18 = 18*Var(S)); one sqrt + one division at the end.
+_MK_Z = (
+    "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - CAST(1 AS DOUBLE))"
+    " / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + CAST(1 AS DOUBLE))"
+    " / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    " ELSE CAST(0 AS DOUBLE) END"
+)
+
+_DAY_DIV = 86400 * 1_000_000
+
+
+def x8_mann_kendall(spark, sf_dir):
+    """MANN–KENDALL trend test over the daily event-count series — the
+    nonparametric "is traffic trending?" monitor (Mann 1945, Kendall's
+    tau): S = Σ_{i<j} sign(x_j − x_i) over all day pairs, with the
+    tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    kept as an exact integer; the z statistic (continuity-corrected) is
+    one shared float text at the end. Scale shape: the corpus collapses
+    to the DAYS dimension first (one map-side-combined aggregate), so
+    the O(days²) sign pair join is over a bounded calendar frame, never
+    the events table; the daily frame is checkpointed once for its three
+    consumers (pairs, tie groups, n)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("day").alias("di"), F.col("x").alias("xi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, F.col("di") < F.col("dj"))
+        .selectExpr(
+            "CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END AS sg"
+        )
+        .agg(F.sum("sg").cast("bigint").alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .selectExpr(
+            "n_days",
+            "s_stat",
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18",
+        )
+        .selectExpr("n_days", "s_stat", "var18", f"round({_MK_Z}, 6) AS mk_z")
+    )
+
+
+def x8_cusum(spark, sf_dir):
+    """CUSUM change-point detection over the daily purchase-cents series
+    (Page 1954): center the series on its GLOBAL mean in exact integer
+    arithmetic (scale every term by n_days — cum_n·n − i·S stays a
+    BIGINT; no float accumulates across days), walk the cumulative sum,
+    and report the argmax |CUSUM| day — the estimated change point — with
+    the peak statistic rendered once at the end. Scale shape: events
+    collapse to the bounded DAYS frame first; the walk is a window over
+    that calendar-sized frame (single-partition but bounded by
+    construction — the documented exception class), and the argmax is a
+    1-row TakeOrdered."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV}").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.agg(
+        F.sum("c").alias("s_tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("cum_c", F.sum("c").over(w))
+        .withColumn("i", F.count(F.lit(1)).over(w))
+        # scaled CUSUM: n·Σ_{≤i}(c) − i·Σ(c)  — exact integer
+        .selectExpr(
+            "day",
+            "n_days",
+            "cum_c * n_days - i * s_tot AS dev_scaled",
+        )
+    )
+    return (
+        walk.orderBy(
+            F.abs(F.col("dev_scaled")).desc(), "day"
+        )
+        .limit(1)
+        .selectExpr(
+            "day AS change_day",
+            "n_days",
+            "dev_scaled",
+            "round(abs(CAST(dev_scaled AS DOUBLE))"
+            " / CAST(n_days AS DOUBLE) / CAST(100 AS DOUBLE), 2) AS peak_dev",
+        )
+    )
+
+
+FD_COLS = ["l_discount", "l_linestatus", "l_returnflag", "l_tax"]
+
+
+def x12_fd_discovery(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY discovery over lineitem's low-cardinality
+    columns — the structural sibling of x12_key_discovery: A -> B holds
+    iff the distinct count of A equals the distinct count of (A, B)
+    (zero counterexamples). The whole pair lattice is computed from ONE
+    table scan: the distinct value-combination frame g is bounded by the
+    product of the candidate cardinalities (a few hundred rows at any
+    corpus size), checkpointed, and every ordered pair's two distinct
+    counts aggregate g, never the table. Output: (lhs, rhs, n_lhs,
+    n_pairs, holds) for all 12 ordered pairs."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(*FD_COLS).distinct().localCheckpoint(eager=False)
+    frames = []
+    for a in FD_COLS:
+        for b in FD_COLS:
+            if a == b:
+                continue
+            frames.append(
+                g.agg(
+                    F.countDistinct(a).alias("n_lhs"),
+                    F.countDistinct(a, b).alias("n_pairs"),
+                ).select(
+                    F.lit(a).alias("lhs"),
+                    F.lit(b).alias("rhs"),
+                    "n_lhs",
+                    "n_pairs",
+                    (F.col("n_lhs") == F.col("n_pairs")).cast("int").alias("holds"),
+                )
+            )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("lhs", "rhs")
+
+
+DUPKEY_SPECS = [("events", ["event_id"]), ("lineitem", ["l_orderkey", "l_linenumber"])]
+
+
+def x12_dup_keys(spark, sf_dir):
+    """PRIMARY-KEY violation audit — for each declared candidate key,
+    the multiplicity profile a loader checks before trusting a merge
+    key: total rows, distinct keys, violating keys (multiplicity > 1)
+    and the worst multiplicity. One map-side-combined groupBy per table
+    (the key-sized frame never leaves the executors except as a 1-row
+    aggregate). In this synthetic data lineitem's (l_orderkey,
+    l_linenumber) actually violates — the audit is the instrument that
+    catches exactly that before an upsert silently fans out."""
+    tune(spark)
+    frames = []
+    for tbl, keys in DUPKEY_SPECS:
+        t = load_table(spark, sf_dir, tbl)
+        per = t.groupBy(*keys).agg(F.count(F.lit(1)).alias("m"))
+        frames.append(
+            per.agg(
+                F.sum("m").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("m") > 1).cast("bigint")).alias("dup_keys"),
+                F.max("m").alias("max_mult"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                "dup_keys",
+                "max_mult",
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("table_name")
+
+
 # Difference-in-differences closed form: four (sum, count) integer pairs
 # enter the double formula through explicit casts (the _CUPED_* shared-
 # text discipline).
@@ -3865,6 +4103,7 @@ EXTENDED_QUERIES = {
     "x1_cdc_chunks": x1_cdc_chunks,
     "x1_chunk_dedup_ratio": x1_chunk_dedup_ratio,
     "x5_bpe_pairs": x5_bpe_pairs,
+    "x5_bpe_train": x5_bpe_train,
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
     "x12_gaps": x12_gaps,
@@ -3874,8 +4113,12 @@ EXTENDED_QUERIES = {
     "x11_modularity": x11_modularity,
     "x3_cluster_purity": x3_cluster_purity,
     "x8_did": x8_did,
+    "x8_mann_kendall": x8_mann_kendall,
+    "x8_cusum": x8_cusum,
     "x8_sprt": x8_sprt,
     "x12_freshness": x12_freshness,
+    "x12_fd_discovery": x12_fd_discovery,
+    "x12_dup_keys": x12_dup_keys,
     "x3_pq_adc": x3_pq_adc,
     "x3_ivfpq": x3_ivfpq,
     "x8_temperature_mix": x8_temperature_mix,
@@ -6934,6 +7177,46 @@ EXTENDED_ORACLES["x5_bpe_pairs"] = f"""
 """
 
 
+def _bpe_train_oracle_sql() -> str:
+    """Unrolled CTE chain, 3 CTEs per merge round (pair count, argmax,
+    fused dictionary) over the shared _BPE_STEP fold text; the bt_
+    prefix keeps the chain collision-free (the tot/d1 episodes)."""
+    ctes = [
+        f"""bt_words AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKS_EXPR}) AS tok FROM documents) u
+      WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}
+      GROUP BY 1)""",
+        """bt_w0 AS (
+      SELECT list_transform(generate_series(1, length(w)),
+             i -> substring(w, i, 1)) AS syms, n
+      FROM bt_words)""",
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(f"""bt_p{i} AS (
+      SELECT p.pr AS pr, CAST(sum(n) AS BIGINT) AS cnt
+      FROM bt_w{i - 1}, LATERAL (SELECT unnest(list_transform(
+           generate_series(1, len(syms) - 1),
+           j -> syms[j] || ' ' || syms[j + 1])) AS pr) p
+      WHERE len(syms) >= 2 GROUP BY 1)""")
+        ctes.append(f"""bt_m{i} AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b, cnt
+      FROM bt_p{i} ORDER BY cnt DESC, pr LIMIT 1)""")
+        ctes.append(f"""bt_w{i} AS (
+      SELECT string_split(substring(list_reduce(list_prepend('', syms),
+             (acc, s) -> {_BPE_STEP}), 2), ' ') AS syms, n
+      FROM bt_w{i - 1}, bt_m{i})""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS INT) AS step, a, b, a || b AS merged, cnt"
+        f" FROM bt_m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n    " + sel + "\n    ORDER BY step"
+
+
+EXTENDED_ORACLES["x5_bpe_train"] = _bpe_train_oracle_sql()
+
+
 def _entropy_oracle_sql() -> str:
     parts = []
     for c in ENTROPY_COLS:
@@ -7082,3 +7365,148 @@ EXTENDED_ORACLES["x12_freshness"] = """
            CAST((gmax - max_us) // 3600000000 AS BIGINT) AS staleness_hours
     FROM per, g ORDER BY event_type
 """
+
+EXTENDED_ORACLES["x12_fd_discovery"] = """
+    WITH fdg AS (SELECT DISTINCT l_discount, l_linestatus, l_returnflag, l_tax
+                 FROM lineitem)
+    SELECT 'l_discount' AS lhs, 'l_linestatus' AS rhs,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_discount, l_linestatus)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_discount) = count(DISTINCT (l_discount, l_linestatus)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_discount' AS lhs, 'l_returnflag' AS rhs,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_discount, l_returnflag)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_discount) = count(DISTINCT (l_discount, l_returnflag)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_discount' AS lhs, 'l_tax' AS rhs,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_discount, l_tax)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_discount) = count(DISTINCT (l_discount, l_tax)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_linestatus' AS lhs, 'l_discount' AS rhs,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_linestatus, l_discount)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_linestatus) = count(DISTINCT (l_linestatus, l_discount)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_linestatus' AS lhs, 'l_returnflag' AS rhs,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_linestatus, l_returnflag)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_linestatus) = count(DISTINCT (l_linestatus, l_returnflag)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_linestatus' AS lhs, 'l_tax' AS rhs,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_linestatus, l_tax)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_linestatus) = count(DISTINCT (l_linestatus, l_tax)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_returnflag' AS lhs, 'l_discount' AS rhs,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_returnflag, l_discount)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_returnflag) = count(DISTINCT (l_returnflag, l_discount)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_returnflag' AS lhs, 'l_linestatus' AS rhs,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_returnflag) = count(DISTINCT (l_returnflag, l_linestatus)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_returnflag' AS lhs, 'l_tax' AS rhs,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_returnflag, l_tax)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_returnflag) = count(DISTINCT (l_returnflag, l_tax)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_tax' AS lhs, 'l_discount' AS rhs,
+           CAST(count(DISTINCT l_tax) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_tax, l_discount)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_discount)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_tax' AS lhs, 'l_linestatus' AS rhs,
+           CAST(count(DISTINCT l_tax) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_tax, l_linestatus)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_linestatus)) AS INT) AS holds
+    FROM fdg
+    UNION ALL
+    SELECT 'l_tax' AS lhs, 'l_returnflag' AS rhs,
+           CAST(count(DISTINCT l_tax) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_tax, l_returnflag)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l_tax) = count(DISTINCT (l_tax, l_returnflag)) AS INT) AS holds
+    FROM fdg
+    ORDER BY lhs, rhs
+"""
+
+EXTENDED_ORACLES["x12_dup_keys"] = """
+    WITH ek AS (SELECT CAST(count(*) AS BIGINT) AS m FROM events GROUP BY event_id),
+    lk AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lineitem
+           GROUP BY l_orderkey, l_linenumber),
+    ea AS (SELECT 'events' AS table_name, CAST(sum(m) AS BIGINT) AS n_rows,
+                  CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+                  CAST(max(m) AS BIGINT) AS max_mult FROM ek),
+    la AS (SELECT 'lineitem', CAST(sum(m) AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(max(m) AS BIGINT) FROM lk)
+    SELECT * FROM ea UNION ALL SELECT * FROM la ORDER BY table_name
+"""
+
+EXTENDED_ORACLES["x8_mann_kendall"] = f"""
+    WITH mkd AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    mks AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM mkd a JOIN mkd b ON a.day < b.day
+    ),
+    mkt AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM mkd GROUP BY x)
+    ),
+    mkn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM mkd),
+    mkv AS (
+      SELECT n_days, s_stat,
+             n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+      FROM mkn, mks, mkt
+    )
+    SELECT n_days, s_stat, var18, round({_MK_Z}, 6) AS mk_z FROM mkv
+"""
+
+EXTENDED_ORACLES["x8_cusum"] = """
+    WITH csd AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cst AS (SELECT CAST(SUM(c) AS BIGINT) AS s_tot,
+                   CAST(count(*) AS BIGINT) AS n_days FROM csd),
+    csw AS (
+      SELECT day, n_days,
+             CAST(SUM(c) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               * n_days
+             - CAST(COUNT(*) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               * s_tot AS dev_scaled
+      FROM csd, cst
+    )
+    SELECT day AS change_day, n_days, dev_scaled,
+           round(abs(CAST(dev_scaled AS DOUBLE)) / CAST(n_days AS DOUBLE)
+                 / CAST(100 AS DOUBLE), 2) AS peak_dev
+    FROM csw ORDER BY abs(dev_scaled) DESC, day LIMIT 1
+"""
+
+

@@ -592,3 +592,21 @@ RELATIONAL_ORACLES["r56_trailing_range_window"] = """
                  / 100.0, 2) AS trail_7d
     FROM d ORDER BY o_custkey, day, o_orderkey
 """
+
+RELATIONAL_ORACLES["r57_window_navigation"] = """
+    WITH d AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_custkey < 300
+    )
+    SELECT o_custkey, o_orderkey,
+           round(first_value(cents) OVER w / 100.0, 2) AS first_spend,
+           round(last_value(cents) OVER wf / 100.0, 2) AS last_spend,
+           round(nth_value(cents, 2) OVER wf / 100.0, 2) AS second_spend,
+           round((cents - lag(cents, 1) OVER w) / 100.0, 2) AS prev_delta
+    FROM d
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+"""

@@ -732,6 +732,39 @@ def r56_trailing_range_window(spark, sf_dir):
     )
 
 
+def r57_window_navigation(spark, sf_dir):
+    """Window NAVIGATION functions — first_value / last_value /
+    nth_value / lag over each customer's order sequence (keyed by the
+    unique o_orderkey, so frames are deterministic without tiebreak
+    columns). last/nth need the FULL-partition frame (the default
+    running frame silently truncates last_value — the classic window
+    footgun both engines share). Money stays integer cents until the
+    final render; one shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    d = o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        d.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.first("cents").over(w) / 100.0, 2).alias("first_spend"),
+            F.round(F.last("cents").over(wfull) / 100.0, 2).alias("last_spend"),
+            F.round(F.nth_value("cents", 2).over(wfull) / 100.0, 2).alias(
+                "second_spend"
+            ),
+            F.round((F.col("cents") - F.lag("cents", 1).over(w)) / 100.0, 2).alias(
+                "prev_delta"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 def r36_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/aggregate) over the
     embedding column — entirely JVM-side lambda evaluation, zero Python.
@@ -1303,4 +1336,5 @@ RELATIONAL_QUERIES = {
     "r54_mode": r54_mode,
     "r55_weighted_median": r55_weighted_median,
     "r56_trailing_range_window": r56_trailing_range_window,
+    "r57_window_navigation": r57_window_navigation,
 }

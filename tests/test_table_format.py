@@ -59,3 +59,24 @@ def test_merge_into_path_no_version(spark, tmp_path):
     merge_into_path(spark, path, updates, ["k"])
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_find_delta_jars_env_override(monkeypatch):
+    """The delta jar sweep honours SPARK_GRAFT_DELTA_JARS and requires
+    the delta Python package before reporting cache hits (a bare
+    extension jar can't serve DeltaTable calls)."""
+    from diepy_spark.session import find_delta_jars
+
+    monkeypatch.setenv("SPARK_GRAFT_DELTA_JARS", "")
+    assert find_delta_jars() == []
+    monkeypatch.setenv("SPARK_GRAFT_DELTA_JARS", "/x/delta-spark_2.13-3.2.0.jar")
+    assert find_delta_jars() == ["/x/delta-spark_2.13-3.2.0.jar"]
+    monkeypatch.delenv("SPARK_GRAFT_DELTA_JARS")
+    try:
+        import delta  # noqa: F401
+        has_delta_py = True
+    except ImportError:
+        has_delta_py = False
+    if not has_delta_py:
+        # cache sweep is moot without the bindings: must report none
+        assert find_delta_jars() == []
