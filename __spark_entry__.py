@@ -104,6 +104,9 @@ _PRIORITY = [
     "x12_dup_keys",
     "x8_mann_kendall",
     "x8_cusum",
+    "x11_ppr",
+    "x3_kmeans_stability",
+    "x2_lsh_bucket_health",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

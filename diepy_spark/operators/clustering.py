@@ -594,11 +594,31 @@ def kmeans_centroids_int(
     return _train_loop(q, id_col, k, iterations)
 
 
-def _train_loop(q: DataFrame, id_col: str, k: int, iterations: int) -> list[list[int]]:
+def kmeans_centroid_trace(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 10_000,
+) -> list[list[list[int]]]:
+    """Per-iteration centroid snapshots [c0 .. cN] of the kmeans_int
+    training loop (c0 = seeds) — the convergence-diagnostic input: pair
+    consecutive snapshots' assignments to measure how many vectors still
+    move per round (x3_kmeans_stability). Driver-sized: (N+1) * k * dim
+    ints."""
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    q = q.localCheckpoint(eager=False)
+    _, snaps = _train_loop(q, id_col, k, iterations, trace=True)
+    return snaps
+
+
+def _train_loop(q: DataFrame, id_col: str, k: int, iterations: int, trace: bool = False):
     seeds = (
         q.orderBy(id_col).limit(k).select("xi").collect()
     )
     cents: list[list[int]] = [list(r["xi"]) for r in seeds]
+    snaps: list[list[list[int]]] = [[list(c) for c in cents]]
 
     for _ in range(iterations):
         a = assign_to_centroids(q, cents, id_col)
@@ -621,7 +641,8 @@ def _train_loop(q: DataFrame, id_col: str, k: int, iterations: int) -> list[list
             else cents[j]  # empty cluster keeps its centroid
             for j in range(k)
         ]
-    return cents
+        snaps.append([list(c) for c in cents])
+    return (cents, snaps) if trace else cents
 
 
 def label_propagation(
@@ -819,3 +840,70 @@ def bfs_distances(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 5,
+    scale: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank — Haveliwala 2002: the
+    teleport mass returns to the SEED set instead of uniformly, so ranks
+    measure proximity to the seeds (the recommendation / related-items
+    primitive the global `pagerank` can't express). Same pure-integer
+    discipline as `pagerank`: seeds start with `scale` mass and receive
+    the integer teleport each round, non-seeds start at 0 and receive
+    only damped inflow; every division is a floor division, so the run
+    is bit-identical across engines and partitionings.
+
+    r_{t+1}(v) = [v ∈ S]·floor(scale·(den−num)/den)
+                 + num·(Σ_{u→v} floor(r_t(u)/outdeg(u))) div den
+
+    Scale: identical per-iteration shape to `pagerank` (one edge join +
+    one destination aggregate); the static edge/degree/node frames are
+    lazily checkpointed once for all iterations."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+    )
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("is_seed", F.lit(1))
+    )
+    nodes = (
+        nodes.join(sd, "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    e = e.localCheckpoint(eager=False)
+    deg = deg.localCheckpoint(eager=False)
+    teleport = (scale * (damp_den - damp_num)) // damp_den
+    ranks = nodes.select(
+        "node", (F.col("s").cast("bigint") * int(scale)).alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("u"), "r"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(s AS BIGINT) * {teleport} + "
+                f"({damp_num} * coalesce(inflow, CAST(0 AS BIGINT))) div {damp_den}"
+            ).alias("r"),
+        )
+    return ranks

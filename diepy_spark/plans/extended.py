@@ -1111,6 +1111,41 @@ def x11_pagerank(spark, sf_dir):
 
 BFS_ITER = 4
 BFS_SEED_MAX = 5  # seeds = part nodes with l_partkey <= 5
+PPR_SEED_MAX = 5  # PPR seeds: same smallest-part node set as BFS
+
+
+def x11_ppr(spark, sf_dir):
+    """PERSONALIZED PageRank
+    (operators/clustering.py:personalized_pagerank — Haveliwala 2002)
+    over the symmetrized supply graph, seeded at the PPR_SEED_MAX
+    smallest part nodes: ranks measure proximity to the seed set — the
+    related-items / recommendation primitive x11_pagerank's global
+    teleport can't express (and the quantitative sibling of x11_bfs's
+    hop distances: mass decays with hops instead of truncating). Pure
+    integer arithmetic; the oracle unrolls the same PR_ITER rounds.
+    Top PR_TOP reachable nodes by rank."""
+    from diepy_spark.operators.clustering import personalized_pagerank
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.where(F.col("l_partkey") <= PPR_SEED_MAX)
+        .select((F.col("l_partkey") * 10 + 1).alias("node"))
+        .distinct()
+    )
+    ranks = personalized_pagerank(sym, seeds, iterations=PR_ITER, scale=PR_SCALE)
+    return (
+        ranks.where(F.col("r") > 0)
+        .orderBy(F.col("r").desc(), "node")
+        .limit(PR_TOP)
+    )
 
 
 def x11_bfs(spark, sf_dir):
@@ -3787,6 +3822,91 @@ def x3_kmeans(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def x3_kmeans_stability(spark, sf_dir):
+    """K-means CONVERGENCE diagnostic — per training round, how many
+    vectors changed cluster, over how many, into how many distinct
+    clusters: the "did the partition settle?" instrument behind every
+    kmeans consumer here (SemDeDup cells, IVF lists, purity). Pairs the
+    assignments of consecutive centroid snapshots (c0 = seeds) in exact
+    integer arithmetic, so the movement counts are bit-identical to the
+    oracle's unrolled chain. Scale shape: each assignment is a
+    zero-shuffle broadcast-literal projection over the checkpointed
+    quantized corpus; each round's stat is a 1-row aggregate of a
+    vec_id-join of two such projections."""
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_centroid_trace,
+        quantize_vectors,
+    )
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    key = ("km_trace", sf_dir, KM_K, KM_ITER, KM_SCALE)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = kmeans_centroid_trace(
+            v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE
+        )
+    snaps = _MODEL_CACHE[key]
+    q = quantize_vectors(v, scale=KM_SCALE).localCheckpoint(eager=False)
+    asg = [
+        assign_to_centroids(q, c).select(
+            "vec_id", F.col("cluster").alias(f"c{t}")
+        )
+        for t, c in enumerate(snaps)
+    ]
+    frames = []
+    for t in range(1, len(snaps)):
+        frames.append(
+            asg[t - 1]
+            .join(asg[t], "vec_id")
+            .agg(
+                F.sum(
+                    (F.col(f"c{t}") != F.col(f"c{t-1}")).cast("bigint")
+                ).alias("n_changed"),
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.countDistinct(f"c{t}").alias("n_clusters"),
+            )
+            .select(
+                F.lit(t).cast("int").alias("iter"),
+                "n_changed",
+                "n_vecs",
+                "n_clusters",
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("iter")
+
+
+def x2_lsh_bucket_health(spark, sf_dir):
+    """LSH TABLE-HEALTH audit — the banding machinery's skew instrument:
+    per band, the number of buckets, how many are non-trivial (≥2 docs),
+    the LARGEST bucket (the hot key that sizes the worst join task at
+    100 TB), and the candidate-pair load Σ s(s−1)/2 the band contributes
+    to the verify stage. This is the number you read BEFORE launching
+    the pair join: a mega-bucket here means a degenerate band signature
+    (e.g. boilerplate) that needs a stop-signature filter, exactly like
+    x12_skew_diag reads join skew. Pure integer counts off one
+    signature pass + one groupBy."""
+    from diepy_spark.operators.dedup import band_frame, minhash_signatures
+
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d, LSH_NUM_HASHES)
+    bands = band_frame(sigs, LSH_NUM_HASHES, LSH_BAND_SIZE)
+    sizes = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("s"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("s") > 1).cast("bigint")).alias("hot_buckets"),
+            F.max("s").alias("max_bucket"),
+            F.expr("CAST(sum(s * (s - 1)) div 2 AS BIGINT)").alias("pair_load"),
+        )
+        .orderBy("band")
+    )
+
+
 SD_SCALE = 1000  # coarser grid than KM_SCALE: keeps dot^2 inside int64
 SD_ITER = 2  # partition quality saturates by round 2 here; dedup flags only
 # need a stable partition, not converged centroids (measured ~0.7s/query)
@@ -4112,6 +4232,9 @@ EXTENDED_QUERIES = {
     "x11_label_prop": x11_label_prop,
     "x11_modularity": x11_modularity,
     "x3_cluster_purity": x3_cluster_purity,
+    "x11_ppr": x11_ppr,
+    "x3_kmeans_stability": x3_kmeans_stability,
+    "x2_lsh_bucket_health": x2_lsh_bucket_health,
     "x8_did": x8_did,
     "x8_mann_kendall": x8_mann_kendall,
     "x8_cusum": x8_cusum,
@@ -5201,6 +5324,61 @@ def _pagerank_oracle_sql() -> str:
 EXTENDED_ORACLES["x11_pagerank"] = _pagerank_oracle_sql()
 
 
+def _ppr_oracle_sql() -> str:
+    """Unrolled mirror of operators.clustering.personalized_pagerank
+    over the same supply graph, seeded at the PPR_SEED_MAX smallest part
+    nodes; pp_ prefix keeps the chain collision-free."""
+    teleport = (PR_SCALE * 15) // 100
+    ctes = [
+        """pp0 AS (SELECT DISTINCT l_partkey * 10 + 1 AS u, l_suppkey * 10 + 2 AS v
+                  FROM lineitem)""",
+        "ppe AS (SELECT u, v FROM pp0 UNION SELECT v AS u, u AS v FROM pp0)",
+        "ppdeg AS (SELECT u, count(*) AS deg FROM ppe GROUP BY u)",
+        f"""ppn AS (SELECT node,
+                 CASE WHEN node IN (SELECT DISTINCT l_partkey * 10 + 1
+                                    FROM lineitem
+                                    WHERE l_partkey <= {PPR_SEED_MAX})
+                      THEN 1 ELSE 0 END AS s
+             FROM (SELECT DISTINCT u AS node FROM
+                   (SELECT u FROM ppe UNION SELECT v FROM ppe)))""",
+        f"ppr0 AS (SELECT node, CAST(s * {PR_SCALE} AS BIGINT) AS r FROM ppn)",
+    ]
+    for i in range(PR_ITER):
+        ctes.append(f"""ppr{i + 1} AS (
+          SELECT n.node,
+                 CAST(n.s * {teleport}
+                      + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+          FROM ppn n LEFT JOIN (
+            SELECT e.v AS node, SUM(p.r // d.deg) AS inflow
+            FROM ppe e JOIN ppr{i} p ON p.node = e.u JOIN ppdeg d ON d.u = e.u
+            GROUP BY e.v
+          ) i ON i.node = n.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r FROM ppr{PR_ITER} WHERE r > 0"
+        + f" ORDER BY r DESC, node LIMIT {PR_TOP}"
+    )
+
+
+EXTENDED_ORACLES["x11_ppr"] = _ppr_oracle_sql()
+
+
+
+
+EXTENDED_ORACLES["x2_lsh_bucket_health"] = f"""
+    WITH {_SH_CTES},
+    sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+    bands AS ({_bands_union(LSH_NUM_HASHES, LSH_BAND_SIZE)}),
+    bsz AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS s
+            FROM bands GROUP BY 1, 2)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+           CAST(max(s) AS BIGINT) AS max_bucket,
+           CAST(sum(s * (s - 1)) // 2 AS BIGINT) AS pair_load
+    FROM bsz GROUP BY band ORDER BY band
+"""
+
+
 EXTENDED_ORACLES["x8_stratified_sample"] = f"""
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
     m AS (SELECT min(cnt) AS min_cnt FROM c),
@@ -6223,6 +6401,28 @@ def _kmeans_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_kmeans"] = _kmeans_oracle_sql()
+
+
+def _kmeans_stability_oracle_sql() -> str:
+    """Consecutive-assignment movement counts off the shared unrolled
+    k-means chain (a0 = seed assignment)."""
+    ctes = _kmeans_ctes()
+    parts = []
+    for t in range(1, KM_ITER + 1):
+        parts.append(f"""SELECT CAST({t} AS INT) AS iter,
+      CAST(sum(CASE WHEN a.cluster <> p.cluster THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_changed,
+      CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(count(DISTINCT a.cluster) AS BIGINT) AS n_clusters
+    FROM a{t} a JOIN a{t - 1} p ON p.vec_id = a.vec_id""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(parts) + "\nORDER BY iter"
+    )
+
+
+EXTENDED_ORACLES["x3_kmeans_stability"] = _kmeans_stability_oracle_sql()
+
 
 EXTENDED_ORACLES["x3_ivfpq"] = _ivfpq_oracle_sql()
 
