@@ -107,6 +107,10 @@ _PRIORITY = [
     "x11_ppr",
     "x3_kmeans_stability",
     "x2_lsh_bucket_health",
+    "x5_bpe_apply",
+    "t10_schema_evolution",
+    "x8_jackknife",
+    "x10_dataset_card",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

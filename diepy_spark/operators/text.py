@@ -910,3 +910,33 @@ def bpe_merge_table(words: DataFrame, n_merges: int) -> DataFrame:
     for mm in merges[1:]:
         out = out.unionByName(mm)
     return out.orderBy("step")
+
+
+def bpe_step_lit(a: str, b: str) -> str:
+    """BPE_STEP with the pair inlined as SQL literals — the ENCODE-side
+    form: applying an already-learned merge table needs no per-round
+    argmax frame, just the fold with (a, b) baked in. Tokens here are
+    [a-z0-9]+ concatenations, so bare single-quoting is safe."""
+    return (
+        f"CASE WHEN s = '{b}' AND right(acc, {len(a) + 1}) = (' ' || '{a}') "
+        f"THEN acc || '{b}' ELSE acc || ' ' || s END"
+    )
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]], col: str = "syms") -> DataFrame:
+    """Apply a learned merge table (ordered (a, b) pairs) to a symbol
+    array column — the TOKENIZE step: each merge is one fold over the
+    current symbols, applied in training order (BPE inference is exactly
+    replaying the merge history). All merges inline as literal folds in
+    one projection — zero shuffles, zero joins: the merge table is
+    driver-sized by definition (it IS the vocabulary)."""
+    out = df
+    for a, b in merges:
+        out = out.withColumn(
+            col,
+            F.expr(
+                f"split(substring(aggregate({col}, '',"
+                f" (acc, s) -> {bpe_step_lit(a, b)}), 2), ' ')"
+            ),
+        )
+    return out

@@ -2167,6 +2167,68 @@ BPE_WORD_MAX = 16  # bounds the per-word fold (drops pathological id runs)
 _BPE_STEP = T.BPE_STEP
 
 
+def _bpe_merges_cached(spark, sf_dir) -> list[tuple[str, str]]:
+    """The learned merge table as driver-side (a, b) pairs — memoized
+    like the centroid/codebook models (_MODEL_CACHE): training once per
+    (sf_dir), then every encode-side consumer replays the same 8 merges
+    as literal folds."""
+    key = ("bpe", sf_dir, BPE_MERGES)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = [
+            (r["a"], r["b"]) for r in x5_bpe_train(spark, sf_dir).collect()
+        ]
+    return _MODEL_CACHE[key]
+
+
+def x5_bpe_apply(spark, sf_dir):
+    """BPE ENCODE + compression report — the merge table x5_bpe_train
+    learns, applied back to the per-LANGUAGE dictionaries (inference =
+    replaying the merge history in order, operators/text.py:bpe_encode):
+    per language, total word occurrences, character volume, BPE-piece
+    volume, pieces-per-token and mean piece length — the fertility
+    numbers a tokenizer team reads to see which languages the vocabulary
+    serves badly. Exact integers throughout (counts weighted by type
+    frequency); the two ratios are single divisions at the end. Scale
+    shape: dictionary-sized after one corpus collapse; the 8 merges ride
+    into ONE zero-shuffle projection as literal folds."""
+    d = _docs(spark, sf_dir)
+    merges = _bpe_merges_cached(spark, sf_dir)
+    wl = (
+        d.select("lang", F.explode(F.expr(D.tokens_expr("text"))).alias("w"))
+        .where(f"length(w) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "lang",
+            "n",
+            "length(w) AS chars",
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
+        )
+    )
+    enc = T.bpe_encode(wl, merges)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("chars") * F.col("n")).alias("n_chars"),
+            F.sum(F.expr("size(syms)").cast("bigint") * F.col("n")).alias(
+                "n_pieces"
+            ),
+        )
+        .selectExpr(
+            "lang",
+            "n_tokens",
+            "n_chars",
+            "n_pieces",
+            "round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)"
+            " AS pieces_per_token",
+            "round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4)"
+            " AS mean_piece_len",
+        )
+        .orderBy("lang")
+    )
+
+
 def x5_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING — the merge table an LLM data pipeline
     actually learns, produced by iterating x5_bpe_pairs' statistic
@@ -3179,6 +3241,138 @@ def x12_freshness(spark, sf_dir):
             "CAST((gmax - max_us) div 3600000000 AS BIGINT) AS staleness_hours",
         )
         .orderBy("event_type")
+    )
+
+
+JK_G = 10  # leave-one-out buckets
+
+# Jackknife shared float texts: the replicate ratio, the replicate mean,
+# and the squared deviation — every operand enters through CAST AS DOUBLE.
+_JK_THETA = "(CAST(c_all - c AS DOUBLE) / CAST(n_all - n AS DOUBLE))"
+_JK_TB = "(s_theta / CAST(g AS DOUBLE))"
+
+
+def x8_jackknife(spark, sf_dir):
+    """JACKKNIFE standard error of the conversion RATE — the
+    delete-one-group variance estimate for a RATIO metric (Efron 1982;
+    the per-bucket form is delete-a-group jackknife, the standard
+    big-data variant): users hash into JK_G buckets, each replicate
+    drops one bucket (theta_i = (C−c_i)/(N−n_i), exact-integer
+    numerators), and Var = (g−1)/g · Σ(theta_i − mean)². A plain ratio
+    has no textbook SE; this is how experiment platforms actually report
+    one. Determinism: replicate thetas fold in BUCKET order on both
+    engines (the entropy idiom), so the float accumulation is
+    engine-identical. Scale: one per-user aggregate, then everything is
+    g-row arithmetic."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_MIN)
+            ).cast("int")
+        ).alias("conv")
+    )
+    b = (
+        per_user.groupBy((F.col("user_id") % JK_G).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+        .localCheckpoint(eager=False)  # g rows; three consumers
+    )
+    t = b.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("c").alias("c_all"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    th = b.crossJoin(F.broadcast(t)).selectExpr(
+        "b", f"{_JK_THETA} AS theta", "n_all", "c_all", "g"
+    )
+    s1 = th.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, theta))),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.theta)"
+        ).alias("s_theta")
+    )
+    sq = (
+        f"((x.theta) - ({_JK_TB.replace('s_theta', 'x.s_theta').replace('g', 'x.g')}))"
+        f" * ((x.theta) - ({_JK_TB.replace('s_theta', 'x.s_theta').replace('g', 'x.g')}))"
+    )
+    return (
+        th.crossJoin(F.broadcast(s1))
+        .agg(
+            F.max("n_all").alias("n_users"),
+            F.max("c_all").alias("conv_users"),
+            F.max("g").alias("g_buckets"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(b, theta, s_theta, g))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + {sq})"
+            ).alias("ssq"),
+        )
+        .selectExpr(
+            "n_users",
+            "conv_users",
+            "g_buckets",
+            "round(CAST(conv_users AS DOUBLE) / CAST(n_users AS DOUBLE), 6)"
+            " AS theta_hat",
+            "round(sqrt((CAST(g_buckets - 1 AS DOUBLE)"
+            " / CAST(g_buckets AS DOUBLE)) * ssq), 6) AS jk_se",
+        )
+    )
+
+
+def x10_dataset_card(spark, sf_dir):
+    """DATASET CARD — the one-table corpus summary a training-data
+    release ships (docs/langs/sources, character and token volume,
+    vocabulary size, exact-duplicate count, top-language share): every
+    number is an exact integer or one rounded division, so the card is
+    reproducible to the byte across engines. Scale shape: ONE projection
+    pass builds the per-doc stats frame (checkpointed, docs-dimension),
+    one token explode feeds the vocabulary count, and the card rows
+    unpivot from a single 1-row aggregate via stack()."""
+    d = _docs(spark, sf_dir)
+    base = d.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        "length(text) AS chars",
+        f"size({D.tokens_expr('text')}) AS ntoks",
+        "md5(text) AS h",
+    ).localCheckpoint(eager=False)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("ntoks").alias("total_tokens"),
+        F.countDistinct("h").alias("n_unique_texts"),
+    )
+    vocab = d.select(
+        F.explode(F.expr(D.tokens_expr("text"))).alias("t")
+    ).agg(F.countDistinct("t").alias("distinct_tokens"))
+    top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("ld"))
+        .agg(F.max("ld").alias("top_lang_docs"))
+    )
+    return (
+        agg.crossJoin(vocab)
+        .crossJoin(top)
+        .selectExpr(
+            "stack(9,"
+            " 'distinct_tokens', CAST(distinct_tokens AS DOUBLE),"
+            " 'exact_dup_docs', CAST(n_docs - n_unique_texts AS DOUBLE),"
+            " 'mean_doc_tokens', round(CAST(total_tokens AS DOUBLE)"
+            "   / CAST(n_docs AS DOUBLE), 4),"
+            " 'n_docs', CAST(n_docs AS DOUBLE),"
+            " 'n_langs', CAST(n_langs AS DOUBLE),"
+            " 'n_sources', CAST(n_sources AS DOUBLE),"
+            " 'pct_top_lang', round(CAST(top_lang_docs AS DOUBLE)"
+            "   / CAST(n_docs AS DOUBLE), 4),"
+            " 'total_chars', CAST(total_chars AS DOUBLE),"
+            " 'total_tokens', CAST(total_tokens AS DOUBLE)"
+            ") AS (metric, value)"
+        )
+        .orderBy("metric")
     )
 
 
@@ -4224,6 +4418,7 @@ EXTENDED_QUERIES = {
     "x1_chunk_dedup_ratio": x1_chunk_dedup_ratio,
     "x5_bpe_pairs": x5_bpe_pairs,
     "x5_bpe_train": x5_bpe_train,
+    "x5_bpe_apply": x5_bpe_apply,
     "x8_cms_join_size": x8_cms_join_size,
     "x12_drift": x12_drift,
     "x12_gaps": x12_gaps,
@@ -4237,6 +4432,8 @@ EXTENDED_QUERIES = {
     "x2_lsh_bucket_health": x2_lsh_bucket_health,
     "x8_did": x8_did,
     "x8_mann_kendall": x8_mann_kendall,
+    "x8_jackknife": x8_jackknife,
+    "x10_dataset_card": x10_dataset_card,
     "x8_cusum": x8_cusum,
     "x8_sprt": x8_sprt,
     "x12_freshness": x12_freshness,
@@ -7377,10 +7574,11 @@ EXTENDED_ORACLES["x5_bpe_pairs"] = f"""
 """
 
 
-def _bpe_train_oracle_sql() -> str:
+def _bpe_train_ctes() -> list[str]:
     """Unrolled CTE chain, 3 CTEs per merge round (pair count, argmax,
     fused dictionary) over the shared _BPE_STEP fold text; the bt_
-    prefix keeps the chain collision-free (the tot/d1 episodes)."""
+    prefix keeps the chain collision-free (the tot/d1 episodes). Shared
+    by the train and apply oracles."""
     ctes = [
         f"""bt_words AS (
       SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
@@ -7406,15 +7604,56 @@ def _bpe_train_oracle_sql() -> str:
       SELECT string_split(substring(list_reduce(list_prepend('', syms),
              (acc, s) -> {_BPE_STEP}), 2), ' ') AS syms, n
       FROM bt_w{i - 1}, bt_m{i})""")
+    return ctes
+
+
+def _bpe_train_oracle_sql() -> str:
     sel = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({i} AS INT) AS step, a, b, a || b AS merged, cnt"
         f" FROM bt_m{i}"
         for i in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n    " + sel + "\n    ORDER BY step"
+    return (
+        "WITH " + ",\n".join(_bpe_train_ctes())
+        + "\n    " + sel + "\n    ORDER BY step"
+    )
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """Training chain + per-language dictionaries carried through the
+    same 8 merges via correlated folds (CROSS JOIN bt_m{i}), then the
+    fertility aggregate."""
+    ctes = _bpe_train_ctes()
+    ctes.append(f"""ap0 AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS n, length(w) AS chars,
+             list_transform(generate_series(1, length(w)),
+                            i -> substring(w, i, 1)) AS syms
+      FROM (SELECT lang, tok AS w
+            FROM (SELECT lang, unnest({_TOKS_EXPR}) AS tok FROM documents) u
+            WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX})
+      GROUP BY lang, w)""")
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(f"""ap{i} AS (
+      SELECT lang, n, chars,
+             string_split(substring(list_reduce(list_prepend('', syms),
+                    (acc, s) -> {_BPE_STEP}), 2), ' ') AS syms
+      FROM ap{i - 1}, bt_m{i})""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(chars * n) AS BIGINT) AS n_chars,
+           CAST(sum(len(syms) * n) AS BIGINT) AS n_pieces,
+           round(CAST(sum(len(syms) * n) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE), 4) AS pieces_per_token,
+           round(CAST(sum(chars * n) AS DOUBLE)
+                 / CAST(sum(len(syms) * n) AS DOUBLE), 4) AS mean_piece_len
+    FROM ap{BPE_MERGES} GROUP BY lang ORDER BY lang"""
+    )
 
 
 EXTENDED_ORACLES["x5_bpe_train"] = _bpe_train_oracle_sql()
+EXTENDED_ORACLES["x5_bpe_apply"] = _bpe_apply_oracle_sql()
 
 
 def _entropy_oracle_sql() -> str:
@@ -7708,5 +7947,71 @@ EXTENDED_ORACLES["x8_cusum"] = """
                  / CAST(100 AS DOUBLE), 2) AS peak_dev
     FROM csw ORDER BY abs(dev_scaled) DESC, day LIMIT 1
 """
+
+EXTENDED_ORACLES["x8_jackknife"] = f"""
+    WITH jku AS (
+      SELECT user_id, max(CASE WHEN event_type = 'purchase'
+                 AND value > {AB_CONV_MIN} THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    jkb AS (SELECT user_id % {JK_G} AS b, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(conv) AS BIGINT) AS c
+            FROM jku GROUP BY 1),
+    jkt AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                   CAST(sum(c) AS BIGINT) AS c_all,
+                   CAST(count(*) AS BIGINT) AS g FROM jkb),
+    jth AS (SELECT b, {_JK_THETA} AS theta, n_all, c_all, g FROM jkb, jkt),
+    js AS (SELECT CAST(list_sum(list(theta ORDER BY b)) AS DOUBLE) AS s_theta
+           FROM jth),
+    jq AS (SELECT max(n_all) AS n_users, max(c_all) AS conv_users,
+                  max(g) AS g_buckets,
+                  CAST(list_sum(list(
+                    ((theta) - ({_JK_TB})) * ((theta) - ({_JK_TB}))
+                    ORDER BY b)) AS DOUBLE) AS ssq
+           FROM jth, js)
+    SELECT n_users, conv_users, g_buckets,
+           round(CAST(conv_users AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS theta_hat,
+           round(sqrt((CAST(g_buckets - 1 AS DOUBLE)
+                 / CAST(g_buckets AS DOUBLE)) * ssq), 6) AS jk_se
+    FROM jq
+"""
+
+EXTENDED_ORACLES["x10_dataset_card"] = f"""
+    WITH cb AS (
+      SELECT doc_id, lang, source, length(text) AS chars,
+             len({_TOKS_EXPR}) AS ntoks, md5(text) AS h
+      FROM documents
+    ),
+    ca AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(sum(chars) AS BIGINT) AS total_chars,
+                  CAST(sum(ntoks) AS BIGINT) AS total_tokens,
+                  CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts
+           FROM cb),
+    cv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+           FROM (SELECT unnest({_TOKS_EXPR}) AS tok FROM documents)),
+    ct AS (SELECT CAST(max(ld) AS BIGINT) AS top_lang_docs
+           FROM (SELECT count(*) AS ld FROM cb GROUP BY lang))
+    SELECT metric, value FROM (
+      SELECT 'distinct_tokens' AS metric,
+             CAST(distinct_tokens AS DOUBLE) AS value FROM cv
+      UNION ALL SELECT 'exact_dup_docs',
+             CAST(n_docs - n_unique_texts AS DOUBLE) FROM ca
+      UNION ALL SELECT 'mean_doc_tokens',
+             round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+             FROM ca
+      UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM ca
+      UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM ca
+      UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM ca
+      UNION ALL SELECT 'pct_top_lang',
+             round(CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+             FROM ca, ct
+      UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM ca
+      UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM ca
+    ) ORDER BY metric
+"""
+
 
 

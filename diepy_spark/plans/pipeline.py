@@ -916,6 +916,51 @@ def x7_stream_ingest(spark, sf_dir):
     return out.orderBy("lang")
 
 
+def t10_schema_evolution(spark, sf_dir):
+    """SCHEMA-EVOLUTION roundtrip — the additive-column migration every
+    long-lived table undergoes: generation 1 writes the even-custkey
+    orders with the original 5 columns; generation 2 appends the
+    odd-custkey orders carrying a NEW column (priority_rank, parsed from
+    o_orderpriority); the read merges footer schemas
+    (``mergeSchema=true``) so generation-1 rows surface the new column
+    as NULL — no rewrite of the old files, the parquet contract that
+    makes additive evolution free at 100 TB (a backfill is optional, not
+    required for readers). The hash check proves both generations
+    survive the merged read byte-exactly, NULLs where the column
+    predates the writer."""
+    tune(spark)
+    key = ("schema-evo", sf_dir)
+    if key not in _scratch_cache:
+        d = os.path.join(tempfile.mkdtemp(prefix="diepy-evo-"), "orders")
+        o = load_table(spark, sf_dir, "orders")
+        cols = [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ]
+        o.where(F.col("o_custkey") % 2 == 0).select(*cols).write.parquet(
+            d, mode="append"
+        )
+        o.where(F.col("o_custkey") % 2 == 1).select(
+            *cols,
+            F.expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").alias(
+                "priority_rank"
+            ),
+        ).write.parquet(d, mode="append")
+        _scratch_cache[key] = d
+    back = spark.read.option("mergeSchema", "true").parquet(_scratch_cache[key])
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        "priority_rank",
+    ).orderBy("o_orderkey")
+
+
 PIPELINE_QUERIES = {
     "x7_stream_tumbling": x7_stream_tumbling,
     "x7_stream_sliding": x7_stream_sliding,
@@ -933,6 +978,7 @@ PIPELINE_QUERIES = {
     "x7_stream_ingest": x7_stream_ingest,
     "t8_roundtrip_xlsx": t8_roundtrip_xlsx,
     "t9_compaction": t9_compaction,
+    "t10_schema_evolution": t10_schema_evolution,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1204,4 +1250,13 @@ PIPELINE_ORACLES["t9_compaction"] = """
            CAST(count(DISTINCT user_id) AS BIGINT) AS users,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
     FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+PIPELINE_ORACLES["t10_schema_evolution"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority,
+           CASE WHEN o_custkey % 2 = 1
+                THEN CAST(substring(o_orderpriority, 1, 1) AS INT)
+                ELSE NULL END AS priority_rank
+    FROM orders ORDER BY o_orderkey
 """

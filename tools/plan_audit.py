@@ -54,8 +54,9 @@ TRAINS_AT_BUILD = {
     "x3_cluster_purity",
     "x10_training_corpus",
     "x12_key_discovery",
-    # round-6: centroid-trace training collects at build time
+    # round-6: centroid-trace / merge-table training collects at build time
     "x3_kmeans_stability",
+    "x5_bpe_apply",
 }
 
 
