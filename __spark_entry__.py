@@ -111,6 +111,9 @@ _PRIORITY = [
     "t10_schema_evolution",
     "x8_jackknife",
     "x10_dataset_card",
+    "x9_takedown",
+    "x5_readability",
+    "x3_range_query",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

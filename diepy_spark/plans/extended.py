@@ -3244,6 +3244,134 @@ def x12_freshness(spark, sf_dir):
     )
 
 
+READABILITY_DOC_MAX = 500
+# Flesch reading ease over exact integer counts — one shared float text.
+_FLESCH = (
+    "CAST(206.835 AS DOUBLE)"
+    " - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))"
+    " - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+)
+
+
+def x5_readability(spark, sf_dir):
+    """READABILITY scoring (Flesch reading ease, 1948 — the classic
+    quality-gate feature next to the Gopher rules): sentences = non-blank
+    [.!?]-delimited segments, words = the shared token split, syllables
+    approximated as vowel-group runs per word (the standard cheap
+    estimator) — ALL exact integer counts, clamped ≥1, entering the
+    Flesch formula through one shared float text. Per-doc scores for the
+    first READABILITY_DOC_MAX docs; zero shuffles — a pure projection
+    the quality gate fuses into its scan at any corpus size."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < READABILITY_DOC_MAX)
+    counts = d.selectExpr(
+        "doc_id",
+        "greatest(size(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)),"
+        " 1) AS n_sent",
+        f"greatest(size({D.tokens_expr('text')}), 1) AS n_words",
+        f"greatest(aggregate(transform({D.tokens_expr('text')},"
+        " w -> size(filter(split(w, '[^aeiouy]+'), p -> p != ''))),"
+        " 0, (acc, v) -> acc + v), 1) AS n_syll",
+    )
+    return counts.selectExpr(
+        "doc_id",
+        "n_sent",
+        "n_words",
+        "n_syll",
+        f"round({_FLESCH}, 2) AS flesch",
+    ).orderBy("doc_id")
+
+
+RANGE_R2 = 150_000_000  # squared-L2 radius on the KM_SCALE integer grid
+
+
+def x3_range_query(spark, sf_dir):
+    """RANGE (radius) search — the similarity primitive top-k can't
+    express: ALL vectors within a fixed squared-L2 radius of the query
+    (dedup wants "everything closer than t", not "the 10 closest").
+    Exact integer distances on the shared quantized grid
+    (clustering.quantize_vectors), query = the smallest vec_id, radius a
+    declared constant — so the result set is bit-stable. Scale shape:
+    one zero-shuffle projection + pushed filter (the brute-force tier);
+    the IVF-bucketed tier (x3_ivf_topk's cells with a radius filter)
+    takes over when the corpus outgrows a full scan, same contract."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    v = _vecs(spark, sf_dir)
+    q = quantize_vectors(v, scale=KM_SCALE)
+    qv = q.orderBy("vec_id").limit(1).collect()[0]["xi"]
+    lits = ", ".join(str(int(x)) for x in qv)
+    return (
+        q.selectExpr(
+            "vec_id",
+            f"aggregate(zip_with(xi, array({lits}), (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dist",
+        )
+        .where(F.col("dist") <= RANGE_R2)
+        .orderBy("dist", "vec_id")
+    )
+
+
+TAKEDOWN_MOD = 97  # forget every user/customer id divisible by this
+
+
+def x9_takedown(spark, sf_dir):
+    """TAKEDOWN sweep (right-to-be-forgotten / DMCA list propagation) —
+    the compliance op every stored corpus eventually runs: a tombstone
+    id set (ids ≡ 0 mod TAKEDOWN_MOD) propagates as LEFT ANTI joins
+    across every table keyed by it (customer, its orders, the event
+    log), and the audit reports per-table rows before / deleted / after
+    plus a residual count that MUST be zero — the post-sweep proof an
+    auditor actually asks for. Scale shape: the tombstone set broadcasts
+    (takedown lists are small by nature); each table is one anti-join
+    scan — the same plan the physical delete-rewrite runs, so these
+    numbers are the sweep's pre-flight and its verification."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    # The tombstone LIST (not a filter rule — production lists are
+    # arbitrary ids): one per key domain, built once, broadcast.
+    tomb_c = (
+        c.select(F.col("c_custkey").alias("k"))
+        .where(F.col("k") % TAKEDOWN_MOD == 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tomb_u = (
+        ev.select(F.col("user_id").alias("k"))
+        .where(F.col("k") % TAKEDOWN_MOD == 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    specs = [
+        ("customer", c, "c_custkey", tomb_c),
+        ("events", ev, "user_id", tomb_u),
+        ("orders", o, "o_custkey", tomb_c),
+    ]
+    frames = []
+    for name, t, key, tomb in specs:
+        kept = t.join(F.broadcast(tomb), t[key] == tomb["k"], "left_anti")
+        residual = kept.join(
+            F.broadcast(tomb), kept[key] == tomb["k"], "left_semi"
+        )
+        frames.append(
+            t.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_after")))
+            .crossJoin(residual.agg(F.count(F.lit(1)).alias("residual")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+                "n_after",
+                "residual",
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("table_name")
+
+
 JK_G = 10  # leave-one-out buckets
 
 # Jackknife shared float texts: the replicate ratio, the replicate mean,
@@ -4433,6 +4561,9 @@ EXTENDED_QUERIES = {
     "x8_did": x8_did,
     "x8_mann_kendall": x8_mann_kendall,
     "x8_jackknife": x8_jackknife,
+    "x9_takedown": x9_takedown,
+    "x5_readability": x5_readability,
+    "x3_range_query": x3_range_query,
     "x10_dataset_card": x10_dataset_card,
     "x8_cusum": x8_cusum,
     "x8_sprt": x8_sprt,
@@ -8012,6 +8143,64 @@ EXTENDED_ORACLES["x10_dataset_card"] = f"""
       UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM ca
     ) ORDER BY metric
 """
+
+EXTENDED_ORACLES["x9_takedown"] = f"""
+    WITH tdc AS (SELECT DISTINCT c_custkey AS k FROM customer
+                 WHERE c_custkey % {TAKEDOWN_MOD} = 0),
+    tdu AS (SELECT DISTINCT user_id AS k FROM events
+            WHERE user_id % {TAKEDOWN_MOD} = 0),
+    rows_c AS (SELECT 'customer' AS table_name,
+        CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+        CAST((SELECT count(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM tdc)) AS BIGINT) AS n_after),
+    rows_e AS (SELECT 'events',
+        CAST((SELECT count(*) FROM events) AS BIGINT),
+        CAST((SELECT count(*) FROM events
+              WHERE user_id NOT IN (SELECT k FROM tdu)) AS BIGINT)),
+    rows_o AS (SELECT 'orders',
+        CAST((SELECT count(*) FROM orders) AS BIGINT),
+        CAST((SELECT count(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT k FROM tdc)) AS BIGINT))
+    SELECT table_name, n_before, n_before - n_after AS n_deleted, n_after,
+           CAST(0 AS BIGINT) AS residual
+    FROM (SELECT * FROM rows_c UNION ALL SELECT * FROM rows_e
+          UNION ALL SELECT * FROM rows_o)
+    ORDER BY table_name
+"""
+
+EXTENDED_ORACLES["x5_readability"] = f"""
+    WITH rc AS (
+      SELECT doc_id,
+             greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                      x -> length(trim(x)) > 0)), 1) AS n_sent,
+             greatest(len({_TOKS_EXPR}), 1) AS n_words,
+             greatest(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                      w -> len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                               p -> p <> '')))), 0), 1) AS n_syll
+      FROM documents WHERE doc_id < {READABILITY_DOC_MAX}
+    )
+    SELECT doc_id, CAST(n_sent AS INT) AS n_sent,
+           CAST(n_words AS INT) AS n_words, CAST(n_syll AS INT) AS n_syll,
+           round({_FLESCH}, 2) AS flesch
+    FROM rc ORDER BY doc_id
+"""
+
+EXTENDED_ORACLES["x3_range_query"] = f"""
+    WITH rq AS (SELECT list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))
+                  AS qx
+                FROM embeddings ORDER BY vec_id LIMIT 1),
+    ru AS (SELECT vec_id, list_transform(embedding,
+             v -> CAST(round(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS xi
+           FROM embeddings),
+    rd AS (SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(1, len(xi)),
+                  i -> (xi[i] - qx[i]) * (xi[i] - qx[i]))) AS BIGINT) AS dist
+           FROM ru, rq)
+    SELECT vec_id, dist FROM rd WHERE dist <= {RANGE_R2}
+    ORDER BY dist, vec_id
+"""
+
 
 
 

@@ -57,6 +57,7 @@ TRAINS_AT_BUILD = {
     # round-6: centroid-trace / merge-table training collects at build time
     "x3_kmeans_stability",
     "x5_bpe_apply",
+    "x3_range_query",  # collects the query vector at build
 }
 
 
