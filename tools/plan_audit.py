@@ -61,6 +61,37 @@ TRAINS_AT_BUILD = {
 }
 
 
+# Round-6 sweep result (the full-set audit after the x8_sprt fix): the
+# only remaining single-partition sorts are over frames BOUNDED BY
+# CONSTRUCTION — calendar-days dimensions (r26_lag_window, x8_cusum,
+# x12_gaps boundary frame), histogram/bucket dimensions (x5_ppl_buckets,
+# x12_entropy, r50_equidepth_binning), and class-mix reports
+# (x12_drift, x12_skew_diag, x5_domain_mix). No users/corpus-dimension
+# frame passes through one task anywhere in the declared set.
+def _single_partition_sorts(plan: str) -> int:
+    """Count Exchange-SinglePartition nodes that FEED A SORT — the
+    global sort/window smell (VERDICT r5 #3: the x8_sprt disease).
+    A bare SinglePartition exchange under a scalar aggregate is the
+    inherent (and bounded) final-merge step of every global aggregate,
+    so it is NOT counted; what funnels a frame through one task is the
+    Sort/Window-over-everything shape, which in formatted explain shows
+    as `Sort (n)` directly above `Exchange (m)` whose detail block says
+    `Arguments: SinglePartition`."""
+    ids = set(
+        re.findall(
+            r"\((\d+)\) Exchange\n[^\n]*\nArguments: SinglePartition", plan
+        )
+    )
+    n = 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines[:-1]):
+        if re.search(r"\b(Sort|Window) \(\d+\)", line):
+            m = re.search(r"Exchange(?:\w*)? \((\d+)\)", lines[i + 1])
+            if m and m.group(1) in ids:
+                n += 1
+    return n
+
+
 def audit(plan: str) -> dict[str, int]:
     return {
         "scans": len(re.findall(r"Scan parquet", plan)),
@@ -75,7 +106,7 @@ def audit(plan: str) -> dict[str, int]:
         # dimensions) are fine; a corpus- or users-dimension one is the
         # x8_sprt disease — sweep any query where this column is >0 and
         # check what frame feeds it.
-        "onepart": len(re.findall(r"Exchange SinglePartition", plan)),
+        "onepart": _single_partition_sorts(plan),
     }
 
 
