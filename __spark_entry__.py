@@ -114,6 +114,8 @@ _PRIORITY = [
     "x9_takedown",
     "x5_readability",
     "x3_range_query",
+    "r58_rank_functions",
+    "x7_stream_takedown",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

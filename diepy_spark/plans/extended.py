@@ -3245,11 +3245,22 @@ def x12_freshness(spark, sf_dir):
 
 
 READABILITY_DOC_MAX = 500
-# Flesch reading ease over exact integer counts — one shared float text.
+# Flesch reading ease over exact integer counts. round() on the float
+# formula is a trap: 85.165 is not representable in binary, so the two
+# engines' half-up roundings can disagree on decimal ties (a real sf0.001
+# doc hit it). Instead the score times 1000·s·w is an EXACT integer
+# (206835·s·w − 1015·w² − 84600·syl·s); floor it at centi-precision via
+# one exact double division (operands ≪ 2^53) and divide by 100 — every
+# step bit-deterministic in both engines.
+_FLESCH_NUM = (
+    "(CAST(206835 AS BIGINT) * n_sent * n_words"
+    " - CAST(1015 AS BIGINT) * n_words * n_words"
+    " - CAST(84600 AS BIGINT) * n_syll * n_sent)"
+)
 _FLESCH = (
-    "CAST(206.835 AS DOUBLE)"
-    " - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))"
-    " - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    f"CAST(floor(CAST({_FLESCH_NUM} AS DOUBLE)"
+    " / CAST(10 * n_sent * n_words AS DOUBLE)) AS BIGINT)"
+    " / CAST(100 AS DOUBLE)"
 )
 
 
@@ -3277,7 +3288,7 @@ def x5_readability(spark, sf_dir):
         "n_sent",
         "n_words",
         "n_syll",
-        f"round({_FLESCH}, 2) AS flesch",
+        f"{_FLESCH} AS flesch",
     ).orderBy("doc_id")
 
 
@@ -8181,7 +8192,7 @@ EXTENDED_ORACLES["x5_readability"] = f"""
     )
     SELECT doc_id, CAST(n_sent AS INT) AS n_sent,
            CAST(n_words AS INT) AS n_words, CAST(n_syll AS INT) AS n_syll,
-           round({_FLESCH}, 2) AS flesch
+           {_FLESCH} AS flesch
     FROM rc ORDER BY doc_id
 """
 

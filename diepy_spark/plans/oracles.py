@@ -610,3 +610,13 @@ RELATIONAL_ORACLES["r57_window_navigation"] = """
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, o_orderkey
 """
+
+RELATIONAL_ORACLES["r58_rank_functions"] = """
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders WHERE o_custkey < 400
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+"""

@@ -916,6 +916,41 @@ def x7_stream_ingest(spark, sf_dir):
     return out.orderBy("lang")
 
 
+def x7_stream_takedown(spark, sf_dir):
+    """STREAM-SIDE TAKEDOWN filter — x9_takedown's compliance sweep
+    applied at the front door instead of retroactively: the event stream
+    joins the tombstone id list (stream-static broadcast, the same shape
+    as x7_stream_ingest's dedup check) and every event from a
+    tombstoned user is diverted; a complete-mode per-type aggregate
+    reports arrived / blocked / passed so the filter's coverage is
+    itself monitored. Stateless per event — streaming memory is the
+    event-type dimension; at production scale the tombstone side is the
+    persisted takedown table, refreshed per micro-batch epoch."""
+    from diepy_spark.plans.extended import TAKEDOWN_MOD
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tomb = (
+        ev.select(F.col("user_id").alias("k"))
+        .where(F.col("k") % TAKEDOWN_MOD == 0)
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    stream = ST.read_events_stream(
+        spark, _events_stream_dir(spark, sf_dir), max_files_per_trigger=_mfpt()
+    )
+    flagged = stream.join(
+        F.broadcast(tomb), stream["user_id"] == tomb["k"], "left"
+    ).withColumn("blocked", F.coalesce("hit", F.lit(0)))
+    agg = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("arrived"),
+        F.sum("blocked").alias("blocked"),
+        F.sum(1 - F.col("blocked")).alias("passed"),
+    )
+    out = _run_stream(agg, "complete")
+    return out.orderBy("event_type")
+
+
 def t10_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION roundtrip — the additive-column migration every
     long-lived table undergoes: generation 1 writes the even-custkey
@@ -979,6 +1014,7 @@ PIPELINE_QUERIES = {
     "t8_roundtrip_xlsx": t8_roundtrip_xlsx,
     "t9_compaction": t9_compaction,
     "t10_schema_evolution": t10_schema_evolution,
+    "x7_stream_takedown": x7_stream_takedown,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1259,4 +1295,18 @@ PIPELINE_ORACLES["t10_schema_evolution"] = """
                 THEN CAST(substring(o_orderpriority, 1, 1) AS INT)
                 ELSE NULL END AS priority_rank
     FROM orders ORDER BY o_orderkey
+"""
+
+from diepy_spark.plans.extended import TAKEDOWN_MOD as _TD_MOD  # noqa: E402
+
+PIPELINE_ORACLES["x7_stream_takedown"] = f"""
+    WITH tdl AS (SELECT DISTINCT user_id AS k FROM events
+                 WHERE user_id % {_TD_MOD} = 0)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS arrived,
+           CAST(sum(CASE WHEN user_id IN (SELECT k FROM tdl)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
+           CAST(sum(CASE WHEN user_id IN (SELECT k FROM tdl)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS passed
+    FROM events GROUP BY event_type ORDER BY event_type
 """

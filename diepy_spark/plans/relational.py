@@ -765,6 +765,29 @@ def r57_window_navigation(spark, sf_dir):
     )
 
 
+def r58_rank_functions(spark, sf_dir):
+    """Relative-rank window functions — percent_rank / cume_dist /
+    ntile(4) over each customer's orders keyed by the unique o_orderkey
+    (deterministic frames, no tiebreak columns needed). percent_rank and
+    cume_dist are pure rank arithmetic ((rk−1)/(n−1), rk/n) — exact in
+    doubles at any partition size — and ntile's bucket boundaries are
+    integer division, so all three are bit-identical cross-engine. One
+    shuffle on o_custkey; single-customer partitions hit percent_rank's
+    n=1 edge (defined 0.0 in both engines)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 400)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 def r36_array_hof(spark, sf_dir):
     """Higher-order array functions (transform/filter/aggregate) over the
     embedding column — entirely JVM-side lambda evaluation, zero Python.
@@ -1337,4 +1360,5 @@ RELATIONAL_QUERIES = {
     "r55_weighted_median": r55_weighted_median,
     "r56_trailing_range_window": r56_trailing_range_window,
     "r57_window_navigation": r57_window_navigation,
+    "r58_rank_functions": r58_rank_functions,
 }
