@@ -31,10 +31,18 @@ _PRIORITY = [
     # ROUND-6 WINDOW (executing the rotation VERDICT r5 task #1 orders):
     # positions 0-3 the four past-window round-5 queries (judge-green,
     # never driver-checked); 4-49 the first 46 of the 49 round-2-stale
-    # displaced backlog rows — exactly the 50-row window. The remaining
-    # 3 round-2 rows + 3 round-3 rows + all round-6 additions sit at
-    # position 50+ and head the ROUND-7 front-load (see below). All 50
-    # are locally driver-strict green (tools/check_oracle.py at sf0.01).
+    # displaced backlog rows — exactly the 50-row window. All 50 are
+    # locally driver-strict green (tools/check_oracle.py at sf0.01).
+    #
+    # ROUND-7 FRONT-LOAD — run `python tools/window_report.py` at round
+    # start to GENERATE this from CORRECTNESS_r06 (VERDICT r5 #8: no
+    # more hand-counting). Expected shape: the 18 round-6 additions in
+    # section (4) below (no driver row), then the 3 spilled round-2 rows
+    # (x10_clean_corpus, x5_lm_score, x2_minhash_est) and the 3 round-3
+    # rows (x2_embedding_near_dup, x2_cross_split_contamination,
+    # x8_stratified_sample) in section (3) — 24 rows; the other 26
+    # window slots go to round-7 additions and, if any remain, the
+    # stalest round-4 rows in section (5) order.
     #
     # (1) past-window round-5 additions — never driver-checked (4)
 

@@ -3361,18 +3361,40 @@ def x9_takedown(spark, sf_dir):
     ]
     frames = []
     for name, t, key, tomb in specs:
+        # Two scans per table, the minimum the audit semantics allow:
+        # pass 1 flags every row against the broadcast list (before +
+        # deleted in one aggregate); pass 2 re-derives the KEPT set via
+        # the anti-join — the actual delete plan — and re-probes it so
+        # `residual` is an independent check of that plan, not a tautology
+        # of pass 1's flags.
+        flagged = t.join(F.broadcast(tomb), t[key] == tomb["k"], "left").select(
+            F.coalesce((tomb["k"].isNotNull()).cast("bigint"), F.lit(0)).alias(
+                "hit"
+            )
+        )
+        before = flagged.agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum("hit").alias("n_deleted"),
+        )
         kept = t.join(F.broadcast(tomb), t[key] == tomb["k"], "left_anti")
-        residual = kept.join(
-            F.broadcast(tomb), kept[key] == tomb["k"], "left_semi"
+        # fresh projection of the list for the re-probe: tomb already
+        # appears in kept's lineage (the self-join ambiguity trap)
+        tomb2 = tomb.select(F.col("k").alias("k2"))
+        after = kept.join(
+            F.broadcast(tomb2), F.col(key) == F.col("k2"), "left"
+        ).select(
+            F.coalesce((F.col("k2").isNotNull()).cast("bigint"), F.lit(0)).alias(
+                "res"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum("res").alias("residual"),
         )
         frames.append(
-            t.agg(F.count(F.lit(1)).alias("n_before"))
-            .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_after")))
-            .crossJoin(residual.agg(F.count(F.lit(1)).alias("residual")))
-            .select(
+            before.crossJoin(after).select(
                 F.lit(name).alias("table_name"),
                 "n_before",
-                (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+                "n_deleted",
                 "n_after",
                 "residual",
             )
