@@ -124,6 +124,11 @@ _PRIORITY = [
     "x3_range_query",
     "r58_rank_functions",
     "x7_stream_takedown",
+    "x8_fdr_bh",
+    "x12_mutual_info",
+    "x5_zipf",
+    "x10_epoch_plan",
+    "x7_stream_late",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

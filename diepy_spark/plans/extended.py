@@ -1902,6 +1902,104 @@ def x12_entropy(spark, sf_dir):
     return out.orderBy("col_name")
 
 
+# Mutual information: column pairs probed (name, x-key, y-key) over the
+# letter-aliased 3-way histogram (a=status, b=priority, y=order year).
+MI_PAIRS = [
+    ("priority|year", "b", "y"),
+    ("status|priority", "a", "b"),
+    ("status|year", "a", "y"),
+]
+
+# Per-cell MI contribution (c/n) ln(cn/(rs)) — same shared-text ordered-
+# fold discipline as _ENTROPY_TERM, every operand cast to DOUBLE.
+_MI_TERM = (
+    "(CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    " * ln(CAST({c} AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " / (CAST({r} AS DOUBLE) * CAST({s} AS DOUBLE)))"
+)
+
+
+def x12_mutual_info(spark, sf_dir):
+    """Mutual information between categorical column pairs — the DQ
+    instrument for REDUNDANT dimensions (NMI near 1 = one column
+    determines the other, a candidate for x12_fd_discovery; near 0 =
+    independent): MI = sum (c/n) ln(cn/(rs)) over the joint histogram,
+    with marginal entropies and NMI = MI/sqrt(HxHy). ONE corpus scan
+    builds the bounded 3-way histogram (|status|x|priority|x|years|
+    cells); every pair's joint and marginals re-aggregate that
+    checkpointed cube, so adding pairs never rescans orders. All float
+    terms fold in cell order (engine-identical), rounded at render."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cube = (
+        o.selectExpr(
+            "CAST(o_orderstatus AS STRING) AS a",
+            "CAST(o_orderpriority AS STRING) AS b",
+            "CAST(year(o_orderdate) AS STRING) AS y",
+        )
+        .groupBy("a", "b", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # bounded: distinct-triple cells
+    )
+    wall = Window.partitionBy()
+    outs = []
+    for name, cx, cy in MI_PAIRS:
+        j = cube.groupBy(F.col(cx).alias("vx"), F.col(cy).alias("vy")).agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("c")
+        )
+        j2 = (
+            j.withColumn("n", F.sum("c").over(wall))
+            .withColumn("r", F.sum("c").over(Window.partitionBy("vx")))
+            .withColumn("s", F.sum("c").over(Window.partitionBy("vy")))
+        )
+        term = _MI_TERM.format(c="x.c", n="x.n", r="x.r", s="x.s")
+        mi_row = j2.agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(vx, vy, c, n, r, s))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
+            ).alias("mi_u"),
+        )
+        hterm = _ENTROPY_TERM.format(c="x.r", n="x.n")
+        margs = []
+        for vcol in (cx, cy):
+            m = (
+                cube.groupBy(F.col(vcol).alias("vx"))
+                .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("r"))
+                .withColumn("n", F.sum("r").over(wall))
+            )
+            margs.append(
+                m.agg(
+                    F.expr(
+                        "aggregate(array_sort(collect_list(struct(vx, r, n))),"
+                        f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({hterm}))"
+                    ).alias("h_u")
+                )
+            )
+        hx = margs[0].withColumnRenamed("h_u", "hx_u")
+        hy = margs[1].withColumnRenamed("h_u", "hy_u")
+        outs.append(
+            mi_row.crossJoin(hx)
+            .crossJoin(hy)
+            .selectExpr(
+                f"'{name}' AS pair",
+                "n_rows",
+                "n_cells",
+                "round(hx_u, 6) AS hx",
+                "round(hy_u, 6) AS hy",
+                "round(mi_u, 6) AS mi",
+                "round(mi_u / sqrt(hx_u * hy_u), 6) AS nmi",
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out.orderBy("pair")
+
+
 # Key-candidate sets probed by x12_key_discovery (name -> column list)
 KEY_CANDS = [
     ("o_orderkey", ["o_orderkey"]),
@@ -2773,6 +2871,107 @@ def x8_perm_test(spark, sf_dir):
         "round(obs_diff, 4) AS obs_diff",
         f"CAST({extreme} AS BIGINT) AS n_extreme",
         f"round(CAST({extreme} AS DOUBLE) / {PERM_P}, 4) AS p_value",
+    )
+
+
+# Benjamini-Hochberg threshold q = 0.10, spelled as an exact double
+# division shared with the oracle (a bare 0.1 literal would parse as
+# DECIMAL in Spark — the x12_benford lesson).
+_FDR_Q_TXT = "(CAST(1 AS DOUBLE) / CAST(10 AS DOUBLE))"
+
+
+def x8_fdr_bh(spark, sf_dir):
+    """MULTIPLE-TESTING CORRECTION (Benjamini & Hochberg 1995): the x8
+    family runs one test per metric; an experimentation platform runs
+    them ALL and must control the false-discovery rate across the
+    battery. Here the battery is one permutation test per event type
+    (the x8_perm_test machinery grouped by event_type — every
+    permutation is still a pair of conditional integer sums in ONE
+    aggregate, so the full m-test null distribution is one scan), and
+    the BH step adjusts: sort p ascending, p_adj(i) = min over j>=i of
+    p(j)*m/j, clamped to 1, reject at q=0.10.
+
+    Exactness: p = n_extreme/PERM_P stays a ratio of integers;
+    p(j)*m/j is computed as ONE double division of integer products
+    (n_extreme*m over PERM_P*rank), so the only float ops are a
+    division and window-min comparisons — engine-identical. The BH
+    window runs over m rows (the metric dimension, bounded like the
+    ppl-bucket windows), not the data."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.selectExpr("event_type", "user_id", f"{_CUPED_CENTS} AS cents")
+        .groupBy("event_type", "user_id")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("tot"))
+    )
+    bits = pu.selectExpr(
+        "event_type",
+        "tot",
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g_obs",
+        *[f"{_perm_bit(p)} AS b{p}" for p in range(PERM_P)],
+    )
+    agg = bits.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(tot) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum(g_obs) AS BIGINT)").alias("na_o"),
+        F.expr("CAST(sum(g_obs * tot) AS BIGINT)").alias("sa_o"),
+        *[F.expr(f"CAST(sum(b{p}) AS BIGINT)").alias(f"na{p}") for p in range(PERM_P)],
+        *[
+            F.expr(f"CAST(sum(b{p} * tot) AS BIGINT)").alias(f"sa{p}")
+            for p in range(PERM_P)
+        ],
+    )
+    d1 = agg.selectExpr(
+        "event_type",
+        "n",
+        f"{_perm_mean_diff('na_o', 'sa_o')} AS obs_diff",
+        *[f"{_perm_mean_diff(f'na{p}', f'sa{p}')} AS diff{p}" for p in range(PERM_P)],
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs(diff{p}) >= abs(obs_diff) THEN 1 ELSE 0 END)"
+        for p in range(PERM_P)
+    )
+    pvals = d1.selectExpr(
+        "event_type",
+        "n AS n_users",
+        "round(obs_diff, 4) AS obs_diff",
+        f"CAST({extreme} AS BIGINT) AS n_extreme",
+    ).localCheckpoint(eager=False)  # metric-dimension-bounded (m rows)
+    wall = Window.partitionBy()
+    wrk = Window.orderBy("n_extreme", "event_type")
+    wsfx = (
+        Window.orderBy("rk").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ranked = (
+        pvals.withColumn("m", F.count(F.lit(1)).over(wall))
+        .withColumn("rk", F.row_number().over(wrk))
+        .withColumn(
+            "q_raw",
+            F.expr(
+                "CAST(n_extreme * m AS DOUBLE)"
+                f" / CAST({PERM_P} * rk AS DOUBLE)"
+            ),
+        )
+    )
+    return (
+        ranked.withColumn(
+            "p_adj_u",
+            F.least(F.min("q_raw").over(wsfx), F.lit(1.0)),
+        )
+        .selectExpr(
+            "event_type",
+            "n_users",
+            "obs_diff",
+            "n_extreme",
+            f"round(CAST(n_extreme AS DOUBLE) / {PERM_P}, 4) AS p_value",
+            "CAST(rk AS INT) AS rk",
+            "round(p_adj_u, 4) AS p_adj",
+            f"CAST(CASE WHEN p_adj_u <= {_FDR_Q_TXT} THEN 1 ELSE 0 END"
+            " AS BIGINT) AS reject",
+        )
+        .orderBy("rk")
     )
 
 
@@ -4487,6 +4686,148 @@ def x2_lsh_curve(spark, sf_dir):
     )
 
 
+EPOCH_BUDGET_MULT = 3  # training budget = 3x the unique corpus tokens
+EPOCH_MAX = 4  # repeats beyond ~4 epochs add little (Muennighoff 2023)
+
+# Temperature weight with alpha=0.5 spelled as sqrt — sqrt is correctly
+# rounded under IEEE-754 (unlike pow), so the weight is engine-exact.
+_EPOCH_W = "sqrt(CAST(tokens AS DOUBLE)) / z"
+
+
+def x10_epoch_plan(spark, sf_dir):
+    """Data-constrained epoch planning (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a training
+    budget of EPOCH_BUDGET_MULT x the unique corpus tokens and
+    temperature-sqrt mixture weights, how many EPOCHS of each source
+    does the run need, and where does the EPOCH_MAX repeat cap leave a
+    deficit that must be filled by new collection? Per-source token
+    totals are one map-side-combined scan; the weight normalizer is an
+    ordered fold over the source-bounded frame; everything after the
+    one floor/ceil render is integer arithmetic."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    per = (
+        d.select(
+            "source",
+            F.expr(f"size({D.tokens_expr('text')})").cast("bigint").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.expr("CAST(sum(t) AS BIGINT)").alias("tokens"))
+        .localCheckpoint(eager=False)  # source-dimension-bounded
+    )
+    tot = per.agg(
+        F.expr("CAST(sum(tokens) AS BIGINT)").alias("total"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, tokens))),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + sqrt(CAST(x.tokens AS DOUBLE)))"
+        ).alias("z"),
+    )
+    j = per.crossJoin(tot).selectExpr(
+        "source", "tokens", "total", f"{_EPOCH_W} AS w_u"
+    )
+    j2 = j.selectExpr(
+        "*",
+        f"CAST(floor(CAST({EPOCH_BUDGET_MULT} AS DOUBLE)"
+        " * CAST(total AS DOUBLE) * w_u) AS BIGINT) AS desired_tokens",
+    )
+    j3 = j2.selectExpr(
+        "*",
+        "CAST(ceil(CAST(desired_tokens AS DOUBLE) / CAST(tokens AS DOUBLE))"
+        " AS BIGINT) AS epochs_need",
+    )
+    return j3.selectExpr(
+        "source",
+        "tokens",
+        "round(w_u, 6) AS weight",
+        "desired_tokens",
+        "epochs_need",
+        f"least(epochs_need, CAST({EPOCH_MAX} AS BIGINT)) AS epochs",
+        f"least(desired_tokens, CAST({EPOCH_MAX} AS BIGINT) * tokens)"
+        " AS realized_tokens",
+        f"desired_tokens - least(desired_tokens,"
+        f" CAST({EPOCH_MAX} AS BIGINT) * tokens) AS deficit",
+    ).orderBy("source")
+
+
+ZIPF_TOP = 500  # ranks fitted per language
+
+# Shared per-rank log terms and the closed-form OLS from the five folded
+# sums (k, sx, sy, sxx, sxy, syy) — every operand DOUBLE, text-shared.
+_ZIPF_SLOPE = (
+    "(CAST(k AS DOUBLE) * sxy - sx * sy)"
+    " / (CAST(k AS DOUBLE) * sxx - sx * sx)"
+)
+_ZIPF_R2 = (
+    "((CAST(k AS DOUBLE) * sxy - sx * sy)"
+    " * (CAST(k AS DOUBLE) * sxy - sx * sy))"
+    " / ((CAST(k AS DOUBLE) * sxx - sx * sx)"
+    " * (CAST(k AS DOUBLE) * syy - sy * sy))"
+)
+
+
+def x5_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit per language — the corpus-health
+    instrument behind vocabulary sizing (a natural-language corpus has
+    log-log slope near -1; machine-generated or template-heavy text
+    bends the curve): OLS of ln(freq) on ln(rank) over the top
+    ZIPF_TOP ranks, with slope, intercept and R². One explode shuffle
+    builds the per-(lang, token) histogram (map-side combined); ranking
+    windows partition BY LANGUAGE (never global); the five OLS sums
+    fold in rank order over the bounded top-rank frame so the float
+    accumulation is engine-identical."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    tk = d.select("lang", F.explode(F.expr(D.tokens_expr("text"))).alias("tok"))
+    h = (
+        tk.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # vocab-bounded, consumed twice
+    )
+    hv = h.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.expr("CAST(sum(n) AS BIGINT)").alias("total_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tok")
+    top = (
+        h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ZIPF_TOP)
+        .selectExpr("lang", "CAST(rk AS BIGINT) AS rk", "n")
+    )
+    lx = "ln(CAST(x.rk AS DOUBLE))"
+    ly = "ln(CAST(x.n AS DOUBLE))"
+
+    def fold(term: str, name: str):
+        return F.expr(
+            "aggregate(array_sort(collect_list(struct(rk, n))),"
+            f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
+        ).alias(name)
+
+    s = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        fold(lx, "sx"),
+        fold(ly, "sy"),
+        fold(f"{lx} * {lx}", "sxx"),
+        fold(f"{lx} * {ly}", "sxy"),
+        fold(f"{ly} * {ly}", "syy"),
+    )
+    sl = s.selectExpr("*", f"{_ZIPF_SLOPE} AS slope_u")
+    return (
+        sl.join(hv, "lang")
+        .selectExpr(
+            "lang",
+            "vocab",
+            "total_tok",
+            "k AS k_fit",
+            "round(slope_u, 6) AS slope",
+            "round((sy - slope_u * sx) / CAST(k AS DOUBLE), 6) AS intercept",
+            f"round({_ZIPF_R2}, 6) AS r2",
+        )
+        .orderBy("lang")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -4541,6 +4882,7 @@ EXTENDED_QUERIES = {
     "x3_quantize_int8": x3_quantize_int8,
     "x10_clean_corpus": x10_clean_corpus,
     "x10_training_corpus": x10_training_corpus,
+    "x10_epoch_plan": x10_epoch_plan,
     "x5_lm_score": x5_lm_score,
     "x2_minhash_est": x2_minhash_est,
     "x1_norm_dedup": x1_norm_dedup,
@@ -4573,7 +4915,9 @@ EXTENDED_QUERIES = {
     "x12_key_discovery": x12_key_discovery,
     "x12_seasonality": x12_seasonality,
     "x12_entropy": x12_entropy,
+    "x12_mutual_info": x12_mutual_info,
     "x5_ngram_novelty": x5_ngram_novelty,
+    "x5_zipf": x5_zipf,
     "x12_correlation": x12_correlation,
     "x1_cdc_chunks": x1_cdc_chunks,
     "x1_chunk_dedup_ratio": x1_chunk_dedup_ratio,
@@ -4616,6 +4960,7 @@ EXTENDED_QUERIES = {
     "x9_scd2_lookup": x9_scd2_lookup,
     "x11_assortativity": x11_assortativity,
     "x8_perm_test": x8_perm_test,
+    "x8_fdr_bh": x8_fdr_bh,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -7323,6 +7668,84 @@ def _perm_test_oracle_sql() -> str:
 
 EXTENDED_ORACLES["x8_perm_test"] = _perm_test_oracle_sql()
 
+
+def _fdr_bh_oracle_sql() -> str:
+    """Mirror of x8_fdr_bh: the grouped perm-test texts, then the BH
+    suffix-min window over the m metric rows."""
+    bit_cols = ",\n             ".join(
+        f"{_perm_bit(p)} AS b{p}" for p in range(PERM_P)
+    )
+    na_cols = ",\n             ".join(
+        f"CAST(sum(b{p}) AS BIGINT) AS na{p}" for p in range(PERM_P)
+    )
+    sa_cols = ",\n             ".join(
+        f"CAST(sum(b{p} * tot) AS BIGINT) AS sa{p}" for p in range(PERM_P)
+    )
+    diff_cols = ",\n             ".join(
+        f"{_perm_mean_diff(f'na{p}', f'sa{p}')} AS diff{p}" for p in range(PERM_P)
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs(diff{p}) >= abs(obs_diff) THEN 1 ELSE 0 END)"
+        for p in range(PERM_P)
+    )
+    return f"""
+    WITH pu AS (
+      SELECT event_type, user_id, CAST(sum({_CUPED_CENTS}) AS BIGINT) AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT event_type, tot,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g_obs,
+             {bit_cols}
+      FROM pu
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(tot) AS BIGINT) AS s,
+             CAST(sum(g_obs) AS BIGINT) AS na_o,
+             CAST(sum(g_obs * tot) AS BIGINT) AS sa_o,
+             {na_cols},
+             {sa_cols}
+      FROM bits GROUP BY 1
+    ),
+    d1 AS (
+      SELECT event_type, n, {_perm_mean_diff('na_o', 'sa_o')} AS obs_diff,
+             {diff_cols}
+      FROM agg
+    ),
+    pv AS (
+      SELECT event_type, n AS n_users, round(obs_diff, 4) AS obs_diff,
+             CAST({extreme} AS BIGINT) AS n_extreme
+      FROM d1
+    ),
+    ranked AS (
+      SELECT *, CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY n_extreme, event_type)
+                  AS BIGINT) AS rk
+      FROM pv
+    ),
+    q AS (
+      SELECT *, CAST(n_extreme * m AS DOUBLE)
+                / CAST({PERM_P} * rk AS DOUBLE) AS q_raw
+      FROM ranked
+    ),
+    adj AS (
+      SELECT *, least(min(q_raw) OVER (ORDER BY rk ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING), CAST(1 AS DOUBLE)) AS p_adj_u
+      FROM q
+    )
+    SELECT event_type, n_users, obs_diff, n_extreme,
+           round(CAST(n_extreme AS DOUBLE) / {PERM_P}, 4) AS p_value,
+           CAST(rk AS INT) AS rk,
+           round(p_adj_u, 4) AS p_adj,
+           CAST(CASE WHEN p_adj_u <= {_FDR_Q_TXT} THEN 1 ELSE 0 END
+                AS BIGINT) AS reject
+    FROM adj ORDER BY rk
+"""
+
+
+EXTENDED_ORACLES["x8_fdr_bh"] = _fdr_bh_oracle_sql()
+
 # semdedup-apply oracle: the shared SemDeDup chain, flags joined back to
 # documents (vec_id == doc_id in this fixture), per-lang survival.
 EXTENDED_ORACLES["x2_semdedup_apply"] = (
@@ -7836,6 +8259,112 @@ def _entropy_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_entropy"] = _entropy_oracle_sql()
+
+
+def _mutual_info_oracle_sql() -> str:
+    """Mirror of x12_mutual_info: the same 3-way histogram, per-pair
+    joint/marginal re-aggregation, ordered folds of the shared terms."""
+    base = (
+        "SELECT CAST(o_orderstatus AS STRING) AS a,"
+        " CAST(o_orderpriority AS STRING) AS b,"
+        " CAST(year(o_orderdate) AS STRING) AS y,"
+        " CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2, 3"
+    )
+    term = _MI_TERM.format(c="c", n="n", r="r", s="s")
+    hterm = _ENTROPY_TERM.format(c="r", n="n")
+    parts = []
+    for name, cx, cy in MI_PAIRS:
+        marg = (
+            "(SELECT CAST(list_sum(list(({h}) ORDER BY vx)) AS DOUBLE) AS {out}"
+            " FROM (SELECT vx, r, SUM(r) OVER () AS n FROM"
+            " (SELECT {col} AS vx, CAST(sum(c) AS BIGINT) AS r"
+            f" FROM ({base}) GROUP BY 1)))"
+        )
+        parts.append(f"""
+        SELECT '{name}' AS pair, mi.n_rows, mi.n_cells,
+               round(hx.hx_u, 6) AS hx, round(hy.hy_u, 6) AS hy,
+               round(mi.mi_u, 6) AS mi,
+               round(mi.mi_u / sqrt(hx.hx_u * hy.hy_u), 6) AS nmi
+        FROM
+         (SELECT CAST(max(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(list_sum(list(({term}) ORDER BY vx, vy)) AS DOUBLE)
+                   AS mi_u
+          FROM (SELECT vx, vy, c, SUM(c) OVER () AS n,
+                       SUM(c) OVER (PARTITION BY vx) AS r,
+                       SUM(c) OVER (PARTITION BY vy) AS s
+                FROM (SELECT {cx} AS vx, {cy} AS vy,
+                             CAST(sum(c) AS BIGINT) AS c
+                      FROM ({base}) GROUP BY 1, 2))) mi,
+         {marg.format(h=hterm, out="hx_u", col=cx)} hx,
+         {marg.format(h=hterm, out="hy_u", col=cy)} hy""")
+    return " UNION ALL ".join(parts) + " ORDER BY pair"
+
+
+EXTENDED_ORACLES["x12_mutual_info"] = _mutual_info_oracle_sql()
+
+EXTENDED_ORACLES["x10_epoch_plan"] = f"""
+    WITH per AS (
+      SELECT source, CAST(sum(len({_TOKS_EXPR})) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             CAST(list_sum(list(sqrt(CAST(tokens AS DOUBLE))
+                  ORDER BY source)) AS DOUBLE) AS z
+      FROM per
+    ),
+    j AS (SELECT source, tokens, total, {_EPOCH_W} AS w_u FROM per, tot),
+    j2 AS (SELECT *,
+             CAST(floor(CAST({EPOCH_BUDGET_MULT} AS DOUBLE)
+                  * CAST(total AS DOUBLE) * w_u) AS BIGINT) AS desired_tokens
+           FROM j),
+    j3 AS (SELECT *,
+             CAST(ceil(CAST(desired_tokens AS DOUBLE)
+                  / CAST(tokens AS DOUBLE)) AS BIGINT) AS epochs_need
+           FROM j2)
+    SELECT source, tokens, round(w_u, 6) AS weight, desired_tokens,
+           epochs_need,
+           least(epochs_need, CAST({EPOCH_MAX} AS BIGINT)) AS epochs,
+           least(desired_tokens, CAST({EPOCH_MAX} AS BIGINT) * tokens)
+             AS realized_tokens,
+           desired_tokens - least(desired_tokens,
+             CAST({EPOCH_MAX} AS BIGINT) * tokens) AS deficit
+    FROM j3 ORDER BY source
+"""
+
+# Zipf fit: same histogram, same per-lang rank window, same five ordered
+# folds (ORDER BY rk == Spark's array_sort on struct(rk, n)), same
+# closed-form texts.
+_ZLX = "ln(CAST(rk AS DOUBLE))"
+_ZLY = "ln(CAST(n AS DOUBLE))"
+EXTENDED_ORACLES["x5_zipf"] = f"""
+    WITH tk AS (
+      SELECT lang, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+    ),
+    h AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+          FROM tk GROUP BY 1, 2),
+    hv AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(sum(n) AS BIGINT) AS total_tok FROM h GROUP BY 1),
+    r AS (SELECT lang, n,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY n DESC, tok) AS BIGINT) AS rk FROM h),
+    top AS (SELECT * FROM r WHERE rk <= {ZIPF_TOP}),
+    s AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
+            CAST(list_sum(list(({_ZLX}) ORDER BY rk)) AS DOUBLE) AS sx,
+            CAST(list_sum(list(({_ZLY}) ORDER BY rk)) AS DOUBLE) AS sy,
+            CAST(list_sum(list(({_ZLX} * {_ZLX}) ORDER BY rk)) AS DOUBLE) AS sxx,
+            CAST(list_sum(list(({_ZLX} * {_ZLY}) ORDER BY rk)) AS DOUBLE) AS sxy,
+            CAST(list_sum(list(({_ZLY} * {_ZLY}) ORDER BY rk)) AS DOUBLE) AS syy
+          FROM top GROUP BY 1),
+    sl AS (SELECT *, {_ZIPF_SLOPE} AS slope_u FROM s)
+    SELECT sl.lang, vocab, total_tok, k AS k_fit,
+           round(slope_u, 6) AS slope,
+           round((sy - slope_u * sx) / CAST(k AS DOUBLE), 6) AS intercept,
+           round({_ZIPF_R2}, 6) AS r2
+    FROM sl JOIN hv ON hv.lang = sl.lang ORDER BY sl.lang
+"""
 
 
 def _modularity_oracle_sql() -> str:

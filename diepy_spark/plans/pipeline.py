@@ -951,6 +951,114 @@ def x7_stream_takedown(spark, sf_dir):
     return out.orderBy("event_type")
 
 
+LATE_NB = 4  # arrival batches in the late-data layout
+LATE_SHIFT = 2  # stragglers arrive two batches after their event-time home
+LATE_WM = "45 minutes"  # watermark delay for the late-data query
+
+
+def _late_bit_sql() -> str:
+    """Deterministic straggler flag (~25% of events), shared verbatim
+    with the oracle — one md5 nibble, the x8 permutation-bit idiom."""
+    return (
+        "(instr('0123456789abcdef', substr(md5(concat('late:',"
+        " CAST(event_id AS STRING))), 1, 1)) - 1) % 4 = 0"
+    )
+
+
+def _events_late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """OUT-OF-ORDER arrival layout: events are split into LATE_NB
+    event-time quantile buckets (0-based row_number over (ts, event_id)
+    — SQL-mirrorable, unlike repartitionByRange's sampled bounds), but
+    deterministic stragglers ARRIVE LATE_SHIFT batches after their
+    home bucket. Unlike _events_stream_dir (disjoint in-order ranges,
+    nothing ever late), this layout forces the watermark's late-row
+    drop path to execute. Harness machinery: the global row_number sort
+    and driver-side count materialize a toy arrival sequence ONCE per
+    process — a production stream's arrival order is given by the
+    source, not synthesized."""
+    import glob as globmod
+    import shutil
+    import time
+
+    key = ("events-late", sf_dir)
+    if key not in _scratch_cache:
+        from pyspark.sql import Window
+
+        base = tempfile.mkdtemp(prefix="diepy-late-")
+        d = os.path.join(base, "events")
+        os.makedirs(d)
+        ev = load_table(spark, sf_dir, "events")
+        tot = ev.count()
+        w = Window.orderBy("ts", "event_id")
+        arr = (
+            ev.withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn(
+                "home", F.expr(f"CAST((rn * {LATE_NB}) DIV {tot} AS INT)")
+            )
+            .withColumn(
+                "strag",
+                F.expr(f"CASE WHEN {_late_bit_sql()} THEN 1 ELSE 0 END"),
+            )
+            .withColumn(
+                "a",
+                F.expr(
+                    f"CASE WHEN strag = 1 THEN least(home + {LATE_SHIFT},"
+                    f" {LATE_NB - 1}) ELSE home END"
+                ),
+            )
+        )
+        base_t = time.time() - 3600
+        for k in range(LATE_NB):
+            tmp = os.path.join(base, f"b{k}")
+            (
+                arr.where(F.col("a") == k)
+                .drop("rn", "home", "strag", "a")
+                .coalesce(1)
+                .write.parquet(tmp)
+            )
+            part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"batch-{k}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (base_t + k, base_t + k))
+        _scratch_cache[key] = d
+    return _scratch_cache[key]
+
+
+def x7_stream_late(spark, sf_dir):
+    """WATERMARK LATE-DATA SEMANTICS — the one streaming behavior the
+    in-order replay layouts can never exercise: deterministic
+    stragglers arrive LATE_SHIFT batches after their event-time home,
+    and the tumbling aggregate must DROP the ones whose window the
+    watermark has already closed while still MERGING the ones whose
+    window is open. The oracle replays the exact rule batch by batch
+    (watermark at batch j = max event time arrived before j minus
+    LATE_WM; a row is dropped iff its window end <= that watermark —
+    comparator pinned by tests/test_streaming.py), so the hash check
+    proves the engine's drop set, not just its happy path.
+    maxFilesPerTrigger is PINNED at 1 (not _mfpt()): the drop set
+    depends on batch boundaries, so replay granularity here is
+    semantics, not a throughput knob. Sums are exact integer cents —
+    the late path must not hide behind float slack."""
+    tune(spark)
+    src = ST.read_events_stream(
+        spark, _events_late_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    agg = (
+        src.withWatermark("ts", LATE_WM)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr(
+                "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .select(F.col("w.start").alias("w"), "event_type", "c", "cents")
+    )
+    out = _run_stream(agg, "append")
+    return out.orderBy("w", "event_type")
+
+
 def t10_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION roundtrip — the additive-column migration every
     long-lived table undergoes: generation 1 writes the even-custkey
@@ -1015,6 +1123,7 @@ PIPELINE_QUERIES = {
     "t9_compaction": t9_compaction,
     "t10_schema_evolution": t10_schema_evolution,
     "x7_stream_takedown": x7_stream_takedown,
+    "x7_stream_late": x7_stream_late,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1025,7 +1134,62 @@ PIPELINE_QUERIES = {
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
 
+# x7_stream_late: the oracle replays the engine's batch-by-batch rule —
+# arrival bucket from the same row_number quantiles and straggler bit as
+# the layout builder; watermark at batch j = max ts arrived before j
+# minus LATE_WM; drop iff window end <= that watermark; final emission
+# under the usual append-mode rule. DROP_CMP is the comparator pinned by
+# tests/test_streaming.py::test_late_drop_comparator.
+_LATE_DROP_CMP = "<="
+# The watermark visible to micro-batch j's late filter reflects data
+# through batch j-2, not j-1: the watermark is PLANNED into the offset
+# log when batch j is constructed, from tracker state last updated after
+# batch j-1 was committed — whose own planned watermark came from batch
+# j-2's stats (measured here; pinned by tests/test_streaming.py).
+_LATE_WM_LAG = 2
+_LATE_ORACLE = f"""
+    WITH ordered AS (
+      SELECT event_id, ts, event_type, value,
+             CAST(row_number() OVER (ORDER BY ts, event_id) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS tot
+      FROM events
+    ),
+    asg AS (
+      SELECT *, CAST((rn * {LATE_NB}) // tot AS INT) AS home,
+             CASE WHEN {{late_bit}} THEN 1 ELSE 0 END AS strag
+      FROM ordered
+    ),
+    arr AS (
+      SELECT *, CASE WHEN strag = 1
+                     THEN least(home + {LATE_SHIFT}, {LATE_NB - 1})
+                     ELSE home END AS a
+      FROM asg
+    ),
+    wm AS (
+      SELECT b.a, max(arr.ts) - INTERVAL {LATE_WM} AS wm_ts
+      FROM (SELECT DISTINCT a FROM arr) b
+      JOIN arr ON arr.a <= b.a - {_LATE_WM_LAG}
+      GROUP BY b.a
+    ),
+    keep AS (
+      SELECT arr.* FROM arr LEFT JOIN wm ON wm.a = arr.a
+      WHERE wm.wm_ts IS NULL
+         OR NOT (date_trunc('hour', arr.ts) + INTERVAL 1 HOUR
+                 {_LATE_DROP_CMP} wm.wm_ts)
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM keep
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+          (SELECT max(ts) - INTERVAL {LATE_WM} FROM arr)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
+    "x7_stream_late": _LATE_ORACLE.format(late_bit=_late_bit_sql()),
     # dedup of a doubled stream == the original table (dedup emits rows as
     # processed; no watermark-end withholding applies to non-windowed rows).
     "x7_stream_dedup": """

@@ -145,6 +145,63 @@ def test_late_event_dropped_in_append_mode(spark, tmp_path):
     assert got == {(10, "a"): 2, (11, "a"): 2}
 
 
+def test_late_drop_comparator(spark, tmp_path):
+    """Pins the two constants the x7_stream_late oracle encodes
+    (plans/pipeline.py): the watermark visible to batch j's late filter
+    reflects data through batch j-2 (_LATE_WM_LAG=2), and the boundary
+    comparator is window_end <= watermark -> dropped (_LATE_DROP_CMP).
+    The fixture puts one late row exactly AT the watermark boundary and
+    one a full batch earlier, so each (lag, comparator) hypothesis
+    yields a distinct result set:
+      - window 09 present at all       -> lag is 2, not 1
+      - window 10 count 2 (not 3)      -> comparator is <=, not <
+    If a Spark upgrade changes either, this fails loudly and the oracle
+    constants must be re-measured."""
+    import datetime as dt
+
+    from diepy_spark.plans.pipeline import _LATE_DROP_CMP, _LATE_WM_LAG
+
+    d = str(tmp_path / "late_cmp")
+    os.makedirs(d, exist_ok=True)
+    ck = str(tmp_path / "ck_late_cmp")
+
+    def ev(i, h, m, typ="a"):
+        return (i, dt.datetime(2026, 1, 1, h, m, 0), 1, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batches = [
+        [ev(1, 10, 15)],
+        [ev(2, 13, 0)],
+        # wm here (lag2) = 10:15 - 2h = 08:15 -> both late rows land;
+        # under lag1 it would be 11:00 and both would drop
+        [ev(3, 16, 0), ev(4, 10, 30), ev(5, 9, 30)],
+        # wm here (lag2) = 13:00 - 2h = 11:00 == window-10's end:
+        # dropped iff the comparator is <=
+        [ev(6, 20, 0), ev(7, 10, 40)],
+    ]
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"batch{i}.parquet")
+        spark.createDataFrame(rows, cols).toPandas().to_parquet(
+            f, coerce_timestamps="us"
+        )
+        os.utime(f, (1_600_000_000 + i * 60,) * 2)
+
+    stream = ST.tumbling_counts(
+        ST.read_events_stream(spark, d, max_files_per_trigger=1),
+        "1 hour",
+        "2 hours",
+    )
+    ST.run_to_memory(stream, "late_cmp", ck, output_mode="append")
+    got = {
+        (r["w"].hour, r["event_type"]): r["c"]
+        for r in spark.table("late_cmp").collect()
+    }
+    assert got == {(9, "a"): 1, (10, "a"): 2, (13, "a"): 1, (16, "a"): 1}
+    # the oracle constants must encode exactly the semantics proven above
+    assert _LATE_WM_LAG == 2
+    assert _LATE_DROP_CMP == "<="
+
+
 def test_dedup_stream_drops_doubled_input(spark, events_dir, tmp_path):
     doubled = ST.read_events_stream(spark, events_dir).unionByName(
         ST.read_events_stream(spark, events_dir)
