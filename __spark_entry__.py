@@ -129,6 +129,8 @@ _PRIORITY = [
     "x5_zipf",
     "x10_epoch_plan",
     "x7_stream_late",
+    "x1_bloom_dedup",
+    "x7_stream_late_audit",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -203,6 +203,71 @@ def x1_incremental_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+BLOOM_DD_SEED = "bloomdd"
+
+
+def x1_bloom_dedup(spark, sf_dir):
+    """BLOOM-GATED incremental dedup — the shuffle-free front gate for
+    crawl-N+1 ingest at 100 TB: instead of exact-joining every arriving
+    fingerprint against the standing index (a shuffle of the index side
+    per batch), broadcast a Bloom filter of the index (operators/
+    bloom.py — KB-sized regardless of index width) and bit-test the
+    batch in a pure projection; only the accepted sliver (true dups +
+    false positives) needs the exact verify join. This query is the
+    TRUST INSTRUMENT for that design: per source, arrived / bloom_pass
+    / exact_dup / false_pos and the measured FP rate among true
+    uniques — the number that prices the bloom gate against BLOOM_M.
+    No false negatives are possible (every exact dup bloom-passes), so
+    the gate is lossless by construction; the oracle recomputes the
+    same md5-slice bit positions and the exact truth."""
+    from diepy_spark.operators.bloom import bloom_build, bloom_probe
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    idx = d.where(F.col("doc_id") % INC_DEDUP_MOD != 0).select(
+        F.md5("text").alias("fp")
+    )
+    batch = d.where(F.col("doc_id") % INC_DEDUP_MOD == 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    filt = bloom_build(
+        idx, "fp", m=BLOOM_M, k=BLOOM_K, seed=BLOOM_DD_SEED
+    ).localCheckpoint(eager=False)  # <= m/32 words — this IS the broadcast filter
+    hits = (
+        bloom_probe(batch, "fp", filt, m=BLOOM_M, k=BLOOM_K, seed=BLOOM_DD_SEED)
+        .select("doc_id")
+        .withColumn("h", F.lit(1))
+    )
+    truth = idx.distinct().withColumn("t", F.lit(1))
+    flagged = (
+        batch.join(hits, "doc_id", "left")
+        .join(truth, "fp", "left")
+        .selectExpr(
+            "source",
+            "coalesce(h, 0) AS h",
+            "coalesce(t, 0) AS t",
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("arrived"),
+            F.expr("CAST(sum(h) AS BIGINT)").alias("bloom_pass"),
+            F.expr("CAST(sum(t) AS BIGINT)").alias("exact_dup"),
+        )
+        .selectExpr(
+            "source",
+            "arrived",
+            "bloom_pass",
+            "exact_dup",
+            "bloom_pass - exact_dup AS false_pos",
+            "round(CAST(bloom_pass - exact_dup AS DOUBLE)"
+            " / CAST(arrived - exact_dup AS DOUBLE), 6) AS fp_rate",
+        )
+        .orderBy("source")
+    )
+
+
 NOVELTY_BUCKET = 100  # docs per crawl-order bucket
 
 
@@ -4839,6 +4904,7 @@ EXTENDED_QUERIES = {
     "x2_dedup_apply": x2_dedup_apply,
     "x2_dedup_best": x2_dedup_best,
     "x1_incremental_dedup": x1_incremental_dedup,
+    "x1_bloom_dedup": x1_bloom_dedup,
     "x2_incremental_minhash": x2_incremental_minhash,
     "x12_ref_integrity": x12_ref_integrity,
     "x8_ab_test": x8_ab_test,
@@ -6355,6 +6421,45 @@ def _bloom_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_bloom_semijoin"] = _bloom_oracle_sql()
+
+
+def _bloom_dedup_oracle_sql() -> str:
+    """Mirror of x1_bloom_dedup: same md5-slice positions (set-member
+    form — a bit is set iff its position appears in flat), exact truth
+    from a distinct-fingerprint semi-join."""
+    from diepy_spark.operators.bloom import bloom_position_sql
+
+    pos = lambda key, i: bloom_position_sql(key, BLOOM_DD_SEED, i, BLOOM_M)  # noqa: E731
+    flat = " UNION ALL ".join(
+        f"SELECT {pos('fp', i)} AS p FROM idx" for i in range(BLOOM_K)
+    )
+    tests = " AND ".join(
+        f"({pos('b.fp', i)}) IN (SELECT p FROM flat)" for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH idx AS (SELECT md5(text) AS fp FROM documents
+                 WHERE doc_id % {INC_DEDUP_MOD} != 0),
+    batch AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+              WHERE doc_id % {INC_DEDUP_MOD} = 0),
+    flat AS ({flat}),
+    truth AS (SELECT DISTINCT fp FROM idx),
+    flagged AS (
+      SELECT b.source,
+             CASE WHEN {tests} THEN 1 ELSE 0 END AS h,
+             CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END AS t
+      FROM batch b LEFT JOIN truth t ON t.fp = b.fp
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS arrived,
+           CAST(sum(h) AS BIGINT) AS bloom_pass,
+           CAST(sum(t) AS BIGINT) AS exact_dup,
+           CAST(sum(h) - sum(t) AS BIGINT) AS false_pos,
+           round(CAST(sum(h) - sum(t) AS DOUBLE)
+                 / CAST(count(*) - sum(t) AS DOUBLE), 6) AS fp_rate
+    FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTENDED_ORACLES["x1_bloom_dedup"] = _bloom_dedup_oracle_sql()
 
 
 EXTENDED_ORACLES["x9_snapshot_diff"] = f"""

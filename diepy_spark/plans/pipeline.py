@@ -1043,7 +1043,14 @@ def x7_stream_late(spark, sf_dir):
     src = ST.read_events_stream(
         spark, _events_late_stream_dir(spark, sf_dir), max_files_per_trigger=1
     )
-    agg = (
+    out = _run_stream(_late_agg(src), "append")
+    return out.orderBy("w", "event_type")
+
+
+def _late_agg(src: DataFrame) -> DataFrame:
+    """The tumbling cents aggregate shared by x7_stream_late and its
+    observability audit."""
+    return (
         src.withWatermark("ts", LATE_WM)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -1055,8 +1062,50 @@ def x7_stream_late(spark, sf_dir):
         )
         .select(F.col("w.start").alias("w"), "event_type", "c", "cents")
     )
-    out = _run_stream(agg, "append")
-    return out.orderBy("w", "event_type")
+
+
+def x7_stream_late_audit(spark, sf_dir):
+    """OBSERVABILITY CONTRACT for the late path: the engine's own
+    per-batch metric (`numRowsDroppedByWatermark`, summed over the
+    replay's progress events) must equal the drop count the declared
+    rule predicts, and the emitted-row total must account for the rest
+    minus the windows still withheld at end-of-input. Measured metric
+    semantics (pinned by the hash): the watermark filter runs at the
+    STATE-STORE operator, after partial aggregation — so the counter
+    counts dropped (batch, window, event_type) GROUPS, not raw input
+    rows (903 vs 1252 at sf0.01); the oracle predicts it as
+    count(DISTINCT ...) over the rule's dropped rows. This is the
+    check a production stream's monitoring rests on — if the
+    dashboards' drop counter and the semantic rule ever disagree, one
+    of them is lying; here the disagreement is a hash mismatch. One
+    row: arrived / dropped_late / emitted_rows."""
+    import json as _json
+
+    tune(spark)
+    src = ST.read_events_stream(
+        spark, _events_late_stream_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    name = f"x7_mem_{next(_counter)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ST.run_to_memory(
+            _late_agg(src), name, tempfile.mkdtemp(prefix="diepy-ck-"),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    arrived = dropped = 0
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        arrived += int(d.get("numInputRows", 0))
+        for so in d.get("stateOperators", []):
+            dropped += int(so.get("numRowsDroppedByWatermark", 0))
+    emitted = spark.table(name).agg(F.sum("c")).collect()[0][0] or 0
+    return spark.createDataFrame(
+        [(int(arrived), int(dropped), int(emitted))],
+        "arrived bigint, dropped_late bigint, emitted_rows bigint",
+    )
 
 
 def t10_schema_evolution(spark, sf_dir):
@@ -1124,6 +1173,7 @@ PIPELINE_QUERIES = {
     "t10_schema_evolution": t10_schema_evolution,
     "x7_stream_takedown": x7_stream_takedown,
     "x7_stream_late": x7_stream_late,
+    "x7_stream_late_audit": x7_stream_late_audit,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1188,8 +1238,52 @@ _LATE_ORACLE = f"""
     GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+_LATE_AUDIT_ORACLE = f"""
+    WITH ordered AS (
+      SELECT event_id, ts, event_type,
+             CAST(row_number() OVER (ORDER BY ts, event_id) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS tot
+      FROM events
+    ),
+    asg AS (
+      SELECT *, CAST((rn * {LATE_NB}) // tot AS INT) AS home,
+             CASE WHEN {{late_bit}} THEN 1 ELSE 0 END AS strag
+      FROM ordered
+    ),
+    arr AS (
+      SELECT *, CASE WHEN strag = 1
+                     THEN least(home + {LATE_SHIFT}, {LATE_NB - 1})
+                     ELSE home END AS a
+      FROM asg
+    ),
+    wm AS (
+      SELECT b.a, max(arr.ts) - INTERVAL {LATE_WM} AS wm_ts
+      FROM (SELECT DISTINCT a FROM arr) b
+      JOIN arr ON arr.a <= b.a - {_LATE_WM_LAG}
+      GROUP BY b.a
+    ),
+    lab AS (
+      SELECT arr.*, CASE WHEN wm.wm_ts IS NOT NULL
+                          AND date_trunc('hour', arr.ts) + INTERVAL 1 HOUR
+                              {_LATE_DROP_CMP} wm.wm_ts
+                         THEN 1 ELSE 0 END AS dropped
+      FROM arr LEFT JOIN wm ON wm.a = arr.a
+    )
+    SELECT CAST(count(*) AS BIGINT) AS arrived,
+           (SELECT CAST(count(DISTINCT (a, date_trunc('hour', ts),
+                                        event_type)) AS BIGINT)
+            FROM lab WHERE dropped = 1) AS dropped_late,
+           CAST(sum(CASE WHEN dropped = 0
+                     AND date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+                         (SELECT max(ts) - INTERVAL {LATE_WM} FROM arr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS emitted_rows
+    FROM lab
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
     "x7_stream_late": _LATE_ORACLE.format(late_bit=_late_bit_sql()),
+    "x7_stream_late_audit": _LATE_AUDIT_ORACLE.format(late_bit=_late_bit_sql()),
     # dedup of a doubled stream == the original table (dedup emits rows as
     # processed; no watermark-end withholding applies to non-windowed rows).
     "x7_stream_dedup": """
