@@ -65,3 +65,100 @@ def test_sprt_block_cumsum_matches_sequential(spark):
     row = df.collect()[0]
     assert set(df.columns) == {"decision", "n_stop", "llr_at_stop", "total_n"}
     assert row["total_n"] > 0 and 1 <= row["n_stop"] <= row["total_n"]
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name]
+
+
+def test_fdr_bh_adjustment_invariants(spark):
+    # BH adjusted p must be the suffix-min of p*m/rank clamped to 1:
+    # per row p_adj >= p_value, the sequence is non-decreasing in rank,
+    # and reject flags exactly p_adj <= 0.10.
+    rows = _q("x8_fdr_bh")(spark, SF).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    prev = 0.0
+    for r in rows:
+        assert r["p_adj"] >= r["p_value"] - 1e-9
+        assert r["p_adj"] >= prev - 1e-9  # monotone after suffix-min
+        prev = r["p_adj"]
+        assert r["reject"] == (1 if r["p_adj"] <= 0.10 else 0)
+        assert 0.0 <= r["p_value"] <= 1.0 and r["p_adj"] <= 1.0
+
+
+def test_mutual_info_bounds(spark):
+    # 0 <= MI <= min(Hx, Hy) (information inequality) and NMI in [0,1];
+    # n_rows must equal the orders rowcount for every pair.
+    from diepy_spark.sources.registry import load_table
+
+    n = load_table(spark, SF, "orders").count()
+    rows = _q("x12_mutual_info")(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_rows"] == n
+        assert -1e-9 <= r["mi"] <= min(r["hx"], r["hy"]) + 1e-6
+        assert -1e-9 <= r["nmi"] <= 1.0 + 1e-9
+
+
+def test_zipf_fit_shape(spark):
+    # Natural-ish text: slope negative, R^2 in (0, 1], fit uses at most
+    # ZIPF_TOP ranks and never more than the language's vocabulary.
+    from diepy_spark.plans.extended import ZIPF_TOP
+
+    rows = _q("x5_zipf")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["slope"] < 0
+        assert 0.0 < r["r2"] <= 1.0 + 1e-9
+        assert r["k_fit"] <= min(ZIPF_TOP, r["vocab"])
+        assert r["total_tok"] >= r["vocab"]
+
+
+def test_epoch_plan_arithmetic(spark):
+    # Weights sum to 1; epochs is the ceiling of desired/available;
+    # realized caps at EPOCH_MAX epochs; deficit is the exact remainder.
+    import math
+
+    from diepy_spark.plans.extended import EPOCH_MAX
+
+    rows = _q("x10_epoch_plan")(spark, SF).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["epochs_need"] == math.ceil(r["desired_tokens"] / r["tokens"])
+        assert r["epochs"] == min(r["epochs_need"], EPOCH_MAX)
+        assert r["realized_tokens"] == min(
+            r["desired_tokens"], EPOCH_MAX * r["tokens"]
+        )
+        assert r["deficit"] == r["desired_tokens"] - r["realized_tokens"]
+        assert r["deficit"] >= 0
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    # Every exact duplicate must bloom-pass (no false negatives by
+    # construction); the FP rate is a valid fraction of true uniques.
+    rows = _q("x1_bloom_dedup")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_dup"] <= r["bloom_pass"] <= r["arrived"]
+        assert r["false_pos"] == r["bloom_pass"] - r["exact_dup"]
+        if r["arrived"] > r["exact_dup"]:
+            assert 0.0 <= r["fp_rate"] <= 1.0
+
+
+def test_late_audit_consistent_with_late_query(spark):
+    # Cross-query invariant: the audit's emitted_rows equals the row
+    # total of the emitted windows in x7_stream_late, and the engine
+    # cannot have emitted + dropped more groups than rows arrived.
+    import pyspark.sql.functions as F
+
+    late = _q("x7_stream_late")(spark, SF)
+    emitted = late.agg(F.sum("c")).collect()[0][0]
+    audit = _q("x7_stream_late_audit")(spark, SF).collect()[0]
+    assert audit["emitted_rows"] == emitted
+    assert audit["dropped_late"] >= 1  # the late path actually fired
+    assert audit["emitted_rows"] + audit["dropped_late"] <= audit["arrived"]
