@@ -131,6 +131,7 @@ _PRIORITY = [
     "x7_stream_late",
     "x1_bloom_dedup",
     "x7_stream_late_audit",
+    "x7_stream_resume",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -1120,6 +1120,83 @@ def x7_stream_late_audit(spark, sf_dir):
     )
 
 
+def x7_stream_resume(spark, sf_dir):
+    """CHECKPOINT RECOVERY + EXACTLY-ONCE SINK — the operational
+    contract every production stream rests on: the tumbling aggregate
+    processes the first two arrival files, TERMINATES (the simulated
+    failure/restart boundary), two more files arrive, and a NEW query
+    resumes from the SAME checkpoint into the SAME parquet sink. The
+    hash check against the full-replay rule proves the restart lost
+    nothing and duplicated nothing: watermark and window state are
+    restored from the checkpoint's commit log, and the file sink's
+    _spark_metadata transaction log makes the output read exactly-once
+    even though two separate queries wrote it. Exact integer cents —
+    a duplicated or dropped window cannot hide in float slack. Runs
+    once per (process, sf_dir); repeat calls read the committed sink."""
+    import glob as globmod
+    import shutil
+    import time
+
+    tune(spark)
+    key = ("stream-resume", sf_dir)
+    if key not in _scratch_cache:
+        src_dir = _events_stream_dir(spark, sf_dir)
+        parts = sorted(globmod.glob(os.path.join(src_dir, "part-*")))
+        base = tempfile.mkdtemp(prefix="diepy-resume-")
+        ind = os.path.join(base, "in")
+        outd = os.path.join(base, "out")
+        ck = os.path.join(base, "ck")
+        os.makedirs(ind)
+        t0 = time.time() - 3600
+
+        def _copy(i: int, p: str) -> None:
+            dst = os.path.join(ind, f"f{i}.parquet")
+            shutil.copy(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+        def _run() -> None:
+            src = ST.read_events_stream(spark, ind, max_files_per_trigger=1)
+            agg = (
+                src.withWatermark("ts", WATERMARK)
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.expr(
+                        "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                        " AS BIGINT)) AS BIGINT)"
+                    ).alias("cents"),
+                )
+                .select(F.col("w.start").alias("w"), "event_type", "c", "cents")
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    agg.writeStream.format("parquet")
+                    .option("path", outd)
+                    .option("checkpointLocation", ck)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        for i, p in enumerate(parts[:2]):
+            _copy(i, p)
+        _run()  # first life: two batches, then the restart boundary
+        for i, p in enumerate(parts[2:], start=2):
+            _copy(i, p)
+        _run()  # second life: resume from the same checkpoint
+        _scratch_cache[key] = outd
+    return (
+        spark.read.parquet(_scratch_cache[key])
+        .select("w", "event_type", "c", "cents")
+        .orderBy("w", "event_type")
+    )
+
+
 def t10_schema_evolution(spark, sf_dir):
     """SCHEMA-EVOLUTION roundtrip — the additive-column migration every
     long-lived table undergoes: generation 1 writes the even-custkey
@@ -1186,6 +1263,7 @@ PIPELINE_QUERIES = {
     "x7_stream_takedown": x7_stream_takedown,
     "x7_stream_late": x7_stream_late,
     "x7_stream_late_audit": x7_stream_late_audit,
+    "x7_stream_resume": x7_stream_resume,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1304,6 +1382,17 @@ PIPELINE_ORACLES: dict[str, str] = {
     "x7_stream_tumbling": f"""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
                COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # resume: the restart must reproduce the uninterrupted replay — the
+    # oracle is the plain full-replay emission rule, integer cents.
+    "x7_stream_resume": f"""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
         FROM events
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
         GROUP BY 1, 2 ORDER BY 1, 2

@@ -162,3 +162,25 @@ def test_late_audit_consistent_with_late_query(spark):
     assert audit["emitted_rows"] == emitted
     assert audit["dropped_late"] >= 1  # the late path actually fired
     assert audit["emitted_rows"] + audit["dropped_late"] <= audit["arrived"]
+
+
+def test_stream_resume_matches_tumbling_and_uses_sink_log(spark):
+    # The resumed two-life run must agree with the uninterrupted
+    # streaming replay (same windows, same counts), and the sink must
+    # carry the _spark_metadata transaction log that makes the
+    # two-query parquet output read exactly-once.
+    import os as _os
+
+    from diepy_spark.plans import pipeline as P
+
+    resume = {
+        (r["w"], r["event_type"]): r["c"]
+        for r in _q("x7_stream_resume")(spark, SF).collect()
+    }
+    tumbling = {
+        (r["w"], r["event_type"]): r["c"]
+        for r in _q("x7_stream_tumbling")(spark, SF).collect()
+    }
+    assert resume == tumbling
+    outd = P._scratch_cache[("stream-resume", SF)]
+    assert _os.path.isdir(_os.path.join(outd, "_spark_metadata"))
