@@ -132,6 +132,7 @@ _PRIORITY = [
     "x1_bloom_dedup",
     "x7_stream_late_audit",
     "x7_stream_resume",
+    "x12_volume_anomaly",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -2065,6 +2065,47 @@ def x12_mutual_info(spark, sf_dir):
     return out.orderBy("pair")
 
 
+def x12_volume_anomaly(spark, sf_dir):
+    """Daily VOLUME anomaly gate — the first alarm a data platform
+    wires: each day's event count against the exact median of the
+    trailing 7 days (median, not mean — one bad day must not poison
+    the baseline). A day flags high when count > 2x the trailing
+    median, low when count < half of it; both tests stay in integers
+    (2*c < med, c > 2*med), so there is no float layer at all. The
+    corpus collapses to the calendar frame in one map-side-combined
+    pass; the trailing median is a 7-element sorted-array pick over
+    that bounded frame — the same calendar-window shape as
+    x12_freshness/x8_cusum."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # calendar-bounded
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    wrk = Window.orderBy("day")
+    return (
+        daily.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("t7", F.collect_list("c").over(w))
+        .withColumn("med7", F.expr("element_at(array_sort(t7), 4)"))
+        .where(F.col("rk") > 7)
+        .selectExpr(
+            "CAST(day AS STRING) AS day",
+            "c",
+            "med7",
+            "CAST(CASE WHEN c > 2 * med7 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS flag_high",
+            "CAST(CASE WHEN 2 * c < med7 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS flag_low",
+        )
+        .orderBy("day")
+    )
+
+
 # Key-candidate sets probed by x12_key_discovery (name -> column list)
 KEY_CANDS = [
     ("o_orderkey", ["o_orderkey"]),
@@ -4982,6 +5023,7 @@ EXTENDED_QUERIES = {
     "x12_seasonality": x12_seasonality,
     "x12_entropy": x12_entropy,
     "x12_mutual_info": x12_mutual_info,
+    "x12_volume_anomaly": x12_volume_anomaly,
     "x5_ngram_novelty": x5_ngram_novelty,
     "x5_zipf": x5_zipf,
     "x12_correlation": x12_correlation,
@@ -8407,6 +8449,27 @@ def _mutual_info_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_mutual_info"] = _mutual_info_oracle_sql()
+
+EXTENDED_ORACLES["x12_volume_anomaly"] = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, c,
+             CAST(row_number() OVER (ORDER BY day) AS INT) AS rk,
+             list_sort(list(c) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))[4] AS med7
+      FROM daily
+    )
+    SELECT CAST(day AS STRING) AS day, c, med7,
+           CAST(CASE WHEN c > 2 * med7 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_high,
+           CAST(CASE WHEN 2 * c < med7 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_low
+    FROM r WHERE rk > 7 ORDER BY day
+"""
 
 EXTENDED_ORACLES["x10_epoch_plan"] = f"""
     WITH per AS (
