@@ -85,6 +85,27 @@ def _books_cached(spark, sf_dir, m, ncodes, scale):
         )
     return _MODEL_CACHE[key]
 
+def _sdflags_cached(spark, sf_dir):
+    """The SemDeDup flag frame shared by its report (x2_semdedup) and
+    corpus consumer (x2_semdedup_apply) — narratively the PERSISTED
+    flag table a production pipeline writes once and joins everywhere.
+    Session-keyed (a localCheckpoint is bound to its SparkContext) and
+    lineage-cut: the expensive subtree is the k x dim literal-distance
+    assignment plus the within-cell pair join, re-derived otherwise by
+    every consumer."""
+    key = (
+        "sdflags", spark.sparkContext.applicationId, sf_dir,
+        KM_K, SD_ITER, SD_SCALE, SD_THR_NUM, SD_THR_DEN,
+    )
+    if key not in _MODEL_CACHE:
+        cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
+        _MODEL_CACHE[key] = S.semdedup_flags(
+            _vecs(spark, sf_dir), cents,
+            thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE,
+        ).localCheckpoint(eager=False)
+    return _MODEL_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Spark plans
 # ---------------------------------------------------------------------------
@@ -4102,14 +4123,8 @@ def x2_semdedup_apply(spark, sf_dir):
     prune the document corpus; per language, how many docs and chars
     survive semantic dedup. The flag frame is node-sized relative to a
     100 TB corpus — it broadcast-joins back, the corpus never reshuffles."""
-    from diepy_spark.operators.clustering import kmeans_centroids_int
-
     tune(spark)
-    v = _vecs(spark, sf_dir)
-    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
-    fl = S.semdedup_flags(
-        v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
-    )
+    fl = _sdflags_cached(spark, sf_dir)
     d = _docs(spark, sf_dir)
     j = d.join(
         F.broadcast(fl.select(F.col("vec_id").alias("doc_id"), "is_dup")),
@@ -4585,14 +4600,8 @@ def x2_semdedup(spark, sf_dir):
     text dedup surface: catches paraphrases that share no n-grams.
     Output: per-cluster vector counts, flagged counts, and keep
     fraction."""
-    from diepy_spark.operators.clustering import kmeans_centroids_int
-
     tune(spark)
-    v = _vecs(spark, sf_dir)
-    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
-    fl = S.semdedup_flags(
-        v, cents, thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE
-    )
+    fl = _sdflags_cached(spark, sf_dir)
     return (
         fl.groupBy("cluster")
         .agg(
