@@ -1155,7 +1155,13 @@ def x7_stream_resume(spark, sf_dir):
             os.utime(dst, (t0 + i, t0 + i))
 
         def _run() -> None:
-            src = ST.read_events_stream(spark, ind, max_files_per_trigger=1)
+            # _mfpt() is safe here (unlike x7_stream_late): the layout is
+            # in-order disjoint ranges, so the emission set is identical
+            # for any batch grouping — the restart boundary between the
+            # two lives is what this query exercises, not batch count.
+            src = ST.read_events_stream(
+                spark, ind, max_files_per_trigger=_mfpt()
+            )
             agg = (
                 src.withWatermark("ts", WATERMARK)
                 .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
