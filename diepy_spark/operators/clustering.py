@@ -287,6 +287,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     src: str = "da",
     dst: str = "db",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """The consuming end of every dedup pipeline: turn near-dup PAIRS into
     a CLEANED corpus. Labels each doc with its duplicate-cluster id
@@ -298,8 +299,10 @@ def dedup_corpus(
     Scale: the label frame is proportional to the dup-graph nodes — orders
     of magnitude smaller than the corpus — so the single left join
     broadcasts under AQE; the corpus itself is never shuffled more than
-    once, and the keep-filter is a narrow per-row predicate."""
-    cc = connected_components(edges, src, dst)
+    once, and the keep-filter is a narrow per-row predicate. Pass
+    `labels` (a precomputed (node, cluster) frame) to reuse one closure
+    across several consumers — the persisted label table pattern."""
+    cc = labels if labels is not None else connected_components(edges, src, dst)
     lab = cc.withColumnRenamed("node", id_col)
     return docs.join(lab, id_col, "left").where(_keep_predicate(id_col))
 
@@ -310,11 +313,12 @@ def dedup_stats(
     id_col: str = "doc_id",
     src: str = "da",
     dst: str = "db",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """One-row accounting for a dedup run: docs in, docs kept, duplicates
     removed, and the removed ratio — the numbers a pipeline operator
     reports after every dedup pass."""
-    cc = connected_components(edges, src, dst)
+    cc = labels if labels is not None else connected_components(edges, src, dst)
     lab = cc.withColumnRenamed("node", id_col)
     j = docs.join(lab, id_col, "left")
     keep = _keep_predicate(id_col)
@@ -719,6 +723,7 @@ def dedup_corpus_best(
     id_col: str = "doc_id",
     src: str = "da",
     dst: str = "db",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """dedup_corpus with a QUALITY keep policy: per duplicate cluster keep
     the highest-`score_col` member (ties -> smallest id) instead of the
@@ -732,7 +737,7 @@ def dedup_corpus_best(
     one per-cluster top-1 window — partitions are duplicate clusters
     (small by construction), and only docs IN clusters enter the window;
     the unique mass bypasses it entirely."""
-    cc = connected_components(edges, src, dst)
+    cc = labels if labels is not None else connected_components(edges, src, dst)
     lab = cc.withColumnRenamed("node", id_col)
     j = docs.join(lab, id_col, "left")
     w = Window.partitionBy("cluster").orderBy(

