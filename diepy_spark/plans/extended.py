@@ -1387,6 +1387,73 @@ def x5_lang_confusion(spark, sf_dir):
     )
 
 
+CMS_SPAN_D = 3
+CMS_SPAN_W = 65536  # full 4-nibble width; CMS bias ~ total_grams / W
+CMS_SPAN_THR = 3  # boilerplate threshold: strip grams occurring >= 3x
+CMS_SPAN_SEED = "cmsspan"
+
+
+def x1_cms_span_dedup(spark, sf_dir):
+    """The SKETCH TIER of boilerplate-gram stripping — below even span
+    dedup's sorted-run external tier sits the memory-CONSTANT one:
+    count gram occurrences in a count-min sketch (d*w cells, a few
+    hundred KB, cell-wise mergeable across shards) and strip grams
+    whose ESTIMATE reaches the boilerplate threshold (CMS_SPAN_THR
+    occurrences — the heavy-hitter regime CMS is built for; a >=2
+    dup test saturates any sketch, which this instrument demonstrates
+    if you lower the threshold). CMS never underestimates, so the tier
+    is conservative by construction: every true boilerplate gram is
+    flagged (missed MUST be 0 — hash-checked), and the price is the
+    over-strip slack from collisions (bias ~ total_grams/W per cell).
+    The report prices that slack against exact truth — the number that
+    sizes CMS_SPAN_W for a target false-strip budget at 100 TB, where
+    the exact side of this query is what you can no longer afford."""
+    from diepy_spark.operators.dedup import _grams_over
+    from diepy_spark.operators.sketch import cms_cells, cms_estimate
+
+    tune(spark)
+    tk = _docs(spark, sf_dir).select(
+        F.expr(D.tokens_expr("text")).alias("toks")
+    )
+    g = tk.select(
+        F.explode(F.expr(_grams_over("toks", SPAN_L))).alias("s")
+    )
+    cells = cms_cells(
+        g, "s", d=CMS_SPAN_D, w=CMS_SPAN_W, seed=CMS_SPAN_SEED
+    ).localCheckpoint(eager=False)  # d*w cells — this IS the shipped sketch
+    exact = g.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(
+        exact, cells, "s", d=CMS_SPAN_D, w=CMS_SPAN_W, seed=CMS_SPAN_SEED
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.expr(
+            f"CAST(sum(CASE WHEN n >= {CMS_SPAN_THR} THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("exact_dups"),
+        F.expr(
+            f"CAST(sum(CASE WHEN cms_est >= {CMS_SPAN_THR} THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("cms_flagged"),
+        F.expr(
+            f"CAST(sum(CASE WHEN cms_est >= {CMS_SPAN_THR}"
+            f" AND n < {CMS_SPAN_THR} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("extra_stripped"),
+        F.expr(
+            f"CAST(sum(CASE WHEN n >= {CMS_SPAN_THR}"
+            f" AND cms_est < {CMS_SPAN_THR} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("missed"),
+    ).selectExpr(
+        "n_grams",
+        "exact_dups",
+        "cms_flagged",
+        "extra_stripped",
+        "missed",
+        "round(CAST(extra_stripped AS DOUBLE)"
+        " / CAST(n_grams - exact_dups AS DOUBLE), 6) AS slack_rate",
+    )
+
+
 def x1_span_dedup(spark, sf_dir):
     """Substring-level exact dedup (operators/dedup.py:duplicated_spans —
     the Lee et al. duplicated-span criterion over word L-grams): maximal
@@ -5049,6 +5116,7 @@ EXTENDED_QUERIES = {
     "x3_tfidf_cosine_pairs": x3_tfidf_cosine_pairs,
     "x1_span_dedup": x1_span_dedup,
     "x1_span_dedup_sorted": x1_span_dedup_sorted,
+    "x1_cms_span_dedup": x1_cms_span_dedup,
     "x5_lang_classify": x5_lang_classify,
     "x5_lang_confusion": x5_lang_confusion,
     "x1_span_strip": x1_span_strip,
@@ -6289,6 +6357,61 @@ EXTENDED_ORACLES["x3_tfidf_cosine_pairs"] = f"""
 _SPAN_LEADS = " || ' ' || ".join(
     f"lead(tok, {j}) OVER (PARTITION BY d ORDER BY i)" for j in range(1, SPAN_L)
 )
+
+def _cms_span_oracle_sql() -> str:
+    """Mirror of x1_cms_span_dedup: the span oracle's gram stream, the
+    CMS build as UNION ALL + group, estimates as d joins, same report."""
+    from diepy_spark.operators.sketch import cms_position_sql
+
+    pos = lambda key, i: cms_position_sql(key, CMS_SPAN_SEED, i, CMS_SPAN_W)  # noqa: E731
+    flat = " UNION ALL ".join(
+        f"SELECT {i} AS r, {pos('s', i)} AS c FROM g"
+        for i in range(CMS_SPAN_D)
+    )
+    joins = " ".join(
+        f"LEFT JOIN cells c{i} ON c{i}.r = {i} AND c{i}.c = {pos('ex.s', i)}"
+        for i in range(CMS_SPAN_D)
+    )
+    least = "least(" + ", ".join(
+        f"coalesce(c{i}.cnt, 0)" for i in range(CMS_SPAN_D)
+    ) + ")"
+    return f"""
+    WITH tk AS (
+      SELECT doc_id AS d, t.i, t.tok FROM documents,
+      LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok,
+                      generate_subscripts({_TOKS_EXPR}, 1) AS i) t
+    ),
+    g AS (
+      SELECT tok || ' ' || {_SPAN_LEADS} AS s FROM tk
+      QUALIFY lead(tok, {SPAN_L - 1}) OVER (PARTITION BY d ORDER BY i)
+              IS NOT NULL
+    ),
+    flat AS ({flat}),
+    cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+              FROM flat GROUP BY 1, 2),
+    ex AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    est AS (SELECT ex.s, ex.n, {least} AS cms_est FROM ex {joins}),
+    rep AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN n >= {CMS_SPAN_THR} THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_dups,
+             CAST(sum(CASE WHEN cms_est >= {CMS_SPAN_THR} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cms_flagged,
+             CAST(sum(CASE WHEN cms_est >= {CMS_SPAN_THR} AND n < {CMS_SPAN_THR}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS extra_stripped,
+             CAST(sum(CASE WHEN n >= {CMS_SPAN_THR} AND cms_est < {CMS_SPAN_THR}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS missed
+      FROM est
+    )
+    SELECT n_grams, exact_dups, cms_flagged, extra_stripped, missed,
+           round(CAST(extra_stripped AS DOUBLE)
+                 / CAST(n_grams - exact_dups AS DOUBLE), 6) AS slack_rate
+    FROM rep
+"""
+
+
+EXTENDED_ORACLES["x1_cms_span_dedup"] = _cms_span_oracle_sql()
+
 
 EXTENDED_ORACLES["x1_span_dedup"] = f"""
     WITH tk AS (

@@ -184,3 +184,13 @@ def test_stream_resume_matches_tumbling_and_uses_sink_log(spark):
     assert resume == tumbling
     outd = P._scratch_cache[("stream-resume", SF)]
     assert _os.path.isdir(_os.path.join(outd, "_spark_metadata"))
+
+
+def test_cms_span_tier_is_conservative(spark):
+    # The CMS guarantee: estimates never fall below truth, so the
+    # sketch tier can over-strip but never miss a true heavy gram.
+    r = _q("x1_cms_span_dedup")(spark, SF).collect()[0]
+    assert r["missed"] == 0
+    assert r["cms_flagged"] >= r["exact_dups"]
+    assert r["extra_stripped"] == r["cms_flagged"] - r["exact_dups"]
+    assert 0.0 <= r["slack_rate"] <= 1.0
