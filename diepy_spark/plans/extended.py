@@ -3105,6 +3105,77 @@ def x8_perm_test(spark, sf_dir):
     )
 
 
+def _dm_texts(sfx: str) -> dict[str, str]:
+    """Delta-method shared texts for cohort suffix `sfx` — every operand
+    cast to DOUBLE, identical op order in both engines. Inputs are the
+    six integer moment sums n/sx/sy/sxx/syy/sxy{sfx}."""
+    n = f"CAST(n{sfx} AS DOUBLE)"
+    sx = f"CAST(sx{sfx} AS DOUBLE)"
+    sy = f"CAST(sy{sfx} AS DOUBLE)"
+    r = f"({sx} / {sy})"
+    ybar = f"({sy} / {n})"
+    vxx = f"((CAST(sxx{sfx} AS DOUBLE) - {sx} * {sx} / {n}) / ({n} - 1))"
+    vyy = f"((CAST(syy{sfx} AS DOUBLE) - {sy} * {sy} / {n}) / ({n} - 1))"
+    vxy = f"((CAST(sxy{sfx} AS DOUBLE) - {sx} * {sy} / {n}) / ({n} - 1))"
+    var = (
+        f"(({vxx} - CAST(2 AS DOUBLE) * {r} * {vxy} + {r} * {r} * {vyy})"
+        f" / ({n} * {ybar} * {ybar}))"
+    )
+    return {"r": r, "se": f"sqrt({var})"}
+
+
+def x8_delta_method(spark, sf_dir):
+    """RATIO-METRIC inference via the delta method (Deng, Knoblich & Lu
+    2018, "Applying the Delta Method in Metric Analytics") — the
+    correction every experimentation platform needs for per-user RATIO
+    metrics (here: cents per event): the naive i.i.d. SE is wrong
+    because numerator and denominator are cohort sums over the SAME
+    users, so Var(X/Y) takes the (sxx - 2R sxy + R^2 syy) / (n ybar^2)
+    form from the per-user moment sums. One corpus pass builds per-user
+    (cents, events); one grouped aggregate yields the six integer
+    moments per cohort (int64-safe at test scale; promote the products
+    to DECIMAL at 100 TB); the ratio difference z-statistic renders
+    from shared float texts. Output: one row."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.selectExpr("user_id", f"{_CUPED_CENTS} AS cents")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(coalesce(sum(cents), 0) AS BIGINT)").alias("x"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("y"),
+        )
+    )
+    g = pu.selectExpr("user_id % 2 AS grp", "x", "y").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(y * y) AS BIGINT)").alias("syy"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+    )
+    pivots = [
+        F.expr(
+            f"CAST(max(CASE WHEN grp = {grp} THEN {c} END) AS BIGINT)"
+        ).alias(f"{c}{sfx}")
+        for grp, sfx in ((0, "_a"), (1, "_b"))
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    ]
+    one = g.groupBy().agg(*pivots)
+    a, b = _dm_texts("_a"), _dm_texts("_b")
+    return one.selectExpr(
+        "n_a",
+        "n_b",
+        f"round({a['r']}, 6) AS ratio_a",
+        f"round({a['se']}, 6) AS se_a",
+        f"round({b['r']}, 6) AS ratio_b",
+        f"round({b['se']}, 6) AS se_b",
+        f"round({a['r']} - {b['r']}, 6) AS diff",
+        f"round(({a['r']} - {b['r']})"
+        f" / sqrt({a['se']} * {a['se']} + {b['se']} * {b['se']}), 4) AS z",
+    )
+
+
 # Benjamini-Hochberg threshold q = 0.10, spelled as an exact double
 # division shared with the oracle (a bare 0.1 literal would parse as
 # DECIMAL in Spark — the x12_benford lesson).
@@ -5183,6 +5254,7 @@ EXTENDED_QUERIES = {
     "x11_assortativity": x11_assortativity,
     "x8_perm_test": x8_perm_test,
     "x8_fdr_bh": x8_fdr_bh,
+    "x8_delta_method": x8_delta_method,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -8061,6 +8133,44 @@ def _fdr_bh_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_fdr_bh"] = _fdr_bh_oracle_sql()
+
+
+def _delta_method_oracle_sql() -> str:
+    """Mirror of x8_delta_method from the same _dm_texts."""
+    pivot = ",\n             ".join(
+        f"CAST(max(CASE WHEN grp = {grp} THEN {c} END) AS BIGINT) AS {c}{sfx}"
+        for grp, sfx in ((0, "_a"), (1, "_b"))
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    a, b = _dm_texts("_a"), _dm_texts("_b")
+    return f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(coalesce(sum({_CUPED_CENTS}), 0) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT user_id % 2 AS grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pu GROUP BY 1
+    ),
+    one AS (SELECT {pivot} FROM g)
+    SELECT n_a, n_b,
+           round({a['r']}, 6) AS ratio_a, round({a['se']}, 6) AS se_a,
+           round({b['r']}, 6) AS ratio_b, round({b['se']}, 6) AS se_b,
+           round({a['r']} - {b['r']}, 6) AS diff,
+           round(({a['r']} - {b['r']})
+                 / sqrt({a['se']} * {a['se']} + {b['se']} * {b['se']}), 4)
+             AS z
+    FROM one
+"""
+
+
+EXTENDED_ORACLES["x8_delta_method"] = _delta_method_oracle_sql()
 
 # semdedup-apply oracle: the shared SemDeDup chain, flags joined back to
 # documents (vec_id == doc_id in this fixture), per-lang survival.

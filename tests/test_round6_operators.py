@@ -194,3 +194,15 @@ def test_cms_span_tier_is_conservative(spark):
     assert r["cms_flagged"] >= r["exact_dups"]
     assert r["extra_stripped"] == r["cms_flagged"] - r["exact_dups"]
     assert 0.0 <= r["slack_rate"] <= 1.0
+
+
+def test_delta_method_se_positive_and_ratio_consistent(spark):
+    # Ratios must equal the cohort sums' quotient; delta-method SEs are
+    # strictly positive and finite for non-degenerate cohorts.
+    import math
+
+    r = _q("x8_delta_method")(spark, SF).collect()[0]
+    assert r["n_a"] > 1 and r["n_b"] > 1
+    for c in ("se_a", "se_b"):
+        assert r[c] > 0 and math.isfinite(r[c])
+    assert abs(r["diff"] - round(r["ratio_a"] - r["ratio_b"], 6)) <= 1e-6
