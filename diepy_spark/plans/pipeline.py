@@ -1120,6 +1120,70 @@ def x7_stream_late_audit(spark, sf_dir):
     )
 
 
+STREAM_HLL_M = 64  # registers; error ~ 1.04/sqrt(64) = 13%
+STREAM_HLL_ALPHA = 0.709  # standard alpha_64
+
+
+def x7_stream_hll(spark, sf_dir):
+    """STREAMING SKETCH: approximate distinct users per tumbling hour via
+    the bit-reproducible HyperLogLog (operators/sketch.py register
+    scheme, m=64) — the shape that counts uniques over an unbounded
+    stream in CONSTANT state per window where exact distinct would hold
+    every key. Streaming forbids chained aggregations, so the two-level
+    batch plan (per-bucket max, then fold) flattens into ONE windowed
+    aggregate with 64 conditional max registers; the fold runs as a
+    stateless post-projection. Cross-engine exactness: every register
+    term is a power of two >= 2^-33, so the 64-term sum is binary-exact
+    in any order; the only irrational step is linear counting's ln(),
+    inside the 4-decimal rounding guard (see sketch.hll_rho_sql). The
+    oracle computes the same registers with plain two-level batch SQL
+    under the append-mode emission rule."""
+    from diepy_spark.operators.sketch import hll_bucket_sql, hll_rho_sql
+
+    tune(spark)
+    m, alpha = STREAM_HLL_M, STREAM_HLL_ALPHA
+    src = _events_src(spark, sf_dir)
+    h = src.select(
+        "ts",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).selectExpr(
+        "ts",
+        f"({hll_bucket_sql('h')}) % {m} AS b",
+        f"{hll_rho_sql('h')} AS rho",
+    )
+    agg = (
+        h.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            *[
+                F.expr(f"max(CASE WHEN b = {k} THEN rho END)").alias(f"r{k}")
+                for k in range(m)
+            ]
+        )
+        .select(F.col("w.start").alias("w"), *[f"r{k}" for k in range(m)])
+    )
+    out = _run_stream(agg, "append")
+    s = " + ".join(
+        f"(CASE WHEN r{k} IS NULL THEN CAST(0 AS DOUBLE)"
+        f" ELSE power(CAST(2 AS DOUBLE), -r{k}) END)"
+        for k in range(m)
+    )
+    nb = " + ".join(
+        f"(CASE WHEN r{k} IS NULL THEN 0 ELSE 1 END)" for k in range(m)
+    )
+    folded = out.selectExpr("w", f"({s}) AS s", f"CAST({nb} AS BIGINT) AS nb")
+    raw = f"(CAST({alpha!r} * {m} * {m} AS DOUBLE) / (s + CAST({m} - nb AS DOUBLE)))"
+    est = (
+        f"CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND {m} - nb > 0"
+        f" THEN CAST({float(m)!r} AS DOUBLE)"
+        f" * ln(CAST({m} AS DOUBLE) / CAST({m} - nb AS DOUBLE))"
+        f" ELSE {raw} END"
+    )
+    return folded.selectExpr(
+        "w", "nb AS buckets_seen", f"round({est}, 4) AS hll_users"
+    ).orderBy("w")
+
+
 def x7_stream_resume(spark, sf_dir):
     """CHECKPOINT RECOVERY + EXACTLY-ONCE SINK — the operational
     contract every production stream rests on: the tumbling aggregate
@@ -1270,6 +1334,7 @@ PIPELINE_QUERIES = {
     "x7_stream_late": x7_stream_late,
     "x7_stream_late_audit": x7_stream_late_audit,
     "x7_stream_resume": x7_stream_resume,
+    "x7_stream_hll": x7_stream_hll,
     "x7_stream_upsert": x7_stream_upsert,
     "x7_stream_topk": x7_stream_topk,
     "x7_stream_outliers": x7_stream_outliers,
@@ -1392,6 +1457,11 @@ PIPELINE_ORACLES: dict[str, str] = {
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM_END}
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # streaming HLL: same md5 register scheme as operators/sketch.py,
+    # two-level batch SQL (the streaming side flattens to 64 conditional
+    # max registers only because streaming forbids chained aggregations),
+    # append-mode emission rule.
+    "x7_stream_hll": "",  # filled below (needs the sketch SQL helpers)
     # resume: the restart must reproduce the uninterrupted replay — the
     # oracle is the plain full-replay emission rule, integer cents.
     "x7_stream_resume": f"""
@@ -1675,3 +1745,36 @@ PIPELINE_ORACLES["x7_stream_takedown"] = f"""
                     THEN 0 ELSE 1 END) AS BIGINT) AS passed
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def _stream_hll_oracle_sql() -> str:
+    """Mirror of x7_stream_hll: same register scheme, two-level batch
+    grouping (mathematically identical to the 64 conditional maxes —
+    per-(window, bucket) max then an exact power-of-two fold), same
+    alpha/linear-counting literals, append-mode emission rule."""
+    from diepy_spark.operators.sketch import hll_bucket_sql, hll_rho_sql
+
+    m, alpha = STREAM_HLL_M, STREAM_HLL_ALPHA
+    raw = f"({alpha!r} * {m} * {m} / (s + ({m} - nb)))"
+    return f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    r AS (SELECT w, ({hll_bucket_sql('h')}) % {m} AS b,
+                 {hll_rho_sql('h')} AS rho FROM h),
+    reg AS (SELECT w, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+    agg AS (SELECT w, CAST(sum(power(2.0, -mr)) AS DOUBLE) AS s,
+                   CAST(count(*) AS BIGINT) AS nb FROM reg GROUP BY 1)
+    SELECT w, nb AS buckets_seen,
+           round(CASE WHEN {raw} <= {2.5 * m!r} AND ({m} - nb) > 0
+                      THEN {float(m)!r} * ln({m} / ({m} - nb))
+                      ELSE {raw} END, 4) AS hll_users
+    FROM agg
+    WHERE w + INTERVAL 1 HOUR <= {_WM_END}
+    ORDER BY w
+"""
+
+
+PIPELINE_ORACLES["x7_stream_hll"] = _stream_hll_oracle_sql()

@@ -206,3 +206,27 @@ def test_delta_method_se_positive_and_ratio_consistent(spark):
     for c in ("se_a", "se_b"):
         assert r[c] > 0 and math.isfinite(r[c])
     assert abs(r["diff"] - round(r["ratio_a"] - r["ratio_b"], 6)) <= 1e-6
+
+
+def test_stream_hll_tracks_exact_distinct(spark):
+    # The streaming sketch must land within the m=64 HLL error envelope
+    # of the exact per-window distinct count (~13% sigma; assert 3x).
+    import pyspark.sql.functions as F
+
+    from diepy_spark.sources.registry import load_table
+
+    got = {r["w"]: r["hll_users"] for r in _q("x7_stream_hll")(spark, SF).collect()}
+    exact = {
+        r["w"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got, "no windows emitted"
+    checked = 0
+    for w, est in got.items():
+        n = exact[w]
+        assert abs(est - n) <= max(3, 0.40 * n), (w, est, n)
+        checked += 1
+    assert checked == len(got)

@@ -224,6 +224,7 @@ def test_dedup_stream_drops_doubled_input(spark, events_dir, tmp_path):
         "x7_stream_stateful",
         "x7_stream_dedup",
         "x7_stream_join",
+        "x7_stream_hll",
     ],
 )
 def test_mfpt_bench_profile_same_result(spark, monkeypatch, qname):
