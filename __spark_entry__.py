@@ -136,6 +136,7 @@ _PRIORITY = [
     "x1_cms_span_dedup",
     "x8_delta_method",
     "x7_stream_hll",
+    "x3_filtered_ann",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -536,6 +536,44 @@ def x3_cosine_topk(spark, sf_dir):
     ).orderBy("qid", "rk")
 
 
+def x3_filtered_ann(spark, sf_dir):
+    """FILTERED vector search — the vector-DB feature plain top-k can't
+    express: top-k under a metadata predicate (here: neighbors NOT of
+    the query's own label — cross-class retrieval). Semantics matter at
+    scale: this is PRE-filtering (the predicate prunes candidates
+    BEFORE ranking, so every query still gets k true matches) rather
+    than post-filtering top-k' then discarding, which silently returns
+    fewer than k when the filter is selective. Plan: queries broadcast
+    with their labels, predicate evaluated in the join condition so the
+    corpus scan stays single-pass and shuffle-free; ranking is the same
+    per-query window as x3_cosine_topk."""
+    v = _vecs(spark, sf_dir)
+    q = F.broadcast(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("ql"),
+        )
+    )
+    c = v.where(F.col("vec_id") >= TOPK_QUERY_MAX).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(q, F.col("ql") != F.col("cl")).withColumn(
+        "cos", F.round(S.cosine("qv", "cv"), 4)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK_K)
+        .select("qid", "ql", "cid", "cl", "cos", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
 def x3_ann_topk_lsh(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH buckets. Hash-checked
     against a DuckDB oracle that rebuilds the bucket ids bit-identically
@@ -5145,6 +5183,7 @@ EXTENDED_QUERIES = {
     "x2_embedding_near_dup": x2_embedding_near_dup,
     "x2_embedding_near_dup_lsh": x2_embedding_near_dup_lsh,
     "x3_cosine_topk": x3_cosine_topk,
+    "x3_filtered_ann": x3_filtered_ann,
     "x3_mips": x3_mips,
     "x3_ann_topk_lsh": x3_ann_topk_lsh,
     "x3_ivf_topk": x3_ivf_topk,
@@ -5454,6 +5493,25 @@ EXTENDED_ORACLES: dict[str, str] = {
           GROUP BY 1, 2
         )
         SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+          FROM scored) WHERE rk <= {TOPK_K}
+        ORDER BY qid, rk
+    """,
+    "x3_filtered_ann": f"""
+        WITH {_COS_CTE},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS qid, lq.label AS ql, c.vec_id AS cid,
+                 lc.label AS cl,
+                 ROUND(SUM(q.x*c.x)/(SQRT(SUM(q.x*q.x))*SQRT(SUM(c.x*c.x))), 4) AS cos
+          FROM u q JOIN u c ON q.i = c.i
+          JOIN lab lq ON lq.vec_id = q.vec_id
+          JOIN lab lc ON lc.vec_id = c.vec_id
+          WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+                AND lq.label != lc.label
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT qid, ql, cid, cl, cos, CAST(rk AS INT) AS rk FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
           FROM scored) WHERE rk <= {TOPK_K}
         ORDER BY qid, rk

@@ -230,3 +230,18 @@ def test_stream_hll_tracks_exact_distinct(spark):
         assert abs(est - n) <= max(3, 0.40 * n), (w, est, n)
         checked += 1
     assert checked == len(got)
+
+
+def test_filtered_ann_is_prefiltered(spark):
+    # Pre-filter semantics: every query returns exactly TOPK_K rows and
+    # no neighbor shares the query's label.
+    from diepy_spark.plans.extended import TOPK_K, TOPK_QUERY_MAX
+
+    rows = _q("x3_filtered_ann")(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        assert r["ql"] != r["cl"]
+        per_q.setdefault(r["qid"], []).append(r["rk"])
+    assert len(per_q) == TOPK_QUERY_MAX
+    for qid, rks in per_q.items():
+        assert sorted(rks) == list(range(1, TOPK_K + 1))
