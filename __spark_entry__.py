@@ -137,6 +137,7 @@ _PRIORITY = [
     "x8_delta_method",
     "x7_stream_hll",
     "x3_filtered_ann",
+    "x9_cdc_apply",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

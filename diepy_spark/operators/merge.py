@@ -120,3 +120,34 @@ def snapshot_diff(
         .where(F.col("__ct").isNotNull())
         .select(*out_cols)
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered CDC CHANGELOG (the Debezium-consumer shape) to a
+    base snapshot: per key the highest-`seq_col` log entry wins; a
+    winning ``'D'`` deletes the key, any other op upserts the entry's
+    data columns; keys untouched by the log carry through. Handles
+    out-of-order arrival by construction — precedence is the sequence
+    number, not arrival order — and conflicting updates resolve to the
+    latest. `seq_col` must be unique per key (a changelog's LSN is).
+
+    Scale: the latest-wins window runs over the LOG (log-sized state,
+    not base-sized); the base is touched by exactly one anti-join on
+    the log's keys — at 100 TB the log is the small side and broadcasts,
+    so the snapshot is never shuffled."""
+    data_cols = list(base.columns)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        log.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    survivors = base.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+    return survivors.unionByName(upserts)

@@ -773,6 +773,43 @@ def _t_orders(spark, sf_dir):
     return load_table(spark, sf_dir, "orders")
 
 
+CDC_U_MOD, CDC_D_MOD, CDC_C_MOD = 5, 7, 11  # update / delete / conflict keys
+
+
+def x9_cdc_apply(spark, sf_dir):
+    """ORDERED CHANGELOG application (operators/merge.py:apply_changelog
+    — the Debezium-consumer shape x9_merge_upsert's plain upsert can't
+    express): a synthetic but adversarial log where update and DELETE
+    entries overlap on the same keys (every %35 key has U@2 then D@3 —
+    the delete must win) and conflicting updates arrive out of order
+    (every %11 key has U@1 and U@4 — the later sequence must win, even
+    over an interleaved delete at %77). Per key the highest sequence
+    decides; the hash check is therefore a total test of latest-wins,
+    tombstone, and carry-through semantics at once. Price deltas are
+    whole doubles (+1.0/+2.0/+3.0) — bit-exact in both engines."""
+    from diepy_spark.operators.merge import apply_changelog
+
+    o = _t_orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+
+    def entry(mod, op, seq, delta):
+        e = o.where(F.col("o_orderkey") % mod == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(float(delta))).alias("o_totalprice"),
+        )
+        return e.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
+
+    log = (
+        entry(CDC_U_MOD, "U", 2, 1.0)
+        .unionByName(entry(CDC_D_MOD, "D", 3, 0.0))
+        .unionByName(entry(CDC_C_MOD, "U", 1, 2.0))
+        .unionByName(entry(CDC_C_MOD, "U", 4, 3.0))
+    )
+    out = apply_changelog(o, log, ["o_orderkey"], seq_col="seq", op_col="op")
+    return out.select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    ).orderBy("o_orderkey")
+
+
 def x8_hash_split(spark, sf_dir):
     """Deterministic 80/10/10 train/valid/test split of the corpus
     (operators/sampling.py): narrow projection, reproducible across runs and
@@ -5203,6 +5240,7 @@ EXTENDED_QUERIES = {
     "x8_weighted_sample": x8_weighted_sample,
     "x8_grouped_linfit": x8_grouped_linfit,
     "x9_merge_upsert": x9_merge_upsert,
+    "x9_cdc_apply": x9_cdc_apply,
     "x5_repetition": x5_repetition,
     "x5_pii_redact": x5_pii_redact,
     "x2_contamination": x2_contamination,
@@ -8229,6 +8267,39 @@ def _delta_method_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_delta_method"] = _delta_method_oracle_sql()
+
+EXTENDED_ORACLES["x9_cdc_apply"] = f"""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    log AS (
+      SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+             'U' AS op, 2 AS seq
+      FROM base WHERE o_orderkey % {CDC_U_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 0.0, 'D', 3
+      FROM base WHERE o_orderkey % {CDC_D_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 2.0, 'U', 1
+      FROM base WHERE o_orderkey % {CDC_C_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 3.0, 'U', 4
+      FROM base WHERE o_orderkey % {CDC_C_MOD} = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rk
+        FROM log) WHERE rk = 1
+    ),
+    surv AS (
+      SELECT b.o_orderkey, b.o_totalprice FROM base b
+      LEFT JOIN latest l ON l.o_orderkey = b.o_orderkey
+      WHERE l.o_orderkey IS NULL
+    ),
+    ups AS (SELECT o_orderkey, o_totalprice FROM latest WHERE op != 'D')
+    SELECT o_orderkey, o_totalprice AS price
+    FROM (SELECT * FROM surv UNION ALL SELECT * FROM ups)
+    ORDER BY o_orderkey
+"""
 
 # semdedup-apply oracle: the shared SemDeDup chain, flags joined back to
 # documents (vec_id == doc_id in this fixture), per-lang survival.

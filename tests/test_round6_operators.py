@@ -245,3 +245,32 @@ def test_filtered_ann_is_prefiltered(spark):
     assert len(per_q) == TOPK_QUERY_MAX
     for qid, rks in per_q.items():
         assert sorted(rks) == list(range(1, TOPK_K + 1))
+
+
+def test_cdc_apply_semantics_micro(spark):
+    # Micro-fixture nailing all three semantics at once: latest seq
+    # wins over earlier updates AND deletes; a winning delete removes
+    # the key; untouched keys carry through unchanged.
+    from diepy_spark.operators.merge import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)],
+        "k bigint, v double",
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 11.0, "U", 1),  # plain update
+            (2, 0.0, "D", 2),   # delete wins (only entry)
+            (3, 31.0, "U", 1),  # ...but a later delete kills it
+            (3, 0.0, "D", 5),
+            (4, 41.0, "U", 1),  # delete at 2, then a LATER update revives
+            (4, 0.0, "D", 2),
+            (4, 42.0, "U", 7),
+        ],
+        "k bigint, v double, op string, seq bigint",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(base, log, ["k"], "seq", "op").collect()
+    }
+    assert got == {1: 11.0, 4: 42.0, 5: 50.0}
