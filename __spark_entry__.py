@@ -138,6 +138,8 @@ _PRIORITY = [
     "x7_stream_hll",
     "x3_filtered_ann",
     "x9_cdc_apply",
+    "x8_tost",
+    "x12_psi",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

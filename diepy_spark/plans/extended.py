@@ -5193,6 +5193,190 @@ def x5_zipf(spark, sf_dir):
     )
 
 
+# --- x8_tost: equivalence testing (TOST) --------------------------------
+# Margin: +/- TOST_EPS_CENTS cents of mean per-user purchase spend. The
+# z critical value for one-sided alpha=0.05 is spelled as a full-precision
+# double literal shared by both engines (the _FDR_Q_TXT lesson: never let
+# a bare decimal literal parse differently across engines).
+TOST_EPS_CENTS = 2000
+_TOST_ZCRIT = "CAST(1.6448536269514722 AS DOUBLE)"
+_TOST_MEAN = "(CAST(s{s} AS DOUBLE) / CAST(n{s} AS DOUBLE))"
+# Sample variance from exact integer moments: (ss - s*s/n) / (n-1).
+_TOST_VAR = (
+    "((CAST(ss{s} AS DOUBLE)"
+    " - CAST(s{s} AS DOUBLE) * CAST(s{s} AS DOUBLE) / CAST(n{s} AS DOUBLE))"
+    " / (CAST(n{s} AS DOUBLE) - 1.0))"
+)
+
+
+def _tost_texts() -> dict[str, str]:
+    """Shared closed-form float texts for the TOST statistic — f-stringed
+    into BOTH the Spark selectExpr and the DuckDB oracle so the IEEE op
+    chains are textually identical (the CUPED discipline)."""
+    mean_a, mean_b = _TOST_MEAN.format(s="_a"), _TOST_MEAN.format(s="_b")
+    var_a, var_b = _TOST_VAR.format(s="_a"), _TOST_VAR.format(s="_b")
+    diff = f"({mean_a} - {mean_b})"
+    se = (
+        f"sqrt({var_a} / CAST(n_a AS DOUBLE)"
+        f" + {var_b} / CAST(n_b AS DOUBLE))"
+    )
+    eps = f"CAST({TOST_EPS_CENTS} AS DOUBLE)"
+    z_low = f"(({diff} + {eps}) / {se})"
+    z_high = f"(({eps} - {diff}) / {se})"
+    return {
+        "mean_a": mean_a,
+        "mean_b": mean_b,
+        "diff": diff,
+        "se": se,
+        "z_low": z_low,
+        "z_high": z_high,
+    }
+
+
+def x8_tost(spark, sf_dir):
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) —
+    the experimentation primitive x8_ab_test CANNOT express: proving a
+    change is NOT worse, e.g. a cheaper ranking model shipping on "revenue
+    within $20/user". H0 is |mean_a - mean_b| >= eps; equivalence is
+    declared when BOTH one-sided z statistics (diff+eps)/se and
+    (eps-diff)/se clear the one-sided 5% critical value. Per-user purchase
+    cents are exact integer sums; n/s/ss per cohort are exact bigint
+    moments from ONE grouped aggregate (map-side combined, 2 groups);
+    every float op is a closed form over those integers stated identically
+    in both engines. At 100 TB: one scan, one 2-row shuffle. Output: one
+    row with cohort moments, Welch SE, both z's, and the verdict."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .selectExpr("user_id", f"{_CUPED_CENTS} AS cents")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT)").alias("x"))
+    )
+    g = pu.selectExpr("user_id % 2 AS grp", "x").groupBy("grp").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("ss"),
+    )
+    pivots = [
+        F.expr(
+            f"CAST(max(CASE WHEN grp = {grp} THEN {c} END) AS BIGINT)"
+        ).alias(f"{c}{sfx}")
+        for grp, sfx in ((0, "_a"), (1, "_b"))
+        for c in ("n", "s", "ss")
+    ]
+    one = g.groupBy().agg(*pivots)
+    t = _tost_texts()
+    return one.selectExpr(
+        "n_a",
+        "n_b",
+        f"round({t['mean_a']}, 4) AS mean_a",
+        f"round({t['mean_b']}, 4) AS mean_b",
+        f"round({t['diff']}, 4) AS diff",
+        f"round({t['se']}, 4) AS se",
+        f"round({t['z_low']}, 4) AS z_low",
+        f"round({t['z_high']}, 4) AS z_high",
+        f"CAST(({t['z_low']} > {_TOST_ZCRIT})"
+        f" AND ({t['z_high']} > {_TOST_ZCRIT}) AS INT) AS equivalent",
+    )
+
+
+# --- x12_psi: population stability index ---------------------------------
+# Fixed-width $50k price bins (exact integer binning over cents), Laplace
+# +1 smoothing so empty bins stay finite; the per-bin term and the ordered
+# fold reuse the x12_entropy discipline.
+PSI_NBINS = 10
+PSI_BIN_CENTS = 5_000_000
+_PSI_SHARE = (
+    "((CAST({nb} AS DOUBLE) + 1.0)"
+    f" / (CAST({{tb}} AS DOUBLE) + {PSI_NBINS}.0))"
+)
+_PSI_TERM_T = "((({q}) - ({p})) * ln(({q}) / ({p})))"
+
+
+def _psi_texts(nb: str, nn: str, tb: str, tn: str) -> tuple[str, str, str]:
+    p = _PSI_SHARE.format(nb=nb, tb=tb)
+    q = _PSI_SHARE.format(nb=nn, tb=tn)
+    return p, q, _PSI_TERM_T.format(p=p, q=q)
+
+
+def x12_psi(spark, sf_dir):
+    """Population Stability Index per price bin — the standard ML-model
+    input-drift monitor (PSI < 0.1 stable, > 0.25 retrain), complementing
+    x12_drift's categorical TVD with a BINNED-NUMERIC instrument:
+    PSI = sum (q-p) ln(q/p) over fixed-width o_totalprice bins, base vs
+    new period split at DRIFT_SPLIT. Binning is exact integer floor-div
+    over cents; bin counts are exact bigints joined onto a generated
+    full bin dimension (so silent empty bins still report); shares are
+    Laplace-smoothed closed forms; the headline PSI folds the per-bin
+    terms in BIN order (engine-identical accumulation, the x12_entropy
+    pattern). At 100 TB: two map-side-combined scans into a 10-row
+    frame; everything after is bounded by PSI_NBINS."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
+        "o_orderdate",
+    )
+    binned = o.selectExpr(
+        f"least(CAST(floor(c / {PSI_BIN_CENTS}) AS BIGINT),"
+        f" CAST({PSI_NBINS - 1} AS BIGINT)) AS bin",
+        "o_orderdate",
+    )
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    base = (
+        binned.where(F.col("o_orderdate") < split)
+        .groupBy("bin")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_base"))
+    )
+    new = (
+        binned.where(F.col("o_orderdate") >= split)
+        .groupBy("bin")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_new"))
+    )
+    dim = spark.range(PSI_NBINS).selectExpr("CAST(id AS BIGINT) AS bin")
+    j = (
+        dim.join(base, "bin", "left")
+        .join(new, "bin", "left")
+        .selectExpr(
+            "bin",
+            "CAST(coalesce(n_base, 0) AS BIGINT) AS n_base",
+            "CAST(coalesce(n_new, 0) AS BIGINT) AS n_new",
+        )
+    )
+    w = Window.partitionBy()
+    j2 = j.select(
+        "bin",
+        "n_base",
+        "n_new",
+        F.sum("n_base").over(w).alias("tb"),
+        F.sum("n_new").over(w).alias("tn"),
+    ).localCheckpoint(eager=False)  # PSI_NBINS rows, bounded
+    p, q, term_row = _psi_texts("n_base", "n_new", "tb", "tn")
+    _, _, term_x = _psi_texts("x.n_base", "x.n_new", "x.tb", "x.tn")
+    total = j2.agg(
+        F.expr(
+            "round(aggregate(array_sort(collect_list("
+            "struct(bin, n_base, n_new, tb, tn))),"
+            f" CAST(0 AS DOUBLE), (acc, x) -> acc + {term_x}), 6)"
+        ).alias("psi")
+    )
+    return (
+        j2.crossJoin(total)
+        .selectExpr(
+            "bin",
+            "n_base",
+            "n_new",
+            f"round({p}, 6) AS p_smooth",
+            f"round({q}, 6) AS q_smooth",
+            f"round({term_row}, 6) AS psi_term",
+            "psi",
+        )
+        .orderBy("bin")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5332,6 +5516,8 @@ EXTENDED_QUERIES = {
     "x8_perm_test": x8_perm_test,
     "x8_fdr_bh": x8_fdr_bh,
     "x8_delta_method": x8_delta_method,
+    "x8_tost": x8_tost,
+    "x12_psi": x12_psi,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -9342,3 +9528,82 @@ EXTENDED_ORACLES["x3_range_query"] = f"""
 
 
 
+
+
+def _tost_oracle_sql() -> str:
+    """Mirror of x8_tost: identical integer moments, identical float texts."""
+    t = _tost_texts()
+    pivots = ", ".join(
+        f"CAST(max(CASE WHEN grp = {grp} THEN {c} END) AS BIGINT) AS {c}{sfx}"
+        for grp, sfx in ((0, "_a"), (1, "_b"))
+        for c in ("n", "s", "ss")
+    )
+    return f"""
+    WITH pu AS (
+      SELECT user_id, CAST(sum(cents) AS BIGINT) AS x
+      FROM (SELECT user_id, {_CUPED_CENTS} AS cents
+            FROM events WHERE event_type = 'purchase')
+      GROUP BY 1
+    ),
+    g AS (SELECT user_id % 2 AS grp, x FROM pu),
+    agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS ss
+            FROM g GROUP BY 1),
+    one AS (SELECT {pivots} FROM agg)
+    SELECT n_a, n_b,
+           round({t['mean_a']}, 4) AS mean_a,
+           round({t['mean_b']}, 4) AS mean_b,
+           round({t['diff']}, 4) AS diff,
+           round({t['se']}, 4) AS se,
+           round({t['z_low']}, 4) AS z_low,
+           round({t['z_high']}, 4) AS z_high,
+           CAST(({t['z_low']} > {_TOST_ZCRIT})
+                AND ({t['z_high']} > {_TOST_ZCRIT}) AS INT) AS equivalent
+    FROM one
+    """
+
+
+EXTENDED_ORACLES["x8_tost"] = _tost_oracle_sql()
+
+
+def _psi_oracle_sql() -> str:
+    """Mirror of x12_psi: same integer binning, same Laplace share texts,
+    same bin-ordered fold for the headline."""
+    p, q, term_row = _psi_texts("n_base", "n_new", "tb", "tn")
+    return f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             o_orderdate
+      FROM orders
+    ),
+    binned AS (
+      SELECT least(CAST(floor(c / {PSI_BIN_CENTS}) AS BIGINT),
+                   CAST({PSI_NBINS - 1} AS BIGINT)) AS bin, o_orderdate
+      FROM cents
+    ),
+    dim AS (SELECT CAST(range AS BIGINT) AS bin FROM range({PSI_NBINS})),
+    b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_base FROM binned
+          WHERE o_orderdate < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1),
+    n AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_new FROM binned
+          WHERE o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1),
+    j AS (SELECT dim.bin,
+                 CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+                 CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+          FROM dim LEFT JOIN b USING (bin) LEFT JOIN n USING (bin)),
+    j2 AS (SELECT bin, n_base, n_new,
+                  CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                  CAST(sum(n_new) OVER () AS BIGINT) AS tn
+           FROM j),
+    tot AS (SELECT round(CAST(list_sum(list(({term_row}) ORDER BY bin))
+                        AS DOUBLE), 6) AS psi FROM j2)
+    SELECT bin, n_base, n_new,
+           round({p}, 6) AS p_smooth,
+           round({q}, 6) AS q_smooth,
+           round({term_row}, 6) AS psi_term,
+           psi
+    FROM j2, tot ORDER BY bin
+    """
+
+
+EXTENDED_ORACLES["x12_psi"] = _psi_oracle_sql()

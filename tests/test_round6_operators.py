@@ -274,3 +274,37 @@ def test_cdc_apply_semantics_micro(spark):
         for r in apply_changelog(base, log, ["k"], "seq", "op").collect()
     }
     assert got == {1: 11.0, 4: 42.0, 5: 50.0}
+
+
+def test_tost_verdict_consistent_with_z_stats(spark):
+    # The rendered verdict must agree with the rendered one-sided z's
+    # (tolerating the 4-dp render at the boundary), the Welch SE must be
+    # positive, and diff must equal the mean difference.
+    import math
+
+    r = _q("x8_tost")(spark, SF).collect()[0]
+    assert r["n_a"] > 1 and r["n_b"] > 1
+    assert r["se"] > 0 and math.isfinite(r["se"])
+    assert abs(r["diff"] - round(r["mean_a"] - r["mean_b"], 3)) <= 2e-3
+    zc = 1.6448536269514722
+    if min(r["z_low"], r["z_high"]) > zc + 1e-3:
+        assert r["equivalent"] == 1
+    if min(r["z_low"], r["z_high"]) < zc - 1e-3:
+        assert r["equivalent"] == 0
+
+
+def test_psi_terms_nonnegative_and_counts_partition(spark):
+    # Every PSI term is >= 0 ((q-p) and ln(q/p) always share sign), the
+    # headline equals the bin-ordered term sum, and the bin counts
+    # partition each period exactly.
+    from diepy_spark.plans.extended import PSI_NBINS
+    from diepy_spark.sources.registry import load_table
+
+    rows = _q("x12_psi")(spark, SF).collect()
+    assert [r["bin"] for r in rows] == list(range(PSI_NBINS))
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r["n_base"] + r["n_new"] for r in rows) == n_orders
+    for r in rows:
+        assert r["psi_term"] >= -1e-6, r
+    assert rows[0]["psi"] >= 0
+    assert abs(rows[0]["psi"] - sum(r["psi_term"] for r in rows)) <= 1e-4
