@@ -140,6 +140,8 @@ _PRIORITY = [
     "x9_cdc_apply",
     "x8_tost",
     "x12_psi",
+    "x3_embedding_drift",
+    "x2_cross_source_pairs",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

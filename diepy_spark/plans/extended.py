@@ -5377,6 +5377,107 @@ def x12_psi(spark, sf_dir):
     )
 
 
+# --- x3_embedding_drift: embedding-space drift monitor -------------------
+# Centroid shift per label between the even/odd vec_id halves, in the
+# KM_SCALE exact-integer coordinate space. shift^2 * (na*nb)^2 =
+# sum_d (sa_d*nb - sb_d*na)^2 is an EXACT bigint (int64-safe at test
+# scale; promote the products to DECIMAL at 100 TB), so the only float
+# op is the final sqrt/divide render.
+_EDRIFT_SHIFT = (
+    "(sqrt(CAST(shift_num AS DOUBLE))"
+    " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    f" * CAST({KM_SCALE} AS DOUBLE)))"
+)
+
+
+def x3_embedding_drift(spark, sf_dir):
+    """Embedding-space drift — the monitor that catches a silently
+    retrained/buggy embedding model upstream of every ANN and SemDeDup
+    stage: per-label L2 centroid shift between two corpus halves (the
+    even/odd vec_id split standing in for yesterday's vs today's batch).
+    Coordinates are exact KM_SCALE integers; per-(label, dim) sums are
+    one map-side-combined aggregate over the posexploded frame (output
+    bounded by labels x EMB_DIM); the squared shift numerator is an
+    exact bigint fold, so the hash anchors on integers and the rendered
+    shift is one sqrt/divide chain. At 100 TB: one scan, one shuffle on
+    (label, dim) — no pairwise work anywhere."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.selectExpr(
+        "vec_id",
+        "label",
+        "CAST(vec_id % 2 AS INT) AS grp",
+        f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)"
+        f" * {KM_SCALE}) AS BIGINT)) AS xi",
+    )
+    ld = x.selectExpr("label", "grp", "posexplode(xi) AS (d, v)")
+    sums = ld.groupBy("label", "d").agg(
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN v END) AS BIGINT)").alias("sa"),
+        F.expr("CAST(sum(CASE WHEN grp = 1 THEN v END) AS BIGINT)").alias("sb"),
+    )
+    counts = x.groupBy("label").agg(
+        F.expr("CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT)").alias(
+            "n_a"
+        ),
+        F.expr("CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT)").alias(
+            "n_b"
+        ),
+    )
+    num = (
+        sums.join(counts, "label")
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "CAST(sum((sa * n_b - sb * n_a) * (sa * n_b - sb * n_a))"
+                " AS BIGINT)"
+            ).alias("shift_num"),
+            F.expr("CAST(max(n_a) AS BIGINT)").alias("n_a"),
+            F.expr("CAST(max(n_b) AS BIGINT)").alias("n_b"),
+        )
+    )
+    return num.selectExpr(
+        "label",
+        "n_a",
+        "n_b",
+        "shift_num",
+        f"round({_EDRIFT_SHIFT}, 6) AS shift",
+    ).orderBy("label")
+
+
+def x2_cross_source_pairs(spark, sf_dir):
+    """Cross-source duplicate-sharing matrix — the provenance question a
+    crawl operator asks before scheduling ("which sources mirror each
+    other?"): the MinHash-LSH near-dup pair frame joined back to each
+    side's source, aggregated per unordered source pair. Pairs come from
+    the banded LSH path (never all-pairs); the doc->source attachment is
+    two keyed joins of the SPARSE pair frame against the (doc_id, source)
+    projection; output is bounded by |sources|^2. The diagonal
+    (src_a = src_b) measures within-source redundancy, the off-diagonal
+    cross-source mirroring."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        d,
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.selectExpr("doc_id AS da", "source AS s1"), "da"
+        ).join(src.selectExpr("doc_id AS db", "source AS s2"), "db")
+    )
+    return (
+        j.selectExpr(
+            "least(s1, s2) AS src_a", "greatest(s1, s2) AS src_b"
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5518,6 +5619,8 @@ EXTENDED_QUERIES = {
     "x8_delta_method": x8_delta_method,
     "x8_tost": x8_tost,
     "x12_psi": x12_psi,
+    "x3_embedding_drift": x3_embedding_drift,
+    "x2_cross_source_pairs": x2_cross_source_pairs,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -9607,3 +9710,55 @@ def _psi_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_psi"] = _psi_oracle_sql()
+
+
+EXTENDED_ORACLES["x3_embedding_drift"] = f"""
+    WITH sx AS (
+      SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS grp,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT))
+               AS xi
+      FROM embeddings
+    ),
+    ld AS (
+      SELECT label, grp, CAST(u.i - 1 AS INT) AS d, u.v AS v
+      FROM sx, LATERAL (SELECT unnest(xi) AS v,
+                               generate_subscripts(xi, 1) AS i) u
+    ),
+    sums AS (
+      SELECT label, d,
+             CAST(sum(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN grp = 1 THEN v END) AS BIGINT) AS sb
+      FROM ld GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT label,
+             CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b
+      FROM sx GROUP BY 1
+    ),
+    num AS (
+      SELECT s.label,
+             CAST(sum((sa * n_b - sb * n_a) * (sa * n_b - sb * n_a))
+                  AS BIGINT) AS shift_num,
+             CAST(max(n_a) AS BIGINT) AS n_a,
+             CAST(max(n_b) AS BIGINT) AS n_b
+      FROM sums s JOIN counts c ON s.label = c.label GROUP BY 1
+    )
+    SELECT label, n_a, n_b, shift_num,
+           round({_EDRIFT_SHIFT}, 6) AS shift
+    FROM num ORDER BY label
+"""
+
+_XSRC_PAIRS_SQL = EXTENDED_ORACLES["x2_minhash_lsh_pairs"].replace(
+    "ORDER BY c.da, c.db", ""
+)
+EXTENDED_ORACLES["x2_cross_source_pairs"] = f"""
+    SELECT least(d1.source, d2.source) AS src_a,
+           greatest(d1.source, d2.source) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM ({_XSRC_PAIRS_SQL}) p
+    JOIN documents d1 ON d1.doc_id = p.da
+    JOIN documents d2 ON d2.doc_id = p.db
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -308,3 +308,46 @@ def test_psi_terms_nonnegative_and_counts_partition(spark):
         assert r["psi_term"] >= -1e-6, r
     assert rows[0]["psi"] >= 0
     assert abs(rows[0]["psi"] - sum(r["psi_term"] for r in rows)) <= 1e-4
+
+
+def test_embedding_drift_render_matches_integer_anchor(spark):
+    # The rendered shift must be the single sqrt/divide chain over the
+    # exact integer anchor columns, and every label reports both halves.
+    import math
+
+    from diepy_spark.plans.extended import KM_SCALE
+
+    rows = _q("x3_embedding_drift")(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert r["shift_num"] >= 0
+        want = math.sqrt(r["shift_num"]) / (r["n_a"] * r["n_b"] * KM_SCALE)
+        assert abs(r["shift"] - want) <= 1e-6, r
+
+
+def test_cross_source_pairs_conserves_pair_count(spark):
+    # The matrix is upper-triangular on source name and its total equals
+    # the underlying near-dup pair frame exactly (joins drop nothing).
+    from diepy_spark.operators import dedup as D
+    from diepy_spark.plans.extended import (
+        JACCARD_MAX_DF,
+        LSH_BAND_SIZE,
+        LSH_NUM_HASHES,
+        LSH_THRESHOLD,
+        _docs,
+    )
+
+    rows = _q("x2_cross_source_pairs")(spark, SF).collect()
+    assert rows, "no near-dup pairs at this sf"
+    for r in rows:
+        assert r["src_a"] <= r["src_b"]
+        assert r["n_pairs"] > 0
+    n_pairs = D.minhash_lsh_pairs(
+        _docs(spark, SF),
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
