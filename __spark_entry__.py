@@ -142,6 +142,8 @@ _PRIORITY = [
     "x12_psi",
     "x3_embedding_drift",
     "x2_cross_source_pairs",
+    "x3_pq_distortion",
+    "x2_dedup_savings",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -658,6 +658,50 @@ def pq_adc_topk(
     )
 
 
+def pq_distortion(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-subspace PQ quantization distortion — the instrument that
+    justifies a codebook's bit-width BEFORE committing a corpus to m
+    bytes/vector: each vector's exact integer squared-L2 error to its
+    nearest code per subspace (the same argmin ``pq_encode`` assigns),
+    aggregated into (subspace, n_vecs, sse, max_err). Scale shape: the
+    per-row error is ``least()`` over plan-literal distance columns —
+    zero shuffles on the corpus side; the only exchange is the final
+    m-row aggregate. Units are scale^2 integers, so the report
+    hash-checks cross-engine; retraining the codebook must drop `sse`,
+    and this is where that drop is measured."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    m = len(books)
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    errs = q.select(
+        *[
+            F.least(*_pq_sub_dists(books, s)).alias(f"err_{s}")
+            for s in range(m)
+        ]
+    )
+    one = errs.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_vecs"),
+        *[
+            F.expr(f"CAST(sum(err_{s}) AS BIGINT)").alias(f"sse_{s}")
+            for s in range(m)
+        ],
+        *[
+            F.expr(f"CAST(max(err_{s}) AS BIGINT)").alias(f"max_{s}")
+            for s in range(m)
+        ],
+    )
+    stack_args = ", ".join(f"{s}, sse_{s}, max_{s}" for s in range(m))
+    return one.selectExpr(
+        "n_vecs", f"stack({m}, {stack_args}) AS (s, sse, max_err)"
+    ).select("s", "n_vecs", "sse", "max_err")
+
+
 def semdedup_flags(
     vecs: DataFrame,
     cents: list[list[int]],

@@ -5478,6 +5478,81 @@ def x2_cross_source_pairs(spark, sf_dir):
     )
 
 
+# --- x3_pq_distortion: PQ codebook quality report -------------------------
+
+
+def x3_pq_distortion(spark, sf_dir):
+    """PQ quantization-distortion report
+    (operators/similarity.py:pq_distortion) — the instrument run before
+    committing a corpus to m-bytes-per-vector storage: per subspace, the
+    exact integer squared-L2 error from every vector to its nearest
+    code (the same argmin pq_encode assigns), as count / sse / max, plus
+    the mse rendered back to float units. Codebooks match x3_pq_adc /
+    x3_ivfpq so the three reports describe one index. Scale shape: the
+    per-row error is least() over plan-literal columns — zero corpus
+    shuffles; the only exchange is the m-row aggregate."""
+    from diepy_spark.operators.similarity import pq_distortion
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    books = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    rep = pq_distortion(v, books, scale=KM_SCALE)
+    return rep.selectExpr(
+        "s",
+        "n_vecs",
+        "sse",
+        "max_err",
+        f"round(CAST(sse AS DOUBLE) / CAST(n_vecs AS DOUBLE)"
+        f" / (CAST({KM_SCALE} AS DOUBLE) * CAST({KM_SCALE} AS DOUBLE)),"
+        " 6) AS mse",
+    ).orderBy("s")
+
+
+# --- x2_dedup_savings: dedup-savings-vs-threshold sweep --------------------
+
+DEDUP_CURVE_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def x2_dedup_savings(spark, sf_dir):
+    """Dedup savings as a function of the similarity threshold — the
+    planning sweep run before fixing a near-dup policy: for each
+    threshold, how many pairs survive, how many docs the keep-smallest-id
+    policy would flag, and how many chars that removes. ONE pass builds
+    the banded LSH pair frame at the loosest threshold (lineage cut: two
+    consumers), then the sweep is an explode of a literal threshold
+    array over the SPARSE pair frame — the corpus is never rescanned and
+    no per-threshold re-run happens, which is the whole point of the
+    instrument at 100 TB. A threshold with zero surviving pairs emits no
+    row (identically in the oracle)."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        d,
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    ).localCheckpoint(eager=False)  # sparse pair frame, two consumers
+    lits = ", ".join(f"CAST({t} AS DOUBLE)" for t in DEDUP_CURVE_THRESHOLDS)
+    e = pairs.selectExpr(
+        f"explode(filter(array({lits}), t -> jac >= t)) AS thr", "da", "db"
+    )
+    n_pairs = e.groupBy("thr").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs")
+    )
+    flagged = e.select("thr", "db").distinct()
+    fl = (
+        flagged.join(d.selectExpr("doc_id AS db", "n_chars"), "db")
+        .groupBy("thr")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs_flagged"),
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("chars_flagged"),
+        )
+    )
+    return n_pairs.join(fl, "thr").select(
+        "thr", "n_pairs", "n_docs_flagged", "chars_flagged"
+    ).orderBy("thr")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5621,6 +5696,8 @@ EXTENDED_QUERIES = {
     "x12_psi": x12_psi,
     "x3_embedding_drift": x3_embedding_drift,
     "x2_cross_source_pairs": x2_cross_source_pairs,
+    "x3_pq_distortion": x3_pq_distortion,
+    "x2_dedup_savings": x2_dedup_savings,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -9761,4 +9838,58 @@ EXTENDED_ORACLES["x2_cross_source_pairs"] = f"""
     JOIN documents d1 ON d1.doc_id = p.da
     JOIN documents d2 ON d2.doc_id = p.db
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _pq_distortion_oracle_sql() -> str:
+    """Mirror of x3_pq_distortion: the x3_pq_adc u/seeds/cb/sd chain
+    (quantized long form -> codebook rows -> every vector's exact
+    integer distance to every code of its subspace), then per-(vector,
+    subspace) min and the m-row per-subspace aggregate."""
+    sub = EMB_DIM // PQ_M
+    return f"""
+        WITH u AS (SELECT vec_id,
+                     CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+              FROM (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)),
+        seeds AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                FROM (SELECT DISTINCT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {PQ_CODES})),
+        cb AS (SELECT s.j, u.i, (u.i - 1) // {sub} AS s, u.x AS c
+               FROM seeds s JOIN u ON u.vec_id = s.vec_id),
+        sd AS (SELECT u.vec_id, cb.s, cb.j,
+                      SUM((u.x - cb.c) * (u.x - cb.c)) AS d
+               FROM u JOIN cb ON cb.i = u.i
+               GROUP BY 1, 2, 3),
+        best AS (SELECT vec_id, s, min(d) AS err FROM sd GROUP BY 1, 2)
+        SELECT CAST(s AS INT) AS s,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(err) AS BIGINT) AS sse,
+               CAST(max(err) AS BIGINT) AS max_err,
+               round(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / (CAST({KM_SCALE} AS DOUBLE) * CAST({KM_SCALE} AS DOUBLE)),
+                     6) AS mse
+        FROM best GROUP BY s ORDER BY s
+    """
+
+
+EXTENDED_ORACLES["x3_pq_distortion"] = _pq_distortion_oracle_sql()
+
+_DEDUP_CURVE_VALUES = ", ".join(
+    f"(CAST({t} AS DOUBLE))" for t in DEDUP_CURVE_THRESHOLDS
+)
+EXTENDED_ORACLES["x2_dedup_savings"] = f"""
+    WITH t(thr) AS (VALUES {_DEDUP_CURVE_VALUES}),
+    e AS (SELECT t.thr, p.da, p.db
+          FROM ({_XSRC_PAIRS_SQL}) p JOIN t ON p.jac >= t.thr),
+    np AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM e GROUP BY 1),
+    fd AS (SELECT DISTINCT thr, db FROM e),
+    fl AS (SELECT f.thr, CAST(count(*) AS BIGINT) AS n_docs_flagged,
+                  CAST(sum(d.n_chars) AS BIGINT) AS chars_flagged
+           FROM fd f JOIN documents d ON d.doc_id = f.db GROUP BY 1)
+    SELECT np.thr, np.n_pairs, fl.n_docs_flagged, fl.chars_flagged
+    FROM np JOIN fl ON np.thr = fl.thr ORDER BY 1
 """

@@ -351,3 +351,50 @@ def test_cross_source_pairs_conserves_pair_count(spark):
         max_df=JACCARD_MAX_DF,
     ).count()
     assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+def test_pq_distortion_anchors_and_render(spark):
+    # One row per subspace; n_vecs constant and equal to the table size;
+    # mse is exactly the sse/n render in float units.
+    from diepy_spark.plans.extended import KM_SCALE, PQ_M, _vecs
+
+    rows = _q("x3_pq_distortion")(spark, SF).collect()
+    assert len(rows) == PQ_M
+    n = _vecs(spark, SF).count()
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert 0 <= r["sse"] and 0 <= r["max_err"]
+        assert r["max_err"] * n >= r["sse"]  # max bounds the mean
+        want = r["sse"] / n / (KM_SCALE * KM_SCALE)
+        assert abs(r["mse"] - want) <= 1e-6, r
+
+
+def test_dedup_savings_monotone_and_conserves_base(spark):
+    # The sweep is monotone non-increasing in the threshold, and the
+    # loosest row equals the full pair frame (nothing dropped on entry).
+    from diepy_spark.operators import dedup as D
+    from diepy_spark.plans.extended import (
+        DEDUP_CURVE_THRESHOLDS,
+        JACCARD_MAX_DF,
+        LSH_BAND_SIZE,
+        LSH_NUM_HASHES,
+        LSH_THRESHOLD,
+        _docs,
+    )
+
+    rows = _q("x2_dedup_savings")(spark, SF).collect()
+    assert rows and rows[0]["thr"] == DEDUP_CURVE_THRESHOLDS[0]
+    for a, b in zip(rows, rows[1:]):
+        assert a["thr"] < b["thr"]
+        for c in ("n_pairs", "n_docs_flagged", "chars_flagged"):
+            assert a[c] >= b[c], (c, a, b)
+    for r in rows:
+        assert r["n_docs_flagged"] <= r["n_pairs"]
+    base = D.minhash_lsh_pairs(
+        _docs(spark, SF),
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    ).count()
+    assert rows[0]["n_pairs"] == base
