@@ -144,6 +144,8 @@ _PRIORITY = [
     "x2_cross_source_pairs",
     "x3_pq_distortion",
     "x2_dedup_savings",
+    "x10_pipeline_funnel",
+    "x6_media_pack",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -127,3 +127,93 @@ def clean_corpus(
     finally:
         feat.unpersist()
         pairs.unpersist()
+
+
+def corpus_funnel(
+    df: DataFrame,
+    sem_flags: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_score: float = 0.5,
+    max_dup3: float = 0.5,
+    jaccard_threshold: float = 0.2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Per-stage attrition report for the full training-corpus pipeline —
+    the observability table an operator reads after every corpus build
+    (how many docs/tokens each gate removed, and therefore which stage to
+    tune): (stage, stage_name, docs, tokens) for scored -> quality gate
+    -> exact dedup -> near-dup dedup -> semantic dedup. Stages share ONE
+    chain: the per-doc feature frame and the exact-dedup survivor set are
+    computed once (lazy localCheckpoints — block-cached on first use,
+    GC-reclaimed after), so the five aggregates never re-run the gate or
+    pair generation. `sem_flags` is the (id_col, is_dup) SemDeDup flag
+    frame (the persisted flag table x2_semdedup writes); pass it in so
+    this module stays free of embedding-model wiring. All counts are
+    exact integers — the whole funnel hash-checks cross-engine."""
+    tf = _token_frame(
+        df, text_col, id_col, F.length(text_col).alias("n_chars_raw"), min_tokens=1
+    )
+    q = quality_exprs()
+    feat = (
+        tf.select(
+            F.col(id_col), "toks", "n_chars_raw",
+            F.expr(_grams_over("toks", 3)).alias("g3"),
+        )
+        .select(
+            F.col(id_col),
+            q["n_tokens"].alias("n_tokens"),
+            q["score"].alias("score"),
+            F.try_divide(
+                F.size(F.col("g3")) - F.size(F.array_distinct("g3")),
+                F.size(F.col("g3")),
+            ).alias("dup_frac3"),
+        )
+        .localCheckpoint(eager=False)  # per-doc features, 4 consumers
+    )
+    gate = feat.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("score") >= min_score)
+        & (F.col("dup_frac3") <= max_dup3)
+    ).select(id_col, "n_tokens")
+    survivors = df.join(gate, id_col)
+    deduped = survivors.join(
+        exact_representatives(survivors, text_col, id_col).select(id_col),
+        id_col,
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    pairs = ngram_jaccard_pairs(
+        deduped, threshold=jaccard_threshold, max_df=max_df,
+        text_col=text_col, id_col=id_col,
+    ).persist()
+    try:
+        # dedup_corpus materializes the CC labels EAGERLY (see
+        # clean_corpus) — by return time `pairs` has been consumed.
+        clean = dedup_corpus(deduped, pairs, id_col=id_col)
+    finally:
+        pairs.unpersist()
+    sem = clean.join(
+        F.broadcast(sem_flags.select(id_col, "is_dup")), id_col, "left"
+    ).where(~F.coalesce("is_dup", F.lit(False)))
+
+    def _stage(n: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("docs"),
+            F.expr("CAST(sum(n_tokens) AS BIGINT)").alias("tokens"),
+        ).select(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "docs",
+            "tokens",
+        )
+
+    out = _stage(0, "scored", feat)
+    for n, name, frame in (
+        (1, "gate", gate),
+        (2, "exact", deduped),
+        (3, "neardup", clean),
+        (4, "semdedup", sem),
+    ):
+        out = out.unionByName(_stage(n, name, frame))
+    return out.orderBy("stage")

@@ -5553,6 +5553,75 @@ def x2_dedup_savings(spark, sf_dir):
     ).orderBy("thr")
 
 
+# --- x10_pipeline_funnel: per-stage corpus attrition ----------------------
+
+
+def x10_pipeline_funnel(spark, sf_dir):
+    """Per-stage attrition for the end-to-end training-corpus pipeline
+    (operators/corpus.py:corpus_funnel) — the table an operator reads
+    after every corpus build: docs/tokens surviving scored -> quality
+    gate -> exact dedup -> near-dup dedup -> semantic dedup, which is
+    exactly x10_training_corpus's chain instrumented per stage. ONE
+    chain feeds all five aggregates (feature frame and exact-survivor
+    set lazily checkpointed; SemDeDup flags from the shared session
+    cache), so the funnel costs one pipeline run, not five. Exact
+    integers end to end."""
+    from diepy_spark.operators.corpus import corpus_funnel
+
+    tune(spark)
+    flags = _sdflags_cached(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "is_dup"
+    )
+    return corpus_funnel(
+        _docs(spark, sf_dir),
+        flags,
+        min_tokens=CLEAN_MIN_TOKENS,
+        min_score=CLEAN_MIN_SCORE,
+        max_dup3=CLEAN_MAX_DUP3,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+
+
+# --- x6_media_pack: bytes-budgeted media shard packing ---------------------
+
+MEDIA_PACK_BUDGET = 2048  # bytes per media shard at test scale
+
+
+def x6_media_pack(spark, sf_dir):
+    """WebDataset-style media shard packing — the multimodal sibling of
+    x5_shard_pack: assign each media payload to an output shard so every
+    (source, shard) holds ~MEDIA_PACK_BUDGET payload BYTES (the
+    tar-shard-building step a multimodal training pipeline runs), budget
+    measured on the opaque binary payload's byte length, never its
+    content. Same scale shape as pack_shards: a narrow (id, source,
+    bytes) projection and ONE running-sum window per source — packing
+    parallelizes across sources; payloads themselves never shuffle."""
+    d = M.with_binary_payload(_docs(spark, sf_dir))
+    b = d.select(
+        "doc_id",
+        "source",
+        F.col("media_meta.byte_len").cast("bigint").alias("n_bytes"),
+    )
+    p = b.selectExpr(
+        "doc_id",
+        "source",
+        "n_bytes",
+        f"CAST((sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id"
+        f" ROWS UNBOUNDED PRECEDING) - n_bytes) div {MEDIA_PACK_BUDGET}"
+        " AS INT) AS shard",
+    )
+    return (
+        p.groupBy("source", "shard")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("files"),
+            F.expr("CAST(sum(n_bytes) AS BIGINT)").alias("bytes"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5698,6 +5767,8 @@ EXTENDED_QUERIES = {
     "x2_cross_source_pairs": x2_cross_source_pairs,
     "x3_pq_distortion": x3_pq_distortion,
     "x2_dedup_savings": x2_dedup_savings,
+    "x10_pipeline_funnel": x10_pipeline_funnel,
+    "x6_media_pack": x6_media_pack,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -9892,4 +9963,55 @@ EXTENDED_ORACLES["x2_dedup_savings"] = f"""
            FROM fd f JOIN documents d ON d.doc_id = f.db GROUP BY 1)
     SELECT np.thr, np.n_pairs, fl.n_docs_flagged, fl.chars_flagged
     FROM np JOIN fl ON np.thr = fl.thr ORDER BY 1
+"""
+
+
+def _pipeline_funnel_oracle_sql() -> str:
+    """Mirror of x10_pipeline_funnel: the x10_training_corpus CTE chain
+    verbatim through kc2 (its every stage is already a named CTE: qual
+    scored, gate, d2 exact survivors, kc1 near-dup survivors, kc2
+    semantic survivors), with the packing stage swapped for one per-stage
+    aggregate union."""
+    tc = EXTENDED_ORACLES["x10_training_corpus"]
+    head, sep, _ = tc.partition(",\n    pk AS (")
+    assert sep, "x10_training_corpus oracle shape changed"
+    return (
+        head
+        + """
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS stage, 'scored' AS stage_name,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens FROM qual
+      UNION ALL SELECT 1, 'gate', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM gate
+      UNION ALL SELECT 2, 'exact', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM d2
+      UNION ALL SELECT 3, 'neardup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM kc1
+      UNION ALL SELECT 4, 'semdedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM kc2
+    ) ORDER BY stage
+    """
+    )
+
+
+EXTENDED_ORACLES["x10_pipeline_funnel"] = _pipeline_funnel_oracle_sql()
+
+EXTENDED_ORACLES["x6_media_pack"] = f"""
+    WITH b AS (
+      SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_bytes,
+             CAST((SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_bytes)
+                  // {MEDIA_PACK_BUDGET} AS INT) AS shard
+      FROM b
+    )
+    SELECT source, shard, CAST(count(*) AS BIGINT) AS files,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           max(doc_id) AS max_doc_id
+    FROM p GROUP BY source, shard
+    ORDER BY source, shard
 """

@@ -398,3 +398,46 @@ def test_dedup_savings_monotone_and_conserves_base(spark):
         max_df=JACCARD_MAX_DF,
     ).count()
     assert rows[0]["n_pairs"] == base
+
+
+def test_pipeline_funnel_monotone_and_matches_training_corpus(spark):
+    # Five stages in order, docs/tokens never increase, and the last
+    # stage's totals equal the x10_training_corpus manifest exactly (the
+    # funnel instruments the SAME chain, not a parallel one).
+    rows = _q("x10_pipeline_funnel")(spark, SF).collect()
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["stage_name"] for r in rows] == [
+        "scored", "gate", "exact", "neardup", "semdedup",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a["docs"] >= b["docs"] and a["tokens"] >= b["tokens"], (a, b)
+    tc = _q("x10_training_corpus")(spark, SF).collect()
+    assert rows[-1]["docs"] == sum(r["docs"] for r in tc)
+    assert rows[-1]["tokens"] == sum(r["tokens"] for r in tc)
+
+
+def test_media_pack_budget_and_conservation(spark):
+    # Shards are contiguous from 0 per source; a shard exceeds the byte
+    # budget by at most one payload (the one-pass packing bound); totals
+    # conserve the corpus exactly.
+    from diepy_spark.plans.extended import MEDIA_PACK_BUDGET, _docs
+
+    rows = _q("x6_media_pack")(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert [r["shard"] for r in rs] == list(range(len(rs))), src
+        for r in rs[:-1]:  # every non-final shard crossed the budget line
+            assert r["bytes"] + 1 > MEDIA_PACK_BUDGET - max(
+                x["bytes"] for x in rs
+            ), r
+    d = _docs(spark, SF)
+    import pyspark.sql.functions as F
+
+    tot = d.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length(F.encode("text", "UTF-8"))).alias("b"),
+    ).collect()[0]
+    assert sum(r["files"] for r in rows) == tot["n"]
+    assert sum(r["bytes"] for r in rows) == tot["b"]

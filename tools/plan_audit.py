@@ -58,6 +58,8 @@ TRAINS_AT_BUILD = {
     "x3_kmeans_stability",
     "x5_bpe_apply",
     "x3_range_query",  # collects the query vector at build
+    "x10_pipeline_funnel",  # CC labels + k-means flags materialize at build
+    "x3_pq_distortion",  # codebook collect at build
 }
 
 
