@@ -147,6 +147,7 @@ _PRIORITY = [
     "x2_dedup_savings",
     "x10_pipeline_funnel",
     "x6_media_pack",
+    "x5_regex_tokens",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

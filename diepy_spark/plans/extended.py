@@ -5622,6 +5622,58 @@ def x6_media_pack(spark, sf_dir):
     )
 
 
+# --- x5_regex_tokens: pre-tokenizer budget audit ---------------------------
+
+# GPT-2-style pretokenizer classes (letter runs | digit runs | symbol
+# runs). Backslash-free by the PII_PATTERNS portability rule — the SAME
+# string is a valid identical regex in Java (Spark) and RE2 (DuckDB).
+RE_TOK_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def x5_regex_tokens(spark, sf_dir):
+    """Pre-tokenization token-budget audit — the number a training plan
+    is actually priced in: per source, documents, regex pre-tokens
+    (GPT-2-style letter/digit/symbol runs — the upper bound the real BPE
+    tokenizer starts from), word tokens, chars, plus the fertility ratio
+    (pre-tokens per word) and chars-per-pre-token. The instrument that
+    catches a source whose symbol-heavy text will blow the token budget
+    long before x5_bpe_apply runs. One narrow JVM-codegen'd projection
+    (regexp_extract_all, no Python, no shuffle except the
+    source-bounded aggregate)."""
+    from diepy_spark.operators.dedup import tokens_expr
+
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source",
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{RE_TOK_PAT}', 0))"
+            " AS BIGINT)"
+        ).alias("re_toks"),
+        F.expr(f"CAST(size({tokens_expr('text')}) AS BIGINT)").alias(
+            "word_toks"
+        ),
+        F.expr("CAST(length(text) AS BIGINT)").alias("chars"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("docs"),
+            F.expr("CAST(sum(re_toks) AS BIGINT)").alias("re_toks"),
+            F.expr("CAST(sum(word_toks) AS BIGINT)").alias("word_toks"),
+            F.expr("CAST(sum(chars) AS BIGINT)").alias("chars"),
+            F.expr(
+                "round(CAST(sum(re_toks) AS DOUBLE)"
+                " / CAST(sum(word_toks) AS DOUBLE), 6)"
+            ).alias("fertility"),
+            F.expr(
+                "round(CAST(sum(chars) AS DOUBLE)"
+                " / CAST(sum(re_toks) AS DOUBLE), 6)"
+            ).alias("chars_per_tok"),
+        )
+        .orderBy("source")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5769,6 +5821,7 @@ EXTENDED_QUERIES = {
     "x2_dedup_savings": x2_dedup_savings,
     "x10_pipeline_funnel": x10_pipeline_funnel,
     "x6_media_pack": x6_media_pack,
+    "x5_regex_tokens": x5_regex_tokens,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10014,4 +10067,25 @@ EXTENDED_ORACLES["x6_media_pack"] = f"""
            max(doc_id) AS max_doc_id
     FROM p GROUP BY source, shard
     ORDER BY source, shard
+"""
+
+
+EXTENDED_ORACLES["x5_regex_tokens"] = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{RE_TOK_PAT}')) AS BIGINT)
+               AS re_toks,
+             CAST(len({_TOKS_EXPR}) AS BIGINT) AS word_toks,
+             CAST(strlen(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(re_toks) AS BIGINT) AS re_toks,
+           CAST(sum(word_toks) AS BIGINT) AS word_toks,
+           CAST(sum(chars) AS BIGINT) AS chars,
+           round(CAST(sum(re_toks) AS DOUBLE)
+                 / CAST(sum(word_toks) AS DOUBLE), 6) AS fertility,
+           round(CAST(sum(chars) AS DOUBLE)
+                 / CAST(sum(re_toks) AS DOUBLE), 6) AS chars_per_tok
+    FROM per GROUP BY source ORDER BY source
 """

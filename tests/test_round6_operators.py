@@ -441,3 +441,19 @@ def test_media_pack_budget_and_conservation(spark):
     ).collect()[0]
     assert sum(r["files"] for r in rows) == tot["n"]
     assert sum(r["bytes"] for r in rows) == tot["b"]
+
+
+def test_regex_tokens_dominance_and_render(spark):
+    # Every word token (maximal alnum run) maps to >=1 pre-token, so
+    # re_toks >= word_toks (fertility >= 1); each pre-token is >=1 char;
+    # the rendered ratios are the single-division chains over the sums.
+    rows = _q("x5_regex_tokens")(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["re_toks"] >= r["word_toks"] > 0
+        assert r["chars"] >= r["re_toks"]
+        assert abs(r["fertility"] - round(r["re_toks"] / r["word_toks"], 6)) <= 1e-9
+        assert (
+            abs(r["chars_per_tok"] - round(r["chars"] / r["re_toks"], 6))
+            <= 1e-9
+        )
