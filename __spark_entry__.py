@@ -148,6 +148,7 @@ _PRIORITY = [
     "x10_pipeline_funnel",
     "x6_media_pack",
     "x5_regex_tokens",
+    "x9_retention_plan",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

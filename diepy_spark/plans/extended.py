@@ -5674,6 +5674,79 @@ def x5_regex_tokens(spark, sf_dir):
     )
 
 
+# --- x9_retention_plan: TTL partition-purge planning ------------------------
+
+RETENTION_DAYS = 14  # keep the most recent N day-partitions
+
+
+def x9_retention_plan(spark, sf_dir):
+    """TTL retention PLAN over the day-partitioned event store — the
+    dry-run every scheduled purge job emits before touching data: per
+    day-partition, rows and distinct users, the keep/drop decision
+    against a data-relative watermark (the most recent RETENTION_DAYS
+    days — relative to max(day), not wall clock, so the plan is
+    deterministic and restatement-safe), and the cumulative rows
+    reclaimed in day order. At 100 TB this is partition metadata work:
+    the corpus collapses to the calendar frame in one map-side-combined
+    pass, the watermark is a one-row aggregate broadcast back, and the
+    cumulative sum is a window over the bounded calendar frame. The
+    executing sibling is x9_takedown (row-level deletes); this is the
+    partition-level lifecycle gate."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(count(DISTINCT user_id) AS BIGINT)").alias(
+                "n_users"
+            ),
+        )
+        .localCheckpoint(eager=False)  # calendar-bounded
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    pl = daily.crossJoin(F.broadcast(mx)).withColumn(
+        "action",
+        F.expr(
+            f"CASE WHEN day > date_sub(max_day, {RETENTION_DAYS})"
+            " THEN 'keep' ELSE 'drop' END"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        pl.select(
+            "day",
+            "n_rows",
+            "n_users",
+            "action",
+            F.sum(
+                F.when(F.col("action") == "drop", F.col("n_rows")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .over(w)
+            .cast("bigint")
+            .alias("cum_reclaimed"),
+        )
+        .orderBy("day")
+        # render day as its ISO string (the x12_volume_anomaly idiom —
+        # DuckDB's fetchdf widens DATE to datetime64, STRING doesn't)
+        .selectExpr(
+            "CAST(day AS STRING) AS day",
+            "n_rows",
+            "n_users",
+            "action",
+            "cum_reclaimed",
+        )
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5822,6 +5895,7 @@ EXTENDED_QUERIES = {
     "x10_pipeline_funnel": x10_pipeline_funnel,
     "x6_media_pack": x6_media_pack,
     "x5_regex_tokens": x5_regex_tokens,
+    "x9_retention_plan": x9_retention_plan,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10088,4 +10162,26 @@ EXTENDED_ORACLES["x5_regex_tokens"] = f"""
            round(CAST(sum(chars) AS DOUBLE)
                  / CAST(sum(re_toks) AS DOUBLE), 6) AS chars_per_tok
     FROM per GROUP BY source ORDER BY source
+"""
+
+
+EXTENDED_ORACLES["x9_retention_plan"] = f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(day) AS max_day FROM daily),
+    pl AS (
+      SELECT d.*,
+             CASE WHEN d.day > mx.max_day - {RETENTION_DAYS}
+                  THEN 'keep' ELSE 'drop' END AS action
+      FROM daily d, mx
+    )
+    SELECT CAST(day AS STRING) AS day, n_rows, n_users, action,
+           CAST(sum(CASE WHEN action = 'drop' THEN n_rows ELSE 0 END)
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_reclaimed
+    FROM pl ORDER BY day
 """

@@ -457,3 +457,23 @@ def test_regex_tokens_dominance_and_render(spark):
             abs(r["chars_per_tok"] - round(r["chars"] / r["re_toks"], 6))
             <= 1e-9
         )
+
+
+def test_retention_plan_watermark_and_reclaim(spark):
+    # Exactly the most recent RETENTION_DAYS days are kept; drops precede
+    # keeps in day order; the running reclaim equals the dropped-row sum
+    # and freezes once the kept region starts.
+    from diepy_spark.plans.extended import RETENTION_DAYS
+
+    rows = _q("x9_retention_plan")(spark, SF).collect()
+    assert rows == sorted(rows, key=lambda r: r["day"])
+    kept = [r for r in rows if r["action"] == "keep"]
+    dropped = [r for r in rows if r["action"] == "drop"]
+    assert len(kept) == min(RETENTION_DAYS, len(rows))
+    if dropped and kept:
+        assert max(r["day"] for r in dropped) < min(r["day"] for r in kept)
+    assert rows[-1]["cum_reclaimed"] == sum(r["n_rows"] for r in dropped)
+    run = 0
+    for r in rows:
+        run += r["n_rows"] if r["action"] == "drop" else 0
+        assert r["cum_reclaimed"] == run, r
