@@ -149,6 +149,7 @@ _PRIORITY = [
     "x6_media_pack",
     "x5_regex_tokens",
     "x9_retention_plan",
+    "x11_cc_twophase",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -5747,6 +5747,38 @@ def x9_retention_plan(spark, sf_dir):
     )
 
 
+# --- x11_cc_twophase: the distributed CC tier under the hash gate ----------
+
+
+def x11_cc_twophase(spark, sf_dir):
+    """The DISTRIBUTED tier of connected components under the hash gate
+    (clustering.py:connected_components_two_phase — large-star/small-star,
+    Kiveris et al. 2014 "Connected Components in MapReduce and Beyond"):
+    `local_threshold=0` FORCES past the driver-side union-find the
+    adaptive dispatcher would pick at this sf, so the tier that actually
+    runs when a dup graph exceeds driver memory earns its own
+    correctness row — the same move round 5 made for the sorted-run
+    external span-dedup tier. Output mirrors x2_dup_clusters exactly
+    (same pair graph, same min-id fixpoint, same oracle SQL), so a
+    hash match here IS the proof the two algorithms agree; rounds grow
+    with log(diameter), each round two self-join exchanges over the
+    edge frame and nothing driver-sized anywhere."""
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.clustering import connected_components
+
+    cc = connected_components(
+        _jaccard_pairs(spark, sf_dir),
+        "da",
+        "db",
+        local_threshold=0,
+        algorithm="two-phase",
+    )
+    return cc.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    ).orderBy("node")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5896,6 +5928,7 @@ EXTENDED_QUERIES = {
     "x6_media_pack": x6_media_pack,
     "x5_regex_tokens": x5_regex_tokens,
     "x9_retention_plan": x9_retention_plan,
+    "x11_cc_twophase": x11_cc_twophase,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10185,3 +10218,9 @@ EXTENDED_ORACLES["x9_retention_plan"] = f"""
              AS cum_reclaimed
     FROM pl ORDER BY day
 """
+
+
+# Same pair graph, same min-id fixpoint, same rendering as
+# x2_dup_clusters — the identical oracle text is the point: a hash match
+# proves the two-phase tier reaches the union-find/min-label fixpoint.
+EXTENDED_ORACLES["x11_cc_twophase"] = EXTENDED_ORACLES["x2_dup_clusters"]

@@ -477,3 +477,17 @@ def test_retention_plan_watermark_and_reclaim(spark):
     for r in rows:
         run += r["n_rows"] if r["action"] == "drop" else 0
         assert r["cum_reclaimed"] == run, r
+
+
+def test_cc_twophase_matches_dup_clusters_rowwise(spark):
+    # The forced distributed tier must reproduce the adaptive path's
+    # labels row for row (same pair graph, same min-id fixpoint) — the
+    # declared-query analog of the randomized union-find equivalence
+    # suite, and a union-find call would be a bug here (threshold 0).
+    a = sorted(
+        tuple(r) for r in _q("x11_cc_twophase")(spark, SF).collect()
+    )
+    b = sorted(
+        tuple(r) for r in _q("x2_dup_clusters")(spark, SF).collect()
+    )
+    assert a == b and len(a) > 0

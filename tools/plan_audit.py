@@ -60,6 +60,7 @@ TRAINS_AT_BUILD = {
     "x3_range_query",  # collects the query vector at build
     "x10_pipeline_funnel",  # CC labels + k-means flags materialize at build
     "x3_pq_distortion",  # codebook collect at build
+    "x11_cc_twophase",  # star iterations converge (with actions) at build
 }
 
 
