@@ -150,6 +150,8 @@ _PRIORITY = [
     "x5_regex_tokens",
     "x9_retention_plan",
     "x11_cc_twophase",
+    "x11_degree_dist",
+    "x12_gini",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

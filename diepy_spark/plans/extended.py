@@ -5779,6 +5779,79 @@ def x11_cc_twophase(spark, sf_dir):
     ).orderBy("node")
 
 
+# --- x11_degree_dist: degree distribution of the supply graph --------------
+
+
+def x11_degree_dist(spark, sf_dir):
+    """Degree DISTRIBUTION of the symmetrized part↔supplier supply graph,
+    split by node kind — the first plot a graph pipeline draws before
+    choosing algorithms (a heavy tail means hub-aware partitioning; a
+    flat histogram means plain hash partitioning is fine), and the
+    skew-read for every x11 iteration's join. Same edge derivation as
+    x11_pagerank/x11_assortativity; two bounded aggregates (degree per
+    node, then nodes per (kind, degree)) — output is
+    distinct-degree-sized."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("deg")
+    )
+    return (
+        deg.selectExpr("CAST(src % 10 AS INT) AS kind", "deg")
+        .groupBy("kind", "deg")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_nodes"))
+        .orderBy("kind", "deg")
+    )
+
+
+# --- x12_gini: corpus concentration audit -----------------------------------
+
+
+def x12_gini(spark, sf_dir):
+    """Concentration audit — the Gini coefficient of the corpus byte
+    mass across sources and across languages: the one-number answer to
+    "is this corpus a few mega-sources in a trench coat?", read before
+    trusting any per-source quality signal (and the diversity companion
+    of x5_domain_mix's raw shares). Exact integer identity: with group
+    masses x_(1..n) ascending, G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i) —
+    numerator and denominator are exact bigints off ONE window over the
+    group-bounded frame, one float division at the end. Ties in x are
+    order-invariant (equal x contribute the same Σi·x under any
+    permutation of their positions)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+
+    def conc(dim):
+        g = d.groupBy(F.col(dim).alias("grp")).agg(
+            F.expr("CAST(sum(n_chars) AS BIGINT)").alias("x")
+        )
+        w = Window.orderBy("x", "grp")  # group-bounded frame
+        r = g.withColumn("i", F.row_number().over(w))
+        return r.agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(x) AS BIGINT)").alias("tot"),
+            F.expr("CAST(sum(i * x) AS BIGINT)").alias("six"),
+        ).select(
+            F.lit(dim).alias("dim"),
+            F.col("n").alias("n_groups"),
+            F.col("tot").alias("total_chars"),
+            F.expr(
+                "round(CAST(2 * six - (n + 1) * tot AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6)"
+            ).alias("gini"),
+        )
+
+    return conc("source").unionByName(conc("lang")).orderBy("dim")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -5929,6 +6002,8 @@ EXTENDED_QUERIES = {
     "x5_regex_tokens": x5_regex_tokens,
     "x9_retention_plan": x9_retention_plan,
     "x11_cc_twophase": x11_cc_twophase,
+    "x11_degree_dist": x11_degree_dist,
+    "x12_gini": x12_gini,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10224,3 +10299,41 @@ EXTENDED_ORACLES["x9_retention_plan"] = f"""
 # x2_dup_clusters — the identical oracle text is the point: a hash match
 # proves the two-phase tier reaches the union-find/min-label fixpoint.
 EXTENDED_ORACLES["x11_cc_twophase"] = EXTENDED_ORACLES["x2_dup_clusters"]
+
+
+EXTENDED_ORACLES["x11_degree_dist"] = """
+    WITH ps AS (
+      SELECT l_partkey * 10 + 1 AS src, l_suppkey * 10 + 2 AS dst
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sym AS (SELECT src, dst FROM ps UNION ALL SELECT dst, src FROM ps),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+    SELECT CAST(src % 10 AS INT) AS kind, deg,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _gini_arm_sql(dim: str) -> str:
+    return f"""
+      SELECT '{dim}' AS dim, n AS n_groups, tot AS total_chars,
+             round(CAST(2 * six - (n + 1) * tot AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot,
+               CAST(sum(i * x) AS BIGINT) AS six
+        FROM (
+          SELECT x, row_number() OVER (ORDER BY x, grp) AS i
+          FROM (SELECT {dim} AS grp, CAST(sum(n_chars) AS BIGINT) AS x
+                FROM documents GROUP BY 1)
+        )
+      )"""
+
+
+EXTENDED_ORACLES["x12_gini"] = (
+    "SELECT * FROM ("
+    + _gini_arm_sql("source")
+    + "\n    UNION ALL\n"
+    + _gini_arm_sql("lang")
+    + "\n    ) ORDER BY dim"
+)

@@ -491,3 +491,31 @@ def test_cc_twophase_matches_dup_clusters_rowwise(spark):
         tuple(r) for r in _q("x2_dup_clusters")(spark, SF).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_degree_dist_conserves_nodes_and_edges(spark):
+    # The histogram must conserve both node and edge-endpoint counts of
+    # the symmetrized graph, and the two node kinds partition it.
+    import pyspark.sql.functions as F
+
+    from diepy_spark.plans.extended import load_table
+
+    rows = _q("x11_degree_dist")(spark, SF).collect()
+    assert {r["kind"] for r in rows} <= {1, 2}
+    li = load_table(spark, SF, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    n_edges = ps.count()
+    n_parts = ps.select("l_partkey").distinct().count()
+    n_supps = ps.select("l_suppkey").distinct().count()
+    assert sum(r["n_nodes"] for r in rows) == n_parts + n_supps
+    # each undirected edge contributes one degree to each side
+    assert sum(r["deg"] * r["n_nodes"] for r in rows) == 2 * n_edges
+
+
+def test_gini_bounds_and_identity(spark):
+    # Gini over positive masses lies in [0, 1); both dimensions report.
+    rows = {r["dim"]: r for r in _q("x12_gini")(spark, SF).collect()}
+    assert set(rows) == {"source", "lang"}
+    for r in rows.values():
+        assert 0 <= r["gini"] < 1
+        assert r["n_groups"] > 1 and r["total_chars"] > 0
