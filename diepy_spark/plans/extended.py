@@ -5852,6 +5852,36 @@ def x12_gini(spark, sf_dir):
     return conc("source").unionByName(conc("lang")).orderBy("dim")
 
 
+# --- x6_frame_dedup: cross-video duplicate-frame detection -----------------
+
+
+def x6_frame_dedup(spark, sf_dir):
+    """Frame-LEVEL media dedup — the keyframe-granularity sibling of
+    x6_media_dedup (whole-payload): sampled frames digested and grouped,
+    reporting every frame that occurs more than once (occurrences,
+    distinct carrying docs, canonical = min doc) — the intro/outro/
+    static-card detector a video pipeline runs before paying storage or
+    embedding cost per frame. Runs CORPUS-WIDE (unlike the
+    MEDIA_DOC_MAX-windowed decode/feature queries — dedup is exactly the
+    op you run over everything). Scale shape: frames digest to md5 IN
+    the projection, so the groupBy shuffles 32-byte keys, never frame
+    bytes — the same never-shuffle-payloads rule as media_dedup, one
+    level down."""
+    d = _docs(spark, sf_dir)
+    fr = M.frame_sample(M.with_binary_payload(d), every=4, frame_size=256)
+    return (
+        fr.select(F.md5("frame_bytes").alias("frame_md5"), "doc_id")
+        .groupBy("frame_md5")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_occurrences"),
+            F.expr("CAST(count(DISTINCT doc_id) AS BIGINT)").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy("frame_md5")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -6004,6 +6034,7 @@ EXTENDED_QUERIES = {
     "x11_cc_twophase": x11_cc_twophase,
     "x11_degree_dist": x11_degree_dist,
     "x12_gini": x12_gini,
+    "x6_frame_dedup": x6_frame_dedup,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10337,3 +10368,20 @@ EXTENDED_ORACLES["x12_gini"] = (
     + _gini_arm_sql("lang")
     + "\n    ) ORDER BY dim"
 )
+
+
+EXTENDED_ORACLES["x6_frame_dedup"] = f"""
+    WITH fr AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(f.i * 256 + 1 AS BIGINT), 256)) AS frame_md5
+      FROM documents,
+      LATERAL (SELECT unnest(list_filter(
+                 range(0, CAST(ceil(length(text) / 256.0) AS BIGINT)),
+                 b -> b % 4 = 0)) AS i) f
+      WHERE length(text) > 0
+    )
+    SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_doc
+    FROM fr GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""

@@ -519,3 +519,26 @@ def test_gini_bounds_and_identity(spark):
     for r in rows.values():
         assert 0 <= r["gini"] < 1
         assert r["n_groups"] > 1 and r["total_chars"] > 0
+
+
+def test_frame_dedup_counts_and_canonical(spark):
+    # Every reported frame really repeats; the canonical doc carries it;
+    # occurrences bound docs from above.
+    rows = _q("x6_frame_dedup")(spark, SF).collect()
+    assert rows, "expected duplicate frames at this sf"
+    for r in rows:
+        assert r["n_occurrences"] > 1
+        assert 1 <= r["n_docs"] <= r["n_occurrences"]
+    # spot-check one group against the raw frame stream
+    from diepy_spark.operators import multimodal as M
+    from diepy_spark.plans.extended import _docs
+
+    import pyspark.sql.functions as F
+
+    target = rows[0]
+    fr = M.frame_sample(
+        M.with_binary_payload(_docs(spark, SF)), every=4, frame_size=256
+    ).select(F.md5("frame_bytes").alias("m"), "doc_id")
+    grp = fr.where(F.col("m") == target["frame_md5"]).collect()
+    assert len(grp) == target["n_occurrences"]
+    assert min(g["doc_id"] for g in grp) == target["canonical_doc"]
