@@ -153,6 +153,7 @@ _PRIORITY = [
     "x11_degree_dist",
     "x12_gini",
     "x6_frame_dedup",
+    "x7_stream_psi",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

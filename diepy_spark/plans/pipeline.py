@@ -846,6 +846,122 @@ def x7_stream_cluster_assign(spark, sf_dir):
     return out.orderBy("cluster")
 
 
+SPSI_NBINS = 8
+SPSI_BIN_CENTS = 5000  # $50-wide event-value bins (p95 lands in bin 2)
+
+# Laplace-smoothed share / PSI-term texts with THIS query's bin count in
+# the smoothing denominator (x12_psi's _PSI_SHARE hardcodes its own
+# PSI_NBINS=10); identical text runs on both engines.
+_SPSI_SHARE = (
+    "((CAST({nb} AS DOUBLE) + 1.0)"
+    f" / (CAST({{tb}} AS DOUBLE) + {SPSI_NBINS}.0))"
+)
+
+
+def _spsi_term(nb: str, nn: str, tb: str, tn: str) -> str:
+    p = _SPSI_SHARE.format(nb=nb, tb=tb)
+    q = _SPSI_SHARE.format(nb=nn, tb=tn)
+    return f"((({q}) - ({p})) * ln(({q}) / ({p})))"
+
+
+def x7_stream_psi(spark, sf_dir):
+    """Streaming input-drift monitor — x12_psi's PSI served ONLINE (the
+    train-offline/serve-online composition applied to the drift family,
+    completing the monitoring triple next to x7_stream_outliers and
+    x7_stream_cluster_assign): the baseline bin distribution is trained
+    on the batch history, and the stream emits per-day-window bin counts
+    under the watermark (append mode, the usual finalization rule).
+    Post-replay the bounded sink frame joins the generated full bin
+    dimension (silent empty bins still report into the fold) and folds
+    per-day PSI in bin order — the pager that fires the day the value
+    distribution drifts. Scale: stream state is days x bins; everything
+    after the sink is bounded by the emission."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    bin_expr = (
+        f"least(CAST(floor(c / {SPSI_BIN_CENTS}) AS BIGINT),"
+        f" CAST({SPSI_NBINS - 1} AS BIGINT)) AS bin"
+    )
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(cents.alias("c"))
+        .selectExpr(bin_expr)
+        .groupBy("bin")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_base"))
+    )
+    src = (
+        _events_src(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("ts", cents.alias("c"))
+        .selectExpr("ts", bin_expr)
+    )
+    agg = (
+        src.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_obs"))
+        .select(F.col("w.start").alias("day"), "bin", "n_obs")
+    )
+    out = _run_stream(agg, "append")
+    days = out.select("day").distinct()
+    dim = days.crossJoin(
+        F.broadcast(
+            spark.range(SPSI_NBINS).selectExpr("CAST(id AS BIGINT) AS bin")
+        )
+    )
+    # days and out share lineage (both read the sink view), so a plain
+    # USING join sees one attribute on both sides — re-alias the probe
+    # side's columns (Alias mints fresh attribute ids) before joining
+    o = out.select(
+        F.col("day").alias("o_day"),
+        F.col("bin").alias("o_bin"),
+        F.col("n_obs").alias("n_obs"),
+    )
+    j = (
+        dim.join(
+            o,
+            (F.col("day") == F.col("o_day"))
+            & (F.col("bin") == F.col("o_bin")),
+            "left",
+        )
+        .select("day", "bin", "n_obs")
+        .join(F.broadcast(base), "bin", "left")
+        .selectExpr(
+            "day",
+            "bin",
+            "CAST(coalesce(n_base, 0) AS BIGINT) AS n_base",
+            "CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs",
+        )
+    )
+    wd = Window.partitionBy("day")
+    j2 = j.select(
+        "day",
+        "bin",
+        "n_base",
+        "n_obs",
+        F.sum("n_base").over(wd).alias("tb"),
+        F.sum("n_obs").over(wd).alias("tn"),
+    )
+    term_x = _spsi_term("x.n_base", "x.n_obs", "x.tb", "x.tn")
+    return (
+        j2.groupBy("day")
+        .agg(
+            F.expr("CAST(sum(n_obs) AS BIGINT)").alias("n_rows"),
+            F.expr(
+                "round(aggregate(array_sort(collect_list("
+                "struct(bin, n_base, n_obs, tb, tn))),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + {term_x}), 6)"
+            ).alias("psi"),
+        )
+        .selectExpr(
+            "CAST(CAST(day AS DATE) AS STRING) AS day", "n_rows", "psi"
+        )
+        .orderBy("day")
+    )
+
+
 def _docs_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """The ARRIVING 20% of documents (doc_id % INC_DEDUP_MOD == 0 — the
     same crawl-N+1 split as x1_incremental_dedup) as STREAM_FILES
@@ -1341,6 +1457,7 @@ PIPELINE_QUERIES = {
     "x7_stream_ewma": x7_stream_ewma,
     "t5_roundtrip_nested": t5_roundtrip_nested,
     "x7_stream_cluster_assign": x7_stream_cluster_assign,
+    "x7_stream_psi": x7_stream_psi,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -1778,3 +1895,52 @@ def _stream_hll_oracle_sql() -> str:
 
 
 PIPELINE_ORACLES["x7_stream_hll"] = _stream_hll_oracle_sql()
+
+
+def _stream_psi_oracle() -> str:
+    """Mirror of x7_stream_psi: same integer binning and Laplace texts,
+    same append-mode finalization rule (windows whose END has passed the
+    final watermark — the x7_stream_tumbling _WM_END idiom, at day
+    grain), same bin-ordered fold per day."""
+    term_row = _spsi_term("n_base", "n_obs", "tb", "tn")
+    return f"""
+    WITH ev AS (
+      SELECT ts, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT ts, least(CAST(floor(c / {SPSI_BIN_CENTS}) AS BIGINT),
+                       CAST({SPSI_NBINS - 1} AS BIGINT)) AS bin
+      FROM ev
+    ),
+    base AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_base
+             FROM binned GROUP BY 1),
+    emitted AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, bin
+      FROM binned
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= {_WM_END}
+    ),
+    days AS (SELECT DISTINCT day FROM emitted),
+    obs AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n_obs
+            FROM emitted GROUP BY 1, 2),
+    dim AS (SELECT day, CAST(range AS BIGINT) AS bin
+            FROM days, range({SPSI_NBINS})),
+    j AS (SELECT dim.day, dim.bin,
+                 CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+                 CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs
+          FROM dim
+          LEFT JOIN obs o ON o.day = dim.day AND o.bin = dim.bin
+          LEFT JOIN base b ON b.bin = dim.bin),
+    j2 AS (SELECT day, bin, n_base, n_obs,
+                  CAST(sum(n_base) OVER (PARTITION BY day) AS BIGINT) AS tb,
+                  CAST(sum(n_obs) OVER (PARTITION BY day) AS BIGINT) AS tn
+           FROM j)
+    SELECT CAST(CAST(day AS DATE) AS STRING) AS day,
+           CAST(sum(n_obs) AS BIGINT) AS n_rows,
+           round(CAST(list_sum(list(({term_row}) ORDER BY bin)) AS DOUBLE),
+                 6) AS psi
+    FROM j2 GROUP BY day ORDER BY day
+    """
+
+
+PIPELINE_ORACLES["x7_stream_psi"] = _stream_psi_oracle()

@@ -542,3 +542,28 @@ def test_frame_dedup_counts_and_canonical(spark):
     grp = fr.where(F.col("m") == target["frame_md5"]).collect()
     assert len(grp) == target["n_occurrences"]
     assert min(g["doc_id"] for g in grp) == target["canonical_doc"]
+
+
+def test_stream_psi_nonnegative_and_conserves_rows(spark):
+    # PSI terms (q-p)ln(q/p) are individually nonnegative, so each day's
+    # PSI is >= 0; emitted-day row totals must equal the batch counts of
+    # those days exactly (the stream dropped nothing inside a window).
+    import pyspark.sql.functions as F
+
+    from diepy_spark.sources.registry import load_table
+
+    rows = _q("x7_stream_psi")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] >= -1e-9
+        assert r["n_rows"] > 0
+    batch = {
+        r["day"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.expr("CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert batch[r["day"]] == r["n_rows"], r
