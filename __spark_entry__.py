@@ -154,6 +154,8 @@ _PRIORITY = [
     "x12_gini",
     "x6_frame_dedup",
     "x7_stream_psi",
+    "x2_semdedup_sweep",
+    "x10_mix_rebalance",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

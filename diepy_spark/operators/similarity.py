@@ -739,6 +739,41 @@ def semdedup_flags(
         quantize_vectors,
     )
 
+    a, pr = _semdedup_assign_pairs(vecs, cents, scale, id_col, vec_col)
+    dup = pr.where(
+        (F.col("dot") > 0)
+        & (
+            F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
+            > F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+        )
+    )
+    flags = (
+        dup.select(F.col("db").alias("id")).distinct().withColumn("is_dup", F.lit(True))
+    )
+    return a.select("id", "cluster").join(flags, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+
+
+def _semdedup_assign_pairs(
+    vecs: DataFrame,
+    cents: list[list[int]],
+    scale: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The shared SemDeDup front half: argmin cell assignment (with
+    per-vector squared norm) and the within-cell smaller-id pair frame
+    carrying the exact integer dot. Returns (assignment, pairs) so
+    semdedup_flags (one threshold) and semdedup_threshold_sweep (many)
+    build on one chain."""
+    from diepy_spark.operators.clustering import (
+        assign_to_centroids,
+        quantize_vectors,
+    )
+
     q = quantize_vectors(vecs, id_col, vec_col, scale)
     a = assign_to_centroids(q, cents, id_col).select(
         F.col(id_col).alias("id"), "cluster", "xi"
@@ -773,20 +808,59 @@ def semdedup_flags(
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ),
     )
-    dup = pr.where(
-        (F.col("dot") > 0)
-        & (
-            F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
-            > F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+    return a, pr
+
+
+def semdedup_threshold_sweep(
+    vecs: DataFrame,
+    cents: list[list[int]],
+    thresholds: tuple[tuple[int, int], ...],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup THRESHOLD sweep — the calibration run before fixing the
+    semantic-dedup policy (the embedding-space analog of the MinHash
+    dedup-savings curve): for each cosine threshold num/den, how many
+    vectors the keep-smallest-id policy would flag. ONE assignment +
+    within-cell pair pass (the expensive part); the sweep is an explode
+    of a literal threshold array over the SPARSE pair frame with the
+    same exact cross-multiplied integer comparison semdedup_flags uses —
+    no per-threshold re-run. Thresholds with zero flags still report
+    (generated threshold dimension). Output: (num, den, n_vecs,
+    n_flagged, flag_rate)."""
+    spark = vecs.sparkSession
+    a, pr = _semdedup_assign_pairs(vecs, cents, scale, id_col, vec_col)
+    arms = ", ".join(
+        f"named_struct('num', CAST({n} AS BIGINT), 'den', CAST({d} AS BIGINT))"
+        for n, d in thresholds
+    )
+    hits = pr.selectExpr(
+        "db",
+        f"explode(filter(array({arms}), t -> dot > 0"
+        " AND t.den * t.den * dot * dot > t.num * t.num * na * nb)) AS t",
+    ).selectExpr("t.num AS num", "t.den AS den", "db")
+    per = (
+        hits.distinct()
+        .groupBy("num", "den")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_flagged"))
+    )
+    dim = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in thresholds], "num bigint, den bigint"
+    )
+    tot = a.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_vecs"))
+    return (
+        dim.join(per, ["num", "den"], "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "num",
+            "den",
+            "n_vecs",
+            "CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged",
+            "round(CAST(coalesce(n_flagged, 0) AS DOUBLE)"
+            " / CAST(n_vecs AS DOUBLE), 6) AS flag_rate",
         )
-    )
-    flags = (
-        dup.select(F.col("db").alias("id")).distinct().withColumn("is_dup", F.lit(True))
-    )
-    return a.select("id", "cluster").join(flags, "id", "left").select(
-        F.col("id").alias(id_col),
-        "cluster",
-        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        .orderBy("num", "den")
     )
 
 

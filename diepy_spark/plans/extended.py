@@ -5882,6 +5882,91 @@ def x6_frame_dedup(spark, sf_dir):
     )
 
 
+# --- x2_semdedup_sweep: semantic-dedup threshold calibration ---------------
+
+SD_SWEEP = ((1, 5), (2, 5), (3, 5), (4, 5))
+
+
+def x2_semdedup_sweep(spark, sf_dir):
+    """SemDeDup threshold CALIBRATION sweep
+    (operators/similarity.py:semdedup_threshold_sweep) — the
+    embedding-space analog of x2_dedup_savings: flags-per-cosine-
+    threshold from ONE assignment + within-cell pair pass, the sweep an
+    explode of a literal threshold array with the same exact
+    cross-multiplied integer comparison x2_semdedup uses (its 2/5
+    production threshold is one arm, so the sweep row reconciles with
+    the standing report). The run you do before betting a corpus on a
+    similarity cutoff."""
+    tune(spark)
+    from diepy_spark.operators.similarity import semdedup_threshold_sweep
+
+    cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
+    return semdedup_threshold_sweep(
+        _vecs(spark, sf_dir), cents, SD_SWEEP, scale=SD_SCALE
+    )
+
+
+# --- x10_mix_rebalance: target-mix down-sampling plan -----------------------
+
+# Target language shares in basis points (sums to 10000).
+MIX_TARGET_BP = (
+    ("de", 1500),
+    ("en", 4000),
+    ("es", 1500),
+    ("fr", 1500),
+    ("zh", 1500),
+)
+
+
+def x10_mix_rebalance(spark, sf_dir):
+    """Target-mix DOWN-sampling plan — given desired language shares,
+    the largest corpus achievable at exactly that mix without
+    upsampling, and each language's keep rate: cap = min over languages
+    of floor(tokens*10000 / target_bp) (the binding language sets it),
+    realized_l = floor(cap * bp_l / 10000). Pure integer arithmetic, so
+    the plan hash-checks; the binding flag marks the language to crawl
+    more of. Complements x8_temperature_mix (power-law smoothing) and
+    x10_epoch_plan (repeat planning) with the third standard mixing
+    policy: exact target shares. One bounded aggregate over the corpus;
+    the plan itself is languages-sized."""
+    from diepy_spark.operators.dedup import tokens_expr
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    tok = (
+        d.select(
+            "lang",
+            F.expr(f"CAST(size({tokens_expr('text')}) AS BIGINT)").alias("t"),
+        )
+        .groupBy("lang")
+        .agg(F.expr("CAST(sum(t) AS BIGINT)").alias("tokens"))
+    )
+    tgt = spark.createDataFrame(
+        [(lang, bp) for lang, bp in MIX_TARGET_BP],
+        "lang string, target_bp bigint",
+    )
+    j = tok.join(F.broadcast(tgt), "lang")
+    cap = j.agg(
+        F.expr("CAST(min(tokens * 10000 div target_bp) AS BIGINT)").alias(
+            "cap"
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(cap))
+        .selectExpr(
+            "lang",
+            "tokens",
+            "target_bp",
+            "CAST(cap * target_bp div 10000 AS BIGINT) AS realized_tokens",
+            "round(CAST(cap * target_bp div 10000 AS DOUBLE)"
+            " / CAST(tokens AS DOUBLE), 6) AS keep_rate",
+            "CAST(CASE WHEN tokens * 10000 div target_bp = cap"
+            " THEN 1 ELSE 0 END AS INT) AS binding",
+        )
+        .orderBy("lang")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -6035,6 +6120,8 @@ EXTENDED_QUERIES = {
     "x11_degree_dist": x11_degree_dist,
     "x12_gini": x12_gini,
     "x6_frame_dedup": x6_frame_dedup,
+    "x2_semdedup_sweep": x2_semdedup_sweep,
+    "x10_mix_rebalance": x10_mix_rebalance,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10384,4 +10471,60 @@ EXTENDED_ORACLES["x6_frame_dedup"] = f"""
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            min(doc_id) AS canonical_doc
     FROM fr GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
+def _semdedup_sweep_oracle_sql() -> str:
+    """Mirror of x2_semdedup_sweep: the shared SemDeDup chain through the
+    within-cell pair frame `p` and norms `nrm`, then per-threshold
+    distinct flagged counts against a generated threshold dimension."""
+    ctes = _semdedup_ctes()
+    # keep the chain through p/nrm; drop its fixed-threshold dup/fl tail
+    ctes = [c for c in ctes if not c.strip().startswith(("dup AS", "fl AS"))]
+    vals = ", ".join(f"({n}, {d})" for n, d in SD_SWEEP)
+    ctes.append(f"t(num, den) AS (VALUES {vals})")
+    ctes.append("""hits AS (
+        SELECT t.num, t.den, p.db FROM p
+        JOIN nrm na ON na.vec_id = p.da
+        JOIN nrm nb ON nb.vec_id = p.db
+        JOIN t ON p.dot > 0
+              AND t.den * t.den * dot * dot > t.num * t.num * na.nn * nb.nn)""")
+    ctes.append("flt AS (SELECT DISTINCT num, den, db FROM hits)")
+    ctes.append("tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM cell)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT CAST(t.num AS BIGINT) AS num, CAST(t.den AS BIGINT) AS den,
+               tot.n_vecs,
+               CAST(coalesce(f.n, 0) AS BIGINT) AS n_flagged,
+               round(CAST(coalesce(f.n, 0) AS DOUBLE)
+                     / CAST(tot.n_vecs AS DOUBLE), 6) AS flag_rate
+        FROM t CROSS JOIN tot
+        LEFT JOIN (SELECT num, den, count(*) AS n FROM flt GROUP BY 1, 2) f
+               ON f.num = t.num AND f.den = t.den
+        ORDER BY num, den"""
+    )
+
+
+EXTENDED_ORACLES["x2_semdedup_sweep"] = _semdedup_sweep_oracle_sql()
+
+_MIX_TGT_VALUES = ", ".join(f"('{lang}', {bp})" for lang, bp in MIX_TARGET_BP)
+EXTENDED_ORACLES["x10_mix_rebalance"] = f"""
+    WITH tok AS (
+      SELECT lang, CAST(sum(CAST(len({_TOKS_EXPR}) AS BIGINT)) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY 1
+    ),
+    tgt(lang, target_bp) AS (VALUES {_MIX_TGT_VALUES}),
+    j AS (SELECT t.lang, t.tokens, CAST(g.target_bp AS BIGINT) AS target_bp
+          FROM tok t JOIN tgt g ON g.lang = t.lang),
+    cap AS (SELECT CAST(min(tokens * 10000 // target_bp) AS BIGINT) AS cap
+            FROM j)
+    SELECT lang, tokens, target_bp,
+           CAST(cap * target_bp // 10000 AS BIGINT) AS realized_tokens,
+           round(CAST(cap * target_bp // 10000 AS DOUBLE)
+                 / CAST(tokens AS DOUBLE), 6) AS keep_rate,
+           CAST(CASE WHEN tokens * 10000 // target_bp = cap
+                THEN 1 ELSE 0 END AS INT) AS binding
+    FROM j, cap ORDER BY lang
 """

@@ -567,3 +567,32 @@ def test_stream_psi_nonnegative_and_conserves_rows(spark):
     }
     for r in rows:
         assert batch[r["day"]] == r["n_rows"], r
+
+
+def test_semdedup_sweep_monotone_and_reconciles(spark):
+    # Flags shrink as the threshold tightens, and the production 2/5 arm
+    # must equal x2_semdedup's flagged total exactly (same chain).
+    rows = _q("x2_semdedup_sweep")(spark, SF).collect()
+    assert [(r["num"], r["den"]) for r in rows] == [(1, 5), (2, 5), (3, 5), (4, 5)]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_flagged"] >= b["n_flagged"]
+        assert a["n_vecs"] == b["n_vecs"] > 0
+    report = _q("x2_semdedup")(spark, SF).collect()
+    flagged_2_5 = sum(r["n_flagged"] for r in report)
+    assert rows[1]["n_flagged"] == flagged_2_5
+
+
+def test_mix_rebalance_exact_target_shares(spark):
+    # No upsampling (realized <= tokens), at least one binding language
+    # at keep rate within floor-rounding of 1, realized shares within
+    # integer-floor error of the target basis points.
+    rows = _q("x10_mix_rebalance")(spark, SF).collect()
+    assert len(rows) == 5
+    cap = min(r["tokens"] * 10000 // r["target_bp"] for r in rows)
+    for r in rows:
+        assert r["realized_tokens"] == cap * r["target_bp"] // 10000
+        assert 0 <= r["realized_tokens"] <= r["tokens"]
+        assert r["binding"] == (
+            1 if r["tokens"] * 10000 // r["target_bp"] == cap else 0
+        )
+    assert any(r["binding"] == 1 for r in rows)
