@@ -10251,6 +10251,12 @@ EXTENDED_ORACLES["x3_embedding_drift"] = f"""
     FROM num ORDER BY label
 """
 
+# Loud guard: .replace silently no-ops if the upstream oracle's ORDER BY
+# text ever changes, which would leave an ORDER BY inside a derived-table
+# subquery (x2_cross_source_pairs / x2_dedup_savings reuse this body).
+assert "ORDER BY c.da, c.db" in EXTENDED_ORACLES["x2_minhash_lsh_pairs"], (
+    "x2_minhash_lsh_pairs oracle shape changed"
+)
 _XSRC_PAIRS_SQL = EXTENDED_ORACLES["x2_minhash_lsh_pairs"].replace(
     "ORDER BY c.da, c.db", ""
 )
