@@ -123,14 +123,29 @@ def x2_minhash_signatures(spark, sf_dir):
     return D.minhash_signatures(_docs(spark, sf_dir), SIG_NUM_HASHES).orderBy("d")
 
 
+def _lsh_pairs_cached(spark, sf_dir):
+    """The verified MinHash-LSH near-dup pair frame at the standard
+    constants, shared by its three declared consumers
+    (x2_minhash_lsh_pairs, x2_cross_source_pairs, x2_dedup_savings) —
+    narratively the persisted pair table a dedup pipeline writes once
+    and joins everywhere (the _cc_cached pattern). Session-keyed with a
+    lineage cut: the banding + exact-Jaccard verify chain is the
+    expensive part, and each consumer would otherwise re-derive it."""
+    key = ("lshpairs", spark.sparkContext.applicationId, sf_dir,
+           LSH_NUM_HASHES, LSH_BAND_SIZE, LSH_THRESHOLD, JACCARD_MAX_DF)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = D.minhash_lsh_pairs(
+            _docs(spark, sf_dir),
+            num_hashes=LSH_NUM_HASHES,
+            band_size=LSH_BAND_SIZE,
+            threshold=LSH_THRESHOLD,
+            max_df=JACCARD_MAX_DF,
+        ).localCheckpoint(eager=False)
+    return _MODEL_CACHE[key]
+
+
 def x2_minhash_lsh_pairs(spark, sf_dir):
-    return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir),
-        num_hashes=LSH_NUM_HASHES,
-        band_size=LSH_BAND_SIZE,
-        threshold=LSH_THRESHOLD,
-        max_df=JACCARD_MAX_DF,
-    ).orderBy("da", "db")
+    return _lsh_pairs_cached(spark, sf_dir).orderBy("da", "db")
 
 
 def x2_ngram_jaccard_pairs(spark, sf_dir):
@@ -5455,13 +5470,7 @@ def x2_cross_source_pairs(spark, sf_dir):
     (src_a = src_b) measures within-source redundancy, the off-diagonal
     cross-source mirroring."""
     d = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        d,
-        num_hashes=LSH_NUM_HASHES,
-        band_size=LSH_BAND_SIZE,
-        threshold=LSH_THRESHOLD,
-        max_df=JACCARD_MAX_DF,
-    )
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     src = d.select("doc_id", "source")
     j = (
         pairs.join(
@@ -5525,13 +5534,7 @@ def x2_dedup_savings(spark, sf_dir):
     instrument at 100 TB. A threshold with zero surviving pairs emits no
     row (identically in the oracle)."""
     d = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        d,
-        num_hashes=LSH_NUM_HASHES,
-        band_size=LSH_BAND_SIZE,
-        threshold=LSH_THRESHOLD,
-        max_df=JACCARD_MAX_DF,
-    ).localCheckpoint(eager=False)  # sparse pair frame, two consumers
+    pairs = _lsh_pairs_cached(spark, sf_dir)  # shared persisted pair table
     lits = ", ".join(f"CAST({t} AS DOUBLE)" for t in DEDUP_CURVE_THRESHOLDS)
     e = pairs.selectExpr(
         f"explode(filter(array({lits}), t -> jac >= t)) AS thr", "da", "db"
