@@ -710,6 +710,7 @@ def semdedup_flags(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_pairs: tuple | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -739,7 +740,11 @@ def semdedup_flags(
         quantize_vectors,
     )
 
-    a, pr = _semdedup_assign_pairs(vecs, cents, scale, id_col, vec_col)
+    a, pr = (
+        assign_pairs
+        if assign_pairs is not None
+        else _semdedup_assign_pairs(vecs, cents, scale, id_col, vec_col)
+    )
     dup = pr.where(
         (F.col("dot") > 0)
         & (
@@ -818,6 +823,7 @@ def semdedup_threshold_sweep(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_pairs: tuple | None = None,
 ) -> DataFrame:
     """SemDeDup THRESHOLD sweep — the calibration run before fixing the
     semantic-dedup policy (the embedding-space analog of the MinHash
@@ -830,7 +836,11 @@ def semdedup_threshold_sweep(
     (generated threshold dimension). Output: (num, den, n_vecs,
     n_flagged, flag_rate)."""
     spark = vecs.sparkSession
-    a, pr = _semdedup_assign_pairs(vecs, cents, scale, id_col, vec_col)
+    a, pr = (
+        assign_pairs
+        if assign_pairs is not None
+        else _semdedup_assign_pairs(vecs, cents, scale, id_col, vec_col)
+    )
     arms = ", ".join(
         f"named_struct('num', CAST({n} AS BIGINT), 'den', CAST({d} AS BIGINT))"
         for n, d in thresholds

@@ -85,6 +85,28 @@ def _books_cached(spark, sf_dir, m, ncodes, scale):
         )
     return _MODEL_CACHE[key]
 
+def _sd_pairs_cached(spark, sf_dir):
+    """The SemDeDup assignment + within-cell pair frame shared by the
+    flag table (_sdflags_cached) and the threshold sweep
+    (x2_semdedup_sweep) — the expensive front half of the chain (k x dim
+    literal-distance assignment + the cell-keyed pair join), computed
+    once per session. The pair frame gets its own lineage cut; the
+    assignment is already cut inside _semdedup_assign_pairs."""
+    from diepy_spark.operators.similarity import _semdedup_assign_pairs
+
+    key = (
+        "sdpairs", spark.sparkContext.applicationId, sf_dir,
+        KM_K, SD_ITER, SD_SCALE,
+    )
+    if key not in _MODEL_CACHE:
+        cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
+        a, pr = _semdedup_assign_pairs(
+            _vecs(spark, sf_dir), cents, SD_SCALE, "vec_id", "embedding"
+        )
+        _MODEL_CACHE[key] = (a, pr.localCheckpoint(eager=False))
+    return _MODEL_CACHE[key]
+
+
 def _sdflags_cached(spark, sf_dir):
     """The SemDeDup flag frame shared by its report (x2_semdedup) and
     corpus consumer (x2_semdedup_apply) — narratively the PERSISTED
@@ -102,6 +124,7 @@ def _sdflags_cached(spark, sf_dir):
         _MODEL_CACHE[key] = S.semdedup_flags(
             _vecs(spark, sf_dir), cents,
             thr_num=SD_THR_NUM, thr_den=SD_THR_DEN, scale=SD_SCALE,
+            assign_pairs=_sd_pairs_cached(spark, sf_dir),
         ).localCheckpoint(eager=False)
     return _MODEL_CACHE[key]
 
@@ -5905,7 +5928,8 @@ def x2_semdedup_sweep(spark, sf_dir):
 
     cents = _cents_cached(spark, sf_dir, KM_K, SD_ITER, SD_SCALE)
     return semdedup_threshold_sweep(
-        _vecs(spark, sf_dir), cents, SD_SWEEP, scale=SD_SCALE
+        _vecs(spark, sf_dir), cents, SD_SWEEP, scale=SD_SCALE,
+        assign_pairs=_sd_pairs_cached(spark, sf_dir),
     )
 
 
