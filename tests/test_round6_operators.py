@@ -596,3 +596,86 @@ def test_mix_rebalance_exact_target_shares(spark):
             1 if r["tokens"] * 10000 // r["target_bp"] == cap else 0
         )
     assert any(r["binding"] == 1 for r in rows)
+
+
+def test_sweep_matches_per_threshold_flags_random_vectors(spark):
+    # Randomized equivalence: for every threshold arm, the sweep's
+    # distinct-flag count must equal a fresh semdedup_flags run at that
+    # single threshold — same chain, two code paths (deterministic
+    # seeds; the union-find-vs-two-phase suite pattern).
+    import random
+
+    import pyspark.sql.functions as F
+
+    from diepy_spark.operators.similarity import (
+        semdedup_flags,
+        semdedup_threshold_sweep,
+    )
+
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1.0, 1.0) for _ in range(8)])
+            for i in range(40)
+        ]
+        vecs = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+        cents = [
+            [rng.randrange(-1000, 1000) for _ in range(8)] for _ in range(3)
+        ]
+        arms = ((1, 4), (2, 4), (3, 4))
+        sweep = {
+            (r["num"], r["den"]): r["n_flagged"]
+            for r in semdedup_threshold_sweep(
+                vecs, cents, arms, scale=1000
+            ).collect()
+        }
+        for num, den in arms:
+            direct = (
+                semdedup_flags(vecs, cents, thr_num=num, thr_den=den, scale=1000)
+                .where(F.col("is_dup"))
+                .count()
+            )
+            assert sweep[(num, den)] == direct, (seed, num, den)
+
+
+def test_corpus_funnel_stages_match_standalone_operators(spark):
+    # Randomized equivalence: the funnel's neardup stage must equal a
+    # standalone clean_corpus run, and its semdedup stage the flag
+    # filter applied on top — the funnel instruments, never diverges.
+    import random
+
+    import pyspark.sql.functions as F
+
+    from diepy_spark.operators.corpus import clean_corpus, corpus_funnel
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (5, 19):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(30):
+            if i % 7 == 3:
+                text = docs[i - 1][1]  # exact duplicate of the previous
+            else:
+                text = " ".join(rng.choice(words) for _ in range(rng.randrange(3, 25)))
+            docs.append((i, text, "en", "s%d" % (i % 3), len(text)))
+        d = spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        flags = spark.createDataFrame(
+            [(i, i % 5 == 0) for i in range(30)], "doc_id bigint, is_dup boolean"
+        )
+        kw = dict(min_tokens=4, min_score=0.1, max_dup3=0.9, jaccard_threshold=0.5, max_df=100)
+        funnel = {r["stage_name"]: r for r in corpus_funnel(d, flags, **kw).collect()}
+        clean = clean_corpus(d, **kw)
+        n_clean = clean.count()
+        assert funnel["neardup"]["docs"] == n_clean, seed
+        n_sem = (
+            clean.join(flags, "doc_id", "left")
+            .where(~F.coalesce("is_dup", F.lit(False)))
+            .count()
+        )
+        assert funnel["semdedup"]["docs"] == n_sem, seed
+        ds = [funnel[s]["docs"] for s in ("scored", "gate", "exact", "neardup", "semdedup")]
+        assert ds == sorted(ds, reverse=True), ds
