@@ -156,6 +156,7 @@ _PRIORITY = [
     "x7_stream_psi",
     "x2_semdedup_sweep",
     "x10_mix_rebalance",
+    "x7_stream_quantiles",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

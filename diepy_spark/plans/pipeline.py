@@ -962,6 +962,67 @@ def x7_stream_psi(spark, sf_dir):
     )
 
 
+SQNT_NBINS = 64
+SQNT_BIN_CENTS = 1000  # $10-wide bins; last bin absorbs the tail
+
+
+def x7_stream_quantiles(spark, sf_dir):
+    """Streaming per-window QUANTILES with bounded state — the sketch
+    family's streaming row: exact per-value quantiles need unbounded
+    per-window state (illegal in a stream), so the production shape is
+    the binned histogram (the r28b_histogram_quantiles discipline served
+    online): the stream keeps days x SQNT_NBINS integer counters under
+    the watermark, and p50/p90/p99 read off the finalized histograms
+    sink-side as the upper edge of the first bin whose cumulative count
+    reaches ceil(p*n/100) — pure integer comparisons (100*cum >= p*n),
+    so the report hash-checks. Resolution is the bin width, the standard
+    histogram-quantile trade; at 100 TB the state is still
+    days x 64 longs."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    bin_expr = (
+        f"least(CAST(floor(c / {SQNT_BIN_CENTS}) AS BIGINT),"
+        f" CAST({SQNT_NBINS - 1} AS BIGINT)) AS bin"
+    )
+    src = (
+        _events_src(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("ts", cents.alias("c"))
+        .selectExpr("ts", bin_expr)
+    )
+    agg = (
+        src.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_obs"))
+        .select(F.col("w.start").alias("day"), "bin", "n_obs")
+    )
+    out = _run_stream(agg, "append")
+    wc = Window.partitionBy("day").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("day")
+    r = out.withColumn("cum", F.sum("n_obs").over(wc)).withColumn(
+        "n", F.sum("n_obs").over(wa)
+    )
+    picks = [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("bin"))
+        ).alias(f"b{p}")
+        for p in (50, 90, 99)
+    ]
+    per = r.groupBy("day").agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n_rows"), *picks
+    )
+    edge = "CAST((b{p} + 1) * {w} AS DOUBLE) / 100.0 AS p{p}"
+    return per.selectExpr(
+        "CAST(CAST(day AS DATE) AS STRING) AS day",
+        "n_rows",
+        *[edge.format(p=p, w=SQNT_BIN_CENTS) for p in (50, 90, 99)],
+    ).orderBy("day")
+
+
 def _docs_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """The ARRIVING 20% of documents (doc_id % INC_DEDUP_MOD == 0 — the
     same crawl-N+1 split as x1_incremental_dedup) as STREAM_FILES
@@ -1458,6 +1519,7 @@ PIPELINE_QUERIES = {
     "t5_roundtrip_nested": t5_roundtrip_nested,
     "x7_stream_cluster_assign": x7_stream_cluster_assign,
     "x7_stream_psi": x7_stream_psi,
+    "x7_stream_quantiles": x7_stream_quantiles,
 }
 
 _WM_END = f"(SELECT max(ts) - INTERVAL {WATERMARK} FROM events)"
@@ -1944,3 +2006,37 @@ def _stream_psi_oracle() -> str:
 
 
 PIPELINE_ORACLES["x7_stream_psi"] = _stream_psi_oracle()
+
+
+PIPELINE_ORACLES["x7_stream_quantiles"] = f"""
+    WITH ev AS (
+      SELECT ts, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             least(CAST(floor(c / {SQNT_BIN_CENTS}) AS BIGINT),
+                   CAST({SQNT_NBINS - 1} AS BIGINT)) AS bin
+      FROM ev
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= {_WM_END}
+    ),
+    h AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n_obs
+          FROM binned GROUP BY 1, 2),
+    r AS (SELECT day, bin, n_obs,
+                 CAST(sum(n_obs) OVER (PARTITION BY day ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(n_obs) OVER (PARTITION BY day) AS BIGINT) AS n
+          FROM h),
+    per AS (
+      SELECT day, CAST(max(n) AS BIGINT) AS n_rows,
+             min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS b50,
+             min(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS b90,
+             min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS b99
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(CAST(day AS DATE) AS STRING) AS day, n_rows,
+           CAST((b50 + 1) * {SQNT_BIN_CENTS} AS DOUBLE) / 100.0 AS p50,
+           CAST((b90 + 1) * {SQNT_BIN_CENTS} AS DOUBLE) / 100.0 AS p90,
+           CAST((b99 + 1) * {SQNT_BIN_CENTS} AS DOUBLE) / 100.0 AS p99
+    FROM per ORDER BY day
+"""

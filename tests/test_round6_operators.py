@@ -679,3 +679,43 @@ def test_corpus_funnel_stages_match_standalone_operators(spark):
         assert funnel["semdedup"]["docs"] == n_sem, seed
         ds = [funnel[s]["docs"] for s in ("scored", "gate", "exact", "neardup", "semdedup")]
         assert ds == sorted(ds, reverse=True), ds
+
+
+def test_stream_quantiles_order_and_histogram_truth(spark):
+    # p50 <= p90 <= p99 per day, and each reported edge really covers
+    # the target mass: re-derive one day's histogram from the batch
+    # table and check the integer pick rule.
+    import pyspark.sql.functions as F
+
+    from diepy_spark.plans.pipeline import SQNT_BIN_CENTS, SQNT_NBINS
+    from diepy_spark.sources.registry import load_table
+
+    rows = _q("x7_stream_quantiles")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n_rows"] > 0
+    day = rows[0]["day"]
+    hist = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .where(F.expr(f"CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) = '{day}'"))
+        .selectExpr(
+            f"least(CAST(floor(CAST(round(value * 100) AS BIGINT)"
+            f" / {SQNT_BIN_CENTS}) AS BIGINT),"
+            f" CAST({SQNT_NBINS - 1} AS BIGINT)) AS bin"
+        )
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    counts = sorted((h["bin"], h["count"]) for h in hist)
+    n = sum(c for _, c in counts)
+    assert n == rows[0]["n_rows"]
+    for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+        cum = 0
+        for b, c in counts:
+            cum += c
+            if cum * 100 >= n * p:
+                assert rows[0][col] == (b + 1) * SQNT_BIN_CENTS / 100.0
+                break
