@@ -36,14 +36,14 @@ _PRIORITY = [
     #
     # ROUND-7 FRONT-LOAD — run `python tools/window_report.py` at round
     # start to GENERATE this from CORRECTNESS_r06 (VERDICT r5 #8: no
-    # more hand-counting). Expected shape: the 49 round-6 additions in
-    # section (4) below (no driver row) fill 49 of the 50 slots; slot 50
-    # goes to the first spilled round-2 row (x10_clean_corpus). The
-    # remaining spilled rows (x5_lm_score, x2_minhash_est, the 3 round-3
-    # rows) plus round-7 additions head the round-8 window — the
-    # rotation stays ~4-5 deep by design with a 50-row window over 251
-    # queries, and the judge's full check_oracle run covers the rest
-    # each round.
+    # more hand-counting). Expected shape: the 50 round-6 additions in
+    # section (4) below (no driver row) fill the entire window. The
+    # spilled round-2/3 rows (x10_clean_corpus, x5_lm_score,
+    # x2_minhash_est, x2_embedding_near_dup,
+    # x2_cross_split_contamination, x8_stratified_sample) plus round-7
+    # additions head the round-8 window — the rotation stays ~4-5 deep
+    # by design with a 50-row window over 252 queries, and the judge's
+    # full check_oracle run covers the rest each round.
     #
     # (1) past-window round-5 additions — never driver-checked (4)
 
