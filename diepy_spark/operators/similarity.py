@@ -702,6 +702,140 @@ def pq_distortion(
     ).select("s", "n_vecs", "sse", "max_err")
 
 
+def rq_codebooks(
+    df: DataFrame,
+    books1: list[list[list[int]]],
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Level-2 RESIDUAL codebooks (the faiss residual-quantizer step):
+    for subspace s, the residuals of the seed vectors' subvectors
+    against their level-1 assigned code — computed driver-side from the
+    same collected seed rows pq_codebooks uses, in exact integer
+    arithmetic with the same argmin tie-break (strict < scan, smaller
+    code wins) the SQL oracle spells. Same m x ncodes x (dim/m) shape
+    as level 1. Code 0 of every subspace is RESERVED as the zero vector
+    — the decline-the-correction option that guarantees refinement
+    never raises the error (a deterministic stand-in for what a trained
+    residual codebook learns); codes 1..ncodes-1 are the residuals of
+    the vectors AFTER the level-1 seeds (the level-1 seeds' own
+    residuals are identically zero, so they would duplicate code 0)."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    m = len(books1)
+    ncodes = len(books1[0])
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    rows = q.orderBy(id_col).limit(2 * ncodes - 1).select("xi").collect()[
+        ncodes:
+    ]
+    dim = len(rows[0]["xi"])
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    books2: list[list[list[int]]] = []
+    for s in range(m):
+        lvl = [[0] * sub]
+        for r in rows:
+            x = list(r["xi"][s * sub : (s + 1) * sub])
+            best = None
+            bj = 0
+            for j, cv in enumerate(books1[s]):
+                d = sum((a - b) * (a - b) for a, b in zip(x, cv))
+                if best is None or d < best:
+                    best, bj = d, j
+            lvl.append([a - b for a, b in zip(x, books1[s][bj])])
+        books2.append(lvl)
+    return books2
+
+
+def rq_distortion(
+    df: DataFrame,
+    books1: list[list[list[int]]],
+    books2: list[list[list[int]]],
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level residual-quantization distortion — the measurement that
+    justifies adding a refinement level to a PQ store (faiss RQ/IVFADC-R):
+    per subspace, the exact integer squared error after level 1 (sse1 =
+    pq_distortion) and after the level-2 residual codebook corrects it
+    (sse2), with the reduction ratio. Everything is projection-side:
+    level-1 code via the literal-distance argmin, the residual via a
+    CASE-selected literal subtraction, level-2 error via least() over a
+    second literal distance forest — zero shuffles before the m-row
+    aggregate, codes-per-vector storage doubles (2m bytes), and this
+    report prices whether that buys enough accuracy."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    m = len(books1)
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    cols = [c for s in range(m) for c in _pq_sub_dists(books1, s)]
+    scored = q.select("xi", *cols)
+    sel = [F.col("xi")]
+    for s in range(m):
+        best = F.least(*[F.col(f"d{s}_{j}") for j in range(len(books1[s]))])
+        code = F.lit(0)
+        for j in reversed(range(len(books1[s]))):
+            code = F.when(F.col(f"d{s}_{j}") == best, F.lit(j)).otherwise(code)
+        sel.append(best.alias(f"err1_{s}"))
+        sel.append(code.alias(f"code_{s}"))
+    coded = scored.select(*sel)
+    sub = len(books1[0][0])
+    out_cols = []
+    for s in range(m):
+        lo = s * sub + 1
+        resid = None
+        for j in range(len(books1[s])):
+            lits = ", ".join(f"CAST({c} AS BIGINT)" for c in books1[s][j])
+            arm = F.expr(
+                f"zip_with(slice(xi, {lo}, {sub}), array({lits}),"
+                " (a, b) -> a - b)"
+            )
+            cond = F.col(f"code_{s}") == j
+            resid = F.when(cond, arm) if resid is None else resid.when(cond, arm)
+        coded = coded.withColumn(f"res_{s}", resid)
+        d2 = [
+            F.expr(
+                "aggregate(zip_with(res_{s}, array({lits}),"
+                " (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
+                    s=s,
+                    lits=", ".join(
+                        f"CAST({c} AS BIGINT)" for c in books2[s][j]
+                    ),
+                )
+            )
+            for j in range(len(books2[s]))
+        ]
+        out_cols.append(F.least(*d2).alias(f"err2_{s}"))
+    errs = coded.select(
+        *[F.col(f"err1_{s}") for s in range(m)], *out_cols
+    )
+    one = errs.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_vecs"),
+        *[
+            F.expr(f"CAST(sum(err1_{s}) AS BIGINT)").alias(f"sse1_{s}")
+            for s in range(m)
+        ],
+        *[
+            F.expr(f"CAST(sum(err2_{s}) AS BIGINT)").alias(f"sse2_{s}")
+            for s in range(m)
+        ],
+    )
+    stack_args = ", ".join(f"{s}, sse1_{s}, sse2_{s}" for s in range(m))
+    return one.selectExpr(
+        "n_vecs", f"stack({m}, {stack_args}) AS (s, sse1, sse2)"
+    ).selectExpr(
+        "s",
+        "n_vecs",
+        "sse1",
+        "sse2",
+        "round(1.0 - CAST(sse2 AS DOUBLE) / CAST(sse1 AS DOUBLE), 6)"
+        " AS reduction",
+    )
+
+
 def semdedup_flags(
     vecs: DataFrame,
     cents: list[list[int]],

@@ -5994,6 +5994,35 @@ def x10_mix_rebalance(spark, sf_dir):
     )
 
 
+# --- x3_rq_distortion: residual-quantization refinement report -------------
+
+
+def x3_rq_distortion(spark, sf_dir):
+    """Two-level residual quantization distortion
+    (operators/similarity.py:rq_distortion) — the faiss RQ/IVFADC-R
+    refinement step priced: per subspace, exact integer sse after
+    level-1 PQ (identical to x3_pq_distortion's sse by construction)
+    and after the level-2 residual codebook corrects it, with the
+    reduction ratio. Code 0 of the residual book is the reserved zero
+    vector, so refinement provably never raises the error (reduction
+    >= 0, test-pinned). Storage story: 2m bytes/vector instead of m —
+    this report is the number that decides whether the second byte is
+    worth it. Plan: still zero shuffles before the m-row aggregate —
+    level-1 code, residual, and level-2 error are all literal-forest
+    projections."""
+    from diepy_spark.operators.similarity import rq_codebooks, rq_distortion
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    b1 = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    key = ("rqbooks", sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = rq_codebooks(v, b1, scale=KM_SCALE)
+    return rq_distortion(v, b1, _MODEL_CACHE[key], scale=KM_SCALE).orderBy(
+        "s"
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -6149,6 +6178,7 @@ EXTENDED_QUERIES = {
     "x6_frame_dedup": x6_frame_dedup,
     "x2_semdedup_sweep": x2_semdedup_sweep,
     "x10_mix_rebalance": x10_mix_rebalance,
+    "x3_rq_distortion": x3_rq_distortion,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10561,3 +10591,68 @@ EXTENDED_ORACLES["x10_mix_rebalance"] = f"""
                 THEN 1 ELSE 0 END AS INT) AS binding
     FROM j, cap ORDER BY lang
 """
+
+
+def _rq_distortion_oracle_sql() -> str:
+    """Mirror of x3_rq_distortion: the pq_distortion u/seeds/cb/sd chain,
+    the per-(vector, subspace) argmin code (ties -> smaller j), the
+    integer residual long form, a level-2 codebook whose code 0 is the
+    generated zero vector and codes 1.. are the residuals of the vectors
+    ranked just past the level-1 seeds, then the per-subspace two-level
+    error aggregate."""
+    sub = EMB_DIM // PQ_M
+    return f"""
+        WITH u AS (SELECT vec_id,
+                     CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+              FROM (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)),
+        seeds AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                FROM (SELECT DISTINCT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT {PQ_CODES})),
+        cb AS (SELECT s.j, u.i, (u.i - 1) // {sub} AS s, u.x AS c
+               FROM seeds s JOIN u ON u.vec_id = s.vec_id),
+        sd AS (SELECT u.vec_id, cb.s, cb.j,
+                      SUM((u.x - cb.c) * (u.x - cb.c)) AS d
+               FROM u JOIN cb ON cb.i = u.i
+               GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, s, j AS code FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d, j) AS rn FROM sd) WHERE rn = 1),
+        best1 AS (SELECT vec_id, s, min(d) AS err1 FROM sd GROUP BY 1, 2),
+        ru AS (SELECT u.vec_id, u.i, k.s, u.x - cb.c AS rx
+               FROM u
+               JOIN codes k ON k.vec_id = u.vec_id
+                           AND k.s = (u.i - 1) // {sub}
+               JOIN cb ON cb.i = u.i AND cb.j = k.code),
+        s2 AS (SELECT vec_id, CAST(rn - {PQ_CODES} AS INT) AS j2 FROM (
+                 SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM (SELECT DISTINCT vec_id FROM embeddings)
+               ) WHERE rn > {PQ_CODES} AND rn <= {2 * PQ_CODES - 1}),
+        cb2 AS (
+          SELECT s2.j2, r.i, r.s, r.rx AS c
+          FROM s2 JOIN ru r ON r.vec_id = s2.vec_id
+          UNION ALL
+          SELECT 0 AS j2, CAST(range + 1 AS BIGINT) AS i,
+                 CAST(range // {sub} AS BIGINT) AS s, CAST(0 AS BIGINT) AS c
+          FROM range({EMB_DIM})
+        ),
+        rd AS (SELECT r.vec_id, r.s, c2.j2,
+                      SUM((r.rx - c2.c) * (r.rx - c2.c)) AS d
+               FROM ru r JOIN cb2 c2 ON c2.i = r.i
+               GROUP BY 1, 2, 3),
+        best2 AS (SELECT vec_id, s, min(d) AS err2 FROM rd GROUP BY 1, 2)
+        SELECT CAST(b1.s AS INT) AS s,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(b1.err1) AS BIGINT) AS sse1,
+               CAST(sum(b2.err2) AS BIGINT) AS sse2,
+               round(1.0 - CAST(sum(b2.err2) AS DOUBLE)
+                     / CAST(sum(b1.err1) AS DOUBLE), 6) AS reduction
+        FROM best1 b1
+        JOIN best2 b2 ON b2.vec_id = b1.vec_id AND b2.s = b1.s
+        GROUP BY b1.s ORDER BY s
+    """
+
+
+EXTENDED_ORACLES["x3_rq_distortion"] = _rq_distortion_oracle_sql()

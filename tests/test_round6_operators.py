@@ -719,3 +719,16 @@ def test_stream_quantiles_order_and_histogram_truth(spark):
             if cum * 100 >= n * p:
                 assert rows[0][col] == (b + 1) * SQNT_BIN_CENTS / 100.0
                 break
+
+
+def test_rq_refinement_never_hurts_and_matches_pq_level1(spark):
+    # The reserved zero code makes refinement decline-able, so
+    # reduction >= 0 on every subspace; and level-1 sse must equal
+    # x3_pq_distortion's sse exactly (same codebooks, same argmin).
+    rq = {r["s"]: r for r in _q("x3_rq_distortion")(spark, SF).collect()}
+    pq = {r["s"]: r for r in _q("x3_pq_distortion")(spark, SF).collect()}
+    assert set(rq) == set(pq)
+    for s, r in rq.items():
+        assert r["sse1"] == pq[s]["sse"], s
+        assert 0 <= r["sse2"] <= r["sse1"]
+        assert r["reduction"] >= 0

@@ -61,6 +61,7 @@ TRAINS_AT_BUILD = {
     "x10_pipeline_funnel",  # CC labels + k-means flags materialize at build
     "x3_pq_distortion",  # codebook collect at build
     "x11_cc_twophase",  # star iterations converge (with actions) at build
+    "x3_rq_distortion",  # level-1 + residual codebook collects at build
 }
 
 
