@@ -158,6 +158,7 @@ _PRIORITY = [
     "x10_mix_rebalance",
     "x7_stream_quantiles",
     "x3_rq_distortion",
+    "x3_rq_adc",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

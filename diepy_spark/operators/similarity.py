@@ -702,6 +702,143 @@ def pq_distortion(
     ).select("s", "n_vecs", "sse", "max_err")
 
 
+def rq_encode(
+    df: DataFrame,
+    books1: list[list[list[int]]],
+    books2: list[list[list[int]]],
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GREEDY two-level residual encoding — the RQ storage write path:
+    per subspace, level-1 code by argmin against books1 (ties -> smaller
+    code), then level-2 code by argmin of the RESIDUAL against books2.
+    Cost is m*(n1+n2) literal distances per vector instead of the
+    m*n1*n2 a flat 2-level codebook would pay — that asymmety is the
+    reason RQ exists. Output: (id_col, code1_0.., code2_0..), all small
+    ints, 2m bytes/vector. Zero shuffles (pure projection)."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    m = len(books1)
+    sub = len(books1[0][0])
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    cols = [c for s_ in range(m) for c in _pq_sub_dists(books1, s_)]
+    scored = q.select(F.col(id_col), "xi", *cols)
+    sel = [F.col(id_col), F.col("xi")]
+    for s_ in range(m):
+        best = F.least(*[F.col(f"d{s_}_{j}") for j in range(len(books1[s_]))])
+        code = F.lit(0)
+        for j in reversed(range(len(books1[s_]))):
+            code = F.when(F.col(f"d{s_}_{j}") == best, F.lit(j)).otherwise(code)
+        sel.append(code.alias(f"code1_{s_}"))
+    coded = scored.select(*sel)
+    for s_ in range(m):
+        lo = s_ * sub + 1
+        resid = None
+        for j in range(len(books1[s_])):
+            lits = ", ".join(f"CAST({c} AS BIGINT)" for c in books1[s_][j])
+            arm = F.expr(
+                f"zip_with(slice(xi, {lo}, {sub}), array({lits}),"
+                " (a, b) -> a - b)"
+            )
+            cond = F.col(f"code1_{s_}") == j
+            resid = F.when(cond, arm) if resid is None else resid.when(cond, arm)
+        coded = coded.withColumn(f"res_{s_}", resid)
+        d2 = [
+            F.expr(
+                "aggregate(zip_with(res_{s}, array({lits}),"
+                " (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)".format(
+                    s=s_,
+                    lits=", ".join(
+                        f"CAST({c} AS BIGINT)" for c in books2[s_][j]
+                    ),
+                )
+            ).alias(f"e2_{s_}_{j}")
+            for j in range(len(books2[s_]))
+        ]
+        coded = coded.select("*", *d2)
+        best2 = F.least(
+            *[F.col(f"e2_{s_}_{j}") for j in range(len(books2[s_]))]
+        )
+        code2 = F.lit(0)
+        for j in reversed(range(len(books2[s_]))):
+            code2 = F.when(F.col(f"e2_{s_}_{j}") == best2, F.lit(j)).otherwise(
+                code2
+            )
+        coded = coded.withColumn(f"code2_{s_}", code2)
+    return coded.select(
+        F.col(id_col),
+        *[F.col(f"code1_{s_}") for s_ in range(m)],
+        *[F.col(f"code2_{s_}") for s_ in range(m)],
+    )
+
+
+def rq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    books1: list[list[list[int]]],
+    books2: list[list[list[int]]],
+    k: int = 3,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level RQ asymmetric-distance top-k: the corpus is stored as
+    greedy (code1, code2) pairs (rq_encode); each query precomputes one
+    LUT per subspace of exact integer distances to every COMBINED code
+    c1[j1]+c2[j2] (n1*n2 entries — the search-side table is allowed to
+    be the full product; only the ENCODE is greedy), and a candidate's
+    distance is m lookups + adds. Same broadcast-the-queries shape as
+    pq_adc_topk, so the two reports are directly comparable: same
+    candidates, finer reconstruction."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    m = len(books1)
+    n2 = len(books2[0])
+    books12 = [
+        [
+            [a + b for a, b in zip(books1[s_][j1], books2[s_][j2])]
+            for j1 in range(len(books1[s_]))
+            for j2 in range(n2)
+        ]
+        for s_ in range(m)
+    ]
+    cc = rq_encode(corpus, books1, books2, scale, id_col, vec_col).select(
+        F.col(id_col).alias("cid"),
+        *[
+            (F.col(f"code1_{s_}") * n2 + F.col(f"code2_{s_}")).alias(
+                f"code_{s_}"
+            )
+            for s_ in range(m)
+        ],
+    )
+    qq = quantize_vectors(queries, id_col, vec_col, scale)
+    luts = qq.select(
+        F.col(id_col).alias("qid"),
+        *[c for s_ in range(m) for c in _pq_sub_dists(books12, s_)],
+    ).select(
+        "qid",
+        *[
+            F.array(
+                *[F.col(f"d{s_}_{j}") for j in range(len(books12[s_]))]
+            ).alias(f"lut_{s_}")
+            for s_ in range(m)
+        ],
+    )
+    dist = None
+    for s_ in range(m):
+        term = F.element_at(F.col(f"lut_{s_}"), F.col(f"code_{s_}") + 1)
+        dist = term if dist is None else dist + term
+    scored = cc.join(F.broadcast(luts)).withColumn("dist", dist)
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "cid", "dist", "rk")
+    )
+
+
 def rq_codebooks(
     df: DataFrame,
     books1: list[list[list[int]]],

@@ -6023,6 +6023,38 @@ def x3_rq_distortion(spark, sf_dir):
     )
 
 
+# --- x3_rq_adc: two-level residual-quantized search ------------------------
+
+
+def x3_rq_adc(spark, sf_dir):
+    """Two-level RQ asymmetric-distance search
+    (operators/similarity.py:rq_encode/rq_adc_topk) — the search
+    counterpart of x3_rq_distortion, completing RQ as a full index
+    (encode + search + instrument): the corpus is stored as GREEDY
+    (code1, code2) pairs (m*(n1+n2) literal distances per vector — the
+    asymmetry that is RQ's point), queries search by m lookups into a
+    per-query LUT over every COMBINED code c1+c2 (the search side may
+    afford the full product). Same queries/corpus split and level-1
+    codebooks as x3_pq_adc, so the two rankings are directly
+    comparable — finer reconstruction, same candidates."""
+    from diepy_spark.operators.similarity import rq_adc_topk, rq_codebooks
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    b1 = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    key = ("rqbooks", sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = rq_codebooks(v, b1, scale=KM_SCALE)
+    return rq_adc_topk(
+        v.where(F.col("vec_id") < PQ_NQ),
+        v.where(F.col("vec_id") >= PQ_NQ),
+        b1,
+        _MODEL_CACHE[key],
+        k=PQ_K,
+        scale=KM_SCALE,
+    ).orderBy("qid", "rk")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -6179,6 +6211,7 @@ EXTENDED_QUERIES = {
     "x2_semdedup_sweep": x2_semdedup_sweep,
     "x10_mix_rebalance": x10_mix_rebalance,
     "x3_rq_distortion": x3_rq_distortion,
+    "x3_rq_adc": x3_rq_adc,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10656,3 +10689,49 @@ def _rq_distortion_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_rq_distortion"] = _rq_distortion_oracle_sql()
+
+
+def _rq_adc_oracle_sql() -> str:
+    """Mirror of x3_rq_adc: the x3_rq_distortion chain supplies level-1
+    codes and residuals for every vector; corpus rows take their GREEDY
+    level-2 code (argmin of the residual, ties -> smaller code), the
+    reconstruction c1[code1] + c2[code2] is rebuilt per dimension, and
+    each (query, corpus) distance is the exact integer squared-L2 to the
+    reconstruction — identical to the Spark side's combined-code LUT
+    sum by algebra."""
+    sub = EMB_DIM // PQ_M
+    base = _rq_distortion_oracle_sql()
+    head, sep, _ = base.partition("\n        best2 AS (")
+    assert sep, "x3_rq_distortion oracle shape changed"
+    # head already ends with the trailing comma after the rd CTE
+    return (
+        head
+        + f"""
+        code2 AS (SELECT vec_id, s, j2 AS c2code FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d, j2) AS rn FROM rd
+                    WHERE vec_id >= {PQ_NQ}) WHERE rn = 1),
+        recon AS (
+          SELECT k.vec_id, cb.i, cb.c + c2b.c AS rc
+          FROM codes k
+          JOIN code2 k2 ON k2.vec_id = k.vec_id AND k2.s = k.s
+          JOIN cb ON cb.j = k.code AND (cb.i - 1) // {sub} = k.s
+          JOIN cb2 c2b ON c2b.j2 = k2.c2code AND c2b.i = cb.i
+          WHERE k.vec_id >= {PQ_NQ}
+        ),
+        pairs AS (
+          SELECT qu.vec_id AS qid, r.vec_id AS cid,
+                 CAST(SUM((qu.x - r.rc) * (qu.x - r.rc)) AS BIGINT) AS dist
+          FROM recon r JOIN u qu ON qu.i = r.i
+          WHERE qu.vec_id < {PQ_NQ}
+          GROUP BY 1, 2
+        )
+        SELECT qid, cid, dist, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY dist, cid) AS rk FROM pairs)
+        WHERE rk <= {PQ_K} ORDER BY qid, rk
+    """
+    )
+
+
+EXTENDED_ORACLES["x3_rq_adc"] = _rq_adc_oracle_sql()

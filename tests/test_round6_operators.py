@@ -732,3 +732,50 @@ def test_rq_refinement_never_hurts_and_matches_pq_level1(spark):
         assert r["sse1"] == pq[s]["sse"], s
         assert 0 <= r["sse2"] <= r["sse1"]
         assert r["reduction"] >= 0
+
+
+def test_rq_adc_distance_is_exact_reconstruction_distance(spark):
+    # Re-derive one reported pair's distance from raw python ints: the
+    # LUT sum must equal ||q - (c1[code1] + c2[code2])||^2 exactly,
+    # with codes from the same greedy argmin.
+    import pyspark.sql.functions as F
+
+    from diepy_spark.operators.similarity import (
+        pq_codebooks,
+        rq_codebooks,
+        rq_encode,
+    )
+    from diepy_spark.plans.extended import KM_SCALE, PQ_CODES, PQ_M, PQ_NQ, _vecs
+
+    rows = _q("x3_rq_adc")(spark, SF).collect()
+    assert len(rows) > 0
+    target = rows[0]
+    v = _vecs(spark, SF)
+    b1 = pq_codebooks(v, m=PQ_M, ncodes=PQ_CODES, scale=KM_SCALE)
+    b2 = rq_codebooks(v, b1, scale=KM_SCALE)
+    codes = (
+        rq_encode(
+            v.where(F.col("vec_id") == target["cid"]), b1, b2, scale=KM_SCALE
+        )
+        .collect()[0]
+    )
+    q_xi, c_xi = [
+        [int(round(float(x) * KM_SCALE)) for x in r["embedding"]]
+        for r in v.where(
+            F.col("vec_id").isin([target["qid"], target["cid"]])
+        )
+        .orderBy(F.col("vec_id") == F.lit(target["cid"]))
+        .collect()
+    ]
+    sub = len(q_xi) // PQ_M
+    dist = 0
+    for s in range(PQ_M):
+        c1 = b1[s][codes[f"code1_{s}"]]
+        c2 = b2[s][codes[f"code2_{s}"]]
+        for t in range(sub):
+            recon = c1[t] + c2[t]
+            d = q_xi[s * sub + t] - recon
+            dist += d * d
+    assert dist == target["dist"], (target, dist)
+    for r in rows:
+        assert r["dist"] >= 0 and 1 <= r["rk"]

@@ -62,6 +62,7 @@ TRAINS_AT_BUILD = {
     "x3_pq_distortion",  # codebook collect at build
     "x11_cc_twophase",  # star iterations converge (with actions) at build
     "x3_rq_distortion",  # level-1 + residual codebook collects at build
+    "x3_rq_adc",  # level-1 + residual codebook collects at build
 }
 
 
