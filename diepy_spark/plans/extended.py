@@ -6055,6 +6055,79 @@ def x3_rq_adc(spark, sf_dir):
     ).orderBy("qid", "rk")
 
 
+# --- x3_pq_vs_rq_recall: does the second byte buy ranking quality? ---------
+
+
+def x3_pq_vs_rq_recall(spark, sf_dir):
+    """The RANKING payoff of the RQ refinement, measured: recall@k of
+    PQ-ADC and RQ-ADC against the exact integer-L2 ranking on the same
+    queries/corpus/codebooks — x3_rq_distortion prices reconstruction
+    error, this prices what the search user actually feels. The
+    x3_ann_recall calibration pattern applied to the quantized-index
+    pair; exact baseline is brute-force integer squared-L2 (the metric
+    ADC approximates), ties -> smaller cid on both sides. Honest
+    reading at this fixture: with the DETERMINISTIC seed codebooks on
+    near-orthogonal synthetic embeddings both paths land ~0.08 — the
+    instrument exists precisely to catch that (x3_rq_distortion's 10%
+    sse drop does NOT buy ranking quality here; trained codebooks
+    would move both numbers, and this query is where the movement
+    shows)."""
+    from diepy_spark.operators.clustering import quantize_vectors
+    from diepy_spark.operators.similarity import pq_adc_topk, rq_adc_topk, rq_codebooks
+    from pyspark.sql import Window
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    qs = v.where(F.col("vec_id") < PQ_NQ)
+    cs = v.where(F.col("vec_id") >= PQ_NQ)
+    qz = quantize_vectors(qs).select(
+        F.col("vec_id").alias("qid"), F.col("xi").alias("qxi")
+    )
+    cz = quantize_vectors(cs).select(
+        F.col("vec_id").alias("cid"), F.col("xi").alias("cxi")
+    )
+    scored = cz.join(F.broadcast(qz)).withColumn(
+        "d",
+        F.expr(
+            "aggregate(zip_with(qxi, cxi, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy("d", "cid")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_K)
+        .select("qid", "cid")
+        .localCheckpoint(eager=False)  # PQ_NQ*PQ_K rows, two consumers
+    )
+    b1 = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    key = ("rqbooks", sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = rq_codebooks(v, b1, scale=KM_SCALE)
+    pq = pq_adc_topk(qs, cs, b1, k=PQ_K, scale=KM_SCALE)
+    rq = rq_adc_topk(qs, cs, b1, _MODEL_CACHE[key], k=PQ_K, scale=KM_SCALE)
+
+    def rec(ann, method):
+        matched = exact.join(ann.select("qid", "cid"), ["qid", "cid"], "left_semi")
+        return (
+            exact.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_exact"))
+            .crossJoin(
+                matched.agg(F.expr("CAST(count(*) AS BIGINT)").alias("hits"))
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "hits",
+                F.expr(
+                    "round(CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE),"
+                    " 4)"
+                ).alias("recall"),
+            )
+        )
+
+    return rec(pq, "pq_adc").unionByName(rec(rq, "rq_adc")).orderBy("method")
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -6212,6 +6285,7 @@ EXTENDED_QUERIES = {
     "x10_mix_rebalance": x10_mix_rebalance,
     "x3_rq_distortion": x3_rq_distortion,
     "x3_rq_adc": x3_rq_adc,
+    "x3_pq_vs_rq_recall": x3_pq_vs_rq_recall,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10735,3 +10809,44 @@ def _rq_adc_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_rq_adc"] = _rq_adc_oracle_sql()
+
+
+def _pq_vs_rq_recall_oracle_sql() -> str:
+    """Mirror of x3_pq_vs_rq_recall: exact integer-L2 top-k on the PQ
+    split, then the full x3_pq_adc / x3_rq_adc oracle texts embedded as
+    parenthesized subqueries (each carries its own WITH chain) and
+    semi-joined against the exact set."""
+    return f"""
+    WITH uq AS (SELECT vec_id,
+                 CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+    sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+           FROM uq q JOIN uq c ON c.i = q.i
+           WHERE q.vec_id < {PQ_NQ} AND c.vec_id >= {PQ_NQ}
+           GROUP BY 1, 2),
+    ex AS (SELECT qid, cid FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY d, cid) AS rn FROM sc) WHERE rn <= {PQ_K}),
+    pqk AS (SELECT qid, cid FROM ({EXTENDED_ORACLES["x3_pq_adc"]}) t),
+    rqk AS (SELECT qid, cid FROM ({EXTENDED_ORACLES["x3_rq_adc"]}) t),
+    m AS (
+      SELECT 'pq_adc' AS method,
+             CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+             CAST((SELECT count(*) FROM ex JOIN pqk USING (qid, cid))
+                  AS BIGINT) AS hits
+      UNION ALL
+      SELECT 'rq_adc',
+             CAST((SELECT count(*) FROM ex) AS BIGINT),
+             CAST((SELECT count(*) FROM ex JOIN rqk USING (qid, cid))
+                  AS BIGINT)
+    )
+    SELECT method, n_exact, hits,
+           round(CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS recall
+    FROM m ORDER BY method
+    """
+
+
+EXTENDED_ORACLES["x3_pq_vs_rq_recall"] = _pq_vs_rq_recall_oracle_sql()

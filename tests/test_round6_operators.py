@@ -779,3 +779,16 @@ def test_rq_adc_distance_is_exact_reconstruction_distance(spark):
     assert dist == target["dist"], (target, dist)
     for r in rows:
         assert r["dist"] >= 0 and 1 <= r["rk"]
+
+
+def test_pq_vs_rq_recall_counts_consistent(spark):
+    # Both rows share the exact-set size PQ_NQ*PQ_K; hits bounded by it;
+    # recall is the exact division render.
+    from diepy_spark.plans.extended import PQ_K, PQ_NQ
+
+    rows = {r["method"]: r for r in _q("x3_pq_vs_rq_recall")(spark, SF).collect()}
+    assert set(rows) == {"pq_adc", "rq_adc"}
+    for r in rows.values():
+        assert r["n_exact"] == PQ_NQ * PQ_K
+        assert 0 <= r["hits"] <= r["n_exact"]
+        assert r["recall"] == round(r["hits"] / r["n_exact"], 4)

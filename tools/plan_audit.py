@@ -63,6 +63,7 @@ TRAINS_AT_BUILD = {
     "x11_cc_twophase",  # star iterations converge (with actions) at build
     "x3_rq_distortion",  # level-1 + residual codebook collects at build
     "x3_rq_adc",  # level-1 + residual codebook collects at build
+    "x3_pq_vs_rq_recall",  # codebook collects at build
 }
 
 
