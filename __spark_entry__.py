@@ -160,6 +160,7 @@ _PRIORITY = [
     "x3_rq_distortion",
     "x3_rq_adc",
     "x3_pq_vs_rq_recall",
+    "x3_pq_trained_distortion",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

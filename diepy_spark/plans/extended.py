@@ -6128,6 +6128,75 @@ def x3_pq_vs_rq_recall(spark, sf_dir):
     return rec(pq, "pq_adc").unionByName(rec(rq, "rq_adc")).orderBy("method")
 
 
+# --- x3_pq_trained_distortion: does TRAINING the codebooks pay? ------------
+
+
+def _trained_books_cached(spark, sf_dir):
+    """Per-subspace TRAINED PQ codebooks (the upgrade pq_codebooks'
+    docstring promises): for each of the PQ_M subspaces, integer-exact
+    Lloyd's over the sliced subvectors with the shared x3_kmeans
+    semantics (k smallest-id seeds, argmin ties -> smaller cluster,
+    floor-mean update, empty cells keep their centroid). Session-keyed;
+    m driver-sized codebooks."""
+    from diepy_spark.operators.clustering import kmeans_centroids_int
+
+    key = ("pqtrained", sf_dir, PQ_M, PQ_CODES, KM_SCALE, KM_ITER)
+    if key not in _MODEL_CACHE:
+        v = _vecs(spark, sf_dir)
+        sub = EMB_DIM // PQ_M
+        _MODEL_CACHE[key] = [
+            kmeans_centroids_int(
+                v.select(
+                    "vec_id",
+                    F.expr(
+                        f"slice(embedding, {s * sub + 1}, {sub})"
+                    ).alias("embedding"),
+                ),
+                k=PQ_CODES,
+                iterations=KM_ITER,
+                scale=KM_SCALE,
+            )
+            for s in range(PQ_M)
+        ]
+    return _MODEL_CACHE[key]
+
+
+def x3_pq_trained_distortion(spark, sf_dir):
+    """Deterministic vs TRAINED PQ codebooks, priced per subspace — the
+    training-payoff instrument closing the quantization arc
+    (x3_pq_distortion prices the deterministic books, x3_rq_distortion
+    the residual refinement, this the Lloyd's upgrade): same corpus,
+    same subspaces, sse under the seed codebooks vs sse under
+    per-subspace integer k-means, with the improvement ratio. The
+    trained sse must never exceed max_err-free bounds of the seed book
+    by much — empirically Lloyd's cuts it hard, and THIS is the number
+    that justifies a training pass at 100 TB (one extra corpus scan per
+    iteration) before committing a store to m bytes/vector."""
+    from diepy_spark.operators.similarity import pq_distortion
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    det = pq_distortion(
+        v, _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE),
+        scale=KM_SCALE,
+    ).select("s", "n_vecs", F.col("sse").alias("sse_det"))
+    tr = pq_distortion(
+        v, _trained_books_cached(spark, sf_dir), scale=KM_SCALE
+    ).select("s", F.col("sse").alias("sse_trained"))
+    return (
+        det.join(tr, "s")
+        .selectExpr(
+            "s",
+            "n_vecs",
+            "sse_det",
+            "sse_trained",
+            "round(1.0 - CAST(sse_trained AS DOUBLE)"
+            " / CAST(sse_det AS DOUBLE), 6) AS improvement",
+        )
+        .orderBy("s")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
@@ -6286,6 +6355,7 @@ EXTENDED_QUERIES = {
     "x3_rq_distortion": x3_rq_distortion,
     "x3_rq_adc": x3_rq_adc,
     "x3_pq_vs_rq_recall": x3_pq_vs_rq_recall,
+    "x3_pq_trained_distortion": x3_pq_trained_distortion,
     "x2_semdedup_apply": x2_semdedup_apply,
     "x8_trimmed_mean": x8_trimmed_mean,
     "x12_benford": x12_benford,
@@ -10850,3 +10920,83 @@ def _pq_vs_rq_recall_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_pq_vs_rq_recall"] = _pq_vs_rq_recall_oracle_sql()
+
+
+def _sub_kmeans_ctes(pfx: str, s: int) -> list:
+    """Prefixed per-subspace unrolled k-means chain — the _kmeans_ctes
+    structure over only subspace `s`'s dimensions (original i indices,
+    filtered; no renumbering needed since assign/update operate per i).
+    After the chain, {pfx}a{KM_ITER}.dist is each vector's exact
+    integer distance to its nearest TRAINED code — i.e. the trained
+    per-vector quantization error, no separate distortion pass
+    required."""
+    sub = EMB_DIM // PQ_M
+    lo, hi = s * sub + 1, (s + 1) * sub
+    ctes = [
+        f"""{pfx}u AS (SELECT vec_id,
+                CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+             FROM (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings)
+             WHERE i BETWEEN {lo} AND {hi})""",
+        f"""{pfx}seeds AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+             FROM (SELECT DISTINCT vec_id FROM embeddings
+                   ORDER BY vec_id LIMIT {PQ_CODES}))""",
+        f"""{pfx}c0 AS (SELECT s.j AS cluster, u.i, u.x AS c
+             FROM {pfx}seeds s JOIN {pfx}u u ON u.vec_id = s.vec_id)""",
+    ]
+    for t in range(KM_ITER + 1):
+        ctes.append(f"""{pfx}d{t} AS (
+            SELECT u.vec_id, c.cluster, SUM((u.x - c.c) * (u.x - c.c)) AS dist
+            FROM {pfx}u u JOIN {pfx}c{t} c ON c.i = u.i GROUP BY 1, 2)""")
+        ctes.append(f"""{pfx}a{t} AS (
+            SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY dist, cluster) AS rn FROM {pfx}d{t})
+            WHERE rn = 1)""")
+        if t < KM_ITER:
+            ctes.append(f"""{pfx}c{t + 1} AS (
+                SELECT a.cluster, u.i,
+                       CAST(floor(CAST(sum(u.x) AS DOUBLE) / count(*))
+                            AS BIGINT) AS c
+                FROM {pfx}a{t} a JOIN {pfx}u u ON u.vec_id = a.vec_id
+                GROUP BY 1, 2
+                UNION ALL
+                SELECT * FROM {pfx}c{t} WHERE cluster NOT IN
+                  (SELECT DISTINCT cluster FROM {pfx}a{t}))""")
+    return ctes
+
+
+def _pq_trained_oracle_sql() -> str:
+    """Mirror of x3_pq_trained_distortion: the deterministic sse from
+    the embedded x3_pq_distortion oracle; the trained sse from PQ_M
+    prefixed per-subspace unrolled k-means chains (each chain's final
+    assignment distance IS the trained quantization error)."""
+    ctes: list = []
+    arms = []
+    for s in range(PQ_M):
+        pfx = f"ps{s}_"
+        ctes.extend(_sub_kmeans_ctes(pfx, s))
+        arms.append(
+            f"SELECT CAST({s} AS INT) AS s,"
+            f" CAST(sum(dist) AS BIGINT) AS sse_trained"
+            f" FROM {pfx}a{KM_ITER}"
+        )
+    det = EXTENDED_ORACLES["x3_pq_distortion"]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    trained AS ({" UNION ALL ".join(arms)}),
+    det AS (SELECT s, n_vecs, sse AS sse_det FROM ({det}) t)
+    SELECT det.s, det.n_vecs, det.sse_det, trained.sse_trained,
+           round(1.0 - CAST(trained.sse_trained AS DOUBLE)
+                 / CAST(det.sse_det AS DOUBLE), 6) AS improvement
+    FROM det JOIN trained ON trained.s = det.s
+    ORDER BY det.s
+    """
+    )
+
+
+EXTENDED_ORACLES["x3_pq_trained_distortion"] = _pq_trained_oracle_sql()

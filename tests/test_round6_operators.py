@@ -792,3 +792,16 @@ def test_pq_vs_rq_recall_counts_consistent(spark):
         assert r["n_exact"] == PQ_NQ * PQ_K
         assert 0 <= r["hits"] <= r["n_exact"]
         assert r["recall"] == round(r["hits"] / r["n_exact"], 4)
+
+
+def test_pq_training_strictly_improves_and_reconciles(spark):
+    # Lloyd's must beat the seed codebooks on every subspace at this
+    # fixture, and the deterministic column must equal x3_pq_distortion
+    # exactly (same books, same corpus).
+    tr = {r["s"]: r for r in _q("x3_pq_trained_distortion")(spark, SF).collect()}
+    det = {r["s"]: r for r in _q("x3_pq_distortion")(spark, SF).collect()}
+    assert set(tr) == set(det)
+    for s, r in tr.items():
+        assert r["sse_det"] == det[s]["sse"], s
+        assert 0 < r["sse_trained"] < r["sse_det"], s
+        assert r["improvement"] > 0

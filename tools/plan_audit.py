@@ -64,6 +64,7 @@ TRAINS_AT_BUILD = {
     "x3_rq_distortion",  # level-1 + residual codebook collects at build
     "x3_rq_adc",  # level-1 + residual codebook collects at build
     "x3_pq_vs_rq_recall",  # codebook collects at build
+    "x3_pq_trained_distortion",  # per-subspace Lloyd's trains at build
 }
 
 
