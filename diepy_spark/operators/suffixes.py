@@ -1,0 +1,356 @@
+"""Distributed suffix array over the tokenized corpus (SURVEY §2.6 X1 —
+the third span-dedup tier, round-7 candidate #4 of the round-6 SURVEY).
+
+The fixed-L gram tiers of `dedup.duplicated_spans` answer "which spans of
+AT LEAST L tokens repeat"; a suffix array answers the question they
+can't: "what is the LONGEST repeated token span, and what does the full
+repeated-span LENGTH DISTRIBUTION look like" — Lee et al. 2022's actual
+criterion (their dedup is built on a suffix array; our gram tiers are the
+distributable approximation). The reference (3nth/diepy, `core.py`) has
+no dedup surface at all — north-star extension.
+
+Algorithm — prefix doubling (Manber–Myers 1990; distributed formulation
+as in Flick & Aluru, SC'15 "Parallel distributed memory construction of
+suffix and LCP arrays"):
+
+  rank_1[d,i]  = dense rank of token (d,i) over the global vocabulary;
+  rank_2k[d,i] = dense rank of the pair (rank_k[d,i], rank_k[d,i+k]),
+                 missing position -> sentinel 0 (end-of-string sorts
+                 BEFORE every real token, so a proper prefix sorts first
+                 — exactly DuckDB's lexicographic order on the
+                 space-joined suffix strings, the oracle's sort key);
+  after ceil(log2 max_tokens) rounds the rank totally orders suffixes
+  (ties only between IDENTICAL truncated suffixes, broken by (d, i) —
+  pinned to the same tie-break in the oracle).
+
+Adjacent-suffix LCP by rank-table descent: walk k = 64, 32, ..., 1; if
+rank_k matches at both cursors, advance both by k. Clamped end-windows
+can overshoot (two identical length-5 remainders match at k=8), so the
+final LCP clamps to the remaining suffix lengths — exact, proven by the
+unit suite against a brute-force Python suffix sort.
+
+Scale design — this is the point of prefix doubling: every shuffle
+carries FIXED-WIDTH integers (doc id, position, rank), never suffix
+text; a naive "sort the suffix strings" plan shuffles O(corpus² ) bytes
+(every suffix materializes its full tail), which is exactly what the
+oracle does at sf0.01 and exactly what a 100 TB corpus cannot.
+O(log max_tokens) rounds, each: one per-doc window (lead) + one
+range-exchange dense rank. The dense rank itself is the two-pass block
+shape (the x8_sprt pattern, VERDICT r5 #3): range-partition on the key,
+per-partition local ranks in parallel, then a partition-count-bounded
+offset frame broadcast back — no corpus-sized frame ever passes through
+a single task.
+
+Determinism: ranks are exact integers from binary-ordered [a-z0-9]+
+tokens; the space joiner (0x20) sorts below every token character, so
+token-sequence order == joined-string order and Spark ranks reproduce
+DuckDB's ORDER BY suffix string bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from diepy_spark.operators.dedup import tokens_expr
+
+SA_MAX_TOKENS = 128  # doubling rounds: 1->2->...->128 (7), LCP levels 64..1
+
+
+def block_dense_rank(
+    df: DataFrame, cols: list[str], out: str = "r", parts: int | None = None
+) -> DataFrame:
+    """Distributed dense_rank over `cols` (ascending, NON-NULL keys) with
+    no single-partition exchange: range-partition on the key (equal keys
+    land in ONE partition — RangePartitioner assigns by deterministic
+    boundary binary-search), local dense_rank per partition in parallel,
+    then add each partition's exclusive prefix of distinct-key counts
+    (a partition-count-sized frame — the one bounded global window).
+    Bit-identical to a global dense_rank because keys never straddle a
+    boundary. Keys must be non-null (countDistinct drops null rows)."""
+    spark = df.sparkSession
+    p = parts or spark.sparkContext.defaultParallelism
+    b = (
+        df.repartitionByRange(p, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # both passes (local ranks + per-partition distinct counts) read
+        # this frame; cut lineage so upstream runs once. 100 TB: persist().
+        .localCheckpoint(eager=False)
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*cols)
+    loc = b.withColumn("__lr", F.dense_rank().over(wloc))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("__pid")
+        .agg(F.count_distinct(*[F.col(c) for c in cols]).alias("__pd"))
+        .withColumn("__off", F.coalesce(F.sum("__pd").over(woff), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        loc.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__lr") + F.col("__off")).cast("int"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
+def block_row_number(
+    df: DataFrame, cols: list[str], out: str = "rn", parts: int | None = None
+) -> DataFrame:
+    """Distributed row_number over `cols` (ascending, a TOTAL order —
+    ties would make the result partitioning-dependent): same two-pass
+    block shape as block_dense_rank with count(*) offsets."""
+    spark = df.sparkSession
+    p = parts or spark.sparkContext.defaultParallelism
+    b = (
+        df.repartitionByRange(p, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*cols)
+    loc = b.withColumn("__lr", F.row_number().over(wloc))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pn"))
+        .withColumn("__off", F.coalesce(F.sum("__pn").over(woff), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        loc.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
+def _suffix_positions(
+    df: DataFrame, text_col: str, id_col: str, max_tokens: int
+) -> DataFrame:
+    """(d, i, n, tok): every 1-based token position of every document,
+    tokens truncated to max_tokens (pins the doubling-round count at any
+    scale factor), n = truncated document length. Docs with zero tokens
+    are excluded (no suffixes)."""
+    toks_sql = f"slice({tokens_expr(text_col)}, 1, {max_tokens})"
+    return (
+        df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1"))
+        .select(F.col(id_col).alias("d"), F.expr(toks_sql).alias("__toks"))
+        .select("d", F.expr("size(__toks)").alias("n"), F.posexplode("__toks").alias("j", "tok"))
+        .select("d", "n", (F.col("j") + F.lit(1)).cast("int").alias("i"), "tok")
+    )
+
+
+def _suffix_seed_windows(
+    df: DataFrame, text_col: str, id_col: str, max_tokens: int, g: int
+) -> DataFrame:
+    """(d, i, n, key): the g-token clamped window at every position,
+    encoded as one string with a char(31) joiner. 0x1F sorts below every
+    token character ([a-z0-9]+), and a clamped (shorter) window is a
+    strict prefix of nothing — trailing joiners never appear — so string
+    order on `key` == token-sequence order with end-of-string lowest:
+    exactly the sentinel order of the doubling recurrence, which makes a
+    dense rank over `key` a valid rank_g table."""
+    toks_sql = f"slice({tokens_expr(text_col)}, 1, {max_tokens})"
+    return (
+        df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1"))
+        .select(F.col(id_col).alias("d"), F.expr(toks_sql).alias("__toks"))
+        .select(
+            "d",
+            F.expr("size(__toks)").alias("n"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(__toks)),"
+                    f" j -> array_join(slice(__toks, j, {g}), char(31)))"
+                )
+            ).alias("j", "key"),
+        )
+        .select("d", "n", (F.col("j") + F.lit(1)).cast("int").alias("i"), "key")
+    )
+
+
+def suffix_array_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = SA_MAX_TOKENS,
+    seed_g: int = 1,
+    retain: bool = True,
+) -> dict[int, DataFrame]:
+    """Prefix-doubling rank tables {k: (d, i, n, r)} for k = seed_g,
+    2*seed_g, ..., up to the first level >= max_tokens (that last table
+    is the suffix array order). O(log(max_tokens/seed_g)) rounds; per
+    round one per-doc lead window + one block dense rank — integer-only
+    shuffles.
+
+    seed_g > 1 (power of two) collapses the first log2(seed_g) rounds
+    into ONE dense rank over g-token window strings: the seeding
+    exchange ships ~g tokens per position instead of integers — at 270k
+    positions that's comparable bytes to the three integer rounds it
+    replaces, for a third of the stage barriers. Callers that need the
+    FULL level ladder (the rank-descent LCP) use seed_g=1.
+
+    retain=False skips the per-level localCheckpoint: callers that read
+    ONLY the top table (arrays-mode LCP) don't pay caching for levels
+    consumed once — block_dense_rank's internal checkpoint already cuts
+    lineage every round. It also switches the ladder from DOUBLING to
+    QUADRUPLING — rank_4k from the 4-tuple (r_k[i], r_k[i+k], r_k[i+2k],
+    r_k[i+3k]) — which is just as valid an order (lexicographic tuple of
+    consecutive k-windows == the 4k-window order, sentinel 0 for
+    positions past the end) but halves the remaining rounds. The descent
+    LCP needs every power of two, so retain=True keeps strict doubling."""
+    if seed_g & (seed_g - 1):
+        raise ValueError(f"suffix_array_ranks: seed_g must be a power of 2, got {seed_g}")
+    levels: dict[int, DataFrame] = {}
+    if seed_g == 1:
+        cur = block_dense_rank(
+            _suffix_positions(df, text_col, id_col, max_tokens), ["tok"], out="r"
+        ).select("d", "n", "i", "r")
+        k = 1
+    else:
+        cur = block_dense_rank(
+            _suffix_seed_windows(df, text_col, id_col, max_tokens, seed_g),
+            ["key"],
+            out="r",
+        ).select("d", "n", "i", "r")
+        k = seed_g
+    levels[k] = cur.localCheckpoint(eager=False) if retain else cur
+    wd = Window.partitionBy("d").orderBy("i")
+    arity = 2 if retain else 4
+    while k < max_tokens:
+        paired = levels[k]
+        keys = ["r"]
+        for j in range(1, arity):
+            paired = paired.withColumn(
+                f"__r{j}", F.coalesce(F.lead("r", j * k).over(wd), F.lit(0))
+            )
+            keys.append(f"__r{j}")
+        cur = block_dense_rank(paired, keys, out="__rn").select(
+            "d", "n", "i", F.col("__rn").alias("r")
+        )
+        k *= arity
+        levels[k] = cur.localCheckpoint(eager=False) if retain else cur
+    return levels
+
+
+def adjacent_suffix_lcp(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = SA_MAX_TOKENS,
+    mode: str = "arrays",
+) -> DataFrame:
+    """(da, ia, db, ib, lcp): each consecutive suffix pair in suffix-array
+    order (ties between identical suffixes broken by (d, i)) with its
+    exact token LCP. max over lcp == the longest repeated token span in
+    the corpus (the suffix-array theorem); the lcp distribution is the
+    repeated-span length distribution Lee et al. threshold on.
+
+    ``mode`` picks the LCP tail (same rows either way — both modes are
+    pinned against the brute force by the unit suite):
+
+    - ``"arrays"`` (default): join each side of the adjacency frame back
+      to its document's token array and compare the two max_tokens-
+      bounded windows in ONE whole-stage-codegen expression (zip_with +
+      array_position). Two corpus-linear equi-joins, rows bounded by
+      max_tokens — the fast path while per-pair token windows are cheap
+      to ship.
+    - ``"ranks"``: pure-integer rank-table descent (see module
+      docstring) — 2 equi-joins per doubling level, shuffle currency
+      stays fixed-width integers, never token text. The tier for long
+      max_tokens where shipping token windows per pair would double the
+      corpus bytes over the wire.
+
+    arrays mode seeds the rank ladder at g=8 (it only needs the TOP
+    table); ranks mode seeds at 1 because the descent consumes every
+    level."""
+    seed_g = 8 if mode == "arrays" else 1
+    levels = suffix_array_ranks(
+        df,
+        text_col,
+        id_col,
+        max_tokens,
+        seed_g=min(seed_g, max_tokens),
+        retain=mode != "arrays",
+    )
+    top = max(levels)
+    sa = block_row_number(levels[top], ["r", "d", "i"], out="rn")
+    a = sa.select(
+        F.col("d").alias("da"),
+        F.col("i").alias("ia"),
+        F.col("n").alias("na"),
+        "rn",
+    )
+    b = sa.select(
+        F.col("d").alias("db"),
+        F.col("i").alias("ib"),
+        F.col("n").alias("nb"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    adj = a.join(b, "rn")
+    if mode == "arrays":
+        toks_sql = f"slice({tokens_expr(text_col)}, 1, {max_tokens})"
+        docs = df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1")).select(
+            F.col(id_col).alias("d"), F.expr(toks_sql).alias("__t")
+        )
+        out = (
+            adj.join(docs.select(F.col("d").alias("da"), F.col("__t").alias("__ta")), "da")
+            .join(docs.select(F.col("d").alias("db"), F.col("__t").alias("__tb")), "db")
+            .withColumn("__m", F.least(F.col("na") - F.col("ia") + 1, F.col("nb") - F.col("ib") + 1))
+            # Spark array_position, like duckdb list_position, returns 0
+            # on no-match: all-equal windows coalesce to the full min
+            # length (identical suffixes), not to -1.
+            .withColumn(
+                "lcp",
+                F.expr(
+                    "CAST(coalesce(nullif(array_position("
+                    " zip_with(slice(__ta, ia, __m), slice(__tb, ib, __m),"
+                    "          (x, y) -> x = y), false), 0) - 1, __m) AS INT)"
+                ),
+            )
+        )
+        return out.select("da", "ia", "db", "ib", "lcp")
+    if mode != "ranks":
+        raise ValueError(f"adjacent_suffix_lcp: unknown mode {mode!r}")
+    adj = adj.withColumn("acc", F.lit(0))
+    # ALL levels descend, top included: two identical max-length suffixes
+    # match only at the top level (64+...+1 = 127 < 128 would undercount
+    # by one); the final remaining-length clamp absorbs the overshoot.
+    for k in sorted(levels, reverse=True):
+        rk = levels[k]
+        ra = rk.select(
+            F.col("d").alias("da"), F.col("i").alias("__pa"), F.col("r").alias("__ra")
+        )
+        rb = rk.select(
+            F.col("d").alias("db"), F.col("i").alias("__pb"), F.col("r").alias("__rb")
+        )
+        adj = (
+            adj.withColumn("__pa", (F.col("ia") + F.col("acc")).cast("int"))
+            .withColumn("__pb", (F.col("ib") + F.col("acc")).cast("int"))
+            .join(ra, ["da", "__pa"], "left")
+            .join(rb, ["db", "__pb"], "left")
+            .withColumn(
+                "acc",
+                F.col("acc")
+                + F.when(
+                    F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
+                    F.lit(k),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__pa", "__pb", "__ra", "__rb")
+            # each level's join consumes the previous level's result once;
+            # cut lineage so the 7-deep join chain doesn't re-derive.
+            .localCheckpoint(eager=False)
+        )
+    return adj.select(
+        "da",
+        "ia",
+        "db",
+        "ib",
+        F.least(
+            F.col("acc"),
+            F.col("na") - F.col("ia") + F.lit(1),
+            F.col("nb") - F.col("ib") + F.lit(1),
+        )
+        .cast("int")
+        .alias("lcp"),
+    )

@@ -6197,7 +6197,49 @@ def x3_pq_trained_distortion(spark, sf_dir):
     )
 
 
+SA_MAX_T = 128  # suffix-array token cap: pins 7 doubling rounds at any sf
+SA_LCP_THRESHOLDS = (8, 16, 32)
+
+
+def x1_suffix_array(spark, sf_dir):
+    """The THIRD span-dedup tier (operators/suffixes.py): a distributed
+    SUFFIX ARRAY over the tokenized corpus by prefix doubling
+    (Manber-Myers; distributed as in Flick & Aluru SC'15), then
+    adjacent-suffix LCPs — Lee et al. 2022's actual dedup structure,
+    where the fixed-L gram tiers (x1_span_dedup*) are the approximation.
+    Answers what grams can't: the LONGEST repeated token span (max
+    adjacent LCP — the suffix-array theorem) and the full repeated-span
+    length distribution, the evidence for choosing the gram tiers' L.
+
+    Scale shape: every doubling round shuffles FIXED-WIDTH integers
+    (doc, position, rank) — never suffix text; O(log max_tokens) = 7
+    rounds, each one per-doc lead window + one two-pass block dense rank
+    (the x8_sprt shape: range partition, parallel local ranks,
+    partition-count-bounded offsets broadcast back — no corpus frame
+    through a single task). The oracle materializes and sorts the actual
+    suffix STRINGS — exactly the O(corpus^2)-bytes plan a 100 TB corpus
+    cannot run, which is the point of the integer formulation.
+
+    Output (one row): adjacent pair count, max LCP, pairs at the Lee-
+    style span thresholds, and the total LCP mass (the corpus's
+    internal-duplication measure: sum_lcp/ n_tokens ~ fraction of
+    positions inside repeated context)."""
+    from diepy_spark.operators.suffixes import adjacent_suffix_lcp
+
+    adj = adjacent_suffix_lcp(_docs(spark, sf_dir), max_tokens=SA_MAX_T)
+    t1, t2, t3 = SA_LCP_THRESHOLDS
+    return adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("lcp").cast("int").alias("max_lcp"),
+        F.sum((F.col("lcp") >= t1).cast("int")).cast("long").alias(f"pairs_ge_{t1}"),
+        F.sum((F.col("lcp") >= t2).cast("int")).cast("long").alias(f"pairs_ge_{t2}"),
+        F.sum((F.col("lcp") >= t3).cast("int")).cast("long").alias(f"pairs_ge_{t3}"),
+        F.sum("lcp").cast("long").alias("sum_lcp"),
+    )
+
+
 EXTENDED_QUERIES = {
+    "x1_suffix_array": x1_suffix_array,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11000,3 +11042,48 @@ def _pq_trained_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_pq_trained_distortion"] = _pq_trained_oracle_sql()
+
+
+# Suffix-array mirror: the oracle does what the Spark plan deliberately
+# avoids — materializes every suffix as a STRING and sorts them (fine at
+# sf0.01; the O(corpus^2)-bytes shape the integer prefix-doubling plan
+# replaces at scale). Joined-with-space string order == token-sequence
+# order because tokens are [a-z0-9]+ and 0x20 sorts below every token
+# char; ties between identical suffixes break by (d, i) in both engines.
+# NOTE duckdb 1.0 list_position returns 0 (not NULL) on no-match — the
+# nullif keeps all-prefix-equal pairs from collapsing to lcp = -1.
+EXTENDED_ORACLES["x1_suffix_array"] = f"""
+    WITH base AS (
+      SELECT doc_id AS d, list_slice({_TOKS_EXPR}, 1, {SA_MAX_T}) AS toks
+      FROM documents WHERE len({_TOKS_EXPR}) >= 1
+    ),
+    sfx AS (
+      SELECT d, t.i, list_slice(toks, t.i, len(toks)) AS lst,
+             array_to_string(list_slice(toks, t.i, len(toks)), ' ') AS s
+      FROM base, LATERAL (SELECT generate_subscripts(toks, 1) AS i) t
+    ),
+    ord2 AS (
+      SELECT d, i, lst, row_number() OVER (ORDER BY s, d, i) AS rn FROM sfx
+    ),
+    adj AS (
+      SELECT a.lst AS la, b.lst AS lb FROM ord2 a JOIN ord2 b ON b.rn = a.rn + 1
+    ),
+    lcps AS (
+      SELECT CAST(coalesce(
+               nullif(list_position(
+                 list_apply(generate_series(1, least(len(la), len(lb))),
+                            k -> la[k] = lb[k]), false), 0) - 1,
+               least(len(la), len(lb))) AS BIGINT) AS lcp
+      FROM adj
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(lcp) AS INT) AS max_lcp,
+           CAST(sum(CASE WHEN lcp >= {SA_LCP_THRESHOLDS[0]} THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_ge_{SA_LCP_THRESHOLDS[0]},
+           CAST(sum(CASE WHEN lcp >= {SA_LCP_THRESHOLDS[1]} THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_ge_{SA_LCP_THRESHOLDS[1]},
+           CAST(sum(CASE WHEN lcp >= {SA_LCP_THRESHOLDS[2]} THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_ge_{SA_LCP_THRESHOLDS[2]},
+           CAST(sum(lcp) AS BIGINT) AS sum_lcp
+    FROM lcps
+"""

@@ -73,8 +73,11 @@ TRAINS_AT_BUILD = {
 # CONSTRUCTION — calendar-days dimensions (r26_lag_window, x8_cusum,
 # x12_gaps boundary frame), histogram/bucket dimensions (x5_ppl_buckets,
 # x12_entropy, r50_equidepth_binning), and class-mix reports
-# (x12_drift, x12_skew_diag, x5_domain_mix). No users/corpus-dimension
-# frame passes through one task anywhere in the declared set.
+# (x12_drift, x12_skew_diag, x5_domain_mix), and partition-count
+# dimensions (x1_suffix_array: the block dense-rank/row-number offset
+# frames — <= defaultParallelism rows by construction, the same shape as
+# x8_sprt's offset pass). No users/corpus-dimension frame passes through
+# one task anywhere in the declared set.
 def _single_partition_sorts(plan: str) -> int:
     """Count Exchange-SinglePartition nodes that FEED A SORT — the
     global sort/window smell (VERDICT r5 #3: the x8_sprt disease).
