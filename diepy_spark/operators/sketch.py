@@ -94,13 +94,29 @@ HLL_M = 256  # registers: bucket = first two md5 nibbles
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
-def hll_bucket_sql(col: str) -> str:
-    """Register index 0..255 from the first two hex nibbles of md5 column
-    `col`. Valid and bit-identical in Spark SQL and DuckDB."""
-    return (
+def hll_bucket_sql(col: str, m: int = HLL_M) -> str:
+    """Register index 0..m-1 from the first two hex nibbles of md5 column
+    `col` (m must divide 256; the mod of a uniform 0..255 stays uniform).
+    Valid and bit-identical in Spark SQL and DuckDB."""
+    if 256 % m:
+        raise ValueError(f"hll_bucket_sql: m={m} must divide 256")
+    two = (
         f"((instr('{_HEX}', substr({col},1,1))-1)*16"
         f" + (instr('{_HEX}', substr({col},2,1))-1))"
     )
+    return two if m == HLL_M else f"({two} % {m})"
+
+
+# Flajolet et al. 2007 alpha_m for the small register counts the HLL
+# formula's asymptotic alpha (HLL_ALPHA above) doesn't cover; embedded as
+# the same double literals in both engines (they tune bias, not equality).
+HLL_SMALL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    """Bias constant for m registers: Flajolet's published constants for
+    m < 128, the asymptotic formula otherwise."""
+    return HLL_SMALL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
 
 
 def hll_rho_sql(col: str) -> str:

@@ -6238,8 +6238,104 @@ def x1_suffix_array(spark, sf_dir):
     )
 
 
+KS_CRIT = 1.358  # two-sample Kolmogorov-Smirnov critical coeff, alpha=.05
+
+
+def x8_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (the distribution-SHAPE sibling
+    of x8_mwu's location test): do even- and odd-user cohorts draw event
+    values from the same distribution? D = max |ECDF_a - ECDF_b|, with
+    the alpha=.05 decision c(alpha)*sqrt((n_a+n_b)/(n_a*n_b)).
+
+    Scale shape — same discipline as x8_mwu: NO global row rank; the
+    ECDFs come from the per-cent-value cohort histogram, so the only
+    ordered window runs over the value-DOMAIN-bounded histogram frame.
+    D stays exact integers to the end: d_num = max |cum_a*n_b -
+    cum_b*n_a| over a common n_a*n_b denominator (BIGINT throughout —
+    cum <= 60k, n <= 60k at sf0.1 keeps the product far under 2^63);
+    the sqrt layer is float-only in the final reported columns, textually
+    shared with the oracle."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hg = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
+        )
+        .groupBy("cents")
+        .agg(
+            F.expr("sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)").alias("ca"),
+            F.expr("sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)").alias("cb"),
+        )
+        # histogram-sized frame feeds the cumulative window AND the
+        # totals -> cut lineage so the event scan happens exactly once
+        .localCheckpoint(eager=False)
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hg.select(
+        F.sum("ca").over(wc).alias("cum_a"), F.sum("cb").over(wc).alias("cum_b")
+    )
+    tot = hg.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr("abs(cum_a * n_b - cum_b * n_a) AS dn", "n_a", "n_b")
+        .groupBy("n_a", "n_b")
+        .agg(F.max("dn").alias("d_num"))
+    )
+    return d.selectExpr(
+        "n_a",
+        "n_b",
+        "d_num",
+        "round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat",
+        "round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        " * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        "        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS ks_z",
+        f"CAST(CASE WHEN CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        f" > {KS_CRIT} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+        f"                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        f" THEN 1 ELSE 0 END AS INT) AS reject_05",
+    )
+
+
+HB_ITER = 3  # HyperBall rounds: N(0)..N(3)
+HB_M = 64  # registers/node: the state-vs-accuracy lever (see hyperball)
+
+
+def x11_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function
+    (operators/clustering.py:hyperball — Boldi & Vigna 2013) over the
+    symmetrized supply graph: N(t) = estimated (node, node-within-t)
+    pairs for t=0..HB_ITER from one portable-HLL counter per node,
+    register-max along edges per round. The distance-STATISTICS primitive
+    the exact tools can't give at scale: x11_bfs materializes one seed
+    set's ball exactly; HyperBall sketches EVERY node's ball in
+    nodes x 256 integers — ball growth and coverage curves (the
+    effective-diameter evidence) for the cost of 2 exchanges per round.
+    Registers are exact integers (sketch.py's md5 layout); per-node
+    estimates round to 4 decimals and SUM AS DECIMAL — exact,
+    order-independent — collapsing to double only in the final
+    projection, so the hash gate covers the whole sketch."""
+    from diepy_spark.operators.clustering import hyperball
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return hyperball(sym, iterations=HB_ITER, m=HB_M)
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
+    "x8_ks_test": x8_ks_test,
+    "x11_hyperball": x11_hyperball,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11087,3 +11183,101 @@ EXTENDED_ORACLES["x1_suffix_array"] = f"""
            CAST(sum(lcp) AS BIGINT) AS sum_lcp
     FROM lcps
 """
+
+
+# KS mirror: identical integer cross-multiplied D over the same cents
+# histogram; float sqrt layer textually identical to the Spark selectExpr.
+EXTENDED_ORACLES["x8_ks_test"] = f"""
+    WITH hg AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM hg
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM hg),
+    d AS (
+      SELECT n_a, n_b, CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+      FROM cum, tot GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b, d_num,
+           round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat,
+           round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS ks_z,
+           CAST(CASE WHEN CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                > {KS_CRIT} * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM d
+"""
+
+
+def _hyperball_oracle_sql() -> str:
+    """Mirror of x11_hyperball: the same symmetrized edge CTE as x11_bfs,
+    one portable-HLL m=HB_M register set per node, HB_ITER unrolled
+    register-max rounds, then the identical per-node fold and
+    DECIMAL(18,4) sum."""
+    from diepy_spark.operators.sketch import (
+        hll_alpha,
+        hll_bucket_sql,
+        hll_rho_sql,
+    )
+
+    m, alpha = HB_M, hll_alpha(HB_M)
+    ctes = [
+        """e AS (
+          SELECT src, dst FROM (
+            SELECT l_partkey * 10 + 1 AS src, l_suppkey * 10 + 2 AS dst
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT l_suppkey * 10 + 2, l_partkey * 10 + 1
+            FROM lineitem GROUP BY 1, 2) WHERE src <> dst)""",
+        """n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""",
+        """h0 AS (SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM n0)""",
+        f"""r0 AS (SELECT node, {hll_bucket_sql('h', HB_M)} AS bucket,
+                        {hll_rho_sql('h')} AS mr FROM h0)""",
+    ]
+    for t in range(1, HB_ITER + 1):
+        ctes.append(f"""r{t} AS (
+          SELECT node, bucket, max(mr) AS mr FROM (
+            SELECT node, bucket, mr FROM r{t - 1}
+            UNION ALL
+            SELECT e.dst AS node, x.bucket, x.mr
+            FROM r{t - 1} x JOIN e ON e.src = x.node) GROUP BY 1, 2)""")
+    ests = []
+    for t in range(HB_ITER + 1):
+        ests.append(
+            f"""SELECT {t} AS t,
+              CAST(round(CASE WHEN {alpha * m * m!r} / (s + ({m} - nb)) <= {2.5 * m!r}
+                              AND ({m} - nb) > 0
+                         THEN {float(m)!r} * ln({m} / ({m} - nb))
+                         ELSE {alpha * m * m!r} / (s + ({m} - nb)) END, 4)
+                   AS DECIMAL(18,4)) AS ball
+            FROM (SELECT node, sum(power(2.0, -mr)) AS s, count(*) AS nb
+                  FROM r{t} GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    balls AS ({" UNION ALL ".join(ests)}),
+    per_t AS (SELECT t, CAST(count(*) AS BIGINT) AS n_nodes,
+                     sum(ball) AS nf_dec
+              FROM balls GROUP BY t),
+    lastt AS (SELECT nf_dec AS nf_last FROM per_t WHERE t = {HB_ITER})
+    SELECT t, n_nodes,
+           CAST(nf_dec AS DOUBLE) AS nf,
+           round(CAST(nf_dec AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4) AS avg_ball,
+           round(CAST(nf_dec AS DOUBLE) / CAST(nf_last AS DOUBLE), 6) AS coverage
+    FROM per_t, lastt
+    ORDER BY t
+    """
+    )
+
+
+EXTENDED_ORACLES["x11_hyperball"] = _hyperball_oracle_sql()

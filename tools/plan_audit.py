@@ -72,7 +72,8 @@ TRAINS_AT_BUILD = {
 # only remaining single-partition sorts are over frames BOUNDED BY
 # CONSTRUCTION — calendar-days dimensions (r26_lag_window, x8_cusum,
 # x12_gaps boundary frame), histogram/bucket dimensions (x5_ppl_buckets,
-# x12_entropy, r50_equidepth_binning), and class-mix reports
+# x12_entropy, r50_equidepth_binning, x8_ks_test's cents-domain ECDF —
+# the x8_mwu bounded-histogram argument), and class-mix reports
 # (x12_drift, x12_skew_diag, x5_domain_mix), and partition-count
 # dimensions (x1_suffix_array: the block dense-rank/row-number offset
 # frames — <= defaultParallelism rows by construction, the same shape as
