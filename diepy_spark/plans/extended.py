@@ -6332,10 +6332,105 @@ def x11_hyperball(spark, sf_dir):
     return hyperball(sym, iterations=HB_ITER, m=HB_M)
 
 
+def x8_qte(spark, sf_dir):
+    """Quantile treatment effects (the tails-aware sibling of the mean
+    effect in x8_ab_test: Athey & Imbens' first diagnostic — does the
+    treatment move the MEDIAN and the TAILS, not just the mean?): per
+    even/odd-user cohort the exact p25/p50/p75 of event value, and their
+    cohort differences, via the cents-domain histogram (the x8_mwu /
+    x8_ks_test bounded-window discipline — no global row rank). The
+    quartile pick rule is pure integers (4*cum >= k*n), so every output
+    is an exact BIGINT in cents."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hg = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+            "CAST(user_id % 2 = 0 AS INT) AS grp",
+        )
+        .groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("grp").orderBy("cents")
+    wall = Window.partitionBy("grp")
+    cum = hg.select(
+        "grp",
+        "cents",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    q = cum.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("cents"))).alias("p25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cents"))).alias("p50"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("cents"))).alias("p75"),
+    )
+    a = q.where(F.col("grp") == 1).selectExpr(
+        "n AS n_a", "p25 AS p25_a", "p50 AS p50_a", "p75 AS p75_a"
+    )
+    b = q.where(F.col("grp") == 0).selectExpr(
+        "n AS n_b", "p25 AS p25_b", "p50 AS p50_b", "p75 AS p75_b"
+    )
+    return a.crossJoin(b).selectExpr(
+        "n_a",
+        "n_b",
+        "p25_a",
+        "p50_a",
+        "p75_a",
+        "p25_b",
+        "p50_b",
+        "p75_b",
+        "p25_a - p25_b AS qte25",
+        "p50_a - p50_b AS qte50",
+        "p75_a - p75_b AS qte75",
+    )
+
+
+HITS_ITER = 4
+HITS_TOP = 8
+HITS_SCALE = 10**6
+
+
+def x11_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/clustering.py:hits — Kleinberg
+    1999) on the DIRECTED part->supplier graph: authorities = suppliers
+    sourced by many strong parts, hubs = parts sourcing from many strong
+    suppliers — the directed-centrality pair PageRank's single score
+    can't separate. Pure integer arithmetic via max-normalization (L2's
+    irrational norm would float the whole computation); the oracle
+    unrolls the same HITS_ITER double half-steps. Top HITS_TOP per
+    role."""
+    from diepy_spark.operators.clustering import hits
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    scored = hits(e, iterations=HITS_ITER, scale=HITS_SCALE)
+    topa = (
+        scored.orderBy(F.col("auth").desc(), "node")
+        .limit(HITS_TOP)
+        .select(F.lit("auth").alias("role"), "node", "hub", "auth")
+    )
+    toph = (
+        scored.orderBy(F.col("hub").desc(), "node")
+        .limit(HITS_TOP)
+        .select(F.lit("hub").alias("role"), "node", "hub", "auth")
+    )
+    return topa.unionByName(toph).orderBy("role", "node")
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
     "x11_hyperball": x11_hyperball,
+    "x8_qte": x8_qte,
+    "x11_hits": x11_hits,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11281,3 +11376,88 @@ def _hyperball_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_hyperball"] = _hyperball_oracle_sql()
+
+
+# QTE mirror: same cents histogram, same integer quartile pick rule.
+EXTENDED_ORACLES["x8_qte"] = """
+    WITH hg AS (
+      SELECT CAST(user_id % 2 = 0 AS INT) AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, cents,
+             sum(c) OVER (PARTITION BY grp ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY grp) AS n
+      FROM hg
+    ),
+    q AS (
+      SELECT grp, CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN 4 * cum >= n THEN cents END) AS p25,
+             min(CASE WHEN 2 * cum >= n THEN cents END) AS p50,
+             min(CASE WHEN 4 * cum >= 3 * n THEN cents END) AS p75
+      FROM cum GROUP BY grp
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.p25 AS p25_a, a.p50 AS p50_a, a.p75 AS p75_a,
+           b.p25 AS p25_b, b.p50 AS p50_b, b.p75 AS p75_b,
+           a.p25 - b.p25 AS qte25,
+           a.p50 - b.p50 AS qte50,
+           a.p75 - b.p75 AS qte75
+    FROM (SELECT * FROM q WHERE grp = 1) a, (SELECT * FROM q WHERE grp = 0) b
+"""
+
+
+def _hits_oracle_sql() -> str:
+    """Mirror of x11_hits: HITS_ITER unrolled (authority, hub) half-step
+    pairs, each a sum-join plus the same integer max-rescale."""
+    s = HITS_SCALE
+    ctes = [
+        """e AS (SELECT l_partkey * 10 + 1 AS u, l_suppkey * 10 + 2 AS v
+                 FROM lineitem GROUP BY 1, 2)""",
+        f"""h0 AS (SELECT u, CAST({s} AS BIGINT) AS h
+                   FROM (SELECT DISTINCT u FROM e))""",
+    ]
+    for t in range(1, HITS_ITER + 1):
+        ctes.append(
+            f"""a{t}r AS (SELECT v, sum(h) AS a FROM e JOIN h{t - 1} USING (u)
+                       GROUP BY v)"""
+        )
+        ctes.append(f"a{t}m AS (SELECT max(a) AS mx FROM a{t}r)")
+        ctes.append(
+            f"a{t} AS (SELECT v, (a * CAST({s} AS BIGINT)) // mx AS a FROM a{t}r, a{t}m)"
+        )
+        ctes.append(
+            f"""h{t}r AS (SELECT u, sum(a) AS h FROM e JOIN a{t} USING (v)
+                       GROUP BY u)"""
+        )
+        ctes.append(f"h{t}m AS (SELECT max(h) AS mx FROM h{t}r)")
+        ctes.append(
+            f"h{t} AS (SELECT u, (h * CAST({s} AS BIGINT)) // mx AS h FROM h{t}r, h{t}m)"
+        )
+    t = HITS_ITER
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    scored AS (
+      SELECT node,
+             CAST(coalesce(h{t}.h, 0) AS BIGINT) AS hub,
+             CAST(coalesce(a{t}.a, 0) AS BIGINT) AS auth
+      FROM nodes LEFT JOIN h{t} ON h{t}.u = node
+                 LEFT JOIN a{t} ON a{t}.v = node
+    ),
+    topa AS (SELECT 'auth' AS role, node, hub, auth FROM scored
+             ORDER BY auth DESC, node LIMIT {HITS_TOP}),
+    toph AS (SELECT 'hub' AS role, node, hub, auth FROM scored
+             ORDER BY hub DESC, node LIMIT {HITS_TOP})
+    SELECT * FROM (SELECT * FROM topa UNION ALL SELECT * FROM toph)
+    ORDER BY role, node
+    """
+    )
+
+
+EXTENDED_ORACLES["x11_hits"] = _hits_oracle_sql()
