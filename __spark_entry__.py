@@ -168,6 +168,8 @@ _PRIORITY = [
     "x11_hyperball",
     "x8_qte",
     "x11_hits",
+    "x8_acf",
+    "x8_runs_test",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -6425,12 +6425,167 @@ def x11_hits(spark, sf_dir):
     return topa.unionByName(toph).orderBy("role", "node")
 
 
+ACF_MAX_LAG = 7  # autocorrelation lags reported (1..K days)
+
+
+def x8_acf(spark, sf_dir):
+    """AUTOCORRELATION FUNCTION of the daily event-count series at lags
+    1..ACF_MAX_LAG — the canonical time-series diagnostic next to the
+    trend (x8_mann_kendall), change-point (x8_cusum) and seasonality
+    (x12_seasonality) monitors: r_k = sum (x_t-mean)(x_{t+k}-mean) /
+    sum (x_t-mean)^2. Days are GAP-FILLED to the min..max calendar
+    spine with count 0 (a silent day is a 0-observation, and lags must
+    mean calendar days, not observed-row offsets).
+
+    Exactness: with S = sum x and n = spine length, center WITHOUT the
+    rational mean by y_t = n*x_t - S (integer; x_t - mean = y_t/n, and
+    the n^2 factors cancel in the ratio) — numerator and denominator
+    are exact BIGINT sums, ONE shared float division at render.
+    Overflow audit: |y| <= n*max_daily, den <= n^3*max_daily^2 < 2^63
+    holds while max_daily < sqrt(2^63/n^3) (~13.7k events/day over a
+    10-year spine); past that, swap the two sums to DECIMAL(38,0) —
+    the comparison logic is unchanged.
+
+    Scale shape: the corpus collapses to the bounded calendar frame in
+    ONE map-side-combined aggregate (the mann_kendall discipline); the
+    lag join, spine explode and totals all run over <= days rows. No
+    window over corpus data; the only ordered output is the K-row
+    result."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = obs.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        spine.join(obs, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # bounded: calendar days
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s_tot"),
+    )
+    cen = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_days",
+            (F.col("n_days") * F.col("x") - F.col("s_tot")).alias("y"),
+        )
+        .localCheckpoint(eager=False)  # consumed by den + the lag join
+    )
+    den = cen.agg(F.sum(F.col("y") * F.col("y")).cast("bigint").alias("den"))
+    a = cen.select(F.col("day").alias("da"), F.col("y").alias("ya"), "n_days")
+    b = cen.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    num = (
+        a.join(
+            b,
+            (F.col("db") > F.col("da"))
+            & (F.col("db") <= F.col("da") + ACF_MAX_LAG),
+        )
+        .groupBy((F.col("db") - F.col("da")).cast("int").alias("lag_k"), "n_days")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("num"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .selectExpr(
+            "lag_k",
+            "n_days",
+            "num",
+            "den",
+            "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf",
+        )
+        .orderBy("lag_k")
+    )
+
+
+_RUNS_Z = (
+    "CASE WHEN p2 > m AND m > 1 THEN"
+    " (CAST(runs AS DOUBLE) - CAST(1 AS DOUBLE)"
+    " - CAST(p2 AS DOUBLE) / CAST(m AS DOUBLE))"
+    " / sqrt(CAST(p2 AS DOUBLE) * (CAST(p2 AS DOUBLE) - CAST(m AS DOUBLE))"
+    " / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * (CAST(m AS DOUBLE)"
+    " - CAST(1 AS DOUBLE))))"
+    " ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def x8_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ runs test on the daily event-count series — the
+    RANDOMNESS monitor completing the x8 time-series panel (trend:
+    mann_kendall; change-point: cusum; shape: ks_test): too FEW runs of
+    above/below-median days means clustering (regime persistence), too
+    MANY means oscillation. Days equal to the median are excluded, the
+    textbook treatment.
+
+    Exactness: the median never becomes a float — med2 = 2*median is an
+    integer (the x8_mwu doubling idiom: odd n takes 2*mid, even n the
+    sum of the two middles), so above/below is the INTEGER test
+    2*x vs med2; n1, n2 and the run count R are exact integers and the
+    z statistic (mean 2*n1*n2/m + 1, the Wald-Wolfowitz variance) is
+    one shared float text at the end, guarded for the degenerate
+    p2 <= m case.
+
+    Scale shape: one corpus collapse to the bounded day frame; the
+    row_number (median) and lag (run boundaries) windows order <= days
+    rows — bounded by the calendar, never by the corpus."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # bounded: observed days
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ranked = daily.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("x", "day")).cast("bigint"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n))
+        .where("rn = (n_days + 1) div 2 OR rn = (n_days + 2) div 2")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("x").alias("s"))
+        .selectExpr("CASE WHEN cnt = 1 THEN 2 * s ELSE s END AS med2")
+    )
+    kept = (
+        daily.crossJoin(F.broadcast(med))
+        .where("2 * x != med2")
+        .selectExpr("day", "CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS b")
+    )
+    flagged = kept.withColumn("pb", F.lag("b").over(Window.orderBy("day")))
+    stats = flagged.agg(
+        F.expr("CAST(SUM(b) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(1 - b) AS BIGINT)").alias("n2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pb IS NULL OR pb != b THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("runs"),
+    )
+    return stats.selectExpr(
+        "n1", "n2", "runs", "2 * n1 * n2 AS p2", "n1 + n2 AS m"
+    ).selectExpr("n1", "n2", "runs", "p2", "m", f"round({_RUNS_Z}, 6) AS runs_z")
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
     "x11_hyperball": x11_hyperball,
     "x8_qte": x8_qte,
     "x11_hits": x11_hits,
+    "x8_acf": x8_acf,
+    "x8_runs_test": x8_runs_test,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11461,3 +11616,59 @@ def _hits_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_hits"] = _hits_oracle_sql()
+
+EXTENDED_ORACLES["x8_acf"] = f"""
+    WITH acfo AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    acfsp AS (
+      SELECT UNNEST(generate_series((SELECT MIN(day) FROM acfo),
+                                    (SELECT MAX(day) FROM acfo))) AS day
+    ),
+    acfd AS (
+      SELECT s.day, CAST(COALESCE(o.c, 0) AS BIGINT) AS x
+      FROM acfsp s LEFT JOIN acfo o USING (day)
+    ),
+    acft AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                    CAST(SUM(x) AS BIGINT) AS s_tot FROM acfd),
+    acfy AS (SELECT day, n_days, n_days * x - s_tot AS y FROM acfd, acft),
+    acfden AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den FROM acfy),
+    acfnum AS (
+      SELECT CAST(b.day - a.day AS INT) AS lag_k, a.n_days,
+             CAST(SUM(a.y * b.y) AS BIGINT) AS num
+      FROM acfy a JOIN acfy b
+        ON b.day > a.day AND b.day <= a.day + {ACF_MAX_LAG}
+      GROUP BY 1, 2
+    )
+    SELECT lag_k, n_days, num, den,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+    FROM acfnum, acfden ORDER BY lag_k
+"""
+
+EXTENDED_ORACLES["x8_runs_test"] = f"""
+    WITH rtd AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    rtn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM rtd),
+    rtr AS (SELECT day, x,
+                   CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS rn
+            FROM rtd),
+    rtm AS (SELECT CASE WHEN count(*) = 1 THEN 2 * SUM(x) ELSE SUM(x) END
+                     AS med2
+            FROM rtr, rtn
+            WHERE rn = (n_days + 1) // 2 OR rn = (n_days + 2) // 2),
+    rtk AS (SELECT day, CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS b
+            FROM rtd, rtm WHERE 2 * x != med2),
+    rtf AS (SELECT b, lag(b) OVER (ORDER BY day) AS pb FROM rtk),
+    rts AS (SELECT CAST(SUM(b) AS BIGINT) AS n1,
+                   CAST(SUM(1 - b) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN pb IS NULL OR pb != b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS runs
+            FROM rtf),
+    rtz AS (SELECT n1, n2, runs, 2 * n1 * n2 AS p2, n1 + n2 AS m FROM rts)
+    SELECT n1, n2, runs, p2, m, round({_RUNS_Z}, 6) AS runs_z FROM rtz
+"""

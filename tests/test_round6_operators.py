@@ -805,3 +805,77 @@ def test_pq_training_strictly_improves_and_reconciles(spark):
         assert r["sse_det"] == det[s]["sse"], s
         assert 0 < r["sse_trained"] < r["sse_det"], s
         assert r["improvement"] > 0
+
+
+def _daily_counts(spark):
+    # The (day, count) series both new x8 queries collapse events to.
+    import pyspark.sql.functions as F
+
+    from diepy_spark.plans.extended import _DAY_DIV, load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV}").alias("day")
+        )
+        .groupBy("day")
+        .count()
+        .collect()
+    )
+    return {r["day"]: r["count"] for r in rows}
+
+
+def test_acf_matches_reference_computation(spark):
+    # The integer n*x - S centering must reproduce the textbook
+    # mean-centered ACF over the gap-filled spine, computed here in
+    # plain Python fractions (exact), to the rendered 6 decimals; and
+    # every lag obeys the Cauchy-Schwarz bound |r_k| <= 1.
+    from fractions import Fraction
+
+    from diepy_spark.plans.extended import ACF_MAX_LAG
+
+    counts = _daily_counts(spark)
+    d0, d1 = min(counts), max(counts)
+    xs = [counts.get(d, 0) for d in range(d0, d1 + 1)]
+    n = len(xs)
+    mean = Fraction(sum(xs), n)
+    dev = [Fraction(x) - mean for x in xs]
+    den = sum(d * d for d in dev)
+    rows = _q("x8_acf")(spark, SF).collect()
+    assert [r["lag_k"] for r in rows] == list(
+        range(1, min(ACF_MAX_LAG, n - 1) + 1)
+    )
+    for r in rows:
+        k = r["lag_k"]
+        num = sum(dev[t] * dev[t + k] for t in range(n - k))
+        assert r["n_days"] == n
+        assert Fraction(r["num"], r["den"]) == num / den, k
+        assert abs(r["acf"]) <= 1
+        assert r["acf"] == round(r["num"] / r["den"], 6), k
+
+
+def test_runs_test_matches_reference_computation(spark):
+    # n1/n2/runs must equal a direct Python pass over the observed-day
+    # series (median-excluded, above/below runs), and the z text must
+    # agree with the Wald-Wolfowitz moments to the rendered 6 decimals.
+    counts = _daily_counts(spark)
+    xs = [counts[d] for d in sorted(counts)]
+    s = sorted(xs)
+    n = len(s)
+    med2 = 2 * s[(n - 1) // 2] if n % 2 else s[n // 2 - 1] + s[n // 2]
+    kept = [1 if 2 * x > med2 else 0 for x in xs if 2 * x != med2]
+    n1, n2 = sum(kept), len(kept) - sum(kept)
+    runs = 1 + sum(a != b for a, b in zip(kept, kept[1:])) if kept else 0
+    row = _q("x8_runs_test")(spark, SF).collect()[0]
+    assert (row["n1"], row["n2"], row["runs"]) == (n1, n2, runs)
+    p2, m = 2 * n1 * n2, n1 + n2
+    assert (row["p2"], row["m"]) == (p2, m)
+    if p2 > m and m > 1:
+        import math
+
+        z = (runs - 1 - p2 / m) / math.sqrt(
+            p2 * (p2 - m) / (m * m * (m - 1))
+        )
+        assert row["runs_z"] == round(z, 6)
+    else:
+        assert row["runs_z"] == 0.0
