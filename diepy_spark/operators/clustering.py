@@ -43,6 +43,8 @@ __all__ = [
     "triangle_count",
     "kcore",
     "kmeans_int",
+    "random_walks",
+    "rw_pick_sql",
 ]
 
 
@@ -855,6 +857,99 @@ def bfs_distances(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def rw_pick_sql(
+    walk_col: str, node_col: str, t: int, deg_col: str, seed: str = "rw"
+) -> str:
+    """The random_walks step choice as one SQL text — neighbor index
+    1 + hex_int(md5('<seed>|walk|t|node')) % degree — shared verbatim
+    between the Spark operator and DuckDB oracles (the hex_frac_sql
+    seeded-draw idiom, integer-modular so no float ever appears)."""
+    from diepy_spark.operators.sketch import hex_int_sql
+
+    h = (
+        f"md5(concat('{seed}|', CAST({walk_col} AS STRING),"
+        f" '|{t}|', CAST({node_col} AS STRING)))"
+    )
+    return f"CAST(1 + ({hex_int_sql(h)} % {deg_col}) AS BIGINT)"
+
+
+def random_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    seed: str = "rw",
+) -> DataFrame:
+    """DETERMINISTIC random walks — one walk per node, `steps` steps —
+    the node2vec/DeepWalk sampling primitive (Perozzi et al. 2014,
+    Grover & Leskovec 2016): walk corpora are what graph-embedding
+    training pipelines actually materialize at scale. Determinism is the
+    whole design: the step taken at (walk, t, node) is neighbor index
+    1 + hex_int(md5('<seed>|walk|t|node')) % degree(node) over the
+    dst-ordered adjacency, so the corpus is reproducible bit-for-bit
+    across engines, partitionings and reruns (the hex_frac_sql seeded-
+    draw idiom, integer-modular instead of a float threshold).
+
+    Scale shape: the adjacency gets its per-source neighbor index ONCE
+    (a row_number window partitioned by src — even partitioning, no
+    global sort) and checkpoints; each step is the pregel round shape —
+    state joins degree by node, then the indexed adjacency by (node,
+    idx) — two keyed shuffles per step on the walk-count-sized frame,
+    never the corpus. Walk state is (walk, node): constant width
+    regardless of t, the trajectory lives in the per-step outputs.
+
+    Output: (t, walk, node) for t = 0..steps — the full trajectory set,
+    one frame; aggregate or reshape downstream."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbr = e.withColumn(
+        "idx",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .cast("bigint"),
+    ).localCheckpoint(eager=False)
+    deg = (
+        nbr.groupBy("src")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    state = deg.select(F.col("src").alias("walk"), F.col("src").alias("node"))
+    tiers = [state.select(F.lit(0).alias("t"), "walk", "node")]
+    for t in range(1, steps + 1):
+        picked = (
+            state.join(deg.withColumnRenamed("src", "node"), "node")
+            .select(
+                "walk",
+                F.col("node").alias("at"),
+                F.expr(rw_pick_sql("walk", "node", t, "deg", seed)).alias(
+                    "idx"
+                ),
+            )
+        )
+        # equi-join on (at, idx): the chosen neighbor row only — never
+        # the walks x neighbors expansion a post-join filter would pay.
+        state = (
+            picked.join(
+                nbr.select(
+                    F.col("src").alias("at"),
+                    "idx",
+                    F.col("dst").alias("node"),
+                ),
+                ["at", "idx"],
+            )
+            .select("walk", "node")
+            .localCheckpoint(eager=False)
+        )
+        tiers.append(state.select(F.lit(t).alias("t"), "walk", "node"))
+    out = tiers[0]
+    for f in tiers[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def personalized_pagerank(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "kmv_distinct",
     "hex_frac_sql",
+    "hex_int_sql",
     "cms_position_sql",
     "cms_cells",
     "cms_estimate",
@@ -50,6 +51,20 @@ def hex_frac_sql(col: str, nibbles: int = 8) -> str:
         for i in range(1, nibbles + 1)
     ]
     return " + ".join(terms)
+
+
+def hex_int_sql(col: str, nibbles: int = 8) -> str:
+    """SQL expression mapping the first `nibbles` hex chars of `col` to an
+    integer in [0, 16^nibbles) — the integer sibling of hex_frac_sql for
+    deterministic modular choices (random-walk steps, bucket picks).
+    String instr arithmetic only, so bit-identical in Spark SQL and
+    DuckDB; 8 nibbles stays under 2^32 (exact in BIGINT everywhere)."""
+    terms = [
+        f"(instr('{_HEX}', substr({col},{i},1))-1)"
+        f"*CAST({16 ** (nibbles - i)} AS BIGINT)"
+        for i in range(1, nibbles + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def kmv_distinct(

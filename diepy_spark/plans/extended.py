@@ -6578,6 +6578,138 @@ def x8_runs_test(spark, sf_dir):
     ).selectExpr("n1", "n2", "runs", "p2", "m", f"round({_RUNS_Z}, 6) AS runs_z")
 
 
+# One-way ANOVA float layer — shared Spark/DuckDB texts over the exact
+# integer/decimal pieces (ssq = ordered fold of s_g^2/n_g).
+_ANOVA_SSB = (
+    "(ssq - (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))"
+    " / CAST(n_rows AS DOUBLE))"
+)
+_ANOVA_SSW = "(CAST(q_tot AS DOUBLE) - ssq)"
+_ANOVA_F = (
+    f"({_ANOVA_SSB} / (CAST(k_groups AS DOUBLE) - CAST(1 AS DOUBLE)))"
+    f" / ({_ANOVA_SSW} / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE)))"
+)
+
+
+def x8_anova(spark, sf_dir):
+    """One-way ANOVA F test — does mean order value differ across the
+    order-priority classes? The k-group generalization completing the
+    two-cohort panel (x8_ab_test t-shape, x8_mwu ranks, x8_ks_test
+    shape): F = (SSB/(k-1)) / (SSW/(n-k)) via the sum-of-squares
+    identities SSB = sum_g s_g^2/n_g - S^2/n, SSW = sum x^2 -
+    sum_g s_g^2/n_g.
+
+    Exactness: every input piece is exact — per-group n_g/s_g are
+    BIGINT cents sums; sum x^2 accumulates the (exact, 16-digit) BIGINT
+    squares into DECIMAL(38,0) (a bigint sum would overflow ~2^63 at
+    sf0.1 already); the only float layer is s_g^2/n_g per group, folded
+    in group order over the k-row frame (the x12_entropy ordered-fold
+    idiom), then the shared SSB/SSW/F texts. s_g < 2^42 so the
+    double s_g*s_g product is one correctly-rounded op cross-engine.
+    Honest caveat: the ssq - S^2/n subtraction cancels ~4 leading
+    digits, so ss_between carries ~1e-13 RELATIVE float noise — still
+    deterministic and hash-identical (identical expression text over
+    identical exact inputs in both engines), just not exact the way the
+    integer pieces are; the unit test pins a 1e-9 relative band.
+
+    Scale shape: ONE map-side-combined groupBy over the corpus down to
+    k rows; everything after runs on the k-row frame. No window, no
+    second pass."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.selectExpr(
+            "CAST(o_orderpriority AS STRING) AS grp",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .selectExpr("grp", "cents", "cents * cents AS c2")
+        .groupBy("grp")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_g"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("s_g"),
+            F.expr("CAST(SUM(CAST(c2 AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+                "q_g"
+            ),
+        )
+    )
+    agg = g.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("k_groups"),
+        F.expr("CAST(SUM(n_g) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(SUM(s_g) AS BIGINT)").alias("s_tot"),
+        F.expr("CAST(SUM(q_g) AS DECIMAL(38,0))").alias("q_tot"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(grp, s_g, n_g))),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc"
+            " + (CAST(x.s_g AS DOUBLE) * CAST(x.s_g AS DOUBLE))"
+            " / CAST(x.n_g AS DOUBLE))"
+        ).alias("ssq"),
+    )
+    return agg.selectExpr(
+        "k_groups",
+        "n_rows",
+        "s_tot",
+        f"round({_ANOVA_SSB}, 4) AS ss_between",
+        f"round({_ANOVA_SSW}, 4) AS ss_within",
+        f"round({_ANOVA_F}, 6) AS f_stat",
+    )
+
+
+RW_STEPS = 4
+
+
+def _rw_sig_sql() -> str:
+    """Order-free BIGINT signature of a (walk, node) visit — summed per
+    step it pins the exact trajectory multiset under the hash gate."""
+    from diepy_spark.operators.sketch import hex_int_sql
+
+    return hex_int_sql(
+        "md5(concat('rwsig|', CAST(walk AS STRING),"
+        " '|', CAST(node AS STRING)))"
+    )
+
+
+def x11_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (operators/clustering.py:
+    random_walks — the DeepWalk/node2vec sampling primitive) over the
+    symmetrized part↔supplier graph: one walk per node, RW_STEPS steps,
+    each step the seeded integer-modular neighbor choice — fully
+    reproducible, so the walk CORPUS itself sits under the hash gate:
+    per step t the output row carries the walk count, distinct visited
+    nodes, and an order-free md5-integer signature summed over the
+    exact (walk, node) multiset (any divergent trajectory anywhere
+    flips it). The oracle replays the identical picks as RW_STEPS
+    unrolled CTE joins (the pagerank/bfs pattern).
+
+    Scale shape: adjacency indexed once (row_number partitioned by src
+    — even partitioning), then per step two keyed equi-joins on the
+    walk-state frame (degree by node, then (node, picked-idx) into the
+    adjacency) — never a walks x neighbors expansion; state width is
+    constant in t."""
+    from diepy_spark.operators.clustering import random_walks
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    walks = random_walks(sym, steps=RW_STEPS)
+    return (
+        walks.groupBy("t")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_walks"),
+            F.expr("CAST(count(DISTINCT node) AS BIGINT)").alias(
+                "distinct_nodes"
+            ),
+            F.expr(f"CAST(SUM({_rw_sig_sql()}) AS BIGINT)").alias("visit_sig"),
+        )
+        .orderBy("t")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
@@ -6586,6 +6718,8 @@ EXTENDED_QUERIES = {
     "x11_hits": x11_hits,
     "x8_acf": x8_acf,
     "x8_runs_test": x8_runs_test,
+    "x8_anova": x8_anova,
+    "x11_random_walks": x11_random_walks,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11645,6 +11779,86 @@ EXTENDED_ORACLES["x8_acf"] = f"""
     SELECT lag_k, n_days, num, den,
            round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
     FROM acfnum, acfden ORDER BY lag_k
+"""
+
+def _random_walks_oracle_sql() -> str:
+    """Mirror of x11_random_walks: the same indexed adjacency, then
+    RW_STEPS unrolled walk-step CTEs each applying the identical
+    rw_pick_sql choice text, then the same per-step signatures."""
+    from diepy_spark.operators.clustering import rw_pick_sql
+
+    ctes = [
+        """rwps AS (SELECT DISTINCT l_partkey * 10 + 1 AS src,
+                          l_suppkey * 10 + 2 AS dst FROM lineitem)""",
+        """rwe AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM rwps
+             UNION ALL SELECT dst AS src, src AS dst FROM rwps
+           ) WHERE src != dst)""",
+        """rwn AS (SELECT src, dst,
+                   CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                        AS BIGINT) AS idx FROM rwe)""",
+        """rwd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                   FROM rwe GROUP BY 1)""",
+        "rws0 AS (SELECT src AS walk, src AS node FROM rwd)",
+    ]
+    for t in range(1, RW_STEPS + 1):
+        pick = rw_pick_sql("s.walk", "s.node", t, "d.deg")
+        ctes.append(
+            f"""rws{t} AS (
+              SELECT p.walk, n.dst AS node
+              FROM (SELECT s.walk, s.node AS at_n, {pick} AS idx
+                    FROM rws{t - 1} s JOIN rwd d ON d.src = s.node) p
+              JOIN rwn n ON n.src = p.at_n AND n.idx = p.idx
+            )"""
+        )
+    sig = _rw_sig_sql()
+    tiers = [
+        f"""SELECT {t} AS t, CAST(count(*) AS BIGINT) AS n_walks,
+               CAST(count(DISTINCT node) AS BIGINT) AS distinct_nodes,
+               CAST(SUM({sig}) AS BIGINT) AS visit_sig
+           FROM rws{t}"""
+        for t in range(0, RW_STEPS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(tiers)
+        + ") ORDER BY t"
+    )
+
+
+EXTENDED_ORACLES["x11_random_walks"] = _random_walks_oracle_sql()
+
+EXTENDED_ORACLES["x8_anova"] = f"""
+    WITH anc AS (
+      SELECT CAST(o_orderpriority AS STRING) AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ang AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS s_g,
+             CAST(SUM(CAST(cents * cents AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS q_g
+      FROM anc GROUP BY 1
+    ),
+    ana AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(SUM(n_g) AS BIGINT) AS n_rows,
+             CAST(SUM(s_g) AS BIGINT) AS s_tot,
+             CAST(SUM(q_g) AS DECIMAL(38,0)) AS q_tot,
+             CAST(list_sum(list(
+               (CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+                 / CAST(n_g AS DOUBLE) ORDER BY grp)) AS DOUBLE) AS ssq
+      FROM ang
+    )
+    SELECT k_groups, n_rows, s_tot,
+           round({_ANOVA_SSB}, 4) AS ss_between,
+           round({_ANOVA_SSW}, 4) AS ss_within,
+           round({_ANOVA_F}, 6) AS f_stat
+    FROM ana
 """
 
 EXTENDED_ORACLES["x8_runs_test"] = f"""

@@ -879,3 +879,76 @@ def test_runs_test_matches_reference_computation(spark):
         assert row["runs_z"] == round(z, 6)
     else:
         assert row["runs_z"] == 0.0
+
+
+def test_anova_matches_reference_computation(spark):
+    # SSB/SSW/F from exact Fractions over the same cents values must
+    # agree with the rendered doubles; the sum-of-squares identity
+    # SSB + SSW = SST must hold exactly in the rational domain.
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from diepy_spark.plans.extended import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .selectExpr(
+            "CAST(o_orderpriority AS STRING) AS grp",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r["grp"], []).append(r["cents"])
+    k, n = len(by), len(rows)
+    s_tot = sum(sum(v) for v in by.values())
+    q_tot = sum(c * c for v in by.values() for c in v)
+    ssq_exact = sum(Fraction(sum(v)) ** 2 / len(v) for v in by.values())
+    ssb = ssq_exact - Fraction(s_tot) ** 2 / n
+    ssw = Fraction(q_tot) - ssq_exact
+    got = _q("x8_anova")(spark, SF).collect()[0]
+    assert (got["k_groups"], got["n_rows"], got["s_tot"]) == (k, n, s_tot)
+    # float layer: RELATIVE tolerance — the ssq - S^2/n subtraction
+    # cancels ~4 leading digits (deterministic, shared-text, but not
+    # exact); 1e-9 relative is far past cancellation noise (~1e-13)
+    # and far under any wrong formula (relative ~1).
+    assert abs(got["ss_between"] - float(ssb)) < 1e-9 * float(ssb)
+    assert abs(got["ss_within"] - float(ssw)) < 1e-9 * float(ssw)
+    f_exact = (ssb / (k - 1)) / (ssw / (n - k))
+    # + 5e-7: f_stat renders at round(..., 6)
+    assert abs(got["f_stat"] - float(f_exact)) < 1e-9 * float(f_exact) + 5e-7
+
+
+def test_random_walks_are_valid_deterministic_trajectories(spark):
+    # Every consecutive (t-1 -> t) transition of every walk must be a
+    # real edge of the symmetrized graph; every walk emits exactly one
+    # node per step; a second run reproduces the corpus bit-for-bit.
+    import pyspark.sql.functions as F
+
+    from diepy_spark.operators.clustering import random_walks
+    from diepy_spark.plans.extended import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    steps = 3
+    rows = random_walks(sym, steps=steps).collect()
+    edges = {(r["src"], r["dst"]) for r in sym.collect()}
+    traj = {}
+    for r in rows:
+        traj.setdefault(r["walk"], {})[r["t"]] = r["node"]
+    assert traj, "no walks produced"
+    for walk, path in traj.items():
+        assert sorted(path) == list(range(steps + 1)), walk
+        assert path[0] == walk
+        for t in range(1, steps + 1):
+            assert (path[t - 1], path[t]) in edges, (walk, t)
+    again = random_walks(sym, steps=steps).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
