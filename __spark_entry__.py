@@ -172,6 +172,7 @@ _PRIORITY = [
     "x8_runs_test",
     "x8_anova",
     "x11_random_walks",
+    "x11_node2vec",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -45,6 +45,10 @@ __all__ = [
     "kmeans_int",
     "random_walks",
     "rw_pick_sql",
+    "node2vec_walks",
+    "n2v_weight_sql",
+    "n2v_class_sql",
+    "n2v_draw_sql",
 ]
 
 
@@ -950,6 +954,162 @@ def random_walks(
     for f in tiers[1:]:
         out = out.unionByName(f)
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    steps: int = 3,
+    wb: int = 1,
+    wc: int = 4,
+    wf: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+    seed: str = "n2v",
+) -> DataFrame:
+    """SECOND-ORDER biased walks — node2vec (Grover & Leskovec 2016):
+    the step distribution depends on the PREVIOUS node: a neighbor x of
+    cur weighs 1/p if x == prev (return), 1 if x is also prev's
+    neighbor (BFS-ish), 1/q otherwise (DFS-ish). Weights here are the
+    INTEGER-scaled triple (wb, wc, wf) ~ (1/p, 1, 1/q)*s, and the draw
+    is deterministic: r = hex_int(md5('<seed>|walk|t|prev|cur')) %
+    total_weight lands in exactly one neighbor's cumulative-weight
+    interval — reproducible bit-for-bit like `random_walks`, no float
+    ever appears.
+
+    Scale shape: weighted choice needs every neighbor's weight, so each
+    step EXPANDS state to (state x out-degree) candidate rows — the
+    honest cost of second-order sampling (production systems pre-build
+    alias tables to avoid it; the expansion here is the alias-table
+    BUILD cost paid per step). The expansion is edges-bounded: one join
+    onto the indexed adjacency, one membership LEFT join against the
+    edge set on (prev, x), one per-walk cumulative window (partitioned
+    by walk — thousands of small groups, never a global sort), then the
+    interval filter collapses back to one row per walk. Step 1 has no
+    prev and draws uniformly (the `random_walks` pick).
+
+    Output: (t, walk, node, cls) for t = 0..steps; cls in
+    {'start','uniform','back','common','forward'} records which bias
+    class the arriving step used (the p/q mix diagnostic)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbr = e.withColumn(
+        "idx",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .cast("bigint"),
+    ).localCheckpoint(eager=False)
+    deg = (
+        nbr.groupBy("src")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    # t=1: uniform first step (no prev yet), the random_walks pick
+    first = (
+        deg.select(
+            F.col("src").alias("walk"),
+            F.col("src").alias("at"),
+            F.expr(rw_pick_sql("src", "src", 1, "deg", seed)).alias("idx"),
+        )
+        .join(
+            nbr.select(
+                F.col("src").alias("at"), "idx", F.col("dst").alias("cur")
+            ),
+            ["at", "idx"],
+        )
+        .select("walk", F.col("at").alias("prev"), "cur")
+        .localCheckpoint(eager=False)
+    )
+    tiers = [
+        deg.select(
+            F.lit(0).alias("t"),
+            F.col("src").alias("walk"),
+            F.col("src").alias("node"),
+            F.lit("start").alias("cls"),
+        ),
+        first.select(
+            F.lit(1).alias("t"),
+            "walk",
+            F.col("cur").alias("node"),
+            F.lit("uniform").alias("cls"),
+        ),
+    ]
+    state = first
+    member = e.select(
+        F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("adj")
+    )
+    for t in range(2, steps + 1):
+        cand = (
+            state.join(
+                nbr.select(
+                    F.col("src").alias("cur"), "idx", F.col("dst").alias("x")
+                ),
+                ["cur"],
+            )
+            .join(member, ["prev", "x"], "left")
+            .withColumn("w", F.expr(n2v_weight_sql("x", "prev", "adj", wb, wc, wf)))
+            .withColumn("cls", F.expr(n2v_class_sql("x", "prev", "adj")))
+        )
+        wwin = Window.partitionBy("walk")
+        cum = (
+            cand.withColumn("cum", F.sum("w").over(wwin.orderBy("idx")))
+            .withColumn("tot", F.sum("w").over(wwin))
+            .withColumn(
+                "rh", F.expr(n2v_draw_sql("walk", t, "prev", "cur", seed))
+            )
+        )
+        state = (
+            cum.where("cum - w <= rh % tot AND rh % tot < cum")
+            .select("walk", F.col("cur").alias("prev"), F.col("x").alias("cur"), "cls")
+            .localCheckpoint(eager=False)
+        )
+        tiers.append(
+            state.select(
+                F.lit(t).alias("t"), "walk", F.col("cur").alias("node"), "cls"
+            )
+        )
+        state = state.drop("cls")
+    out = tiers[0]
+    for f in tiers[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def n2v_weight_sql(
+    x_col: str, prev_col: str, adj_col: str, wb: int, wc: int, wf: int
+) -> str:
+    """node2vec bias weight of candidate x — shared Spark/DuckDB text."""
+    return (
+        f"CAST(CASE WHEN {x_col} = {prev_col} THEN {wb}"
+        f" WHEN {adj_col} IS NOT NULL THEN {wc}"
+        f" ELSE {wf} END AS BIGINT)"
+    )
+
+
+def n2v_class_sql(x_col: str, prev_col: str, adj_col: str) -> str:
+    """node2vec bias class label of candidate x — shared text."""
+    return (
+        f"CASE WHEN {x_col} = {prev_col} THEN 'back'"
+        f" WHEN {adj_col} IS NOT NULL THEN 'common'"
+        f" ELSE 'forward' END"
+    )
+
+
+def n2v_draw_sql(
+    walk_col: str, t: int, prev_col: str, cur_col: str, seed: str = "n2v"
+) -> str:
+    """The raw node2vec draw integer (reduced mod total weight at the
+    use site, where the per-walk total is in scope) — shared text."""
+    from diepy_spark.operators.sketch import hex_int_sql
+
+    h = (
+        f"md5(concat('{seed}|', CAST({walk_col} AS STRING),"
+        f" '|{t}|', CAST({prev_col} AS STRING),"
+        f" '|', CAST({cur_col} AS STRING)))"
+    )
+    return f"CAST({hex_int_sql(h)} AS BIGINT)"
 
 
 def personalized_pagerank(

@@ -6710,6 +6710,68 @@ def x11_random_walks(spark, sf_dir):
     )
 
 
+N2V_STEPS = 3
+N2V_WEIGHTS = (1, 4, 16)  # integer-scaled (1/p, 1, 1/q): p=4, q=1/4
+
+
+def x11_node2vec(spark, sf_dir):
+    """node2vec SECOND-ORDER biased walks (operators/clustering.py:
+    node2vec_walks — Grover & Leskovec 2016) over the same graph as
+    x11_random_walks: the step distribution depends on the previous
+    node (return / common-neighbor / outward classes at integer weights
+    N2V_WEIGHTS ~ (1/p, 1, 1/q)), the draw is the deterministic
+    integer-modular md5 pick landed in cumulative-weight intervals —
+    the actual DFS/BFS-interpolating sampler embedding pipelines run,
+    reproducible bit-for-bit. Output adds the per-step bias-class mix
+    (the p/q diagnostic: how often walks return vs triangle-close vs
+    explore) to the walk-corpus signatures, all under the hash gate;
+    the oracle replays every weighted draw with the same shared texts
+    as unrolled window-CTE steps.
+
+    Scale shape: per step one adjacency join (the state x out-degree
+    candidate expansion — the honest cost of second-order weighting;
+    see the operator docstring), one membership LEFT join on
+    (prev, x), one per-walk cumulative window (thousands of small
+    partitions, no global sort), one interval filter back to one row
+    per walk."""
+    from diepy_spark.operators.clustering import node2vec_walks
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    wb, wc, wf = N2V_WEIGHTS
+    walks = node2vec_walks(sym, steps=N2V_STEPS, wb=wb, wc=wc, wf=wf)
+    return (
+        walks.groupBy("t")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_walks"),
+            F.expr("CAST(count(DISTINCT node) AS BIGINT)").alias(
+                "distinct_nodes"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN cls = 'back' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_back"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cls = 'common' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_common"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cls = 'forward' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_forward"),
+            F.expr(f"CAST(SUM({_rw_sig_sql()}) AS BIGINT)").alias("visit_sig"),
+        )
+        .orderBy("t")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
@@ -6720,6 +6782,7 @@ EXTENDED_QUERIES = {
     "x8_runs_test": x8_runs_test,
     "x8_anova": x8_anova,
     "x11_random_walks": x11_random_walks,
+    "x11_node2vec": x11_node2vec,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11781,24 +11844,31 @@ EXTENDED_ORACLES["x8_acf"] = f"""
     FROM acfnum, acfden ORDER BY lag_k
 """
 
+# The indexed-adjacency CTE block shared by the walk oracles
+# (x11_random_walks, x11_node2vec): the same part↔supplier graph,
+# per-source dst-ordered neighbor index, degrees.
+_RW_GRAPH_CTES = [
+    """rwps AS (SELECT DISTINCT l_partkey * 10 + 1 AS src,
+                      l_suppkey * 10 + 2 AS dst FROM lineitem)""",
+    """rwe AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM rwps
+         UNION ALL SELECT dst AS src, src AS dst FROM rwps
+       ) WHERE src != dst)""",
+    """rwn AS (SELECT src, dst,
+               CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                    AS BIGINT) AS idx FROM rwe)""",
+    """rwd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM rwe GROUP BY 1)""",
+]
+
+
 def _random_walks_oracle_sql() -> str:
     """Mirror of x11_random_walks: the same indexed adjacency, then
     RW_STEPS unrolled walk-step CTEs each applying the identical
     rw_pick_sql choice text, then the same per-step signatures."""
     from diepy_spark.operators.clustering import rw_pick_sql
 
-    ctes = [
-        """rwps AS (SELECT DISTINCT l_partkey * 10 + 1 AS src,
-                          l_suppkey * 10 + 2 AS dst FROM lineitem)""",
-        """rwe AS (SELECT DISTINCT src, dst FROM (
-             SELECT src, dst FROM rwps
-             UNION ALL SELECT dst AS src, src AS dst FROM rwps
-           ) WHERE src != dst)""",
-        """rwn AS (SELECT src, dst,
-                   CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
-                        AS BIGINT) AS idx FROM rwe)""",
-        """rwd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-                   FROM rwe GROUP BY 1)""",
+    ctes = _RW_GRAPH_CTES + [
         "rws0 AS (SELECT src AS walk, src AS node FROM rwd)",
     ]
     for t in range(1, RW_STEPS + 1):
@@ -11829,6 +11899,91 @@ def _random_walks_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_random_walks"] = _random_walks_oracle_sql()
+
+
+def _node2vec_oracle_sql() -> str:
+    """Mirror of x11_node2vec: the shared graph CTEs, a uniform first
+    step, then per step the candidate expansion + weighted cumulative
+    window + interval filter — every text (weight, class, draw, pick)
+    shared with the Spark operator."""
+    from diepy_spark.operators.clustering import (
+        n2v_class_sql,
+        n2v_draw_sql,
+        n2v_weight_sql,
+        rw_pick_sql,
+    )
+
+    wb, wc, wf = N2V_WEIGHTS
+    pick1 = rw_pick_sql("d.src", "d.src", 1, "d.deg", "n2v")
+    ctes = _RW_GRAPH_CTES + [
+        f"""n2s1 AS (
+          SELECT p.walk, p.at_n AS prev, n.dst AS cur
+          FROM (SELECT d.src AS walk, d.src AS at_n, {pick1} AS idx
+                FROM rwd d) p
+          JOIN rwn n ON n.src = p.at_n AND n.idx = p.idx
+        )"""
+    ]
+    for t in range(2, N2V_STEPS + 1):
+        w = n2v_weight_sql("n.dst", "s.prev", "m.src", wb, wc, wf)
+        cls = n2v_class_sql("n.dst", "s.prev", "m.src")
+        draw = n2v_draw_sql("walk", t, "prev", "cur", "n2v")
+        ctes.append(
+            f"""n2c{t} AS (
+              SELECT s.walk, s.prev, s.cur, n.idx, n.dst AS x,
+                     {w} AS w, {cls} AS cls
+              FROM n2s{t - 1} s
+              JOIN rwn n ON n.src = s.cur
+              LEFT JOIN rwe m ON m.src = s.prev AND m.dst = n.dst
+            )"""
+        )
+        ctes.append(
+            f"""n2w{t} AS (
+              SELECT walk, cur, x, cls, w,
+                     SUM(w) OVER (PARTITION BY walk ORDER BY idx) AS cum,
+                     SUM(w) OVER (PARTITION BY walk) AS tot,
+                     {draw} AS rh
+              FROM n2c{t}
+            )"""
+        )
+        ctes.append(
+            f"""n2s{t} AS (
+              SELECT walk, cur AS prev, x AS cur, cls FROM n2w{t}
+              WHERE cum - w <= rh % tot AND rh % tot < cum
+            )"""
+        )
+    sig = _rw_sig_sql()
+
+    def tier(t: int, frame: str, walk: str, node: str, cls_case: str) -> str:
+        return f"""SELECT {t} AS t, CAST(count(*) AS BIGINT) AS n_walks,
+            CAST(count(DISTINCT node) AS BIGINT) AS distinct_nodes,
+            CAST(SUM(CASE WHEN cls = 'back' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_back,
+            CAST(SUM(CASE WHEN cls = 'common' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_common,
+            CAST(SUM(CASE WHEN cls = 'forward' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_forward,
+            CAST(SUM({sig}) AS BIGINT) AS visit_sig
+           FROM (SELECT {walk} AS walk, {node} AS node, {cls_case} AS cls
+                 FROM {frame})"""
+
+    tiers = [
+        tier(0, "rwd", "src", "src", "'start'"),
+        tier(1, "n2s1", "walk", "cur", "'uniform'"),
+    ]
+    tiers += [
+        tier(t, f"n2s{t}", "walk", "cur", "cls")
+        for t in range(2, N2V_STEPS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(tiers)
+        + ") ORDER BY t"
+    )
+
+
+EXTENDED_ORACLES["x11_node2vec"] = _node2vec_oracle_sql()
 
 EXTENDED_ORACLES["x8_anova"] = f"""
     WITH anc AS (

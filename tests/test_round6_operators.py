@@ -952,3 +952,47 @@ def test_random_walks_are_valid_deterministic_trajectories(spark):
             assert (path[t - 1], path[t]) in edges, (walk, t)
     again = random_walks(sym, steps=steps).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_node2vec_classes_and_determinism(spark):
+    # Trajectories must be valid edges; for t >= 2 the recorded bias
+    # class must equal ground truth recomputed from (t-2, t-1, t); the
+    # corpus must reproduce bit-for-bit on a second run.
+    import pyspark.sql.functions as F
+
+    from diepy_spark.operators.clustering import node2vec_walks
+    from diepy_spark.plans.extended import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    steps = 3
+    rows = node2vec_walks(sym, steps=steps).collect()
+    edges = {(r["src"], r["dst"]) for r in sym.collect()}
+    traj, cls = {}, {}
+    for r in rows:
+        traj.setdefault(r["walk"], {})[r["t"]] = r["node"]
+        cls.setdefault(r["walk"], {})[r["t"]] = r["cls"]
+    assert traj, "no walks produced"
+    for walk, path in traj.items():
+        assert sorted(path) == list(range(steps + 1)), walk
+        assert path[0] == walk and cls[walk][0] == "start"
+        assert cls[walk][1] == "uniform"
+        for t in range(1, steps + 1):
+            assert (path[t - 1], path[t]) in edges, (walk, t)
+        for t in range(2, steps + 1):
+            want = (
+                "back"
+                if path[t] == path[t - 2]
+                else "common"
+                if (path[t - 2], path[t]) in edges
+                else "forward"
+            )
+            assert cls[walk][t] == want, (walk, t)
+    again = node2vec_walks(sym, steps=steps).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
