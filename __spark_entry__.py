@@ -173,6 +173,7 @@ _PRIORITY = [
     "x8_anova",
     "x11_random_walks",
     "x11_node2vec",
+    "x11_walk_cooccur",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

@@ -6668,6 +6668,30 @@ def _rw_sig_sql() -> str:
     )
 
 
+def _rw_walks_cached(spark, sf_dir):
+    """The deterministic walk corpus (t, walk, node) shared by its two
+    declared consumers (x11_random_walks, x11_walk_cooccur) —
+    narratively the persisted walk table an embedding pipeline writes
+    once and derives every training artifact from (the _lsh_pairs
+    pattern). Session-keyed with a lineage cut."""
+    from diepy_spark.operators.clustering import random_walks
+
+    key = ("rwwalks", spark.sparkContext.applicationId, sf_dir, RW_STEPS)
+    if key not in _MODEL_CACHE:
+        li = load_table(spark, sf_dir, "lineitem")
+        ps = li.select(
+            (F.col("l_partkey") * 10 + 1).alias("src"),
+            (F.col("l_suppkey") * 10 + 2).alias("dst"),
+        ).distinct()
+        sym = ps.unionByName(
+            ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        _MODEL_CACHE[key] = random_walks(sym, steps=RW_STEPS).localCheckpoint(
+            eager=False
+        )
+    return _MODEL_CACHE[key]
+
+
 def x11_random_walks(spark, sf_dir):
     """Deterministic random-walk corpus (operators/clustering.py:
     random_walks — the DeepWalk/node2vec sampling primitive) over the
@@ -6684,19 +6708,10 @@ def x11_random_walks(spark, sf_dir):
     — even partitioning), then per step two keyed equi-joins on the
     walk-state frame (degree by node, then (node, picked-idx) into the
     adjacency) — never a walks x neighbors expansion; state width is
-    constant in t."""
-    from diepy_spark.operators.clustering import random_walks
-
+    constant in t. The corpus frame is the shared _rw_walks_cached
+    artifact (x11_walk_cooccur consumes the same walks)."""
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        (F.col("l_partkey") * 10 + 1).alias("src"),
-        (F.col("l_suppkey") * 10 + 2).alias("dst"),
-    ).distinct()
-    sym = ps.unionByName(
-        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    walks = random_walks(sym, steps=RW_STEPS)
+    walks = _rw_walks_cached(spark, sf_dir)
     return (
         walks.groupBy("t")
         .agg(
@@ -6772,6 +6787,54 @@ def x11_node2vec(spark, sf_dir):
     )
 
 
+WC_WINDOW = 2  # skip-gram context radius over the walk sequence
+WC_TOP = 20
+
+
+def x11_walk_cooccur(spark, sf_dir):
+    """SKIP-GRAM co-occurrence counts from the walk corpus — the actual
+    word2vec-style training input DeepWalk derives from its walks
+    (Perozzi et al. 2014 §4.2): every ordered (center, context) node
+    pair within WC_WINDOW positions of the same walk, counted
+    corpus-wide. Consumes the shared _rw_walks_cached artifact (the
+    same trajectories x11_random_walks hash-pins), so the pair table is
+    exactly reproducible and the top-WC_TOP rows sit under the hash
+    gate with corpus totals alongside.
+
+    Scale shape: ONE equi-join on walk id — each walk contributes
+    (steps+1)^2 candidate rows, a CONSTANT per walk, so the join output
+    is linear in walk count, then one map-side-combined pair count.
+    Tie-breaks pinned (cnt desc, center, context)."""
+    tune(spark)
+    walks = _rw_walks_cached(spark, sf_dir)
+    a = walks.select(
+        "walk", F.col("t").alias("ta"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk", F.col("t").alias("tb"), F.col("node").alias("context")
+    )
+    pairs = (
+        a.join(b, "walk")
+        .where(f"ta != tb AND abs(ta - tb) <= {WC_WINDOW}")
+        .groupBy("center", "context")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt"))
+        .localCheckpoint(eager=False)  # two consumers: totals + top-k
+    )
+    tot = pairs.agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total_pairs"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("distinct_pairs"),
+    )
+    top = (
+        pairs.orderBy(F.col("cnt").desc(), "center", "context")
+        .limit(WC_TOP)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select("center", "context", "cnt", "total_pairs", "distinct_pairs")
+        .orderBy(F.col("cnt").desc(), "center", "context")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
@@ -6783,6 +6846,7 @@ EXTENDED_QUERIES = {
     "x8_anova": x8_anova,
     "x11_random_walks": x11_random_walks,
     "x11_node2vec": x11_node2vec,
+    "x11_walk_cooccur": x11_walk_cooccur,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11862,10 +11926,10 @@ _RW_GRAPH_CTES = [
 ]
 
 
-def _random_walks_oracle_sql() -> str:
-    """Mirror of x11_random_walks: the same indexed adjacency, then
-    RW_STEPS unrolled walk-step CTEs each applying the identical
-    rw_pick_sql choice text, then the same per-step signatures."""
+def _rw_walk_ctes() -> list[str]:
+    """The unrolled walk-step CTE chain shared by the x11_random_walks
+    oracle and its consumers (x11_walk_cooccur): rws0..rws{RW_STEPS},
+    each applying the identical rw_pick_sql choice text."""
     from diepy_spark.operators.clustering import rw_pick_sql
 
     ctes = _RW_GRAPH_CTES + [
@@ -11881,6 +11945,14 @@ def _random_walks_oracle_sql() -> str:
               JOIN rwn n ON n.src = p.at_n AND n.idx = p.idx
             )"""
         )
+    return ctes
+
+
+def _random_walks_oracle_sql() -> str:
+    """Mirror of x11_random_walks: the same indexed adjacency, then
+    RW_STEPS unrolled walk-step CTEs each applying the identical
+    rw_pick_sql choice text, then the same per-step signatures."""
+    ctes = _rw_walk_ctes()
     sig = _rw_sig_sql()
     tiers = [
         f"""SELECT {t} AS t, CAST(count(*) AS BIGINT) AS n_walks,
@@ -11984,6 +12056,48 @@ def _node2vec_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_node2vec"] = _node2vec_oracle_sql()
+
+
+def _walk_cooccur_oracle_sql() -> str:
+    """Mirror of x11_walk_cooccur: the shared walk CTE chain, the union
+    trajectory frame, the same windowed pair count and pinned top-k."""
+    ctes = _rw_walk_ctes()
+    ctes.append(
+        "rwall AS ("
+        + " UNION ALL ".join(
+            f"SELECT {t} AS t, walk, node FROM rws{t}"
+            for t in range(0, RW_STEPS + 1)
+        )
+        + ")"
+    )
+    ctes.append(
+        f"""wcp AS (
+          SELECT a.node AS center, b.node AS context,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM rwall a JOIN rwall b
+            ON a.walk = b.walk AND a.t != b.t
+           AND abs(a.t - b.t) <= {WC_WINDOW}
+          GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        """wct AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_pairs,
+                          CAST(count(*) AS BIGINT) AS distinct_pairs
+                   FROM wcp)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT center, context, cnt, total_pairs, distinct_pairs
+    FROM (SELECT * FROM wcp ORDER BY cnt DESC, center, context
+          LIMIT {WC_TOP}), wct
+    ORDER BY cnt DESC, center, context
+    """
+    )
+
+
+EXTENDED_ORACLES["x11_walk_cooccur"] = _walk_cooccur_oracle_sql()
 
 EXTENDED_ORACLES["x8_anova"] = f"""
     WITH anc AS (

@@ -996,3 +996,42 @@ def test_node2vec_classes_and_determinism(spark):
             assert cls[walk][t] == want, (walk, t)
     again = node2vec_walks(sym, steps=steps).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_walk_cooccur_matches_python_recount(spark):
+    # The skip-gram pair counts must equal a direct Python recount over
+    # the same cached walk corpus, and the top-k rows must be the
+    # (cnt desc, center, context) prefix of that exact pair table.
+    from collections import Counter
+
+    from diepy_spark.plans.extended import (
+        WC_TOP,
+        WC_WINDOW,
+        _rw_walks_cached,
+    )
+
+    walks = _rw_walks_cached(spark, SF).collect()
+    seq = {}
+    for r in walks:
+        seq.setdefault(r["walk"], {})[r["t"]] = r["node"]
+    counts = Counter()
+    for path in seq.values():
+        ts = sorted(path)
+        for i in ts:
+            for j in ts:
+                if i != j and abs(i - j) <= WC_WINDOW:
+                    counts[(path[i], path[j])] += 1
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:WC_TOP]
+    got = _q("x11_walk_cooccur")(spark, SF).collect()
+    assert len(got) == min(WC_TOP, len(counts))
+    total = sum(counts.values())
+    for row, ((center, context), cnt) in zip(got, want):
+        assert (row["center"], row["context"], row["cnt"]) == (
+            center,
+            context,
+            cnt,
+        )
+        assert row["total_pairs"] == total
+        assert row["distinct_pairs"] == len(counts)
