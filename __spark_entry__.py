@@ -175,6 +175,8 @@ _PRIORITY = [
     "x11_random_walks",
     "x11_node2vec",
     "x11_walk_cooccur",
+    "x11_walk_pmi",
+    "x8_wasserstein",
     # (5) round-4 driver window — round-4 greens (50)
     "x3_ivf_trained",
     "t4_roundtrip_orc",

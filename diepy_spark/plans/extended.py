@@ -6300,6 +6300,72 @@ def x8_ks_test(spark, sf_dir):
     )
 
 
+def x8_wasserstein(spark, sf_dir):
+    """WASSERSTEIN-1 (earth mover's) distance between the even/odd-user
+    cohort value distributions — the MAGNITUDE complement of x8_ks_test
+    (KS = max ECDF gap says whether shapes differ; W1 = the integral of
+    the gap says by HOW MUCH, in the value's own units): W1 =
+    sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i) over the cents
+    domain.
+
+    Exactness — the ks_test discipline extended with the domain gap:
+    per domain value the term |cum_a*n_b - cum_b*n_a| * gap is an exact
+    BIGINT (bounded by n_a*n_b*(v_max - v_min) ~ 3.6e14 at sf0.1, far
+    under 2^63 — the gap sum telescopes, so the bound doesn't multiply
+    by the domain size); one float division by n_a*n_b at render.
+
+    Scale shape: one corpus collapse to the value-domain histogram,
+    then the cumulative + lead windows run over the bounded domain
+    frame."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hg = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
+        )
+        .groupBy("cents")
+        .agg(
+            F.expr("sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)").alias("ca"),
+            F.expr("sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)").alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # bounded: value domain
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("cents")
+    cum = hg.select(
+        "cents",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        (F.lead("cents").over(wl) - F.col("cents")).alias("gap"),
+    )
+    tot = hg.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    s = (
+        cum.where(F.col("gap").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "abs(cum_a * n_b - cum_b * n_a) * gap AS term", "n_a", "n_b"
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.expr("CAST(SUM(term) AS BIGINT)").alias("w1_num"))
+    )
+    return s.selectExpr(
+        "n_a",
+        "n_b",
+        "w1_num",
+        "round(CAST(w1_num AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS w1_cents",
+        "round(CAST(w1_num AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        " / CAST(100 AS DOUBLE), 6) AS w1_value",
+    )
+
+
 HB_ITER = 3  # HyperBall rounds: N(0)..N(3)
 HB_M = 64  # registers/node: the state-vs-accuracy lever (see hyperball)
 
@@ -6800,6 +6866,31 @@ WC_WINDOW = 2  # skip-gram context radius over the walk sequence
 WC_TOP = 20
 
 
+def _wc_pairs_cached(spark, sf_dir):
+    """The skip-gram (center, context, cnt) pair table over the cached
+    walk corpus, shared by x11_walk_cooccur and x11_walk_pmi —
+    narratively the co-occurrence matrix an embedding pipeline writes
+    once and derives counts and association scores from."""
+    key = ("wcpairs", spark.sparkContext.applicationId, sf_dir,
+           RW_STEPS, WC_WINDOW)
+    if key not in _MODEL_CACHE:
+        walks = _rw_walks_cached(spark, sf_dir)
+        a = walks.select(
+            "walk", F.col("t").alias("ta"), F.col("node").alias("center")
+        )
+        b = walks.select(
+            "walk", F.col("t").alias("tb"), F.col("node").alias("context")
+        )
+        _MODEL_CACHE[key] = (
+            a.join(b, "walk")
+            .where(f"ta != tb AND abs(ta - tb) <= {WC_WINDOW}")
+            .groupBy("center", "context")
+            .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+    return _MODEL_CACHE[key]
+
+
 def x11_walk_cooccur(spark, sf_dir):
     """SKIP-GRAM co-occurrence counts from the walk corpus — the actual
     word2vec-style training input DeepWalk derives from its walks
@@ -6815,20 +6906,7 @@ def x11_walk_cooccur(spark, sf_dir):
     is linear in walk count, then one map-side-combined pair count.
     Tie-breaks pinned (cnt desc, center, context)."""
     tune(spark)
-    walks = _rw_walks_cached(spark, sf_dir)
-    a = walks.select(
-        "walk", F.col("t").alias("ta"), F.col("node").alias("center")
-    )
-    b = walks.select(
-        "walk", F.col("t").alias("tb"), F.col("node").alias("context")
-    )
-    pairs = (
-        a.join(b, "walk")
-        .where(f"ta != tb AND abs(ta - tb) <= {WC_WINDOW}")
-        .groupBy("center", "context")
-        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt"))
-        .localCheckpoint(eager=False)  # two consumers: totals + top-k
-    )
+    pairs = _wc_pairs_cached(spark, sf_dir)
     tot = pairs.agg(
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total_pairs"),
         F.expr("CAST(count(*) AS BIGINT)").alias("distinct_pairs"),
@@ -6844,6 +6922,65 @@ def x11_walk_cooccur(spark, sf_dir):
     )
 
 
+PMI_MIN_CNT = 3  # rare-pair floor: PMI of singletons is noise
+PMI_TOP = 20
+
+# PMI lift ratio #(w,c)*D / (#(w)*#(c)) — each product of exact BIGINTs
+# is < 2^53 so both double operands are EXACT and the single division is
+# correctly rounded: the ordering key agrees cross-engine bit-for-bit
+# (ln() would not — it's only pinned at round(...,6), the entropy idiom).
+_PMI_RATIO = (
+    "(CAST(cnt AS DOUBLE) * CAST(dd AS DOUBLE))"
+    " / (CAST(cw AS DOUBLE) * CAST(cc AS DOUBLE))"
+)
+
+
+def x11_walk_pmi(spark, sf_dir):
+    """POINTWISE MUTUAL INFORMATION over the walk co-occurrence table —
+    the association statistic SGNS embeddings implicitly factorize
+    (Levy & Goldberg 2014, "Neural Word Embedding as Implicit Matrix
+    Factorization"): pmi(w,c) = ln(#(w,c)*D / (#(w)*#(c))), every count
+    derived from the shared pair table (#(w) = row sums, #(c) = column
+    sums, D = grand total — the standard SGNS marginals). Pairs below
+    PMI_MIN_CNT are floored out (singleton PMI is noise), the top
+    PMI_TOP associations are ranked by the EXACT-double lift ratio
+    (ties then by center, context) and rendered with ln at the shared
+    6-decimal band.
+
+    Scale shape: everything re-aggregates the bounded cached pair
+    frame — two marginal aggregates, a 1-row total broadcast, two
+    marginal joins, one top-k. The corpus is never rescanned."""
+    tune(spark)
+    pairs = _wc_pairs_cached(spark, sf_dir)
+    cw = pairs.groupBy("center").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("cw")
+    )
+    cc = pairs.groupBy("context").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("cc")
+    )
+    dd = pairs.agg(F.expr("CAST(SUM(cnt) AS BIGINT)").alias("dd"))
+    scored = (
+        pairs.where(F.col("cnt") >= PMI_MIN_CNT)
+        .join(cw, "center")
+        .join(cc, "context")
+        .crossJoin(F.broadcast(dd))
+        .selectExpr(
+            "center", "context", "cnt", "cw", "cc",
+            f"{_PMI_RATIO} AS lift",
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "center", "context")
+        .limit(PMI_TOP)
+        .selectExpr(
+            "center", "context", "cnt", "cw", "cc",
+            "round(lift, 6) AS lift",
+            "round(ln(lift), 6) AS pmi",
+        )
+        .orderBy(F.col("lift").desc(), "center", "context")
+    )
+
+
 EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
@@ -6856,6 +6993,8 @@ EXTENDED_QUERIES = {
     "x11_random_walks": x11_random_walks,
     "x11_node2vec": x11_node2vec,
     "x11_walk_cooccur": x11_walk_cooccur,
+    "x11_walk_pmi": x11_walk_pmi,
+    "x8_wasserstein": x8_wasserstein,
     "x1_dedup_exact": x1_dedup_exact,
     "x1_fingerprint": x1_fingerprint,
     "x2_minhash_signatures": x2_minhash_signatures,
@@ -11737,6 +11876,39 @@ EXTENDED_ORACLES["x8_ks_test"] = f"""
 """
 
 
+EXTENDED_ORACLES["x8_wasserstein"] = """
+    WITH whg AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    wcum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_b,
+             lead(cents) OVER (ORDER BY cents) - cents AS gap
+      FROM whg
+    ),
+    wtot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                    CAST(sum(cb) AS BIGINT) AS n_b FROM whg),
+    ws AS (
+      SELECT n_a, n_b,
+             CAST(SUM(abs(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT)
+               AS w1_num
+      FROM wcum, wtot WHERE gap IS NOT NULL GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b, w1_num,
+           round(CAST(w1_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+             AS w1_cents,
+           round(CAST(w1_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 / CAST(100 AS DOUBLE), 6) AS w1_value
+    FROM ws
+"""
+
+
 def _hyperball_oracle_sql() -> str:
     """Mirror of x11_hyperball: the same symmetrized edge CTE as x11_bfs,
     one portable-HLL m=HB_M register set per node, HB_ITER unrolled
@@ -12107,6 +12279,61 @@ def _walk_cooccur_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_walk_cooccur"] = _walk_cooccur_oracle_sql()
+
+
+def _walk_pmi_oracle_sql() -> str:
+    """Mirror of x11_walk_pmi: the shared walk + pair CTEs, SGNS
+    marginals from the pair table, the shared exact-double lift ratio
+    as the ranking key, ln only at the rendered 6 decimals."""
+    ctes = _rw_walk_ctes()
+    ctes.append(
+        "rwall AS ("
+        + " UNION ALL ".join(
+            f"SELECT {t} AS t, walk, node FROM rws{t}"
+            for t in range(0, RW_STEPS + 1)
+        )
+        + ")"
+    )
+    ctes.append(
+        f"""wcp AS (
+          SELECT a.node AS center, b.node AS context,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM rwall a JOIN rwall b
+            ON a.walk = b.walk AND a.t != b.t
+           AND abs(a.t - b.t) <= {WC_WINDOW}
+          GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        "pmw AS (SELECT center, CAST(SUM(cnt) AS BIGINT) AS cw"
+        " FROM wcp GROUP BY 1)"
+    )
+    ctes.append(
+        "pmc AS (SELECT context, CAST(SUM(cnt) AS BIGINT) AS cc"
+        " FROM wcp GROUP BY 1)"
+    )
+    ctes.append("pmd AS (SELECT CAST(SUM(cnt) AS BIGINT) AS dd FROM wcp)")
+    ctes.append(
+        f"""pms AS (
+          SELECT center, context, cnt, cw, cc, {_PMI_RATIO} AS lift
+          FROM wcp JOIN pmw USING (center) JOIN pmc USING (context), pmd
+          WHERE cnt >= {PMI_MIN_CNT}
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT center, context, cnt, cw, cc,
+           round(lift, 6) AS lift, round(ln(lift), 6) AS pmi
+    FROM (SELECT * FROM pms ORDER BY lift DESC, center, context
+          LIMIT {PMI_TOP})
+    ORDER BY lift DESC, center, context
+    """
+    )
+
+
+EXTENDED_ORACLES["x11_walk_pmi"] = _walk_pmi_oracle_sql()
 
 EXTENDED_ORACLES["x8_anova"] = f"""
     WITH anc AS (

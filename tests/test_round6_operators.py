@@ -1035,3 +1035,74 @@ def test_walk_cooccur_matches_python_recount(spark):
         )
         assert row["total_pairs"] == total
         assert row["distinct_pairs"] == len(counts)
+
+
+def test_wasserstein_matches_python_integral(spark):
+    # W1 must equal the exact ECDF-gap integral recomputed with
+    # Fractions over the same cents values, and dominate... be bounded
+    # by the value range (W1 <= max - min for distributions on it).
+    from fractions import Fraction
+
+    from diepy_spark.plans.extended import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .where("value IS NOT NULL")
+        .selectExpr(
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+            "user_id % 2 = 0 AS in_a",
+        )
+        .collect()
+    )
+    a = sorted(r["cents"] for r in rows if r["in_a"])
+    b = sorted(r["cents"] for r in rows if not r["in_a"])
+    import bisect
+
+    domain = sorted({*a, *b})
+    w1 = Fraction(0)
+    for lo, hi in zip(domain, domain[1:]):
+        fa = Fraction(bisect.bisect_right(a, lo), len(a))
+        fb = Fraction(bisect.bisect_right(b, lo), len(b))
+        w1 += abs(fa - fb) * (hi - lo)
+    got = _q("x8_wasserstein")(spark, SF).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert Fraction(got["w1_num"], len(a) * len(b)) == w1
+    assert abs(got["w1_cents"] - float(w1)) < 5e-7 + 1e-9 * float(w1)
+    assert 0 <= float(w1) <= domain[-1] - domain[0]
+
+
+def test_walk_pmi_matches_python_recount(spark):
+    # PMI marginals, lift and ranking must equal a direct recount from
+    # the same cached pair table (SGNS marginals: row sums, column
+    # sums, grand total).
+    import math
+    from collections import Counter
+
+    from diepy_spark.plans.extended import (
+        PMI_MIN_CNT,
+        PMI_TOP,
+        _wc_pairs_cached,
+    )
+
+    pairs = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in _wc_pairs_cached(spark, SF).collect()
+    }
+    cw, cc = Counter(), Counter()
+    for (w, c), n in pairs.items():
+        cw[w] += n
+        cc[c] += n
+    dd = sum(pairs.values())
+    scored = [
+        (w, c, n, cw[w], cc[c], (n * dd) / (cw[w] * cc[c]))
+        for (w, c), n in pairs.items()
+        if n >= PMI_MIN_CNT
+    ]
+    want = sorted(scored, key=lambda r: (-r[5], r[0], r[1]))[:PMI_TOP]
+    got = _q("x11_walk_pmi")(spark, SF).collect()
+    assert len(got) == min(PMI_TOP, len(scored))
+    for row, (w, c, n, w_cnt, c_cnt, lift) in zip(got, want):
+        assert (row["center"], row["context"], row["cnt"]) == (w, c, n)
+        assert (row["cw"], row["cc"]) == (w_cnt, c_cnt)
+        assert abs(row["lift"] - lift) < 5e-7 + 1e-9 * lift
+        assert abs(row["pmi"] - math.log(lift)) < 1e-5
