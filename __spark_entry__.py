@@ -36,16 +36,17 @@ _PRIORITY = [
     #
     # ROUND-7 FRONT-LOAD — run `python tools/window_report.py` at round
     # start to GENERATE this from CORRECTNESS_r06 (VERDICT r5 #8: no
-    # more hand-counting). Expected shape: the FIRST 50 of the 65
+    # more hand-counting). Expected shape: the FIRST 50 of the 67
     # round-6 additions in section (4) below (no driver row) fill the
-    # entire window; the last 15 (the RQ arc + the suffix-array/KS/
+    # entire window; the last 17 (the RQ arc + the suffix-array/KS/
     # HyperBall/QTE/HITS batch + the stats/walk closers ACF/runs-test/
-    # ANOVA/random-walks/node2vec/walk-cooccur) spill to round 8
+    # ANOVA/Wasserstein/random-walks/node2vec/walk-cooccur/walk-PMI)
+    # spill to round 8
     # together with the displaced round-2/3 rows (x10_clean_corpus,
     # x5_lm_score, x2_minhash_est, x2_embedding_near_dup,
     # x2_cross_split_contamination, x8_stratified_sample) and round-7
     # additions — the rotation stays ~4-5 deep by design with a 50-row
-    # window over 267 queries, and the judge's full check_oracle run
+    # window over 269 queries, and the judge's full check_oracle run
     # covers the rest each round.
     #
     # (1) past-window round-5 additions — never driver-checked (4)
