@@ -12391,3 +12391,213 @@ EXTENDED_ORACLES["x8_runs_test"] = f"""
     rtz AS (SELECT n1, n2, runs, 2 * n1 * n2 AS p2, n1 + n2 AS m FROM rts)
     SELECT n1, n2, runs, p2, m, round({_RUNS_Z}, 6) AS runs_z FROM rtz
 """
+
+
+# ============================================================
+# ROUND 7 — independence testing, robust trend, vector-compression
+# recall instruments, importance resampling, boilerplate removal.
+# ============================================================
+
+# Chi-square per-cell contribution (O*N - R*C)^2 / (N*R*C) with every
+# operand cast to DOUBLE inside shared text (the _ENTROPY_TERM
+# discipline). (O*N - R*C) is an exact BIGINT (|.| <= N^2 ~ 1e10 at
+# sf0.1, far under 2^53, so the DOUBLE cast is exact); the square and
+# the one division are single correctly-rounded IEEE ops, identical
+# cross-engine; the fold over the bounded cell list runs in
+# (rv, cv) order in both engines.
+_CHISQ_TERM = (
+    "(CAST({o} * {n} - {r} * {c} AS DOUBLE)"
+    " * CAST({o} * {n} - {r} * {c} AS DOUBLE))"
+    " / (CAST({n} AS DOUBLE) * CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE))"
+)
+
+# Cramér's V = sqrt(chi2 / (N * min(nr-1, nc-1))): sqrt IS correctly
+# rounded under IEEE-754 (unlike pow — the x10_epoch_plan lesson).
+_CRAMERS_V = (
+    "sqrt({chi2} / (CAST({n} AS DOUBLE) * CAST(least({nr} - 1, {nc} - 1)"
+    " AS DOUBLE)))"
+)
+
+
+def x8_chisq_independence(spark, sf_dir):
+    """Pearson chi-square test of independence over the event_type x
+    user-cohort contingency table — the categorical sibling of the
+    two-sample panel (x8_ks_test/x8_mwu test a numeric column; this
+    tests whether a CATEGORICAL outcome depends on the cohort — the
+    canonical guardrail check that feature usage is balanced across
+    experiment arms). chi2 = sum_cells (O - E)^2/E with E = R*C/N,
+    computed as (O*N - R*C)^2/(N*R*C) so every numerator stays an
+    exact integer; effect size as Cramér's V.
+
+    Scale shape: ONE corpus aggregate with map-side combine collapses
+    events to the bounded contingency table (|event_type| x 3 cells);
+    row/col margins, the ordered chi2 fold and the render all run on
+    the cell frame. No corpus-sized shuffle beyond the groupBy.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.selectExpr(
+            "event_type AS rv", "CAST(user_id % 3 AS INT) AS cv"
+        )
+        .groupBy("rv", "cv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)  # bounded: contingency cells
+    )
+    rt = cells.groupBy("rv").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("cv").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("rv").cast("bigint").alias("nr"),
+        F.countDistinct("cv").cast("bigint").alias("nc"),
+    )
+    term = _CHISQ_TERM.format(o="x.o", n="x.n", r="x.r", c="x.c")
+    j = cells.join(rt, "rv").join(ct, "cv").crossJoin(F.broadcast(tot))
+    agg = j.groupBy("n", "nr", "nc").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(rv, cv, o, r, c, n))),"
+            f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
+        ).alias("chi2raw")
+    )
+    v = _CRAMERS_V.format(chi2="chi2raw", n="n", nr="nr", nc="nc")
+    return agg.selectExpr(
+        "n",
+        "nr",
+        "nc",
+        "(nr - 1) * (nc - 1) AS dof",
+        "round(chi2raw, 6) AS chi2",
+        f"round({v}, 6) AS cramers_v",
+    )
+
+
+EXTENDED_QUERIES["x8_chisq_independence"] = x8_chisq_independence
+
+EXTENDED_ORACLES["x8_chisq_independence"] = f"""
+    WITH cq AS (
+      SELECT event_type AS rv, CAST(user_id % 3 AS INT) AS cv,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    cqr AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM cq GROUP BY 1),
+    cqc AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM cq GROUP BY 1),
+    cqt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT rv) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT cv) AS BIGINT) AS nc FROM cq),
+    cqj AS (SELECT cq.rv, cq.cv, cq.o, cqr.r, cqc.c, cqt.n, cqt.nr, cqt.nc
+            FROM cq JOIN cqr USING (rv) JOIN cqc USING (cv), cqt),
+    cqa AS (
+      SELECT n, nr, nc,
+             list_sum(list(
+               ({_CHISQ_TERM.format(o="o", n="n", r="r", c="c")})
+               ORDER BY rv, cv)) AS chi2raw
+      FROM cqj GROUP BY 1, 2, 3
+    )
+    SELECT n, nr, nc, (nr - 1) * (nc - 1) AS dof,
+           round(chi2raw, 6) AS chi2,
+           round({_CRAMERS_V.format(chi2="chi2raw", n="n", nr="nr", nc="nc")}, 6)
+             AS cramers_v
+    FROM cqa
+"""
+
+
+def x8_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend estimator per event_type: the median of
+    all pairwise slopes (v_j - v_i)/(d_j - d_i) over the daily
+    revenue-cents series — the robust complement of x8_grouped_linfit
+    (OLS: one outlier day drags the fit; the slope median has a 29%
+    breakdown point) and the MAGNITUDE sibling of x8_mann_kendall
+    (same pairwise structure; MK gives the trend's sign/significance,
+    Theil–Sen its size).
+
+    Exactness: slope operands are exact BIGINTs (cents delta, day
+    delta), so each slope is ONE correctly-rounded IEEE division —
+    bit-identical cross-engine; the median picks rows by INTEGER rank
+    over the deterministic total order (slope, d1, d2) and averages at
+    most two doubles (one commutative add, one halving). Group count
+    n*(n-1)/2 is exact.
+
+    Scale shape: the corpus collapses to per-(type, day) integer sums
+    in ONE map-side-combined aggregate; the O(days^2) pair join runs
+    on the bounded calendar frame (~435 pairs/type for a month), never
+    on events rows. At a 10-year spine, swap the all-pairs join for
+    the repeated-median variant on a day-bucketed subsample — the
+    estimator degrades gracefully; the corpus aggregate is unchanged."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # bounded: types x calendar days
+    )
+    a = daily.selectExpr("event_type", "day AS d1", "v AS v1")
+    b = daily.selectExpr("event_type AS et2", "day AS d2", "v AS v2")
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d2") > F.col("d1"))
+    ).selectExpr(
+        "event_type",
+        "d1",
+        "d2",
+        "CAST(v2 - v1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE) AS slope",
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    rk = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("np"),
+    )
+    mid = rk.where(
+        (F.col("rn") == F.expr("(np + 1) div 2"))
+        | (F.col("rn") == F.expr("(np + 2) div 2"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("np").alias("n_pairs"),
+            F.expr("round(sum(slope) / count(*), 6)").alias(
+                "ts_slope_cents_per_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENDED_QUERIES["x8_theil_sen"] = x8_theil_sen
+
+EXTENDED_ORACLES["x8_theil_sen"] = f"""
+    WITH tsd AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    tsp AS (
+      SELECT a.event_type, a.day AS d1, b.day AS d2,
+             CAST(b.v - a.v AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+               AS slope
+      FROM tsd a JOIN tsd b
+        ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    tsr AS (
+      SELECT event_type, slope,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+      FROM tsp
+    )
+    SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+           round(sum(slope) / count(*), 6) AS ts_slope_cents_per_day
+    FROM tsr
+    WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+    GROUP BY event_type ORDER BY event_type
+"""
