@@ -12431,33 +12431,53 @@ def x8_chisq_independence(spark, sf_dir):
 
     Scale shape: ONE corpus aggregate with map-side combine collapses
     events to the bounded contingency table (|event_type| x 3 cells);
-    row/col margins, the ordered chi2 fold and the render all run on
-    the cell frame. No corpus-sized shuffle beyond the groupBy.
+    a second global aggregate packs the cell frame into ONE array row,
+    and margins, the ordered chi2 fold and the render all run as
+    higher-order functions over that bounded array — zero joins, zero
+    windows (the round-7 crossJoin(broadcast(1-row)) margins produced
+    two BroadcastNestedLoopJoin nodes; this shape zeroes them). NULL
+    event_type/user_id rows are excluded up front so margins and cells
+    stay consistent if NULLs ever appear (they would otherwise count
+    into n but drop from the inner-join fold).
     """
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
     cells = (
-        ev.selectExpr(
+        ev.where("event_type IS NOT NULL AND user_id IS NOT NULL")
+        .selectExpr(
             "event_type AS rv", "CAST(user_id % 3 AS INT) AS cv"
         )
         .groupBy("rv", "cv")
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-        .localCheckpoint(eager=False)  # bounded: contingency cells
     )
-    rt = cells.groupBy("rv").agg(F.sum("o").cast("bigint").alias("r"))
-    ct = cells.groupBy("cv").agg(F.sum("o").cast("bigint").alias("c"))
-    tot = cells.agg(
-        F.sum("o").cast("bigint").alias("n"),
-        F.countDistinct("rv").cast("bigint").alias("nr"),
-        F.countDistinct("cv").cast("bigint").alias("nc"),
+    one = cells.agg(
+        F.expr("array_sort(collect_list(struct(rv, cv, o)))").alias("cl")
     )
-    term = _CHISQ_TERM.format(o="x.o", n="x.n", r="x.r", c="x.c")
-    j = cells.join(rt, "rv").join(ct, "cv").crossJoin(F.broadcast(tot))
-    agg = j.groupBy("n", "nr", "nc").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(struct(rv, cv, o, r, c, n))),"
-            f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
-        ).alias("chi2raw")
+    r_expr = (
+        "aggregate(filter(cl, y -> y.rv = x.rv),"
+        " CAST(0 AS BIGINT), (ar, y) -> ar + y.o)"
+    )
+    c_expr = (
+        "aggregate(filter(cl, z -> z.cv = x.cv),"
+        " CAST(0 AS BIGINT), (ac, z) -> ac + z.o)"
+    )
+    term = _CHISQ_TERM.format(
+        o="x.o", n="n", r=f"({r_expr})", c=f"({c_expr})"
+    )
+    base = one.selectExpr(
+        "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.o) AS n",
+        "CAST(size(array_distinct(transform(cl, x -> x.rv))) AS BIGINT)"
+        " AS nr",
+        "CAST(size(array_distinct(transform(cl, x -> x.cv))) AS BIGINT)"
+        " AS nc",
+        "cl",
+    )
+    agg = base.selectExpr(
+        "n",
+        "nr",
+        "nc",
+        f"aggregate(cl, CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
+        " AS chi2raw",
     )
     v = _CRAMERS_V.format(chi2="chi2raw", n="n", nr="nr", nc="nc")
     return agg.selectExpr(
@@ -12476,7 +12496,9 @@ EXTENDED_ORACLES["x8_chisq_independence"] = f"""
     WITH cq AS (
       SELECT event_type AS rv, CAST(user_id % 3 AS INT) AS cv,
              CAST(count(*) AS BIGINT) AS o
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
     ),
     cqr AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM cq GROUP BY 1),
     cqc AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM cq GROUP BY 1),
