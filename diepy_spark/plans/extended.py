@@ -12623,3 +12623,321 @@ EXTENDED_ORACLES["x8_theil_sen"] = f"""
     WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
     GROUP BY event_type ORDER BY event_type
 """
+
+
+# ============================================================
+# ROUND 8 — URL / provenance arc: the one standard web-corpus stage
+# the engine was missing. Real pipelines (C4, RefinedWeb §3.1,
+# Dolma) run URL normalization -> registered-domain extraction ->
+# per-domain rollups / URL-level dedup / domain blocklisting BEFORE
+# any text operator. The documents table carries no URL column, so
+# the arc derives a deterministic messy URL per doc from doc_id via
+# ONE shared SQL text: URL identity lives in (doc_id % 17 host,
+# doc_id % 7 path) while case, www, default port, tracking query,
+# fragment and trailing slash vary on OTHER residues — so
+# normalization genuinely collapses distinct raw strings (~4 raws
+# per canonical URL at sf0.01+).
+# ============================================================
+
+URL_LIST_MAX = 120  # normalize listing cap: covers the full 17x7 key cycle
+URL_BLOCKLIST = ["site0.co.uk", "site5.com", "site10.org", "site15.io"]
+
+# Raw-URL synthesis, shared verbatim by Spark selectExpr and the oracle.
+_URL_RAW = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'Https'"
+    " ELSE 'https' END, '://',"
+    "CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'www.'"
+    " ELSE '' END,"
+    "CASE WHEN (doc_id % 17) % 3 = 0 THEN 'cdn.' ELSE '' END,"
+    "CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END,"
+    "CAST(doc_id % 17 AS STRING),"
+    "CASE WHEN (doc_id % 17) % 4 = 0 THEN '.co.uk'"
+    " WHEN (doc_id % 17) % 4 = 1 THEN '.com'"
+    " WHEN (doc_id % 17) % 4 = 2 THEN '.org' ELSE '.io' END,"
+    "CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END,"
+    "'/p/', CAST(doc_id % 7 AS STRING),"
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+    "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed&utm_medium=rss'"
+    " ELSE '' END,"
+    "CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)"
+)
+
+# Normalization steps, each a shared text over the previous column:
+# strip fragment, strip query (all generated params are tracking
+# params), lowercase + strip www + strip the https default port,
+# strip the trailing slash. instr/substr/replace/lower behave
+# identically in Spark SQL and DuckDB (probed).
+_URL_CUT = (
+    "CASE WHEN instr({u}, '{ch}') > 0"
+    " THEN substr({u}, 1, instr({u}, '{ch}') - 1) ELSE {u} END"
+)
+_URL_CANON = "replace(replace(lower({u}), '://www.', '://'), ':443/', '/')"
+_URL_TRAIL = (
+    "CASE WHEN substr({u}, length({u})) = '/'"
+    " THEN substr({u}, 1, length({u}) - 1) ELSE {u} END"
+)
+_URL_HOSTPATH = "substr({u}, instr({u}, '://') + 3)"
+_URL_HOST = "substr({hp}, 1, instr({hp}, '/') - 1)"
+
+# Multi-label public suffixes (inlined public-suffix-list excerpt —
+# the generated TLD set only needs these): registered domain = label
+# + suffix, i.e. last 3 labels under a 2-label suffix, else last 2.
+_URL_SUFF2 = "('.co.uk', '.ac.uk')"
+
+
+def _reg_domain_spark(host: str) -> str:
+    lab = f"split({host}, '[.]')"
+    return (
+        f"CASE WHEN substr({host}, length({host}) - 5) IN {_URL_SUFF2}"
+        f" THEN concat_ws('.', slice({lab}, size({lab}) - 2, 3))"
+        f" ELSE concat_ws('.', slice({lab}, size({lab}) - 1, 2)) END"
+    )
+
+
+def _reg_domain_duck(host: str) -> str:
+    lab = f"string_split({host}, '.')"
+    return (
+        f"CASE WHEN substr({host}, length({host}) - 5) IN {_URL_SUFF2}"
+        f" THEN array_to_string("
+        f"list_slice({lab}, len({lab}) - 2, len({lab})), '.')"
+        f" ELSE array_to_string("
+        f"list_slice({lab}, len({lab}) - 1, len({lab})), '.') END"
+    )
+
+
+def _url_frame(spark, sf_dir):
+    """Per-doc URL provenance frame: doc_id, source, lang, n_chars,
+    url_raw, url_norm, host, domain — all narrow string ops inside
+    whole-stage codegen, zero shuffles; the corpus-scale cost is one
+    projected scan."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source", "lang", "n_chars", f"{_URL_RAW} AS url_raw"
+    )
+    d = d.selectExpr(
+        "*", _URL_CUT.format(u="url_raw", ch="#") + " AS uf"
+    )
+    d = d.selectExpr("*", _URL_CUT.format(u="uf", ch="?") + " AS uq")
+    d = d.selectExpr("*", _URL_CANON.format(u="uq") + " AS uc")
+    d = d.selectExpr("*", _URL_TRAIL.format(u="uc") + " AS url_norm")
+    d = d.selectExpr("*", _URL_HOSTPATH.format(u="url_norm") + " AS hp")
+    d = d.selectExpr("*", _URL_HOST.format(hp="hp") + " AS host")
+    d = d.selectExpr(
+        "doc_id", "source", "lang", "n_chars", "url_raw", "url_norm",
+        "host", _reg_domain_spark("host") + " AS domain"
+    )
+    return d
+
+
+def _url_cte() -> str:
+    """The oracle-side mirror of _url_frame as a CTE chain (names
+    url0..url7, unique repo-wide to survive composition)."""
+    return f"""
+    url0 AS (SELECT doc_id, source, lang, n_chars, {_URL_RAW} AS url_raw
+             FROM documents),
+    url1 AS (SELECT *, {_URL_CUT.format(u="url_raw", ch="#")} AS uf
+             FROM url0),
+    url2 AS (SELECT *, {_URL_CUT.format(u="uf", ch="?")} AS uq FROM url1),
+    url3 AS (SELECT *, {_URL_CANON.format(u="uq")} AS uc FROM url2),
+    url4 AS (SELECT *, {_URL_TRAIL.format(u="uc")} AS url_norm FROM url3),
+    url5 AS (SELECT *, {_URL_HOSTPATH.format(u="url_norm")} AS hp
+             FROM url4),
+    url6 AS (SELECT *, {_URL_HOST.format(hp="hp")} AS host FROM url5),
+    url7 AS (SELECT doc_id, source, lang, n_chars, url_raw, url_norm,
+                    host, {_reg_domain_duck("host")} AS domain
+             FROM url6)"""
+
+
+def x5_url_normalize(spark, sf_dir):
+    """URL normalization + registered-domain extraction listing — the
+    canonical-form operator every web pipeline runs first (C4 keeps
+    the cleaned URL as provenance; RefinedWeb's URL filtering needs
+    the registered domain). Strips fragment and tracking query,
+    lowercases, removes www and the https default port, trims the
+    trailing slash, and extracts the registered domain under an
+    inlined public-suffix table.
+
+    Scale shape: pure per-row string expressions in one codegen'd
+    projected scan — no shuffle, no UDF; the cap bounds the listing
+    only (the downstream rollups consume the uncapped frame)."""
+    u = _url_frame(spark, sf_dir)
+    return (
+        u.where(F.col("doc_id") < URL_LIST_MAX)
+        .select("doc_id", "url_raw", "url_norm", "domain")
+        .orderBy("doc_id")
+    )
+
+
+EXTENDED_QUERIES["x5_url_normalize"] = x5_url_normalize
+
+EXTENDED_ORACLES["x5_url_normalize"] = f"""
+    WITH {_url_cte()}
+    SELECT doc_id, url_raw, url_norm, domain FROM url7
+    WHERE doc_id < {URL_LIST_MAX} ORDER BY doc_id
+"""
+
+
+def x5_domain_rollup(spark, sf_dir):
+    """Per-registered-domain provenance rollup: docs, chars, distinct
+    languages/hosts and the corpus doc share — the table a curation
+    team reads to decide per-domain sampling weights (the RefinedWeb
+    'top domains' audit; the domain-level complement of
+    x5_domain_mix's source-level view).
+
+    Scale shape: one map-side-combined corpus aggregate collapses to
+    the bounded domain frame; the share denominator comes from
+    packing that frame into ONE array row and exploding back —
+    zero joins, zero windows (the x8_chisq margin discipline)."""
+    u = _url_frame(spark, sf_dir)
+    g = u.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+    )
+    packed = g.agg(
+        F.expr(
+            "collect_list(struct(domain, n_docs, n_chars, n_langs,"
+            " n_hosts))"
+        ).alias("dl"),
+        F.sum("n_docs").cast("bigint").alias("tot"),
+    )
+    return (
+        packed.select(F.explode("dl").alias("x"), "tot")
+        .selectExpr(
+            "x.domain AS domain",
+            "x.n_docs AS n_docs",
+            "x.n_chars AS n_chars",
+            "x.n_langs AS n_langs",
+            "x.n_hosts AS n_hosts",
+            "round(CAST(x.n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6)"
+            " AS doc_share",
+        )
+        .orderBy("domain")
+    )
+
+
+EXTENDED_QUERIES["x5_domain_rollup"] = x5_domain_rollup
+
+EXTENDED_ORACLES["x5_domain_rollup"] = f"""
+    WITH {_url_cte()},
+    urlg AS (
+      SELECT domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+      FROM url7 GROUP BY 1
+    )
+    SELECT domain, n_docs, n_chars, n_langs, n_hosts,
+           round(CAST(n_docs AS DOUBLE) /
+                 CAST(CAST(sum(n_docs) OVER () AS BIGINT) AS DOUBLE), 6)
+             AS doc_share
+    FROM urlg ORDER BY domain
+"""
+
+
+def x2_url_dedup(spark, sf_dir):
+    """URL-level exact dedup accounting per registered domain — the
+    dedup stage that runs BEFORE any content hashing in a web
+    pipeline (C4 §2.1 dedups on URL; the same page recrawled under
+    tracking-param/case/port variants collapses under url_norm, not
+    under raw-string equality). Keeper = min doc_id per canonical
+    URL; reports per-domain docs, canonical URLs, duplicate docs and
+    the chars the dedup saves.
+
+    Scale shape: ONE shuffle on url_norm (row_number window over many
+    small per-URL partitions — never a global window), then a
+    map-side-combined rollup to the bounded domain frame."""
+    from pyspark.sql import Window
+
+    u = _url_frame(spark, sf_dir)
+    w = Window.partitionBy("url_norm").orderBy("doc_id")
+    r = u.select(
+        "domain", "n_chars",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.col("url_norm"),
+    )
+    return (
+        r.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("url_norm").cast("bigint").alias("n_urls"),
+            F.sum(F.expr("CASE WHEN rn > 1 THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("n_dup_docs"),
+            F.sum(F.expr("CASE WHEN rn > 1 THEN n_chars ELSE 0 END"))
+            .cast("bigint").alias("dup_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+EXTENDED_QUERIES["x2_url_dedup"] = x2_url_dedup
+
+EXTENDED_ORACLES["x2_url_dedup"] = f"""
+    WITH {_url_cte()},
+    urlr AS (
+      SELECT domain, n_chars, url_norm,
+             CAST(row_number() OVER (PARTITION BY url_norm
+                                     ORDER BY doc_id) AS INT) AS rn
+      FROM url7
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dup_chars
+    FROM urlr GROUP BY 1 ORDER BY domain
+"""
+
+
+def x5_domain_blocklist(spark, sf_dir):
+    """Domain-blocklist gate: per-source kept/blocked accounting
+    against a curated registered-domain blocklist — the C4/RefinedWeb
+    URL-filtering step (badwords/spam domain lists), applied at the
+    REGISTERED-domain level so subdomain evasion (cdn.site0.co.uk)
+    still blocks.
+
+    Scale shape: the blocklist is a tiny literal dim broadcast to
+    every executor — a broadcast hash join against the corpus-sized
+    probe side (never a shuffle), then one map-side-combined rollup
+    per source."""
+    u = _url_frame(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [(d,) for d in URL_BLOCKLIST], "bdomain string"
+    )
+    j = u.join(F.broadcast(bl), u.domain == bl.bdomain, "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum(F.expr("CASE WHEN bdomain IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("n_kept"),
+            F.sum(F.expr("CASE WHEN bdomain IS NOT NULL THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("n_blocked"),
+            F.sum(F.expr("CASE WHEN bdomain IS NULL THEN n_chars"
+                         " ELSE 0 END"))
+            .cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x5_domain_blocklist"] = x5_domain_blocklist
+
+_URL_BL_VALUES = ", ".join(f"('{d}')" for d in URL_BLOCKLIST)
+
+EXTENDED_ORACLES["x5_domain_blocklist"] = f"""
+    WITH {_url_cte()}
+    SELECT source,
+           CAST(sum(CASE WHEN bl.bdomain IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bl.bdomain IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN bl.bdomain IS NULL THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM url7 LEFT JOIN (VALUES {_URL_BL_VALUES}) AS bl(bdomain)
+      ON url7.domain = bl.bdomain
+    GROUP BY 1 ORDER BY source
+"""
