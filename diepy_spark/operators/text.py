@@ -940,3 +940,48 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]], col: str = "syms") 
             ),
         )
     return out
+
+
+def bpe_oov_report(enc: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Held-out tokenizer evaluation: per-language token/char/piece
+    volumes, the compression the learned subword vocabulary achieves
+    over the character baseline (chars_per_piece — the char baseline
+    is exactly 1.0 by definition), and the OOV-piece rate against the
+    trained symbol vocabulary.
+
+    ``enc``: an encoded word-TYPE dictionary (lang, n type-frequency,
+    chars, syms pieces — the output of :func:`bpe_encode`). ``vocab``:
+    one string column ``v`` holding every trained symbol (training
+    alphabet + merged pieces). A piece outside ``vocab`` is OOV — with
+    a character-level base alphabet that is exactly a held-out
+    character never seen in training.
+
+    Scale shape: ``vocab`` is vocabulary-sized by definition and rides
+    a broadcast hash join against the exploded piece dictionary
+    (dictionary-sized x <=16 pieces — never corpus-sized); callers
+    should localCheckpoint ``enc`` (it feeds both aggregates). Counts
+    are exact integers; the two ratios are single divisions at the
+    end."""
+    pieces = enc.select("lang", "n", F.explode("syms").alias("piece"))
+    j = pieces.join(F.broadcast(vocab), pieces.piece == vocab.v, "left")
+    by_piece = j.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_pieces"),
+        F.sum(F.expr("CASE WHEN v IS NULL THEN n ELSE 0 END"))
+        .cast("bigint")
+        .alias("oov_pieces"),
+    )
+    by_word = enc.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("chars * n")).cast("bigint").alias("n_chars"),
+    )
+    return by_word.join(by_piece, "lang").selectExpr(
+        "lang",
+        "n_tokens",
+        "n_chars",
+        "n_pieces",
+        "oov_pieces",
+        "round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4)"
+        " AS chars_per_piece",
+        "round(CAST(oov_pieces AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)"
+        " AS oov_rate",
+    )

@@ -10537,36 +10537,39 @@ EXTENDED_ORACLES["x5_bpe_pairs"] = f"""
 """
 
 
-def _bpe_train_ctes() -> list[str]:
+def _bpe_train_ctes(prefix: str = "bt_", doc_where: str = "") -> list[str]:
     """Unrolled CTE chain, 3 CTEs per merge round (pair count, argmax,
-    fused dictionary) over the shared _BPE_STEP fold text; the bt_
-    prefix keeps the chain collision-free (the tot/d1 episodes). Shared
-    by the train and apply oracles."""
+    fused dictionary) over the shared _BPE_STEP fold text; the prefix
+    keeps the chain collision-free (the tot/d1 episodes). Shared by the
+    train and apply oracles (bt_) and the held-out-split compression
+    oracle (bh_ with a train-split doc_where)."""
+    p = prefix
     ctes = [
-        f"""bt_words AS (
+        f"""{p}words AS (
       SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
-      FROM (SELECT unnest({_TOKS_EXPR}) AS tok FROM documents) u
+      FROM (SELECT unnest({_TOKS_EXPR}) AS tok FROM documents
+            {doc_where}) u
       WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}
       GROUP BY 1)""",
-        """bt_w0 AS (
+        f"""{p}w0 AS (
       SELECT list_transform(generate_series(1, length(w)),
              i -> substring(w, i, 1)) AS syms, n
-      FROM bt_words)""",
+      FROM {p}words)""",
     ]
     for i in range(1, BPE_MERGES + 1):
-        ctes.append(f"""bt_p{i} AS (
+        ctes.append(f"""{p}p{i} AS (
       SELECT p.pr AS pr, CAST(sum(n) AS BIGINT) AS cnt
-      FROM bt_w{i - 1}, LATERAL (SELECT unnest(list_transform(
+      FROM {p}w{i - 1}, LATERAL (SELECT unnest(list_transform(
            generate_series(1, len(syms) - 1),
            j -> syms[j] || ' ' || syms[j + 1])) AS pr) p
       WHERE len(syms) >= 2 GROUP BY 1)""")
-        ctes.append(f"""bt_m{i} AS (
+        ctes.append(f"""{p}m{i} AS (
       SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b, cnt
-      FROM bt_p{i} ORDER BY cnt DESC, pr LIMIT 1)""")
-        ctes.append(f"""bt_w{i} AS (
+      FROM {p}p{i} ORDER BY cnt DESC, pr LIMIT 1)""")
+        ctes.append(f"""{p}w{i} AS (
       SELECT string_split(substring(list_reduce(list_prepend('', syms),
              (acc, s) -> {_BPE_STEP}), 2), ' ') AS syms, n
-      FROM bt_w{i - 1}, bt_m{i})""")
+      FROM {p}w{i - 1}, {p}m{i})""")
     return ctes
 
 
@@ -12941,3 +12944,152 @@ EXTENDED_ORACLES["x5_domain_blocklist"] = f"""
       ON url7.domain = bl.bdomain
     GROUP BY 1 ORDER BY source
 """
+
+
+# --- BPE held-out compression evaluation (the tokenizer-arc closer:
+# x5_bpe_train learns the vocabulary, x5_bpe_apply reports training-set
+# fertility, this evaluates GENERALIZATION on a split the trainer never
+# saw — the number a tokenizer team actually ships on).
+BPE_EVAL_MOD = 5
+BPE_EVAL_HOLD = 4  # doc_id % 5 == 4 -> held-out (~20% of docs)
+
+
+def _bpe_split_merges_cached(spark, sf_dir) -> list[tuple[str, str]]:
+    """Merge table trained on the TRAIN split only (doc_id % MOD !=
+    HOLD) — memoized like _bpe_merges_cached; the held-out evaluator
+    must never see evaluation text at training time."""
+    key = ("bpe_split", sf_dir, BPE_MERGES, BPE_EVAL_MOD, BPE_EVAL_HOLD)
+    if key not in _MODEL_CACHE:
+        d = _docs(spark, sf_dir).where(
+            f"doc_id % {BPE_EVAL_MOD} != {BPE_EVAL_HOLD}"
+        )
+        words = (
+            d.select(F.explode(F.expr(D.tokens_expr("text"))).alias("w"))
+            .where(f"length(w) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tbl = T.bpe_merge_table(words, BPE_MERGES)
+        _MODEL_CACHE[key] = [(r["a"], r["b"]) for r in tbl.collect()]
+    return _MODEL_CACHE[key]
+
+
+def x5_bpe_compression(spark, sf_dir):
+    """Held-out BPE compression + OOV evaluation (operators/text.py:
+    bpe_oov_report): train the merge table on 80% of docs (doc_id %
+    5 != 4), encode the held-out 20%'s word dictionary with it, and
+    report per language the token/char/piece volumes, chars-per-piece
+    (the compression factor over the character baseline, which is 1.0
+    by definition) and the OOV-piece rate against the trained symbol
+    vocabulary (training alphabet + merged pieces) — the held-out
+    generalization numbers behind a tokenizer launch decision. On this
+    corpus every language shares the training alphabet, so oov_rate is
+    honestly 0 (the unit test injects an unseen char to pin the OOV
+    path actually firing).
+
+    Scale shape: both splits collapse to word-TYPE dictionaries first
+    (the x5_bpe_train discipline); the vocabulary frame is
+    alphabet+merges-sized and broadcast; the encoded held-out
+    dictionary is localCheckpointed once and feeds the two bounded
+    aggregates. No corpus-sized shuffle beyond the two dictionary
+    groupBys."""
+    d = _docs(spark, sf_dir)
+    merges = _bpe_split_merges_cached(spark, sf_dir)
+    train = d.where(f"doc_id % {BPE_EVAL_MOD} != {BPE_EVAL_HOLD}")
+    alpha = (
+        train.select(F.explode(F.expr(D.tokens_expr("text"))).alias("w"))
+        .where(f"length(w) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}")
+        .selectExpr(
+            "explode(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1))) AS v"
+        )
+        .distinct()
+    )
+    vocab = (
+        alpha.unionByName(
+            spark.createDataFrame([(a + b,) for a, b in merges], "v string")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # bounded: alphabet + merges
+    )
+    held = (
+        d.where(f"doc_id % {BPE_EVAL_MOD} = {BPE_EVAL_HOLD}")
+        .select("lang", F.explode(F.expr(D.tokens_expr("text"))).alias("w"))
+        .where(f"length(w) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "lang",
+            "n",
+            "length(w) AS chars",
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            " AS syms",
+        )
+    )
+    enc = T.bpe_encode(held, merges).localCheckpoint(
+        eager=False
+    )  # dictionary-sized; feeds both report aggregates
+    return T.bpe_oov_report(enc, vocab).orderBy("lang")
+
+
+EXTENDED_QUERIES["x5_bpe_compression"] = x5_bpe_compression
+
+
+def _bpe_compression_oracle_sql() -> str:
+    """Train-split chain (bh_ prefix) + vocabulary CTE + held-out
+    dictionary carried through the same merges, then the piece/OOV
+    aggregate joined to the word/char aggregate."""
+    ctes = _bpe_train_ctes(
+        "bh_", f"WHERE doc_id % {BPE_EVAL_MOD} != {BPE_EVAL_HOLD}"
+    )
+    merged_sel = "\n      UNION\n      ".join(
+        f"SELECT a || b AS v FROM bh_m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    ctes.append(f"""bhv AS (
+      SELECT DISTINCT s AS v FROM
+        (SELECT unnest(list_transform(generate_series(1, length(w)),
+                i -> substring(w, i, 1))) AS s FROM bh_words)
+      UNION
+      {merged_sel})""")
+    ctes.append(f"""hc0 AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS n, length(w) AS chars,
+             list_transform(generate_series(1, length(w)),
+                            i -> substring(w, i, 1)) AS syms
+      FROM (SELECT lang, tok AS w
+            FROM (SELECT lang, unnest({_TOKS_EXPR}) AS tok FROM documents
+                  WHERE doc_id % {BPE_EVAL_MOD} = {BPE_EVAL_HOLD}) u
+            WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX})
+      GROUP BY lang, w)""")
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(f"""hc{i} AS (
+      SELECT lang, n, chars,
+             string_split(substring(list_reduce(list_prepend('', syms),
+                    (acc, s) -> {_BPE_STEP}), 2), ' ') AS syms
+      FROM hc{i - 1}, bh_m{i})""")
+    ctes.append(f"""hcp AS (
+      SELECT hp.lang, hp.n, bhv.v
+      FROM (SELECT lang, n, unnest(syms) AS piece FROM hc{BPE_MERGES}) hp
+      LEFT JOIN bhv ON hp.piece = bhv.v)""")
+    ctes.append("""hca AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_pieces,
+             CAST(sum(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT)
+               AS oov_pieces
+      FROM hcp GROUP BY 1)""")
+    ctes.append(f"""hcw AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(chars * n) AS BIGINT) AS n_chars
+      FROM hc{BPE_MERGES} GROUP BY 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+    SELECT lang, n_tokens, n_chars, n_pieces, oov_pieces,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4)
+             AS chars_per_piece,
+           round(CAST(oov_pieces AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)
+             AS oov_rate
+    FROM hcw JOIN hca USING (lang) ORDER BY lang"""
+    )
+
+
+EXTENDED_ORACLES["x5_bpe_compression"] = _bpe_compression_oracle_sql()
