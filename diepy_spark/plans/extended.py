@@ -13093,3 +13093,332 @@ def _bpe_compression_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x5_bpe_compression"] = _bpe_compression_oracle_sql()
+
+
+# --- Round-8 nonparametric stats closers: the k-sample extension of
+# x8_mwu and the rank/concordance correlation siblings of x8_theil_sen
+# / x8_mann_kendall. All exact-integer inputs, shared float texts.
+
+# Kruskal-Wallis H from doubled tie-averaged ranks: S = sum_j R_j^2/n_j
+# with R_j = r2_j/2 exact (r2_j <= 2*N*n_j < 2^53 at any tested SF, so
+# the DOUBLE cast is exact); H and the tie correction are the only
+# float layer.
+_KW_S_TERM = (
+    "(CAST({r2} AS DOUBLE) * CAST({r2} AS DOUBLE))"
+    " / (CAST(4 AS DOUBLE) * CAST({n} AS DOUBLE))"
+)
+_KW_H = (
+    "(CAST(12 AS DOUBLE) / (CAST({n} AS DOUBLE)"
+    " * (CAST({n} AS DOUBLE) + 1))) * {s}"
+    " - CAST(3 AS DOUBLE) * (CAST({n} AS DOUBLE) + 1)"
+)
+_KW_CORRECTED = (
+    "({h}) / (CAST(1 AS DOUBLE) - CAST({tie} AS DOUBLE)"
+    " / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " - CAST({n} AS DOUBLE)))"
+)
+
+
+def x8_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test: do the k event types draw their values
+    from the same distribution? The k-sample generalization of x8_mwu
+    (same doubled tie-averaged rank machinery, same tie correction) —
+    the omnibus check a team runs before pairwise rank tests.
+
+    Scale shape — NO global row rank: ranks come from the value-
+    frequency histogram (bounded by the cent DOMAIN, not the row
+    count), so the only ordered window runs over the histogram frame
+    (the x8_mwu argument). The per-value tie term rides the first
+    group of each value (row_number over the per-cents partition), so
+    group sums, N and the tie sum all come out of ONE aggregation
+    chain — no 1-row crossJoins (the x8_chisq margin discipline)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("value").isNotNull()).selectExpr(
+        "event_type AS grp",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    hg0 = (
+        e.groupBy("cents", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_g"))
+        .localCheckpoint(eager=False)  # histogram-sized: cents x k
+    )
+    h = hg0.groupBy("cents").agg(F.sum("cnt_g").cast("bigint").alias("cnt"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    # the ordered cumulative window runs over the HISTOGRAM frame only
+    # (bounded by the cent domain — the x8_mwu argument; for an
+    # unbounded value domain swap in x8_sprt's two-pass block cumsum);
+    # checkpointed like x8_mwu's hd so downstream lineage stays flat.
+    hd = (
+        h.select(
+            "cents",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("before"),
+        )
+        .selectExpr("cents", "cnt", "2 * (before + 1) + cnt - 1 AS d")
+        .localCheckpoint(eager=False)
+    )
+    wg = Window.partitionBy("cents").orderBy("grp")
+    j0 = hg0.join(F.broadcast(hd), "cents").withColumn(
+        "rn", F.row_number().over(wg)
+    )
+    rg = j0.groupBy("grp").agg(
+        F.expr("sum(cnt_g * d)").cast("bigint").alias("r2"),
+        F.sum("cnt_g").cast("bigint").alias("n"),
+        F.expr(
+            "sum(CASE WHEN rn = 1 THEN cnt * cnt * cnt - cnt ELSE 0 END)"
+        ).cast("bigint").alias("tie_g"),
+    )
+    s_term = _KW_S_TERM.format(r2="x.r2", n="x.n")
+    packed = rg.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(grp, r2, n))),"
+            f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({s_term}))"
+        ).alias("s"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("tie_g").cast("bigint").alias("tie"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    h_expr = _KW_H.format(n="nn", s="s")
+    return packed.selectExpr(
+        "k",
+        "nn AS n",
+        "tie",
+        "k - 1 AS dof",
+        f"round({h_expr}, 6) AS h",
+        f"round({_KW_CORRECTED.format(h=h_expr, n='nn', tie='tie')}, 6)"
+        " AS h_corrected",
+    )
+
+
+EXTENDED_QUERIES["x8_kruskal_wallis"] = x8_kruskal_wallis
+
+EXTENDED_ORACLES["x8_kruskal_wallis"] = f"""
+    WITH kw0 AS (
+      SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    kwg AS (SELECT cents, grp, CAST(count(*) AS BIGINT) AS cnt_g
+            FROM kw0 GROUP BY 1, 2),
+    kwh AS (SELECT cents, CAST(sum(cnt_g) AS BIGINT) AS cnt
+            FROM kwg GROUP BY 1),
+    kwd AS (SELECT cents, cnt,
+                   COALESCE(CAST(sum(cnt) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS before
+            FROM kwh),
+    kwd2 AS (SELECT cents, cnt, 2 * (before + 1) + cnt - 1 AS d FROM kwd),
+    kwj AS (SELECT g.grp, g.cnt_g, d.cnt, d.d,
+                   CAST(row_number() OVER (PARTITION BY g.cents
+                                           ORDER BY g.grp) AS INT) AS rn
+            FROM kwg g JOIN kwd2 d USING (cents)),
+    kwr AS (SELECT grp, CAST(sum(cnt_g * d) AS BIGINT) AS r2,
+                   CAST(sum(cnt_g) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN rn = 1 THEN cnt * cnt * cnt - cnt
+                            ELSE 0 END) AS BIGINT) AS tie_g
+            FROM kwj GROUP BY 1),
+    kwp AS (SELECT list_sum(list(
+                     ({_KW_S_TERM.format(r2="r2", n="n")}) ORDER BY grp))
+                     AS s,
+                   CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(tie_g) AS BIGINT) AS tie,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM kwr)
+    SELECT k, nn AS n, tie, k - 1 AS dof,
+           round({_KW_H.format(n="nn", s="s")}, 6) AS h,
+           round({_KW_CORRECTED.format(
+               h=_KW_H.format(n="nn", s="s"), n="nn", tie="tie")}, 6)
+             AS h_corrected
+    FROM kwp
+"""
+
+
+def _daily_cv(spark, sf_dir):
+    """Per-(event_type, day) volume/revenue frame shared by the
+    Spearman and Kendall queries — bounded by types x calendar days."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("cents").cast("bigint").alias("v"),
+        )
+        .localCheckpoint(eager=False)  # bounded: types x calendar days
+    )
+
+
+_DAILY_CV_SQL = f"""(
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(cents) AS BIGINT) AS v
+      FROM (SELECT event_type,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV}
+                        AS BIGINT) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL)
+      GROUP BY 1, 2)"""
+
+
+def x8_spearman(spark, sf_dir):
+    """Spearman rank correlation per event_type between daily volume
+    and daily revenue — "do high-traffic days also earn more?" asked
+    robustly (Pearson on tie-averaged ranks: monotone association,
+    immune to heavy-tailed revenue days). Rank sibling of
+    x8_kendall_tau (same question via concordance) and the bivariate
+    complement of x8_mann_kendall.
+
+    Exactness: DOUBLED tie-averaged ranks (2*minrank + ties - 1, the
+    x8_mwu idiom) keep every moment sum an exact BIGINT; rho is the
+    shared _PEARSON_R text over those sums — one float formula at the
+    end. Scale shape: one corpus aggregate collapses to the bounded
+    daily frame; all windows partition by event_type within it."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = _daily_cv(spark, sf_dir)
+    wc = Window.partitionBy("event_type").orderBy("c")
+    wtc = Window.partitionBy("event_type", "c")
+    wv = Window.partitionBy("event_type").orderBy("v")
+    wtv = Window.partitionBy("event_type", "v")
+    r = d.select(
+        "event_type",
+        (
+            2 * F.rank().over(wc).cast("bigint")
+            + F.count(F.lit(1)).over(wtc).cast("bigint")
+            - 1
+        ).alias("dx"),
+        (
+            2 * F.rank().over(wv).cast("bigint")
+            + F.count(F.lit(1)).over(wtv).cast("bigint")
+            - 1
+        ).alias("dy"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.expr("sum(dx * dx)").cast("bigint").alias("sxx"),
+        F.expr("sum(dy * dy)").cast("bigint").alias("syy"),
+        F.expr("sum(dx * dy)").cast("bigint").alias("sxy"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n AS n_days",
+        f"round({_PEARSON_R}, 6) AS rho",
+    ).orderBy("event_type")
+
+
+EXTENDED_QUERIES["x8_spearman"] = x8_spearman
+
+EXTENDED_ORACLES["x8_spearman"] = f"""
+    WITH spd AS {_DAILY_CV_SQL},
+    spr AS (
+      SELECT event_type,
+             2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY c)
+                      AS BIGINT)
+               + CAST(count(*) OVER (PARTITION BY event_type, c) AS BIGINT)
+               - 1 AS dx,
+             2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY v)
+                      AS BIGINT)
+               + CAST(count(*) OVER (PARTITION BY event_type, v) AS BIGINT)
+               - 1 AS dy
+      FROM spd
+    ),
+    spm AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM spr GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, round({_PEARSON_R}, 6) AS rho
+    FROM spm ORDER BY event_type
+"""
+
+
+# tau-b = (C - D) / (sqrt(n0 - tx) * sqrt(n0 - ty)): every operand an
+# exact pair count; the split-sqrt form is the shared text (sqrt IS
+# correctly rounded — the x10_epoch_plan lesson).
+_TAU_B = (
+    "(CAST({c} AS DOUBLE) - CAST({d} AS DOUBLE))"
+    " / (sqrt(CAST({n0} - {tx} AS DOUBLE))"
+    " * sqrt(CAST({n0} - {ty} AS DOUBLE)))"
+)
+
+
+def x8_kendall_tau(spark, sf_dir):
+    """Kendall tau-b per event_type between daily volume and daily
+    revenue — the concordance twin of x8_spearman (same monotone-
+    association question; tau's pairwise form is what x8_mann_kendall
+    already computes against TIME, generalized here to two measured
+    series, with the tau-b tie normalization).
+
+    Exactness: concordant/discordant/tied are exact pair counts off
+    the same bounded all-pairs join x8_theil_sen uses (O(days^2) on
+    the calendar frame, never on events rows); tau-b is one shared
+    float formula. Scale shape: corpus -> daily frame in one map-side-
+    combined aggregate; the pair join runs on the bounded frame."""
+    tune(spark)
+    d = _daily_cv(spark, sf_dir)
+    a = d.selectExpr("event_type", "day AS d1", "c AS c1", "v AS v1")
+    b = d.selectExpr("event_type AS et2", "day AS d2", "c AS c2", "v AS v2")
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d2") > F.col("d1"))
+    )
+    g = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.expr(
+            "sum(CASE WHEN (c2 - c1) * (v2 - v1) > 0 THEN 1 ELSE 0 END)"
+        ).cast("bigint").alias("conc"),
+        F.expr(
+            "sum(CASE WHEN (c2 - c1) * (v2 - v1) < 0 THEN 1 ELSE 0 END)"
+        ).cast("bigint").alias("disc"),
+        F.expr("sum(CASE WHEN c2 = c1 THEN 1 ELSE 0 END)")
+        .cast("bigint").alias("tx"),
+        F.expr("sum(CASE WHEN v2 = v1 THEN 1 ELSE 0 END)")
+        .cast("bigint").alias("ty"),
+    )
+    tau = _TAU_B.format(c="conc", d="disc", n0="n0", tx="tx", ty="ty")
+    return g.selectExpr(
+        "event_type",
+        "n0 AS n_pairs",
+        "conc",
+        "disc",
+        "tx",
+        "ty",
+        f"round({tau}, 6) AS tau_b",
+    ).orderBy("event_type")
+
+
+EXTENDED_QUERIES["x8_kendall_tau"] = x8_kendall_tau
+
+EXTENDED_ORACLES["x8_kendall_tau"] = f"""
+    WITH ktd AS {_DAILY_CV_SQL},
+    ktp AS (
+      SELECT a.event_type,
+             CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN (b.c - a.c) * (b.v - a.v) > 0 THEN 1
+                      ELSE 0 END) AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN (b.c - a.c) * (b.v - a.v) < 0 THEN 1
+                      ELSE 0 END) AS BIGINT) AS disc,
+             CAST(sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty
+      FROM ktd a JOIN ktd b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY 1
+    )
+    SELECT event_type, n0 AS n_pairs, conc, disc, tx, ty,
+           round({_TAU_B.format(
+               c="conc", d="disc", n0="n0", tx="tx", ty="ty")}, 6) AS tau_b
+    FROM ktp ORDER BY event_type
+"""
