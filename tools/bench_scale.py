@@ -1,0 +1,106 @@
+"""Scale ladder: bench the heaviest queries at sf0.1 vs synthesized sf1.
+
+Runs the 10 most expensive non-streaming queries (by BENCHDETAIL) at
+sf0.1 and at the 10x re-keyed sf1 (tools/make_sf1.py), two runs each,
+min taken, in ONE process (warm JVM for both tiers — the comparison is
+plan growth, not session startup). Writes BENCHSCALE.json:
+
+  {"data_ratio": 10, "queries": {name: {"sf0.1": s, "sf1": s,
+   "ratio": r}}, ...}
+
+ratio ~ 10 = linear in data; well under 10 = fixed overhead dominates
+at this size; well over 10 = superlinear term — the thing this ladder
+exists to catch (candidates: HyperBall register joins, suffix-array
+doubling rounds, all-pairs stages).
+
+Usage: python tools/bench_scale.py [sf_small_dir] [sf_big_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "x11_hyperball",
+    "x1_suffix_array",
+    "x10_training_corpus",
+    "x11_ppr",
+    "x11_modularity",
+    "x11_pagerank",
+    "x3_pq_vs_rq_recall",
+    "x11_label_prop",
+    "x11_hits",
+    "x11_triangle_count",
+]
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        here, "spark-warehouse", "sf1"
+    )
+    if not os.path.isdir(big):
+        raise SystemExit(f"{big} missing - run tools/make_sf1.py first")
+
+    # 10x the data in one local JVM: the default 8g heap dies in
+    # GCLocker retries under the iterative graph queries at sf1.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
+    from diepy_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("diepy-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    # warmup on both tiers so neither absorbs JVM/codegen startup
+    qs["r9_distinct"](spark, small).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    qs["r9_distinct"](spark, big).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in HEAVY:
+        s = run(name, small)
+        b = run(name, big)
+        out[name] = {
+            "sf0.1": s,
+            "sf1": b,
+            "ratio": round(b / s, 2) if s > 0 else None,
+        }
+        print(f"{name:28s} sf0.1={s:7.2f}s sf1={b:7.2f}s ratio={out[name]['ratio']}")
+
+    payload = {
+        "data_ratio": 10,
+        "small_dir": small,
+        "big_dir": big,
+        "queries": out,
+        "note": "min of 2 runs each, one warm process; sf1 = 10x re-keyed "
+        "replication of sf0.1 (tools/make_sf1.py)",
+    }
+    path = os.path.join(here, "BENCHSCALE.json")
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
