@@ -985,3 +985,131 @@ def bpe_oov_report(enc: DataFrame, vocab: DataFrame) -> DataFrame:
         "round(CAST(oov_pieces AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)"
         " AS oov_rate",
     )
+
+
+# --- Unigram-LM tokenizer (SentencePiece-style, Kudo 2018 "Subword
+# Regularization" — the public algorithm), hard-EM (Viterbi-EM)
+# variant. The driver-side trainer below runs on the COLLECTED top-K
+# word-type dictionary (SentencePiece itself trains on a capped
+# sentence sample); the distributed encode in plans/extended.py
+# replays the learned integer score table exactly.
+
+UNI_MAX_PIECE = 4          # max piece length considered
+UNI_VOCAB = 40             # multi-char pieces kept in the seed vocab
+UNI_MISS = -(10**12)       # score for a piece outside the vocabulary
+
+# Integer log-quantization ladder: score(f, T) = -#{k : f <= (T*2^30)
+# div R_k} with R_k = round(2^(k/UNI_MU) * 2^30) — i.e. -floor-ish of
+# UNI_MU*log2(T/f) computed by EXACT integer comparisons against
+# rational rungs (no ln/pow ever runs inside either engine, so
+# cross-engine float drift is impossible by construction). UNI_MU=64
+# gives 1/64-bit resolution; UNI_OCTAVES bounds the ladder (scores
+# saturate at -UNI_MU*UNI_OCTAVES — the standard min-prob floor).
+# Bound: T * 2^30 must stay under 2^63, i.e. T < 8.6e9 total piece
+# occurrences; beyond that drop UNI_SHIFT (and rescale R_k) — the
+# rungs stay exact at any scale.
+UNI_MU = 64
+UNI_OCTAVES = 23
+UNI_SHIFT = 1 << 30
+UNI_LADDER: list[int] = [
+    round(2 ** (k / UNI_MU) * UNI_SHIFT)
+    for k in range(1, UNI_MU * UNI_OCTAVES + 1)
+]
+
+# Viterbi state packing: c = s*64 - np (s = summed integer score, np =
+# piece count <= 16 < 64). max(c) is exactly lexicographic max on
+# (s, -np), and the DP transition collapses to c_j + score*64 - 1 —
+# one BIGINT per cell, portable verbatim to Spark SQL and DuckDB.
+UNI_PACK = 64
+
+
+def unigram_score_from_freq(freq: int, total: int) -> int:
+    """The ladder quantization, driver-side mirror of the SQL filter-
+    count expression: -#{k: freq <= (total * UNI_SHIFT) div R_k}."""
+    ts = total * UNI_SHIFT
+    return -sum(1 for r in UNI_LADDER if freq <= ts // r)
+
+
+def unigram_seed(words: list[tuple[str, int]]) -> dict[str, int]:
+    """Seed vocabulary from a word-type frequency dictionary: every
+    substring of length 1..UNI_MAX_PIECE with occurrence-weighted
+    frequency; all single chars kept (coverage requirement), plus the
+    top UNI_VOCAB multi-char pieces by (freq desc, piece) — the same
+    selection x5_unigram_train declares and hash-checks."""
+    freq: dict[str, int] = {}
+    for w, n in words:
+        L = len(w)
+        for i in range(L):
+            for k in range(1, min(UNI_MAX_PIECE, L - i) + 1):
+                p = w[i : i + k]
+                freq[p] = freq.get(p, 0) + n
+    single = {p: f for p, f in freq.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in freq.items() if len(p) > 1),
+        key=lambda pf: (-pf[1], pf[0]),
+    )[:UNI_VOCAB]
+    out = dict(single)
+    out.update(dict(multi))
+    return out
+
+
+def unigram_scores(pieces: dict[str, int]) -> dict[str, int]:
+    """Integer ladder-quantized log-probs (unigram_score_from_freq)
+    for a piece-frequency table — identical arithmetic to the SQL
+    expression both engines run, so the Python EM layer and the
+    declared encode query share one score definition."""
+    total = sum(pieces.values())
+    return {p: unigram_score_from_freq(f, total) for p, f in pieces.items()}
+
+
+def unigram_viterbi(word: str, scores: dict[str, int]) -> tuple[int, list[str]]:
+    """Best segmentation under the packed-integer DP (the exact rule
+    the SQL encode replays): returns (packed c for best[L], pieces).
+    Backtrace tie-break: smallest k wins among equal packed values —
+    only the M-step counts see the backtrace; the declared queries
+    consume only the packed value, which is tie-free by construction."""
+    L = len(word)
+    best = [0] + [None] * L
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        bc, bk = None, None
+        for k in range(1, min(UNI_MAX_PIECE, i) + 1):
+            s = scores.get(word[i - k : i], UNI_MISS)
+            c = best[i - k] + s * UNI_PACK - 1
+            if bc is None or c > bc:
+                bc, bk = c, k
+        best[i], back[i] = bc, bk
+    pieces = []
+    i = L
+    while i > 0:
+        k = back[i]
+        pieces.append(word[i - k : i])
+        i -= k
+    return best[L], pieces[::-1]
+
+
+def unigram_train_em(
+    words: list[tuple[str, int]], iters: int = 2
+) -> list[tuple[str, int]]:
+    """Hard-EM (Viterbi-EM) unigram trainer: E-step segments every
+    word type under the current integer scores; M-step re-estimates
+    piece frequencies from the segmentations (type-frequency
+    weighted), dropping multi-char pieces that won no occurrences
+    (the pruning step) and flooring every observed single char at
+    count 1 (character coverage — SentencePiece's required-char set).
+    Deterministic end to end: integer scores, deterministic DP
+    tie-break, sorted iteration. Returns the final score table sorted
+    by (score desc, piece)."""
+    pieces = unigram_seed(words)
+    alphabet = {p for p in pieces if len(p) == 1}
+    for _ in range(iters):
+        scores = unigram_scores(pieces)
+        counts: dict[str, int] = {}
+        for w, n in sorted(words):
+            for p in unigram_viterbi(w, scores)[1]:
+                counts[p] = counts.get(p, 0) + n
+        pieces = {p: c for p, c in counts.items() if c > 0}
+        for ch in sorted(alphabet):
+            pieces.setdefault(ch, 1)
+    final = unigram_scores(pieces)
+    return sorted(final.items(), key=lambda ps: (-ps[1], ps[0]))

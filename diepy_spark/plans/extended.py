@@ -13422,3 +13422,380 @@ EXTENDED_ORACLES["x8_kendall_tau"] = f"""
                c="conc", d="disc", n0="n0", tx="tx", ty="ty")}, 6) AS tau_b
     FROM ktp ORDER BY event_type
 """
+
+
+# --- Unigram-LM tokenizer (SentencePiece-style, Kudo 2018 "Subword
+# Regularization" — the public algorithm), the second trainer next to
+# BPE. Three layers:
+#  (1) x5_unigram_train: the SEED vocabulary (substring frequencies,
+#      all single chars + top multi-char pieces, probs/ln-probs) —
+#      fully distributed and hash-checked against the SQL mirror;
+#  (2) x5_unigram_encode: DISTRIBUTED Viterbi segmentation of the
+#      word dictionary under integer LADDER-quantized log-probs
+#      derived from that same hash-verified frequency table IN BOTH
+#      ENGINES (operators/text.py:UNI_LADDER — exact rational-rung
+#      comparisons, no ln/pow inside either engine; the one float
+#      pow lives in the ladder literals both engines share). Viterbi
+#      state packs (score_sum, piece_count) into one BIGINT
+#      c = s*64 - np, making max(c) the exact lexicographic argmax
+#      and the whole DP integer arithmetic;
+#  (3) operators/text.py:unigram_train_em — the hard-EM (Viterbi-EM)
+#      refinement on the COLLECTED top-K word types (SentencePiece
+#      itself trains on a capped sample; the model is driver-sized by
+#      definition), same ladder scores and the same packed-DP rule,
+#      pytest-pinned including Spark-vs-Python Viterbi equivalence.
+#      Its artifact is what a production pipeline persists; the
+#      driver's static-oracle contract is why the DECLARED queries
+#      check the seed+encode layers (EM's backtrace is the one step
+#      with no reasonable SQL mirror).
+UNI_DICT_MAX = 2000  # word types collected for driver-side EM
+UNI_EM_ITERS = 2
+
+
+def _unigram_words(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", F.explode(F.expr(D.tokens_expr("text"))).alias("w"))
+        .where(f"length(w) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _unigram_model_cached(spark, sf_dir) -> list[tuple[str, int]]:
+    """EM-refined (piece, integer score) table — memoized like the BPE
+    merges / kmeans centroids (_MODEL_CACHE). Consumed by the EM unit
+    tests and available to library users; the declared encode query
+    scores with the seed ladder (static-oracle contract)."""
+    key = (
+        "unigram", sf_dir, T.UNI_VOCAB, T.UNI_MAX_PIECE,
+        UNI_DICT_MAX, UNI_EM_ITERS,
+    )
+    if key not in _MODEL_CACHE:
+        rows = (
+            _unigram_words(spark, sf_dir)
+            .groupBy("w")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "w")
+            .limit(UNI_DICT_MAX)
+            .collect()
+        )
+        _MODEL_CACHE[key] = T.unigram_train_em(
+            [(r["w"], int(r["n"])) for r in rows], iters=UNI_EM_ITERS
+        )
+    return _MODEL_CACHE[key]
+
+
+_UNI_SUBS = (
+    "explode(flatten(transform(sequence(1, length(w)),"
+    " i0 -> transform(sequence(1, least({mp}, length(w) - i0 + 1)),"
+    " k -> substring(w, i0, k)))))"
+)
+
+
+def x5_unigram_train(spark, sf_dir):
+    """Unigram-LM SEED vocabulary (the distributed, hash-checked layer
+    of the second tokenizer trainer): every substring of length
+    1..UNI_MAX_PIECE of the word-type dictionary with occurrence-
+    weighted frequency; all single chars kept (character coverage)
+    plus the top UNI_VOCAB multi-char pieces by (freq desc, piece);
+    probabilities and ln-probs over the selected vocabulary (ln at
+    round-6 — the entropy idiom; the ENCODE path never touches these
+    floats, it uses the integer ladder).
+
+    Scale shape: corpus -> word-type dictionary in one shuffle (the
+    BPE discipline), substring explode bounded by dict size x L x
+    UNI_MAX_PIECE; the rank window partitions by the length class
+    (never a SinglePartition exchange); the normalizer comes from the
+    pack-array/explode shape — zero joins."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    wd = (
+        _unigram_words(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    subs = wd.selectExpr(
+        "n", _UNI_SUBS.format(mp=T.UNI_MAX_PIECE) + " AS piece"
+    )
+    pf = subs.groupBy("piece").agg(F.sum("n").cast("bigint").alias("freq"))
+    wr = Window.partitionBy("is_multi").orderBy(F.col("freq").desc(), "piece")
+    sel = (
+        pf.withColumn("is_multi", F.expr("length(piece) > 1"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(f"NOT is_multi OR rk <= {T.UNI_VOCAB}")
+    )
+    packed = sel.agg(
+        F.expr("collect_list(struct(piece, freq))").alias("pl"),
+        F.sum("freq").cast("bigint").alias("tot"),
+    )
+    return (
+        packed.select(F.explode("pl").alias("x"), "tot")
+        .selectExpr(
+            "x.piece AS piece",
+            "CAST(length(x.piece) AS INT) AS plen",
+            "x.freq AS freq",
+            "round(CAST(x.freq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob",
+            "round(ln(CAST(x.freq AS DOUBLE) / CAST(tot AS DOUBLE)), 6)"
+            " AS ln_p",
+        )
+        .orderBy(F.col("freq").desc(), "piece")
+    )
+
+
+EXTENDED_QUERIES["x5_unigram_train"] = x5_unigram_train
+
+# The seed-vocabulary CTE chain (word dict -> substring freqs -> class-
+# ranked selection -> normalizer), shared by the train and encode
+# oracles. ug prefix, collision-free.
+_UNI_SEED_CTES = f"""ug0 AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({{toks}}) AS tok FROM documents) u
+      WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}
+      GROUP BY 1
+    ),
+    ugs AS (
+      SELECT p.piece AS piece, CAST(sum(n) AS BIGINT) AS freq
+      FROM ug0, LATERAL (SELECT unnest(flatten(list_transform(
+           generate_series(1, length(w)),
+           i0 -> list_transform(
+                 generate_series(1, least({T.UNI_MAX_PIECE},
+                                          length(w) - i0 + 1)),
+                 k -> substring(w, i0, k))))) AS piece) p
+      GROUP BY 1
+    ),
+    ugr AS (
+      SELECT piece, freq,
+             CAST(row_number() OVER (PARTITION BY length(piece) > 1
+                  ORDER BY freq DESC, piece) AS INT) AS rk
+      FROM ugs
+    ),
+    ugsel AS (SELECT piece, freq FROM ugr
+              WHERE length(piece) = 1 OR rk <= {T.UNI_VOCAB}),
+    ugt AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM ugsel)"""
+
+
+def _uni_seed_ctes() -> str:
+    return _UNI_SEED_CTES.format(toks=_TOKS_EXPR)
+
+
+EXTENDED_ORACLES["x5_unigram_train"] = f"""
+    WITH {_uni_seed_ctes()}
+    SELECT piece, CAST(length(piece) AS INT) AS plen, freq,
+           round(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob,
+           round(ln(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS ln_p
+    FROM ugsel, ugt ORDER BY freq DESC, piece
+"""
+
+
+def _uni_score_sql(array_open: str, array_close: str, size_fn: str,
+                   filter_fn: str, div_op: str) -> str:
+    """The ladder score as an engine expression over columns (freq,
+    tot): -#rungs passed. The rung literals are the ONE shared model
+    constant (operators/text.py:UNI_LADDER)."""
+    items = ", ".join(str(r) for r in T.UNI_LADDER)
+    return (
+        f"-{size_fn}({filter_fn}({array_open}{items}{array_close},"
+        f" r -> freq <= (tot * {T.UNI_SHIFT}) {div_op} r))"
+    )
+
+
+def x5_unigram_encode(spark, sf_dir):
+    """Distributed Viterbi segmentation of the full word-type
+    dictionary under the seed unigram-LM — the per-language
+    fertility/likelihood report of the second tokenizer (the unigram
+    sibling of x5_bpe_apply): tokens, chars, pieces, pieces-per-token,
+    mean piece length and mean bits per piece.
+
+    Exactness: piece scores are integer ladder quantizations of
+    log2(prob) derived from the hash-verified seed frequencies by
+    exact rational-rung comparisons (no ln/pow in either engine); the
+    DP packs (score_sum, piece_count) into one BIGINT (c = s*64 - np,
+    np <= 16 < 64) so best-path selection is plain integer max, and
+    decode is portable mod/div arithmetic. Ladder bound: tot *
+    UNI_SHIFT < 2^63 holds to ~8.6e9 piece occurrences; past that,
+    lower UNI_SHIFT (rungs stay exact at any scale).
+
+    Scale shape: the scored vocabulary is vocabulary-sized,
+    checkpointed (THE persisted tokenizer artifact) and broadcast
+    into the grid join; the score grid is one explode bounded by
+    dict x 16 x UNI_MAX_PIECE cells; the DP is a zero-shuffle per-row
+    fold; the final report is one map-side-combined aggregate."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    wl = _unigram_words(spark, sf_dir)
+    key = (
+        "uniscored", spark.sparkContext.applicationId, sf_dir,
+        T.UNI_VOCAB, T.UNI_MAX_PIECE, T.UNI_MU, T.UNI_OCTAVES,
+    )
+    if key not in _MODEL_CACHE:
+        wd = wl.groupBy("w").agg(F.sum("n").cast("bigint").alias("n"))
+        subs = wd.selectExpr(
+            "n", _UNI_SUBS.format(mp=T.UNI_MAX_PIECE) + " AS piece"
+        )
+        pf = subs.groupBy("piece").agg(
+            F.sum("n").cast("bigint").alias("freq")
+        )
+        wr = Window.partitionBy("is_multi").orderBy(
+            F.col("freq").desc(), "piece"
+        )
+        sel = (
+            pf.withColumn("is_multi", F.expr("length(piece) > 1"))
+            .withColumn("rk", F.row_number().over(wr))
+            .where(f"NOT is_multi OR rk <= {T.UNI_VOCAB}")
+        )
+        packed = sel.agg(
+            F.expr("collect_list(struct(piece, freq))").alias("pl"),
+            F.sum("freq").cast("bigint").alias("tot"),
+        )
+        sc_expr = _uni_score_sql("array(", ")", "size", "filter", "div")
+        _MODEL_CACHE[key] = (
+            packed.select(F.explode("pl").alias("x"), "tot")
+            .selectExpr("x.piece AS piece", "x.freq AS freq", "tot")
+            .selectExpr("piece", f"CAST({sc_expr} AS BIGINT) AS sc")
+            .localCheckpoint(eager=False)  # the persisted tokenizer
+        )
+    scored = _MODEL_CACHE[key]
+    wd2 = wl.select("w").distinct()
+    grid = wd2.selectExpr(
+        "w",
+        "explode(flatten(transform(sequence(1, length(w)),"
+        f" i0 -> transform(sequence(1, {T.UNI_MAX_PIECE}),"
+        " k -> named_struct('i0', i0, 'k', k))))) AS cell",
+    ).selectExpr(
+        "w",
+        "cell.i0 AS i0",
+        "cell.k AS k",
+        "CASE WHEN cell.i0 + cell.k - 1 <= length(w)"
+        " THEN substring(w, cell.i0, cell.k) END AS piece",
+    )
+    g2 = grid.join(F.broadcast(scored), "piece", "left").selectExpr(
+        "w", "i0", "k", f"CAST(coalesce(sc, {T.UNI_MISS}) AS BIGINT) AS sc"
+    )
+    sarr = g2.groupBy("w").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, k, sc))),"
+            " x -> x.sc)"
+        ).alias("sc")
+    )
+    pk = T.UNI_PACK
+    mp = T.UNI_MAX_PIECE
+    cands = ", ".join(
+        f"CASE WHEN {k} <= i THEN element_at(acc, i - {k} + 1)"
+        f" + element_at(sc, (i - {k}) * {mp} + {k}) * {pk} - 1"
+        " ELSE NULL END"
+        for k in range(1, mp + 1)
+    )
+    dp = (
+        "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),"
+        f" (acc, i) -> concat(acc, array(greatest({cands}))),"
+        " acc -> element_at(acc, length(w) + 1))"
+    )
+    dec = sarr.selectExpr("w", f"{dp} AS c").selectExpr(
+        "w",
+        f"CAST(((-c) % {pk} + {pk}) % {pk} AS BIGINT) AS np",
+        f"CAST((c + ((-c) % {pk} + {pk}) % {pk}) div {pk} AS BIGINT) AS s",
+    )
+    out = (
+        wl.join(dec, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.expr("sum(length(w) * n)").cast("bigint").alias("n_chars"),
+            F.expr("sum(np * n)").cast("bigint").alias("n_pieces"),
+            F.expr("sum(s * n)").cast("bigint").alias("score_sum"),
+        )
+    )
+    return out.selectExpr(
+        "lang",
+        "n_tokens",
+        "n_chars",
+        "n_pieces",
+        "round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)"
+        " AS pieces_per_token",
+        "round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4)"
+        " AS mean_piece_len",
+        "round(CAST(-score_sum AS DOUBLE) / CAST(n_pieces AS DOUBLE)"
+        f" / {T.UNI_MU}, 6) AS bits_per_piece",
+    ).orderBy("lang")
+
+
+EXTENDED_QUERIES["x5_unigram_encode"] = x5_unigram_encode
+
+
+def _unigram_encode_oracle_sql() -> str:
+    """Seed CTE chain + ladder scores + the DuckDB form of the packed-
+    integer DP (list_reduce over [i]-singleton lists so the
+    accumulator type matches the element type)."""
+    pk = T.UNI_PACK
+    mp = T.UNI_MAX_PIECE
+    sc_expr = _uni_score_sql("[", "]", "len", "list_filter", "//")
+    cands = ", ".join(
+        f"CASE WHEN {k} <= x[1] THEN acc[x[1] - {k} + 1]"
+        f" + sc[(x[1] - {k}) * {mp} + {k}] * {pk} - 1"
+        " ELSE NULL END"
+        for k in range(1, mp + 1)
+    )
+    dp = (
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)],"
+        " list_transform(generate_series(1, length(w)),"
+        " i -> [CAST(i AS BIGINT)])),"
+        f" (acc, x) -> list_append(acc, greatest({cands})))"
+        "[length(w) + 1]"
+    )
+    return f"""
+    WITH {_uni_seed_ctes()},
+    ugsc AS (SELECT piece, CAST({sc_expr} AS BIGINT) AS sc
+             FROM ugsel, ugt),
+    ue0 AS (
+      SELECT lang, tok AS w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT lang, unnest({_TOKS_EXPR}) AS tok FROM documents) u
+      WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}
+      GROUP BY 1, 2
+    ),
+    uew AS (SELECT DISTINCT w FROM ue0),
+    ueg0 AS (
+      SELECT w, ((p.j - 1) // {mp}) + 1 AS i0, ((p.j - 1) % {mp}) + 1 AS k
+      FROM uew, LATERAL (SELECT unnest(generate_series(1,
+           length(w) * {mp})) AS j) p
+    ),
+    ueg AS (
+      SELECT w, i0, k,
+             CASE WHEN i0 + k - 1 <= length(w)
+                  THEN substring(w, i0, k) END AS piece
+      FROM ueg0
+    ),
+    ues AS (
+      SELECT g.w, g.i0, g.k,
+             CAST(coalesce(ugsc.sc, {T.UNI_MISS}) AS BIGINT) AS sc
+      FROM ueg g LEFT JOIN ugsc ON g.piece = ugsc.piece
+    ),
+    uea AS (SELECT w, list(sc ORDER BY i0, k) AS sc FROM ues GROUP BY 1),
+    ued AS (SELECT w, {dp} AS c FROM uea),
+    uedec AS (
+      SELECT w,
+             CAST(((-c) % {pk} + {pk}) % {pk} AS BIGINT) AS np,
+             CAST((c + ((-c) % {pk} + {pk}) % {pk}) // {pk} AS BIGINT) AS s
+      FROM ued
+    ),
+    ueout AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(length(w) * n) AS BIGINT) AS n_chars,
+             CAST(sum(np * n) AS BIGINT) AS n_pieces,
+             CAST(sum(s * n) AS BIGINT) AS score_sum
+      FROM ue0 JOIN uedec USING (w) GROUP BY 1
+    )
+    SELECT lang, n_tokens, n_chars, n_pieces,
+           round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+             AS pieces_per_token,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4)
+             AS mean_piece_len,
+           round(CAST(-score_sum AS DOUBLE) / CAST(n_pieces AS DOUBLE)
+                 / {T.UNI_MU}, 6) AS bits_per_piece
+    FROM ueout ORDER BY lang
+"""
+
+
+EXTENDED_ORACLES["x5_unigram_encode"] = _unigram_encode_oracle_sql()

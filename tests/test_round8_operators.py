@@ -71,3 +71,80 @@ def test_compression_heldout_split(spark, sf_oracle):
         assert r.chars_per_piece > 1.0
         # shared alphabet corpus: OOV honestly zero
         assert r.oov_pieces == 0 and r.oov_rate == 0.0
+
+
+# --- unigram-LM tokenizer (round 8) ---
+
+import math
+
+from diepy_spark.operators.text import (
+    UNI_MU,
+    unigram_score_from_freq,
+    unigram_scores,
+    unigram_seed,
+    unigram_train_em,
+    unigram_viterbi,
+)
+
+
+def test_unigram_ladder_matches_log2():
+    # the integer rung count tracks UNI_MU*log2(T/f) within one rung
+    for f, t in [(1, 2), (3, 1000), (7, 7), (1, 1 << 20), (123, 456789)]:
+        got = -unigram_score_from_freq(f, t)
+        want = UNI_MU * math.log2(t / f)
+        assert abs(got - want) <= 1.0 + 1e-9, (f, t, got, want)
+
+
+def test_unigram_viterbi_packing_roundtrip():
+    words = [("abab", 10), ("ab", 5), ("cd", 3)]
+    scores = unigram_scores(unigram_seed(words))
+    for w, _ in words:
+        c, pieces = unigram_viterbi(w, scores)
+        np_ = (-c) % 64
+        s = (c + np_) // 64
+        assert np_ == len(pieces)
+        assert s == sum(scores[p] for p in pieces)
+        assert "".join(pieces) == w
+
+
+def test_unigram_em_learns_dominant_piece():
+    m = dict(unigram_train_em([("abab", 10), ("ab", 5), ("cd", 3)]))
+    # 'abab' dominates the corpus: EM keeps it as the best-scoring piece
+    assert max(m, key=m.get) == "abab"
+    c, pieces = unigram_viterbi("abab", m)
+    assert pieces == ["abab"]
+    # character coverage survives pruning
+    for ch in "abcd":
+        assert ch in m
+
+
+def test_unigram_encode_matches_python_mirror(spark, sf_small):
+    """The distributed packed-integer Viterbi must equal the Python
+    mirror exactly (same ladder scores, same DP rule) on every word of
+    the real dictionary."""
+    from diepy_spark.plans.extended import (
+        _unigram_words,
+        x5_unigram_encode,
+    )
+
+    wl = _unigram_words(spark, sf_small).collect()
+    full = {}
+    for r in wl:
+        full[r.w] = full.get(r.w, 0) + r.n
+    scores = unigram_scores(unigram_seed(sorted(full.items())))
+    want = {}
+    for r in wl:
+        c, pieces = unigram_viterbi(r.w, scores)
+        np_ = (-c) % 64
+        s = (c + np_) // 64
+        a = want.setdefault(r.lang, [0, 0, 0, 0])
+        a[0] += r.n
+        a[1] += len(r.w) * r.n
+        a[2] += np_ * r.n
+        a[3] += s * r.n
+    got = x5_unigram_encode(spark, sf_small).collect()
+    assert {r.lang for r in got} == set(want)
+    for r in got:
+        nt, nc, npc, ss = want[r.lang]
+        assert (r.n_tokens, r.n_chars, r.n_pieces) == (nt, nc, npc)
+        assert abs(r.bits_per_piece - (-ss) / npc / UNI_MU) < 5e-7
