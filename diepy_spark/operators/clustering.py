@@ -1386,3 +1386,66 @@ def hits(
             F.coalesce("a", F.lit(0)).cast("bigint").alias("auth"),
         )
     )
+
+
+def per_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PER-SOURCE BFS distances: (s, node, d) for every seed s and
+    every node within `iterations` hops of it — the centrality-grade
+    sibling of bfs_distances (which merges the seed set into one
+    frontier and loses per-source attribution). Pure integer hop
+    counts; the oracle unrolls the same rounds as chained CTEs.
+
+    Scale shape: per round ONE shuffle join (frontier onto edges by
+    node) and ONE min-aggregate by (s, node) with map-side combine;
+    state is bounded by |seeds| x reached nodes — the seed set is the
+    priced lever, exactly as in Brandes-style sampled centrality. Feed
+    SYMMETRIZED edges for undirected semantics."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_col = seeds.columns[0]
+    dist = seeds.selectExpr(
+        f"{seed_col} AS s", f"{seed_col} AS node", "CAST(0 AS INT) AS d"
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        nxt = dist.join(e, dist.node == e.src).select(
+            "s", F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("s", "node")
+            .agg(F.min("d").cast("int").alias("d"))
+            .localCheckpoint(eager=False)  # per-round lineage cut
+        )
+    return dist
+
+
+def closeness_centrality(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """Closeness centrality for a seed set: (r-1)/sum(d) over the
+    reached ball (standard closeness restricted to the k-hop horizon —
+    the bounded-compute centrality a 100 TB graph actually affords;
+    exact to the true metric whenever the ball covers the component).
+    Exact integer (r, sum d) with one float division at the end."""
+    dist = per_source_bfs(edges, seeds, iterations=iterations)
+    return dist.groupBy("s").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+        F.sum("d").cast("bigint").alias("sum_dist"),
+    ).selectExpr(
+        "s AS node",
+        "n_reached",
+        "sum_dist",
+        "CASE WHEN sum_dist = 0 THEN CAST(0 AS DOUBLE)"
+        " ELSE round(CAST(n_reached AS DOUBLE) / CAST(sum_dist AS DOUBLE),"
+        " 6) END AS closeness",
+    )

@@ -13799,3 +13799,188 @@ def _unigram_encode_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x5_unigram_encode"] = _unigram_encode_oracle_sql()
+
+
+# --- Round-8 closers: bounded-horizon closeness centrality and Holt
+# linear-trend forecasting.
+
+
+def x11_closeness(spark, sf_dir):
+    """Closeness centrality (operators/clustering.py:
+    closeness_centrality) for the BFS_SEED_MAX smallest part nodes
+    over the symmetrized part<->supplier supply graph: per-source BFS
+    to the BFS_ITER-hop horizon, closeness = (reached-1)/sum(dist) —
+    the centrality complement of x11_bfs (which merges seeds into one
+    frontier and loses attribution). Exact integer hop counts and
+    sums; one float division at render; the oracle unrolls the same
+    rounds as chained CTEs (the pagerank pattern). The seed set is
+    the priced compute lever — sampled-seed closeness is exactly how
+    centrality is estimated on graphs too big for all-pairs."""
+    from diepy_spark.operators.clustering import closeness_centrality
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.where(F.col("l_partkey") <= BFS_SEED_MAX)
+        .select((F.col("l_partkey") * 10 + 1).alias("node"))
+        .distinct()
+    )
+    return closeness_centrality(sym, seeds, iterations=BFS_ITER).orderBy(
+        "node"
+    )
+
+
+EXTENDED_QUERIES["x11_closeness"] = x11_closeness
+
+
+def _closeness_oracle_sql() -> str:
+    ctes = [
+        """cle AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT l_partkey * 10 + 1 AS src, l_suppkey * 10 + 2 AS dst
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey * 10 + 2 AS src, l_partkey * 10 + 1 AS dst
+        FROM lineitem) u
+      WHERE src != dst)""",
+        f"""cls AS (
+      SELECT DISTINCT l_partkey * 10 + 1 AS s FROM lineitem
+      WHERE l_partkey <= {BFS_SEED_MAX})""",
+        "cl0 AS (SELECT s, s AS node, CAST(0 AS INT) AS d FROM cls)",
+    ]
+    for i in range(1, BFS_ITER + 1):
+        ctes.append(f"""cl{i} AS (
+      SELECT s, node, CAST(min(d) AS INT) AS d FROM (
+        SELECT s, node, d FROM cl{i - 1}
+        UNION ALL
+        SELECT p.s, e.dst AS node, p.d + 1 AS d
+        FROM cl{i - 1} p JOIN cle e ON e.src = p.node) u
+      GROUP BY 1, 2)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT s AS node,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS sum_dist,
+           CASE WHEN sum(d) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE round(CAST(count(*) - 1 AS DOUBLE)
+                           / CAST(sum(d) AS DOUBLE), 6) END AS closeness
+    FROM cl{BFS_ITER} GROUP BY 1 ORDER BY node"""
+    )
+
+
+EXTENDED_ORACLES["x11_closeness"] = _closeness_oracle_sql()
+
+
+# Holt double-exponential smoothing (additive level+trend), dyadic
+# coefficients (alpha=0.5, beta=0.25 — exact halving/quartering) so
+# every step is the identical IEEE op sequence in both engines; the
+# state rides an array<double> [level, trend, sum_abs_err] through an
+# ordered fold (the EWMA list_reduce idiom, extended to 2-state).
+_HW_STEP = (
+    "CAST(0.5 AS DOUBLE) * {x} + CAST(0.5 AS DOUBLE) * ({l} + {b})"
+)
+_HW_TREND = (
+    "CAST(0.25 AS DOUBLE) * (({nl}) - {l}) + CAST(0.75 AS DOUBLE) * {b}"
+)
+_HW_SAE = "{sae} + abs({x} - ({l} + {b}))"
+
+
+def x8_holt_linear(spark, sf_dir):
+    """Holt linear-trend forecast per event_type over the daily
+    revenue series — the FORECASTING closer of the time-series panel
+    (x8_acf measures structure, x8_mann_kendall/theil_sen test and
+    size the trend, r52_ewma smooths the level; this extrapolates):
+    level/trend recurrence l_t = a*x_t + (1-a)(l+b), b_t = g*(l_t-l)
+    + (1-g)*b with dyadic a=0.5, g=0.25, one-step-ahead MAE as the
+    backtest metric, and the next-day forecast l+b.
+
+    Exactness: the fold body is ONE shared expression text evaluated
+    in array order (day order) in both engines — the r52_ewma
+    IEEE-identity argument extended to two-state; inputs are exact
+    cents-as-double. Scale shape: corpus collapses to the bounded
+    (type x day) frame in one map-side-combined aggregate; the
+    recurrence is a zero-shuffle per-group fold."""
+    tune(spark)
+    d = _daily_cv(spark, sf_dir)
+    g = d.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))),"
+            " p -> CAST(p.v AS DOUBLE))"
+        ).alias("vals")
+    ).where("size(vals) >= 3")
+    step = _HW_STEP.format(
+        x="x", l="element_at(acc, 1)", b="element_at(acc, 2)"
+    )
+    trend = _HW_TREND.format(
+        nl=step, l="element_at(acc, 1)", b="element_at(acc, 2)"
+    )
+    sae = _HW_SAE.format(
+        x="x", l="element_at(acc, 1)", b="element_at(acc, 2)",
+        sae="element_at(acc, 3)",
+    )
+    dp = (
+        "aggregate(slice(vals, 3, size(vals) - 2),"
+        " array(element_at(vals, 2),"
+        " element_at(vals, 2) - element_at(vals, 1),"
+        " CAST(0 AS DOUBLE)),"
+        f" (acc, x) -> array({step}, {trend}, {sae}))"
+    )
+    out = g.selectExpr(
+        "event_type",
+        "CAST(size(vals) AS BIGINT) AS n_days",
+        f"{dp} AS st",
+    )
+    return out.selectExpr(
+        "event_type",
+        "n_days",
+        "round(element_at(st, 1), 6) AS level",
+        "round(element_at(st, 2), 6) AS trend",
+        "round(element_at(st, 1) + element_at(st, 2), 6) AS forecast",
+        "round(element_at(st, 3) / CAST(n_days - 2 AS DOUBLE), 6) AS mae",
+    ).orderBy("event_type")
+
+
+EXTENDED_QUERIES["x8_holt_linear"] = x8_holt_linear
+
+
+def _holt_oracle_sql() -> str:
+    step = _HW_STEP.format(x="x[1]", l="acc[1]", b="acc[2]")
+    trend = _HW_TREND.format(nl=step, l="acc[1]", b="acc[2]")
+    sae = _HW_SAE.format(x="x[1]", l="acc[1]", b="acc[2]", sae="acc[3]")
+    dp = (
+        "list_reduce(list_prepend("
+        "[vals[2], vals[2] - vals[1], CAST(0 AS DOUBLE)],"
+        " list_transform(vals[3:], v -> [v])),"
+        f" (acc, x) -> [{step}, {trend}, {sae}])"
+    )
+    return f"""
+    WITH hld AS {_DAILY_CV_SQL},
+    hlg AS (
+      SELECT event_type,
+             list_transform(list(v ORDER BY day),
+                            vv -> CAST(vv AS DOUBLE)) AS vals
+      FROM hld GROUP BY 1
+    ),
+    hls AS (
+      SELECT event_type, CAST(len(vals) AS BIGINT) AS n_days,
+             {dp} AS st
+      FROM hlg WHERE len(vals) >= 3
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast,
+           round(st[3] / CAST(n_days - 2 AS DOUBLE), 6) AS mae
+    FROM hls ORDER BY event_type
+"""
+
+
+EXTENDED_ORACLES["x8_holt_linear"] = _holt_oracle_sql()

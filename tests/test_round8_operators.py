@@ -148,3 +148,59 @@ def test_unigram_encode_matches_python_mirror(spark, sf_small):
         nt, nc, npc, ss = want[r.lang]
         assert (r.n_tokens, r.n_chars, r.n_pieces) == (nt, nc, npc)
         assert abs(r.bits_per_piece - (-ss) / npc / UNI_MU) < 5e-7
+
+
+# --- closeness centrality + Holt linear (round 8) ---
+
+
+def test_closeness_path_graph(spark):
+    from diepy_spark.operators.clustering import closeness_centrality
+
+    # path 1-2-3-4: closeness(1) over 4-hop ball = 3/(1+2+3)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    sym = edges.unionByName(
+        edges.selectExpr("dst AS src", "src AS dst")
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    rows = {r.node: r for r in closeness_centrality(sym, seeds, 4).collect()}
+    assert rows[1].n_reached == 3 and rows[1].sum_dist == 6
+    assert abs(rows[1].closeness - 0.5) < 1e-9
+    # node 2: dists 1,1,2 -> 3/4
+    assert rows[2].sum_dist == 4 and abs(rows[2].closeness - 0.75) < 1e-9
+
+
+def test_closeness_isolated_seed(spark):
+    from diepy_spark.operators.clustering import closeness_centrality
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sym = edges.unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(99,)], "node long")
+    r = closeness_centrality(sym, seeds, 3).collect()[0]
+    assert r.n_reached == 0 and r.sum_dist == 0 and r.closeness == 0.0
+
+
+def test_holt_matches_python_fold(spark, sf_small):
+    from diepy_spark.plans.extended import _daily_cv, x8_holt_linear
+
+    daily = {}
+    for r in _daily_cv(spark, sf_small).collect():
+        daily.setdefault(r.event_type, []).append((r.day, float(r.v)))
+    got = {r.event_type: r for r in x8_holt_linear(spark, sf_small).collect()}
+    for et, pts in daily.items():
+        vals = [v for _, v in sorted(pts)]
+        if len(vals) < 3:
+            assert et not in got
+            continue
+        l, b, sae = vals[1], vals[1] - vals[0], 0.0
+        for x in vals[2:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            nb = 0.25 * (nl - l) + 0.75 * b
+            sae = sae + abs(x - (l + b))
+            l, b = nl, nb
+        r = got[et]
+        assert r.n_days == len(vals)
+        assert abs(r.level - round(l, 6)) < 1e-9
+        assert abs(r.trend - round(b, 6)) < 1e-9
+        assert abs(r.mae - round(sae / (len(vals) - 2), 6)) < 1e-9
