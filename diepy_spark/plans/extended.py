@@ -13984,3 +13984,193 @@ def _holt_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_holt_linear"] = _holt_oracle_sql()
+
+
+def x8_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the heuristic language detector
+    (operators/text.py:lang_id) and the gold `lang` column — chance-
+    corrected agreement, the standard instrument for "is my cheap
+    labeler actually agreeing with the annotations, or just matching
+    the majority class?" (raw accuracy x5_lang_classify can't tell).
+    kappa = (po - pe)/(1 - pe); with integer counts it reduces to
+    (n*agree - S)/(n*n - S) where S = sum_k row_k * col_k — numerator
+    and denominator EXACT BIGINTs, one IEEE division at the end.
+
+    Scale shape: ONE corpus pass, ONE aggregate — the gold label rides
+    the detector's id column as a (doc_id, lang) struct so no second
+    documents scan / join is needed to pair prediction with truth; the
+    corpus collapses to the bounded (pred, gold) confusion frame
+    (<= (|langs|+1)^2 cells), a second global aggregate packs it into
+    one array row, and the margins product S comes from nested
+    higher-order functions over that array (the x8_chisq_independence
+    margin discipline — zero joins, zero windows, zero
+    BroadcastNestedLoopJoin)."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    dd = d.select(F.struct("doc_id", "lang").alias("dk"), "text")
+    heur = T.lang_id(dd, id_col="dk").select(
+        F.col("pred_lang").alias("ra"), F.col("dk.lang").alias("rb")
+    )
+    cells = heur.groupBy("ra", "rb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    one = cells.agg(
+        F.expr("array_sort(collect_list(struct(ra, rb, o)))").alias("cl")
+    )
+    s_expr = (
+        "aggregate("
+        "array_sort(array_distinct(concat("
+        "transform(cl, x -> x.ra), transform(cl, x -> x.rb)))),"
+        " CAST(0 AS BIGINT), (acc, k) -> acc"
+        " + aggregate(filter(cl, y -> y.ra = k), CAST(0 AS BIGINT),"
+        "             (a2, y2) -> a2 + y2.o)"
+        " * aggregate(filter(cl, z -> z.rb = k), CAST(0 AS BIGINT),"
+        "             (a3, z2) -> a3 + z2.o))"
+    )
+    base = one.selectExpr(
+        "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.o) AS n",
+        "aggregate(filter(cl, x -> x.ra = x.rb), CAST(0 AS BIGINT),"
+        " (a, x) -> a + x.o) AS agree",
+        "CAST(size(array_distinct(concat(transform(cl, x -> x.ra),"
+        " transform(cl, x -> x.rb)))) AS BIGINT) AS n_labels",
+        f"{s_expr} AS s",
+    )
+    return base.selectExpr(
+        "n",
+        "n_labels",
+        "agree",
+        "round(CAST(agree AS DOUBLE) / n, 6) AS po",
+        "round(CAST(s AS DOUBLE) / (n * n), 6) AS pe",
+        "round(CAST(n * agree - s AS DOUBLE) / (n * n - s), 6) AS kappa",
+    )
+
+
+EXTENDED_QUERIES["x8_cohens_kappa"] = x8_cohens_kappa
+
+EXTENDED_ORACLES["x8_cohens_kappa"] = f"""
+    WITH ckh AS (
+      SELECT doc_id,
+             {', '.join(f'{_lang_hits_sql(lang)} AS hits_{lang}' for lang in LANG_PROFILES)}
+      FROM documents
+    ),
+    ckp AS (SELECT doc_id, {_lang_pred_sql()} AS ra FROM ckh),
+    ckc AS (
+      SELECT p.ra, d.lang AS rb, CAST(count(*) AS BIGINT) AS o
+      FROM ckp p JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    ckl AS (SELECT ra AS k FROM ckc UNION SELECT rb FROM ckc),
+    ckm AS (
+      SELECT l.k,
+             CAST(coalesce((SELECT sum(o) FROM ckc WHERE ra = l.k), 0)
+                  AS BIGINT) AS rk,
+             CAST(coalesce((SELECT sum(o) FROM ckc WHERE rb = l.k), 0)
+                  AS BIGINT) AS ck
+      FROM ckl l
+    ),
+    cka AS (
+      SELECT CAST((SELECT sum(o) FROM ckc) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM ckl) AS BIGINT) AS n_labels,
+             CAST((SELECT coalesce(sum(o), 0) FROM ckc WHERE ra = rb)
+                  AS BIGINT) AS agree,
+             CAST((SELECT sum(rk * ck) FROM ckm) AS BIGINT) AS s
+    )
+    SELECT n, n_labels, agree,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(s AS DOUBLE) / (n * n), 6) AS pe,
+           round(CAST(n * agree - s AS DOUBLE) / (n * n - s), 6) AS kappa
+    FROM cka
+"""
+
+
+def x8_mcnemar(spark, sf_dir):
+    """McNemar's paired test: do the HEURISTIC detector (x5_lang_id)
+    and the TRAINED NB classifier (x5_lang_classify) have different
+    error rates on the SAME documents? The confusion matrix
+    (x5_lang_confusion) shows where they disagree; this tests whether
+    the disagreement is one-sided — the decision instrument for
+    swapping detectors. Only the discordant counts matter: b = heur
+    right / trained wrong, c = the reverse; chi2 = (b-c)^2/(b+c), and
+    the continuity-corrected (|b-c|-1)^2/(b+c). Both numerators are
+    exact integers; one IEEE division each.
+
+    Scale shape: both predictors are broadcast-model corpus passes
+    (shared via _langclf_cached — the trained pred frame is computed
+    once per session); the pair frame collapses in ONE aggregate with
+    map-side combine to four integers. The frame is the trained
+    model's domain (docs with len(text) >= LANGCLF_N, the
+    x5_lang_confusion membership)."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    heur = T.lang_id(d).select("doc_id", F.col("pred_lang").alias("heur"))
+    trained = _langclf_cached(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("gold"), F.col("pred_lang").alias("trained")
+    )
+    base = trained.join(heur, "doc_id").selectExpr(
+        "CAST(heur = gold AS INT) AS ha", "CAST(trained = gold AS INT) AS ta"
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(ha = 1 AND ta = 1 AS INT)")).cast("bigint").alias("both_correct"),
+        F.sum(F.expr("CAST(ha = 1 AND ta = 0 AS INT)")).cast("bigint").alias("heur_only"),
+        F.sum(F.expr("CAST(ha = 0 AND ta = 1 AS INT)")).cast("bigint").alias("trained_only"),
+        F.sum(F.expr("CAST(ha = 0 AND ta = 0 AS INT)")).cast("bigint").alias("both_wrong"),
+    )
+    return agg.selectExpr(
+        "n",
+        "both_correct",
+        "heur_only",
+        "trained_only",
+        "both_wrong",
+        "CASE WHEN heur_only + trained_only > 0 THEN"
+        " round(CAST((heur_only - trained_only) * (heur_only - trained_only)"
+        " AS DOUBLE) / (heur_only + trained_only), 6)"
+        " ELSE CAST(0 AS DOUBLE) END AS chi2",
+        "CASE WHEN heur_only + trained_only > 0 THEN"
+        " round(CAST((abs(heur_only - trained_only) - 1)"
+        " * (abs(heur_only - trained_only) - 1)"
+        " AS DOUBLE) / (heur_only + trained_only), 6)"
+        " ELSE CAST(0 AS DOUBLE) END AS chi2_cc",
+    )
+
+
+EXTENDED_QUERIES["x8_mcnemar"] = x8_mcnemar
+
+EXTENDED_ORACLES["x8_mcnemar"] = f"""
+    WITH {_LANGCLF_PRED_CTES},
+    mnh AS (
+      SELECT doc_id,
+             {', '.join(f'{_lang_hits_sql(lang)} AS hits_{lang}' for lang in LANG_PROFILES)}
+      FROM documents
+    ),
+    mnp AS (SELECT doc_id, {_lang_pred_sql()} AS heur FROM mnh),
+    mnb AS (
+      SELECT CAST(h.heur = d3.lang AS INT) AS ha,
+             CAST(p.pred_lang = d3.lang AS INT) AS ta
+      FROM d3 JOIN pred p ON p.d = d3.doc_id
+      JOIN mnp h ON h.doc_id = d3.doc_id
+    ),
+    mna AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(ha = 1 AND ta = 1 AS INT)) AS BIGINT)
+               AS both_correct,
+             CAST(sum(CAST(ha = 1 AND ta = 0 AS INT)) AS BIGINT)
+               AS heur_only,
+             CAST(sum(CAST(ha = 0 AND ta = 1 AS INT)) AS BIGINT)
+               AS trained_only,
+             CAST(sum(CAST(ha = 0 AND ta = 0 AS INT)) AS BIGINT)
+               AS both_wrong
+      FROM mnb
+    )
+    SELECT n, both_correct, heur_only, trained_only, both_wrong,
+           CASE WHEN heur_only + trained_only > 0 THEN
+             round(CAST((heur_only - trained_only) * (heur_only - trained_only)
+                   AS DOUBLE) / (heur_only + trained_only), 6)
+           ELSE CAST(0 AS DOUBLE) END AS chi2,
+           CASE WHEN heur_only + trained_only > 0 THEN
+             round(CAST((abs(heur_only - trained_only) - 1)
+                   * (abs(heur_only - trained_only) - 1)
+                   AS DOUBLE) / (heur_only + trained_only), 6)
+           ELSE CAST(0 AS DOUBLE) END AS chi2_cc
+    FROM mna
+"""

@@ -204,3 +204,70 @@ def test_holt_matches_python_fold(spark, sf_small):
         assert abs(r.level - round(l, 6)) < 1e-9
         assert abs(r.trend - round(b, 6)) < 1e-9
         assert abs(r.mae - round(sae / (len(vals) - 2), 6)) < 1e-9
+
+
+def test_cohens_kappa_matches_python(spark, sf_small):
+    """kappa from the array-HOF margins must equal a plain-Python
+    Counter recomputation over the same (heur, gold) pairs."""
+    from collections import Counter
+
+    from diepy_spark.operators.text import lang_id
+    from diepy_spark.plans.extended import _docs, x8_cohens_kappa
+
+    d = _docs(spark, sf_small)
+    heur = {r.doc_id: r.pred_lang for r in lang_id(d).collect()}
+    gold = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    pairs = [(heur[i], gold[i]) for i in gold]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ra = Counter(a for a, _ in pairs)
+    rb = Counter(b for _, b in pairs)
+    labels = set(ra) | set(rb)
+    s = sum(ra[k] * rb[k] for k in labels)
+
+    row = x8_cohens_kappa(spark, sf_small).collect()[0]
+    assert row.n == n
+    assert row.agree == agree
+    assert row.n_labels == len(labels)
+    assert abs(row.po - agree / n) < 1e-6
+    assert abs(row.pe - s / (n * n)) < 1e-6
+    assert abs(row.kappa - (n * agree - s) / (n * n - s)) < 1e-6
+
+
+def test_cohens_kappa_bounds(spark, sf_small):
+    from diepy_spark.plans.extended import x8_cohens_kappa
+
+    row = x8_cohens_kappa(spark, sf_small).collect()[0]
+    assert -1.0 <= row.kappa <= 1.0
+    assert 0.0 <= row.po <= 1.0
+    assert 0.0 < row.pe < 1.0
+
+
+def test_mcnemar_matches_python(spark, sf_small):
+    from diepy_spark.operators.text import lang_id
+    from diepy_spark.plans.extended import (
+        _docs,
+        _langclf_cached,
+        x8_mcnemar,
+    )
+
+    d = _docs(spark, sf_small)
+    heur = {r.doc_id: r.pred_lang for r in lang_id(d).collect()}
+    tr = {
+        r.doc_id: (r.lang, r.pred_lang)
+        for r in _langclf_cached(spark, sf_small).collect()
+    }
+    b = sum(1 for i, (g, t) in tr.items() if heur[i] == g and t != g)
+    c = sum(1 for i, (g, t) in tr.items() if heur[i] != g and t == g)
+    both = sum(1 for i, (g, t) in tr.items() if heur[i] == g and t == g)
+
+    row = x8_mcnemar(spark, sf_small).collect()[0]
+    assert row.n == len(tr)
+    assert row.both_correct == both
+    assert row.heur_only == b
+    assert row.trained_only == c
+    if b + c > 0:
+        assert abs(row.chi2 - (b - c) ** 2 / (b + c)) < 1e-6
+        assert abs(row.chi2_cc - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+    else:
+        assert row.chi2 == 0.0 and row.chi2_cc == 0.0
