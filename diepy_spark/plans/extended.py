@@ -14174,3 +14174,143 @@ EXTENDED_ORACLES["x8_mcnemar"] = f"""
            ELSE CAST(0 AS DOUBLE) END AS chi2_cc
     FROM mna
 """
+
+
+KMSURV_EVENT = "purchase"  # the terminal event the curve waits for
+
+
+def x8_survival_km(spark, sf_dir):
+    """Kaplan–Meier time-to-conversion curves per experiment arm:
+    for each user, days from first contact to first KMSURV_EVENT;
+    users who never convert are right-censored at their last observed
+    day. S(t) = prod_{t_i <= t} (1 - d_i/n_i) — the estimator every
+    retention/conversion dashboard draws, and the correct way to
+    aggregate durations when some are censored (a plain mean of
+    converted users is survivorship-biased).
+
+    Exactness: risk sets and event counts are exact integers from the
+    duration histogram; each KM factor enters as ln(n-d)-ln(n) of
+    INTEGER operands rounded to 9 decimals and summed as
+    DECIMAL(18,9) over the ordered window (exact, order-independent —
+    the x11_hyperball decimal-sum idiom), with one exp() at render.
+    A risk set that fully converts sets a cumulative dead flag and
+    pins survival to exactly 0 thereafter (no ln(0)).
+
+    Scale shape: ONE corpus aggregate collapses events to per-user
+    (first day, last day, first conversion day) with map-side combine;
+    a second collapses users to the (arm x duration) histogram —
+    bounded by 3 x the calendar span — and every window below runs
+    partitioned BY ARM over that bounded frame (no single-partition
+    funnel anywhere)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where("user_id IS NOT NULL").selectExpr(
+        "user_id",
+        "event_type",
+        f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+    )
+    u = e.groupBy("user_id").agg(
+        F.expr("min(day)").alias("d0"),
+        F.expr("max(day)").alias("d1"),
+        F.expr(
+            f"min(CASE WHEN event_type = '{KMSURV_EVENT}' THEN day END)"
+        ).alias("dp"),
+    )
+    hist = (
+        u.selectExpr(
+            "CAST(user_id % 3 AS INT) AS cohort",
+            "coalesce(dp, d1) - d0 AS t",
+            "CAST(dp IS NOT NULL AS INT) AS obs",
+        )
+        .groupBy("cohort", "t")
+        .agg(
+            F.sum("obs").cast("bigint").alias("converted"),
+            F.sum(F.expr("1 - obs")).cast("bigint").alias("censored"),
+        )
+        .localCheckpoint(eager=False)  # bounded: arms x calendar span
+    )
+    w_all = Window.partitionBy("cohort")
+    w_ord = Window.partitionBy("cohort").orderBy("t")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    cur = (
+        hist.withColumn(
+            "n_risk",
+            F.sum(F.expr("converted + censored")).over(w_all)
+            - F.coalesce(
+                F.sum(F.expr("converted + censored")).over(w_prev), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "term",
+            F.expr(
+                "CASE WHEN converted < n_risk THEN"
+                " CAST(round(ln(n_risk - converted) - ln(n_risk), 9)"
+                "      AS DECIMAL(18,9)) END"
+            ),
+        )
+        .withColumn("dead", F.max(F.expr("CAST(converted >= n_risk AS INT)")).over(w_cum))
+        .withColumn("lns", F.sum("term").over(w_cum))
+    )
+    return cur.selectExpr(
+        "cohort",
+        "t",
+        "n_risk",
+        "converted",
+        "censored",
+        "CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)"
+        " ELSE round(exp(CAST(lns AS DOUBLE)), 6) END AS survival",
+    ).orderBy("cohort", "t")
+
+
+EXTENDED_QUERIES["x8_survival_km"] = x8_survival_km
+
+EXTENDED_ORACLES["x8_survival_km"] = f"""
+    WITH kme AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    kmu AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1,
+             min(CASE WHEN event_type = '{KMSURV_EVENT}' THEN day END) AS dp
+      FROM kme GROUP BY 1
+    ),
+    kmh AS (
+      SELECT CAST(user_id % 3 AS INT) AS cohort,
+             coalesce(dp, d1) - d0 AS t,
+             CAST(sum(CAST(dp IS NOT NULL AS INT)) AS BIGINT) AS converted,
+             CAST(sum(CAST(dp IS NULL AS INT)) AS BIGINT) AS censored
+      FROM kmu GROUP BY 1, 2
+    ),
+    kmr AS (
+      SELECT cohort, t, converted, censored,
+             CAST(sum(converted + censored) OVER (PARTITION BY cohort)
+                  - coalesce(sum(converted + censored) OVER (
+                      PARTITION BY cohort ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM kmh
+    ),
+    kmc AS (
+      SELECT cohort, t, n_risk, converted, censored,
+             max(CASE WHEN converted >= n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cohort ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead,
+             sum(CASE WHEN converted < n_risk THEN
+                   CAST(round(ln(n_risk - converted) - ln(n_risk), 9)
+                        AS DECIMAL(18,9)) END)
+               OVER (PARTITION BY cohort ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lns
+      FROM kmr
+    )
+    SELECT cohort, t, n_risk, converted, censored,
+           CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+           ELSE round(exp(CAST(lns AS DOUBLE)), 6) END AS survival
+    FROM kmc ORDER BY cohort, t
+"""

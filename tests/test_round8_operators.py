@@ -271,3 +271,62 @@ def test_mcnemar_matches_python(spark, sf_small):
         assert abs(row.chi2_cc - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
     else:
         assert row.chi2 == 0.0 and row.chi2_cc == 0.0
+
+
+def test_survival_km_matches_python(spark, sf_small):
+    """KM curve must equal a plain-Python product-limit recomputation
+    over the same per-user durations."""
+    import math
+
+    import duckdb
+
+    from diepy_spark.plans.extended import KMSURV_EVENT, x8_survival_km
+
+    con = duckdb.connect()
+    users = con.execute(f"""
+      WITH e AS (SELECT user_id, event_type,
+          CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+        FROM '{sf_small}/events.parquet' WHERE user_id IS NOT NULL)
+      SELECT CAST(user_id % 3 AS INT) AS cohort,
+             coalesce(min(CASE WHEN event_type = '{KMSURV_EVENT}'
+                          THEN day END), max(day)) - min(day) AS t,
+             CAST(min(CASE WHEN event_type = '{KMSURV_EVENT}'
+                      THEN day END) IS NOT NULL AS INT) AS obs
+      FROM e GROUP BY user_id
+    """).fetchall()
+
+    rows = x8_survival_km(spark, sf_small).collect()
+    by_cohort = {}
+    for c, t, obs in users:
+        by_cohort.setdefault(c, []).append((t, obs))
+    for c, durs in by_cohort.items():
+        n = len(durs)
+        surv = 1.0
+        expect = {}
+        for t in sorted({t for t, _ in durs}):
+            d = sum(1 for tt, o in durs if tt == t and o)
+            cens = sum(1 for tt, o in durs if tt == t and not o)
+            if d >= n:
+                surv = 0.0
+            else:
+                surv *= (n - d) / n
+            expect[t] = (n, d, cens, surv)
+            n -= d + cens
+        got = {r.t: r for r in rows if r.cohort == c}
+        assert set(got) == set(expect)
+        for t, (nr, d, cens, surv) in expect.items():
+            r = got[t]
+            assert r.n_risk == nr and r.converted == d and r.censored == cens
+            assert abs(r.survival - surv) < 1e-4, (c, t, r.survival, surv)
+
+
+def test_survival_km_monotone_nonincreasing(spark, sf_small):
+    from diepy_spark.plans.extended import x8_survival_km
+
+    rows = x8_survival_km(spark, sf_small).collect()
+    last = {}
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        if r.cohort in last:
+            assert r.survival <= last[r.cohort] + 1e-12
+        last[r.cohort] = r.survival
