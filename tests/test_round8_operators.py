@@ -330,3 +330,53 @@ def test_survival_km_monotone_nonincreasing(spark, sf_small):
         if r.cohort in last:
             assert r.survival <= last[r.cohort] + 1e-12
         last[r.cohort] = r.survival
+
+
+def test_adamic_adar_matches_python(spark, sf_small):
+    """AA/RA top-k must equal a plain-Python recomputation over the
+    same wedge frame (term-level 6-decimal rounding included)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import (
+        NJ_MIN_COMMON,
+        NJ_PART_MAX,
+        NJ_TOP,
+        x11_adamic_adar,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM "
+        f"'{sf_small}/lineitem.parquet' WHERE l_partkey < {NJ_PART_MAX}"
+    ).fetchall()
+    parts_by_supp = defaultdict(list)
+    for p, s in edges:
+        parts_by_supp[s].append(p)
+    scores = defaultdict(lambda: [0, 0.0, 0.0])  # common, aa, ra
+    for s, parts in parts_by_supp.items():
+        d = len(parts)
+        aa_t = round(1 / math.log(d), 6) if d > 1 else None
+        for i, pa in enumerate(sorted(parts)):
+            for pb in sorted(parts)[i + 1:]:
+                cell = scores[(pa, pb)]
+                cell[0] += 1
+                cell[1] += aa_t
+                cell[2] += round(1 / d, 6)
+    keep = {
+        k: v for k, v in scores.items() if v[0] >= NJ_MIN_COMMON
+    }
+    expect = sorted(
+        ((round(v[1], 6), k[0], k[1], v[0], round(v[2], 6))
+         for k, v in keep.items()),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:NJ_TOP]
+
+    rows = x11_adamic_adar(spark, sf_small).collect()
+    assert len(rows) == len(expect)
+    for r, (aa, pa, pb, common, ra) in zip(rows, expect):
+        assert (r.pa, r.pb, r.common) == (pa, pb, common)
+        assert abs(r.aa - aa) < 1e-6
+        assert abs(r.ra - ra) < 1e-6
