@@ -14409,3 +14409,166 @@ EXTENDED_ORACLES["x11_adamic_adar"] = f"""
            CAST(ra_d AS DOUBLE) AS ra
     FROM aap ORDER BY aa DESC, pa, pb LIMIT {NJ_TOP}
 """
+
+
+BP_N = 2  # boilerplate phrase length (word grams)
+BP_PCT = 20  # doc-frequency threshold: gram in >= 20% of a source's docs
+_BP_KEYPAD = 100_000_000  # df desc / gram asc packed into one min() key
+
+
+def x5_source_boilerplate(spark, sf_dir):
+    """Per-SOURCE boilerplate-phrase census — the RefinedWeb/C4
+    filtering stage that precedes text dedup: phrases (word BP_N-grams)
+    occurring in >= BP_PCT% of a *single source's* documents are
+    navigation chrome / legal footers, not content, and should be
+    stripped before training. Distinct from the corpus-global
+    occurrence-count tiers (x1_span_dedup / x1_cms_span_dedup): the
+    key here is per-domain DOC-frequency — a phrase every src7 page
+    carries is boilerplate even if globally rare.
+
+    Report per source: docs, distinct grams, boilerplate grams, docs
+    affected, total boilerplate occurrences, and the top offending
+    phrase (highest df, ties lexicographic — packed into one integer-
+    padded min() key so the pick is engine-order-free).
+
+    Scale shape: ONE tokenize+explode pass collapses straight into the
+    per-(source, doc, gram) count frame (map-side combine), which then
+    serves as occurrence ledger, doc-frequency ledger AND the distinct
+    frame the affected-docs pass probes — checkpointed once, never
+    re-exploded; the source dimension and the flagged boiler set are
+    bounded and BROADCAST back."""
+    tune(spark)
+    from diepy_spark.operators.dedup import _grams_over
+
+    d = _docs(spark, sf_dir)
+    tk = d.select(
+        "doc_id", "source", F.expr(D.tokens_expr("text")).alias("toks")
+    )
+    g = tk.select(
+        "doc_id", "source",
+        F.explode(F.expr(_grams_over("toks", BP_N))).alias("s"),
+    )
+    # ONE explode, ONE corpus aggregate: the per-(source, doc, gram)
+    # count frame is simultaneously the occurrence ledger (sum c), the
+    # doc-frequency ledger (count rows) and the distinct (doc, gram)
+    # frame the affected-docs pass probes — checkpointed once instead
+    # of re-deriving the explode per consumer.
+    gcnt = (
+        g.groupBy("source", "doc_id", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dfocc = gcnt.groupBy("source", "s").agg(
+        F.sum("c").cast("bigint").alias("occ"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    sd = (
+        gcnt.select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+        .localCheckpoint(eager=False)  # bounded: one row per source
+    )
+    grams = dfocc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grams")
+    )
+    bo = (
+        dfocc.join(F.broadcast(sd), "source")
+        .where(F.expr(f"df * 100 >= {BP_PCT} * docs"))
+        .localCheckpoint(eager=False)  # bounded: the flagged boiler set
+    )
+    bsum = bo.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("boiler_grams"),
+        F.sum("occ").cast("bigint").alias("boiler_occ"),
+        F.min(
+            F.expr(
+                f"lpad(CAST({_BP_KEYPAD} - df AS STRING), 9, '0')"
+                " || ':' || s"
+            )
+        ).alias("topkey"),
+    )
+    aff = (
+        gcnt.join(F.broadcast(bo.select("source", "s")), ["source", "s"])
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("affected_docs"))
+    )
+    return (
+        sd.join(grams, "source", "left")
+        .join(bsum, "source", "left")
+        .join(aff, "source", "left")
+        .selectExpr(
+            "source",
+            "docs",
+            "coalesce(grams, CAST(0 AS BIGINT)) AS grams",
+            "coalesce(boiler_grams, CAST(0 AS BIGINT)) AS boiler_grams",
+            "coalesce(affected_docs, CAST(0 AS BIGINT)) AS affected_docs",
+            "coalesce(boiler_occ, CAST(0 AS BIGINT)) AS boiler_occ",
+            "coalesce(substr(topkey, 11), '') AS top_gram",
+            f"CASE WHEN topkey IS NULL THEN CAST(0 AS BIGINT)"
+            f" ELSE {_BP_KEYPAD} - CAST(substr(topkey, 1, 9) AS BIGINT)"
+            f" END AS top_df",
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x5_source_boilerplate"] = x5_source_boilerplate
+
+EXTENDED_ORACLES["x5_source_boilerplate"] = f"""
+    WITH bptk AS (
+      SELECT doc_id AS d, source, t.i, t.tok FROM documents,
+      LATERAL (SELECT unnest({{toks}}) AS tok,
+                      generate_subscripts({{toks}}, 1) AS i) t
+    ),
+    bpg AS (
+      SELECT d, source, tok || ' ' || lead(tok, 1)
+               OVER (PARTITION BY d ORDER BY i) AS s
+      FROM bptk
+      QUALIFY lead(tok, 1) OVER (PARTITION BY d ORDER BY i) IS NOT NULL
+    ),
+    bpgd AS (SELECT DISTINCT d, source, s FROM bpg),
+    bpdf AS (
+      SELECT source, s, CAST(count(*) AS BIGINT) AS occ,
+             CAST(count(DISTINCT d) AS BIGINT) AS df
+      FROM bpg GROUP BY 1, 2
+    ),
+    bpsd AS (
+      SELECT source, CAST(count(DISTINCT d) AS BIGINT) AS docs
+      FROM bpgd GROUP BY 1
+    ),
+    bpgr AS (SELECT source, CAST(count(*) AS BIGINT) AS grams
+             FROM bpdf GROUP BY 1),
+    bpbo AS (
+      SELECT f.source, f.s, f.occ, f.df
+      FROM bpdf f JOIN bpsd sd USING (source)
+      WHERE f.df * 100 >= {BP_PCT} * sd.docs
+    ),
+    bpbs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS boiler_grams,
+             CAST(sum(occ) AS BIGINT) AS boiler_occ,
+             min(lpad(CAST({_BP_KEYPAD} - df AS STRING), 9, '0')
+                 || ':' || s) AS topkey
+      FROM bpbo GROUP BY 1
+    ),
+    bpaf AS (
+      SELECT g.source, CAST(count(DISTINCT g.d) AS BIGINT) AS affected_docs
+      FROM bpgd g JOIN bpbo b ON b.source = g.source AND b.s = g.s
+      GROUP BY 1
+    )
+    SELECT sd.source, sd.docs,
+           coalesce(gr.grams, 0) AS grams,
+           coalesce(bs.boiler_grams, 0) AS boiler_grams,
+           coalesce(af.affected_docs, 0) AS affected_docs,
+           coalesce(bs.boiler_occ, 0) AS boiler_occ,
+           coalesce(bs.topkey[11:], '') AS top_gram,
+           CASE WHEN bs.topkey IS NULL THEN CAST(0 AS BIGINT)
+           ELSE {_BP_KEYPAD} - CAST(bs.topkey[1:9] AS BIGINT)
+           END AS top_df
+    FROM bpsd sd
+    LEFT JOIN bpgr gr USING (source)
+    LEFT JOIN bpbs bs USING (source)
+    LEFT JOIN bpaf af USING (source)
+    ORDER BY sd.source
+""".replace("{toks}", _TOKS_EXPR)

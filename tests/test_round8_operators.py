@@ -380,3 +380,62 @@ def test_adamic_adar_matches_python(spark, sf_small):
         assert (r.pa, r.pb, r.common) == (pa, pb, common)
         assert abs(r.aa - aa) < 1e-6
         assert abs(r.ra - ra) < 1e-6
+
+
+def test_source_boilerplate_matches_python(spark, sf_small):
+    """Per-source boilerplate census must equal a plain-Python
+    recomputation (regex tokenize, bigrams, doc-frequency threshold)."""
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import BP_PCT, x5_source_boilerplate
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(dict)
+    for did, src, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if grams:
+            by_src[src][did] = grams
+
+    expect = {}
+    for src, dmap in by_src.items():
+        ndocs = len(dmap)
+        occ = defaultdict(int)
+        df = defaultdict(int)
+        for grams in dmap.values():
+            for s in grams:
+                occ[s] += 1
+            for s in set(grams):
+                df[s] += 1
+        boiler = {s for s in df if df[s] * 100 >= BP_PCT * ndocs}
+        affected = sum(
+            1 for grams in dmap.values() if boiler & set(grams)
+        )
+        top = (
+            min((-df[s], s) for s in boiler) if boiler else None
+        )
+        expect[src] = (
+            ndocs,
+            len(df),
+            len(boiler),
+            affected,
+            sum(occ[s] for s in boiler),
+            top[1] if top else "",
+            -top[0] if top else 0,
+        )
+
+    rows = x5_source_boilerplate(spark, sf_small).collect()
+    assert {r.source for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r.source]
+        got = (
+            r.docs, r.grams, r.boiler_grams, r.affected_docs,
+            r.boiler_occ, r.top_gram, r.top_df,
+        )
+        assert got == e, (r.source, got, e)
