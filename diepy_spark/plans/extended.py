@@ -14572,3 +14572,297 @@ EXTENDED_ORACLES["x5_source_boilerplate"] = f"""
     LEFT JOIN bpaf af USING (source)
     ORDER BY sd.source
 """.replace("{toks}", _TOKS_EXPR)
+
+
+# Friedman formulas — shared TEXT so both engines round the same IEEE
+# doubles. sr2 = sum over treatments of (doubled rank-sum)^2, so the
+# 12/(n k (k+1)) classic coefficient becomes 3/(n k (k+1)) (R = R'/2).
+_FRIED_CHI = (
+    "(CAST(3 AS DOUBLE) * CAST({sr2} AS DOUBLE))"
+    " / (CAST({n} AS DOUBLE) * CAST({k} AS DOUBLE)"
+    " * (CAST({k} AS DOUBLE) + 1))"
+    " - CAST(3 AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " * (CAST({k} AS DOUBLE) + 1)"
+)
+_FRIED_CORR = (
+    "CASE WHEN {tie} = 0 THEN ({chi}) ELSE ({chi})"
+    " / (CAST(1 AS DOUBLE) - CAST({tie} AS DOUBLE)"
+    " / (CAST({n} AS DOUBLE) * CAST({k} AS DOUBLE)"
+    " * (CAST({k} AS DOUBLE) * CAST({k} AS DOUBLE) - 1))) END"
+)
+_FRIED_W = (
+    "({chi}) / (CAST({n} AS DOUBLE) * (CAST({k} AS DOUBLE) - 1))"
+)
+
+
+def x8_friedman(spark, sf_dir):
+    """Friedman test over day-blocks: do the k event types differ in
+    daily revenue when each DAY is its own block? The repeated-
+    measures complement of x8_kruskal_wallis — KW pools all days (a
+    busy Monday inflates every type), Friedman ranks types WITHIN each
+    day so day-level volume shifts cancel; Kendall's W reports the
+    effect size (rank concordance across days).
+
+    Exactness: tie-averaged ranks stay integer by DOUBLING (the x8_mwu
+    2r+c-1 trick, here 2*before + c_eq + 1 per day-partition); the
+    rank-sum squares, block count and tie term are exact BIGINTs
+    folded through the shared formula text. Incomplete blocks (days
+    missing a type) are dropped against the MAX per-day treatment
+    count, so no global-scalar join is needed.
+
+    Scale shape: the corpus collapses to the bounded (type x day)
+    daily frame in one map-side-combined aggregate (shared
+    _daily_cv); every window below runs PARTITIONED BY DAY over that
+    bounded frame except the max-treatment-count pick (histogram-sized
+    — the documented bounded single-partition class); the one-row
+    attribution flags (row_number = 1) fold day count and tie term
+    into the same per-type aggregation chain — no joins, no
+    crossJoins (the x8_kruskal_wallis packing discipline)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    dv = _daily_cv(spark, sf_dir).select("event_type", "day", "v")
+    w_day = Window.partitionBy("day")
+    cnts = dv.withColumn("k_day", F.count(F.lit(1)).over(w_day))
+    maxk = cnts.withColumn(
+        "k", F.max("k_day").over(Window.partitionBy())
+    )
+    kept = maxk.where(F.col("k_day") == F.col("k")).localCheckpoint(
+        eager=False
+    )  # bounded: complete (type x day) blocks only
+    w_eq = Window.partitionBy("day", "v")
+    w_rng = (
+        Window.partitionBy("day")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_rn = Window.partitionBy("day", "v").orderBy("event_type")
+    w_first = Window.partitionBy("day").orderBy("v", "event_type")
+    ranked = kept.select(
+        "event_type",
+        "day",
+        "k",
+        (
+            F.lit(2) * F.coalesce(F.count(F.lit(1)).over(w_rng), F.lit(0))
+            + F.count(F.lit(1)).over(w_eq)
+            + F.lit(1)
+        ).cast("bigint").alias("d2"),
+        F.count(F.lit(1)).over(w_eq).cast("bigint").alias("c_eq"),
+        F.row_number().over(w_rn).alias("rn_eq"),
+        F.row_number().over(w_first).alias("rn_day"),
+    )
+    rg = ranked.groupBy("event_type").agg(
+        F.sum("d2").cast("bigint").alias("r2s"),
+        F.sum(F.expr("CASE WHEN rn_day = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("n_g"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rn_eq = 1 THEN c_eq * c_eq * c_eq - c_eq"
+                " ELSE 0 END"
+            )
+        ).cast("bigint").alias("tie_g"),
+        F.max("k").cast("bigint").alias("k"),
+    )
+    packed = rg.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type, r2s))),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x.r2s * x.r2s)"
+        ).alias("sr2"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("tie_g").cast("bigint").alias("tie"),
+        F.max("k").cast("bigint").alias("k"),
+    )
+    chi = _FRIED_CHI.format(sr2="sr2", n="n", k="k")
+    return packed.selectExpr(
+        "n AS n_days",
+        "k",
+        "tie",
+        "k - 1 AS dof",
+        f"round({chi}, 6) AS chi2",
+        f"round({_FRIED_CORR.format(chi=chi, n='n', k='k', tie='tie')}, 6)"
+        " AS chi2_corrected",
+        f"round({_FRIED_W.format(chi=chi, n='n', k='k')}, 6) AS kendalls_w",
+    )
+
+
+EXTENDED_QUERIES["x8_friedman"] = x8_friedman
+
+
+def _friedman_oracle_sql() -> str:
+    chi = _FRIED_CHI.format(sr2="sr2", n="n", k="k")
+    return f"""
+    WITH frd AS (SELECT event_type, day, v FROM {_DAILY_CV_SQL} dcv),
+    frc AS (SELECT *, CAST(count(*) OVER (PARTITION BY day) AS BIGINT)
+                        AS k_day
+            FROM frd),
+    frk AS (SELECT *, CAST(max(k_day) OVER () AS BIGINT) AS k FROM frc),
+    fr0 AS (SELECT event_type, day, v, k FROM frk WHERE k_day = k),
+    frr AS (
+      SELECT event_type, day, k,
+             CAST(2 * coalesce(count(*) OVER (PARTITION BY day ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + count(*) OVER (PARTITION BY day, v) + 1 AS BIGINT) AS d2,
+             CAST(count(*) OVER (PARTITION BY day, v) AS BIGINT) AS c_eq,
+             CAST(row_number() OVER (PARTITION BY day, v
+                                     ORDER BY event_type) AS INT) AS rn_eq,
+             CAST(row_number() OVER (PARTITION BY day
+                                     ORDER BY v, event_type) AS INT) AS rn_day
+      FROM fr0
+    ),
+    frg AS (
+      SELECT event_type, CAST(sum(d2) AS BIGINT) AS r2s,
+             CAST(sum(CASE WHEN rn_day = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_g,
+             CAST(sum(CASE WHEN rn_eq = 1 THEN c_eq * c_eq * c_eq - c_eq
+                      ELSE 0 END) AS BIGINT) AS tie_g,
+             CAST(max(k) AS BIGINT) AS k
+      FROM frr GROUP BY 1
+    ),
+    frp AS (
+      SELECT CAST(list_sum(list(r2s * r2s ORDER BY event_type)) AS BIGINT)
+               AS sr2,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(tie_g) AS BIGINT) AS tie,
+             CAST(max(k) AS BIGINT) AS k
+      FROM frg
+    )
+    SELECT n AS n_days, k, tie, k - 1 AS dof,
+           round({chi}, 6) AS chi2,
+           round({_FRIED_CORR.format(chi=chi, n="n", k="k", tie="tie")}, 6)
+             AS chi2_corrected,
+           round({_FRIED_W.format(chi=chi, n="n", k="k")}, 6) AS kendalls_w
+    FROM frp
+"""
+
+
+EXTENDED_ORACLES["x8_friedman"] = _friedman_oracle_sql()
+
+
+# Chapman / Lincoln-Petersen capture-recapture — shared formula text.
+_CRC_LP = (
+    "CASE WHEN {r} = 0 THEN CAST(0 AS DOUBLE)"
+    " ELSE CAST({m} AS DOUBLE) * CAST({c} AS DOUBLE)"
+    " / CAST({r} AS DOUBLE) END"
+)
+_CRC_CHAP = (
+    "(CAST({m} + 1 AS DOUBLE) * CAST({c} + 1 AS DOUBLE)"
+    " / CAST({r} + 1 AS DOUBLE)) - 1"
+)
+_CRC_SE = (
+    "sqrt((CAST({m} + 1 AS DOUBLE) * CAST({c} + 1 AS DOUBLE)"
+    " * CAST({m} - {r} AS DOUBLE) * CAST({c} - {r} AS DOUBLE))"
+    " / (CAST({r} + 1 AS DOUBLE) * CAST({r} + 1 AS DOUBLE)"
+    " * CAST({r} + 2 AS DOUBLE)))"
+)
+
+
+def x8_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the distinct-user
+    population from two temporal capture windows (first vs second half
+    of the event calendar) — the mark-recapture arithmetic a pipeline
+    uses to estimate what it CANNOT enumerate (true dedup cluster
+    count, total distinct entities behind a sampled crawl) from two
+    overlapping samples. Here the truth IS observable, so the report
+    carries the estimator's error against it — the same honest-
+    instrument pattern as x3_ann_recall (validate the estimator where
+    you can afford exhaustive truth, deploy it where you can't).
+
+    Exactness: capture counts M, C, R and the true population are
+    exact BIGINTs off the per-user day-range histogram; Chapman,
+    Lincoln-Petersen, the Chapman SE and the 1.96-sigma CI come from
+    the shared formula text (sqrt IS correctly rounded under IEEE —
+    the x10_epoch_plan pow() lesson).
+
+    Scale shape: ONE corpus aggregate collapses events to per-user
+    (first day, last day) with map-side combine; users collapse to the
+    bounded (d0 x d1) day-range histogram, which packs into a single
+    array row — the calendar midpoint and all four counts come from
+    higher-order functions over it (the x8_chisq_independence
+    discipline: zero joins, zero windows, no scalar crossJoin)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where("user_id IS NOT NULL")
+        .selectExpr(
+            "user_id",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(day)").alias("d0"),
+            F.expr("max(day)").alias("d1"),
+        )
+    )
+    hist = u.groupBy("d0", "d1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    one = hist.agg(
+        F.expr("array_sort(collect_list(struct(d0, d1, cnt)))").alias("cl")
+    ).localCheckpoint(eager=False)  # one array row: the packed histogram
+    base = one.selectExpr(
+        "cl",
+        "(array_min(transform(cl, x -> x.d0))"
+        " + array_max(transform(cl, x -> x.d1))) div 2 AS mid",
+    )
+    counts = base.selectExpr(
+        "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.cnt) AS n_users",
+        "aggregate(filter(cl, x -> x.d0 <= mid), CAST(0 AS BIGINT),"
+        " (a, y) -> a + y.cnt) AS m",
+        "aggregate(filter(cl, x -> x.d1 > mid), CAST(0 AS BIGINT),"
+        " (a, z) -> a + z.cnt) AS c",
+        "aggregate(filter(cl, x -> x.d0 <= mid AND x.d1 > mid),"
+        " CAST(0 AS BIGINT), (a, w) -> a + w.cnt) AS r",
+    )
+    chap = _CRC_CHAP.format(m="m", c="c", r="r")
+    return counts.selectExpr(
+        "n_users",
+        "m",
+        "c",
+        "r",
+        f"round({chap}, 6) AS chapman",
+        f"round({_CRC_LP.format(m='m', c='c', r='r')}, 6) AS lincoln",
+        f"round({_CRC_SE.format(m='m', c='c', r='r')}, 6) AS se",
+        f"round(({chap}) - CAST(1.96 AS DOUBLE)"
+        f" * {_CRC_SE.format(m='m', c='c', r='r')}, 6) AS ci_low",
+        f"round(({chap}) + CAST(1.96 AS DOUBLE)"
+        f" * {_CRC_SE.format(m='m', c='c', r='r')}, 6) AS ci_high",
+        f"round(({chap}) - CAST(n_users AS DOUBLE), 6) AS err",
+    )
+
+
+EXTENDED_QUERIES["x8_capture_recapture"] = x8_capture_recapture
+
+
+def _crc_oracle_sql() -> str:
+    chap = _CRC_CHAP.format(m="m", c="c", r="r")
+    se = _CRC_SE.format(m="m", c="c", r="r")
+    return f"""
+    WITH cru AS (
+      SELECT user_id,
+             min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV}
+                 AS BIGINT)) AS d0,
+             max(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV}
+                 AS BIGINT)) AS d1
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    crm AS (SELECT (min(d0) + max(d1)) // 2 AS mid FROM cru),
+    crc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN d0 <= mid THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN d1 > mid THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN d0 <= mid AND d1 > mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM cru, crm
+    )
+    SELECT n_users, m, c, r,
+           round({chap}, 6) AS chapman,
+           round({_CRC_LP.format(m='m', c='c', r='r')}, 6) AS lincoln,
+           round({se}, 6) AS se,
+           round(({chap}) - CAST(1.96 AS DOUBLE) * {se}, 6) AS ci_low,
+           round(({chap}) + CAST(1.96 AS DOUBLE) * {se}, 6) AS ci_high,
+           round(({chap}) - CAST(n_users AS DOUBLE), 6) AS err
+    FROM crc
+"""
+
+
+EXTENDED_ORACLES["x8_capture_recapture"] = _crc_oracle_sql()

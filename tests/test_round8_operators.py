@@ -439,3 +439,90 @@ def test_source_boilerplate_matches_python(spark, sf_small):
             r.boiler_occ, r.top_gram, r.top_df,
         )
         assert got == e, (r.source, got, e)
+
+
+def test_friedman_matches_python(spark, sf_small):
+    """Friedman chi2 / Kendall's W must equal a plain-Python rank
+    recomputation over the same complete day-blocks."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x8_friedman
+
+    con = duckdb.connect()
+    daily = con.execute(f"""
+      SELECT event_type, CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day, CAST(sum(CAST(round(value * 100) AS BIGINT))
+             AS BIGINT) AS v
+      FROM '{sf_small}/events.parquet' WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    """).fetchall()
+    by_day = defaultdict(list)
+    for t, day, v in daily:
+        by_day[day].append((t, v))
+    k = max(len(rows) for rows in by_day.values())
+    blocks = {d: rows for d, rows in by_day.items() if len(rows) == k}
+    n = len(blocks)
+    rsum = defaultdict(float)
+    tie = 0
+    for rows in blocks.values():
+        vals = sorted(v for _, v in rows)
+        for t, v in rows:
+            before = sum(1 for x in vals if x < v)
+            ceq = sum(1 for x in vals if x == v)
+            rsum[t] += before + (ceq + 1) / 2
+        for v in set(vals):
+            c = vals.count(v)
+            tie += c ** 3 - c
+    sr = sum(r * r for r in rsum.values())
+    chi = 12 * sr / (n * k * (k + 1)) - 3 * n * (k + 1)
+    corr = chi if tie == 0 else chi / (1 - tie / (n * k * (k * k - 1)))
+    w = chi / (n * (k - 1))
+
+    row = x8_friedman(spark, sf_small).collect()[0]
+    assert row.n_days == n and row.k == k and row.dof == k - 1
+    assert row.tie == tie
+    assert abs(row.chi2 - chi) < 1e-4
+    assert abs(row.chi2_corrected - corr) < 1e-4
+    assert abs(row.kendalls_w - w) < 1e-4
+
+
+def test_capture_recapture_matches_python(spark, sf_small):
+    """Chapman / Lincoln-Petersen / SE must equal a plain-Python
+    recomputation over the same per-user day ranges."""
+    import math
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x8_capture_recapture
+
+    con = duckdb.connect()
+    users = con.execute(f"""
+      SELECT user_id,
+             min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT)) AS d0,
+             max(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT)) AS d1
+      FROM '{sf_small}/events.parquet' WHERE user_id IS NOT NULL
+      GROUP BY 1
+    """).fetchall()
+    mid = (min(d0 for _, d0, _ in users) + max(d1 for _, _, d1 in users)) // 2
+    m = sum(1 for _, d0, _ in users if d0 <= mid)
+    c = sum(1 for _, _, d1 in users if d1 > mid)
+    r = sum(1 for _, d0, d1 in users if d0 <= mid and d1 > mid)
+    chap = (m + 1) * (c + 1) / (r + 1) - 1
+    se = math.sqrt(
+        (m + 1) * (c + 1) * (m - r) * (c - r)
+        / ((r + 1) ** 2 * (r + 2))
+    )
+
+    row = x8_capture_recapture(spark, sf_small).collect()[0]
+    assert (row.n_users, row.m, row.c, row.r) == (len(users), m, c, r)
+    assert abs(row.chapman - chap) < 1e-6
+    if r > 0:
+        assert abs(row.lincoln - m * c / r) < 1e-6
+    assert abs(row.se - se) < 1e-6
+    assert abs(row.ci_low - (chap - 1.96 * se)) < 1e-5
+    assert abs(row.ci_high - (chap + 1.96 * se)) < 1e-5
+    assert abs(row.err - (chap - len(users))) < 1e-5
