@@ -1449,3 +1449,60 @@ def closeness_centrality(
         " ELSE round(CAST(n_reached AS DOUBLE) / CAST(sum_dist AS DOUBLE),"
         " 6) END AS closeness",
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    scale: int = 10**9,
+    alpha_num: int = 1,
+    alpha_den: int = 1024,
+    materialize_static: bool = True,
+) -> DataFrame:
+    """Katz centrality in PURE INTEGER arithmetic (Katz 1953): x(v)
+    counts walks of every length into v, geometrically damped —
+    x_{t+1}(v) = beta*scale + (alpha_num * Σ_{u→v} x_t(u)) // alpha_den
+    with beta = 1. The degree-normalization-free sibling of
+    ``pagerank``: a node adjacent to one hub scores high even with a
+    single edge (PageRank splits the hub's mass across its out-degree;
+    Katz does not), which is why Katz is the standard influence score
+    on follower/citation graphs.
+
+    Same determinism contract as ``pagerank``: bigint ranks in units of
+    1/scale, floor divisions, bit-identical across engines; the oracle
+    unrolls the same rounds as chained CTEs. Convergence requires
+    alpha < 1/lambda_max; the default 1/1024 covers max degree < 1024
+    (the declared query's supply graph measures dmax = 682 at sf0.1 —
+    alpha*dmax ~ 0.67). Overflow: x converges to <=
+    beta*scale/(1 - alpha*dmax); inflow sums stay far under 2^63 at
+    the default scale.
+
+    Scale: per iteration ONE shuffle join of scores against edges on
+    the source key plus ONE aggregate on the destination key — the
+    pagerank shape without the degree dimension."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+        .select(F.col("u").alias("node"))
+    )
+    if materialize_static:
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    x = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("x"))
+    for _ in range(iterations):
+        inflow = (
+            e.join(x.select(F.col("node").alias("u"), "x"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("x").alias("inflow"))
+        )
+        x = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({int(scale)} AS BIGINT) + "
+                f"({alpha_num} * coalesce(inflow, CAST(0 AS BIGINT)))"
+                f" div {alpha_den}"
+            ).alias("x"),
+        )
+    return x

@@ -14866,3 +14866,71 @@ def _crc_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_capture_recapture"] = _crc_oracle_sql()
+
+
+KATZ_ITER = 4
+KATZ_ALPHA_DEN = 1024  # alpha = 1/1024 > 1/dmax at every tested sf
+
+
+def x11_katz(spark, sf_dir):
+    """Katz centrality (operators/clustering.py:katz_centrality) over
+    the symmetrized part↔supplier supply graph — the walk-counting
+    influence score that completes the centrality family: PageRank
+    (degree-normalized flow), HITS (mutual reinforcement), closeness
+    (distance), HyperBall (neighborhood mass), Katz (damped walk
+    counts — a node touching one hub ranks high even with one edge,
+    which PageRank's out-degree split suppresses). Pure integer
+    arithmetic, alpha = 1/KATZ_ALPHA_DEN (convergent: alpha*dmax < 1
+    on this graph at every sf); the oracle unrolls the same KATZ_ITER
+    rounds as chained CTEs. Top PR_TOP nodes by score."""
+    from diepy_spark.operators.clustering import katz_centrality
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    scores = katz_centrality(
+        sym, iterations=KATZ_ITER, scale=PR_SCALE,
+        alpha_num=1, alpha_den=KATZ_ALPHA_DEN,
+    )
+    return scores.orderBy(F.col("x").desc(), "node").limit(PR_TOP)
+
+
+EXTENDED_QUERIES["x11_katz"] = x11_katz
+
+
+def _katz_oracle_sql() -> str:
+    """Unrolled mirror of operators.clustering.katz_centrality over the
+    supply graph — same integer floor divisions, one CTE per round;
+    kz_ prefix keeps the chain collision-free."""
+    ctes = [
+        """kz0 AS (SELECT DISTINCT l_partkey * 10 + 1 AS u,
+                          l_suppkey * 10 + 2 AS v FROM lineitem)""",
+        "kze AS (SELECT u, v FROM kz0 UNION SELECT v AS u, u AS v FROM kz0)",
+        "kzn AS (SELECT DISTINCT u AS node FROM"
+        " (SELECT u FROM kze UNION SELECT v FROM kze))",
+        f"kzx0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS x FROM kzn)",
+    ]
+    for i in range(KATZ_ITER):
+        ctes.append(f"""kzx{i + 1} AS (
+          SELECT n.node,
+                 CAST({PR_SCALE} + (1 * coalesce(i.inflow, 0))
+                      // {KATZ_ALPHA_DEN} AS BIGINT) AS x
+          FROM kzn n LEFT JOIN (
+            SELECT kze.v AS node, SUM(p.x) AS inflow
+            FROM kze JOIN kzx{i} p ON p.node = kze.u
+            GROUP BY kze.v
+          ) i ON i.node = n.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, x FROM kzx{KATZ_ITER}"
+        f" ORDER BY x DESC, node LIMIT {PR_TOP}"
+    )
+
+
+EXTENDED_ORACLES["x11_katz"] = _katz_oracle_sql()

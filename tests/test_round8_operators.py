@@ -526,3 +526,43 @@ def test_capture_recapture_matches_python(spark, sf_small):
     assert abs(row.ci_low - (chap - 1.96 * se)) < 1e-5
     assert abs(row.ci_high - (chap + 1.96 * se)) < 1e-5
     assert abs(row.err - (chap - len(users))) < 1e-5
+
+
+def test_katz_path_graph(spark):
+    """Hand-checked Katz on the path 1-2-3 (symmetrized), scale=1000,
+    alpha=1/4, 2 iterations."""
+    from diepy_spark.operators.clustering import katz_centrality
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    sym = edges.unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+    rows = {
+        r.node: r.x
+        for r in katz_centrality(
+            sym, iterations=2, scale=1000, alpha_num=1, alpha_den=4
+        ).collect()
+    }
+    # x0 = 1000 each. x1: node1 = 1000 + 1000//4 = 1250; node2 = 1000 +
+    # 2000//4 = 1500; node3 = 1250.
+    # x2: node1 = 1000 + 1500//4 = 1375; node2 = 1000 + 2500//4 = 1625;
+    # node3 = 1375.
+    assert rows == {1: 1375, 2: 1625, 3: 1375}
+
+
+def test_katz_hub_beats_pagerank_leaf(spark):
+    """A leaf attached to a hub outranks an isolated pair's nodes under
+    Katz (walk counts), the property the docstring claims."""
+    from diepy_spark.operators.clustering import katz_centrality
+
+    # star: 1 is hub of 2,3,4; plus isolated pair 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "src long, dst long"
+    )
+    sym = edges.unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+    rows = {
+        r.node: r.x
+        for r in katz_centrality(
+            sym, iterations=3, scale=10**6, alpha_num=1, alpha_den=8
+        ).collect()
+    }
+    assert rows[2] > rows[5]  # hub-leaf beats pair node
+    assert rows[1] > rows[2]  # hub beats its leaves
