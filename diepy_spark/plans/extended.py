@@ -14934,3 +14934,121 @@ def _katz_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_katz"] = _katz_oracle_sql()
+
+
+# Per-token JSD contribution — shared TEXT. p = in-source unigram prob,
+# q = rest-of-corpus prob, m = (p+q)/2; absent-token mass is folded in
+# analytically as ln(2)*(1 - sum_present q), so no (source x vocab)
+# grid is ever built.
+_JSD_P = "(CAST({a} AS DOUBLE) / CAST({na} AS DOUBLE))"
+_JSD_Q = "(CAST({g} - {a} AS DOUBLE) / CAST({ng} - {na} AS DOUBLE))"
+_JSD_TERM = (
+    "CAST(round("
+    f"{_JSD_P} * ln({_JSD_P} / (({_JSD_P} + {_JSD_Q}) / 2))"
+    f" + CASE WHEN {{g}} > {{a}} THEN"
+    f" {_JSD_Q} * ln({_JSD_Q} / (({_JSD_P} + {_JSD_Q}) / 2))"
+    " ELSE CAST(0 AS DOUBLE) END"
+    ", 9) AS DECIMAL(18,9))"
+)
+_JSD_QDEC = f"CAST(round({_JSD_Q}, 9) AS DECIMAL(18,9))"
+
+
+def x5_source_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence of each SOURCE's unigram distribution
+    against the REST of the corpus — the domain-mix drift instrument a
+    training pipeline runs before reweighting (x5_domain_mix says how
+    much of each source is present; this says how DIFFERENT each
+    source's language is — the two inputs to DoReMi-style mixture
+    tuning). jsd_norm = JSD/ln2 in [0,1] for cross-source comparison.
+
+    Exactness: p, q are single divisions of exact BIGINT counts; each
+    token's contribution (and its q mass) is rounded to 9 decimals and
+    summed as DECIMAL(18,9) — exact, order-independent (the
+    x11_hyperball idiom); tokens ABSENT from a source contribute
+    analytically as ln(2)*(1 - sum_present q), so the term frame is
+    only the tokens a source actually HAS (never |sources| x |vocab|).
+
+    Scale shape: ONE tokenize+explode pass collapses to the
+    (source, token) count frame (map-side combine, checkpointed); the
+    corpus-wide token dimension aggregates FROM that frame (never
+    re-tokenizes); source totals are a bounded broadcast and the
+    global total rides them via a window over the |sources|-row frame."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tokc = (
+        d.select("source", F.explode(F.expr(D.tokens_expr("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    na_f = (
+        tokc.groupBy("source")
+        .agg(F.sum("a").cast("bigint").alias("na"))
+        .withColumn(
+            "ng", F.sum("na").over(Window.partitionBy()).cast("bigint")
+        )
+        .localCheckpoint(eager=False)  # bounded: one row per source
+    )
+    g_f = tokc.groupBy("tok").agg(F.sum("a").cast("bigint").alias("g"))
+    terms = tokc.join(g_f, "tok").join(F.broadcast(na_f), "source")
+    t = _JSD_TERM.format(a="a", g="g", na="na", ng="ng")
+    qd = _JSD_QDEC.format(a="a", g="g", na="na", ng="ng")
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.max("na").alias("n_tokens"),
+        F.expr(f"sum({t})").alias("s1"),
+        F.expr(f"sum({qd})").alias("qp"),
+    )
+    jsd = (
+        "(CAST(s1 AS DOUBLE)"
+        " + ln(CAST(2 AS DOUBLE)) * (1 - CAST(qp AS DOUBLE))) / 2"
+    )
+    return agg.selectExpr(
+        "source",
+        "n_tokens",
+        "vocab",
+        f"round({jsd}, 6) AS jsd",
+        f"round(({jsd}) / ln(CAST(2 AS DOUBLE)), 6) AS jsd_norm",
+    ).orderBy("source")
+
+
+EXTENDED_QUERIES["x5_source_divergence"] = x5_source_divergence
+
+
+def _jsd_oracle_sql() -> str:
+    t = _JSD_TERM.format(a="a", g="g", na="na", ng="ng")
+    qd = _JSD_QDEC.format(a="a", g="g", na="na", ng="ng")
+    jsd = (
+        "(CAST(s1 AS DOUBLE)"
+        " + ln(CAST(2 AS DOUBLE)) * (1 - CAST(qp AS DOUBLE))) / 2"
+    )
+    return f"""
+    WITH jsc AS (
+      SELECT source, t.tok, CAST(count(*) AS BIGINT) AS a
+      FROM documents, LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+      GROUP BY 1, 2
+    ),
+    jsn AS (SELECT source, CAST(sum(a) AS BIGINT) AS na FROM jsc GROUP BY 1),
+    jsng AS (SELECT source, na, CAST(sum(na) OVER () AS BIGINT) AS ng
+             FROM jsn),
+    jsg AS (SELECT tok, CAST(sum(a) AS BIGINT) AS g FROM jsc GROUP BY 1),
+    jst AS (
+      SELECT c.source, c.a, g.g, n.na, n.ng
+      FROM jsc c JOIN jsg g USING (tok) JOIN jsng n USING (source)
+    ),
+    jsa AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(max(na) AS BIGINT) AS n_tokens,
+             sum({t}) AS s1, sum({qd}) AS qp
+      FROM jst GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab,
+           round({jsd}, 6) AS jsd,
+           round(({jsd}) / ln(CAST(2 AS DOUBLE)), 6) AS jsd_norm
+    FROM jsa ORDER BY source
+"""
+
+
+EXTENDED_ORACLES["x5_source_divergence"] = _jsd_oracle_sql()

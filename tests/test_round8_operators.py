@@ -566,3 +566,50 @@ def test_katz_hub_beats_pagerank_leaf(spark):
     }
     assert rows[2] > rows[5]  # hub-leaf beats pair node
     assert rows[1] > rows[2]  # hub beats its leaves
+
+
+def test_source_divergence_matches_python(spark, sf_small):
+    """Per-source JSD must equal a full-vocabulary plain-Python
+    recomputation (including the analytic absent-token fold)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x5_source_divergence
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    per_src = defaultdict(Counter)
+    for src, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        per_src[src].update(toks)
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    ng = sum(total.values())
+
+    rows = {r.source: r for r in x5_source_divergence(spark, sf_small).collect()}
+    assert set(rows) == set(per_src)
+    for src, cnt in per_src.items():
+        na = sum(cnt.values())
+        # full-vocab JSD (0*ln0 := 0), no rounding tricks — the
+        # analytic fold must agree to the rounding tolerance
+        jsd = 0.0
+        for tok in total:
+            p = cnt.get(tok, 0) / na
+            q = (total[tok] - cnt.get(tok, 0)) / (ng - na)
+            m = (p + q) / 2
+            if p > 0:
+                jsd += p * math.log(p / m) / 2
+            if q > 0:
+                jsd += q * math.log(q / m) / 2
+        r = rows[src]
+        assert r.n_tokens == na
+        assert r.vocab == len(cnt)
+        assert abs(r.jsd - jsd) < 1e-5
+        assert abs(r.jsd_norm - jsd / math.log(2)) < 1e-5
+        assert 0.0 <= r.jsd_norm <= 1.0
