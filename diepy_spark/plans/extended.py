@@ -15052,3 +15052,195 @@ def _jsd_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x5_source_divergence"] = _jsd_oracle_sql()
+
+
+MMR_POOL = 10  # relevance pool per query fed to the greedy re-rank
+MMR_K = 5  # diversified results returned per query
+MMR_LAM_NUM = 7  # lambda = 0.7, scaled x10: score = 7*rel - 3*maxsim
+MMR_COMP = 3
+
+
+def x3_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity stage of a retrieval pipeline: from each
+    query's top-MMR_POOL relevance pool, greedily select MMR_K items
+    maximizing lambda*rel(c) - (1-lambda)*max_{s in S} sim(c, s), so
+    near-duplicate hits don't crowd the result list (the RAG-context
+    assembly step plain top-k can't express).
+
+    Exactness: relevance and pairwise similarity are exact integer
+    dot products on the quantized grid (the x3_mips contract), and
+    lambda = 0.7 enters x10-scaled as 7*rel - 3*maxsim — the greedy
+    argmax compares only BIGINTs (ties break on cid), so selection is
+    bit-identical cross-engine; the oracle unrolls the same MMR_K
+    greedy rounds as chained CTEs.
+
+    Scale shape: queries broadcast, ONE corpus pass scores relevance
+    (no shuffle of the corpus side); everything after the per-query
+    top-MMR_POOL window runs on BOUNDED frames (pool, its pairwise sim
+    matrix, the k unrolled argmax rounds — each a qid-partitioned
+    window over <= queries x pool rows, checkpointed per round)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    v = _vecs(spark, sf_dir)
+    q = quantize_vectors(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX), "vec_id", "embedding",
+        KM_SCALE,
+    ).select(F.col("vec_id").alias("qid"), F.col("xi").alias("qxi"))
+    c = quantize_vectors(
+        v.where(F.col("vec_id") >= TOPK_QUERY_MAX), "vec_id", "embedding",
+        KM_SCALE,
+    ).select(F.col("vec_id").alias("cid"), F.col("xi").alias("cxi"))
+    rel = F.expr(
+        "aggregate(zip_with(qxi, cxi, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    w_pool = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    pool = (
+        c.join(F.broadcast(q))
+        .withColumn("rel", rel)
+        .withColumn("prk", F.row_number().over(w_pool))
+        .where(F.col("prk") <= MMR_POOL)
+        .select("qid", "cid", "rel", "cxi")
+        .localCheckpoint(eager=False)  # bounded: queries x pool
+    )
+    pa = pool.select(
+        "qid", F.col("cid").alias("ca"), F.col("cxi").alias("xa")
+    )
+    pb = pool.select(
+        "qid", F.col("cid").alias("cb"), F.col("cxi").alias("xb")
+    )
+    simm = (
+        pa.join(pb, "qid")
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            "qid", "ca", "cb",
+            F.expr(
+                "aggregate(zip_with(xa, xb, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # bounded: queries x pool^2
+    )
+    poolr = pool.select("qid", "cid", "rel")
+    w_pick = Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    sel = (
+        poolr.withColumn("maxsim", F.lit(0).cast("bigint"))
+        .withColumn("score", F.expr(f"CAST({MMR_LAM_NUM} * rel AS BIGINT)"))
+        .withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "qid", "cid", "rel", "maxsim", "score",
+            F.lit(1).cast("int").alias("pick"),
+        )
+    )
+    for i in range(2, MMR_K + 1):
+        picked = sel.select("qid", "cid")
+        cands = poolr.join(picked, ["qid", "cid"], "left_anti")
+        ms = (
+            simm.join(
+                picked.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+            )
+            .groupBy("qid", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            cands.join(ms, ["qid", "cid"], "left")
+            .withColumn(
+                "maxsim", F.coalesce(F.col("maxsim"), F.lit(0)).cast("bigint")
+            )
+            .withColumn(
+                "score",
+                F.expr(
+                    f"CAST({MMR_LAM_NUM} * rel - {MMR_COMP} * maxsim"
+                    " AS BIGINT)"
+                ),
+            )
+            .withColumn("rk", F.row_number().over(w_pick))
+            .where(F.col("rk") == 1)
+            .select(
+                "qid", "cid", "rel", "maxsim", "score",
+                F.lit(i).cast("int").alias("pick"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.orderBy("qid", "pick")
+
+
+EXTENDED_QUERIES["x3_mmr"] = x3_mmr
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled mirror of x3_mmr: same integer dots, same 7*rel -
+    3*maxsim greedy, one CTE pair per selection round."""
+    ctes = [
+        f"""mmru AS (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))""",
+        f"""mmrs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(SUM(q.x * c.x) AS BIGINT) AS rel
+      FROM mmru q JOIN mmru c ON c.i = q.i
+      WHERE q.vec_id < {TOPK_QUERY_MAX} AND c.vec_id >= {TOPK_QUERY_MAX}
+      GROUP BY 1, 2)""",
+        f"""mmrp AS (
+      SELECT qid, cid, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rel DESC, cid) AS prk FROM mmrs)
+      WHERE prk <= {MMR_POOL})""",
+        """mmrm AS (
+      SELECT p1.qid, p1.cid AS ca, p2.cid AS cb,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sim
+      FROM mmrp p1 JOIN mmrp p2 ON p2.qid = p1.qid AND p2.cid <> p1.cid
+      JOIN mmru a ON a.vec_id = p1.cid
+      JOIN mmru b ON b.vec_id = p2.cid AND b.i = a.i
+      GROUP BY 1, 2, 3)""",
+        f"""msel1 AS (
+      SELECT qid, cid, rel, CAST(0 AS BIGINT) AS maxsim,
+             CAST({MMR_LAM_NUM} * rel AS BIGINT) AS score, 1 AS pick
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY {MMR_LAM_NUM} * rel DESC, cid) AS rk FROM mmrp)
+      WHERE rk = 1)""",
+    ]
+    prev_union = "SELECT qid, cid FROM msel1"
+    for i in range(2, MMR_K + 1):
+        ctes.append(f"""msel{i} AS (
+      SELECT qid, cid, rel, maxsim,
+             CAST({MMR_LAM_NUM} * rel - {MMR_COMP} * maxsim AS BIGINT)
+               AS score, {i} AS pick
+      FROM (
+        SELECT p.qid, p.cid, p.rel,
+               coalesce(ms.maxsim, 0) AS maxsim,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                 ORDER BY {MMR_LAM_NUM} * p.rel
+                          - {MMR_COMP} * coalesce(ms.maxsim, 0) DESC,
+                          p.cid) AS rk
+        FROM mmrp p
+        LEFT JOIN (
+          SELECT m.qid, m.ca AS cid, CAST(max(m.sim) AS BIGINT) AS maxsim
+          FROM mmrm m JOIN ({prev_union}) s
+            ON s.qid = m.qid AND s.cid = m.cb
+          GROUP BY 1, 2) ms
+          ON ms.qid = p.qid AND ms.cid = p.cid
+        WHERE NOT EXISTS (SELECT 1 FROM ({prev_union}) s2
+                          WHERE s2.qid = p.qid AND s2.cid = p.cid))
+      WHERE rk = 1)""")
+        prev_union += f" UNION ALL SELECT qid, cid FROM msel{i}"
+    sel_union = " UNION ALL ".join(
+        f"SELECT qid, cid, rel, maxsim, score, pick FROM msel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT qid, cid, rel, maxsim, score, CAST(pick AS INT) AS pick"
+        f" FROM ({sel_union}) ORDER BY qid, pick"
+    )
+
+
+EXTENDED_ORACLES["x3_mmr"] = _mmr_oracle_sql()

@@ -613,3 +613,78 @@ def test_source_divergence_matches_python(spark, sf_small):
         assert abs(r.jsd - jsd) < 1e-5
         assert abs(r.jsd_norm - jsd / math.log(2)) < 1e-5
         assert 0.0 <= r.jsd_norm <= 1.0
+
+
+def test_mmr_matches_python_greedy(spark, sf_small):
+    """The unrolled DataFrame greedy must equal a literal Python MMR
+    over the same integer-quantized pool."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import (
+        KM_SCALE,
+        MMR_COMP,
+        MMR_K,
+        MMR_LAM_NUM,
+        MMR_POOL,
+        TOPK_QUERY_MAX,
+        x3_mmr,
+    )
+
+    con = duckdb.connect()
+    vecs = {
+        vid: [round(float(x) * KM_SCALE) for x in emb]
+        for vid, emb in con.execute(
+            f"SELECT vec_id, embedding FROM '{sf_small}/embeddings.parquet'"
+        ).fetchall()
+    }
+    queries = sorted(v for v in vecs if v < TOPK_QUERY_MAX)
+    cands = sorted(v for v in vecs if v >= TOPK_QUERY_MAX)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    expect = []
+    for qid in queries:
+        rels = sorted(
+            ((dot(vecs[qid], vecs[c]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_POOL]
+        pool = {c: r for r, c in rels}
+        sel = []
+        for pick in range(1, MMR_K + 1):
+            best = None
+            for c, r in pool.items():
+                if c in [s[0] for s in sel]:
+                    continue
+                ms = max(
+                    (dot(vecs[c], vecs[s]) for s, *_ in sel), default=0
+                )
+                score = MMR_LAM_NUM * r - MMR_COMP * ms
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, r, ms, score)
+            _, c, r, ms, score = best
+            sel.append((c, r, ms, score))
+            expect.append((qid, pick, c, r, ms, score))
+
+    rows = x3_mmr(spark, sf_small).collect()
+    got = [
+        (r.qid, r.pick, r.cid, r.rel, r.maxsim, r.score) for r in rows
+    ]
+    assert got == expect
+
+
+def test_mmr_diversifies(spark, sf_small):
+    """Later picks must never strictly beat earlier picks on the MMR
+    score at their own selection step (greedy sanity)."""
+    from diepy_spark.plans.extended import x3_mmr
+
+    rows = x3_mmr(spark, sf_small).collect()
+    picks = {}
+    for r in rows:
+        picks.setdefault(r.qid, []).append(r)
+    for qid, rs in picks.items():
+        assert [r.pick for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].maxsim == 0  # first pick is pure relevance
