@@ -15244,3 +15244,113 @@ def _mmr_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_mmr"] = _mmr_oracle_sql()
+
+
+CUR_TIERS = 4  # quality tiers / curriculum phases
+
+
+def x10_curriculum(spark, sf_dir):
+    """Quality-curriculum schedule: bucket the corpus into CUR_TIERS
+    quality tiers (the x5_quality_score composite) and emit the
+    cumulative phase plan a curriculum-learning run follows — phase 1
+    trains on the top tier only, each later phase ADDS the next tier
+    down (clean-first ordering; the complement of x10_epoch_plan's
+    repetition budgeting: epoch_plan says how often to repeat each
+    source, this says WHEN each quality band enters training).
+
+    Exactness: the composite score is the shared bit-stable double
+    (ratios of exact integers — the quality_exprs contract), so
+    floor(score * CUR_TIERS) buckets identically cross-engine; docs
+    and token counts are exact BIGINTs; the only rounding is the
+    rendered cumulative fraction.
+
+    Scale shape: ONE corpus pass (no shuffle before the tier
+    aggregate, which map-side combines into CUR_TIERS rows); the
+    cumulative windows run over that tier-bounded frame (the
+    documented bounded single-partition class)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    qs = T.quality_score(d).select("doc_id", "n_tokens", "score")
+    tiers = (
+        qs.selectExpr(
+            f"least(CAST(floor(score * {CUR_TIERS}) AS INT),"
+            f" {CUR_TIERS - 1}) AS tier",
+            "n_tokens",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("tier").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return (
+        tiers.withColumn("cum_docs", F.sum("docs").over(w_cum).cast("bigint"))
+        .withColumn("cum_tokens", F.sum("tokens").over(w_cum).cast("bigint"))
+        .withColumn("total_tokens", F.sum("tokens").over(w_all).cast("bigint"))
+        .selectExpr(
+            f"{CUR_TIERS} - tier AS phase",
+            "tier",
+            "docs",
+            "tokens",
+            "cum_docs",
+            "cum_tokens",
+            "round(CAST(cum_tokens AS DOUBLE)"
+            " / CAST(total_tokens AS DOUBLE), 6) AS cum_frac",
+        )
+        .orderBy("phase")
+    )
+
+
+EXTENDED_QUERIES["x10_curriculum"] = x10_curriculum
+
+EXTENDED_ORACLES["x10_curriculum"] = f"""
+    WITH curq AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_EXPR}) AS INT) AS n_tokens,
+             CAST(len(list_distinct({_TOKS_EXPR})) AS INT) AS n_distinct,
+             CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                  t -> CASE WHEN t IN ({_QUALITY_EN}) THEN 1 ELSE 0 END)),
+                  0) AS INT) AS n_stop,
+             CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                  t -> length(t))), 0) AS INT) AS sum_len,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    curs AS (
+      SELECT n_tokens,
+             0.3 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (n_distinct / n_tokens)
+               + 0.2 * least((n_stop / n_tokens) * 5, 1.0)
+               + 0.2 * least((sum_len / n_tokens) / 8, 1.0) AS score
+      FROM curq WHERE n_tokens > 0
+    ),
+    curt AS (
+      SELECT least(CAST(floor(score * {CUR_TIERS}) AS INT),
+                   {CUR_TIERS - 1}) AS tier,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM curs GROUP BY 1
+    ),
+    curc AS (
+      SELECT tier, docs, tokens,
+             CAST(sum(docs) OVER (ORDER BY tier DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_docs,
+             CAST(sum(tokens) OVER (ORDER BY tier DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens,
+             CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens
+      FROM curt
+    )
+    SELECT {CUR_TIERS} - tier AS phase, tier, docs, tokens,
+           cum_docs, cum_tokens,
+           round(CAST(cum_tokens AS DOUBLE)
+                 / CAST(total_tokens AS DOUBLE), 6) AS cum_frac
+    FROM curc ORDER BY phase
+"""

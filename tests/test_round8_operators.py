@@ -688,3 +688,36 @@ def test_mmr_diversifies(spark, sf_small):
     for qid, rs in picks.items():
         assert [r.pick for r in rs] == list(range(1, len(rs) + 1))
         assert rs[0].maxsim == 0  # first pick is pure relevance
+
+
+def test_curriculum_cumulative_consistency(spark, sf_small):
+    from diepy_spark.plans.extended import CUR_TIERS, x10_curriculum
+
+    rows = x10_curriculum(spark, sf_small).collect()
+    assert [r.phase for r in rows] == sorted(r.phase for r in rows)
+    cum_d = cum_t = 0
+    for r in rows:
+        assert r.phase == CUR_TIERS - r.tier
+        cum_d += r.docs
+        cum_t += r.tokens
+        assert r.cum_docs == cum_d and r.cum_tokens == cum_t
+    assert abs(rows[-1].cum_frac - 1.0) < 1e-9  # last phase = full corpus
+
+
+def test_curriculum_tiers_match_scores(spark, sf_small):
+    from diepy_spark.operators.text import quality_score
+    from diepy_spark.plans.extended import CUR_TIERS, _docs, x10_curriculum
+
+    import math
+
+    scores = [
+        r.score
+        for r in quality_score(_docs(spark, sf_small)).collect()
+    ]
+    from collections import Counter
+
+    tiers = Counter(
+        min(int(math.floor(s * CUR_TIERS)), CUR_TIERS - 1) for s in scores
+    )
+    rows = x10_curriculum(spark, sf_small).collect()
+    assert {r.tier: r.docs for r in rows} == dict(tiers)
