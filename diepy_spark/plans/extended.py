@@ -15354,3 +15354,174 @@ EXTENDED_ORACLES["x10_curriculum"] = f"""
                  / CAST(total_tokens AS DOUBLE), 6) AS cum_frac
     FROM curc ORDER BY phase
 """
+
+
+# Brown–Forsythe shared texts. The sum-of-squares terms s_g^2/n_g are
+# decomposed EXACTLY as integer quotient + remainder (s^2 = n*q + r),
+# so the big parts stay BIGINT and only the sub-1.0 fractional
+# remainders ever touch floats (ordered fold over the k-row frame).
+# SSB/SSW are then rendered as RAW doubles — identical op sequences
+# over identical exact inputs in both engines, with NO rounding and
+# therefore no .xxxx5 round-boundary risk (which bit this query twice:
+# sf0.001 on the render round, sf0.1 on a per-term round).
+# {d} = the engine's integer-division operator ('div' Spark, '//' DuckDB).
+_LEV_SSB = (
+    "(CAST(sq - (s_tot * s_tot) {d} n_rows AS DOUBLE)"
+    " + (fr - CAST((s_tot * s_tot) % n_rows AS DOUBLE)"
+    " / CAST(n_rows AS DOUBLE)))"
+)
+_LEV_SSW = "(CAST(q_tot - sq AS DOUBLE) - fr)"
+_LEV_F = (
+    f"({_LEV_SSB} / (CAST(k_groups AS DOUBLE) - 1))"
+    f" / ({_LEV_SSW}"
+    " / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE)))"
+)
+
+
+def x8_levene(spark, sf_dir):
+    """Brown–Forsythe test (Levene's test with group MEDIANS): do the
+    event types have equal variance in `value`? The assumption check
+    behind x8_anova — ANOVA's F assumes homoscedasticity; this IS the
+    ANOVA machinery re-run on absolute deviations z = |x - median_g|,
+    robust to non-normality because the center is the median (Brown &
+    Forsythe 1974).
+
+    Exactness: group medians come from the value-frequency histogram
+    with INTEGER rank tests and stay integer by DOUBLING (z2 =
+    |2*cents - med2| — the r28b/x8_mwu discipline), so per-group sums
+    and squared sums are exact BIGINT/DECIMAL(38,0). Unlike x8_anova's
+    rounded raw-double fold, the s_g^2/n_g terms decompose EXACTLY as
+    integer quotient + remainder, so the big parts never leave BIGINT
+    and only sub-1.0 remainder fractions touch floats; ss_between /
+    ss_within render as RAW doubles with NO rounding — two drafts of
+    this query landed rounded values on .xxxx5 boundaries (where Spark
+    rounds the binary value and DuckDB the decimal rendering, one step
+    apart); the round-free decomposition removes the boundary class.
+
+    Scale shape: ONE corpus aggregate collapses events to the bounded
+    (type x cents) histogram; median ranks, the deviation frame and
+    the ANOVA fold all run on it — the cumulative window partitions BY
+    GROUP, the median dimension broadcasts back, no second corpus
+    pass."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type AS grp",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # bounded: types x cents domain
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    ranked = hist.select(
+        "grp",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_g"),
+    )
+    med = ranked.groupBy("grp").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN cum - cnt + 1 <= (n_g + 1) div 2"
+            " AND (n_g + 1) div 2 <= cum THEN cents ELSE 0 END)"
+            " + sum(CASE WHEN cum - cnt + 1 <= n_g div 2 + 1"
+            " AND n_g div 2 + 1 <= cum THEN cents ELSE 0 END) AS BIGINT)"
+        ).alias("med2")
+    )
+    z = hist.join(F.broadcast(med), "grp").selectExpr(
+        "grp", "cnt", "abs(2 * cents - med2) AS z2"
+    )
+    g = z.groupBy("grp").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_g"),
+        F.expr("CAST(SUM(cnt * z2) AS BIGINT)").alias("s_g"),
+        F.expr(
+            "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * z2 * z2)"
+            " AS DECIMAL(38,0))"
+        ).alias("q_g"),
+    )
+    base = g.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("k_groups"),
+        F.expr("CAST(SUM(n_g) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(SUM(s_g) AS BIGINT)").alias("s_tot"),
+        F.expr("CAST(SUM(q_g) AS DECIMAL(38,0))").alias("q_tot"),
+        F.expr("CAST(SUM((s_g * s_g) div n_g) AS BIGINT)").alias("sq"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(grp, s_g, n_g))),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc"
+            " + CAST((x.s_g * x.s_g) % x.n_g AS DOUBLE)"
+            " / CAST(x.n_g AS DOUBLE))"
+        ).alias("fr"),
+    )
+    return base.selectExpr(
+        "k_groups",
+        "n_rows",
+        "s_tot",
+        f"{_LEV_SSB.format(d='div')} AS ss_between",
+        f"{_LEV_SSW} AS ss_within",
+        f"round({_LEV_F.format(d='div')}, 6) AS f_stat",
+    )
+
+
+EXTENDED_QUERIES["x8_levene"] = x8_levene
+
+EXTENDED_ORACLES["x8_levene"] = f"""
+    WITH lvh AS (
+      SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    lvr AS (
+      SELECT grp, cents, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+      FROM lvh
+    ),
+    lvm AS (
+      SELECT grp,
+             CAST(sum(CASE WHEN cum - cnt + 1 <= (n_g + 1) // 2
+                  AND (n_g + 1) // 2 <= cum THEN cents ELSE 0 END)
+                  + sum(CASE WHEN cum - cnt + 1 <= n_g // 2 + 1
+                  AND n_g // 2 + 1 <= cum THEN cents ELSE 0 END)
+                  AS BIGINT) AS med2
+      FROM lvr GROUP BY 1
+    ),
+    lvz AS (
+      SELECT h.grp, h.cnt, abs(2 * h.cents - m.med2) AS z2
+      FROM lvh h JOIN lvm m USING (grp)
+    ),
+    lvg AS (
+      SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g,
+             CAST(sum(cnt * z2) AS BIGINT) AS s_g,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * z2 * z2)
+                  AS DECIMAL(38,0)) AS q_g
+      FROM lvz GROUP BY 1
+    ),
+    lva AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n_g) AS BIGINT) AS n_rows,
+             CAST(sum(s_g) AS BIGINT) AS s_tot,
+             CAST(sum(q_g) AS DECIMAL(38,0)) AS q_tot,
+             CAST(sum((s_g * s_g) // n_g) AS BIGINT) AS sq,
+             list_sum(list(
+               CAST((s_g * s_g) % n_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+               ORDER BY grp)) AS fr
+      FROM lvg
+    )
+    SELECT k_groups, n_rows, s_tot,
+           {_LEV_SSB.format(d="//")} AS ss_between,
+           {_LEV_SSW} AS ss_within,
+           round({_LEV_F.format(d="//")}, 6) AS f_stat
+    FROM lva
+"""

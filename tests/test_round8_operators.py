@@ -721,3 +721,46 @@ def test_curriculum_tiers_match_scores(spark, sf_small):
     )
     rows = x10_curriculum(spark, sf_small).collect()
     assert {r.tier: r.docs for r in rows} == dict(tiers)
+
+
+def test_levene_matches_python(spark, sf_small):
+    """Brown-Forsythe F must equal a plain-Python recomputation
+    (median deviations, exact rational sum-of-squares)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x8_levene
+
+    con = duckdb.connect()
+    vals = con.execute(f"""
+      SELECT event_type, CAST(round(value * 100) AS BIGINT)
+      FROM '{sf_small}/events.parquet' WHERE value IS NOT NULL
+    """).fetchall()
+    groups = defaultdict(list)
+    for g, c in vals:
+        groups[g].append(c)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    sb_terms = []
+    s_tot = 0
+    ssq_terms = 0.0
+    q_tot = 0
+    for g, xs in sorted(groups.items()):
+        xs.sort()
+        m = len(xs)
+        med2 = xs[(m + 1) // 2 - 1] + xs[m // 2]
+        z = [abs(2 * x - med2) for x in xs]
+        s_g = sum(z)
+        q_tot += sum(v * v for v in z)
+        s_tot += s_g
+        ssq_terms += (s_g * s_g) / m
+    ssb = ssq_terms - (s_tot * s_tot) / n
+    ssw = q_tot - ssq_terms
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+
+    row = x8_levene(spark, sf_small).collect()[0]
+    assert row.k_groups == k and row.n_rows == n and row.s_tot == s_tot
+    assert abs(row.ss_between - ssb) < 1e-3 * max(1.0, abs(ssb))
+    assert abs(row.ss_within - ssw) < 1e-9 * max(1.0, abs(ssw))
+    assert abs(row.f_stat - f) < 1e-5
