@@ -15525,3 +15525,201 @@ EXTENDED_ORACLES["x8_levene"] = f"""
            round({_LEV_F.format(d="//")}, 6) AS f_stat
     FROM lva
 """
+
+
+_WEEK_DIV = _DAY_DIV * 7  # microseconds per 7-day bucket
+
+
+def x8_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle — THE product-analytics table: users
+    bucketed by first-activity week (cohort), each later week of
+    activity counted at its age offset; retention = share of the
+    cohort still active at age a. The longitudinal complement of
+    x8_survival_km (KM: time to ONE terminal event with censoring;
+    this: repeated-activity decay, every cohort its own row).
+
+    Exactness: pure integer counts off the distinct (user, week)
+    activity frame; retention is one division of exact BIGINTs,
+    rounded for rendering.
+
+    Scale shape: one corpus aggregate to per-user first-week (map-side
+    combine), one to the distinct activity frame; both meet on the
+    user key (same-key shuffle). The triangle itself is bounded
+    (weeks x weeks), and the cohort-size denominator rides a window
+    PARTITIONED BY COHORT over it — no single-partition funnel."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.where("user_id IS NOT NULL")
+        .selectExpr(
+            "user_id",
+            f"unix_micros(cast(ts as timestamp)) div {_WEEK_DIV} AS week",
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.expr("min(week)").alias("cohort_w"))
+    tri = (
+        uw.join(first, "user_id")
+        .selectExpr("cohort_w", "week - cohort_w AS age")
+        .groupBy("cohort_w", "age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+    )
+    w_c = Window.partitionBy("cohort_w")
+    return (
+        tri.withColumn(
+            "cohort_size",
+            F.sum(F.expr("CASE WHEN age = 0 THEN users ELSE 0 END"))
+            .over(w_c)
+            .cast("bigint"),
+        )
+        .selectExpr(
+            "cohort_w",
+            "age",
+            "users",
+            "cohort_size",
+            "round(CAST(users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)"
+            " AS retention",
+        )
+        .orderBy("cohort_w", "age")
+    )
+
+
+EXTENDED_QUERIES["x8_cohort_retention"] = x8_cohort_retention
+
+EXTENDED_ORACLES["x8_cohort_retention"] = f"""
+    WITH cruw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_DIV} AS BIGINT)
+               AS week
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    crfw AS (SELECT user_id, min(week) AS cohort_w FROM cruw GROUP BY 1),
+    crtr AS (
+      SELECT f.cohort_w, u.week - f.cohort_w AS age,
+             CAST(count(*) AS BIGINT) AS users
+      FROM cruw u JOIN crfw f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_w, age, users,
+           CAST(sum(CASE WHEN age = 0 THEN users ELSE 0 END)
+                OVER (PARTITION BY cohort_w) AS BIGINT) AS cohort_size,
+           round(CAST(users AS DOUBLE)
+                 / CAST(sum(CASE WHEN age = 0 THEN users ELSE 0 END)
+                        OVER (PARTITION BY cohort_w) AS DOUBLE), 6)
+             AS retention
+    FROM crtr ORDER BY cohort_w, age
+"""
+
+
+KEY_TOP = 5  # distinctive terms reported per source
+
+# Haldane–Anscombe-smoothed log-odds-ratio z-score (Monroe, Colaresi &
+# Quinn 2008 "Fightin' Words", the +1 variant): shared TEXT.
+_KEY_DELTA = (
+    "(ln(CAST({a} + 1 AS DOUBLE) / CAST({na} - {a} + 1 AS DOUBLE))"
+    " - ln(CAST({b} + 1 AS DOUBLE) / CAST({nb} - {b} + 1 AS DOUBLE)))"
+)
+_KEY_VAR = (
+    "(1 / CAST({a} + 1 AS DOUBLE) + 1 / CAST({b} + 1 AS DOUBLE)"
+    " + 1 / CAST({na} - {a} + 1 AS DOUBLE)"
+    " + 1 / CAST({nb} - {b} + 1 AS DOUBLE))"
+)
+
+
+def x5_keyness(spark, sf_dir):
+    """Distinctive vocabulary per source — the log-odds-ratio z-score
+    keyness of Monroe et al. 2008: which words does each source use
+    significantly MORE than the rest of the corpus? The term-level
+    drill-down of x5_source_divergence's scalar distance (JSD says the
+    distributions differ; this names the words responsible) and the
+    statistically-grounded alternative to raw tf-idf keyword lists
+    (rare words don't dominate: the variance term widens for small
+    counts). Top KEY_TOP terms per source by z.
+
+    Exactness: counts are exact BIGINTs; delta and variance are ln /
+    divisions of exact integer operands (bit-identical cross-engine),
+    z is rounded to 6 BEFORE ranking (ties break on the token), so the
+    per-source top-k is engine-order-free.
+
+    Scale shape: the same single tokenize-pass (source, token) count
+    frame as x5_source_divergence; the corpus token dimension
+    aggregates from it; source totals broadcast; the per-source rank
+    is a window partitioned BY SOURCE over the vocab-bounded frame."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tokc = (
+        d.select(
+            "source", F.explode(F.expr(D.tokens_expr("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    na_f = (
+        tokc.groupBy("source")
+        .agg(F.sum("a").cast("bigint").alias("na"))
+        .withColumn(
+            "ng", F.sum("na").over(Window.partitionBy()).cast("bigint")
+        )
+        .localCheckpoint(eager=False)  # bounded: one row per source
+    )
+    g_f = tokc.groupBy("tok").agg(F.sum("a").cast("bigint").alias("g"))
+    terms = (
+        tokc.join(g_f, "tok")
+        .join(F.broadcast(na_f), "source")
+        .selectExpr("source", "tok", "a", "g", "g - a AS b", "na",
+                    "ng - na AS nb")
+    )
+    delta = _KEY_DELTA.format(a="a", b="b", na="na", nb="nb")
+    var = _KEY_VAR.format(a="a", b="b", na="na", nb="nb")
+    scored = terms.selectExpr(
+        "source", "tok", "a", "g",
+        f"round({delta} / sqrt({var}), 6) AS z",
+    )
+    w = Window.partitionBy("source").orderBy(F.col("z").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KEY_TOP)
+        .select("source", "rk", "tok", "a", "g", "z")
+        .orderBy("source", "rk")
+    )
+
+
+EXTENDED_QUERIES["x5_keyness"] = x5_keyness
+
+
+def _keyness_oracle_sql() -> str:
+    delta = _KEY_DELTA.format(a="a", b="b", na="na", nb="nb")
+    var = _KEY_VAR.format(a="a", b="b", na="na", nb="nb")
+    return f"""
+    WITH kyc AS (
+      SELECT source, t.tok, CAST(count(*) AS BIGINT) AS a
+      FROM documents, LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+      GROUP BY 1, 2
+    ),
+    kyn AS (SELECT source, CAST(sum(a) AS BIGINT) AS na FROM kyc GROUP BY 1),
+    kyng AS (SELECT source, na, CAST(sum(na) OVER () AS BIGINT) AS ng
+             FROM kyn),
+    kyg AS (SELECT tok, CAST(sum(a) AS BIGINT) AS g FROM kyc GROUP BY 1),
+    kyt AS (
+      SELECT c.source, c.tok, c.a, g.g, g.g - c.a AS b,
+             n.na, n.ng - n.na AS nb
+      FROM kyc c JOIN kyg g USING (tok) JOIN kyng n USING (source)
+    ),
+    kys AS (
+      SELECT source, tok, a, g,
+             round({delta} / sqrt({var}), 6) AS z
+      FROM kyt
+    )
+    SELECT source, CAST(rk AS INT) AS rk, tok, a, g, z FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY z DESC, tok) AS rk FROM kys)
+    WHERE rk <= {KEY_TOP} ORDER BY source, rk
+"""
+
+
+EXTENDED_ORACLES["x5_keyness"] = _keyness_oracle_sql()

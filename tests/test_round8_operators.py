@@ -764,3 +764,83 @@ def test_levene_matches_python(spark, sf_small):
     assert abs(row.ss_between - ssb) < 1e-3 * max(1.0, abs(ssb))
     assert abs(row.ss_within - ssw) < 1e-9 * max(1.0, abs(ssw))
     assert abs(row.f_stat - f) < 1e-5
+
+
+def test_cohort_retention_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x8_cohort_retention
+
+    con = duckdb.connect()
+    uw = con.execute(f"""
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {86400000000 * 7}
+                  AS BIGINT) AS week
+      FROM '{sf_small}/events.parquet' WHERE user_id IS NOT NULL
+    """).fetchall()
+    first = {}
+    for u, w in uw:
+        first[u] = min(first.get(u, w), w)
+    tri = defaultdict(int)
+    for u, w in uw:
+        tri[(first[u], w - first[u])] += 1
+
+    rows = x8_cohort_retention(spark, sf_small).collect()
+    assert {(r.cohort_w, r.age): r.users for r in rows} == dict(tri)
+    for r in rows:
+        assert r.cohort_size == tri[(r.cohort_w, 0)]
+        assert abs(r.retention - r.users / r.cohort_size) < 1e-6
+        if r.age == 0:
+            assert r.retention == 1.0
+
+
+def test_keyness_matches_python(spark, sf_small):
+    """Top-z keyness must equal a plain-Python log-odds recomputation."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import KEY_TOP, x5_keyness
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    per_src = defaultdict(Counter)
+    for src, text in docs:
+        per_src[src].update(
+            t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+        )
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    ng = sum(total.values())
+
+    rows = x5_keyness(spark, sf_small).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        cnt = per_src[src]
+        na = sum(cnt.values())
+        nb = ng - na
+        scored = []
+        for tok, a in cnt.items():
+            b = total[tok] - a
+            delta = math.log((a + 1) / (na - a + 1)) - math.log(
+                (b + 1) / (nb - b + 1)
+            )
+            var = (
+                1 / (a + 1) + 1 / (b + 1)
+                + 1 / (na - a + 1) + 1 / (nb - b + 1)
+            )
+            scored.append((round(delta / math.sqrt(var), 6), tok, a))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        expect = scored[:KEY_TOP]
+        assert [(r.z, r.tok, r.a) for r in rs] == [
+            (z, tok, a) for z, tok, a in expect
+        ]
