@@ -15723,3 +15723,120 @@ def _keyness_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x5_keyness"] = _keyness_oracle_sql()
+
+
+# NDCG per-position term: graded relevance over log2 position discount,
+# rounded to 9 decimals into an exact DECIMAL sum — shared TEXT.
+_NDCG_TERM = (
+    "CAST(round(CAST({rel} AS DOUBLE)"
+    " / log2(CAST({pos} + 1 AS DOUBLE)), 9) AS DECIMAL(18,9))"
+)
+
+
+def x3_ndcg(spark, sf_dir):
+    """NDCG@k of the approximate LSH retrieval paths against the exact
+    cosine ranking — the ORDER-aware companion of x3_ann_recall:
+    recall counts how many true neighbors the ANN path returns, NDCG
+    scores WHERE it puts them (graded relevance rel = k+1-exact_rank,
+    discounted by log2 position). An ANN path can hold recall while
+    quietly inverting the head of the list — this is the instrument
+    that catches it. One row per (method, query).
+
+    Exactness: relevance grades and positions are exact integers off
+    the two deterministic rankings (both tie-break on rounded cos then
+    id); each DCG term rounds to 9 decimals into a DECIMAL(18,9) sum
+    (exact, order-independent), and NDCG is one division of the two
+    decimal-cast doubles.
+
+    Scale shape: reuses the declared exact/LSH operators (queries
+    broadcast, bucket equi-join — no corpus shuffle); everything after
+    the rankings is arithmetic over queries x k bounded frames."""
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    q1 = v.where(F.col("vec_id") < TOPK_QUERY_MAX)
+    c1 = v.where(F.col("vec_id") >= TOPK_QUERY_MAX)
+    exact = S.cosine_topk(q1, c1, k=TOPK_K).select("qid", "cid", "rk")
+    gt = exact.selectExpr("qid", "cid", f"{TOPK_K} + 1 - rk AS rel")
+    idcg = exact.groupBy("qid").agg(
+        F.expr(
+            f"sum({_NDCG_TERM.format(rel=f'{TOPK_K} + 1 - rk', pos='rk')})"
+        ).alias("idcg_d")
+    )
+    outs = []
+    for method, ann in (
+        (
+            "lsh",
+            S.ann_topk_lsh(
+                q1, c1, k=TOPK_K, num_planes=ANN_NUM_PLANES, dim=EMB_DIM
+            ),
+        ),
+        (
+            "lsh_h1",
+            S.ann_topk_lsh(
+                q1, c1, k=TOPK_K, num_planes=ANN_NUM_PLANES, dim=EMB_DIM,
+                hamming=1,
+            ),
+        ),
+    ):
+        j = (
+            ann.select("qid", "cid", "rk")
+            .join(gt, ["qid", "cid"], "left")
+            .selectExpr("qid", "rk", "coalesce(rel, 0) AS rel0")
+        )
+        outs.append(
+            j.groupBy("qid").agg(
+                F.expr("CAST(sum(CASE WHEN rel0 > 0 THEN 1 ELSE 0 END)"
+                       " AS BIGINT)").alias("hits"),
+                F.expr(
+                    f"sum({_NDCG_TERM.format(rel='rel0', pos='rk')})"
+                ).alias("dcg_d"),
+            ).selectExpr(f"'{method}' AS method", "qid", "hits", "dcg_d")
+        )
+    allm = outs[0].unionByName(outs[1])
+    return (
+        allm.join(F.broadcast(idcg), "qid")
+        .selectExpr(
+            "method",
+            "qid",
+            "hits",
+            "round(CAST(dcg_d AS DOUBLE), 6) AS dcg",
+            "round(CAST(idcg_d AS DOUBLE), 6) AS idcg",
+            "round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6)"
+            " AS ndcg",
+        )
+        .orderBy("method", "qid")
+    )
+
+
+EXTENDED_QUERIES["x3_ndcg"] = x3_ndcg
+
+
+def _ndcg_oracle_sql() -> str:
+    t_ideal = _NDCG_TERM.format(rel=f"{TOPK_K} + 1 - rk", pos="rk")
+    t_hit = _NDCG_TERM.format(rel="coalesce(g.rel, 0)", pos="a.rk")
+    branch = """
+      SELECT '{m}' AS method, a.qid,
+             CAST(sum(CASE WHEN g.rel IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+             sum({t}) AS dcg_d
+      FROM {src} a LEFT JOIN ndgt g ON g.qid = a.qid AND g.cid = a.cid
+      GROUP BY 1, 2"""
+    return f"""
+    WITH nde AS ({EXTENDED_ORACLES['x3_cosine_topk']}),
+    nda AS ({EXTENDED_ORACLES['x3_ann_topk_lsh']}),
+    ndam AS ({_ANN_LSH_H1}),
+    ndgt AS (SELECT qid, cid, {TOPK_K} + 1 - rk AS rel FROM nde),
+    ndi AS (SELECT qid, sum({t_ideal}) AS idcg_d FROM nde GROUP BY 1),
+    ndd AS ({branch.format(m="lsh", src="nda", t=t_hit)}
+      UNION ALL {branch.format(m="lsh_h1", src="ndam", t=t_hit)})
+    SELECT d.method, d.qid, d.hits,
+           round(CAST(d.dcg_d AS DOUBLE), 6) AS dcg,
+           round(CAST(i.idcg_d AS DOUBLE), 6) AS idcg,
+           round(CAST(d.dcg_d AS DOUBLE) / CAST(i.idcg_d AS DOUBLE), 6)
+             AS ndcg
+    FROM ndd d JOIN ndi i ON i.qid = d.qid
+    ORDER BY d.method, d.qid
+"""
+
+
+EXTENDED_ORACLES["x3_ndcg"] = _ndcg_oracle_sql()

