@@ -15840,3 +15840,88 @@ def _ndcg_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_ndcg"] = _ndcg_oracle_sql()
+
+
+def x2_dedup_venn(spark, sf_dir):
+    """Method-agreement Venn over the three doc-pair dedup detectors —
+    exact n-gram Jaccard (the truth at small scale), MinHash-LSH
+    (the sketch path), SimHash candidates (the Hamming path) — on the
+    common doc_id < MEDIA_DOC_MAX domain: every Venn cell in ONE row.
+    The instrument a pipeline reads before choosing its scale path:
+    LSH∩Jaccard over |Jaccard| is LSH's recall of true pairs, the
+    SimHash-only mass is its candidate-verification workload.
+
+    Scale shape: the three pair frames come from the declared
+    operators (the LSH frame via the shared _lsh_pairs_cached
+    persisted-pair-table pattern); tagged pairs union into one
+    (da, db) aggregate with method flags, and the Venn cells are
+    flag-product sums in a single global aggregate — no pairwise
+    joins, no 1-row crossJoins."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    dom = (F.col("da") < MEDIA_DOC_MAX) & (F.col("db") < MEDIA_DOC_MAX)
+    a = (
+        D.ngram_jaccard_pairs(
+            d, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+        )
+        .where(dom)
+        .selectExpr("da", "db", "'jac' AS m")
+    )
+    b = (
+        _lsh_pairs_cached(spark, sf_dir)
+        .where(dom)
+        .selectExpr("da", "db", "'lsh' AS m")
+    )
+    c = D.simhash_candidate_pairs(
+        d.where(F.col("doc_id") < MEDIA_DOC_MAX)
+    ).selectExpr("da", "db", "'sim' AS m")
+    tagged = a.unionByName(b).unionByName(c)
+    flags = tagged.groupBy("da", "db").agg(
+        F.expr("max(CASE WHEN m = 'jac' THEN 1 ELSE 0 END)").alias("fj"),
+        F.expr("max(CASE WHEN m = 'lsh' THEN 1 ELSE 0 END)").alias("fl"),
+        F.expr("max(CASE WHEN m = 'sim' THEN 1 ELSE 0 END)").alias("fs"),
+    )
+    return flags.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("any_method"),
+        F.expr("CAST(sum(fj) AS BIGINT)").alias("n_jaccard"),
+        F.expr("CAST(sum(fl) AS BIGINT)").alias("n_lsh"),
+        F.expr("CAST(sum(fs) AS BIGINT)").alias("n_simhash"),
+        F.expr("CAST(sum(fj * fl) AS BIGINT)").alias("jaccard_lsh"),
+        F.expr("CAST(sum(fj * fs) AS BIGINT)").alias("jaccard_simhash"),
+        F.expr("CAST(sum(fl * fs) AS BIGINT)").alias("lsh_simhash"),
+        F.expr("CAST(sum(fj * fl * fs) AS BIGINT)").alias("all_three"),
+    )
+
+
+EXTENDED_QUERIES["x2_dedup_venn"] = x2_dedup_venn
+
+EXTENDED_ORACLES["x2_dedup_venn"] = f"""
+    WITH vna AS ({EXTENDED_ORACLES['x2_ngram_jaccard_pairs']}),
+    vnb AS ({EXTENDED_ORACLES['x2_minhash_lsh_pairs']}),
+    vnc AS ({EXTENDED_ORACLES['x2_simhash_pairs']}),
+    vnt AS (
+      SELECT da, db, 'jac' AS m FROM vna
+        WHERE da < {MEDIA_DOC_MAX} AND db < {MEDIA_DOC_MAX}
+      UNION ALL
+      SELECT da, db, 'lsh' AS m FROM vnb
+        WHERE da < {MEDIA_DOC_MAX} AND db < {MEDIA_DOC_MAX}
+      UNION ALL
+      SELECT da, db, 'sim' AS m FROM vnc
+    ),
+    vnf AS (
+      SELECT da, db,
+             max(CASE WHEN m = 'jac' THEN 1 ELSE 0 END) AS fj,
+             max(CASE WHEN m = 'lsh' THEN 1 ELSE 0 END) AS fl,
+             max(CASE WHEN m = 'sim' THEN 1 ELSE 0 END) AS fs
+      FROM vnt GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS any_method,
+           CAST(sum(fj) AS BIGINT) AS n_jaccard,
+           CAST(sum(fl) AS BIGINT) AS n_lsh,
+           CAST(sum(fs) AS BIGINT) AS n_simhash,
+           CAST(sum(fj * fl) AS BIGINT) AS jaccard_lsh,
+           CAST(sum(fj * fs) AS BIGINT) AS jaccard_simhash,
+           CAST(sum(fl * fs) AS BIGINT) AS lsh_simhash,
+           CAST(sum(fj * fl * fs) AS BIGINT) AS all_three
+    FROM vnf
+"""

@@ -898,3 +898,41 @@ def test_ndcg_bounds_and_perfect_case(spark, sf_small):
         assert abs(got[qid].dcg - dcg[qid]) < 1e-6
         assert abs(got[qid].ndcg - dcg[qid] / idcg[qid]) < 1e-5
         assert got[qid].hits == hits[qid]
+
+
+def test_dedup_venn_consistency(spark, sf_small):
+    """Venn cells must satisfy set algebra and match the individual
+    declared pair frames on the common domain."""
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators import dedup as D
+    from diepy_spark.plans.extended import (
+        JACCARD_MAX_DF,
+        JACCARD_THRESHOLD,
+        MEDIA_DOC_MAX,
+        _docs,
+        _lsh_pairs_cached,
+        x2_dedup_venn,
+    )
+
+    d = _docs(spark, sf_small)
+    dom = lambda df: {
+        (r.da, r.db)
+        for r in df.collect()
+        if r.da < MEDIA_DOC_MAX and r.db < MEDIA_DOC_MAX
+    }
+    a = dom(D.ngram_jaccard_pairs(
+        d, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF))
+    b = dom(_lsh_pairs_cached(spark, sf_small))
+    c = dom(D.simhash_candidate_pairs(
+        d.where(F.col("doc_id") < MEDIA_DOC_MAX)))
+
+    r = x2_dedup_venn(spark, sf_small).collect()[0]
+    assert r.n_jaccard == len(a)
+    assert r.n_lsh == len(b)
+    assert r.n_simhash == len(c)
+    assert r.jaccard_lsh == len(a & b)
+    assert r.jaccard_simhash == len(a & c)
+    assert r.lsh_simhash == len(b & c)
+    assert r.all_three == len(a & b & c)
+    assert r.any_method == len(a | b | c)
