@@ -15925,3 +15925,150 @@ EXTENDED_ORACLES["x2_dedup_venn"] = f"""
            CAST(sum(fj * fl * fs) AS BIGINT) AS all_three
     FROM vnf
 """
+
+
+def x8_mood_median(spark, sf_dir):
+    """Mood's median test: do the k event types sit on the same median
+    `value`? Counts above/below the GRAND median per type and runs the
+    Pearson chi-square on the 2 x k table — the blunter but
+    assumption-free sibling of x8_kruskal_wallis (only the sign of
+    each observation relative to one global median matters; ties AT
+    the median are excluded, the classic convention). Completes the
+    nonparametric k-sample panel: KW (ranks), Friedman (blocked
+    ranks), Levene/Brown-Forsythe (spread), Mood (location).
+
+    Exactness: the grand median stays integer by DOUBLING (med2 — the
+    r28b rank-test idiom, marker flags + a bounded window sum instead
+    of a scalar join); cell counts are exact BIGINTs and the chi2 fold
+    reuses the x8_chisq_independence integer-numerator term verbatim.
+
+    Scale shape: ONE corpus aggregate to the bounded (type x cents)
+    histogram; the global cents histogram aggregates FROM it; the
+    median attaches back by an equi-join on cents against the
+    BROADCAST bounded frame (no 1-row crossJoin, no BNLJ); the packed
+    chi2 runs as higher-order functions over the 2k-cell array."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type AS grp",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # bounded: types x cents domain
+    )
+    gh = hist.groupBy("cents").agg(F.sum("cnt").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    gh2 = (
+        gh.withColumn("cum", F.sum("c").over(w_cum).cast("bigint"))
+        .withColumn("n", F.sum("c").over(w_all).cast("bigint"))
+        .withColumn(
+            "mark",
+            F.expr(
+                "CASE WHEN cum - c + 1 <= (n + 1) div 2"
+                " AND (n + 1) div 2 <= cum THEN cents ELSE 0 END"
+                " + CASE WHEN cum - c + 1 <= n div 2 + 1"
+                " AND n div 2 + 1 <= cum THEN cents ELSE 0 END"
+            ),
+        )
+        .withColumn("med2", F.sum("mark").over(w_all).cast("bigint"))
+    )
+    cells = (
+        hist.join(F.broadcast(gh2.select("cents", "med2")), "cents")
+        .where("2 * cents != med2")
+        .selectExpr(
+            "grp AS rv",
+            "CAST(2 * cents > med2 AS INT) AS cv",
+            "cnt",
+        )
+        .groupBy("rv", "cv")
+        .agg(F.sum("cnt").cast("bigint").alias("o"))
+    )
+    one = cells.agg(
+        F.expr("array_sort(collect_list(struct(rv, cv, o)))").alias("cl")
+    )
+    r_expr = (
+        "aggregate(filter(cl, y -> y.rv = x.rv),"
+        " CAST(0 AS BIGINT), (ar, y) -> ar + y.o)"
+    )
+    c_expr = (
+        "aggregate(filter(cl, z -> z.cv = x.cv),"
+        " CAST(0 AS BIGINT), (ac, z) -> ac + z.o)"
+    )
+    term = _CHISQ_TERM.format(
+        o="x.o", n="n", r=f"({r_expr})", c=f"({c_expr})"
+    )
+    base = one.selectExpr(
+        "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.o) AS n",
+        "CAST(size(array_distinct(transform(cl, x -> x.rv))) AS BIGINT)"
+        " AS k",
+        "cl",
+    )
+    agg = base.selectExpr(
+        "n",
+        "k",
+        f"aggregate(cl, CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
+        " AS chi2raw",
+    )
+    return agg.selectExpr(
+        "n",
+        "k",
+        "k - 1 AS dof",
+        "round(chi2raw, 6) AS chi2",
+    )
+
+
+EXTENDED_QUERIES["x8_mood_median"] = x8_mood_median
+
+EXTENDED_ORACLES["x8_mood_median"] = f"""
+    WITH mmh AS (
+      SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    mmg AS (SELECT cents, CAST(sum(cnt) AS BIGINT) AS c
+            FROM mmh GROUP BY 1),
+    mmc AS (
+      SELECT cents, c,
+             CAST(sum(c) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM mmg
+    ),
+    mmm AS (
+      SELECT CAST(sum(
+               CASE WHEN cum - c + 1 <= (n + 1) // 2
+                 AND (n + 1) // 2 <= cum THEN cents ELSE 0 END
+               + CASE WHEN cum - c + 1 <= n // 2 + 1
+                 AND n // 2 + 1 <= cum THEN cents ELSE 0 END)
+               AS BIGINT) AS med2
+      FROM mmc
+    ),
+    mmce AS (
+      SELECT h.grp AS rv, CAST(2 * h.cents > m.med2 AS INT) AS cv,
+             CAST(sum(h.cnt) AS BIGINT) AS o
+      FROM mmh h JOIN mmm m ON 2 * h.cents <> m.med2
+      GROUP BY 1, 2
+    ),
+    mmr AS (SELECT rv, CAST(sum(o) AS BIGINT) AS r FROM mmce GROUP BY 1),
+    mmcv AS (SELECT cv, CAST(sum(o) AS BIGINT) AS c FROM mmce GROUP BY 1),
+    mmt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT rv) AS BIGINT) AS k FROM mmce),
+    mmj AS (SELECT e.rv, e.cv, e.o, r.r, c.c, t.n, t.k
+            FROM mmce e JOIN mmr r USING (rv) JOIN mmcv c USING (cv), mmt t),
+    mma AS (
+      SELECT n, k,
+             list_sum(list(
+               ({_CHISQ_TERM.format(o="o", n="n", r="r", c="c")})
+               ORDER BY rv, cv)) AS chi2raw
+      FROM mmj GROUP BY 1, 2
+    )
+    SELECT n, k, k - 1 AS dof, round(chi2raw, 6) AS chi2
+    FROM mma
+"""

@@ -936,3 +936,39 @@ def test_dedup_venn_consistency(spark, sf_small):
     assert r.lsh_simhash == len(b & c)
     assert r.all_three == len(a & b & c)
     assert r.any_method == len(a | b | c)
+
+
+def test_mood_median_matches_python(spark, sf_small):
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x8_mood_median
+
+    con = duckdb.connect()
+    vals = con.execute(f"""
+      SELECT event_type, CAST(round(value * 100) AS BIGINT)
+      FROM '{sf_small}/events.parquet' WHERE value IS NOT NULL
+    """).fetchall()
+    xs = sorted(c for _, c in vals)
+    n = len(xs)
+    med2 = xs[(n + 1) // 2 - 1] + xs[n // 2]
+    groups = defaultdict(lambda: [0, 0])  # above, below
+    for g, c in vals:
+        if 2 * c > med2:
+            groups[g][0] += 1
+        elif 2 * c < med2:
+            groups[g][1] += 1
+    k = len(groups)
+    nn = sum(a + b for a, b in groups.values())
+    ca = sum(a for a, _ in groups.values())
+    cb = nn - ca
+    chi2 = 0.0
+    for a, b in groups.values():
+        r = a + b
+        for o, col in ((a, ca), (b, cb)):
+            chi2 += (o * nn - r * col) ** 2 / (nn * r * col)
+
+    row = x8_mood_median(spark, sf_small).collect()[0]
+    assert row.n == nn and row.k == k and row.dof == k - 1
+    assert abs(row.chi2 - chi2) < 1e-4
