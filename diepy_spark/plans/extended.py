@@ -16072,3 +16072,221 @@ EXTENDED_ORACLES["x8_mood_median"] = f"""
     SELECT n, k, k - 1 AS dof, round(chi2raw, 6) AS chi2
     FROM mma
 """
+
+
+RICH_KS = (2, 4, 8, 16)  # degree thresholds for the rich-club ladder
+
+
+def x11_rich_club(spark, sf_dir):
+    """Rich-club coefficient ladder (Zhou & Mondragon 2004): for each
+    degree threshold k, the density among nodes of degree > k —
+    phi(k) = 2*E_k / (n_k * (n_k - 1)). Rising phi with k means hubs
+    preferentially interconnect (the "rich club"); the structural
+    summary that complements x11_degree_dist (how many hubs) and
+    x11_assortativity (one global mixing number) with WHERE the hubs
+    sit. Exact integer edge/node counts off the symmetrized supply
+    graph; one division per rung at render.
+
+    Scale shape: degrees come from one aggregate over the deduped
+    edge frame; the degree dimension broadcasts back onto the edges;
+    each rung is a conditional sum in the SAME single aggregate —
+    the ladder never rescans the graph."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("u"),
+        (F.col("l_suppkey") * 10 + 2).alias("v"),
+    ).distinct().localCheckpoint(eager=False)
+    deg = (
+        ps.selectExpr("u AS node")
+        .unionByName(ps.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        ps.join(F.broadcast(deg.selectExpr("node AS u", "deg AS du")), "u")
+        .join(F.broadcast(deg.selectExpr("node AS v", "deg AS dv")), "v")
+    )
+    edge_sums = e.agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN du > {k} AND dv > {k} THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias(f"e_{k}")
+            for k in RICH_KS
+        ]
+    )
+    node_sums = deg.agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN deg > {k} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"n_{k}")
+            for k in RICH_KS
+        ]
+    )
+    rungs = None
+    for k in RICH_KS:
+        r = edge_sums.selectExpr(f"{k} AS k", f"e_{k} AS edges").join(
+            node_sums.selectExpr(f"{k} AS k", f"n_{k} AS nodes"), "k"
+        )
+        rungs = r if rungs is None else rungs.unionByName(r)
+    return rungs.selectExpr(
+        "k",
+        "nodes",
+        "edges",
+        "CASE WHEN nodes >= 2 THEN"
+        " round(CAST(2 * edges AS DOUBLE)"
+        " / (CAST(nodes AS DOUBLE) * (CAST(nodes AS DOUBLE) - 1)), 6)"
+        " ELSE CAST(0 AS DOUBLE) END AS phi",
+    ).orderBy("k")
+
+
+EXTENDED_QUERIES["x11_rich_club"] = x11_rich_club
+
+
+def _rich_club_oracle_sql() -> str:
+    rungs = " UNION ALL ".join(
+        f"""SELECT {k} AS k,
+             (SELECT CAST(count(*) AS BIGINT) FROM rcd WHERE deg > {k})
+               AS nodes,
+             (SELECT CAST(coalesce(sum(CASE WHEN du.deg > {k}
+                  AND dv.deg > {k} THEN 1 ELSE 0 END), 0) AS BIGINT)
+              FROM rce e JOIN rcd du ON du.node = e.u
+              JOIN rcd dv ON dv.node = e.v) AS edges"""
+        for k in RICH_KS
+    )
+    return f"""
+    WITH rce AS (SELECT DISTINCT l_partkey * 10 + 1 AS u,
+                        l_suppkey * 10 + 2 AS v FROM lineitem),
+    rcd AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM rce UNION ALL SELECT v FROM rce)
+      GROUP BY 1
+    ),
+    rcr AS ({rungs})
+    SELECT k, nodes, edges,
+           CASE WHEN nodes >= 2 THEN
+             round(CAST(2 * edges AS DOUBLE)
+                   / (CAST(nodes AS DOUBLE) * (CAST(nodes AS DOUBLE) - 1)), 6)
+           ELSE CAST(0 AS DOUBLE) END AS phi
+    FROM rcr ORDER BY k
+"""
+
+
+EXTENDED_ORACLES["x11_rich_club"] = _rich_club_oracle_sql()
+
+
+# 2x2 effect measures — shared TEXT. Haldane–Anscombe +0.5 applied via
+# DOUBLED integer cells (1/(x+0.5) = 2/(2x+1)), so zero cells never
+# divide by zero and every operand stays an exact BIGINT.
+_OR_EXPR = (
+    "(CAST(2 * {a} + 1 AS DOUBLE) * CAST(2 * {d} + 1 AS DOUBLE))"
+    " / (CAST(2 * {b} + 1 AS DOUBLE) * CAST(2 * {c} + 1 AS DOUBLE))"
+)
+_OR_SE = (
+    "sqrt(2 / CAST(2 * {a} + 1 AS DOUBLE) + 2 / CAST(2 * {b} + 1 AS DOUBLE)"
+    " + 2 / CAST(2 * {c} + 1 AS DOUBLE) + 2 / CAST(2 * {d} + 1 AS DOUBLE))"
+)
+_RR_EXPR = (
+    "(CAST(2 * {a} + 1 AS DOUBLE) / CAST(2 * ({a} + {b}) + 1 AS DOUBLE))"
+    " / (CAST(2 * {c} + 1 AS DOUBLE) / CAST(2 * ({c} + {d}) + 1 AS DOUBLE))"
+)
+
+
+def x8_odds_ratio(spark, sf_dir):
+    """Odds ratio and relative risk of conversion by experiment arm —
+    the 2x2 effect-size panel every A/B readout quotes next to the
+    p-value (x8_ab_test says whether arms differ; this says by HOW
+    MUCH, with the Woolf log-normal 95% CI under the Haldane-
+    Anscombe +0.5 correction — applied as DOUBLED integer cells so a
+    zero cell, which this dense fixture produces, never divides by
+    zero). Exposure = user arm (user_id % 2), outcome = converted
+    (ever emits KMSURV_EVENT).
+
+    Exactness: the four cells are exact BIGINTs off one per-user
+    aggregate; OR/RR are single-expression doubles over the shared
+    text; the CI is exp(ln(OR) +/- 1.96*se) — ln/sqrt/exp of identical
+    doubles, rounded only at render.
+
+    Scale shape: one map-side-combined corpus aggregate to per-user
+    (arm, converted), one global aggregate with four conditional sums
+    — no joins, no windows, nothing bounded by anything but 2x2."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"max(CASE WHEN event_type = '{KMSURV_EVENT}'"
+                " THEN 1 ELSE 0 END)"
+            ).alias("conv")
+        )
+        .selectExpr("CAST(user_id % 2 AS INT) AS arm", "conv")
+    )
+    cells = u.agg(
+        F.expr("CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("a"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("b"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("c"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("d"),
+    )
+    orx = _OR_EXPR.format(a="a", b="b", c="c", d="d")
+    se = _OR_SE.format(a="a", b="b", c="c", d="d")
+    rr = _RR_EXPR.format(a="a", b="b", c="c", d="d")
+    return cells.selectExpr(
+        "a", "b", "c", "d",
+        f"round({orx}, 6) AS odds_ratio",
+        f"round({rr}, 6) AS relative_risk",
+        f"round({se}, 6) AS ln_or_se",
+        f"round(exp(ln({orx}) - CAST(1.96 AS DOUBLE) * {se}), 6)"
+        " AS or_ci_low",
+        f"round(exp(ln({orx}) + CAST(1.96 AS DOUBLE) * {se}), 6)"
+        " AS or_ci_high",
+    )
+
+
+EXTENDED_QUERIES["x8_odds_ratio"] = x8_odds_ratio
+
+
+def _odds_ratio_oracle_sql() -> str:
+    orx = _OR_EXPR.format(a="a", b="b", c="c", d="d")
+    se = _OR_SE.format(a="a", b="b", c="c", d="d")
+    rr = _RR_EXPR.format(a="a", b="b", c="c", d="d")
+    return f"""
+    WITH oru AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             max(CASE WHEN event_type = '{KMSURV_EVENT}' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    orc AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM oru
+    )
+    SELECT a, b, c, d,
+           round({orx}, 6) AS odds_ratio,
+           round({rr}, 6) AS relative_risk,
+           round({se}, 6) AS ln_or_se,
+           round(exp(ln({orx}) - CAST(1.96 AS DOUBLE) * {se}), 6)
+             AS or_ci_low,
+           round(exp(ln({orx}) + CAST(1.96 AS DOUBLE) * {se}), 6)
+             AS or_ci_high
+    FROM orc
+"""
+
+
+EXTENDED_ORACLES["x8_odds_ratio"] = _odds_ratio_oracle_sql()

@@ -972,3 +972,65 @@ def test_mood_median_matches_python(spark, sf_small):
     row = x8_mood_median(spark, sf_small).collect()[0]
     assert row.n == nn and row.k == k and row.dof == k - 1
     assert abs(row.chi2 - chi2) < 1e-4
+
+
+def test_rich_club_matches_python(spark, sf_small):
+    from collections import Counter
+
+    import duckdb
+
+    from diepy_spark.plans.extended import RICH_KS, x11_rich_club
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+      SELECT DISTINCT l_partkey * 10 + 1, l_suppkey * 10 + 2
+      FROM '{sf_small}/lineitem.parquet'
+    """).fetchall()
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    rows = {r.k: r for r in x11_rich_club(spark, sf_small).collect()}
+    assert set(rows) == set(RICH_KS)
+    for k in RICH_KS:
+        nodes = sum(1 for d in deg.values() if d > k)
+        ek = sum(1 for u, v in edges if deg[u] > k and deg[v] > k)
+        r = rows[k]
+        assert (r.nodes, r.edges) == (nodes, ek)
+        if nodes >= 2:
+            assert abs(r.phi - 2 * ek / (nodes * (nodes - 1))) < 1e-6
+        else:
+            assert r.phi == 0.0
+
+
+def test_odds_ratio_matches_python(spark, sf_small):
+    import math
+
+    import duckdb
+
+    from diepy_spark.plans.extended import KMSURV_EVENT, x8_odds_ratio
+
+    con = duckdb.connect()
+    users = con.execute(f"""
+      SELECT CAST(user_id % 2 AS INT),
+             max(CASE WHEN event_type = '{KMSURV_EVENT}' THEN 1 ELSE 0 END)
+      FROM '{sf_small}/events.parquet' WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    """).fetchall()
+    a = sum(1 for arm, c in users if arm == 1 and c == 1)
+    b = sum(1 for arm, c in users if arm == 1 and c == 0)
+    c_ = sum(1 for arm, c in users if arm == 0 and c == 1)
+    d = sum(1 for arm, c in users if arm == 0 and c == 0)
+    orx = ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c_ + 0.5))
+    se = math.sqrt(
+        1 / (a + 0.5) + 1 / (b + 0.5) + 1 / (c_ + 0.5) + 1 / (d + 0.5)
+    )
+    rr = ((a + 0.5) / (a + b + 0.5)) / ((c_ + 0.5) / (c_ + d + 0.5))
+
+    r = x8_odds_ratio(spark, sf_small).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (a, b, c_, d)
+    assert abs(r.odds_ratio - orx) < 1e-5
+    assert abs(r.relative_risk - rr) < 1e-5
+    assert abs(r.ln_or_se - se) < 1e-5
+    assert abs(r.or_ci_low - orx * math.exp(-1.96 * se)) < 1e-4
+    assert abs(r.or_ci_high - orx * math.exp(1.96 * se)) < 1e-4
