@@ -16290,3 +16290,148 @@ def _odds_ratio_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_odds_ratio"] = _odds_ratio_oracle_sql()
+
+
+CCF_MAX_LAG = 3
+CCF_X = "click"  # the hypothesized LEADING series
+CCF_Y = "purchase"  # the outcome series
+
+
+def x8_ccf(spark, sf_dir):
+    """Lagged CROSS-correlation function between the daily click and
+    purchase series, lags -CCF_MAX_LAG..+CCF_MAX_LAG — the lead-lag
+    instrument next to x8_acf's self-correlation: a peak at negative
+    lag means clicks LEAD purchases by that many days (the cheap
+    pre-Granger screen every funnel analysis starts with). Both series
+    ride the same gap-filled calendar spine (a silent day is a
+    0-observation).
+
+    Exactness: the x8_acf integer-centering trick on both series
+    (u = n*x - Sx, v = n*y - Sy — the n^2 factors cancel in the
+    ratio); lag products and the two sum-of-squares are exact BIGINTs;
+    the denominator multiplies the two sqrt's as doubles (the raw
+    product would overflow 2^63), one division at render.
+
+    Scale shape: the corpus collapses to two bounded calendar series
+    in ONE aggregate; the lag join and totals run over <= days rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.where(F.col("event_type").isin(CCF_X, CCF_Y))
+        .selectExpr(
+            "event_type AS et",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+        )
+        .groupBy("et", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = obs.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+
+    def centered(et):
+        d = (
+            spine.join(
+                obs.where(F.col("et") == et).select("day", "c"), "day", "left"
+            )
+            .select(
+                "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("x")
+            )
+        )
+        t = d.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+        )
+        return (
+            d.crossJoin(F.broadcast(t))
+            .select("day", (F.col("n") * F.col("x") - F.col("s")).alias("u"))
+            .localCheckpoint(eager=False)  # bounded: calendar days
+        )
+
+    cx = centered(CCF_X)
+    cy = centered(CCF_Y)
+    dx = cx.agg(F.sum(F.expr("u * u")).cast("bigint").alias("dx"))
+    dy = cy.agg(F.sum(F.expr("u * u")).cast("bigint").alias("dy"))
+    a = cx.select(F.col("day").alias("da"), F.col("u").alias("ux"))
+    b = cy.select(F.col("day").alias("db"), F.col("u").alias("uy"))
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("ux * uy")).cast("bigint").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(dx))
+        .crossJoin(F.broadcast(dy))
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "round(CAST(num AS DOUBLE)"
+            " / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)"
+            " AS r",
+        )
+        .orderBy("lag")
+    )
+
+
+EXTENDED_QUERIES["x8_ccf"] = x8_ccf
+
+EXTENDED_ORACLES["x8_ccf"] = f"""
+    WITH cfo AS (
+      SELECT event_type AS et,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('{CCF_X}', '{CCF_Y}')
+      GROUP BY 1, 2
+    ),
+    cfs AS (
+      SELECT unnest(generate_series(min(day), max(day))) AS day FROM cfo
+    ),
+    cfx AS (
+      SELECT s.day, coalesce(o.c, 0) AS x
+      FROM cfs s LEFT JOIN (SELECT day, c FROM cfo WHERE et = '{CCF_X}') o
+        USING (day)
+    ),
+    cfy AS (
+      SELECT s.day, coalesce(o.c, 0) AS x
+      FROM cfs s LEFT JOIN (SELECT day, c FROM cfo WHERE et = '{CCF_Y}') o
+        USING (day)
+    ),
+    cfcx AS (
+      SELECT day, CAST((SELECT count(*) FROM cfx) * x
+                       - (SELECT sum(x) FROM cfx) AS BIGINT) AS u
+      FROM cfx
+    ),
+    cfcy AS (
+      SELECT day, CAST((SELECT count(*) FROM cfy) * x
+                       - (SELECT sum(x) FROM cfy) AS BIGINT) AS u
+      FROM cfy
+    ),
+    cfd AS (
+      SELECT (SELECT CAST(sum(u * u) AS BIGINT) FROM cfcx) AS dx,
+             (SELECT CAST(sum(u * u) AS BIGINT) FROM cfcy) AS dy
+    ),
+    cfl AS (
+      SELECT unnest(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag
+    ),
+    cfp AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.u * b.u) AS BIGINT) AS num
+      FROM cfl l
+      JOIN cfcx a ON TRUE
+      JOIN cfcy b ON b.day = a.day + l.lag
+      GROUP BY 1
+    )
+    SELECT CAST(p.lag AS INT) AS lag, p.n_pairs,
+           round(CAST(p.num AS DOUBLE)
+                 / (sqrt(CAST(d.dx AS DOUBLE)) * sqrt(CAST(d.dy AS DOUBLE))),
+                 6) AS r
+    FROM cfp p, cfd d ORDER BY lag
+"""

@@ -1034,3 +1034,52 @@ def test_odds_ratio_matches_python(spark, sf_small):
     assert abs(r.ln_or_se - se) < 1e-5
     assert abs(r.or_ci_low - orx * math.exp(-1.96 * se)) < 1e-4
     assert abs(r.or_ci_high - orx * math.exp(1.96 * se)) < 1e-4
+
+
+def test_ccf_matches_python(spark, sf_small):
+    """Cross-correlation at every lag must equal a plain-Python
+    recomputation over the same gap-filled spine."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from diepy_spark.plans.extended import CCF_MAX_LAG, CCF_X, CCF_Y, x8_ccf
+
+    con = duckdb.connect()
+    rows_ = con.execute(f"""
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+      FROM '{sf_small}/events.parquet'
+      WHERE event_type IN ('{CCF_X}', '{CCF_Y}')
+    """).fetchall()
+    cx, cy = Counter(), Counter()
+    for et, day in rows_:
+        (cx if et == CCF_X else cy)[day] += 1
+    d0 = min(min(cx), min(cy))
+    d1 = max(max(cx), max(cy))
+    days = list(range(d0, d1 + 1))
+    n = len(days)
+    xs = [cx.get(d, 0) for d in days]
+    ys = [cy.get(d, 0) for d in days]
+    u = [n * v - sum(xs) for v in xs]
+    v = [n * w - sum(ys) for w in ys]
+    den = math.sqrt(sum(a * a for a in u)) * math.sqrt(
+        sum(b * b for b in v)
+    )
+
+    got = {r.lag: r for r in x8_ccf(spark, sf_small).collect()}
+    assert set(got) == set(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    for lag in got:
+        num = 0
+        np_ = 0
+        for i, d in enumerate(days):
+            j = d + lag - d0
+            if 0 <= j < n:
+                num += u[i] * v[j]
+                np_ += 1
+        r = got[lag]
+        assert r.n_pairs == np_
+        assert abs(r.r - num / den) < 1e-6
+    # zero-lag simultaneity should be the strongest or near it
+    assert abs(got[0].r) <= 1.0
