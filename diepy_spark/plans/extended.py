@@ -16435,3 +16435,87 @@ EXTENDED_ORACLES["x8_ccf"] = f"""
                  6) AS r
     FROM cfp p, cfd d ORDER BY lag
 """
+
+
+def x6_payload_entropy(spark, sf_dir):
+    """Byte-level Shannon entropy of each media payload (doc_id <
+    MEDIA_DOC_MAX — the X6 media slice): the codec-FREE integrity
+    screen a multimodal pipeline runs before decode — near-8-bit
+    entropy says compressed/encrypted (or corrupt-random) bytes,
+    near-0 says padding/stuck bytes; max_byte_frac catches the
+    single-value fills. Payloads are the UTF-8 bytes of pure-ASCII
+    text here (the x6_media_meta contract), so char positions ==
+    byte offsets in both engines.
+
+    Exactness: entropy = ln(n) - sum(c*ln c)/n over the byte
+    histogram — c*ln(c) terms are ln of exact integers rounded to 9
+    decimals into a DECIMAL(18,9) sum (exact, order-independent), two
+    correctly-rounded ops at render.
+
+    Scale shape: one explode to (doc, byte) counts with map-side
+    combine; per-doc totals ride the same aggregate chain; nothing
+    leaves the media slice."""
+    tune(spark)
+    d = _docs(spark, sf_dir).where(
+        (F.col("doc_id") < MEDIA_DOC_MAX) & (F.length("text") > 0)
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)),"
+                   " i -> substr(text, i, 1))")
+        ).alias("ch"),
+    )
+    hist = ch.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bytes"),
+        F.expr(
+            "sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 9)"
+            " AS DECIMAL(18,9)))"
+        ).alias("slc"),
+        F.max("c").cast("bigint").alias("cmax"),
+    )
+    return per.selectExpr(
+        "doc_id",
+        "n_bytes",
+        "distinct_bytes",
+        "round(ln(CAST(n_bytes AS DOUBLE))"
+        " - CAST(slc AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6) AS entropy",
+        "round(CAST(cmax AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)"
+        " AS max_byte_frac",
+    ).orderBy("doc_id")
+
+
+EXTENDED_QUERIES["x6_payload_entropy"] = x6_payload_entropy
+
+EXTENDED_ORACLES["x6_payload_entropy"] = f"""
+    WITH pech AS (
+      SELECT doc_id, substr(text, t.i, 1) AS ch
+      FROM documents,
+      LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) t
+      WHERE doc_id < {MEDIA_DOC_MAX} AND length(text) > 0
+    ),
+    peh AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM pech GROUP BY 1, 2
+    ),
+    pep AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bytes,
+             CAST(count(*) AS BIGINT) AS distinct_bytes,
+             sum(CAST(round(c * ln(CAST(c AS DOUBLE)), 9)
+                 AS DECIMAL(18,9))) AS slc,
+             CAST(max(c) AS BIGINT) AS cmax
+      FROM peh GROUP BY 1
+    )
+    SELECT doc_id, n_bytes, distinct_bytes,
+           round(ln(CAST(n_bytes AS DOUBLE))
+                 - CAST(slc AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+             AS entropy,
+           round(CAST(cmax AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+             AS max_byte_frac
+    FROM pep ORDER BY doc_id
+"""

@@ -1083,3 +1083,31 @@ def test_ccf_matches_python(spark, sf_small):
         assert abs(r.r - num / den) < 1e-6
     # zero-lag simultaneity should be the strongest or near it
     assert abs(got[0].r) <= 1.0
+
+
+def test_payload_entropy_matches_python(spark, sf_small):
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from diepy_spark.plans.extended import MEDIA_DOC_MAX, x6_payload_entropy
+
+    con = duckdb.connect()
+    docs = con.execute(f"""
+      SELECT doc_id, text FROM '{sf_small}/documents.parquet'
+      WHERE doc_id < {MEDIA_DOC_MAX} AND length(text) > 0
+    """).fetchall()
+    rows = {r.doc_id: r for r in x6_payload_entropy(spark, sf_small).collect()}
+    assert set(rows) == {d for d, _ in docs}
+    for did, text in docs:
+        c = Counter(text)
+        n = len(text)
+        ent = math.log(n) - sum(
+            round(v * math.log(v), 9) for v in c.values()
+        ) / n
+        r = rows[did]
+        assert r.n_bytes == n and r.distinct_bytes == len(c)
+        assert abs(r.entropy - ent) < 1e-6
+        assert abs(r.max_byte_frac - max(c.values()) / n) < 1e-6
+        assert 0.0 <= r.entropy <= math.log(256)
