@@ -16519,3 +16519,101 @@ EXTENDED_ORACLES["x6_payload_entropy"] = f"""
              AS max_byte_frac
     FROM pep ORDER BY doc_id
 """
+
+
+def x10_loo_ablation(spark, sf_dir):
+    """Leave-one-source-out ablation manifest: for every source, the
+    corpus statistics a training run would see WITHOUT it — the
+    planning table behind mixture ablations (pair each row with the
+    x10_epoch_plan/x10_mix_rebalance weights to cost an ablation grid
+    before launching it). Reports removed mass and the remaining
+    corpus's aggregate ratios.
+
+    Exactness: every statistic is a single division of exact BIGINT
+    sums (aggregate ratios, NOT means of per-doc floats — no per-doc
+    rounding anywhere, so no round-boundary class at any corpus
+    size); subtraction of per-source sums from the window total is
+    integer-exact.
+
+    Scale shape: ONE corpus pass (tokenize + stopword fold per row,
+    no shuffle before the per-source aggregate); the global totals
+    ride a window over the |sources|-row bounded frame."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    en_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    d = _docs(spark, sf_dir)
+    per = (
+        d.selectExpr(
+            "source",
+            f"size({D.tokens_expr('text')}) AS n_tok",
+            f"aggregate(transform({D.tokens_expr('text')},"
+            f" x -> if(x in ({en_list}), 1, 0)), 0, (a, v) -> a + v)"
+            " AS n_stop",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_s"),
+            F.sum("n_tok").cast("bigint").alias("tok_s"),
+            F.sum("n_stop").cast("bigint").alias("stop_s"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = (
+        per.withColumn("docs_t", F.sum("docs_s").over(w).cast("bigint"))
+        .withColumn("tok_t", F.sum("tok_s").over(w).cast("bigint"))
+        .withColumn("stop_t", F.sum("stop_s").over(w).cast("bigint"))
+    )
+    return tot.selectExpr(
+        "source",
+        "docs_s AS docs_removed",
+        "tok_s AS tokens_removed",
+        "docs_t - docs_s AS docs_loo",
+        "tok_t - tok_s AS tokens_loo",
+        "round(CAST(tok_s AS DOUBLE) / CAST(tok_t AS DOUBLE), 6)"
+        " AS token_share_removed",
+        "round(CAST(tok_t - tok_s AS DOUBLE)"
+        " / CAST(docs_t - docs_s AS DOUBLE), 6) AS mean_doc_tokens_loo",
+        "round(CAST(stop_t - stop_s AS DOUBLE)"
+        " / CAST(tok_t - tok_s AS DOUBLE), 6) AS stop_ratio_loo",
+    ).orderBy("source")
+
+
+EXTENDED_QUERIES["x10_loo_ablation"] = x10_loo_ablation
+
+EXTENDED_ORACLES["x10_loo_ablation"] = f"""
+    WITH looq AS (
+      SELECT source,
+             CAST(len({_TOKS_EXPR}) AS BIGINT) AS n_tok,
+             CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                  t -> CASE WHEN t IN ({_QUALITY_EN}) THEN 1 ELSE 0 END)),
+                  0) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    loop_ AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs_s,
+             CAST(sum(n_tok) AS BIGINT) AS tok_s,
+             CAST(sum(n_stop) AS BIGINT) AS stop_s
+      FROM looq GROUP BY 1
+    ),
+    loot AS (
+      SELECT *,
+             CAST(sum(docs_s) OVER () AS BIGINT) AS docs_t,
+             CAST(sum(tok_s) OVER () AS BIGINT) AS tok_t,
+             CAST(sum(stop_s) OVER () AS BIGINT) AS stop_t
+      FROM loop_
+    )
+    SELECT source,
+           docs_s AS docs_removed,
+           tok_s AS tokens_removed,
+           docs_t - docs_s AS docs_loo,
+           tok_t - tok_s AS tokens_loo,
+           round(CAST(tok_s AS DOUBLE) / CAST(tok_t AS DOUBLE), 6)
+             AS token_share_removed,
+           round(CAST(tok_t - tok_s AS DOUBLE)
+                 / CAST(docs_t - docs_s AS DOUBLE), 6)
+             AS mean_doc_tokens_loo,
+           round(CAST(stop_t - stop_s AS DOUBLE)
+                 / CAST(tok_t - tok_s AS DOUBLE), 6) AS stop_ratio_loo
+    FROM loot ORDER BY source
+"""

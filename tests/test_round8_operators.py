@@ -1111,3 +1111,18 @@ def test_payload_entropy_matches_python(spark, sf_small):
         assert abs(r.entropy - ent) < 1e-6
         assert abs(r.max_byte_frac - max(c.values()) / n) < 1e-6
         assert 0.0 <= r.entropy <= math.log(256)
+
+
+def test_loo_ablation_sums(spark, sf_small):
+    """Removed + remaining must reconstruct the same global totals on
+    every row, and shares must sum to 1."""
+    from diepy_spark.plans.extended import x10_loo_ablation
+
+    rows = x10_loo_ablation(spark, sf_small).collect()
+    docs_t = {r.docs_removed + r.docs_loo for r in rows}
+    toks_t = {r.tokens_removed + r.tokens_loo for r in rows}
+    assert len(docs_t) == 1 and len(toks_t) == 1
+    assert abs(sum(r.token_share_removed for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 < r.stop_ratio_loo < 1.0
+        assert r.mean_doc_tokens_loo > 0
