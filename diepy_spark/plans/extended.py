@@ -16617,3 +16617,116 @@ EXTENDED_ORACLES["x10_loo_ablation"] = f"""
                  / CAST(tok_t - tok_s AS DOUBLE), 6) AS stop_ratio_loo
     FROM loot ORDER BY source
 """
+
+
+# Cochran–Armitage z — shared TEXT over exact integer sums. The raw
+# variance product overflows 2^63, so the sqrt factors split:
+# z = (N*Sxs - S*Sxn) * sqrt(N)
+#     / (sqrt(S * (N - S)) * sqrt(N * Snxx - Sxn * Sxn))
+_CA_Z = (
+    "(CAST({N} * {Sxs} - {S} * {Sxn} AS DOUBLE) * sqrt(CAST({N} AS DOUBLE)))"
+    " / (sqrt(CAST({S} AS DOUBLE) * CAST({N} - {S} AS DOUBLE))"
+    " * sqrt(CAST({N} AS DOUBLE) * CAST({Snxx} AS DOUBLE)"
+    " - CAST({Sxn} AS DOUBLE) * CAST({Sxn} AS DOUBLE)))"
+)
+
+
+def x8_trend_proportions(spark, sf_dir):
+    """Cochran–Armitage trend test: is the daily PURCHASE SHARE of
+    events drifting monotonically across the calendar? The categorical
+    sibling of x8_mann_kendall (MK: monotone trend in a numeric
+    series; this: monotone trend in a PROPORTION with the correct
+    binomial variance — the funnel-health monitor that catches slow
+    conversion rot a day-over-day diff test can't see).
+
+    Exactness: day scores are 0-based integer offsets; every sum
+    (successes, trials, score-weighted cross terms) is an exact
+    BIGINT, and the z numerator N*Sxs - S*Sxn is integer-exact; only
+    the variance sqrt factors are doubles (split so no product
+    overflows 2^63), one division at render.
+
+    Scale shape: ONE corpus aggregate to the bounded per-day
+    (trials, successes) frame; the five scalar sums fold that frame
+    in a single aggregate — no joins, no windows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where("event_type IS NOT NULL")
+        .selectExpr(
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            f"CAST(event_type = '{KMSURV_EVENT}' AS INT) AS succ",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("succ").cast("bigint").alias("s_i"),
+        )
+    )
+    packed = daily.agg(
+        F.expr("array_sort(collect_list(struct(day, n_i, s_i)))").alias("cl")
+    )
+    base = packed.selectExpr(
+        "CAST(size(cl) AS BIGINT) AS n_days",
+        "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.n_i) AS n",
+        "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.s_i) AS s",
+        "cl[0].day AS d0",
+        "cl",
+    )
+    sums = base.selectExpr(
+        "n_days",
+        "n",
+        "s",
+        "aggregate(cl, CAST(0 AS BIGINT),"
+        " (a, x) -> a + (x.day - d0) * x.s_i) AS sxs",
+        "aggregate(cl, CAST(0 AS BIGINT),"
+        " (a, x) -> a + (x.day - d0) * x.n_i) AS sxn",
+        "aggregate(cl, CAST(0 AS BIGINT),"
+        " (a, x) -> a + (x.day - d0) * (x.day - d0) * x.n_i) AS snxx",
+    )
+    z = _CA_Z.format(N="n", S="s", Sxs="sxs", Sxn="sxn", Snxx="snxx")
+    return sums.selectExpr(
+        "n_days",
+        "n",
+        "s",
+        "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_overall",
+        f"round({z}, 6) AS z",
+        f"CAST(CASE WHEN ({z}) > 0 THEN 1 WHEN ({z}) < 0 THEN -1"
+        " ELSE 0 END AS INT) AS direction",
+    )
+
+
+EXTENDED_QUERIES["x8_trend_proportions"] = x8_trend_proportions
+
+
+def _ca_oracle_sql() -> str:
+    z = _CA_Z.format(N="n", S="s", Sxs="sxs", Sxn="sxn", Snxx="snxx")
+    return f"""
+    WITH cad AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(CAST(event_type = '{KMSURV_EVENT}' AS INT))
+                  AS BIGINT) AS s_i
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    cax AS (SELECT day - (SELECT min(day) FROM cad) AS x, n_i, s_i FROM cad),
+    cas AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(s_i) AS BIGINT) AS s,
+             CAST(sum(x * s_i) AS BIGINT) AS sxs,
+             CAST(sum(x * n_i) AS BIGINT) AS sxn,
+             CAST(sum(x * x * n_i) AS BIGINT) AS snxx
+      FROM cax
+    )
+    SELECT n_days, n, s,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_overall,
+           round({z}, 6) AS z,
+           CAST(CASE WHEN ({z}) > 0 THEN 1 WHEN ({z}) < 0 THEN -1
+                ELSE 0 END AS INT) AS direction
+    FROM cas
+"""
+
+
+EXTENDED_ORACLES["x8_trend_proportions"] = _ca_oracle_sql()

@@ -1126,3 +1126,37 @@ def test_loo_ablation_sums(spark, sf_small):
     for r in rows:
         assert 0.0 < r.stop_ratio_loo < 1.0
         assert r.mean_doc_tokens_loo > 0
+
+
+def test_trend_proportions_matches_python(spark, sf_small):
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import KMSURV_EVENT, x8_trend_proportions
+
+    con = duckdb.connect()
+    days = con.execute(f"""
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT),
+             CAST(event_type = '{KMSURV_EVENT}' AS INT)
+      FROM '{sf_small}/events.parquet' WHERE event_type IS NOT NULL
+    """).fetchall()
+    agg = defaultdict(lambda: [0, 0])
+    for d, sflag in days:
+        agg[d][0] += 1
+        agg[d][1] += sflag
+    d0 = min(agg)
+    n = sum(v[0] for v in agg.values())
+    s = sum(v[1] for v in agg.values())
+    sxs = sum((d - d0) * v[1] for d, v in agg.items())
+    sxn = sum((d - d0) * v[0] for d, v in agg.items())
+    snxx = sum((d - d0) ** 2 * v[0] for d, v in agg.items())
+    z = (n * sxs - s * sxn) * math.sqrt(n) / (
+        math.sqrt(s * (n - s)) * math.sqrt(n * snxx - sxn * sxn)
+    )
+
+    r = x8_trend_proportions(spark, sf_small).collect()[0]
+    assert (r.n_days, r.n, r.s) == (len(agg), n, s)
+    assert abs(r.z - z) < 1e-5
+    assert r.direction == (1 if z > 0 else (-1 if z < 0 else 0))
