@@ -16730,3 +16730,126 @@ def _ca_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_trend_proportions"] = _ca_oracle_sql()
+
+
+KT_K = 4  # truss order: keep edges in >= KT_K - 2 triangles
+KT_ROUNDS = 3  # fixed pruning rounds (the BFS_ITER bounded contract)
+
+
+def x11_ktruss(spark, sf_dir):
+    """k-truss pruning (Cohen 2008): iteratively drop edges supported
+    by fewer than KT_K - 2 triangles — the EDGE analog of x11_kcore
+    (core: node degrees; truss: edge embeddedness in triangles — the
+    standard cohesive-subgraph refinement between cores and cliques).
+    KT_ROUNDS fixed pruning rounds (support recomputed on survivors
+    each round — the bounded-iteration contract of x11_bfs; a
+    fixpoint needs data-dependent rounds). Output: the support
+    histogram of the surviving edge set.
+
+    Exactness: pure integer support counts; the oracle unrolls the
+    same rounds as chained CTEs over the same canonical (u < v)
+    deduped edges of the x11_triangle_count synthetic graph.
+
+    Scale shape: per round ONE wedge join of edges against the
+    symmetrized adjacency (support via common-neighbor counts, the
+    triangle-join formulation) and one filter; survivors checkpoint
+    each round so lineage stays flat. At 100 TB the wedge join is the
+    bottleneck and inherits the x11_triangle_count orientation
+    argument; the histogram render is bounded by max support."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    raw = orders.select(
+        ((F.col("o_orderkey") * 37 + 11) % TRI_N).alias("a"),
+        ((F.col("o_custkey") * 101 + 7) % TRI_N).alias("b"),
+    )
+    e = (
+        raw.where(F.col("a") != F.col("b"))
+        .selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    min_sup = KT_K - 2
+    for _ in range(KT_ROUNDS):
+        adj = e.selectExpr("u AS p", "v AS q").unionByName(
+            e.selectExpr("v AS p", "u AS q")
+        )
+        sup = (
+            e.join(adj.selectExpr("p AS u", "q AS x"), "u")
+            .join(adj.selectExpr("p AS v", "q AS x2"), "v")
+            .where(F.col("x") == F.col("x2"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        )
+        e = (
+            e.join(sup, ["u", "v"], "left")
+            .where(F.coalesce(F.col("sup"), F.lit(0)) >= min_sup)
+            .select("u", "v", F.coalesce(F.col("sup"), F.lit(0)).alias("sup"))
+            .localCheckpoint(eager=False)
+        ).select("u", "v")
+    adj = e.selectExpr("u AS p", "v AS q").unionByName(
+        e.selectExpr("v AS p", "u AS q")
+    )
+    final_sup = (
+        e.join(adj.selectExpr("p AS u", "q AS x"), "u")
+        .join(adj.selectExpr("p AS v", "q AS x2"), "v")
+        .where(F.col("x") == F.col("x2"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+    )
+    hist = (
+        e.join(final_sup, ["u", "v"], "left")
+        .selectExpr("coalesce(sup, CAST(0 AS BIGINT)) AS support")
+        .groupBy("support")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("edges"))
+    )
+    return hist.orderBy("support")
+
+
+EXTENDED_QUERIES["x11_ktruss"] = x11_ktruss
+
+
+def _ktruss_oracle_sql() -> str:
+    min_sup = KT_K - 2
+    ctes = [
+        f"""kte0 AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+        SELECT (o_orderkey * 37 + 11) % {TRI_N} AS a,
+               (o_custkey * 101 + 7) % {TRI_N} AS b FROM orders)
+      WHERE a <> b)"""
+    ]
+    cur = "kte0"
+    for i in range(KT_ROUNDS):
+        ctes.append(f"""kta{i} AS (
+      SELECT u AS p, v AS q FROM {cur}
+      UNION ALL SELECT v AS p, u AS q FROM {cur})""")
+        ctes.append(f"""kts{i} AS (
+      SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+      FROM {cur} e
+      JOIN kta{i} a ON a.p = e.u
+      JOIN kta{i} b ON b.p = e.v AND b.q = a.q
+      GROUP BY 1, 2)""")
+        ctes.append(f"""kte{i + 1} AS (
+      SELECT e.u, e.v FROM {cur} e
+      LEFT JOIN kts{i} s ON s.u = e.u AND s.v = e.v
+      WHERE coalesce(s.sup, 0) >= {min_sup})""")
+        cur = f"kte{i + 1}"
+    ctes.append(f"""ktaf AS (
+      SELECT u AS p, v AS q FROM {cur}
+      UNION ALL SELECT v AS p, u AS q FROM {cur})""")
+    ctes.append(f"""ktsf AS (
+      SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+      FROM {cur} e
+      JOIN ktaf a ON a.p = e.u
+      JOIN ktaf b ON b.p = e.v AND b.q = a.q
+      GROUP BY 1, 2)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT coalesce(s.sup, 0) AS support,
+           CAST(count(*) AS BIGINT) AS edges
+    FROM {cur} e LEFT JOIN ktsf s ON s.u = e.u AND s.v = e.v
+    GROUP BY 1 ORDER BY 1"""
+    )
+
+
+EXTENDED_ORACLES["x11_ktruss"] = _ktruss_oracle_sql()

@@ -1160,3 +1160,44 @@ def test_trend_proportions_matches_python(spark, sf_small):
     assert (r.n_days, r.n, r.s) == (len(agg), n, s)
     assert abs(r.z - z) < 1e-5
     assert r.direction == (1 if z > 0 else (-1 if z < 0 else 0))
+
+
+def test_ktruss_matches_python(spark, sf_small):
+    """Fixed-round k-truss pruning must equal a literal Python
+    recomputation (canonical edges, common-neighbor support)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import (
+        KT_K,
+        KT_ROUNDS,
+        TRI_N,
+        x11_ktruss,
+    )
+
+    con = duckdb.connect()
+    raw = con.execute(f"""
+      SELECT (o_orderkey * 37 + 11) % {TRI_N},
+             (o_custkey * 101 + 7) % {TRI_N}
+      FROM '{sf_small}/orders.parquet'
+    """).fetchall()
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+
+    def supports(es):
+        nbr = defaultdict(set)
+        for u, v in es:
+            nbr[u].add(v)
+            nbr[v].add(u)
+        return {(u, v): len(nbr[u] & nbr[v]) for u, v in es}
+
+    for _ in range(KT_ROUNDS):
+        sup = supports(edges)
+        edges = {e for e in edges if sup[e] >= KT_K - 2}
+    hist = defaultdict(int)
+    final = supports(edges)
+    for e in edges:
+        hist[final[e]] += 1
+
+    rows = x11_ktruss(spark, sf_small).collect()
+    assert {r.support: r.edges for r in rows} == dict(hist)
