@@ -16840,3 +16840,138 @@ def _ktruss_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_ktruss"] = _ktruss_oracle_sql()
+
+
+SIGN_LAG_DAYS = 7  # week-over-week pairing
+
+
+def x8_sign_test(spark, sf_dir):
+    """EXACT binomial sign test, week-over-week: pair each day's
+    revenue with the same weekday one week later; under H0 the sign of
+    the change is a fair coin. The first EXACT p-value in the suite —
+    no normal approximation anywhere: with m non-tied pairs, p =
+    min(1, 2*min(P(X<=s), P(X>=s))) for X ~ Bin(m, 1/2), and the
+    binomial CDF numerator is an exact BIGINT built by the running
+    identity C(m,k+1) = C(m,k)*(m-k)/(k+1) (every intermediate stays
+    integer; at a 30-day spine the largest term is C(23,11) ~ 1.4e6).
+    The assumption-free companion of x8_mwu/x8_perm_test for paired
+    calendar data.
+
+    Scale shape: ONE corpus aggregate to the bounded daily frame; the
+    7-day self-join, sign counts and the CDF fold all run on it (the
+    fold is a higher-order function over a <=m-element sequence).
+    P(X>=s) folds as P(X<=m-s) by symmetry."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # bounded: calendar days
+    )
+    a = daily.selectExpr("day", "v AS v0")
+    b = daily.selectExpr(f"day - {SIGN_LAG_DAYS} AS day", "v AS v1")
+    pairs = a.join(b, "day").selectExpr(
+        "CAST(v1 > v0 AS INT) AS pos", "CAST(v1 = v0 AS INT) AS tie"
+    )
+    counts = pairs.agg(
+        F.expr("CAST(sum(1 - tie) AS BIGINT)").alias("m"),
+        F.expr("CAST(sum(tie) AS BIGINT)").alias("ties"),
+        F.expr("CAST(sum(pos) AS BIGINT)").alias("s_pos"),
+    )
+
+    def cdf_num(s):
+        # sum_{k<=s} C(m,k) as an exact BIGINT running fold
+        step = (
+            "named_struct("
+            "'c', ac.c * (m - k + 1) div k,"
+            " 'a', ac.a + ac.c * (m - k + 1) div k)"
+        )
+        return (
+            f"aggregate(filter(sequence(1, m), k -> k <= {s}),"
+            " named_struct('c', CAST(1 AS BIGINT), 'a', CAST(1 AS BIGINT)),"
+            f" (ac, k) -> {step}).a"
+        )
+
+    denom = (
+        "aggregate(sequence(1, m), CAST(1 AS BIGINT),"
+        " (ad, k2) -> ad * 2)"
+    )
+    base = counts.selectExpr(
+        "m",
+        "ties",
+        "s_pos",
+        f"{cdf_num('s_pos')} AS num_le",
+        f"{cdf_num('m - s_pos')} AS num_ge",
+        f"{denom} AS denom",
+    )
+    return base.selectExpr(
+        "m AS n_pairs",
+        "ties",
+        "s_pos",
+        "num_le",
+        "num_ge",
+        "round(least(CAST(1 AS DOUBLE),"
+        " 2 * least(CAST(num_le AS DOUBLE) / CAST(denom AS DOUBLE),"
+        " CAST(num_ge AS DOUBLE) / CAST(denom AS DOUBLE))), 6)"
+        " AS p_two_sided",
+    )
+
+
+EXTENDED_QUERIES["x8_sign_test"] = x8_sign_test
+
+
+def _sign_test_oracle_sql() -> str:
+    def cdf_num(s):
+        # [c, a] running pair; x = [k]
+        return (
+            "list_reduce(list_prepend([CAST(1 AS BIGINT), CAST(1 AS BIGINT)],"
+            f" list_transform(list_filter(range(1, m + 1), k -> k <= {s}),"
+            " k -> [CAST(k AS BIGINT), CAST(k AS BIGINT)])),"
+            " (ac, x) -> [ac[1] * (m - x[1] + 1) // x[1],"
+            " ac[2] + ac[1] * (m - x[1] + 1) // x[1]])[2]"
+        )
+
+    denom = (
+        "list_reduce(list_prepend([CAST(1 AS BIGINT)],"
+        " list_transform(range(1, m + 1), k -> [CAST(k AS BIGINT)])),"
+        " (ad, x2) -> [ad[1] * 2])[1]"
+    )
+    return f"""
+    WITH sgd AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    sgp AS (
+      SELECT CAST(b.v > a.v AS INT) AS pos, CAST(b.v = a.v AS INT) AS tie
+      FROM sgd a JOIN sgd b ON b.day = a.day + {SIGN_LAG_DAYS}
+    ),
+    sgc AS (
+      SELECT CAST(sum(1 - tie) AS BIGINT) AS m,
+             CAST(sum(tie) AS BIGINT) AS ties,
+             CAST(sum(pos) AS BIGINT) AS s_pos
+      FROM sgp
+    ),
+    sgb AS (
+      SELECT m, ties, s_pos,
+             {cdf_num('s_pos')} AS num_le,
+             {cdf_num('m - s_pos')} AS num_ge,
+             {denom} AS denom
+      FROM sgc
+    )
+    SELECT m AS n_pairs, ties, s_pos, num_le, num_ge,
+           round(least(CAST(1 AS DOUBLE),
+             2 * least(CAST(num_le AS DOUBLE) / CAST(denom AS DOUBLE),
+             CAST(num_ge AS DOUBLE) / CAST(denom AS DOUBLE))), 6)
+             AS p_two_sided
+    FROM sgb
+"""
+
+
+EXTENDED_ORACLES["x8_sign_test"] = _sign_test_oracle_sql()

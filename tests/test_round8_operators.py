@@ -1201,3 +1201,41 @@ def test_ktruss_matches_python(spark, sf_small):
 
     rows = x11_ktruss(spark, sf_small).collect()
     assert {r.support: r.edges for r in rows} == dict(hist)
+
+
+def test_sign_test_matches_python(spark, sf_small):
+    """Exact binomial machinery: CDF numerators must equal
+    math.comb sums, p must equal the exact two-sided binomial p."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import SIGN_LAG_DAYS, x8_sign_test
+
+    con = duckdb.connect()
+    daily = dict(con.execute(f"""
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT),
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      FROM '{sf_small}/events.parquet' WHERE value IS NOT NULL GROUP BY 1
+    """).fetchall())
+    pos = ties = m = 0
+    for d, v in daily.items():
+        w = daily.get(d + SIGN_LAG_DAYS)
+        if w is None:
+            continue
+        if w > v:
+            pos += 1
+            m += 1
+        elif w < v:
+            m += 1
+        else:
+            ties += 1
+    num_le = sum(math.comb(m, k) for k in range(pos + 1))
+    num_ge = sum(math.comb(m, k) for k in range(m - pos + 1))
+    p = min(1.0, 2 * min(num_le, num_ge) / 2 ** m)
+
+    r = x8_sign_test(spark, sf_small).collect()[0]
+    assert (r.n_pairs, r.ties, r.s_pos) == (m, ties, pos)
+    assert r.num_le == num_le and r.num_ge == num_ge
+    assert r.p_two_sided == round(p, 6)
