@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEAVY = [
     "x11_hyperball",
+    "x11_ktruss",  # round-8: now the 2nd-slowest; triangle mass scales
     "x1_suffix_array",
     "x10_training_corpus",
+    "x11_closeness",  # round-8: per-seed BFS ball, edge-linear per round
     "x11_ppr",
     "x11_modularity",
     "x11_pagerank",
