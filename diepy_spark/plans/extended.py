@@ -16732,8 +16732,11 @@ def _ca_oracle_sql() -> str:
 EXTENDED_ORACLES["x8_trend_proportions"] = _ca_oracle_sql()
 
 
-KT_K = 4  # truss order: keep edges in >= KT_K - 2 triangles
+KT_K = 3  # truss order: keep edges in >= KT_K - 2 triangles
 KT_ROUNDS = 2  # fixed pruning rounds (the BFS_ITER bounded contract)
+KT_N = 1000  # ktruss node space: denser than TRI_N so every sf has
+#              triangle signal (TRI_N=2000 left 0 surviving edges at
+#              sf<=0.01 — a hash-green but degenerate fixture)
 
 
 def x11_ktruss(spark, sf_dir):
@@ -16762,8 +16765,8 @@ def x11_ktruss(spark, sf_dir):
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     raw = orders.select(
-        ((F.col("o_orderkey") * 37 + 11) % TRI_N).alias("a"),
-        ((F.col("o_custkey") * 101 + 7) % TRI_N).alias("b"),
+        ((F.col("o_orderkey") * 37 + 11) % KT_N).alias("a"),
+        ((F.col("o_custkey") * 101 + 7) % KT_N).alias("b"),
     )
     e = (
         raw.where(F.col("a") != F.col("b"))
@@ -16800,8 +16803,8 @@ def _ktruss_oracle_sql() -> str:
     ctes = [
         f"""kte0 AS (
       SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
-        SELECT (o_orderkey * 37 + 11) % {TRI_N} AS a,
-               (o_custkey * 101 + 7) % {TRI_N} AS b FROM orders)
+        SELECT (o_orderkey * 37 + 11) % {KT_N} AS a,
+               (o_custkey * 101 + 7) % {KT_N} AS b FROM orders)
       WHERE a <> b)"""
     ]
     cur = "kte0"

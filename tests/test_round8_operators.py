@@ -1171,15 +1171,15 @@ def test_ktruss_matches_python(spark, sf_small):
 
     from diepy_spark.plans.extended import (
         KT_K,
+        KT_N,
         KT_ROUNDS,
-        TRI_N,
         x11_ktruss,
     )
 
     con = duckdb.connect()
     raw = con.execute(f"""
-      SELECT (o_orderkey * 37 + 11) % {TRI_N},
-             (o_custkey * 101 + 7) % {TRI_N}
+      SELECT (o_orderkey * 37 + 11) % {KT_N},
+             (o_custkey * 101 + 7) % {KT_N}
       FROM '{sf_small}/orders.parquet'
     """).fetchall()
     edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
