@@ -16978,3 +16978,208 @@ def _sign_test_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_sign_test"] = _sign_test_oracle_sql()
+
+
+# Rate ratio (two-sample Poisson) — shared TEXT over exact BIGINTs.
+_RATE_RR = (
+    "(CAST({k1} AS DOUBLE) / CAST({t1} AS DOUBLE))"
+    " / (CAST({k2} AS DOUBLE) / CAST({t2} AS DOUBLE))"
+)
+_RATE_SE = "sqrt(1 / CAST({k1} AS DOUBLE) + 1 / CAST({k2} AS DOUBLE))"
+
+
+def x8_rate_ratio(spark, sf_dir):
+    """Two-sample Poisson rate comparison: events per user-day of
+    follow-up, arm 1 vs arm 0 — the EXPOSURE-adjusted sibling of
+    x8_odds_ratio (odds ratio: did the user ever convert; rate ratio:
+    how OFTEN does the arm emit events per observed day, the right
+    statistic when follow-up time differs between arms). Wald
+    log-normal 95% CI on ln(RR) with se = sqrt(1/k1 + 1/k2).
+
+    Exactness: event counts and user-day exposures (per-user last -
+    first day + 1, summed) are exact BIGINTs off one per-user
+    aggregate; RR/CI are shared-text ln/sqrt/exp over those integers.
+
+    Scale shape: one map-side-combined corpus aggregate to per-user
+    (arm, events, exposure), one global aggregate with four
+    conditional sums — no joins, no windows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where("user_id IS NOT NULL")
+        .selectExpr(
+            "user_id",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.expr("max(day) - min(day) + 1").cast("bigint").alias("t"),
+        )
+        .selectExpr("CAST(user_id % 2 AS INT) AS arm", "k", "t")
+    )
+    cells = u.agg(
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN k ELSE 0 END) AS BIGINT)")
+        .alias("k1"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN t ELSE 0 END) AS BIGINT)")
+        .alias("t1"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN k ELSE 0 END) AS BIGINT)")
+        .alias("k2"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN t ELSE 0 END) AS BIGINT)")
+        .alias("t2"),
+    )
+    rr = _RATE_RR.format(k1="k1", t1="t1", k2="k2", t2="t2")
+    se = _RATE_SE.format(k1="k1", k2="k2")
+    return cells.selectExpr(
+        "k1", "t1", "k2", "t2",
+        f"round({rr}, 6) AS rate_ratio",
+        f"round({se}, 6) AS ln_rr_se",
+        f"round(exp(ln({rr}) - CAST(1.96 AS DOUBLE) * {se}), 6)"
+        " AS rr_ci_low",
+        f"round(exp(ln({rr}) + CAST(1.96 AS DOUBLE) * {se}), 6)"
+        " AS rr_ci_high",
+    )
+
+
+EXTENDED_QUERIES["x8_rate_ratio"] = x8_rate_ratio
+
+
+def _rate_ratio_oracle_sql() -> str:
+    rr = _RATE_RR.format(k1="k1", t1="t1", k2="k2", t2="t2")
+    se = _RATE_SE.format(k1="k1", k2="k2")
+    return f"""
+    WITH rru AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(max(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV}
+                  AS BIGINT))
+                  - min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV}
+                  AS BIGINT)) + 1 AS BIGINT) AS t
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    rrc AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 1 THEN k ELSE 0 END) AS BIGINT) AS k1,
+        CAST(sum(CASE WHEN arm = 1 THEN t ELSE 0 END) AS BIGINT) AS t1,
+        CAST(sum(CASE WHEN arm = 0 THEN k ELSE 0 END) AS BIGINT) AS k2,
+        CAST(sum(CASE WHEN arm = 0 THEN t ELSE 0 END) AS BIGINT) AS t2
+      FROM rru
+    )
+    SELECT k1, t1, k2, t2,
+           round({rr}, 6) AS rate_ratio,
+           round({se}, 6) AS ln_rr_se,
+           round(exp(ln({rr}) - CAST(1.96 AS DOUBLE) * {se}), 6)
+             AS rr_ci_low,
+           round(exp(ln({rr}) + CAST(1.96 AS DOUBLE) * {se}), 6)
+             AS rr_ci_high
+    FROM rrc
+"""
+
+
+EXTENDED_ORACLES["x8_rate_ratio"] = _rate_ratio_oracle_sql()
+
+
+DISP_TOP = 20  # terms profiled (by corpus frequency)
+
+
+def x5_term_dispersion(spark, sf_dir):
+    """Gries' DP dispersion for the top DISP_TOP corpus terms: how
+    evenly is each term spread across sources, against the sources'
+    token-share expectation? DP = 0.5 * sum_s |v_s/f - share_s| — 0 =
+    perfectly proportional, ->1 = concentrated in one source. The
+    per-TERM companion of x5_source_divergence (JSD: how different is
+    a SOURCE; DP: how source-bound is a TERM) — frequency alone can't
+    tell a universal function word from a single-domain artifact of
+    equal count, which is exactly what a mixture-weighting pipeline
+    must not confuse.
+
+    Exactness: DP reduces to ONE division of exact BIGINTs — the
+    common-denominator form sum_s |v_s*T - n_s*f| / (2*f*T), with
+    absent (term, source) cells folded in analytically as
+    f*(T - sum_present n_s) (the x5_source_divergence trick; no
+    |terms| x |sources| grid).
+
+    Scale shape: the same single tokenize-pass (source, token) count
+    frame; the top-K term dimension is a vocab-frame rank broadcast
+    back; per-term aggregation carries the bounded source dimension."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tokc = (
+        d.select(
+            "source", F.explode(F.expr(D.tokens_expr("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    na_f = (
+        tokc.groupBy("source")
+        .agg(F.sum("v").cast("bigint").alias("n_s"))
+        .withColumn(
+            "t_tot", F.sum("n_s").over(Window.partitionBy()).cast("bigint")
+        )
+        .localCheckpoint(eager=False)  # bounded: one row per source
+    )
+    g_f = tokc.groupBy("tok").agg(F.sum("v").cast("bigint").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    top = (
+        g_f.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= DISP_TOP)
+        .localCheckpoint(eager=False)  # bounded: DISP_TOP rows
+    )
+    terms = tokc.join(F.broadcast(top), "tok").join(
+        F.broadcast(na_f), "source"
+    )
+    agg = terms.groupBy("tok", "rk", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.expr("CAST(sum(abs(v * t_tot - n_s * f)) AS BIGINT)")
+        .alias("present_num"),
+        F.expr("CAST(sum(n_s) AS BIGINT)").alias("present_ns"),
+        F.max("t_tot").cast("bigint").alias("t_tot"),
+    )
+    return agg.selectExpr(
+        "CAST(rk AS INT) AS rk",
+        "tok",
+        "f",
+        "n_sources",
+        "round(CAST(present_num + f * (t_tot - present_ns) AS DOUBLE)"
+        " / (2 * CAST(f AS DOUBLE) * CAST(t_tot AS DOUBLE)), 6) AS dp",
+    ).orderBy("rk")
+
+
+EXTENDED_QUERIES["x5_term_dispersion"] = x5_term_dispersion
+
+EXTENDED_ORACLES["x5_term_dispersion"] = f"""
+    WITH tdc AS (
+      SELECT source, t.tok, CAST(count(*) AS BIGINT) AS v
+      FROM documents, LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+      GROUP BY 1, 2
+    ),
+    tdn AS (SELECT source, CAST(sum(v) AS BIGINT) AS n_s
+            FROM tdc GROUP BY 1),
+    tdt AS (SELECT source, n_s, CAST(sum(n_s) OVER () AS BIGINT) AS t_tot
+            FROM tdn),
+    tdg AS (SELECT tok, CAST(sum(v) AS BIGINT) AS f FROM tdc GROUP BY 1),
+    tdk AS (
+      SELECT tok, f, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk FROM tdg)
+      WHERE rk <= {DISP_TOP}
+    ),
+    tda AS (
+      SELECT c.tok, k.rk, k.f,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(abs(c.v * n.t_tot - n.n_s * k.f)) AS BIGINT)
+               AS present_num,
+             CAST(sum(n.n_s) AS BIGINT) AS present_ns,
+             CAST(max(n.t_tot) AS BIGINT) AS t_tot
+      FROM tdc c JOIN tdk k USING (tok) JOIN tdt n USING (source)
+      GROUP BY 1, 2, 3
+    )
+    SELECT rk, tok, f, n_sources,
+           round(CAST(present_num + f * (t_tot - present_ns) AS DOUBLE)
+                 / (2 * CAST(f AS DOUBLE) * CAST(t_tot AS DOUBLE)), 6)
+             AS dp
+    FROM tda ORDER BY rk
+"""

@@ -1239,3 +1239,77 @@ def test_sign_test_matches_python(spark, sf_small):
     assert (r.n_pairs, r.ties, r.s_pos) == (m, ties, pos)
     assert r.num_le == num_le and r.num_ge == num_ge
     assert r.p_two_sided == round(p, 6)
+
+
+def test_rate_ratio_matches_python(spark, sf_small):
+    import math
+
+    import duckdb
+
+    from diepy_spark.plans.extended import x8_rate_ratio
+
+    con = duckdb.connect()
+    users = con.execute("""
+      SELECT CAST(user_id %% 2 AS INT), CAST(count(*) AS BIGINT),
+             max(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT))
+             - min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT)) + 1
+      FROM '%s/events.parquet' WHERE user_id IS NOT NULL GROUP BY user_id
+    """ % sf_small).fetchall()
+    k1 = sum(k for a, k, _ in users if a == 1)
+    t1 = sum(t for a, _, t in users if a == 1)
+    k2 = sum(k for a, k, _ in users if a == 0)
+    t2 = sum(t for a, _, t in users if a == 0)
+    rr = (k1 / t1) / (k2 / t2)
+    se = math.sqrt(1 / k1 + 1 / k2)
+
+    r = x8_rate_ratio(spark, sf_small).collect()[0]
+    assert (r.k1, r.t1, r.k2, r.t2) == (k1, t1, k2, t2)
+    assert abs(r.rate_ratio - rr) < 1e-5
+    assert abs(r.ln_rr_se - se) < 1e-6
+    assert abs(r.rr_ci_low - rr * math.exp(-1.96 * se)) < 1e-4
+    assert abs(r.rr_ci_high - rr * math.exp(1.96 * se)) < 1e-4
+
+
+def test_term_dispersion_matches_python(spark, sf_small):
+    """DP must equal a full-grid plain-Python recomputation (the
+    analytic absent-cell fold included)."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from diepy_spark.plans.extended import DISP_TOP, x5_term_dispersion
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    per_src = defaultdict(Counter)
+    for src, text in docs:
+        per_src[src].update(
+            t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+        )
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    T = sum(total.values())
+    shares = {s: sum(c.values()) / T for s, c in per_src.items()}
+    top = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:DISP_TOP]
+
+    rows = {r.tok: r for r in x5_term_dispersion(spark, sf_small).collect()}
+    assert [r.tok for r in sorted(rows.values(), key=lambda r: r.rk)] == [
+        t for t, _ in top
+    ]
+    for tok, f in top:
+        dp = 0.5 * sum(
+            abs(per_src[s].get(tok, 0) / f - shares[s]) for s in per_src
+        )
+        r = rows[tok]
+        assert r.f == f
+        assert r.n_sources == sum(
+            1 for s in per_src if per_src[s].get(tok, 0) > 0
+        )
+        assert abs(r.dp - dp) < 1e-6
+        assert 0.0 <= r.dp < 1.0
