@@ -16126,12 +16126,12 @@ def x11_rich_club(spark, sf_dir):
             for k in RICH_KS
         ]
     )
-    rungs = None
-    for k in RICH_KS:
-        r = edge_sums.selectExpr(f"{k} AS k", f"e_{k} AS edges").join(
-            node_sums.selectExpr(f"{k} AS k", f"n_{k} AS nodes"), "k"
-        )
-        rungs = r if rungs is None else rungs.unionByName(r)
+    stack = ", ".join(
+        f"{k}, n_{k}, e_{k}" for k in RICH_KS
+    )
+    rungs = edge_sums.crossJoin(node_sums).selectExpr(
+        f"stack({len(RICH_KS)}, {stack}) AS (k, nodes, edges)"
+    )
     return rungs.selectExpr(
         "k",
         "nodes",
