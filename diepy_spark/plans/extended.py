@@ -17183,3 +17183,158 @@ EXTENDED_ORACLES["x5_term_dispersion"] = f"""
              AS dp
     FROM tda ORDER BY rk
 """
+
+
+def x3_cluster_quality(spark, sf_dir):
+    """External clustering-quality report: PURITY and NMI of the
+    integer k-means partition (x3_kmeans) against the ground-truth
+    `label` column — the eval every unsupervised pipeline runs when
+    labels exist for a slice (IVF cell quality, SemDeDup cell
+    coherence). Purity = sum of per-cluster majority-label counts / n;
+    NMI = MI / sqrt(Hx*Hy) over the bounded (cluster x label)
+    contingency — reusing the x12_mutual_info shared term texts.
+
+    Exactness: the partition itself is the bit-identical integer
+    k-means (the x3_kmeans contract); contingency cells and purity
+    numerators are exact BIGINTs; MI/entropy terms fold in cell order
+    via the shared _MI_TERM/_ENTROPY_TERM texts, rounded at render.
+
+    Scale shape: assignment is the argmin projection over the
+    quantized corpus (zero extra shuffles beyond x3_kmeans); the
+    label join is id-keyed; everything after the contingency
+    aggregate runs on k x |labels| cells (the windows partition the
+    bounded cell frame; the final combine is 1-row crossJoins — the
+    x12_mutual_info precedent)."""
+    from diepy_spark.operators.clustering import kmeans_int
+    from pyspark.sql import Window
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    asg = kmeans_int(
+        v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE
+    ).select("vec_id", "cluster")
+    joint = (
+        asg.join(v.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # bounded: k x |labels| cells
+    )
+    wall = Window.partitionBy()
+    j2 = (
+        joint.withColumn("n", F.sum("c").over(wall).cast("bigint"))
+        .withColumn(
+            "r", F.sum("c").over(Window.partitionBy("cluster")).cast("bigint")
+        )
+        .withColumn(
+            "s", F.sum("c").over(Window.partitionBy("label")).cast("bigint")
+        )
+    )
+    term = _MI_TERM.format(c="x.c", n="x.n", r="x.r", s="x.s")
+    mi_row = j2.agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(size(array_distinct(collect_list(cluster))) AS BIGINT)"
+        ).alias("k_clusters"),
+        F.expr(
+            "CAST(size(array_distinct(collect_list(label))) AS BIGINT)"
+        ).alias("n_labels"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(cluster, label, c, n, r, s))),"
+            f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({term}))"
+        ).alias("mi_u"),
+    )
+    pur = (
+        joint.groupBy("cluster")
+        .agg(F.max("c").cast("bigint").alias("mx"))
+        .agg(F.expr("CAST(sum(mx) AS BIGINT)").alias("pur_num"))
+    )
+    hterm = _ENTROPY_TERM.format(c="x.r", n="x.n")
+    margs = []
+    for vcol in ("cluster", "label"):
+        m = (
+            joint.groupBy(F.col(vcol).alias("vx"))
+            .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("r"))
+            .withColumn("n", F.sum("r").over(wall))
+        )
+        margs.append(
+            m.agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(vx, r, n))),"
+                    f" CAST(0 AS DOUBLE), (acc, x) -> acc + ({hterm}))"
+                ).alias(f"h_{vcol}")
+            )
+        )
+    return (
+        mi_row.crossJoin(pur)
+        .crossJoin(margs[0])
+        .crossJoin(margs[1])
+        .selectExpr(
+            "n",
+            "k_clusters",
+            "n_labels",
+            "round(CAST(pur_num AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+            " AS purity",
+            "round(h_cluster, 6) AS h_cluster",
+            "round(h_label, 6) AS h_label",
+            "round(mi_u, 6) AS mi",
+            "round(mi_u / sqrt(h_cluster * h_label), 6) AS nmi",
+        )
+    )
+
+
+EXTENDED_QUERIES["x3_cluster_quality"] = x3_cluster_quality
+
+
+def _cluster_quality_oracle_sql() -> str:
+    term = _MI_TERM.format(c="c", n="n", r="r", s="s")
+    hterm_c = _ENTROPY_TERM.format(c="r", n="n")
+    ctes = _kmeans_ctes()
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+    cqj AS (
+      SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS c
+      FROM a{KM_ITER} a JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    cqm AS (
+      SELECT cluster, label, c,
+             CAST(sum(c) OVER () AS BIGINT) AS n,
+             CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS r,
+             CAST(sum(c) OVER (PARTITION BY label) AS BIGINT) AS s
+      FROM cqj
+    ),
+    cqmi AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS k_clusters,
+             CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+             list_sum(list(({term}) ORDER BY cluster, label)) AS mi_u
+      FROM cqm
+    ),
+    cqp AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS pur_num FROM (
+        SELECT cluster, max(c) AS mx FROM cqj GROUP BY 1)
+    ),
+    cqhc AS (
+      SELECT list_sum(list(({hterm_c}) ORDER BY vx)) AS h_cluster FROM (
+        SELECT cluster AS vx, CAST(sum(c) AS BIGINT) AS r,
+               CAST(sum(sum(c)) OVER () AS BIGINT) AS n
+        FROM cqj GROUP BY 1)
+    ),
+    cqhl AS (
+      SELECT list_sum(list(({hterm_c}) ORDER BY vx)) AS h_label FROM (
+        SELECT label AS vx, CAST(sum(c) AS BIGINT) AS r,
+               CAST(sum(sum(c)) OVER () AS BIGINT) AS n
+        FROM cqj GROUP BY 1)
+    )
+    SELECT n, k_clusters, n_labels,
+           round(CAST(pur_num AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+           round(h_cluster, 6) AS h_cluster,
+           round(h_label, 6) AS h_label,
+           round(mi_u, 6) AS mi,
+           round(mi_u / sqrt(h_cluster * h_label), 6) AS nmi
+    FROM cqmi, cqp, cqhc, cqhl
+"""
+    )
+
+
+EXTENDED_ORACLES["x3_cluster_quality"] = _cluster_quality_oracle_sql()

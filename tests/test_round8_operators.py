@@ -1313,3 +1313,59 @@ def test_term_dispersion_matches_python(spark, sf_small):
         )
         assert abs(r.dp - dp) < 1e-6
         assert 0.0 <= r.dp < 1.0
+
+
+def test_cluster_quality_matches_python(spark, sf_small):
+    """Purity/MI/NMI must equal a plain-Python recomputation over the
+    same integer k-means assignment."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from diepy_spark.operators.clustering import kmeans_int
+    from diepy_spark.plans.extended import (
+        KM_ITER,
+        KM_K,
+        KM_SCALE,
+        _vecs,
+        x3_cluster_quality,
+    )
+
+    v = _vecs(spark, sf_small)
+    asg = {
+        r.vec_id: r.cluster
+        for r in kmeans_int(
+            v, k=KM_K, iterations=KM_ITER, scale=KM_SCALE
+        ).collect()
+    }
+    con = duckdb.connect()
+    labels = dict(con.execute(
+        f"SELECT vec_id, label FROM '{sf_small}/embeddings.parquet'"
+    ).fetchall())
+    joint = Counter((asg[i], labels[i]) for i in asg)
+    n = sum(joint.values())
+    rc = Counter()
+    sc = Counter()
+    for (cl, lb), c in joint.items():
+        rc[cl] += c
+        sc[lb] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (rc[cl] * sc[lb]))
+        for (cl, lb), c in joint.items()
+    )
+    hx = -sum((r / n) * math.log(r / n) for r in rc.values())
+    hy = -sum((s / n) * math.log(s / n) for s in sc.values())
+    best = defaultdict(int)
+    for (cl, _), c in joint.items():
+        best[cl] = max(best[cl], c)
+    purity = sum(best.values()) / n
+
+    r = x3_cluster_quality(spark, sf_small).collect()[0]
+    assert (r.n, r.k_clusters, r.n_labels) == (n, len(rc), len(sc))
+    assert abs(r.purity - purity) < 1e-6
+    assert abs(r.mi - mi) < 1e-5
+    assert abs(r.h_cluster - hx) < 1e-5
+    assert abs(r.h_label - hy) < 1e-5
+    assert abs(r.nmi - mi / math.sqrt(hx * hy)) < 1e-5
+    assert 0.0 <= r.nmi <= 1.0 + 1e-9
