@@ -14413,7 +14413,13 @@ EXTENDED_ORACLES["x11_adamic_adar"] = f"""
 
 BP_N = 2  # boilerplate phrase length (word grams)
 BP_PCT = 20  # doc-frequency threshold: gram in >= 20% of a source's docs
-_BP_KEYPAD = 100_000_000  # df desc / gram asc packed into one min() key
+# df desc / gram asc packed into one min() key.  10^12 (13-digit pad):
+# df is a per-source DOC count, so even at 100 TB (~10^11 docs total) a
+# single source stays < 10^12 and the packed key never goes negative
+# (ADVICE r8 — at the old 10^8 a df >= 1e8 would sort before all
+# valid keys and decode garbage).
+_BP_KEYPAD = 1_000_000_000_000
+_BP_PADW = 13  # len(str(_BP_KEYPAD)) — lpad width; gram starts at +2
 
 
 def x5_source_boilerplate(spark, sf_dir):
@@ -14482,7 +14488,7 @@ def x5_source_boilerplate(spark, sf_dir):
         F.sum("occ").cast("bigint").alias("boiler_occ"),
         F.min(
             F.expr(
-                f"lpad(CAST({_BP_KEYPAD} - df AS STRING), 9, '0')"
+                f"lpad(CAST({_BP_KEYPAD} - df AS STRING), {_BP_PADW}, '0')"
                 " || ':' || s"
             )
         ).alias("topkey"),
@@ -14505,9 +14511,10 @@ def x5_source_boilerplate(spark, sf_dir):
             "coalesce(boiler_grams, CAST(0 AS BIGINT)) AS boiler_grams",
             "coalesce(affected_docs, CAST(0 AS BIGINT)) AS affected_docs",
             "coalesce(boiler_occ, CAST(0 AS BIGINT)) AS boiler_occ",
-            "coalesce(substr(topkey, 11), '') AS top_gram",
+            f"coalesce(substr(topkey, {_BP_PADW + 2}), '') AS top_gram",
             f"CASE WHEN topkey IS NULL THEN CAST(0 AS BIGINT)"
-            f" ELSE {_BP_KEYPAD} - CAST(substr(topkey, 1, 9) AS BIGINT)"
+            f" ELSE {_BP_KEYPAD}"
+            f" - CAST(substr(topkey, 1, {_BP_PADW}) AS BIGINT)"
             f" END AS top_df",
         )
         .orderBy("source")
@@ -14548,7 +14555,7 @@ EXTENDED_ORACLES["x5_source_boilerplate"] = f"""
     bpbs AS (
       SELECT source, CAST(count(*) AS BIGINT) AS boiler_grams,
              CAST(sum(occ) AS BIGINT) AS boiler_occ,
-             min(lpad(CAST({_BP_KEYPAD} - df AS STRING), 9, '0')
+             min(lpad(CAST({_BP_KEYPAD} - df AS STRING), {_BP_PADW}, '0')
                  || ':' || s) AS topkey
       FROM bpbo GROUP BY 1
     ),
@@ -14562,9 +14569,9 @@ EXTENDED_ORACLES["x5_source_boilerplate"] = f"""
            coalesce(bs.boiler_grams, 0) AS boiler_grams,
            coalesce(af.affected_docs, 0) AS affected_docs,
            coalesce(bs.boiler_occ, 0) AS boiler_occ,
-           coalesce(bs.topkey[11:], '') AS top_gram,
+           coalesce(bs.topkey[{_BP_PADW + 2}:], '') AS top_gram,
            CASE WHEN bs.topkey IS NULL THEN CAST(0 AS BIGINT)
-           ELSE {_BP_KEYPAD} - CAST(bs.topkey[1:9] AS BIGINT)
+           ELSE {_BP_KEYPAD} - CAST(bs.topkey[1:{_BP_PADW}] AS BIGINT)
            END AS top_df
     FROM bpsd sd
     LEFT JOIN bpgr gr USING (source)
@@ -16888,21 +16895,27 @@ def x8_sign_test(spark, sf_dir):
     )
 
     def cdf_num(s):
-        # sum_{k<=s} C(m,k) as an exact BIGINT running fold
+        # sum_{k<=s} C(m,k) as an exact BIGINT running fold.  m = 0
+        # guard (ADVICE r8): Spark's sequence(1, 0) is the DESCENDING
+        # [1, 0] (k = 0 would hit `div 0`), so build from
+        # sequence(1, greatest(m, 1)) and re-filter k <= m — empty when
+        # m = 0, matching DuckDB's empty range(1, m + 1) exactly
+        # (fold returns init, p renders as 1).
         step = (
             "named_struct("
             "'c', ac.c * (m - k + 1) div k,"
             " 'a', ac.a + ac.c * (m - k + 1) div k)"
         )
         return (
-            f"aggregate(filter(sequence(1, m), k -> k <= {s}),"
+            "aggregate(filter(sequence(1, greatest(m, 1)),"
+            f" k -> k <= m AND k <= {s}),"
             " named_struct('c', CAST(1 AS BIGINT), 'a', CAST(1 AS BIGINT)),"
             f" (ac, k) -> {step}).a"
         )
 
     denom = (
-        "aggregate(sequence(1, m), CAST(1 AS BIGINT),"
-        " (ad, k2) -> ad * 2)"
+        "aggregate(filter(sequence(1, greatest(m, 1)), k2 -> k2 <= m),"
+        " CAST(1 AS BIGINT), (ad, k2) -> ad * 2)"
     )
     base = counts.selectExpr(
         "m",
