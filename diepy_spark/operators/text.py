@@ -1113,3 +1113,136 @@ def unigram_train_em(
             pieces.setdefault(ch, 1)
     final = unigram_scores(pieces)
     return sorted(final.items(), key=lambda ps: (-ps[1], ps[0]))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (round 9) — the lexical baseline every
+# hybrid-search / hard-negative-mining pipeline starts from.
+# Robertson & Zaragoza 2009 ("The Probabilistic Relevance Framework:
+# BM25 and Beyond"); the nonnegative idf variant ln((N+1)/(df+0.5)) is
+# the one Lucene ships.  Beyond-reference surface (SURVEY §2.6) — the
+# reference engine (core.py) has no retrieval operator.
+# ---------------------------------------------------------------------------
+
+BM25_IDF_SCALE = 10**6
+
+# k1 = 1.2 and b = 0.75 folded into INTEGER formula texts shared
+# verbatim by the Spark plan and the DuckDB oracle ({d} = the engine's
+# integer-div spelling: `div` Spark, `//` DuckDB):
+#
+#   score_t = idf * (k1+1)*tf / (tf + k1*(1 - b + b*dl/avgdl))
+#           = idf * 2200*tf / (1000*tf + 300 + 900000*dl/avg_milli)
+#
+# avgdl is quantized ONCE per corpus to milli-tokens (round-half-up of
+# 1000*T/N), the per-doc length norm kd once per doc, the idf once per
+# token (ln of an integer rational, the x3_tfidf_cosine_pairs idiom) —
+# after which every per-(query,term,doc) partial score is one exact
+# BIGINT floor division and the per-(query,doc) total is an exact
+# BIGINT sum (order-independent, no float accumulation anywhere).
+_BM_AVG_MILLI = "(2000 * t_toks + n_docs) {d} (2 * n_docs)"
+_BM_KD = "300 + (1800000 * dl + avg_milli) {d} (2 * avg_milli)"
+_BM_IDF = (
+    "CAST(round(ln(CAST(2 * n_docs + 2 AS DOUBLE)"
+    " / CAST(2 * df + 1 AS DOUBLE)) * {scale}, 0) AS BIGINT)"
+)
+_BM_SCORE_T = "(idf_int * 2200 * cnt) {d} (1000 * cnt + kd)"
+
+
+def bm25_topk(
+    df: DataFrame,
+    n_queries: int = 8,
+    n_qterms: int = 12,
+    k: int = 10,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 "more-like-this" ranked retrieval: the `n_queries` smallest
+    doc ids with >= min_len tokens act as probe queries, each reduced
+    to its `n_qterms` RAREST distinct tokens (global df asc, token asc
+    — a realistic keyword query, and the bound that keeps candidate
+    generation sub-corpus); every other document sharing at least one
+    query term is scored with exact-integer BM25 (see _BM_* texts) and
+    the top k per query returned.
+
+    Scale shape (the Lucene architecture in DataFrame form): ONE
+    tokenize+explode pass builds the postings frame (d, tok, cnt) —
+    checkpointed, it IS the inverted index a production pipeline
+    persists; doc-length norms kd are joined in once, co-keyed on d,
+    exactly as Lucene stores the length norm inside the index. The
+    query side (n_queries x n_qterms rows) and the corpus-constant
+    frame are BROADCAST, so retrieval is a map-side probe of the
+    postings — the corpus never shuffles at query time. Candidates are
+    bounded by sum(df) over the chosen rare terms, not by corpus size.
+
+    Output: (query_id, rk, {id_col}, score_x1e6) — score at idf scale
+    1e6, an exact BIGINT."""
+    from pyspark.sql import Window
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = _token_frame(df, text_col, id_col).select(
+        F.col(id_col).alias("d"), F.explode("toks").alias("tok")
+    )
+    tf = (
+        toks.groupBy("d", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # the persisted postings index
+    )
+    dl = tf.groupBy("d").agg(F.sum("cnt").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_toks"),
+    ).selectExpr(
+        "n_docs",
+        "t_toks",
+        _BM_AVG_MILLI.format(d="div") + " AS avg_milli",
+    )  # 1 row
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = dfreq.crossJoin(
+        F.broadcast(corpus.select("n_docs"))
+    ).selectExpr(
+        "tok", "df",
+        _BM_IDF.format(scale=BM25_IDF_SCALE) + " AS idf_int",
+    )
+    kd = dl.crossJoin(F.broadcast(corpus.select("avg_milli"))).selectExpr(
+        "d", _BM_KD.format(d="div") + " AS kd"
+    )
+    probes = (
+        dl.where(F.col("dl") >= min_len)
+        .orderBy("d")
+        .limit(n_queries)
+        .select(F.col("d").alias("q"))
+    )
+    wq = Window.partitionBy("q").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    qt = (
+        tf.join(F.broadcast(probes), tf["d"] == F.col("q"))
+        .join(idf, "tok")
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_qterms)
+        .select("q", "tok", "idf_int")
+        .localCheckpoint(eager=False)  # bounded: n_queries * n_qterms
+    )
+    idx = tf.join(kd, "d")  # postings + length norm, co-keyed on d
+    cand = idx.join(F.broadcast(qt), "tok").where(F.col("d") != F.col("q"))
+    tot = (
+        cand.selectExpr("q", "d", _BM_SCORE_T.format(d="div") + " AS s")
+        .groupBy("q", "d")
+        .agg(F.sum("s").cast("bigint").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("score_x1e6").desc(), F.col("d").asc()
+    )
+    return (
+        tot.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            "rk",
+            F.col("d").alias(id_col),
+            "score_x1e6",
+        )
+    )

@@ -1170,16 +1170,25 @@ def test_ktruss_matches_python(spark, sf_small):
     import duckdb
 
     from diepy_spark.plans.extended import (
+        KT_DENOM,
         KT_K,
-        KT_N,
         KT_ROUNDS,
         x11_ktruss,
     )
 
     con = duckdb.connect()
+    # data-derived node space (round-9): odd, coprime to 10^k strides,
+    # bumped off the hash multipliers' factors {5, 37, 101}
+    kt_n = con.execute(
+        f"SELECT 2 * (count(*) // {KT_DENOM}) + 1"
+        f" FROM '{sf_small}/orders.parquet'"
+    ).fetchone()[0]
+    for _ in range(3):
+        if kt_n % 37 == 0 or kt_n % 101 == 0 or kt_n % 5 == 0:
+            kt_n += 2
     raw = con.execute(f"""
-      SELECT (o_orderkey * 37 + 11) % {KT_N},
-             (o_custkey * 101 + 7) % {KT_N}
+      SELECT (o_orderkey * 37 + 11) % {kt_n},
+             (o_custkey * 101 + 7) % {kt_n}
       FROM '{sf_small}/orders.parquet'
     """).fetchall()
     edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}

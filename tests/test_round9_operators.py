@@ -1,0 +1,147 @@
+"""Round-9 operators vs literal-Python mirrors (the test strategy
+SURVEY §5 models: recompute the whole answer in plain Python from the
+raw parquet and compare exactly)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+
+def _tokenize(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _load_docs(sf_dir: str) -> dict[int, list[str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    return {d: _tokenize(t) for d, t in rows}
+
+
+def _bm25_python(sf_dir, n_queries, n_qterms, k, min_len, scale):
+    """Literal BM25 with the integer quantization contract:
+    idf = round(ln((2N+2)/(2df+1))*scale); avgdl/kd round-half-up
+    milli integers; per-term floor division; exact integer sum."""
+    docs = _load_docs(sf_dir)
+    tf = {d: Counter(t) for d, t in docs.items() if t}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(dl)
+    t_toks = sum(dl.values())
+    avg_milli = (2000 * t_toks + n) // (2 * n)
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    idf = {
+        t: int(round(math.log((2 * n + 2) / (2 * f + 1)) * scale, 0))
+        for t, f in df.items()
+    }
+    kd = {
+        d: 300 + (1800000 * L + avg_milli) // (2 * avg_milli)
+        for d, L in dl.items()
+    }
+    probes = sorted(d for d, L in dl.items() if L >= min_len)[:n_queries]
+    out = {}
+    for q in probes:
+        qt = sorted(tf[q].keys(), key=lambda t: (df[t], t))[:n_qterms]
+        scores = defaultdict(int)
+        for t in qt:
+            for d, cnt in tf.items():
+                if d == q or t not in cnt:
+                    continue
+                c = cnt[t]
+                scores[d] += (idf[t] * 2200 * c) // (1000 * c + kd[d])
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = [(rk + 1, d, s) for rk, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_python(spark, sf_small):
+    from diepy_spark.operators.text import BM25_IDF_SCALE
+    from diepy_spark.plans.extended import (
+        BM_K,
+        BM_MINLEN,
+        BM_NQ,
+        BM_QTERMS,
+        x3_bm25_topk,
+    )
+
+    expect = _bm25_python(
+        sf_small, BM_NQ, BM_QTERMS, BM_K, BM_MINLEN, BM25_IDF_SCALE
+    )
+    got = defaultdict(list)
+    for r in x3_bm25_topk(spark, sf_small).collect():
+        got[r.query_id].append((r.rk, r.doc_id, r.score_x1e6))
+    assert dict(got) == {q: v for q, v in expect.items() if v}
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_small):
+    from diepy_spark.plans.extended import x3_bm25_topk
+
+    rows = x3_bm25_topk(spark, sf_small).collect()
+    assert rows, "degenerate fixture: no BM25 results"
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r.score_x1e6 > 0
+        by_q[r.query_id].append((r.rk, r.score_x1e6))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_matches_python(spark, sf_small):
+    """RRF fusion must equal the literal round-half-up integer sum over
+    the two Spark-produced rank lists (fusion layer isolated: inputs
+    are taken from the engine, arithmetic recomputed in Python)."""
+    from diepy_spark.plans.extended import (
+        BM_K,
+        RRF_K,
+        RRF_SCALE,
+        _bm25_topk_cached,
+        x3_hybrid_rank,
+    )
+
+    lex = {
+        (r.query_id, r.doc_id): r.rk
+        for r in _bm25_topk_cached(spark, sf_small).collect()
+    }
+    hyb = x3_hybrid_rank(spark, sf_small).collect()
+    assert hyb, "degenerate fixture: no hybrid results"
+    dense = {
+        (r.query_id, r.doc_id): r.dense_rk
+        for r in hyb
+        if r.dense_rk > 0
+    }
+
+    def contrib(rk):
+        return (2 * RRF_SCALE + (RRF_K + rk)) // (2 * (RRF_K + rk))
+
+    for r in hyb:
+        key = (r.query_id, r.doc_id)
+        want = 0
+        if key in lex:
+            assert r.lex_rk == lex[key]
+            want += contrib(lex[key])
+        else:
+            assert r.lex_rk == 0
+        if key in dense:
+            want += contrib(dense[key])
+        assert r.rrf_x1e9 == want
+        assert r.rk <= BM_K
+
+
+def test_hybrid_fuses_both_lists(spark, sf_small):
+    """At least one fused row should come from each list somewhere in
+    the result (otherwise the union is degenerate)."""
+    from diepy_spark.plans.extended import x3_hybrid_rank
+
+    rows = x3_hybrid_rank(spark, sf_small).collect()
+    assert any(r.lex_rk > 0 for r in rows)
+    assert any(r.dense_rk > 0 for r in rows)
