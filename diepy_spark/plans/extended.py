@@ -13453,15 +13453,14 @@ EXTENDED_ORACLES["x8_kendall_tau"] = f"""
 #      state packs (score_sum, piece_count) into one BIGINT
 #      c = s*64 - np, making max(c) the exact lexicographic argmax
 #      and the whole DP integer arithmetic;
-#  (3) operators/text.py:unigram_train_em — the hard-EM (Viterbi-EM)
-#      refinement on the COLLECTED top-K word types (SentencePiece
-#      itself trains on a capped sample; the model is driver-sized by
-#      definition), same ladder scores and the same packed-DP rule,
-#      pytest-pinned including Spark-vs-Python Viterbi equivalence.
-#      Its artifact is what a production pipeline persists; the
-#      driver's static-oracle contract is why the DECLARED queries
-#      check the seed+encode layers (EM's backtrace is the one step
-#      with no reasonable SQL mirror).
+#  (3) x5_unigram_em (round 9) — the hard-EM (Viterbi-EM) refinement,
+#      now DECLARED and hash-checked: the backtrace that used to keep
+#      it pytest-only is mirrored in SQL by retaining the FULL forward
+#      DP array and re-deriving the smallest-k argmax per step (see
+#      the round-9 block at the end of this file); the driver-side
+#      operators/text.py:unigram_train_em remains the library API and
+#      is pinned EQUAL to the distributed query by
+#      tests/test_round9_operators.py.
 UNI_DICT_MAX = 2000  # word types collected for driver-side EM
 UNI_EM_ITERS = 2
 
@@ -17598,3 +17597,314 @@ EXTENDED_ORACLES["x3_hybrid_rank"] = f"""
       FROM hf)
     WHERE rk <= {BM_K} ORDER BY query_id, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the unigram hard-EM layer as a DECLARED hash-checked query
+# (VERDICT r8 #5 — previously pytest-only).  The missing piece was a
+# SQL mirror of the Viterbi BACKTRACE: both engines already replay the
+# packed-integer forward DP (x5_unigram_encode); keeping the FULL
+# forward array lets the backtrace walk from position L picking the
+# SMALLEST k whose transition acc[i-k+1] + sc[(i-k)*mp+k]*pk - 1
+# reproduces acc[i+1] — exactly unigram_viterbi's first-max tie-break,
+# recomputed instead of recorded.  The EM rounds unroll as chained
+# CTEs (the x3_kmeans precedent); the trainer runs on the top
+# UNI_DICT_MAX word types (SentencePiece's capped-sample discipline),
+# so every frame in the chain is model-sized, not corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+def _uni_dpfull_spark() -> str:
+    """Forward DP keeping the WHOLE packed-score array (encode's fold
+    minus the finish lambda)."""
+    pk, mp = T.UNI_PACK, T.UNI_MAX_PIECE
+    cands = ", ".join(
+        f"CASE WHEN {k} <= i THEN element_at(acc, i - {k} + 1)"
+        f" + element_at(sc, (i - {k}) * {mp} + {k}) * {pk} - 1"
+        " ELSE NULL END"
+        for k in range(1, mp + 1)
+    )
+    return (
+        "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),"
+        f" (acc, i) -> concat(acc, array(greatest({cands}))))"
+    )
+
+
+def _uni_dpfull_duck() -> str:
+    pk, mp = T.UNI_PACK, T.UNI_MAX_PIECE
+    cands = ", ".join(
+        f"CASE WHEN {k} <= x[1] THEN acc[x[1] - {k} + 1]"
+        f" + sc[(x[1] - {k}) * {mp} + {k}] * {pk} - 1"
+        " ELSE NULL END"
+        for k in range(1, mp + 1)
+    )
+    return (
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)],"
+        " list_transform(generate_series(1, length(w)),"
+        " i -> [CAST(i AS BIGINT)])),"
+        f" (acc, x) -> list_append(acc, greatest({cands})))"
+    )
+
+
+def _uni_bt_spark() -> str:
+    """Backtrace over (w, sc, dparr): accumulator (i, pieces); each
+    step appends the piece whose transition reproduces dparr[i+1],
+    smallest k first (the Python tie-break)."""
+    pk, mp = T.UNI_PACK, T.UNI_MAX_PIECE
+
+    def cond(k: int) -> str:
+        return (
+            f"({k} <= st.i AND"
+            f" element_at(dparr, CAST(st.i - {k} + 1 AS INT))"
+            f" + element_at(sc, CAST((st.i - {k}) * {mp} + {k} AS INT))"
+            f" * {pk} - 1"
+            " = element_at(dparr, CAST(st.i + 1 AS INT)))"
+        )
+
+    kx = (
+        "CASE "
+        + " ".join(f"WHEN {cond(k)} THEN {k}" for k in range(1, mp + 1))
+        + " END"
+    )
+    step = (
+        "CASE WHEN st.i <= 0 THEN st ELSE named_struct("
+        f"'i', st.i - ({kx}),"
+        " 'ps', concat(st.ps, array(substring(w,"
+        f" CAST(st.i - ({kx}) + 1 AS INT), CAST(({kx}) AS INT)))))"
+        " END"
+    )
+    return (
+        "aggregate(sequence(1, length(w)),"
+        " named_struct('i', CAST(length(w) AS BIGINT),"
+        " 'ps', CAST(array() AS ARRAY<STRING>)),"
+        f" (st, stp) -> {step},"
+        " st -> st.ps)"
+    )
+
+
+def _uni_bt_duck() -> str:
+    """DuckDB backtrace: VARCHAR-list accumulator [i_str, pieces...]
+    (list_reduce's accumulator must match the element type — the
+    sign-test 2-elem-list idiom, mixed payload carried as strings)."""
+    pk, mp = T.UNI_PACK, T.UNI_MAX_PIECE
+    b = "CAST(acc[1] AS BIGINT)"
+
+    def cond(k: int) -> str:
+        return (
+            f"({k} <= {b} AND dparr[CAST({b} - {k} + 1 AS INT)]"
+            f" + sc[CAST(({b} - {k}) * {mp} + {k} AS INT)] * {pk} - 1"
+            f" = dparr[CAST({b} + 1 AS INT)])"
+        )
+
+    kx = (
+        "CASE "
+        + " ".join(f"WHEN {cond(k)} THEN {k}" for k in range(1, mp + 1))
+        + " END"
+    )
+    step = (
+        f"CASE WHEN {b} <= 0 THEN acc"
+        f" ELSE list_prepend(CAST({b} - ({kx}) AS VARCHAR),"
+        f" list_append(acc[2:], substring(w,"
+        f" CAST({b} - ({kx}) + 1 AS INT), CAST(({kx}) AS INT)))) END"
+    )
+    return (
+        "list_reduce(list_prepend([CAST(length(w) AS VARCHAR)],"
+        " list_transform(generate_series(1, length(w)),"
+        " i2 -> [CAST(i2 AS VARCHAR)])),"
+        f" (acc, x2) -> {step})[2:]"
+    )
+
+
+def x5_unigram_em(spark, sf_dir):
+    """Hard-EM (Viterbi-EM) unigram-LM trainer, DISTRIBUTED and
+    hash-checked (the declared form of operators/text.py:
+    unigram_train_em, previously pytest-only): seed vocabulary over
+    the top-UNI_DICT_MAX word types, then UNI_EM_ITERS rounds of
+    {ladder-quantize scores -> Viterbi-segment every word type ->
+    re-count pieces from the segmentations (type-frequency weighted)
+    -> prune zero-count multi-char pieces, floor alphabet chars at 1}.
+    Output: the final (piece, freq, score) table, score desc.
+
+    Exactness: scores are the integer rung ladder (no ln/pow in either
+    engine); the DP is the packed-BIGINT rule of x5_unigram_encode,
+    kept as the FULL forward array so the backtrace can re-derive the
+    argmax segmentation with the smallest-k tie-break — every M-step
+    count is an exact integer, so the whole EM chain is bit-free of
+    floats.  Kudo 2018 (unigram LM) via hard-EM; SentencePiece trains
+    on a capped sample exactly like the UNI_DICT_MAX cap here.
+
+    Scale shape: ONE corpus pass builds the word-type dictionary; the
+    cap makes everything after it model-sized (grid <= dict x L x mp
+    cells; per-iter piece tables vocabulary-sized, checkpointed and
+    broadcast into the next round's grid join — zero corpus-sized
+    shuffles after the first aggregate)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    wd = (
+        _unigram_words(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(UNI_DICT_MAX)
+        .localCheckpoint(eager=False)  # the capped training sample
+    )
+    # seed: substring freqs over the capped dict, all single chars +
+    # top UNI_VOCAB multi-char pieces (x5_unigram_train's selection)
+    subs = wd.selectExpr(
+        "n", _UNI_SUBS.format(mp=T.UNI_MAX_PIECE) + " AS piece"
+    )
+    pf = subs.groupBy("piece").agg(F.sum("n").cast("bigint").alias("cnt"))
+    wr = Window.partitionBy("is_multi").orderBy(F.col("cnt").desc(), "piece")
+    pieces = (
+        pf.withColumn("is_multi", F.expr("length(piece) > 1"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(f"NOT is_multi OR rk <= {T.UNI_VOCAB}")
+        .select("piece", "cnt")
+        .localCheckpoint(eager=False)
+    )
+    alpha = pieces.where("length(piece) = 1").select("piece")
+    mp = T.UNI_MAX_PIECE
+    grid = (
+        wd.select("w")
+        .selectExpr(
+            "w",
+            "explode(flatten(transform(sequence(1, length(w)),"
+            f" i0 -> transform(sequence(1, {mp}),"
+            " k -> named_struct('i0', i0, 'k', k))))) AS cell",
+        )
+        .selectExpr(
+            "w",
+            "cell.i0 AS i0",
+            "cell.k AS k",
+            "CASE WHEN cell.i0 + cell.k - 1 <= length(w)"
+            " THEN substring(w, cell.i0, cell.k) END AS piece",
+        )
+        .localCheckpoint(eager=False)  # dict x L x mp cells, reused per iter
+    )
+    sc_expr = _uni_score_sql("array(", ")", "size", "filter", "div")
+    for _ in range(UNI_EM_ITERS):
+        tot = pieces.agg(F.sum("cnt").cast("bigint").alias("tot"))
+        scores = (
+            pieces.crossJoin(F.broadcast(tot))
+            .selectExpr("piece", "cnt AS freq", "tot")
+            .selectExpr("piece", f"CAST({sc_expr} AS BIGINT) AS sc")
+        )
+        g2 = grid.join(F.broadcast(scores), "piece", "left").selectExpr(
+            "w", "i0", "k",
+            f"CAST(coalesce(sc, {T.UNI_MISS}) AS BIGINT) AS sc",
+        )
+        sarr = g2.groupBy("w").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i0, k, sc))),"
+                " x -> x.sc)"
+            ).alias("sc")
+        )
+        segs = (
+            sarr.selectExpr("w", "sc", _uni_dpfull_spark() + " AS dparr")
+            .selectExpr("w", _uni_bt_spark() + " AS ps")
+            .select("w", F.explode("ps").alias("piece"))
+        )
+        counts = (
+            segs.join(F.broadcast(wd), "w")
+            .groupBy("piece")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        pieces = (
+            counts.join(alpha, "piece", "full")
+            .selectExpr("piece", "CAST(coalesce(cnt, 1) AS BIGINT) AS cnt")
+            .localCheckpoint(eager=False)  # vocabulary-sized
+        )
+    tot = pieces.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    return (
+        pieces.crossJoin(F.broadcast(tot))
+        .selectExpr("piece", "cnt AS freq", "tot")
+        .selectExpr(
+            "piece", "freq", f"CAST({sc_expr} AS BIGINT) AS score"
+        )
+        .orderBy(F.col("score").desc(), "piece")
+    )
+
+
+EXTENDED_QUERIES["x5_unigram_em"] = x5_unigram_em
+
+
+def _unigram_em_oracle_sql() -> str:
+    mp = T.UNI_MAX_PIECE
+    sc_expr = _uni_score_sql("[", "]", "len", "list_filter", "//")
+    ctes = [
+        f"""umf AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKS_EXPR}) AS tok FROM documents) u
+      WHERE length(tok) BETWEEN {BPE_WORD_MIN} AND {BPE_WORD_MAX}
+      GROUP BY 1)""",
+        f"""umd AS (SELECT w, n FROM umf ORDER BY n DESC, w
+      LIMIT {UNI_DICT_MAX})""",
+        f"""ums AS (
+      SELECT p.piece AS piece, CAST(sum(n) AS BIGINT) AS cnt
+      FROM umd, LATERAL (SELECT unnest(flatten(list_transform(
+           generate_series(1, length(w)),
+           i0 -> list_transform(
+                 generate_series(1, least({mp}, length(w) - i0 + 1)),
+                 k -> substring(w, i0, k))))) AS piece) p
+      GROUP BY 1)""",
+        f"""umr AS (
+      SELECT piece, cnt,
+             CAST(row_number() OVER (PARTITION BY length(piece) > 1
+                  ORDER BY cnt DESC, piece) AS INT) AS rk
+      FROM ums)""",
+        f"""emp0 AS (SELECT piece, cnt FROM umr
+      WHERE length(piece) = 1 OR rk <= {T.UNI_VOCAB})""",
+        """umalpha AS (SELECT piece FROM emp0 WHERE length(piece) = 1)""",
+        f"""umgrid AS (
+      SELECT w, i0, k,
+             CASE WHEN i0 + k - 1 <= length(w)
+                  THEN substring(w, i0, k) END AS piece
+      FROM (
+        SELECT w, ((p.j - 1) // {mp}) + 1 AS i0,
+               ((p.j - 1) % {mp}) + 1 AS k
+        FROM (SELECT w FROM umd) uw,
+        LATERAL (SELECT unnest(generate_series(1,
+             length(w) * {mp})) AS j) p))""",
+    ]
+    for i in range(1, UNI_EM_ITERS + 1):
+        prev = f"emp{i - 1}"
+        ctes += [
+            f"""emt{i} AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot
+      FROM {prev})""",
+            f"""emsc{i} AS (
+      SELECT piece, CAST({sc_expr} AS BIGINT) AS sc
+      FROM (SELECT piece, cnt AS freq FROM {prev}), emt{i})""",
+            f"""emg{i} AS (
+      SELECT g.w, g.i0, g.k,
+             CAST(coalesce(s.sc, {T.UNI_MISS}) AS BIGINT) AS sc
+      FROM umgrid g LEFT JOIN emsc{i} s ON s.piece = g.piece)""",
+            f"""ema{i} AS (SELECT w, list(sc ORDER BY i0, k) AS sc
+      FROM emg{i} GROUP BY 1)""",
+            f"""emd{i} AS (SELECT w, sc, {_uni_dpfull_duck()} AS dparr
+      FROM ema{i})""",
+            f"""emb{i} AS (SELECT w, {_uni_bt_duck()} AS ps
+      FROM emd{i})""",
+            f"""emc{i} AS (
+      SELECT p.piece, CAST(sum(d.n) AS BIGINT) AS cnt
+      FROM emb{i} b JOIN umd d ON d.w = b.w,
+      LATERAL (SELECT unnest(b.ps) AS piece) p
+      GROUP BY 1)""",
+            f"""emp{i} AS (
+      SELECT coalesce(c.piece, a.piece) AS piece,
+             CAST(coalesce(c.cnt, 1) AS BIGINT) AS cnt
+      FROM emc{i} c FULL JOIN umalpha a ON a.piece = c.piece)""",
+        ]
+    last = f"emp{UNI_EM_ITERS}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f""",
+    emtf AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM {last})
+    SELECT piece, freq, CAST({sc_expr} AS BIGINT) AS score
+    FROM (SELECT piece, cnt AS freq FROM {last}), emtf
+    ORDER BY score DESC, piece
+"""
+    )
+
+
+EXTENDED_ORACLES["x5_unigram_em"] = _unigram_em_oracle_sql()

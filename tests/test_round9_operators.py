@@ -145,3 +145,33 @@ def test_hybrid_fuses_both_lists(spark, sf_small):
     rows = x3_hybrid_rank(spark, sf_small).collect()
     assert any(r.lex_rk > 0 for r in rows)
     assert any(r.dense_rk > 0 for r in rows)
+
+
+def test_unigram_em_matches_python_trainer(spark, sf_small):
+    """The distributed hard-EM query must reproduce the driver-side
+    trainer (operators/text.py:unigram_train_em) EXACTLY — same capped
+    word dict, same seed, same Viterbi tie-break, same pruning/floor."""
+    from diepy_spark.operators.text import unigram_train_em
+    from diepy_spark.plans.extended import (
+        UNI_DICT_MAX,
+        UNI_EM_ITERS,
+        _unigram_words,
+        x5_unigram_em,
+    )
+
+    rows = (
+        _unigram_words(spark, sf_small)
+        .groupBy("w")
+        .agg({"n": "sum"})
+        .withColumnRenamed("sum(n)", "n")
+        .orderBy([("n"), ("w")], ascending=[False, True])
+        .limit(UNI_DICT_MAX)
+        .collect()
+    )
+    expect = unigram_train_em(
+        [(r["w"], int(r["n"])) for r in rows], iters=UNI_EM_ITERS
+    )
+    got = [
+        (r.piece, r.score) for r in x5_unigram_em(spark, sf_small).collect()
+    ]
+    assert got == expect
