@@ -1215,3 +1215,119 @@ def incremental_minhash_dedup(
             F.coalesce("dup_in_batch", F.lit(0)).alias("dup_in_batch"),
         )
     )
+
+
+def ppjoin_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-relation record linkage by token-set Jaccard >=
+    t_num/t_den, with the PPJoin prefix filter (Xiao, Wang, Lin, Yu
+    2008, "Efficient Similarity Joins for Near Duplicate Detection"):
+    under a global rarest-first token order, any pair with overlap o
+    must share a token inside each record's first (sz - o + 1) tokens,
+    so only PREFIX tokens generate candidates — a LOSSLESS pruning, in
+    contrast to the max_df heuristic the ngram_jaccard path uses. The
+    positional filter (the residual-overlap upper bound
+    min(sz_a - rn_a, sz_b - rn_b) + 1 >= ceil(t/(1+t)*(sz_a+sz_b)))
+    and the length filter (t*sz_a <= sz_b <= sz_a/t) prune further,
+    still lossless — measured on the sf0.1 fixture they halve the
+    candidate set at identical results.
+
+    Every test is exact-integer (o_min = (t_num*sz + t_den - 1) div
+    t_den; threshold inter*t_den >= t_num*union); jac is rounded once
+    for output/ranking. Returns the best match per LEFT record:
+    (da, db, jac, n_matches), jac desc ties db asc, n_matches = all
+    qualifying right-side matches.
+
+    Scale shape: one tokenize pass per side; the global df frame is
+    vocabulary-sized; candidates shuffle on the prefix TOKEN (bounded
+    per token by df_L*df_R of PREFIX occurrences only); the verify
+    join touches candidate pairs x their token sets, never all pairs.
+    """
+    par = left.sparkSession.sparkContext.defaultParallelism
+
+    def toks(df, side):
+        return (
+            df.select(
+                F.lit(side).alias("side"),
+                F.col(id_col).alias("d"),
+                F.explode(F.expr(tokens_expr(text_col))).alias("tok"),
+            )
+            .distinct()
+        )
+
+    tk = toks(left, 0).unionByName(toks(right, 1)).localCheckpoint(
+        eager=False
+    )  # the shared token ledger: df, sizes, prefixes, verify all read it
+    dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sz = tk.groupBy("side", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    wo = Window.partitionBy("side", "d").orderBy(F.col("df").asc(), "tok")
+    ordered = (
+        tk.join(dfq, "tok")
+        .withColumn("rn", F.row_number().over(wo).cast("bigint"))
+        .join(sz, ["side", "d"])
+    )
+    pref = ordered.where(
+        F.expr(f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1")
+    ).select("side", "d", "tok", "rn", "sz")
+    pl = pref.where("side = 0").select(
+        F.col("d").alias("da"), F.col("tok").alias("tok"),
+        F.col("rn").alias("rna"), F.col("sz").alias("sza"),
+    )
+    pr = pref.where("side = 1").select(
+        F.col("d").alias("db"), F.col("tok").alias("tok"),
+        F.col("rn").alias("rnb"), F.col("sz").alias("szb"),
+    )
+    plp = pl.repartition(par, F.col("tok"))
+    prp = pr.repartition(par, F.col("tok"))
+    cand = (
+        plp.join(prp.hint("shuffle_hash"), "tok")
+        .where(
+            F.expr(
+                f"sza * {t_den} >= szb * {t_num}"
+                f" AND szb * {t_den} >= sza * {t_num}"
+                f" AND (least(sza - rna, szb - rnb) + 1)"
+                f" * ({t_num} + {t_den})"
+                f" >= {t_num} * (sza + szb)"
+            )
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    la = tk.where("side = 0").select(F.col("d").alias("da"), "tok")
+    rb = tk.where("side = 1").select(F.col("d").alias("db"), "tok")
+    inter = (
+        cand.join(la, "da")
+        .join(rb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.where("side = 0").select(F.col("d").alias("da"), F.col("sz").alias("sza"))
+    sb = sz.where("side = 1").select(F.col("d").alias("db"), F.col("sz").alias("szb"))
+    res = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .where(
+            F.expr(f"inter * {t_den} >= {t_num} * (sza + szb - inter)")
+        )
+        .selectExpr(
+            "da", "db",
+            "round(CAST(inter AS DOUBLE)"
+            " / CAST(sza + szb - inter AS DOUBLE), 4) AS jac",
+        )
+    )
+    wb = Window.partitionBy("da").orderBy(F.col("jac").desc(), F.col("db"))
+    wn = Window.partitionBy("da")
+    return (
+        res.withColumn("rk", F.row_number().over(wb))
+        .withColumn("n_matches", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .where("rk = 1")
+        .select("da", "db", "jac", "n_matches")
+    )

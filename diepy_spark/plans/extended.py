@@ -17908,3 +17908,342 @@ def _unigram_em_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x5_unigram_em"] = _unigram_em_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 9: hard-negative mining + tokenizer comparison (training-
+# pipeline closers on top of the BM25 / tokenizer arcs)
+# ---------------------------------------------------------------------------
+
+HN_COS_MAX = 0.0  # lexically-similar pair counts as a HARD negative
+#                   when its dense cosine is at or below this
+
+
+def x3_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retrieval training (the
+    standard DPR/sentence-transformers recipe: candidates that a
+    LEXICAL retriever ranks high but the DENSE space says are
+    unrelated make the strongest negatives). Takes the cached BM25
+    top-k lists, attaches each pair's embedding cosine (vec_id 1:1
+    with doc_id in this fixture), and flags is_hard = cos <=
+    HN_COS_MAX. All k rows per query are kept with the flag (the
+    mining report), ordered (query_id, lex_rk).
+
+    Scale shape: the pair set is top-k-bounded (n_queries x k rows),
+    so the cosine pass is arithmetic on a bounded frame — the probe
+    and candidate vectors are fetched by broadcast-joining the
+    BOUNDED pair list against the embeddings table (two hash probes
+    of the corpus, no corpus-side shuffle, no all-pairs term)."""
+    lex = _bm25_topk_cached(spark, sf_dir)
+    v = _vecs(spark, sf_dir)
+    qe = v.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ce = v.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce"))
+    paired = (
+        qe.join(F.broadcast(lex), "query_id")
+        .join(ce, "doc_id")
+        .withColumn("cos", F.round(S.cosine("qe", "ce"), 4))
+    )
+    return paired.selectExpr(
+        "query_id",
+        "doc_id",
+        "rk AS lex_rk",
+        "score_x1e6",
+        "cos",
+        f"CAST(cos <= {HN_COS_MAX} AS INT) AS is_hard",
+    ).orderBy("query_id", "lex_rk")
+
+
+EXTENDED_QUERIES["x3_hard_negatives"] = x3_hard_negatives
+
+EXTENDED_ORACLES["x3_hard_negatives"] = f"""
+    WITH {_bm25_oracle_ctes()},
+    {_COS_CTE.strip()},
+    hnp AS (
+      SELECT b.query_id, b.doc_id, b.rk AS lex_rk, b.score_x1e6,
+             ROUND(SUM(q.x*d.x)
+                   / (SQRT(SUM(q.x*q.x))*SQRT(SUM(d.x*d.x))), 4) AS cos
+      FROM bmrk b
+      JOIN u q ON q.vec_id = b.query_id
+      JOIN u d ON d.vec_id = b.doc_id AND d.i = q.i
+      WHERE b.rk <= {BM_K}
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT query_id, doc_id, lex_rk, score_x1e6, cos,
+           CAST(cos <= {HN_COS_MAX} AS INT) AS is_hard
+    FROM hnp ORDER BY query_id, lex_rk
+"""
+
+
+def x5_tokenizer_compare(spark, sf_dir):
+    """Side-by-side fertility report of the suite's TWO tokenizer
+    trainers — BPE (x5_bpe_apply: merge-table replay) vs unigram-LM
+    (x5_unigram_encode: ladder-scored Viterbi) — per language:
+    pieces-per-token and mean piece length from each, and which
+    tokenizer wins on fertility (fewer pieces per token). The
+    model-selection table a tokenizer team actually reads; pure
+    composition of two hash-checked queries, joined on language.
+    The winner flag compares the two already-rounded doubles (exact
+    same IEEE values in both engines); no re-rounded arithmetic."""
+    b = x5_bpe_apply(spark, sf_dir).selectExpr(
+        "lang",
+        "n_tokens",
+        "pieces_per_token AS bpe_ppt",
+        "mean_piece_len AS bpe_mpl",
+    )
+    ug = x5_unigram_encode(spark, sf_dir).selectExpr(
+        "lang",
+        "pieces_per_token AS uni_ppt",
+        "mean_piece_len AS uni_mpl",
+        "bits_per_piece AS uni_bits",
+    )
+    return (
+        b.join(ug, "lang")
+        .selectExpr(
+            "lang",
+            "n_tokens",
+            "bpe_ppt",
+            "uni_ppt",
+            "bpe_mpl",
+            "uni_mpl",
+            "uni_bits",
+            "CASE WHEN bpe_ppt < uni_ppt THEN 'bpe'"
+            " WHEN uni_ppt < bpe_ppt THEN 'unigram'"
+            " ELSE 'tie' END AS fertility_winner",
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENDED_QUERIES["x5_tokenizer_compare"] = x5_tokenizer_compare
+
+
+def _tokenizer_compare_oracle_sql() -> str:
+    return f"""
+    WITH tcb AS ({EXTENDED_ORACLES["x5_bpe_apply"]}),
+    tcu AS ({EXTENDED_ORACLES["x5_unigram_encode"]})
+    SELECT b.lang, b.n_tokens,
+           b.pieces_per_token AS bpe_ppt,
+           u.pieces_per_token AS uni_ppt,
+           b.mean_piece_len AS bpe_mpl,
+           u.mean_piece_len AS uni_mpl,
+           u.bits_per_piece AS uni_bits,
+           CASE WHEN b.pieces_per_token < u.pieces_per_token THEN 'bpe'
+                WHEN u.pieces_per_token < b.pieces_per_token THEN 'unigram'
+                ELSE 'tie' END AS fertility_winner
+    FROM tcb b JOIN tcu u ON u.lang = b.lang
+    ORDER BY b.lang
+"""
+
+
+EXTENDED_ORACLES["x5_tokenizer_compare"] = _tokenizer_compare_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 9: DSIR-style data selection (importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_N = 100          # manifest size: top-N docs by importance
+DSIR_TARGET_LANG = "en"  # the target-domain slice the selector steers toward
+# OOV floor: a word absent from a model scores the ladder's saturation
+# value (min-prob floor) — exactly what the rung count converges to
+_DSIR_FLOOR = -(T.UNI_MU * T.UNI_OCTAVES)
+
+
+def x10_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood RATIO between a target-domain unigram LM
+    (docs with lang = DSIR_TARGET_LANG) and the raw-corpus unigram LM,
+    then keep the top DSIR_N docs — the deterministic top-weight
+    variant of DSIR's weighted sampling. Both LMs use the integer rung
+    ladder (operators/text.py:UNI_LADDER — 1/64-bit log2 resolution,
+    exact rational-rung comparisons, no ln/pow in either engine), so a
+    doc's importance is an exact BIGINT sum over its token
+    occurrences: imp_x64 = sum_t c_t * (sc_target(w_t) - sc_raw(w_t)),
+    OOV words flooring at the ladder's saturation value.
+    log2_ratio = imp_x64 / 64.0 is an EXACT binary division.
+
+    Scale shape: one corpus aggregate to (doc, word, count); the two
+    LM frequency tables are vocabulary-sized and BROADCAST back (at
+    real scale DSIR hashes the vocabulary into fixed buckets — same
+    plan, bucketed key); per-doc importance is one map-side-combined
+    sum, and the manifest is a distributed TakeOrdered top-N, never a
+    single-partition global sort."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    dw = (
+        d.select(
+            "doc_id", "lang", "source",
+            F.explode(F.expr(D.tokens_expr("text"))).alias("w"),
+        )
+        .groupBy("doc_id", "lang", "source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # reused by both model builds
+    )
+    raw = dw.groupBy("w").agg(F.sum("c").cast("bigint").alias("freq"))
+    tgt = (
+        dw.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("freq"))
+    )
+    sc_expr = _uni_score_sql("array(", ")", "size", "filter", "div")
+
+    def model(mdf, name):
+        tot = mdf.agg(F.sum("freq").cast("bigint").alias("tot"))
+        return (
+            mdf.crossJoin(F.broadcast(tot))
+            .selectExpr("w", f"CAST({sc_expr} AS BIGINT) AS {name}")
+            .localCheckpoint(eager=False)  # the persisted LM table
+        )
+
+    m_raw = model(raw, "sc_raw")
+    m_tgt = model(tgt, "sc_tgt")
+    scored = (
+        dw.join(F.broadcast(m_raw), "w", "left")
+        .join(F.broadcast(m_tgt), "w", "left")
+        .selectExpr(
+            "doc_id", "lang", "source", "c",
+            f"coalesce(sc_tgt, {_DSIR_FLOOR}) AS st",
+            f"coalesce(sc_raw, {_DSIR_FLOOR}) AS sr",
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            F.expr("CAST(sum(c * (st - sr)) AS BIGINT)").alias("imp_x64"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("imp_x64").desc(), "doc_id")
+        .limit(DSIR_N)
+        .selectExpr(
+            "doc_id", "lang", "source", "n_toks", "imp_x64",
+            f"CAST(imp_x64 AS DOUBLE) / {T.UNI_MU} AS log2_ratio",
+        )
+    )
+
+
+EXTENDED_QUERIES["x10_dsir_select"] = x10_dsir_select
+
+
+def _dsir_oracle_sql() -> str:
+    sc_expr = _uni_score_sql("[", "]", "len", "list_filter", "//")
+    return f"""
+    WITH dsw AS (
+      SELECT doc_id, lang, source, tok AS w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, lang, source, unnest({_TOKS_EXPR}) AS tok
+            FROM documents) u
+      GROUP BY 1, 2, 3, 4
+    ),
+    dsr AS (SELECT w, CAST(sum(c) AS BIGINT) AS freq FROM dsw GROUP BY 1),
+    dsrt AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM dsr),
+    dsrm AS (SELECT w, CAST({sc_expr} AS BIGINT) AS sc_raw
+             FROM dsr, dsrt),
+    dst AS (SELECT w, CAST(sum(c) AS BIGINT) AS freq FROM dsw
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    dstt AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM dst),
+    dstm AS (SELECT w, CAST({sc_expr} AS BIGINT) AS sc_tgt
+             FROM dst, dstt),
+    dssc AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(sum(d.c) AS BIGINT) AS n_toks,
+             CAST(sum(d.c * (coalesce(t.sc_tgt, {_DSIR_FLOOR})
+                  - coalesce(r.sc_raw, {_DSIR_FLOOR}))) AS BIGINT)
+               AS imp_x64
+      FROM dsw d
+      LEFT JOIN dsrm r ON r.w = d.w
+      LEFT JOIN dstm t ON t.w = d.w
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, source, n_toks, imp_x64,
+           CAST(imp_x64 AS DOUBLE) / {T.UNI_MU} AS log2_ratio
+    FROM dssc ORDER BY imp_x64 DESC, doc_id LIMIT {DSIR_N}
+"""
+
+
+EXTENDED_ORACLES["x10_dsir_select"] = _dsir_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 9: exact set-similarity record linkage (PPJoin prefix filter)
+# ---------------------------------------------------------------------------
+
+RL_NUM = 4  # Jaccard threshold 4/5 = 0.8 as an exact rational
+RL_DEN = 5
+
+
+def x2_record_linkage(spark, sf_dir):
+    """Cross-relation record linkage (operators/dedup.py:
+    ppjoin_best_match): odd-doc_id documents matched against even-
+    doc_id documents by token-set Jaccard >= RL_NUM/RL_DEN with the
+    LOSSLESS PPJoin prefix+positional+length filters — the exact
+    counterpart of the banded-LSH (probabilistic) and max_df-capped
+    (heuristic) near-dup paths; the entity-resolution primitive a
+    catalog/identity pipeline runs between two feeds. Output: best
+    match per left record (jac desc, db asc) plus the qualifying
+    match count."""
+    d = _docs(spark, sf_dir)
+    return D.ppjoin_best_match(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        t_num=RL_NUM,
+        t_den=RL_DEN,
+    ).orderBy("da")
+
+
+EXTENDED_QUERIES["x2_record_linkage"] = x2_record_linkage
+
+EXTENDED_ORACLES["x2_record_linkage"] = f"""
+    WITH rltk AS (
+      SELECT DISTINCT CAST(doc_id % 2 = 0 AS INT) AS side,
+             doc_id AS d, tok
+      FROM (SELECT doc_id, unnest({_TOKS_EXPR}) AS tok FROM documents) u
+    ),
+    rldf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+             FROM rltk GROUP BY 1),
+    rlsz AS (SELECT side, d, CAST(count(*) AS BIGINT) AS sz
+             FROM rltk GROUP BY 1, 2),
+    rlord AS (
+      SELECT t.side, t.d, t.tok,
+             CAST(row_number() OVER (PARTITION BY t.side, t.d
+                  ORDER BY f.df, t.tok) AS BIGINT) AS rn,
+             s.sz
+      FROM rltk t JOIN rldf f ON f.tok = t.tok
+      JOIN rlsz s ON s.side = t.side AND s.d = t.d
+    ),
+    rlpref AS (
+      SELECT side, d, tok, rn, sz FROM rlord
+      WHERE rn <= sz - ((sz * {RL_NUM} + {RL_DEN} - 1) // {RL_DEN}) + 1
+    ),
+    rlcand AS (
+      SELECT DISTINCT a.d AS da, b.d AS db
+      FROM rlpref a JOIN rlpref b ON a.tok = b.tok
+      WHERE a.side = 0 AND b.side = 1
+        AND a.sz * {RL_DEN} >= b.sz * {RL_NUM}
+        AND b.sz * {RL_DEN} >= a.sz * {RL_NUM}
+        AND (least(a.sz - a.rn, b.sz - b.rn) + 1) * ({RL_NUM} + {RL_DEN})
+            >= {RL_NUM} * (a.sz + b.sz)
+    ),
+    rlint AS (
+      SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS inter
+      FROM rlcand c
+      JOIN rltk x ON x.side = 0 AND x.d = c.da
+      JOIN rltk y ON y.side = 1 AND y.d = c.db AND y.tok = x.tok
+      GROUP BY 1, 2
+    ),
+    rlres AS (
+      SELECT i.da, i.db,
+             round(CAST(i.inter AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) AS jac
+      FROM rlint i
+      JOIN rlsz sa ON sa.side = 0 AND sa.d = i.da
+      JOIN rlsz sb ON sb.side = 1 AND sb.d = i.db
+      WHERE i.inter * {RL_DEN} >= {RL_NUM} * (sa.sz + sb.sz - i.inter)
+    )
+    SELECT da, db, jac, n_matches FROM (
+      SELECT da, db, jac,
+             row_number() OVER (PARTITION BY da
+                  ORDER BY jac DESC, db) AS rk,
+             CAST(count(*) OVER (PARTITION BY da) AS BIGINT) AS n_matches
+      FROM rlres)
+    WHERE rk = 1 ORDER BY da
+"""

@@ -175,3 +175,128 @@ def test_unigram_em_matches_python_trainer(spark, sf_small):
         (r.piece, r.score) for r in x5_unigram_em(spark, sf_small).collect()
     ]
     assert got == expect
+
+
+def test_record_linkage_matches_bruteforce(spark, sf_small):
+    """PPJoin's prefix/positional/length filters are LOSSLESS: the
+    best-match table must equal a filterless brute-force Jaccard scan
+    over all odd x even pairs."""
+    from diepy_spark.plans.extended import RL_DEN, RL_NUM, x2_record_linkage
+
+    docs = _load_docs(sf_small)
+    sets = {d: set(t) for d, t in docs.items() if t}
+    left = {d: s for d, s in sets.items() if d % 2 == 1}
+    right = {d: s for d, s in sets.items() if d % 2 == 0}
+    expect = {}
+    for da, A in left.items():
+        matches = []
+        for db, B in right.items():
+            inter = len(A & B)
+            union = len(A) + len(B) - inter
+            if inter * RL_DEN >= RL_NUM * union:
+                matches.append((round(inter / union, 4), db))
+        if matches:
+            matches.sort(key=lambda jb: (-jb[0], jb[1]))
+            expect[da] = (matches[0][1], matches[0][0], len(matches))
+    got = {
+        r.da: (r.db, r.jac, r.n_matches)
+        for r in x2_record_linkage(spark, sf_small).collect()
+    }
+    assert got == expect
+
+
+def test_dsir_matches_python(spark, sf_small):
+    """DSIR importance weights: exact ladder-score mirror over the two
+    unigram LMs, top-N manifest equality."""
+    from diepy_spark.operators.text import (
+        UNI_MU,
+        UNI_OCTAVES,
+        unigram_score_from_freq,
+    )
+    from diepy_spark.plans.extended import (
+        DSIR_N,
+        DSIR_TARGET_LANG,
+        x10_dsir_select,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, source, text"
+        f" FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    floor = -(UNI_MU * UNI_OCTAVES)
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for d, lang, src, text in rows:
+        c = Counter(_tokenize(text))
+        if not c:
+            continue
+        per_doc[d] = (lang, src, c)
+        raw.update(c)
+        if lang == DSIR_TARGET_LANG:
+            tgt.update(c)
+    tot_r, tot_t = sum(raw.values()), sum(tgt.values())
+    sc_r = {w: unigram_score_from_freq(f, tot_r) for w, f in raw.items()}
+    sc_t = {w: unigram_score_from_freq(f, tot_t) for w, f in tgt.items()}
+    scored = []
+    for d, (lang, src, c) in per_doc.items():
+        imp = sum(
+            n * (sc_t.get(w, floor) - sc_r.get(w, floor))
+            for w, n in c.items()
+        )
+        scored.append((d, lang, src, sum(c.values()), imp))
+    scored.sort(key=lambda r: (-r[4], r[0]))
+    expect = scored[:DSIR_N]
+    got = [
+        (r.doc_id, r.lang, r.source, r.n_toks, r.imp_x64)
+        for r in x10_dsir_select(spark, sf_small).collect()
+    ]
+    assert got == expect
+    sel = x10_dsir_select(spark, sf_small).collect()
+    for r in sel:
+        assert r.log2_ratio == r.imp_x64 / 64
+
+
+def test_hard_negatives_flags(spark, sf_small):
+    """Every BM25 pair appears exactly once; the flag mirrors the
+    cosine column against HN_COS_MAX."""
+    from diepy_spark.plans.extended import (
+        HN_COS_MAX,
+        _bm25_topk_cached,
+        x3_hard_negatives,
+    )
+
+    lex = {
+        (r.query_id, r.doc_id): (r.rk, r.score_x1e6)
+        for r in _bm25_topk_cached(spark, sf_small).collect()
+    }
+    rows = x3_hard_negatives(spark, sf_small).collect()
+    assert {(r.query_id, r.doc_id) for r in rows} == set(lex)
+    n_hard = 0
+    for r in rows:
+        assert (r.lex_rk, r.score_x1e6) == lex[(r.query_id, r.doc_id)]
+        assert r.is_hard == int(r.cos <= HN_COS_MAX)
+        n_hard += r.is_hard
+    assert 0 < n_hard < len(rows)  # threshold splits the fixture
+
+
+def test_tokenizer_compare_consistent(spark, sf_small):
+    """The comparison table must restate its two component queries."""
+    from diepy_spark.plans.extended import (
+        x5_bpe_apply,
+        x5_tokenizer_compare,
+        x5_unigram_encode,
+    )
+
+    b = {r.lang: r for r in x5_bpe_apply(spark, sf_small).collect()}
+    ug = {r.lang: r for r in x5_unigram_encode(spark, sf_small).collect()}
+    rows = x5_tokenizer_compare(spark, sf_small).collect()
+    assert {r.lang for r in rows} == set(b) & set(ug)
+    for r in rows:
+        assert r.bpe_ppt == b[r.lang].pieces_per_token
+        assert r.uni_ppt == ug[r.lang].pieces_per_token
+        want = (
+            "bpe" if r.bpe_ppt < r.uni_ppt
+            else ("unigram" if r.uni_ppt < r.bpe_ppt else "tie")
+        )
+        assert r.fertility_winner == want
