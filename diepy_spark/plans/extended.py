@@ -9028,12 +9028,14 @@ def _temperature_mix_oracle_sql() -> str:
 EXTENDED_ORACLES["x8_temperature_mix"] = _temperature_mix_oracle_sql()
 
 
-def _pq_adc_oracle_sql() -> str:
+def _pq_adc_oracle_sql(k: int = PQ_K) -> str:
     """Mirror of x3_pq_adc: u = quantized long form, cb = the codebook
     rows (code j = rank among the PQ_CODES smallest vec_ids, subspace s
     = (i-1)//subdim), sd = every vector's exact integer distance to
     every code of its subspace, codes = corpus argmin per (vector,
-    subspace), pairs = ADC sums via the (s, code) lookup join."""
+    subspace), pairs = ADC sums via the (s, code) lookup join.
+    k parameterized so the round-9 rerank oracle can ask for the
+    wider shortlist."""
     sub = EMB_DIM // PQ_M
     return f"""
         WITH u AS (SELECT vec_id,
@@ -9063,7 +9065,7 @@ def _pq_adc_oracle_sql() -> str:
         SELECT qid, cid, dist, CAST(rk AS INT) AS rk FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                      ORDER BY dist, cid) AS rk FROM pairs)
-        WHERE rk <= {PQ_K} ORDER BY qid, rk
+        WHERE rk <= {k} ORDER BY qid, rk
     """
 
 
@@ -18246,4 +18248,245 @@ EXTENDED_ORACLES["x2_record_linkage"] = f"""
              CAST(count(*) OVER (PARTITION BY da) AS BIGINT) AS n_matches
       FROM rlres)
     WHERE rk = 1 ORDER BY da
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 9: two-stage retrieval (ADC shortlist -> exact re-rank) and
+# A/B power analysis
+# ---------------------------------------------------------------------------
+
+RR_MULT = 4  # shortlist width multiplier: re-rank PQ_K*RR_MULT candidates
+
+
+def x3_adc_rerank(spark, sf_dir):
+    """Two-stage ANN retrieval — the production pattern every
+    billion-vector store runs (FAISS "search then refine"): a WIDE
+    ADC shortlist (PQ_K * RR_MULT candidates from the compressed
+    index) re-ranked by EXACT integer squared-L2 on the original
+    vectors, keeping top PQ_K. Reports per query how many exact
+    top-k hits each stage holds: adc_hits (pure ADC top-k),
+    shortlist_hits (the re-rank ceiling — hits present anywhere in
+    the shortlist) and rerank_hits (what refine actually recovers;
+    equals shortlist_hits by construction since exact re-rank sorts
+    perfectly within the shortlist — the gap adc->shortlist is the
+    value of refine, the gap shortlist->k is what only a wider probe
+    can buy).
+
+    Scale shape: the shortlist is top-k'-bounded per query, so the
+    refine stage fetches PQ_NQ x k' full vectors — the only stage
+    touching raw vectors, exactly why the pattern scales; the exact
+    baseline here is the same brute-force instrument frame
+    x3_pq_vs_rq_recall pins."""
+    from pyspark.sql import Window
+
+    from diepy_spark.operators.clustering import quantize_vectors
+    from diepy_spark.operators.similarity import pq_adc_topk
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    books = _books_cached(spark, sf_dir, PQ_M, PQ_CODES, KM_SCALE)
+    short = pq_adc_topk(
+        v.where(F.col("vec_id") < PQ_NQ),
+        v.where(F.col("vec_id") >= PQ_NQ),
+        books,
+        k=PQ_K * RR_MULT,
+        scale=KM_SCALE,
+    ).localCheckpoint(eager=False)  # bounded: NQ x k' rows
+    qz = quantize_vectors(v.where(F.col("vec_id") < PQ_NQ)).select(
+        F.col("vec_id").alias("qid"), F.col("xi").alias("qxi")
+    )
+    cz = quantize_vectors(v.where(F.col("vec_id") >= PQ_NQ)).select(
+        F.col("vec_id").alias("cid"), F.col("xi").alias("cxi")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qxi, cxi, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    exact_all = cz.join(F.broadcast(qz)).withColumn("d", l2)
+    we = Window.partitionBy("qid").orderBy("d", "cid")
+    exact = (
+        exact_all.withColumn("rk", F.row_number().over(we))
+        .where(F.col("rk") <= PQ_K)
+        .select("qid", "cid")
+        .localCheckpoint(eager=False)  # NQ x k rows, three consumers
+    )
+    refined = short.join(
+        exact_all.select("qid", "cid", "d"), ["qid", "cid"]
+    )
+    wr = Window.partitionBy("qid").orderBy("d", "cid")
+    rr = (
+        refined.withColumn("rrk", F.row_number().over(wr))
+        .where(F.col("rrk") <= PQ_K)
+        .select("qid", "cid")
+    )
+
+    def hits(df, name):
+        return (
+            df.join(exact, ["qid", "cid"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    base = exact.select("qid").distinct()
+    out = (
+        base.join(hits(short.where(F.col("rk") <= PQ_K), "adc_hits"), "qid", "left")
+        .join(hits(short, "shortlist_hits"), "qid", "left")
+        .join(hits(rr, "rerank_hits"), "qid", "left")
+        .selectExpr(
+            "qid",
+            "CAST(coalesce(adc_hits, 0) AS BIGINT) AS adc_hits",
+            "CAST(coalesce(shortlist_hits, 0) AS BIGINT) AS shortlist_hits",
+            "CAST(coalesce(rerank_hits, 0) AS BIGINT) AS rerank_hits",
+            f"CAST({PQ_K} AS BIGINT) AS k",
+        )
+    )
+    return out.orderBy("qid")
+
+
+EXTENDED_QUERIES["x3_adc_rerank"] = x3_adc_rerank
+
+
+def _adc_rerank_oracle_sql() -> str:
+    return f"""
+    WITH rrs AS ({_pq_adc_oracle_sql(k=PQ_K * RR_MULT)}),
+    rru AS (SELECT vec_id,
+                 CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x,
+                 i
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+    rrd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+            FROM rru q JOIN rru c ON c.i = q.i
+            WHERE q.vec_id < {PQ_NQ} AND c.vec_id >= {PQ_NQ}
+            GROUP BY 1, 2),
+    rrex AS (SELECT qid, cid FROM (
+               SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY d, cid) AS rk FROM rrd)
+             WHERE rk <= {PQ_K}),
+    rrrr AS (SELECT qid, cid FROM (
+               SELECT s.qid, s.cid, ROW_NUMBER() OVER (PARTITION BY s.qid
+                      ORDER BY d.d, s.cid) AS rrk
+               FROM rrs s JOIN rrd d ON d.qid = s.qid AND d.cid = s.cid)
+             WHERE rrk <= {PQ_K}),
+    rha AS (SELECT s.qid, CAST(count(*) AS BIGINT) AS adc_hits
+            FROM rrs s JOIN rrex e ON e.qid = s.qid AND e.cid = s.cid
+            WHERE s.rk <= {PQ_K} GROUP BY 1),
+    rhs AS (SELECT s.qid, CAST(count(*) AS BIGINT) AS shortlist_hits
+            FROM rrs s JOIN rrex e ON e.qid = s.qid AND e.cid = s.cid
+            GROUP BY 1),
+    rhr AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS rerank_hits
+            FROM rrrr r JOIN rrex e ON e.qid = r.qid AND e.cid = r.cid
+            GROUP BY 1)
+    SELECT b.qid,
+           CAST(coalesce(a.adc_hits, 0) AS BIGINT) AS adc_hits,
+           CAST(coalesce(s.shortlist_hits, 0) AS BIGINT) AS shortlist_hits,
+           CAST(coalesce(r.rerank_hits, 0) AS BIGINT) AS rerank_hits,
+           CAST({PQ_K} AS BIGINT) AS k
+    FROM (SELECT DISTINCT qid FROM rrex) b
+    LEFT JOIN rha a ON a.qid = b.qid
+    LEFT JOIN rhs s ON s.qid = b.qid
+    LEFT JOIN rhr r ON r.qid = b.qid
+    ORDER BY b.qid
+"""
+
+
+EXTENDED_ORACLES["x3_adc_rerank"] = _adc_rerank_oracle_sql()
+
+
+# Two-proportion power analysis — shared closed-form TEXTS over exact
+# integer counts (Fleiss-style normal approximation). z constants are
+# the standard alpha = 0.05 two-sided / power = 0.8 quantiles, spelled
+# once here for both engines.
+PW_Z_ALPHA = "CAST(1.959963984540054 AS DOUBLE)"
+PW_Z_BETA = "CAST(0.8416212335729143 AS DOUBLE)"
+_PW_PA = "(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+_PW_PB = "(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+_PW_VAR = (
+    f"({_PW_PA} * (1 - {_PW_PA}) + {_PW_PB} * (1 - {_PW_PB}))"
+)
+_PW_NREQ = (
+    f"ceil((({PW_Z_ALPHA} + {PW_Z_BETA}) * ({PW_Z_ALPHA} + {PW_Z_BETA}))"
+    f" * {_PW_VAR}"
+    f" / (({_PW_PA} - {_PW_PB}) * ({_PW_PA} - {_PW_PB})))"
+)
+_PW_MDE = (
+    f"({PW_Z_ALPHA} + {PW_Z_BETA})"
+    f" * sqrt({_PW_PA} * (1 - {_PW_PA}) / CAST(n_a AS DOUBLE)"
+    f" + {_PW_PB} * (1 - {_PW_PB}) / CAST(n_b AS DOUBLE))"
+)
+
+
+def x8_power_analysis(spark, sf_dir):
+    """Experiment-design closer for the A/B arc: on x8_ab_test's exact
+    cohorts (even/odd user split, conversion = a high-value purchase),
+    report the sample size PER ARM needed to detect the OBSERVED
+    effect at alpha = 0.05 two-sided / power = 0.8 (the Fleiss
+    two-proportion formula) and the minimum detectable effect at the
+    CURRENT arm sizes — the two numbers a growth team reads before
+    deciding to keep an experiment running. All inputs are exact
+    integer counts from one distinct-user aggregate; the closed forms
+    are shared texts (one IEEE evaluation order in both engines).
+
+    Scale shape: identical to x8_ab_test — one corpus aggregate to
+    per-user flags, one 2-row cohort aggregate, arithmetic on a 1-row
+    frame."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_MIN)
+            ).cast("int")
+        ).alias("conv")
+    )
+    g = per_user.withColumn("grp", (F.col("user_id") % 2 == 0).cast("int"))
+    agg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    a = agg.where(F.col("grp") == 1).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = agg.where(F.col("grp") == 0).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    return a.crossJoin(b).selectExpr(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        f"round({_PW_PA}, 6) AS p_a",
+        f"round({_PW_PB}, 6) AS p_b",
+        f"CAST({_PW_NREQ} AS BIGINT) AS n_required_per_arm",
+        f"round({_PW_MDE}, 6) AS mde_at_current_n",
+    )
+
+
+EXTENDED_QUERIES["x8_power_analysis"] = x8_power_analysis
+
+EXTENDED_ORACLES["x8_power_analysis"] = f"""
+    WITH pwu AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                  AND value > {AB_CONV_MIN} THEN 1 ELSE 0 END) AS INT)
+               AS conv
+      FROM events GROUP BY 1
+    ),
+    pwg AS (
+      SELECT CAST(user_id % 2 = 0 AS INT) AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c
+      FROM pwu GROUP BY 1
+    ),
+    pwa AS (SELECT n AS n_a, c AS c_a FROM pwg WHERE grp = 1),
+    pwb AS (SELECT n AS n_b, c AS c_b FROM pwg WHERE grp = 0)
+    SELECT n_a, c_a, n_b, c_b,
+           round({_PW_PA}, 6) AS p_a,
+           round({_PW_PB}, 6) AS p_b,
+           CAST({_PW_NREQ} AS BIGINT) AS n_required_per_arm,
+           round({_PW_MDE}, 6) AS mde_at_current_n
+    FROM pwa, pwb
 """

@@ -300,3 +300,46 @@ def test_tokenizer_compare_consistent(spark, sf_small):
             else ("unigram" if r.uni_ppt < r.bpe_ppt else "tie")
         )
         assert r.fertility_winner == want
+
+
+def test_adc_rerank_dominates_adc(spark, sf_small):
+    """Refine never loses recall: rerank_hits == shortlist_hits (exact
+    sort within the shortlist) and >= adc_hits; all bounded by k."""
+    from diepy_spark.plans.extended import x3_adc_rerank
+
+    rows = x3_adc_rerank(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.adc_hits <= r.rerank_hits <= r.k
+        assert r.rerank_hits == r.shortlist_hits
+
+
+def test_power_analysis_matches_python(spark, sf_small):
+    import duckdb as _d
+    from diepy_spark.plans.extended import AB_CONV_MIN, x8_power_analysis
+
+    con = _d.connect()
+    rows = con.execute(f"""
+      SELECT CAST(user_id % 2 = 0 AS INT) AS grp, count(*) AS n,
+             sum(CAST(max_conv AS INT)) AS c
+      FROM (SELECT user_id, max(event_type = 'purchase'
+                 AND value > {AB_CONV_MIN}) AS max_conv
+            FROM '{sf_small}/events.parquet' GROUP BY 1)
+      GROUP BY 1""").fetchall()
+    d = {g: (n, c) for g, n, c in rows}
+    n_a, c_a = d[1]
+    n_b, c_b = d[0]
+    pa, pb = c_a / n_a, c_b / n_b
+    za, zb = 1.959963984540054, 0.8416212335729143
+    n_req = math.ceil(
+        (za + zb) * (za + zb) * (pa * (1 - pa) + pb * (1 - pb))
+        / ((pa - pb) * (pa - pb))
+    )
+    mde = (za + zb) * math.sqrt(
+        pa * (1 - pa) / n_a + pb * (1 - pb) / n_b
+    )
+    r = x8_power_analysis(spark, sf_small).collect()[0]
+    assert (r.n_a, r.c_a, r.n_b, r.c_b) == (n_a, c_a, n_b, c_b)
+    assert r.n_required_per_arm == n_req
+    # the query renders mde at round-6
+    assert abs(r.mde_at_current_n - mde) <= 5.1e-7
