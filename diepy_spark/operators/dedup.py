@@ -1244,10 +1244,21 @@ def ppjoin_best_match(
     (da, db, jac, n_matches), jac desc ties db asc, n_matches = all
     qualifying right-side matches.
 
+    Duplicate-heavy corpora (the regime record linkage serves) are
+    handled by SIGNATURE COMPRESSION (VERDICT r9 #2): identical token
+    SETS share identical prefixes, so m copies of a record on each
+    side would generate m^2 identical candidate pairs — PPJoin runs
+    over DISTINCT token-set signatures (md5 of the sorted token list,
+    the x1_dedup_exact key), matches aggregate at signature level
+    (n_matches = sum of right-signature multiplicities, best db = min
+    doc id within the best signature), and doc ids fan back out with
+    one join at the very end. Doc x doc pairs are never materialized.
+
     Scale shape: one tokenize pass per side; the global df frame is
     vocabulary-sized; candidates shuffle on the prefix TOKEN (bounded
-    per token by df_L*df_R of PREFIX occurrences only); the verify
-    join touches candidate pairs x their token sets, never all pairs.
+    per UNIQUE-signature token by df_L*df_R of PREFIX occurrences
+    only); the verify join touches candidate signature pairs x their
+    token sets, never all pairs; fan-out is one sig-keyed join.
     """
     par = left.sparkSession.sparkContext.defaultParallelism
 
@@ -1261,9 +1272,24 @@ def ppjoin_best_match(
             .distinct()
         )
 
-    tk = toks(left, 0).unionByName(toks(right, 1)).localCheckpoint(
-        eager=False
-    )  # the shared token ledger: df, sizes, prefixes, verify all read it
+    dtk = toks(left, 0).unionByName(toks(right, 1))
+    # signature = md5 of the sorted distinct token list (tokens are
+    # [a-z0-9]+ so ' ' never collides); dm is the doc -> sig map.
+    dm = (
+        dtk.groupBy("side", "d")
+        .agg(
+            F.expr(
+                "md5(concat_ws(' ', array_sort(collect_list(tok))))"
+            ).alias("sig")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tk = (
+        dtk.join(dm, ["side", "d"])
+        .select("side", F.col("sig").alias("d"), "tok")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )  # the UNIQUE-signature token ledger: df, sizes, prefixes, verify
     dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     sz = tk.groupBy("side", "d").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
@@ -1323,11 +1349,157 @@ def ppjoin_best_match(
             " / CAST(sza + szb - inter AS DOUBLE), 4) AS jac",
         )
     )
-    wb = Window.partitionBy("da").orderBy(F.col("jac").desc(), F.col("db"))
-    wn = Window.partitionBy("da")
-    return (
-        res.withColumn("rk", F.row_number().over(wb))
-        .withColumn("n_matches", F.count(F.lit(1)).over(wn).cast("bigint"))
+    # fan back out: right-signature multiplicity + min doc id first
+    # (signature-level aggregates), then ONE sig-keyed join to left
+    # docs — the per-da result set never multiplies through db copies.
+    rmult = (
+        dm.where("side = 1")
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("d").alias("min_db"),
+        )
+    )
+    qual = res.join(rmult, res["db"] == rmult["sig"]).select(
+        F.col("da").alias("siga"), "jac", "cnt", "min_db"
+    )
+    wb = Window.partitionBy("siga").orderBy(
+        F.col("jac").desc(), F.col("min_db")
+    )
+    wn = Window.partitionBy("siga")
+    best = (
+        qual.withColumn("rk", F.row_number().over(wb))
+        .withColumn("n_matches", F.sum("cnt").over(wn).cast("bigint"))
         .where("rk = 1")
-        .select("da", "db", "jac", "n_matches")
+        .select("siga", "min_db", "jac", "n_matches")
+    )
+    return (
+        dm.where("side = 0")
+        .select(F.col("d").alias("da"), "sig")
+        .join(best, F.col("sig") == F.col("siga"))
+        .select("da", F.col("min_db").alias("db"), "jac", "n_matches")
+    )
+
+
+def ppjoin_prefix_health(
+    left: DataFrame,
+    right: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-volume instrument for ppjoin_best_match — the PPJoin
+    sibling of the LSH band audit (x2_lsh_bucket_health): price the
+    prefix-filter candidate set BEFORE launching the verify join. One
+    row of exact integers:
+
+    - n_left_docs/n_right_docs and n_left_sigs/n_right_sigs — the
+      signature-compression ratio (duplicate multiplicity is the term
+      that makes an exact set-similarity join quadratic; sigs << docs
+      means the compression is carrying the load);
+    - prefix_rows_l/prefix_rows_r — prefix-ledger sizes;
+    - shared_prefix_tokens — tokens appearing in BOTH sides' prefixes
+      (only these generate candidates);
+    - cand_load = Σ_tok dfL(tok)·dfR(tok) — the raw candidate-pair
+      upper bound the token-keyed join will materialize (before the
+      positional/length filters);
+    - max_token_load — the hottest token's dfL·dfR, the worst join
+      task (a mega-token here needs a stop-token filter, exactly like
+      a mega-bucket in the LSH audit).
+
+    Shares the front half of ppjoin_best_match verbatim in structure
+    (tokenize → signature-compress → df → rarest-first prefix); kept
+    as its own pipeline so the instrument can run WITHOUT triggering
+    the join it prices."""
+    def toks(df, side):
+        return (
+            df.select(
+                F.lit(side).alias("side"),
+                F.col(id_col).alias("d"),
+                F.explode(F.expr(tokens_expr(text_col))).alias("tok"),
+            )
+            .distinct()
+        )
+
+    dtk = toks(left, 0).unionByName(toks(right, 1))
+    dm = (
+        dtk.groupBy("side", "d")
+        .agg(
+            F.expr(
+                "md5(concat_ws(' ', array_sort(collect_list(tok))))"
+            ).alias("sig")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tk = (
+        dtk.join(dm, ["side", "d"])
+        .select("side", F.col("sig").alias("d"), "tok")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sz = tk.groupBy("side", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    wo = Window.partitionBy("side", "d").orderBy(F.col("df").asc(), "tok")
+    pref = (
+        tk.join(dfq, "tok")
+        .withColumn("rn", F.row_number().over(wo).cast("bigint"))
+        .join(sz, ["side", "d"])
+        .where(
+            F.expr(
+                f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1"
+            )
+        )
+        .select("side", "d", "tok")
+        .localCheckpoint(eager=False)
+    )
+    docs = dm.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("sig").cast("bigint").alias("n_sigs"),
+    )
+    prows = pref.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("prefix_rows")
+    )
+    pdf = pref.groupBy("side", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    shared = (
+        pdf.where("side = 0")
+        .select("tok", F.col("df").alias("dfl"))
+        .join(
+            pdf.where("side = 1").select("tok", F.col("df").alias("dfr")),
+            "tok",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_prefix_tokens"),
+            F.expr("CAST(sum(dfl * dfr) AS BIGINT)").alias("cand_load"),
+            F.expr("CAST(max(dfl * dfr) AS BIGINT)").alias("max_token_load"),
+        )
+    )
+
+    def side_row(df, side, cols):
+        sel = df.where(F.col("side") == side)
+        return sel.select(
+            *[F.col(c).alias(f"{c}_{'l' if side == 0 else 'r'}") for c in cols]
+        )
+
+    return (
+        side_row(docs, 0, ["n_docs", "n_sigs"])
+        .crossJoin(side_row(docs, 1, ["n_docs", "n_sigs"]))
+        .crossJoin(side_row(prows, 0, ["prefix_rows"]))
+        .crossJoin(side_row(prows, 1, ["prefix_rows"]))
+        .crossJoin(shared)
+        .selectExpr(
+            "n_docs_l AS n_left_docs",
+            "n_docs_r AS n_right_docs",
+            "n_sigs_l AS n_left_sigs",
+            "n_sigs_r AS n_right_sigs",
+            "prefix_rows_l",
+            "prefix_rows_r",
+            "shared_prefix_tokens",
+            "cand_load",
+            "max_token_load",
+        )
     )
