@@ -1246,3 +1246,119 @@ def bm25_topk(
             "score_x1e6",
         )
     )
+
+
+# --- Query-likelihood (Dirichlet-smoothed LM) retrieval ---------------------
+# Ponte & Croft 1998 / Zhai & Lafferty 2001: score(q,d) =
+# sum_{t in q} ln p(t|d) with p(t|d) = (tf + mu*cf_t/T) / (dl + mu)
+# = (tf*T + mu*cf_t) / (T*(dl + mu)).  Every ln argument is an exact
+# BIGINT, each ln is rounded ONCE at 9 decimals and carried as integer
+# NANOS (DECIMAL(18,9) * 1e9 -> BIGINT), so scores, ranking, and the
+# output column are integer-exact cross-engine (the entropy idiom,
+# hardened to a fully integer output).  Missing query terms contribute
+# the background ln(mu*cf_t) - ln(T*(dl+mu)), folded in as a per-query
+# constant qc9 minus nq*lnd9, so candidates still come ONLY from the
+# postings of present terms (the WAND-style bound BM25 uses).
+QL_MU = 100  # Dirichlet pseudo-count, sized to the fixture's ~1e2-token docs
+_QL_LN9 = (
+    "CAST(CAST(round(ln(CAST({a} AS DOUBLE)), 9) AS DECIMAL(28,9))"
+    " * 1000000000 AS BIGINT)"
+)
+
+
+def ql_topk(
+    df: DataFrame,
+    n_queries: int = 8,
+    n_qterms: int = 12,
+    k: int = 10,
+    min_len: int = 20,
+    mu: int = QL_MU,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet query-likelihood "more-like-this" retrieval — the
+    classical LM counterpart of bm25_topk (same probe-query and
+    candidate discipline, so the two rankers are directly comparable
+    query-for-query). Output: (query_id, rk, {id_col}, score_x1e9),
+    score in integer ln-nanos (more negative = less likely).
+
+    Scale shape: identical to bm25_topk — ONE tokenize pass builds
+    the checkpointed postings frame; corpus stats and the
+    n_queries x n_qterms query frame broadcast; candidates are
+    bounded by sum(df) over the rare probe terms; the per-doc length
+    norm lnd9 joins co-keyed on d. The corpus never shuffles at
+    query time."""
+    from pyspark.sql import Window
+
+    toks = _token_frame(df, text_col, id_col).select(
+        F.col(id_col).alias("d"), F.explode("toks").alias("tok")
+    )
+    tf = (
+        toks.groupBy("d", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # the persisted postings index
+    )
+    dl = tf.groupBy("d").agg(F.sum("cnt").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("bigint").alias("t_toks")
+    )  # 1 row
+    cf = tf.groupBy("tok").agg(
+        F.sum("cnt").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    probes = (
+        dl.where(F.col("dl") >= min_len)
+        .orderBy("d")
+        .limit(n_queries)
+        .select(F.col("d").alias("q"))
+    )
+    wq = Window.partitionBy("q").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    qt = (
+        tf.join(F.broadcast(probes), tf["d"] == F.col("q"))
+        .join(cf, "tok")
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_qterms)
+        .select("q", "tok", "cf")
+        .localCheckpoint(eager=False)  # bounded: n_queries * n_qterms
+    )
+    qconst = qt.selectExpr(
+        "q", _QL_LN9.format(a=f"{mu} * cf") + " AS l"
+    ).groupBy("q").agg(
+        F.sum("l").cast("bigint").alias("qc9"),
+        F.count(F.lit(1)).cast("bigint").alias("nq"),
+    )
+    lnd = dl.crossJoin(F.broadcast(corpus)).selectExpr(
+        "d", _QL_LN9.format(a=f"t_toks * (dl + {mu})") + " AS lnd9"
+    )
+    cand = (
+        tf.join(F.broadcast(qt), "tok")
+        .where(F.col("d") != F.col("q"))
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "q", "d",
+            _QL_LN9.format(a=f"cnt * t_toks + {mu} * cf")
+            + " - " + _QL_LN9.format(a=f"{mu} * cf") + " AS delta9",
+        )
+        .groupBy("q", "d")
+        .agg(F.sum("delta9").cast("bigint").alias("sd9"))
+    )
+    scored = (
+        cand.join(lnd, "d")
+        .join(F.broadcast(qconst), "q")
+        .selectExpr("q", "d", "qc9 + sd9 - nq * lnd9 AS score_x1e9")
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("score_x1e9").desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            "rk",
+            F.col("d").alias(id_col),
+            "score_x1e9",
+        )
+    )

@@ -18810,3 +18810,414 @@ EXTENDED_ORACLES["x2_ppjoin_health"] = f"""
          (SELECT * FROM phrows WHERE side = 1) pr2,
          phsh s
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 10: CUSUM changepoint detection (the monitoring sibling of
+# x12_volume_anomaly: WHERE did the level shift, not just whether)
+# ---------------------------------------------------------------------------
+
+
+def x8_cusum_changepoint(spark, sf_dir):
+    """Single changepoint per event_type by the CUSUM statistic over
+    the daily revenue series: cp = argmax_i |n·S_i − i·S_n| (S =
+    cumulative cents), the classic at-most-one-change level-shift
+    locator (Page 1954's cumulative-sum test in its offline scan
+    form) — the question a pipeline asks AFTER x12_volume_anomaly
+    flags a day: when did the regime change, and what were the means
+    either side.
+
+    Exactness: revenue is exact integer cents; the statistic
+    n·S_i − i·S_n stays BIGINT end to end (no mean subtraction — the
+    cross-multiplied form), so the argmax and tie-break (smallest
+    day) are integer decisions; the two segment means are single
+    rational divisions rendered once at 6 decimals.
+
+    Scale shape: one map-side-combined daily aggregate, one
+    per-type ordered window for the running sum (types partition the
+    work), one argmax row per type — no joins, no explodes."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    cum = (
+        daily.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn("s", F.sum("v").over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wt).cast("bigint"))
+        .withColumn("sn", F.sum("v").over(wt).cast("bigint"))
+    )
+    stat = cum.where("i < n").selectExpr(
+        "event_type", "day", "i", "s", "n", "sn",
+        "abs(n * s - i * sn) AS stat",
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("i")
+    )
+    return (
+        stat.withColumn("rk", F.row_number().over(wr))
+        .where("rk = 1")
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(i AS BIGINT) AS cp_idx",
+            "CAST(day AS BIGINT) AS cp_day",
+            "CAST(stat AS BIGINT) AS cusum_stat",
+            "round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE) / 100, 6)"
+            " AS mean_before",
+            "round(CAST(sn - s AS DOUBLE) / CAST(n - i AS DOUBLE) / 100, 6)"
+            " AS mean_after",
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENDED_QUERIES["x8_cusum_changepoint"] = x8_cusum_changepoint
+
+EXTENDED_ORACLES["x8_cusum_changepoint"] = f"""
+    WITH cud AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cuc AS (
+      SELECT event_type, day,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS BIGINT) AS i,
+             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+      FROM cud
+    ),
+    cus AS (
+      SELECT event_type, day, i, s, n, sn,
+             abs(n * s - i * sn) AS stat
+      FROM cuc WHERE i < n
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(i AS BIGINT) AS cp_idx,
+           CAST(day AS BIGINT) AS cp_day,
+           CAST(stat AS BIGINT) AS cusum_stat,
+           round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE) / 100, 6)
+             AS mean_before,
+           round(CAST(sn - s AS DOUBLE) / CAST(n - i AS DOUBLE) / 100, 6)
+             AS mean_after
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY stat DESC, i) AS rk
+      FROM cus)
+    WHERE rk = 1 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Dirichlet query-likelihood retrieval — the second classical
+# lexical ranker next to BM25 (same probes, directly comparable lists)
+# ---------------------------------------------------------------------------
+
+
+def x3_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (operators/
+    text.py:ql_topk — Ponte & Croft 1998, Zhai & Lafferty 2001): the
+    SAME probe queries and candidate discipline as x3_bm25_topk, so a
+    ranker comparison reads the two lists query-for-query. Scores are
+    integer ln-nanos end to end (each ln rounded once at 9 decimals,
+    carried as BIGINT), so ranking and output are hash-exact."""
+    tune(spark)
+    return T.ql_topk(
+        _docs(spark, sf_dir),
+        n_queries=BM_NQ, n_qterms=BM_QTERMS, k=BM_K, min_len=BM_MINLEN,
+    ).orderBy("query_id", "rk")
+
+
+EXTENDED_QUERIES["x3_query_likelihood"] = x3_query_likelihood
+
+
+def _ql_oracle_sql() -> str:
+    from diepy_spark.operators.text import _QL_LN9, QL_MU
+
+    mu = QL_MU
+    return f"""
+    WITH qltk AS (SELECT doc_id AS d, unnest({_TOKS_EXPR}) AS tok
+                  FROM documents),
+    qltf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM qltk GROUP BY 1, 2),
+    qldl AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS dl
+             FROM qltf GROUP BY 1),
+    qlco AS (SELECT CAST(sum(dl) AS BIGINT) AS t_toks FROM qldl),
+    qlcf AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS cf,
+                    CAST(count(*) AS BIGINT) AS df
+             FROM qltf GROUP BY 1),
+    qlq AS (SELECT d AS q FROM qldl WHERE dl >= {BM_MINLEN}
+            ORDER BY d LIMIT {BM_NQ}),
+    qlqt AS (SELECT q, tok, cf FROM (
+        SELECT b.q, f.tok, c.cf,
+               row_number() OVER (PARTITION BY b.q
+                                  ORDER BY c.df, f.tok) AS rn
+        FROM qlq b JOIN qltf f ON f.d = b.q
+        JOIN qlcf c ON c.tok = f.tok)
+      WHERE rn <= {BM_QTERMS}),
+    qlqc AS (SELECT q,
+                    CAST(sum({_QL_LN9.format(a=f'{mu} * cf')}) AS BIGINT)
+                      AS qc9,
+                    CAST(count(*) AS BIGINT) AS nq
+             FROM qlqt GROUP BY 1),
+    qllnd AS (SELECT d,
+                     {_QL_LN9.format(a=f't_toks * (dl + {mu})')} AS lnd9
+              FROM qldl, qlco),
+    qlcd AS (SELECT t.q, f.d,
+        CAST(sum({_QL_LN9.format(a=f'f.cnt * t_toks + {mu} * t.cf')}
+             - {_QL_LN9.format(a=f'{mu} * t.cf')}) AS BIGINT) AS sd9
+      FROM qlqt t JOIN qltf f ON f.tok = t.tok, qlco
+      WHERE f.d <> t.q GROUP BY 1, 2),
+    qlsc AS (SELECT s.q, s.d, qc9 + sd9 - nq * lnd9 AS score_x1e9
+             FROM qlcd s JOIN qllnd l ON l.d = s.d
+             JOIN qlqc c ON c.q = s.q)
+    SELECT query_id, rk, doc_id, score_x1e9 FROM (
+      SELECT q AS query_id, d AS doc_id,
+             CAST(score_x1e9 AS BIGINT) AS score_x1e9,
+             CAST(row_number() OVER (PARTITION BY q
+                  ORDER BY score_x1e9 DESC, d) AS INT) AS rk
+      FROM qlsc)
+    WHERE rk <= {BM_K} ORDER BY query_id, rk
+"""
+
+
+EXTENDED_ORACLES["x3_query_likelihood"] = _ql_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 10: multiple testing under FDR control — per-type exact sign
+# tests + Benjamini-Hochberg, every decision an integer comparison
+# ---------------------------------------------------------------------------
+
+FDR_Q_NUM = 1
+FDR_Q_DEN = 10  # FDR level q = 0.1
+
+
+def x8_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR over a FAMILY of exact per-event-type
+    sign tests (week-over-week revenue, the x8_sign_test statistic per
+    type) — the multiple-testing closer of the x8 panel: run one test
+    per segment and control the false-discovery rate instead of
+    eyeballing five p-values (Benjamini & Hochberg 1995).
+
+    Exactness: each p is the exact dyadic rational
+    min(1, 2*min(P(X<=s), P(X>=s))) with X ~ Bin(m, 1/2) (the
+    x8_sign_test C(m,k) running fold); rescaling every numerator to
+    the COMMON denominator 2^mx (mx = max m) makes p-ordering and the
+    BH test q*rk/M >= p pure BIGINT comparisons:
+    FDR_Q_DEN * M * p_common <= FDR_Q_NUM * rk << mx. The rendered
+    p_value is one division, rounded once.
+
+    Scale shape: one corpus aggregate to the (type, day) frame;
+    everything after is bounded by n_types x calendar days; the BH
+    sort is over n_types rows. The DuckDB oracle pads the CDF folds
+    to a uniform mx iterations (the list_reduce cross-row hazard —
+    tests/test_fold_stability.py)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # bounded: types x calendar days
+    )
+    a = daily.selectExpr("event_type", "day", "v AS v0")
+    b = daily.selectExpr(
+        "event_type", f"day - {SIGN_LAG_DAYS} AS day", "v AS v1"
+    )
+    counts = (
+        a.join(b, ["event_type", "day"])
+        .selectExpr(
+            "event_type",
+            "CAST(v1 > v0 AS INT) AS pos",
+            "CAST(v1 = v0 AS INT) AS tie",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(sum(1 - tie) AS BIGINT)").alias("m"),
+            F.expr("CAST(sum(tie) AS BIGINT)").alias("ties"),
+            F.expr("CAST(sum(pos) AS BIGINT)").alias("s_pos"),
+        )
+    )
+
+    def cdf_num(s):
+        step = (
+            "named_struct("
+            "'c', ac.c * (m - k + 1) div k,"
+            " 'a', ac.a + ac.c * (m - k + 1) div k)"
+        )
+        return (
+            "aggregate(filter(sequence(1, greatest(m, 1)),"
+            f" k -> k <= m AND k <= {s}),"
+            " named_struct('c', CAST(1 AS BIGINT), 'a', CAST(1 AS BIGINT)),"
+            f" (ac, k) -> {step}).a"
+        )
+
+    denom = (
+        "aggregate(filter(sequence(1, greatest(m, 1)), k2 -> k2 <= m),"
+        " CAST(1 AS BIGINT), (ad, k2) -> ad * 2)"
+    )
+    mxf = counts.agg(F.max("m").cast("bigint").alias("mx"))
+    base = (
+        counts.crossJoin(F.broadcast(mxf))
+        .selectExpr(
+            "event_type", "m", "ties", "s_pos", "mx",
+            f"{cdf_num('s_pos')} AS num_le",
+            f"{cdf_num('m - s_pos')} AS num_ge",
+            f"{denom} AS denom",
+        )
+        .selectExpr(
+            "event_type", "m", "ties", "s_pos", "mx", "denom",
+            "least(denom, 2 * least(num_le, num_ge)) AS p_num",
+        )
+        .selectExpr(
+            "event_type", "m", "ties", "s_pos", "mx", "denom", "p_num",
+            "p_num * shiftleft(CAST(1 AS BIGINT), CAST(mx - m AS INT))"
+            " AS p_common",
+        )
+    )
+    from pyspark.sql import Window
+
+    wall = Window.orderBy(F.col("p_common").asc(), F.col("event_type"))
+    wtot = Window.partitionBy()
+    ranked = (
+        base.withColumn("rk", F.row_number().over(wall).cast("bigint"))
+        .withColumn("mm", F.count(F.lit(1)).over(wtot).cast("bigint"))
+        .selectExpr(
+            "event_type", "m", "ties", "s_pos", "denom", "p_num",
+            "p_common", "mx", "rk", "mm",
+            f"CASE WHEN {FDR_Q_DEN} * mm * p_common <="
+            f" {FDR_Q_NUM} * rk * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(mx AS INT)) THEN rk END AS hit",
+        )
+    )
+    return ranked.selectExpr(
+        "event_type",
+        "m AS n_pairs",
+        "ties",
+        "s_pos",
+        "round(CAST(p_num AS DOUBLE) / CAST(denom AS DOUBLE), 6)"
+        " AS p_value",
+        "CAST(rk AS INT) AS rk",
+        f"round(CAST({FDR_Q_NUM} AS DOUBLE) * rk"
+        f" / ({FDR_Q_DEN} * mm), 6) AS bh_cutoff",
+        "CAST(CASE WHEN rk <= max(hit) OVER () THEN 1 ELSE 0 END AS INT)"
+        " AS rejected",
+    ).orderBy("rk")
+
+
+EXTENDED_QUERIES["x8_fdr_bh"] = x8_fdr_bh
+
+
+def _fdr_bh_oracle_sql() -> str:
+    """Per-type exact sign tests + BH.  The CDF folds are PADDED to a
+    uniform mx iterations (guard steps no-op past least(m, s)) — the
+    DuckDB list_reduce cross-row contamination hazard applies here
+    verbatim (per-type m varies within one chunk)."""
+
+    def cdf_num(s):
+        stepc = "ac[1] * (m - x[1] + 1) // x[1]"
+        return (
+            "list_reduce(list_prepend([CAST(1 AS BIGINT), CAST(1 AS BIGINT)],"
+            " list_transform(range(1, CAST(mx AS INT) + 1),"
+            " k -> [CAST(k AS BIGINT), CAST(k AS BIGINT)])),"
+            f" (ac, x) -> CASE WHEN x[1] > least(m, {s}) THEN ac"
+            f" ELSE [{stepc}, ac[2] + {stepc}] END)[2]"
+        )
+
+    denom = (
+        "list_reduce(list_prepend([CAST(1 AS BIGINT)],"
+        " list_transform(range(1, CAST(mx AS INT) + 1),"
+        " k2 -> [CAST(k2 AS BIGINT)])),"
+        " (ad, x2) -> CASE WHEN x2[1] > m THEN ad ELSE [ad[1] * 2] END)[1]"
+    )
+    return f"""
+    WITH fbd AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS BIGINT)
+               AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    fbp AS (
+      SELECT a.event_type,
+             CAST(b.v > a.v AS INT) AS pos, CAST(b.v = a.v AS INT) AS tie
+      FROM fbd a JOIN fbd b ON b.event_type = a.event_type
+                          AND b.day = a.day + {SIGN_LAG_DAYS}
+    ),
+    fbc AS (
+      SELECT event_type,
+             CAST(sum(1 - tie) AS BIGINT) AS m,
+             CAST(sum(tie) AS BIGINT) AS ties,
+             CAST(sum(pos) AS BIGINT) AS s_pos
+      FROM fbp GROUP BY 1
+    ),
+    fbmx AS (SELECT CAST(max(m) AS BIGINT) AS mx FROM fbc),
+    fbb AS (
+      SELECT event_type, m, ties, s_pos, mx,
+             {cdf_num('s_pos')} AS num_le,
+             {cdf_num('m - s_pos')} AS num_ge,
+             {denom} AS denom
+      FROM fbc, fbmx
+    ),
+    fbn AS (
+      SELECT event_type, m, ties, s_pos, mx, denom,
+             least(denom, 2 * least(num_le, num_ge)) AS p_num
+      FROM fbb
+    ),
+    fbr AS (
+      SELECT *,
+             p_num * (CAST(1 AS BIGINT) << CAST(mx - m AS INT))
+               AS p_common
+      FROM fbn
+    ),
+    fbk AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_common, event_type)
+                  AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS mm
+      FROM fbr
+    ),
+    fbh AS (
+      SELECT *,
+             CASE WHEN {FDR_Q_DEN} * mm * p_common <=
+                  {FDR_Q_NUM} * rk * (CAST(1 AS BIGINT) << CAST(mx AS INT))
+                  THEN rk END AS hit
+      FROM fbk
+    )
+    SELECT event_type,
+           m AS n_pairs, ties, s_pos,
+           round(CAST(p_num AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+             AS p_value,
+           CAST(rk AS INT) AS rk,
+           round(CAST({FDR_Q_NUM} AS DOUBLE) * rk
+                 / ({FDR_Q_DEN} * mm), 6) AS bh_cutoff,
+           CAST(CASE WHEN rk <= max(hit) OVER () THEN 1 ELSE 0 END AS INT)
+             AS rejected
+    FROM fbh ORDER BY rk
+"""
+
+
+EXTENDED_ORACLES["x8_fdr_bh"] = _fdr_bh_oracle_sql()

@@ -50,6 +50,10 @@ HEAVY = [
     "x2_minhash_lsh_pairs",  # banded-LSH pair table, cold = band+verify
     "x2_semdedup",           # k x dim assignment + within-cell pairs
     "x2_dup_clusters",       # CC closure over the near-dup pair graph
+    # round-10 (VERDICT r9 #2): exact PPJoin linkage — sf1's 10x
+    # duplicate multiplicity is precisely the regime the signature
+    # compression exists for
+    "x2_record_linkage",
 ]
 
 
