@@ -19010,7 +19010,7 @@ FDR_Q_NUM = 1
 FDR_Q_DEN = 10  # FDR level q = 0.1
 
 
-def x8_fdr_bh(spark, sf_dir):
+def x8_fdr_sign(spark, sf_dir):
     """Benjamini-Hochberg FDR over a FAMILY of exact per-event-type
     sign tests (week-over-week revenue, the x8_sign_test statistic per
     type) — the multiple-testing closer of the x8 panel: run one test
@@ -19128,10 +19128,10 @@ def x8_fdr_bh(spark, sf_dir):
     ).orderBy("rk")
 
 
-EXTENDED_QUERIES["x8_fdr_bh"] = x8_fdr_bh
+EXTENDED_QUERIES["x8_fdr_sign"] = x8_fdr_sign
 
 
-def _fdr_bh_oracle_sql() -> str:
+def _fdr_sign_oracle_sql() -> str:
     """Per-type exact sign tests + BH.  The CDF folds are PADDED to a
     uniform mx iterations (guard steps no-op past least(m, s)) — the
     DuckDB list_reduce cross-row contamination hazard applies here
@@ -19220,4 +19220,535 @@ def _fdr_bh_oracle_sql() -> str:
 """
 
 
-EXTENDED_ORACLES["x8_fdr_bh"] = _fdr_bh_oracle_sql()
+EXTENDED_ORACLES["x8_fdr_sign"] = _fdr_sign_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 10: b-bit minwise hashing, soft dedup weighting, greedy k-center
+# coreset selection, empirical-Bayes rate shrinkage
+# ---------------------------------------------------------------------------
+
+
+def x2_bbit_minhash(spark, sf_dir):
+    """b-BIT MINWISE HASHING (Li & Koenig 2010): store only the lowest b
+    bits of each minhash component and estimate Jaccard from the b-bit
+    collision rate — the storage-optimal sketch variant (b=1 is 128x
+    smaller than the hex digest per component).  For every verified
+    near-dup pair this reports the exact shingle Jaccard beside the
+    full-signature estimate and the b=4 / b=1 unbiased estimators
+    J = (frac - 2^-b) / (1 - 2^-b) under the r1=r2~0 regime, plus the
+    bits each sketch spends — the accuracy-vs-bytes trade every 100 TB
+    dedup deployment prices before choosing its signature width.
+
+    Exactness: collision counts are integer sums over the shared
+    signature frame (the last hex nibble of each md5 component is the
+    4-bit sketch; its parity is the 1-bit sketch), so every estimate is
+    an integer ratio — bit-identical cross-engine.  Scale shape:
+    identical to x2_minhash_est — one signature pass, LSH-bounded pair
+    list, two signature-frame joins by doc id."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, LSH_NUM_HASHES)
+    pairs = D.minhash_lsh_pairs(
+        d,
+        num_hashes=LSH_NUM_HASHES,
+        band_size=LSH_BAND_SIZE,
+        threshold=LSH_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+        sigs=sigs,
+    )
+    a = sigs.select(
+        F.col("d").alias("da"),
+        *[F.col(f"mh{h}").alias(f"a{h}") for h in range(LSH_NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("d").alias("db"),
+        *[F.col(f"mh{h}").alias(f"b{h}") for h in range(LSH_NUM_HASHES)],
+    )
+    nib = "instr('0123456789abcdef', substr({c}, 32, 1)) - 1"
+    agree_full = " + ".join(
+        f"CAST(a{h} = b{h} AS INT)" for h in range(LSH_NUM_HASHES)
+    )
+    agree_b4 = " + ".join(
+        "CAST(({na}) = ({nb}) AS INT)".format(
+            na=nib.format(c=f"a{h}"), nb=nib.format(c=f"b{h}")
+        )
+        for h in range(LSH_NUM_HASHES)
+    )
+    agree_b1 = " + ".join(
+        "CAST(({na}) % 2 = ({nb}) % 2 AS INT)".format(
+            na=nib.format(c=f"a{h}"), nb=nib.format(c=f"b{h}")
+        )
+        for h in range(LSH_NUM_HASHES)
+    )
+    H = LSH_NUM_HASHES
+    return (
+        pairs.join(a, "da")
+        .join(b, "db")
+        .selectExpr(
+            "da",
+            "db",
+            "jac",
+            f"({agree_full}) / {H} AS jac_est",
+            f"round(CAST(16 * ({agree_b4}) - {H} AS DOUBLE) / (15 * {H}), 6)"
+            " AS jac_est_b4",
+            f"round(CAST(2 * ({agree_b1}) - {H} AS DOUBLE) / {H}, 6)"
+            " AS jac_est_b1",
+            f"CAST(128 * {H} AS INT) AS bits_full",
+            f"CAST(4 * {H} AS INT) AS bits_b4",
+            f"CAST({H} AS INT) AS bits_b1",
+        )
+        .orderBy("da", "db")
+    )
+
+
+EXTENDED_QUERIES["x2_bbit_minhash"] = x2_bbit_minhash
+
+
+def _bbit_oracle_sql() -> str:
+    nib = "instr('0123456789abcdef', substr({c}, 32, 1)) - 1"
+    agree_b4 = " + ".join(
+        "CASE WHEN ({na}) = ({nb}) THEN 1 ELSE 0 END".format(
+            na=nib.format(c=f"sa.mh{h}"), nb=nib.format(c=f"sb.mh{h}")
+        )
+        for h in range(LSH_NUM_HASHES)
+    )
+    agree_b1 = " + ".join(
+        "CASE WHEN ({na}) % 2 = ({nb}) % 2 THEN 1 ELSE 0 END".format(
+            na=nib.format(c=f"sa.mh{h}"), nb=nib.format(c=f"sb.mh{h}")
+        )
+        for h in range(LSH_NUM_HASHES)
+    )
+    H = LSH_NUM_HASHES
+    return f"""
+    WITH {_JACCARD_CTES},
+    sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+    bands AS ({_bands_union(LSH_NUM_HASHES, LSH_BAND_SIZE)}),
+    cand AS (
+      SELECT DISTINCT x.d AS da, y.d AS db
+      FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.d < y.d
+    ),
+    p AS (
+      SELECT c.da, c.db, j.jac FROM cand c JOIN jacs j ON j.da = c.da AND j.db = c.db
+      WHERE j.jac >= {LSH_THRESHOLD}
+    )
+    SELECT p.da, p.db, p.jac,
+           ({_MH_AGREE}) / {H} AS jac_est,
+           round(CAST(16 * ({agree_b4}) - {H} AS DOUBLE) / (15 * {H}), 6) AS jac_est_b4,
+           round(CAST(2 * ({agree_b1}) - {H} AS DOUBLE) / {H}, 6) AS jac_est_b1,
+           CAST(128 * {H} AS INT) AS bits_full,
+           CAST(4 * {H} AS INT) AS bits_b4,
+           CAST({H} AS INT) AS bits_b1
+    FROM p JOIN sig sa ON sa.d = p.da JOIN sig sb ON sb.d = p.db
+    ORDER BY p.da, p.db
+"""
+
+
+EXTENDED_ORACLES["x2_bbit_minhash"] = _bbit_oracle_sql()
+
+
+def x10_soft_dedup(spark, sf_dir):
+    """SOFT deduplication (the SlimPajama/"SoftDeDup" alternative to
+    keep-one-per-cluster): instead of dropping near-duplicates, weight
+    every document by 1/|its duplicate cluster| so each content family
+    contributes ONE document's worth of gradient regardless of how many
+    copies crawled in.  Reports, per source, the raw corpus next to the
+    effective (weight-summed) corpus — the mix table a training run that
+    samples by weight actually consumes.
+
+    Exactness: weights are integer micro-units (10^9 div cluster_size —
+    exact integer division, identical cross-engine), so effective doc
+    and token masses are BIGINT sums; the rendered doubles divide once.
+    Scale shape: reuses the persisted (node, cluster) label table
+    (_cc_cached — dup-graph-node-sized), one broadcast-sized size
+    aggregate on top, one corpus pass for token counts; the per-source
+    report is a tiny hash aggregate."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    cc = _cc_cached(spark, sf_dir)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    lab = cc.join(sizes, "cluster").select(
+        F.col("node").alias("doc_id"), "csize"
+    )
+    docs = d.select(
+        "doc_id", "source", F.size(tokens_col_ref()).alias("toks")
+    )
+    j = docs.join(lab, "doc_id", "left").selectExpr(
+        "source",
+        "toks",
+        "coalesce(csize, 1) AS size",
+    )
+    return (
+        j.selectExpr(
+            "source",
+            "toks",
+            "size",
+            "CAST(1000000000 div size AS BIGINT) AS w9",
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(CAST(size > 1 AS INT)) AS BIGINT)").alias(
+                "n_dup_docs"
+            ),
+            F.expr("CAST(sum(toks) AS BIGINT)").alias("raw_tokens"),
+            F.expr("CAST(sum(w9) AS BIGINT)").alias("eff_docs9"),
+            F.expr("CAST(sum(toks * w9) AS BIGINT)").alias("eff_tokens9"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "raw_tokens",
+            "eff_docs9",
+            "eff_tokens9",
+            "round(CAST(eff_docs9 AS DOUBLE) / 1000000000, 6) AS eff_docs",
+            "round(CAST(eff_tokens9 AS DOUBLE) / 1000000000, 6)"
+            " AS eff_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x10_soft_dedup"] = x10_soft_dedup
+
+EXTENDED_ORACLES["x10_soft_dedup"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    csizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1),
+    lab AS (SELECT c.node AS doc_id, s.csize
+            FROM comp c JOIN csizes s USING (cluster)),
+    docs AS (SELECT doc_id, source, len({_TOKS_EXPR}) AS toks
+             FROM documents),
+    j AS (
+      SELECT d.source, d.toks, coalesce(l.csize, 1) AS size,
+             1000000000 // coalesce(l.csize, 1) AS w9
+      FROM docs d LEFT JOIN lab l USING (doc_id)
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(sum(toks) AS BIGINT) AS raw_tokens,
+             CAST(sum(w9) AS BIGINT) AS eff_docs9,
+             CAST(sum(toks * w9) AS BIGINT) AS eff_tokens9
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_dup_docs, raw_tokens, eff_docs9, eff_tokens9,
+           round(CAST(eff_docs9 AS DOUBLE) / 1000000000, 6) AS eff_docs,
+           round(CAST(eff_tokens9 AS DOUBLE) / 1000000000, 6) AS eff_tokens
+    FROM agg ORDER BY source
+"""
+
+
+# Empirical-Bayes rate shrinkage: success threshold (cents), rate scale,
+# report size.  The per-user double formulas are SHARED TEXTS rendered
+# into both engines (the x8_power_analysis pattern) so every posterior
+# is bit-identical.
+EB_SUCC_CENTS = 5000
+EB_SCALE = 1_000_000
+EB_TOP = 30
+
+# All inputs are exact integer scalars; {IDIV} is the engine's integer
+# division.  pbar/mean/var/avg_inv are derived once in a scalar frame.
+_EB_SCALARS = (
+    "CAST(p_pool6 AS DOUBLE) / {S} AS pbar, "
+    "CAST(sum_p6 AS DOUBLE) / (k * {S}) AS mean_p, "
+    "(CAST(sum_p6sq AS DOUBLE) / CAST({S2} AS DOUBLE)"
+    " - k * (CAST(sum_p6 AS DOUBLE) / (k * {S}))"
+    " * (CAST(sum_p6 AS DOUBLE) / (k * {S}))) / (k - 1) AS var_p, "
+    "CAST(sum_inv9 AS DOUBLE) / (k * 1000000000) AS avg_inv"
+)
+_EB_TAU2 = "greatest(var_p - pbar * (1 - pbar) * avg_inv, CAST(0 AS DOUBLE))"
+_EB_B = (
+    "CASE WHEN ({TAU2}) <= 0 THEN CAST(1 AS DOUBLE) "
+    "ELSE (pbar * (1 - pbar) / n) / (pbar * (1 - pbar) / n + ({TAU2})) END"
+).format(TAU2=_EB_TAU2)
+_EB_POST = f"({_EB_B}) * pbar + (1 - ({_EB_B})) * (CAST(p6 AS DOUBLE) / {{S}})"
+
+
+def x8_eb_shrinkage(spark, sf_dir):
+    """EMPIRICAL-BAYES shrinkage of per-user success rates (the
+    James-Stein / Efron-Morris estimator, method-of-moments flavor):
+    each user's observed rate x/n is pulled toward the pooled rate by
+    B = s2/(s2 + tau2), where s2 = pbar(1-pbar)/n is that user's
+    sampling variance and tau2 = max(0, var(p_hat) - mean(s2)) is the
+    between-user variance the data supports — users with few trials
+    shrink hard, users with many keep their own rate.  The leaderboard
+    every per-segment metric should publish instead of raw small-n
+    rates (top-30 posterior rates here).
+
+    Exactness: per-user rates and 1/n are integer-scaled with exact
+    integer division (round-half-up p6 = (2x*S + n) div (2n)); the four
+    corpus scalars (pooled rate, mean/variance of rates, mean inverse
+    trials) derive from BIGINT/DECIMAL sums, and every posterior double
+    evaluates the SAME formula text in both engines.  Scale shape: one
+    map-side-combined aggregate to user grain, one 1-row scalar frame
+    broadcast back over it, TakeOrdered(30) — no global sort."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    S = EB_SCALE
+    users = (
+        ev.where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .selectExpr(
+            "user_id",
+            f"CAST(round(value * 100) >= {EB_SUCC_CENTS} AS INT) AS succ",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(succ) AS BIGINT)").alias("x"),
+        )
+        .selectExpr(
+            "user_id",
+            "n",
+            "x",
+            f"CAST((2 * x * {S} + n) div (2 * n) AS BIGINT) AS p6",
+            "CAST(1000000000 div n AS BIGINT) AS inv9",
+        )
+        .localCheckpoint(eager=False)  # user-grain: bounded by |users|
+    )
+    scal = (
+        users.agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("k"),
+            F.expr("CAST(sum(n) AS BIGINT)").alias("nn"),
+            F.expr("CAST(sum(x) AS BIGINT)").alias("xx"),
+            F.expr("CAST(sum(p6) AS BIGINT)").alias("sum_p6"),
+            F.expr(
+                "CAST(sum(CAST(p6 AS DECIMAL(38, 0))"
+                " * CAST(p6 AS DECIMAL(38, 0))) AS DECIMAL(38, 0))"
+            ).alias("sum_p6sq"),
+            F.expr("CAST(sum(inv9) AS BIGINT)").alias("sum_inv9"),
+        )
+        .selectExpr(
+            "k",
+            f"CAST((2 * xx * {S} + nn) div (2 * nn) AS BIGINT) AS p_pool6",
+            "sum_p6",
+            "sum_p6sq",
+            "sum_inv9",
+        )
+        .selectExpr("k", *_EB_SCALARS.format(S=S, S2=S * S).split(", "))
+    )
+    post = _EB_POST.format(S=S)
+    return (
+        users.crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "user_id",
+            "n",
+            "x",
+            f"round(CAST(p6 AS DOUBLE) / {S}, 6) AS p_hat",
+            f"round({_EB_B}, 6) AS shrink_b",
+            f"round({post}, 6) AS p_post",
+            f"{post} AS _po",
+        )
+        .orderBy(F.desc("_po"), "user_id")
+        .limit(EB_TOP)
+        .drop("_po")
+    )
+
+
+EXTENDED_QUERIES["x8_eb_shrinkage"] = x8_eb_shrinkage
+
+
+def _eb_oracle_sql() -> str:
+    S = EB_SCALE
+    post = _EB_POST.format(S=S)
+    scalars = _EB_SCALARS.format(S=S, S2=S * S)
+    return f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN round(value * 100) >= {EB_SUCC_CENTS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    up AS (
+      SELECT user_id, n, x,
+             CAST((2 * x * {S} + n) // (2 * n) AS BIGINT) AS p6,
+             CAST(1000000000 // n AS BIGINT) AS inv9
+      FROM users
+    ),
+    raw AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(x) AS BIGINT) AS xx,
+             CAST(sum(p6) AS BIGINT) AS sum_p6,
+             CAST(sum(CAST(p6 AS HUGEINT) * CAST(p6 AS HUGEINT))
+                  AS HUGEINT) AS sum_p6sq,
+             CAST(sum(inv9) AS BIGINT) AS sum_inv9
+      FROM up
+    ),
+    pool AS (
+      SELECT k, CAST((2 * xx * {S} + nn) // (2 * nn) AS BIGINT) AS p_pool6,
+             sum_p6, sum_p6sq, sum_inv9
+      FROM raw
+    ),
+    scal AS (SELECT k, {scalars} FROM pool)
+    SELECT user_id, n, x,
+           round(CAST(p6 AS DOUBLE) / {S}, 6) AS p_hat,
+           round({_EB_B}, 6) AS shrink_b,
+           round({post}, 6) AS p_post
+    FROM up CROSS JOIN scal
+    ORDER BY {post} DESC, user_id
+    LIMIT {EB_TOP}
+"""
+
+
+EXTENDED_ORACLES["x8_eb_shrinkage"] = _eb_oracle_sql()
+
+
+KC_K = 8  # coreset size for greedy k-center selection
+
+
+def _kcenter_cached(spark, sf_dir):
+    """Greedy k-center (Gonzalez 1985 farthest-point traversal) over the
+    quantized embedding corpus: seed = min vec_id, then KC_K - 1 rounds
+    of "pick the point farthest from the selected set".  Returns the
+    checkpointed quantized frame and the selected list
+    [(order, vec_id, xi, d2_at_selection)].  Driver state is K rows —
+    the same bounded-model contract as the k-means centroid cache; each
+    round is one zero-shuffle broadcast-literal scoring pass plus a
+    1-row TakeOrdered, so the whole selection is KC_K linear scans."""
+    from diepy_spark.operators.clustering import (
+        centroid_dist_columns,
+        quantize_vectors,
+    )
+
+    key = ("kcenter", spark.sparkContext.applicationId, sf_dir, KC_K,
+           KM_SCALE)
+    if key not in _MODEL_CACHE:
+        q = quantize_vectors(
+            _vecs(spark, sf_dir), scale=KM_SCALE
+        ).localCheckpoint(eager=False)
+        row = q.orderBy("vec_id").limit(1).collect()[0]
+        sel = [(0, int(row["vec_id"]), list(row["xi"]), 0)]
+        for r in range(1, KC_K):
+            dcols = centroid_dist_columns([c[2] for c in sel])
+            mind = (
+                F.least(*[F.col(f"d{j}") for j in range(len(sel))])
+                if len(sel) > 1
+                else F.col("d0")
+            )
+            pick = (
+                q.select("vec_id", "xi", *dcols)
+                .select("vec_id", "xi", mind.alias("md"))
+                .orderBy(F.desc("md"), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            sel.append((r, int(pick["vec_id"]), list(pick["xi"]),
+                        int(pick["md"])))
+        _MODEL_CACHE[key] = (q, sel)
+    return _MODEL_CACHE[key]
+
+
+def x3_kcenter_select(spark, sf_dir):
+    """CORESET SELECTION by greedy k-center: the farthest-point
+    traversal whose K picks 2-approximate the optimal covering radius
+    (Gonzalez 1985) — the diversity-first data-curation move (pick the
+    K most mutually-distant documents/embeddings to label, seed, or
+    keep) that complements SemDeDup's redundancy-first one.  Output:
+    one row per selected center — selection order, vec id, its distance
+    to the already-selected set at pick time (a non-increasing series =
+    the coverage-radius curve), and its final cell's population and
+    radius after assigning every vector to its nearest center.
+
+    Exactness: distances are exact integer squared-L2 over the shared
+    quantized grid (quantize_vectors), argmax/argmin tie-break on
+    vec_id / selection order, so the traversal is deterministic and the
+    oracle unrolls the SAME KC_K rounds as chained CTEs (the k-means
+    pattern).  Scale shape: KC_K broadcast-literal scans of the
+    checkpointed corpus (no shuffle, no pairwise blow-up), one final
+    assignment aggregate."""
+    tune(spark)
+    from diepy_spark.operators.clustering import centroid_dist_columns
+
+    q, sel = _kcenter_cached(spark, sf_dir)
+    dcols = centroid_dist_columns([c[2] for c in sel])
+    asg = (
+        q.select("vec_id", *dcols)
+        .selectExpr(
+            "vec_id",
+            "array({}) AS ds".format(
+                ", ".join(f"d{j}" for j in range(KC_K))
+            ),
+        )
+        .selectExpr(
+            "vec_id",
+            "array_min(ds) AS md",
+            "CAST(array_position(ds, array_min(ds)) - 1 AS INT) AS ord",
+        )
+        .groupBy("ord")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_assigned"),
+            F.expr("CAST(max(md) AS BIGINT)").alias("radius"),
+        )
+    )
+    centers = spark.createDataFrame(
+        [(o, v, d) for (o, v, _, d) in sel],
+        "sel_order int, vec_id bigint, d2_sel bigint",
+    )
+    return (
+        centers.join(asg, centers.sel_order == asg.ord)
+        .select("sel_order", "vec_id", "d2_sel", "n_assigned", "radius")
+        .orderBy("sel_order")
+    )
+
+
+EXTENDED_QUERIES["x3_kcenter_select"] = x3_kcenter_select
+
+
+def _kcenter_oracle_sql() -> str:
+    ctes = [
+        f"""u AS (SELECT vec_id,
+                    CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)
+                      AS x, i
+             FROM (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings))""",
+        """sel0 AS (SELECT 0 AS ord, min(vec_id) AS vec_id,
+                      CAST(0 AS BIGINT) AS d2_sel FROM u)""",
+    ]
+    for r in range(1, KC_K):
+        ctes.append(f"""md{r} AS (
+            SELECT a.vec_id, min(dd.d2) AS md FROM u a JOIN LATERAL (
+              SELECT s.ord, SUM((a2.x - b.x) * (a2.x - b.x)) AS d2
+              FROM sel{r - 1} s JOIN u b ON b.vec_id = s.vec_id
+              JOIN u a2 ON a2.vec_id = a.vec_id AND a2.i = b.i
+              GROUP BY s.ord) dd ON TRUE
+            GROUP BY a.vec_id)""")
+        ctes.append(f"""pick{r} AS (
+            SELECT {r} AS ord, vec_id, CAST(md AS BIGINT) AS d2_sel
+            FROM md{r} ORDER BY md DESC, vec_id LIMIT 1)""")
+        ctes.append(f"""sel{r} AS (
+            SELECT * FROM sel{r - 1}
+            UNION ALL
+            SELECT * FROM pick{r})""")
+    ctes.append(f"""df AS (
+        SELECT a.vec_id, s.ord,
+               SUM((a.x - b.x) * (a.x - b.x)) AS d2
+        FROM u a JOIN sel{KC_K - 1} s ON TRUE
+        JOIN u b ON b.vec_id = s.vec_id AND b.i = a.i
+        GROUP BY 1, 2)""")
+    ctes.append("""af AS (
+        SELECT vec_id, ord, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ord)
+                 AS rn
+        FROM df)""")
+    ctes.append("""agg AS (
+        SELECT ord, CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(max(d2) AS BIGINT) AS radius
+        FROM af WHERE rn = 1 GROUP BY ord)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(s.ord AS INT) AS sel_order, s.vec_id, s.d2_sel,
+           a.n_assigned, a.radius
+    FROM sel{KC_K - 1} s JOIN agg a ON a.ord = s.ord
+    ORDER BY sel_order"""
+    )
+
+
+EXTENDED_ORACLES["x3_kcenter_select"] = _kcenter_oracle_sql()
