@@ -19752,3 +19752,425 @@ def _kcenter_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_kcenter_select"] = _kcenter_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 10, batch 2: Hill tail index, Heaps' law fit, power iteration
+# ---------------------------------------------------------------------------
+
+TAIL_K = 20  # Hill order statistics per language
+
+
+def x12_tail_index(spark, sf_dir):
+    """HEAVY-TAIL DIAGNOSTIC: the Hill (1975) estimator of the
+    power-law tail exponent of document lengths, per language — the
+    instrument that says whether a corpus's length distribution has a
+    Pareto tail (alpha <= 2: variance undefined, shard packing and
+    per-partition memory need length caps) or decays fast enough to
+    ignore.  alpha_hat = 1 / mean(ln(x_i / x_(k+1))) over the top-k
+    order statistics.
+
+    Exactness: the top-(k+1) frame is selected by a per-language window
+    (n_chars DESC, doc_id), each ln(n_chars) is rounded once to integer
+    nanos, and the Hill mean is an exact integer sum divided once —
+    ties at the boundary contribute identical values, so the estimate
+    is selection-order-free.  Scale shape: one partitioned top-k window
+    over (lang), k+1 rows per language retained, one aggregate."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    top = (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TAIL_K + 1)
+        .selectExpr(
+            "lang",
+            "rn",
+            "CAST(round(ln(n_chars) * 1000000000) AS BIGINT) AS ln9",
+            "CAST(n_chars AS BIGINT) AS n_chars",
+        )
+    )
+    return (
+        top.groupBy("lang")
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN rn <= {TAIL_K} THEN ln9 END)"
+                " AS BIGINT)"
+            ).alias("sum_ln9"),
+            F.expr(
+                f"CAST(max(CASE WHEN rn = {TAIL_K + 1} THEN ln9 END)"
+                " AS BIGINT)"
+            ).alias("tail_ln9"),
+            F.expr(
+                f"CAST(max(CASE WHEN rn = {TAIL_K + 1} THEN n_chars END)"
+                " AS BIGINT)"
+            ).alias("x_tail"),
+        )
+        .where(F.col("tail_ln9").isNotNull())
+        .selectExpr(
+            "lang",
+            f"CAST({TAIL_K} AS INT) AS k",
+            "x_tail",
+            f"round(CAST(sum_ln9 - {TAIL_K} * tail_ln9 AS DOUBLE)"
+            f" / (CAST({TAIL_K} AS BIGINT) * 1000000000), 6) AS mean_ln",
+            f"CASE WHEN sum_ln9 - {TAIL_K} * tail_ln9 > 0 THEN"
+            f" round(CAST({TAIL_K} AS BIGINT) * 1000000000"
+            f" / CAST(sum_ln9 - {TAIL_K} * tail_ln9 AS DOUBLE), 6)"
+            " END AS alpha",
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENDED_QUERIES["x12_tail_index"] = x12_tail_index
+
+EXTENDED_ORACLES["x12_tail_index"] = f"""
+    WITH top AS (
+      SELECT lang, rn,
+             CAST(round(ln(n_chars) * 1000000000) AS BIGINT) AS ln9,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= {TAIL_K + 1}
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN rn <= {TAIL_K} THEN ln9 END) AS BIGINT)
+               AS sum_ln9,
+             CAST(max(CASE WHEN rn = {TAIL_K + 1} THEN ln9 END) AS BIGINT)
+               AS tail_ln9,
+             CAST(max(CASE WHEN rn = {TAIL_K + 1} THEN n_chars END)
+                  AS BIGINT) AS x_tail
+      FROM top GROUP BY lang
+    )
+    SELECT lang, CAST({TAIL_K} AS INT) AS k, x_tail,
+           round(CAST(sum_ln9 - {TAIL_K} * tail_ln9 AS DOUBLE)
+                 / (CAST({TAIL_K} AS BIGINT) * 1000000000), 6) AS mean_ln,
+           CASE WHEN sum_ln9 - {TAIL_K} * tail_ln9 > 0 THEN
+             round(CAST({TAIL_K} AS BIGINT) * 1000000000
+                   / CAST(sum_ln9 - {TAIL_K} * tail_ln9 AS DOUBLE), 6)
+           END AS alpha
+    FROM agg WHERE tail_ln9 IS NOT NULL ORDER BY lang
+"""
+
+
+def x5_heaps_law(spark, sf_dir):
+    """HEAPS' LAW fit — vocabulary growth V(n) ~ K * n^beta over
+    doc-id-ordered corpus prefixes: the companion diagnostic to
+    x5_zipf that predicts how the token vocabulary (and with it every
+    vocab-sized model artifact: unigram LMs, BPE merge tables, DSIR
+    histograms) scales when the corpus grows 100x.  beta well below 1
+    = sublinear vocab growth (safe to broadcast); beta near 1 = id-like
+    tokens flooding the vocabulary (investigate before training).
+
+    Exactness: each token's FIRST document is an exact min-aggregate;
+    prefix checkpoints are powers of two over the dense doc-id space,
+    and membership "first_doc < 2^j" is the integer bit-length test
+    (length(bin(fd)) <= j), so per-checkpoint vocabulary counts are
+    exact integers; the log-log least-squares slope/intercept derive
+    from integer-nano ln sums shared as one formula text.  Scale
+    shape: one corpus pass to (token, first_doc) with map-side
+    combine, a ~40-bucket bit-length aggregate, a bounded cumulative
+    window — no per-checkpoint corpus rescans."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    first = (
+        d.select(F.explode(tokens_col_ref()).alias("tok"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .selectExpr(
+            "CASE WHEN fd = 0 THEN 0 ELSE length(bin(fd)) END AS g"
+        )
+        .groupBy("g")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt"))
+    )
+    ndocs = d.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs")
+    )
+    chk = (
+        ndocs.selectExpr("n_docs", "explode(sequence(3, 40)) AS j")
+        .where(F.expr("shiftleft(CAST(1 AS BIGINT), j) <= n_docs"))
+        .selectExpr(
+            "CAST(j AS INT) AS j",
+            "shiftleft(CAST(1 AS BIGINT), j) AS docs_le",
+        )
+    )
+    pts = (
+        chk.join(first, F.col("g") <= F.col("j"))
+        .groupBy("j", "docs_le")
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT)").alias("vocab"))
+        .selectExpr(
+            "j",
+            "docs_le",
+            "vocab",
+            "CAST(round(ln(docs_le) * 1000000000) AS BIGINT) AS lx9",
+            "CAST(round(ln(vocab) * 1000000000) AS BIGINT) AS ly9",
+        )
+        .localCheckpoint(eager=False)  # bounded: <= 38 checkpoint rows
+    )
+    fit = pts.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("m"),
+        F.expr("CAST(sum(lx9) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(ly9) AS BIGINT)").alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(lx9 AS DECIMAL(38, 0))"
+            " * CAST(lx9 AS DECIMAL(38, 0))) AS DECIMAL(38, 0))"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(lx9 AS DECIMAL(38, 0))"
+            " * CAST(ly9 AS DECIMAL(38, 0))) AS DECIMAL(38, 0))"
+        ).alias("sxy"),
+    ).selectExpr(
+        "CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS DOUBLE) AS beta_raw",
+        "CAST(sx AS DOUBLE) / (m * CAST(1000000000 AS DOUBLE)) AS mx",
+        "CAST(sy AS DOUBLE) / (m * CAST(1000000000 AS DOUBLE)) AS my",
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .selectExpr(
+            "j",
+            "docs_le",
+            "vocab",
+            "round(beta_raw, 6) AS beta",
+            "round(exp(my - beta_raw * mx), 6) AS k_coef",
+        )
+        .orderBy("j")
+    )
+
+
+EXTENDED_QUERIES["x5_heaps_law"] = x5_heaps_law
+
+EXTENDED_ORACLES["x5_heaps_law"] = f"""
+    WITH first AS (
+      SELECT CASE WHEN fd = 0 THEN 0 ELSE length(bin(fd)) END AS g,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT t.tok, min(doc_id) AS fd
+            FROM documents,
+                 LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+            GROUP BY t.tok) f
+      GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    chk AS (
+      SELECT CAST(j AS INT) AS j,
+             CAST(1 AS BIGINT) << CAST(j AS INT) AS docs_le
+      FROM nd, LATERAL (SELECT unnest(generate_series(3, 40)) AS j) s
+      WHERE (CAST(1 AS BIGINT) << CAST(j AS INT)) <= n_docs
+    ),
+    pts AS (
+      SELECT j, docs_le, CAST(sum(cnt) AS BIGINT) AS vocab,
+             CAST(round(ln(docs_le) * 1000000000) AS BIGINT) AS lx9,
+             CAST(round(ln(CAST(sum(cnt) AS BIGINT)) * 1000000000)
+                  AS BIGINT) AS ly9
+      FROM chk JOIN first ON first.g <= chk.j
+      GROUP BY j, docs_le
+    ),
+    fit AS (
+      SELECT CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  AS DOUBLE) AS beta_raw,
+             CAST(sx AS DOUBLE) / (m * CAST(1000000000 AS DOUBLE)) AS mx,
+             CAST(sy AS DOUBLE) / (m * CAST(1000000000 AS DOUBLE)) AS my
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(lx9) AS BIGINT) AS sx,
+               CAST(sum(ly9) AS BIGINT) AS sy,
+               CAST(sum(CAST(lx9 AS HUGEINT) * CAST(lx9 AS HUGEINT))
+                    AS HUGEINT) AS sxx,
+               CAST(sum(CAST(lx9 AS HUGEINT) * CAST(ly9 AS HUGEINT))
+                    AS HUGEINT) AS sxy
+        FROM pts) r
+    )
+    SELECT j, docs_le, vocab,
+           round(beta_raw, 6) AS beta,
+           round(exp(my - beta_raw * mx), 6) AS k_coef
+    FROM pts CROSS JOIN fit ORDER BY j
+"""
+
+
+PI_ITER = 5
+PI_VSCALE = 1_000_000  # normalization scale for the iterated vector
+
+
+def _power_iter_cached(spark, sf_dir):
+    """Dominant eigenvector of the (uncentered) Gram matrix X^T X over
+    the quantized embedding corpus by PI_ITER rounds of power
+    iteration — each round is two linear corpus passes (s = X v, then
+    w = X^T s), never the d x d Gram materialization, so the round
+    cost is O(n * d) with map-side combine on the d-key aggregate.
+    The vector is renormalized each round with the SQL integer
+    division v = w div greatest(max|w| div PI_VSCALE, 1), evaluated
+    IN-PLAN (never in Python, whose // floors instead of truncating),
+    so the driver only ever carries collected integers into the next
+    round's literals and the oracle can replay the identical chain.
+    Returns (q, v) — checkpointed quantized frame, final vector."""
+    key = ("powiter", spark.sparkContext.applicationId, sf_dir, PI_ITER,
+           KM_SCALE, PI_VSCALE)
+    if key not in _MODEL_CACHE:
+        from diepy_spark.operators.clustering import quantize_vectors
+
+        q = quantize_vectors(
+            _vecs(spark, sf_dir), scale=KM_SCALE
+        ).localCheckpoint(eager=False)
+        dim = len(q.select("xi").limit(1).collect()[0]["xi"])
+        v = [PI_VSCALE] * dim
+        for _ in range(PI_ITER):
+            vlit = "array({})".format(
+                ", ".join(f"CAST({c} AS BIGINT)" for c in v)
+            )
+            s = q.selectExpr(
+                "xi",
+                f"aggregate(zip_with(xi, {vlit}, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, p) -> acc + p) AS s",
+            )
+            m = s.selectExpr(
+                f"greatest(max(abs(s)) div {PI_VSCALE},"
+                " CAST(1 AS BIGINT)) AS md"
+            )
+            w = (
+                s.crossJoin(F.broadcast(m))
+                .selectExpr("xi", "s div md AS sp")
+                .select(
+                    F.posexplode("xi").alias("i", "x"),
+                    F.col("sp"),
+                )
+                .groupBy("i")
+                .agg(F.expr("CAST(sum(x * sp) AS BIGINT)").alias("w"))
+            )
+            mw = w.selectExpr(
+                f"greatest(max(abs(w)) div {PI_VSCALE},"
+                " CAST(1 AS BIGINT)) AS mwd"
+            )
+            rows = (
+                w.crossJoin(F.broadcast(mw))
+                .selectExpr("i", "w div mwd AS v")
+                .orderBy("i")
+                .collect()
+            )
+            v = [int(r["v"]) for r in rows]
+        _MODEL_CACHE[key] = (q, v)
+    return _MODEL_CACHE[key]
+
+
+def x3_power_iteration(spark, sf_dir):
+    """EMBEDDING SPECTRAL DIAGNOSTIC: the dominant principal direction
+    of the embedding corpus by integer-exact power iteration, with the
+    fraction of total squared mass it explains — the anisotropy check
+    (Ethayarajh 2019: contextual embeddings collapse toward one
+    dominant direction, which poisons cosine similarity) every
+    embedding-dependent operator here (ANN, SemDeDup, near-dup cosine)
+    should price before trusting raw cosines.  A high eig_frac says
+    "subtract the top component / whiten before deduping".
+
+    Exactness: the iteration is PI_ITER rounds of X^T(X v) over the
+    shared quantized grid with in-plan integer renormalization (see
+    _power_iter_cached) — every intermediate is a BIGINT, so the
+    DuckDB oracle replays the identical chain CTE-for-round and the
+    final vector matches bit-for-bit.  The explained fraction
+    evaluates one shared formula text over three exact sums.  Scale
+    shape: 2 * PI_ITER linear passes, one d-row output."""
+    tune(spark)
+    q, v = _power_iter_cached(spark, sf_dir)
+    vlit = "array({})".format(
+        ", ".join(f"CAST({c} AS BIGINT)" for c in v)
+    )
+    vtv = sum(c * c for c in v)
+    s = q.selectExpr(
+        "xi",
+        f"aggregate(zip_with(xi, {vlit}, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, p) -> acc + p) AS s",
+    ).localCheckpoint(eager=False)
+    m = s.selectExpr(
+        f"greatest(max(abs(s)) div {PI_VSCALE}, CAST(1 AS BIGINT)) AS md"
+    )
+    stats = (
+        s.crossJoin(F.broadcast(m))
+        .selectExpr("xi", "s div md AS sp", "md")
+        .agg(
+            F.expr("CAST(sum(sp * sp) AS BIGINT)").alias("sum_sp2"),
+            F.expr("CAST(max(md) AS BIGINT)").alias("md"),
+            F.expr(
+                "CAST(sum(aggregate(xi, CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x * x)) AS BIGINT)"
+            ).alias("trace"),
+        )
+        .selectExpr(
+            "round(CAST(sum_sp2 AS DOUBLE) * md * md"
+            f" / (CAST({vtv} AS DOUBLE) * trace), 6) AS eig_frac"
+        )
+    )
+    comps = spark.createDataFrame(
+        list(enumerate(v)), "i int, comp bigint"
+    )
+    return comps.crossJoin(F.broadcast(stats)).orderBy("i")
+
+
+EXTENDED_QUERIES["x3_power_iteration"] = x3_power_iteration
+
+
+def _power_iter_oracle_sql() -> str:
+    ctes = [
+        f"""u AS MATERIALIZED (SELECT vec_id,
+                    CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)
+                      AS x, i
+             FROM (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) - 1 AS i
+                   FROM embeddings))""",
+        f"""v0 AS MATERIALIZED (SELECT DISTINCT i, CAST({PI_VSCALE} AS BIGINT) AS v
+             FROM u)""",
+    ]
+    for t in range(1, PI_ITER + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT a.vec_id, CAST(sum(a.x * v.v) AS BIGINT) AS s
+            FROM u a JOIN v{t - 1} v ON v.i = a.i GROUP BY 1)""")
+        ctes.append(f"""m{t} AS MATERIALIZED (
+            SELECT greatest(max(abs(s)) // {PI_VSCALE},
+                   CAST(1 AS BIGINT)) AS md FROM s{t})""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+            SELECT u.i, CAST(sum(u.x * (sp.s // m.md)) AS BIGINT) AS w
+            FROM u JOIN s{t} sp USING (vec_id) CROSS JOIN m{t} m
+            GROUP BY 1)""")
+        ctes.append(f"""mw{t} AS MATERIALIZED (
+            SELECT greatest(max(abs(w)) // {PI_VSCALE},
+                   CAST(1 AS BIGINT)) AS mwd FROM w{t})""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+            SELECT i, CAST(w // mwd AS BIGINT) AS v
+            FROM w{t} CROSS JOIN mw{t})""")
+    T = PI_ITER
+    ctes.append(f"""sf AS MATERIALIZED (
+        SELECT a.vec_id, CAST(sum(a.x * v.v) AS BIGINT) AS s
+        FROM u a JOIN v{T} v ON v.i = a.i GROUP BY 1)""")
+    ctes.append(f"""mf AS MATERIALIZED (
+        SELECT greatest(max(abs(s)) // {PI_VSCALE},
+               CAST(1 AS BIGINT)) AS md FROM sf)""")
+    ctes.append(f"""vtv AS MATERIALIZED (
+        SELECT CAST(sum(v * v) AS BIGINT) AS vtv FROM v{T})""")
+    ctes.append("""tr AS MATERIALIZED (
+        SELECT CAST(sum(x * x) AS BIGINT) AS trace FROM u)""")
+    ctes.append(f"""stats AS MATERIALIZED (
+        SELECT round(CAST(sum((s // m.md) * (s // m.md)) AS DOUBLE)
+               * max(m.md) * max(m.md)
+               / (CAST(max(vtv.vtv) AS DOUBLE) * max(tr.trace)), 6)
+                 AS eig_frac
+        FROM sf CROSS JOIN mf m CROSS JOIN vtv CROSS JOIN tr)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(v.i AS INT) AS i, v.v AS comp, stats.eig_frac
+    FROM v{T} v CROSS JOIN stats ORDER BY i"""
+    )
+
+
+EXTENDED_ORACLES["x3_power_iteration"] = _power_iter_oracle_sql()
