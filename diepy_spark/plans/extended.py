@@ -20174,3 +20174,310 @@ def _power_iter_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x3_power_iteration"] = _power_iter_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 10, batch 3: overdispersion check, Kneser-Ney bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def x8_overdispersion(spark, sf_dir):
+    """POISSON OVERDISPERSION CHECK: the variance-to-mean ratio (index
+    of dispersion) of daily event counts per type — the one-line test
+    that says whether Poisson-based monitors here (x8_rate_ratio, the
+    volume anomaly gate) are trustworthy (D ~ 1) or the counts are
+    clumped (D >> 1: use a negative-binomial / wider control band).
+
+    Exactness: daily counts are integers; mean and variance derive
+    from exact Sum(c) / Sum(c^2) BIGINT aggregates, divided once.
+    Scale shape: one map-side-combined (type, day) aggregate, then a
+    types-bounded second aggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("c"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("days"),
+            F.expr("CAST(sum(c) AS BIGINT)").alias("total"),
+            F.expr("CAST(sum(c * c) AS BIGINT)").alias("sum_c2"),
+        )
+        .where(F.col("days") > 1)
+        .selectExpr(
+            "event_type",
+            "days",
+            "total",
+            "round(CAST(total AS DOUBLE) / days, 6) AS mean_c",
+            "round((CAST(sum_c2 AS DOUBLE)"
+            " - CAST(total AS DOUBLE) * total / days) / (days - 1), 6)"
+            " AS var_c",
+            "round(((CAST(sum_c2 AS DOUBLE)"
+            " - CAST(total AS DOUBLE) * total / days) / (days - 1))"
+            " / (CAST(total AS DOUBLE) / days), 6) AS dispersion",
+            "CAST(((CAST(sum_c2 AS DOUBLE)"
+            " - CAST(total AS DOUBLE) * total / days) / (days - 1))"
+            " / (CAST(total AS DOUBLE) / days) > 1.5 AS INT)"
+            " AS overdispersed",
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENDED_QUERIES["x8_overdispersion"] = x8_overdispersion
+
+EXTENDED_ORACLES["x8_overdispersion"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS days,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, days, total,
+           round(CAST(total AS DOUBLE) / days, 6) AS mean_c,
+           round((CAST(sum_c2 AS DOUBLE)
+                  - CAST(total AS DOUBLE) * total / days) / (days - 1), 6)
+             AS var_c,
+           round(((CAST(sum_c2 AS DOUBLE)
+                   - CAST(total AS DOUBLE) * total / days) / (days - 1))
+                 / (CAST(total AS DOUBLE) / days), 6) AS dispersion,
+           CAST(CASE WHEN ((CAST(sum_c2 AS DOUBLE)
+                   - CAST(total AS DOUBLE) * total / days) / (days - 1))
+                 / (CAST(total AS DOUBLE) / days) > 1.5
+                THEN 1 ELSE 0 END AS INT) AS overdispersed
+    FROM agg WHERE days > 1 ORDER BY event_type
+"""
+
+
+def x5_kn_bigram(spark, sf_dir):
+    """KNESER-NEY BIGRAM LM SCORING — the upgrade of x5_lm_score's
+    unigram quality filter to the interpolated-KN bigram model (Kneser
+    & Ney 1995; Chen & Goodman 1998): per doc, mean negative
+    log-likelihood under
+    P(w2|w1) = (c(w1,w2) - D)/c(w1.) + D*N1+(w1.)/c(w1.) * N1+(.w2)/B
+    with discount D = 3/4 — the continuation-count backoff that
+    penalizes tokens that only ever follow one context (boilerplate
+    tails) even when their raw frequency is high.
+
+    Exactness: with D = 3/4 every probability is the exact rational
+    ((4c-3)B + 3*N1f*N1p) / (4*cw1*B), so each bigram contributes
+    ln9(num) - ln9(den) in integer nanos and the per-doc score is an
+    EXACT INTEGER SUM — no fold-order concern at all (stronger than
+    the unigram scorer's ordered fold).  Scale shape: one corpus pass
+    to per-doc bigram multiplicities and one to the bigram-type table
+    (both map-side combined); the model-side frames are
+    vocabulary/type-bounded; one (w1,w2)-keyed scoring join."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens_col_ref().alias("toks")).where(
+        F.expr("size(toks) >= 2")
+    )
+    big = toks.selectExpr(
+        "doc_id",
+        "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))) AS bg",
+    ).select("doc_id", "bg.w1", "bg.w2")
+    dstream = big.groupBy("doc_id", "w1", "w2").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("k")
+    )
+    types = big.groupBy("w1", "w2").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("c")
+    ).localCheckpoint(eager=False)  # bigram-type-bounded model table
+    w1t = types.groupBy("w1").agg(
+        F.expr("CAST(sum(c) AS BIGINT)").alias("cw1"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n1f"),
+    )
+    w2t = types.groupBy("w2").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n1p")
+    )
+    bfr = types.agg(F.expr("CAST(count(*) AS BIGINT)").alias("bb"))
+    sc = (
+        dstream.join(types, ["w1", "w2"])
+        .join(w1t, "w1")
+        .join(w2t, "w2")
+        .crossJoin(F.broadcast(bfr))
+        .selectExpr(
+            "doc_id",
+            "k",
+            "CAST(round(ln((4 * c - 3) * bb + 3 * n1f * n1p)"
+            " * 1000000000) AS BIGINT) AS lnum9",
+            "CAST(round(ln(4 * cw1 * bb) * 1000000000) AS BIGINT)"
+            " AS lden9",
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(sum(k) AS BIGINT)").alias("n_bigrams"),
+            F.expr("CAST(sum(k * (lden9 - lnum9)) AS BIGINT)").alias(
+                "s9"
+            ),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "round(CAST(s9 AS DOUBLE)"
+            " / (n_bigrams * CAST(1000000000 AS BIGINT)), 6) AS nll",
+            "round(exp(CAST(s9 AS DOUBLE)"
+            " / (n_bigrams * CAST(1000000000 AS BIGINT))), 4) AS ppl",
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTENDED_QUERIES["x5_kn_bigram"] = x5_kn_bigram
+
+EXTENDED_ORACLES["x5_kn_bigram"] = f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_EXPR} AS t FROM documents
+      WHERE len({_TOKS_EXPR}) >= 2
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                        AS i) g
+    ),
+    dstream AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      FROM big GROUP BY 1, 2, 3
+    ),
+    types AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY 1, 2
+    ),
+    w1t AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM types GROUP BY 1
+    ),
+    w2t AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM types GROUP BY 1
+    ),
+    bf AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM types),
+    sc AS (
+      SELECT doc_id, k,
+             CAST(round(ln((4 * c - 3) * bb + 3 * n1f * n1p)
+                  * 1000000000) AS BIGINT) AS lnum9,
+             CAST(round(ln(4 * cw1 * bb) * 1000000000) AS BIGINT)
+               AS lden9
+      FROM dstream JOIN types USING (w1, w2) JOIN w1t USING (w1)
+      JOIN w2t USING (w2) CROSS JOIN bf
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             CAST(sum(k * (lden9 - lnum9)) AS BIGINT) AS s9
+      FROM sc GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           round(CAST(s9 AS DOUBLE)
+                 / (n_bigrams * CAST(1000000000 AS BIGINT)), 6) AS nll,
+           round(exp(CAST(s9 AS DOUBLE)
+                 / (n_bigrams * CAST(1000000000 AS BIGINT))), 4) AS ppl
+    FROM agg ORDER BY doc_id
+"""
+
+
+SCENE_FRAME = 256        # frame block size (bytes)
+SCENE_THR6 = 2_000_000   # cut when mean-byte delta > 2.0 (scaled 1e6)
+
+
+def x6_scene_cuts(spark, sf_dir):
+    """SCENE-CUT DETECTION over the sampled frame stream — the
+    video-segmentation pattern (a real pipeline compares color
+    histograms / perceptual hashes of consecutive decoded frames; the
+    codec-free stand-in compares exact per-frame mean byte values, same
+    plumbing, same window shape): a cut is a consecutive-frame feature
+    jump above threshold, and the per-asset report (frames, cuts,
+    largest jump) is what a frame-dedup or keyframe-extraction stage
+    consumes to pick segment representatives.
+
+    Exactness: per-frame mass is an exact integer byte sum; the scaled
+    mean (mass * 1e6 div len) and deltas are BIGINT; the lag is a
+    per-doc window ordered by frame_idx.  Scale shape: frames explode
+    per asset and never cross assets — the window partitions by
+    doc_id, so state is one frame row and the whole operator is
+    embarrassingly parallel across assets."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    fr = M.frame_sample(
+        M.with_binary_payload(d), every=1, frame_size=SCENE_FRAME
+    ).selectExpr(
+        "doc_id",
+        "frame_idx",
+        "CAST(frame_bytes AS STRING) AS fs",
+        "frame_len",
+    ).selectExpr(
+        "doc_id",
+        "frame_idx",
+        "CAST(aggregate(sequence(1, length(fs)), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + ascii(substring(fs, i, 1)))"
+        " * 1000000 div frame_len AS BIGINT) AS m6",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = fr.withColumn(
+        "d6", F.expr("abs(m6 - lag(m6) OVER (PARTITION BY doc_id"
+                     " ORDER BY frame_idx))")
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_frames"),
+            F.expr(
+                f"CAST(sum(CASE WHEN d6 > {SCENE_THR6} THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("n_cuts"),
+            F.expr("CAST(max(d6) AS BIGINT)").alias("max_delta6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTENDED_QUERIES["x6_scene_cuts"] = x6_scene_cuts
+
+EXTENDED_ORACLES["x6_scene_cuts"] = f"""
+    WITH fr AS (
+      SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+             substr(text, CAST(f.i * {SCENE_FRAME} + 1 AS BIGINT),
+                    {SCENE_FRAME}) AS fs
+      FROM documents,
+      LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(length(text) / {SCENE_FRAME}.0) AS BIGINT)))
+               AS i) f
+      WHERE doc_id < {MEDIA_DOC_MAX} AND length(text) > 0
+    ),
+    mm AS (
+      SELECT doc_id, frame_idx,
+             CAST(list_sum(list_transform(
+                    generate_series(1, length(fs)),
+                    i -> ascii(substr(fs, i, 1))))
+                  * 1000000 // length(fs) AS BIGINT) AS m6
+      FROM fr
+    ),
+    dd AS (
+      SELECT doc_id,
+             abs(m6 - lag(m6) OVER (PARTITION BY doc_id
+                 ORDER BY frame_idx)) AS d6
+      FROM mm
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN d6 > {SCENE_THR6} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(max(d6) AS BIGINT) AS max_delta6
+    FROM dd GROUP BY doc_id ORDER BY doc_id
+"""
