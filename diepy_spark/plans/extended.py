@@ -20481,3 +20481,68 @@ EXTENDED_ORACLES["x6_scene_cuts"] = f"""
            CAST(max(d6) AS BIGINT) AS max_delta6
     FROM dd GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 10, batch 4: order-invariant table checksum, streaming CUSUM
+# ---------------------------------------------------------------------------
+
+CKSUM_NIBBLES = 15  # 60-bit per-row digests (exact in BIGINT)
+
+
+def x12_table_checksum(spark, sf_dir):
+    """ORDER-INVARIANT TABLE CHECKSUM — the migration/replication
+    integrity instrument: verify that two copies of a 100 TB table hold
+    the SAME ROWS without sorting either one.  Each row renders to a
+    canonical string, digests to a 60-bit integer, and the per-source
+    fingerprint is the XOR of row digests — commutative and
+    associative, so it needs no global order, distributes over any
+    partitioning, and a single changed/missing/doubled row flips it.
+    Run on both sides of a copy and diff the fingerprints per source.
+
+    Exactness: the digest is hex_int-style string arithmetic over md5
+    (bit-identical cross-engine); bit_xor is exact in both engines.
+    Scale shape: one scan, one map-side-combinable aggregate, no sort,
+    no shuffle beyond the source-bounded key."""
+    from diepy_spark.operators.sketch import hex_int_sql
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    row_md5 = (
+        "md5(concat_ws('|', CAST(doc_id AS STRING), lang, source,"
+        " CAST(n_chars AS STRING), md5(text)))"
+    )
+    dig = hex_int_sql("_rm", CKSUM_NIBBLES)
+    return (
+        d.selectExpr("source", f"{row_md5} AS _rm")
+        .selectExpr("source", f"{dig} AS dig")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(bit_xor(dig) AS BIGINT)").alias("checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x12_table_checksum"] = x12_table_checksum
+
+
+def _table_checksum_oracle_sql() -> str:
+    from diepy_spark.operators.sketch import hex_int_sql
+
+    row_md5 = (
+        "md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, source,"
+        " CAST(n_chars AS VARCHAR), md5(text)))"
+    )
+    dig = hex_int_sql("_rm", CKSUM_NIBBLES)
+    return f"""
+    WITH r AS (SELECT source, {row_md5} AS _rm FROM documents),
+    dd AS (SELECT source, {dig} AS dig FROM r)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(dig) AS BIGINT) AS checksum
+    FROM dd GROUP BY source ORDER BY source
+"""
+
+
+EXTENDED_ORACLES["x12_table_checksum"] = _table_checksum_oracle_sql()

@@ -2040,3 +2040,108 @@ PIPELINE_ORACLES["x7_stream_quantiles"] = f"""
            CAST((b99 + 1) * {SQNT_BIN_CENTS} AS DOUBLE) / 100.0 AS p99
     FROM per ORDER BY day
 """
+
+
+CUSUM_W = 50           # calibration events per type
+CUSUM_K_CENTS = 500    # slack k (cents) — Page's allowance per event
+CUSUM_H = 5_000_000    # alarm threshold in cents*W units
+
+
+def x7_stream_cusum(spark, sf_dir):
+    """Streaming CUSUM drift detection (streaming/events.py:
+    cusum_stateful) — the ONLINE changepoint monitor beside the batch
+    x8_cusum_changepoint locator: per event type, calibrate a
+    reference level from the first CUSUM_W events, then carry
+    g = max(0, g + (cents*W - s_cal - k*W)) across micro-batches in
+    five-integer state, alarming (and resetting) when g crosses
+    CUSUM_H.  Pure BIGINT state — the batch fold reproduces it
+    bit-for-bit with no float concern.  Update mode emits the running
+    state per touched type each batch; the final row per type (max
+    n_events) is the replay's answer."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    src = (
+        _events_src(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "ts",
+            "event_id",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+    )
+    out = _run_stream(
+        ST.cusum_stateful(
+            src, w=CUSUM_W, k_cents=CUSUM_K_CENTS, h=CUSUM_H
+        ),
+        "update",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "s_cal",
+            "g",
+            "max_g",
+            "n_alarms",
+            f"round(CAST(s_cal AS DOUBLE) / ({CUSUM_W} * 100), 6)"
+            " AS mu0",
+        )
+        .orderBy("event_type")
+    )
+
+
+PIPELINE_QUERIES["x7_stream_cusum"] = x7_stream_cusum
+
+
+def _stream_cusum_oracle() -> str:
+    """Batch fold replay of cusum_stateful: BIGINT-list accumulator
+    [n, s_cal, g, mx, alarms]; the element list is PADDED to the max
+    per-type length with NULLs (the list_reduce cross-row hazard —
+    tests/test_fold_stability.py) and the x[1] IS NULL guard no-ops
+    the padding steps."""
+    W, K, H = CUSUM_W, CUSUM_K_CENTS, CUSUM_H
+    g2 = f"greatest(acc[3] + (x[1] * {W} - acc[2] - {K} * {W}), 0)"
+    step = (
+        "CASE WHEN x[1] IS NULL THEN acc"
+        f" WHEN acc[1] < {W} THEN"
+        " [acc[1] + 1, acc[2] + x[1], acc[3], acc[4], acc[5]]"
+        f" WHEN {g2} > {H} THEN"
+        f" [acc[1] + 1, acc[2], 0, greatest(acc[4], {g2}), acc[5] + 1]"
+        " ELSE"
+        f" [acc[1] + 1, acc[2], {g2}, greatest(acc[4], {g2}), acc[5]]"
+        " END"
+    )
+    return f"""
+        WITH s AS (
+          SELECT event_type,
+                 list(CAST(round(value * 100) AS BIGINT)
+                      ORDER BY ts, event_id) AS vs
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        mxn AS (SELECT max(len(vs)) AS mxn FROM s),
+        f AS (
+          SELECT event_type, len(vs) AS n,
+                 list_reduce(
+                   list_prepend(CAST([0, 0, 0, 0, 0] AS BIGINT[]),
+                     list_transform(
+                       list_resize(vs, (SELECT mxn FROM mxn), NULL),
+                       v -> [v])),
+                   (acc, x) -> {step}) AS st
+          FROM s
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               st[2] AS s_cal, st[3] AS g, st[4] AS max_g,
+               st[5] AS n_alarms,
+               round(CAST(st[2] AS DOUBLE) / ({W} * 100), 6) AS mu0
+        FROM f ORDER BY event_type
+    """
+
+
+PIPELINE_ORACLES["x7_stream_cusum"] = _stream_cusum_oracle()

@@ -267,3 +267,77 @@ def ewma_stateful(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_events bigint, s_cal bigint, g bigint,"
+    " max_g bigint, n_alarms bigint"
+)
+CUSUM_STATE_SCHEMA = (
+    "n bigint, s_cal bigint, g bigint, mx bigint, alarms bigint"
+)
+
+
+def cusum_stateful(
+    events: DataFrame, w: int, k_cents: int, h: int
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift detector (Page 1954) per event
+    type — the ONLINE sibling of the batch x8_cusum_changepoint
+    locator: the first `w` events calibrate the reference level
+    (s_cal = their cents sum), after which each event folds
+    g = max(0, g + (cents*w - s_cal - k_cents*w)) with an alarm (and
+    reset) when g crosses `h`.  Everything is BIGINT arithmetic on
+    pre-computed integer cents, so the carried state is exactly
+    reproducible by a batch fold — same disjoint-time-ordered-batches
+    argument as ewma_stateful, with no IEEE concern at all.
+
+    State per key is five integers; alarms/max record the drift
+    narrative without keeping any event history — bounded state at any
+    stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = s_cal = g = mx = alarms = 0
+        if state.exists:
+            n, s_cal, g, mx, alarms = state.get
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            for c in batch["cents"]:
+                c = int(c)
+                n += 1
+                if n <= w:
+                    s_cal += c
+                else:
+                    g2 = g + (c * w - s_cal - k_cents * w)
+                    if g2 < 0:
+                        g2 = 0
+                    if g2 > mx:
+                        mx = g2
+                    if g2 > h:
+                        alarms += 1
+                        g = 0
+                    else:
+                        g = g2
+        state.update((n, s_cal, g, mx, alarms))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "s_cal": [s_cal],
+                "g": [g],
+                "max_g": [mx],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
