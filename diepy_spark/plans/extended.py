@@ -20546,3 +20546,277 @@ def _table_checksum_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x12_table_checksum"] = _table_checksum_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 10, batch 5: graph-based ANN (NSW greedy search), Cohen's d
+# ---------------------------------------------------------------------------
+
+NSW_CORPUS_MAX = 600  # graph nodes (build is quadratic HERE; see docstring)
+NSW_KG = 4            # out-degree of the kNN graph
+NSW_HOPS = 6          # greedy walk length
+
+
+def _nsw_dist(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def x3_nsw_search(spark, sf_dir):
+    """GRAPH-BASED ANN — greedy best-first search over a kNN proximity
+    graph (the Navigable-Small-World family underlying HNSW, Malkov &
+    Yashunin 2018): from a fixed entry node, repeatedly hop to the
+    neighbor closest to the query, NSW_HOPS rounds.  Completes the ANN
+    family table here (LSH buckets, IVF lists, PQ/RQ codes — and now a
+    proximity graph), and reports per query whether the walk found the
+    exact nearest neighbor and at what distance gap.
+
+    The kNN GRAPH is built exactly (quadratic) over an
+    NSW_CORPUS_MAX-bounded node set — at production scale the graph is
+    constructed incrementally by the index builder and PERSISTED; what
+    this query prices is the SEARCH path, whose cost is
+    hops x degree x dim regardless of corpus size (the reason the
+    graph family wins at billion scale).  Exactness: integer squared
+    L2 on the shared quantized grid, every argmin tie-broken on
+    (distance, id); the walk is NSW_HOPS unrolled in-plan joins over
+    the checkpointed NQ x degree frontier — the oracle replays the
+    identical chain with MATERIALIZED per-hop CTEs."""
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    tune(spark)
+    v = _vecs(spark, sf_dir)
+    q = quantize_vectors(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX), scale=KM_SCALE
+    ).selectExpr("vec_id AS qid", "xi AS qxi")
+    c = quantize_vectors(
+        v.where(
+            (F.col("vec_id") >= TOPK_QUERY_MAX)
+            & (F.col("vec_id") < TOPK_QUERY_MAX + NSW_CORPUS_MAX)
+        ),
+        scale=KM_SCALE,
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    a = c.selectExpr("vec_id AS src", "xi AS sxi")
+    b = c.selectExpr("vec_id AS dst", "xi AS dxi")
+    wsrc = Window.partitionBy("src").orderBy("d", "dst")
+    graph = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .selectExpr("src", "dst", f"{_nsw_dist('sxi', 'dxi')} AS d")
+        .withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") <= NSW_KG)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # node-bounded index artifact
+    )
+    entry = c.agg(F.min("vec_id").alias("cur"))
+    state = (
+        q.crossJoin(F.broadcast(entry))
+        .join(c.selectExpr("vec_id AS cur", "xi AS cxi"), "cur")
+        .selectExpr("qid", "qxi", "cur",
+                    f"{_nsw_dist('qxi', 'cxi')} AS dcur")
+    )
+    wq = Window.partitionBy("qid").orderBy("d", "cand")
+    for _ in range(NSW_HOPS):
+        cands = state.join(
+            graph, state.cur == graph.src
+        ).selectExpr("qid", "qxi", "dst AS cand").unionByName(
+            state.selectExpr("qid", "qxi", "cur AS cand")
+        ).distinct()
+        state = (
+            cands.join(
+                c.selectExpr("vec_id AS cand", "xi AS cxi"), "cand"
+            )
+            .selectExpr("qid", "qxi", "cand",
+                        f"{_nsw_dist('qxi', 'cxi')} AS d")
+            .withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") == 1)
+            .selectExpr("qid", "qxi", "cand AS cur", "d AS dcur")
+        )
+    wex = Window.partitionBy("qid").orderBy("d", "cand")
+    exact = (
+        q.crossJoin(c.selectExpr("vec_id AS cand", "xi AS cxi"))
+        .selectExpr("qid", "cand", f"{_nsw_dist('qxi', 'cxi')} AS d")
+        .withColumn("rn", F.row_number().over(wex))
+        .where(F.col("rn") == 1)
+        .selectExpr("qid", "cand AS exact_id", "d AS d_exact")
+    )
+    return (
+        state.selectExpr("qid", "cur AS found_id", "dcur AS d_found")
+        .join(exact, "qid")
+        .selectExpr(
+            "qid", "found_id", "d_found", "exact_id", "d_exact",
+            "CAST(d_found = d_exact AS INT) AS hit",
+        )
+        .orderBy("qid")
+    )
+
+
+EXTENDED_QUERIES["x3_nsw_search"] = x3_nsw_search
+
+
+def _nsw_oracle_sql() -> str:
+    dist = "SUM((a.x - b.x) * (a.x - b.x))"
+    ctes = [
+        f"""u AS MATERIALIZED (SELECT vec_id,
+               CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+             FROM (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings))""",
+        f"""uq AS MATERIALIZED (SELECT * FROM u
+             WHERE vec_id < {TOPK_QUERY_MAX})""",
+        f"""uc AS MATERIALIZED (SELECT * FROM u
+             WHERE vec_id >= {TOPK_QUERY_MAX}
+               AND vec_id < {TOPK_QUERY_MAX + NSW_CORPUS_MAX})""",
+        f"""graph AS MATERIALIZED (
+            SELECT src, dst FROM (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {dist}, b.vec_id) AS rn
+              FROM uc a JOIN uc b
+                ON b.i = a.i AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id) g
+            WHERE rn <= {NSW_KG})""",
+        """entry AS MATERIALIZED (SELECT min(vec_id) AS cur FROM uc)""",
+        f"""st0 AS MATERIALIZED (
+            SELECT a.vec_id AS qid, e.cur, {dist} AS dcur
+            FROM uq a CROSS JOIN entry e
+            JOIN uc b ON b.vec_id = e.cur AND b.i = a.i
+            GROUP BY 1, 2)""",
+    ]
+    for t in range(1, NSW_HOPS + 1):
+        ctes.append(f"""cd{t} AS MATERIALIZED (
+            SELECT DISTINCT s.qid, g.dst AS cand
+            FROM st{t - 1} s JOIN graph g ON g.src = s.cur
+            UNION
+            SELECT qid, cur AS cand FROM st{t - 1})""")
+        ctes.append(f"""st{t} AS MATERIALIZED (
+            SELECT qid, cand AS cur, d AS dcur FROM (
+              SELECT c.qid, c.cand, {dist} AS d,
+                     ROW_NUMBER() OVER (PARTITION BY c.qid
+                       ORDER BY {dist}, c.cand) AS rn
+              FROM cd{t} c
+              JOIN uq a ON a.vec_id = c.qid
+              JOIN uc b ON b.vec_id = c.cand AND b.i = a.i
+              GROUP BY c.qid, c.cand) r
+            WHERE rn = 1)""")
+    ctes.append(f"""exact AS MATERIALIZED (
+        SELECT qid, cand AS exact_id, d AS d_exact FROM (
+          SELECT a.vec_id AS qid, b.vec_id AS cand, {dist} AS d,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {dist}, b.vec_id) AS rn
+          FROM uq a JOIN uc b ON b.i = a.i
+          GROUP BY a.vec_id, b.vec_id) r
+        WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT s.qid, s.cur AS found_id, CAST(s.dcur AS BIGINT) AS d_found,
+           e.exact_id, CAST(e.d_exact AS BIGINT) AS d_exact,
+           CAST(CASE WHEN s.dcur = e.d_exact THEN 1 ELSE 0 END AS INT)
+             AS hit
+    FROM st{NSW_HOPS} s JOIN exact e ON e.qid = s.qid
+    ORDER BY s.qid"""
+    )
+
+
+EXTENDED_ORACLES["x3_nsw_search"] = _nsw_oracle_sql()
+
+
+# Shared Cohen's d / Hedges' g formula text (exact integer inputs, one
+# rounding per output).  n1/n2/s1/s2 BIGINT, q1/q2 exact decimal sums.
+_COHD = (
+    "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+    " / sqrt((((CAST(q1 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * s1 / n1))"
+    " + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)))"
+    " / (n1 + n2 - 2))"
+)
+
+
+def x8_cohens_d(spark, sf_dir):
+    """COHEN'S d EFFECT SIZE for continuous metrics — the
+    weekday-vs-weekend standardized mean difference of event values
+    per type, with the Hedges' g small-sample correction: the
+    continuous companion of the binary-outcome effect sizes already
+    here (x8_odds_ratio's OR/RR) and the number a reader needs beside
+    every x8 p-value (significance says "not noise"; d says "how
+    much").
+
+    Exactness: per-cohort n / sum / sum-of-squares are exact integer
+    (DECIMAL for the squares) aggregates over cents; d and g evaluate
+    ONE shared formula text in both engines, rounded once.  Scale
+    shape: one map-side-combined aggregate to (type, is_weekend),
+    a types-bounded pivot join, no window."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    side = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "CAST(dayofweek(ts) - 1 IN (0, 6) AS INT) AS we",
+            "CAST(round(value * 100) AS BIGINT) AS c",
+        )
+        .groupBy("event_type", "we")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(c) AS BIGINT)").alias("s"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38, 0))"
+                " * CAST(c AS DECIMAL(38, 0))) AS DECIMAL(38, 0))"
+            ).alias("q"),
+        )
+    )
+    wk = side.where("we = 0").selectExpr(
+        "event_type", "n AS n1", "s AS s1", "q AS q1"
+    )
+    we = side.where("we = 1").selectExpr(
+        "event_type", "n AS n2", "s AS s2", "q AS q2"
+    )
+    return (
+        wk.join(we, "event_type")
+        .where("n1 > 1 AND n2 > 1")
+        .selectExpr(
+            "event_type",
+            "n1",
+            "n2",
+            "round(CAST(s1 AS DOUBLE) / (100 * n1), 6) AS mean_wk",
+            "round(CAST(s2 AS DOUBLE) / (100 * n2), 6) AS mean_we",
+            f"round({_COHD}, 6) AS cohens_d",
+            f"round(({_COHD}) * (1 - CAST(3 AS DOUBLE)"
+            " / (4 * (n1 + n2) - 9)), 6) AS hedges_g",
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENDED_QUERIES["x8_cohens_d"] = x8_cohens_d
+
+EXTENDED_ORACLES["x8_cohens_d"] = f"""
+    WITH side AS (
+      SELECT event_type,
+             CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                  AS INT) AS we,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(CAST(round(value * 100) AS BIGINT)
+                             AS HUGEINT)) AS HUGEINT) AS q
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    wk AS (SELECT event_type, n AS n1, s AS s1, q AS q1
+           FROM side WHERE we = 0),
+    we AS (SELECT event_type, n AS n2, s AS s2, q AS q2
+           FROM side WHERE we = 1)
+    SELECT event_type, n1, n2,
+           round(CAST(s1 AS DOUBLE) / (100 * n1), 6) AS mean_wk,
+           round(CAST(s2 AS DOUBLE) / (100 * n2), 6) AS mean_we,
+           round({_COHD}, 6) AS cohens_d,
+           round(({_COHD}) * (1 - CAST(3 AS DOUBLE)
+                 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM wk JOIN we USING (event_type)
+    WHERE n1 > 1 AND n2 > 1
+    ORDER BY event_type
+"""
