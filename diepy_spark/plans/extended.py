@@ -20820,3 +20820,140 @@ EXTENDED_ORACLES["x8_cohens_d"] = f"""
     WHERE n1 > 1 AND n2 > 1
     ORDER BY event_type
 """
+
+
+MTLD_TTR_NUM = 72   # factor completes when 100 * types < 72 * tokens
+MTLD_TTR_DEN = 100
+
+
+def x5_mtld(spark, sf_dir):
+    """MTLD LEXICAL DIVERSITY (McCarthy & Jarvis 2010, forward pass) —
+    the length-robust type-token-ratio metric quality filters use
+    where raw TTR fails (TTR decays mechanically with length; MTLD
+    counts how many times the running TTR drains below 0.72, so it is
+    comparable across document lengths): mtld = n_tokens /
+    (completed factors + the partial factor's remainder).
+
+    Exactness: the factor walk is an ordered fold with a VARCHAR-list
+    accumulator [factors, cur_tokens, seen-words...]; the TTR test is
+    the integer cross-multiplication 100*types < 72*tokens, and the
+    remainder is the exact rational (tokens-types)*100 / (28*tokens) —
+    one double division at render.  The DuckDB fold is padded to the
+    corpus-max token count with NULL-guarded steps (the list_reduce
+    cross-row hazard).  Scale shape: per-document folds, no cross-doc
+    state — embarrassingly parallel; token arrays are already
+    materialized by the shared tokenizer."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    seen = "slice(acc, 3, size(acc))"
+    types_after = (
+        f"size({seen}) + CAST(NOT array_contains({seen}, t) AS INT)"
+    )
+    tok_after = "CAST(element_at(acc, 1) AS BIGINT) + 1"
+    reset = (
+        f"{MTLD_TTR_DEN} * ({types_after})"
+        f" < {MTLD_TTR_NUM} * ({tok_after})"
+    )
+    step = (
+        f"CASE WHEN {reset} THEN"
+        " array(CAST(CAST(element_at(acc, 2) AS BIGINT) + 1 AS STRING), '0')"
+        " ELSE concat(array(CAST(element_at(acc, 2) AS STRING),"
+        f" CAST({tok_after} AS STRING)),"
+        f" CASE WHEN array_contains({seen}, t) THEN {seen}"
+        f" ELSE concat({seen}, array(t)) END)"
+        " END"
+    )
+    # acc = [cur_tokens, factors, seen...]; spelled acc[1]=cur_tokens,
+    # acc[2]=factors so the reset branch reads naturally above.
+    fold = (
+        f"aggregate(toks, array('0', '0'), (acc, t) -> {step})"
+    )
+    return (
+        d.select("doc_id", tokens_col_ref().alias("toks"))
+        .where(F.expr("size(toks) > 0"))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(toks) AS BIGINT) AS n_tokens",
+            f"{fold} AS st",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CAST(element_at(st, 2) AS BIGINT) AS factors",
+            "CAST(element_at(st, 1) AS BIGINT) AS part_tokens",
+            "CAST(size(st) - 2 AS BIGINT) AS part_types",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "factors",
+            "part_tokens",
+            "part_types",
+            f"round(CAST(n_tokens AS DOUBLE) / (factors"
+            " + CASE WHEN part_tokens > 0 THEN"
+            " CAST((part_tokens - part_types)"
+            f" * {MTLD_TTR_DEN} AS DOUBLE)"
+            f" / (({MTLD_TTR_DEN} - {MTLD_TTR_NUM}) * part_tokens)"
+            " ELSE CAST(0 AS DOUBLE) END), 6) AS mtld",
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTENDED_QUERIES["x5_mtld"] = x5_mtld
+
+
+def _mtld_oracle_sql() -> str:
+    seen = "acc[3:]"
+    x = "xl[1]"
+    types_after = (
+        f"len({seen}) + CASE WHEN list_contains({seen}, {x}) THEN 0"
+        " ELSE 1 END"
+    )
+    tok_after = "CAST(acc[1] AS BIGINT) + 1"
+    reset = (
+        f"{MTLD_TTR_DEN} * ({types_after})"
+        f" < {MTLD_TTR_NUM} * ({tok_after})"
+    )
+    step = (
+        f"CASE WHEN {x} IS NULL THEN acc"
+        f" WHEN {reset} THEN"
+        " [CAST(CAST(acc[2] AS BIGINT) + 1 AS VARCHAR), '0']"
+        " ELSE list_concat([CAST(acc[2] AS VARCHAR),"
+        f" CAST({tok_after} AS VARCHAR)],"
+        f" CASE WHEN list_contains({seen}, {x}) THEN {seen}"
+        f" ELSE list_append({seen}, {x}) END)"
+        " END"
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents
+      WHERE len({_TOKS_EXPR}) > 0
+    ),
+    mx AS (SELECT max(len(toks)) AS mxn FROM tk),
+    f AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_reduce(
+               list_prepend([\'0\', \'0\'],
+                 list_transform(
+                   list_resize(toks, (SELECT mxn FROM mx), NULL),
+                   v -> [v])),
+               (acc, xl) -> {step}) AS st
+      FROM tk
+    )
+    SELECT doc_id, n_tokens,
+           CAST(st[2] AS BIGINT) AS factors,
+           CAST(st[1] AS BIGINT) AS part_tokens,
+           CAST(len(st) - 2 AS BIGINT) AS part_types,
+           round(CAST(n_tokens AS DOUBLE) / (CAST(st[2] AS BIGINT)
+             + CASE WHEN CAST(st[1] AS BIGINT) > 0 THEN
+               CAST((CAST(st[1] AS BIGINT) - (len(st) - 2))
+                    * {MTLD_TTR_DEN} AS DOUBLE)
+               / (({MTLD_TTR_DEN} - {MTLD_TTR_NUM})
+                  * CAST(st[1] AS BIGINT))
+             ELSE CAST(0 AS DOUBLE) END), 6) AS mtld
+    FROM f ORDER BY doc_id
+"""
+
+
+EXTENDED_ORACLES["x5_mtld"] = _mtld_oracle_sql()
