@@ -20634,6 +20634,11 @@ def x3_nsw_search(spark, sf_dir):
             .withColumn("rn", F.row_number().over(wq))
             .where(F.col("rn") == 1)
             .selectExpr("qid", "qxi", "cand AS cur", "d AS dcur")
+            # per-hop lineage cut: the frontier frame is NQ rows, but
+            # each hop otherwise references the previous state twice
+            # (graph expansion + self as candidate), doubling the plan
+            # tree per hop — 2^HOPS subtree copies by the last hop.
+            .localCheckpoint(eager=False)
         )
     wex = Window.partitionBy("qid").orderBy("d", "cand")
     exact = (
