@@ -21193,3 +21193,149 @@ EXTENDED_ORACLES["x9_bitemporal_asof"] = f"""
     FROM pick WHERE rn = 1
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+def x8_binseg(spark, sf_dir):
+    """BINARY SEGMENTATION for MULTIPLE changepoints (Scott & Knott
+    1974, the standard recursion over the CUSUM locator): find the
+    level-1 split of each type's daily-revenue series, then re-run the
+    same argmax inside each half — three located shifts per type where
+    x8_cusum_changepoint stops at one.  Completes the changepoint arc:
+    offline single locator, online monitor (x7_stream_cusum), and now
+    the multi-change recursion.
+
+    Exactness: every statistic is the cross-multiplied BIGINT form
+    m*S_i - i*S_m over SEGMENT-LOCAL cumulative cents (no mean
+    subtraction, no doubles until the rendered segment means), argmax
+    ties break on the smaller index; segments shorter than 2 days
+    yield no row by construction (i < m).  Scale shape: one daily
+    aggregate, then per-(type, side) windows — the recursion level
+    only re-partitions the SAME bounded daily frame, never rescans
+    the corpus."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # types x days — bounded
+    )
+
+    def argmax_split(df, part_cols, seg_label):
+        w = Window.partitionBy(*part_cols).orderBy("day")
+        wt = Window.partitionBy(*part_cols)
+        cum = (
+            df.withColumn("i", F.row_number().over(w).cast("bigint"))
+            .withColumn("s", F.sum("v").over(w).cast("bigint"))
+            .withColumn("n", F.count(F.lit(1)).over(wt).cast("bigint"))
+            .withColumn("sn", F.sum("v").over(wt).cast("bigint"))
+            .where("i < n")
+            .selectExpr(
+                "event_type", "day", "i", "s", "n", "sn",
+                "abs(n * s - i * sn) AS stat",
+            )
+        )
+        wr = Window.partitionBy("event_type").orderBy(
+            F.col("stat").desc(), F.col("i")
+        )
+        return (
+            cum.withColumn("rk", F.row_number().over(wr))
+            .where("rk = 1")
+            .selectExpr(
+                "event_type",
+                f"'{seg_label}' AS seg",
+                "CAST(n AS BIGINT) AS seg_days",
+                "CAST(i AS BIGINT) AS cp_idx",
+                "CAST(day AS BIGINT) AS cp_day",
+                "CAST(stat AS BIGINT) AS stat",
+                "round(CAST(s AS DOUBLE) / i / 100, 6) AS mean_before",
+                "round(CAST(sn - s AS DOUBLE) / (n - i) / 100, 6)"
+                " AS mean_after",
+            )
+        )
+
+    full = argmax_split(daily, ["event_type"], "full")
+    sides = daily.join(
+        full.selectExpr("event_type", "cp_day AS cp1"), "event_type"
+    ).selectExpr(
+        "event_type",
+        "day",
+        "v",
+        "CASE WHEN day <= cp1 THEN 'left' ELSE 'right' END AS side",
+    )
+    lvl2 = None
+    for side in ("left", "right"):
+        part = argmax_split(
+            sides.where(F.col("side") == side).drop("side"),
+            ["event_type"],
+            side,
+        )
+        lvl2 = part if lvl2 is None else lvl2.unionByName(part)
+    return full.unionByName(lvl2).orderBy("event_type", "seg")
+
+
+EXTENDED_QUERIES["x8_binseg"] = x8_binseg
+
+
+def _binseg_oracle_sql() -> str:
+    def seg_sql(rel: str, label: str) -> str:
+        return f"""
+      SELECT event_type, '{label}' AS seg,
+             CAST(n AS BIGINT) AS seg_days,
+             CAST(i AS BIGINT) AS cp_idx,
+             CAST(day AS BIGINT) AS cp_day,
+             CAST(stat AS BIGINT) AS stat,
+             round(CAST(s AS DOUBLE) / i / 100, 6) AS mean_before,
+             round(CAST(sn - s AS DOUBLE) / (n - i) / 100, 6)
+               AS mean_after
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY stat DESC, i) AS rk
+        FROM (
+          SELECT event_type, day, i, s, n, sn,
+                 abs(n * s - i * sn) AS stat
+          FROM (
+            SELECT event_type, day,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY day) AS BIGINT) AS i,
+                   CAST(SUM(v) OVER (PARTITION BY event_type
+                        ORDER BY day) AS BIGINT) AS s,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n,
+                   CAST(SUM(v) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS sn
+            FROM {rel}) c
+          WHERE i < n) st) r
+      WHERE rk = 1"""
+
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    fseg AS MATERIALIZED ({seg_sql('daily', 'full')}),
+    sides AS MATERIALIZED (
+      SELECT d.event_type, d.day, d.v,
+             CASE WHEN d.day <= f.cp_day THEN 'left' ELSE 'right' END
+               AS side
+      FROM daily d JOIN fseg f USING (event_type)
+    ),
+    lf AS ({seg_sql("(SELECT event_type, day, v FROM sides WHERE side = 'left')", 'left')}),
+    rt AS ({seg_sql("(SELECT event_type, day, v FROM sides WHERE side = 'right')", 'right')})
+    SELECT * FROM fseg
+    UNION ALL SELECT * FROM lf
+    UNION ALL SELECT * FROM rt
+    ORDER BY event_type, seg
+"""
+
+
+EXTENDED_ORACLES["x8_binseg"] = _binseg_oracle_sql()
