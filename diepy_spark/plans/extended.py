@@ -21339,3 +21339,110 @@ def _binseg_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x8_binseg"] = _binseg_oracle_sql()
+
+
+PH_BITS = 60   # blockhash signature width (bit 63 would overflow signed BIGINT shifts)
+PH_HAM_MAX = 24  # near-dup pair threshold (bits differing)
+
+
+def x6_blockhash_near_dup(spark, sf_dir):
+    """PERCEPTUAL-HASH near-dup for media payloads — the blockhash /
+    aHash family (Yang et al. 2006): split each payload into PH_BITS
+    blocks, set bit j when block j's byte mass exceeds its pro-rata
+    share of the whole payload, and pair assets whose 64-bit
+    signatures differ in at most PH_HAM_MAX bits.  Catches the
+    re-encoded/lightly-edited copies exact md5 dedup (x6_media_dedup)
+    misses — with a real decoder the blocks are pixel tiles; the
+    byte-block stand-in keeps the signature, pairing, and Hamming
+    plumbing identical.
+
+    Exactness: each bit is the integer cross-multiplication
+    sum_block * n_bytes > total_sum * block_len (no division);
+    signatures pack into one BIGINT and the pair distance is
+    bit_count(xor) — all integer.  Scale shape: one payload pass per
+    asset for the signature (the index artifact), then pairing over
+    the signature table only — payloads never join."""
+    tune(spark)
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    p = M.with_binary_payload(d).selectExpr(
+        "doc_id", "CAST(payload AS STRING) AS s"
+    ).where(f"length(s) >= {PH_BITS}")  # >= 1 byte per block: an
+    # emptier payload has no meaningful blockhash (and Spark's
+    # sequence(lo, hi) DESCENDS when hi < lo while DuckDB's
+    # generate_series returns empty — the guard removes the case).
+    bsum = (
+        "aggregate(sequence(CAST({lo} AS INT), CAST({hi} AS INT)),"
+        " CAST(0 AS BIGINT), (acc, i) -> acc + ascii(substring(s, i, 1)))"
+    )
+    sig_terms = []
+    for j in range(PH_BITS):
+        lo = f"(CAST(length(s) AS BIGINT) * {j} div {PH_BITS}) + 1"
+        hi = f"CAST(length(s) AS BIGINT) * {j + 1} div {PH_BITS}"
+        blk = bsum.format(lo=lo, hi=hi)
+        blen = f"({hi}) - ({lo}) + 1"
+        bit = (
+            f"CASE WHEN ({blk}) * length(s) >"
+            f" tot * ({blen}) THEN CAST(1 AS BIGINT) ELSE 0 END"
+        )
+        sig_terms.append(f"shiftleft({bit}, {j})")
+    sig_expr = " + ".join(sig_terms)
+    tot = bsum.format(lo="1", hi="length(s)")
+    sigs = (
+        p.selectExpr("doc_id", "s", f"{tot} AS tot")
+        .selectExpr("doc_id", f"{sig_expr} AS sig")
+        .localCheckpoint(eager=False)  # the signature index artifact
+    )
+    a = sigs.selectExpr("doc_id AS da", "sig AS sa")
+    b = sigs.selectExpr("doc_id AS db", "sig AS sb")
+    return (
+        a.join(b, F.col("da") < F.col("db"))
+        .selectExpr(
+            "da", "db",
+            "CAST(bit_count(sa ^ sb) AS INT) AS hamming",
+        )
+        .where(f"hamming <= {PH_HAM_MAX}")
+        .orderBy("da", "db")
+    )
+
+
+EXTENDED_QUERIES["x6_blockhash_near_dup"] = x6_blockhash_near_dup
+
+
+def _blockhash_oracle_sql() -> str:
+    bsum = (
+        "list_sum(list_transform(generate_series(CAST({lo} AS BIGINT),"
+        " CAST({hi} AS BIGINT)), i -> ascii(substr(s, CAST(i AS INT), 1))))"
+    )
+    sig_terms = []
+    for j in range(PH_BITS):
+        lo = f"(CAST(length(s) AS BIGINT) * {j} // {PH_BITS}) + 1"
+        hi = f"CAST(length(s) AS BIGINT) * {j + 1} // {PH_BITS}"
+        blk = bsum.format(lo=lo, hi=hi)
+        blen = f"({hi}) - ({lo}) + 1"
+        bit = (
+            f"CASE WHEN ({blk}) * length(s) >"
+            f" tot * ({blen}) THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        sig_terms.append(f"(({bit}) << {j})")
+    sig_expr = " + ".join(sig_terms)
+    tot = bsum.format(lo="1", hi="length(s)")
+    return f"""
+    WITH p AS MATERIALIZED (
+      SELECT doc_id, text AS s FROM documents
+      WHERE doc_id < {MEDIA_DOC_MAX} AND length(text) >= {PH_BITS}
+    ),
+    tt AS MATERIALIZED (
+      SELECT doc_id, s, CAST({tot} AS BIGINT) AS tot FROM p
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, CAST({sig_expr} AS BIGINT) AS sig FROM tt
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {PH_HAM_MAX}
+    ORDER BY da, db
+"""
+
+
+EXTENDED_ORACLES["x6_blockhash_near_dup"] = _blockhash_oracle_sql()
