@@ -20407,8 +20407,6 @@ def x6_scene_cuts(spark, sf_dir):
     per asset and never cross assets — the window partitions by
     doc_id, so state is one frame row and the whole operator is
     embarrassingly parallel across assets."""
-    from pyspark.sql import Window
-
     tune(spark)
     d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
     fr = M.frame_sample(
@@ -20425,7 +20423,6 @@ def x6_scene_cuts(spark, sf_dir):
         " (acc, i) -> acc + ascii(substring(fs, i, 1)))"
         " * 1000000 div frame_len AS BIGINT) AS m6",
     )
-    w = Window.partitionBy("doc_id").orderBy("frame_idx")
     deltas = fr.withColumn(
         "d6", F.expr("abs(m6 - lag(m6) OVER (PARTITION BY doc_id"
                      " ORDER BY frame_idx))")
