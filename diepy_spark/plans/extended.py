@@ -21443,3 +21443,124 @@ def _blockhash_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x6_blockhash_near_dup"] = _blockhash_oracle_sql()
+
+
+# AUC probe: does the value separate purchases from views?
+AUC_POS = "purchase"
+AUC_NEG = "view"
+
+# Shared Hanley-McNeil SE text over (a = raw AUC double, n1, n2).
+_AUC_SE = (
+    "sqrt((a * (1 - a)"
+    " + (n1 - 1) * (a / (2 - a) - a * a)"
+    " + (n2 - 1) * (2 * a * a / (1 + a) - a * a))"
+    " / (CAST(n1 AS DOUBLE) * n2))"
+)
+
+
+def x8_auc(spark, sf_dir):
+    """ROC AUC of the event value separating {AUC_POS} from {AUC_NEG}
+    events, with the Hanley-McNeil (1982) standard error and 95% CI —
+    the threshold-free discrimination metric every scorer here
+    (quality score, LM perplexity, dedup priority) should report
+    before anyone picks a cutoff.  AUC == the Mann-Whitney U
+    probability P(score_pos > score_neg) with ties at 1/2.
+
+    Exactness: midrank sums are exact integers over the
+    distinct-cents histogram (2*R1 = sum g_pos * (2*cum_below +
+    g_total + 1) — no halves until the one rendered division); the SE
+    evaluates a shared formula text on three exact scalars.  Scale
+    shape: one map-side-combined histogram on cents (bounded by
+    distinct values), one ordered prefix-sum over that bounded frame,
+    a 1-row reduce."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.where(
+            f"value IS NOT NULL AND event_type IN ('{AUC_POS}', '{AUC_NEG}')"
+        )
+        .selectExpr(
+            "CAST(round(value * 100) AS BIGINT) AS c",
+            f"CAST(event_type = '{AUC_POS}' AS INT) AS pos",
+        )
+        .groupBy("c")
+        .agg(
+            F.expr("CAST(sum(pos) AS BIGINT)").alias("g1"),
+            F.expr("CAST(sum(1 - pos) AS BIGINT)").alias("g0"),
+        )
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "g1",
+        "g0",
+        F.coalesce(F.sum(F.col("g1") + F.col("g0")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    return (
+        ranked.agg(
+            F.expr("CAST(sum(g1) AS BIGINT)").alias("n1"),
+            F.expr("CAST(sum(g0) AS BIGINT)").alias("n2"),
+            F.expr(
+                "CAST(sum(g1 * (2 * below + g1 + g0 + 1)) AS BIGINT)"
+            ).alias("r1x2"),
+        )
+        .selectExpr(
+            "n1",
+            "n2",
+            "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)"
+            " / (2 * CAST(n1 AS DOUBLE) * n2) AS a",
+        )
+        .selectExpr(
+            "n1",
+            "n2",
+            "round(a, 6) AS auc",
+            f"round({_AUC_SE}, 6) AS se",
+            f"round(a - 1.96 * {_AUC_SE}, 6) AS ci_lo",
+            f"round(a + 1.96 * {_AUC_SE}, 6) AS ci_hi",
+        )
+    )
+
+
+EXTENDED_QUERIES["x8_auc"] = x8_auc
+
+EXTENDED_ORACLES["x8_auc"] = f"""
+    WITH hist AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN event_type = '{AUC_POS}' THEN 1 ELSE 0
+                      END) AS BIGINT) AS g1,
+             CAST(sum(CASE WHEN event_type = '{AUC_NEG}' THEN 1 ELSE 0
+                      END) AS BIGINT) AS g0
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('{AUC_POS}', '{AUC_NEG}')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT g1, g0,
+             CAST(coalesce(sum(g1 + g0) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n1,
+             CAST(sum(g0) AS BIGINT) AS n2,
+             CAST(sum(g1 * (2 * below + g1 + g0 + 1)) AS BIGINT) AS r1x2
+      FROM ranked
+    ),
+    araw AS (
+      SELECT n1, n2,
+             CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+               / (2 * CAST(n1 AS DOUBLE) * n2) AS a
+      FROM agg
+    )
+    SELECT n1, n2,
+           round(a, 6) AS auc,
+           round({_AUC_SE}, 6) AS se,
+           round(a - 1.96 * {_AUC_SE}, 6) AS ci_lo,
+           round(a + 1.96 * {_AUC_SE}, 6) AS ci_hi
+    FROM araw
+"""
