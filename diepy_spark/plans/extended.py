@@ -21564,3 +21564,135 @@ EXTENDED_ORACLES["x8_auc"] = f"""
            round(a + 1.96 * {_AUC_SE}, 6) AS ci_hi
     FROM araw
 """
+
+
+_SEPOCH_W = "sqrt(CAST(eff_tokens AS DOUBLE)) / z"
+
+
+def x10_soft_epoch(spark, sf_dir):
+    """DEDUP-AWARE epoch planning — the composition of x10_soft_dedup
+    and x10_epoch_plan a real run executes: plan the
+    EPOCH_BUDGET_MULT x budget over each source's EFFECTIVE
+    (1/cluster-size-weighted) token mass rather than its raw crawl
+    mass, so a source that is 10x duplicated no longer buys 10x the
+    epochs-weight (the raw plan's silent failure mode).  Reports the
+    dup discount (effective/raw) beside the plan so the delta vs
+    x10_epoch_plan is attributable per source.
+
+    Exactness: effective masses are the exact integer micro-unit sums
+    of x10_soft_dedup; the temperature-sqrt normalizer folds in
+    source order (the x10_epoch_plan text); floor/ceil/least are the
+    only renders.  Scale shape: reuses the persisted cluster-label
+    table + one corpus pass; everything after is source-bounded."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    cc = _cc_cached(spark, sf_dir)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    lab = cc.join(sizes, "cluster").select(
+        F.col("node").alias("doc_id"), "csize"
+    )
+    per = (
+        d.select("doc_id", "source",
+                 F.size(tokens_col_ref()).alias("toks"))
+        .join(lab, "doc_id", "left")
+        .selectExpr(
+            "source",
+            "toks",
+            "CAST(1000000000 div coalesce(csize, 1) AS BIGINT) AS w9",
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(sum(toks) AS BIGINT)").alias("raw_tokens"),
+            F.expr(
+                "greatest(CAST(sum(toks * w9) div 1000000000 AS BIGINT),"
+                " CAST(1 AS BIGINT))"
+            ).alias("eff_tokens"),
+        )
+        .localCheckpoint(eager=False)  # source-dimension-bounded
+    )
+    tot = per.agg(
+        F.expr("CAST(sum(eff_tokens) AS BIGINT)").alias("total"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, eff_tokens))),"
+            " CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + sqrt(CAST(x.eff_tokens AS DOUBLE)))"
+        ).alias("z"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source", "raw_tokens", "eff_tokens", "total",
+        f"{_SEPOCH_W} AS w_u",
+    )
+    return (
+        j.selectExpr(
+            "*",
+            f"CAST(floor(CAST({EPOCH_BUDGET_MULT} AS DOUBLE)"
+            " * CAST(total AS DOUBLE) * w_u) AS BIGINT)"
+            " AS desired_tokens",
+        )
+        .selectExpr(
+            "*",
+            "CAST(ceil(CAST(desired_tokens AS DOUBLE)"
+            " / CAST(eff_tokens AS DOUBLE)) AS BIGINT) AS epochs_need",
+        )
+        .selectExpr(
+            "source",
+            "raw_tokens",
+            "eff_tokens",
+            "round(CAST(eff_tokens AS DOUBLE) / raw_tokens, 6)"
+            " AS dup_discount",
+            "round(w_u, 6) AS weight",
+            "desired_tokens",
+            f"least(epochs_need, CAST({EPOCH_MAX} AS BIGINT)) AS epochs",
+            f"desired_tokens - least(desired_tokens,"
+            f" CAST({EPOCH_MAX} AS BIGINT) * eff_tokens) AS deficit",
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x10_soft_epoch"] = x10_soft_epoch
+
+EXTENDED_ORACLES["x10_soft_epoch"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    csizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1),
+    lab AS (SELECT c.node AS doc_id, s.csize
+            FROM comp c JOIN csizes s USING (cluster)),
+    per AS (
+      SELECT d.source,
+             CAST(sum(len({_TOKS_EXPR})) AS BIGINT) AS raw_tokens,
+             greatest(CAST(sum(len({_TOKS_EXPR})
+                  * (1000000000 // coalesce(l.csize, 1)))
+                  // 1000000000 AS BIGINT), CAST(1 AS BIGINT))
+               AS eff_tokens
+      FROM documents d LEFT JOIN lab l USING (doc_id)
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(eff_tokens) AS BIGINT) AS total,
+             CAST(list_sum(list(sqrt(CAST(eff_tokens AS DOUBLE))
+                  ORDER BY source)) AS DOUBLE) AS z
+      FROM per
+    ),
+    j AS (SELECT source, raw_tokens, eff_tokens, total,
+                 {_SEPOCH_W} AS w_u
+          FROM per, tot),
+    j2 AS (SELECT *,
+             CAST(floor(CAST({EPOCH_BUDGET_MULT} AS DOUBLE)
+                  * CAST(total AS DOUBLE) * w_u) AS BIGINT)
+               AS desired_tokens
+           FROM j),
+    j3 AS (SELECT *,
+             CAST(ceil(CAST(desired_tokens AS DOUBLE)
+                  / CAST(eff_tokens AS DOUBLE)) AS BIGINT)
+               AS epochs_need
+           FROM j2)
+    SELECT source, raw_tokens, eff_tokens,
+           round(CAST(eff_tokens AS DOUBLE) / raw_tokens, 6)
+             AS dup_discount,
+           round(w_u, 6) AS weight,
+           desired_tokens,
+           least(epochs_need, CAST({EPOCH_MAX} AS BIGINT)) AS epochs,
+           desired_tokens - least(desired_tokens,
+             CAST({EPOCH_MAX} AS BIGINT) * eff_tokens) AS deficit
+    FROM j3 ORDER BY source
+"""
