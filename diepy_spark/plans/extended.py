@@ -21696,3 +21696,174 @@ EXTENDED_ORACLES["x10_soft_epoch"] = f"""
              CAST({EPOCH_MAX} AS BIGINT) * eff_tokens) AS deficit
     FROM j3 ORDER BY source
 """
+
+
+def x3_pq_balanced(spark, sf_dir):
+    """VARIANCE-BALANCED PQ SUBSPACE ASSIGNMENT — the OPQ-lite upgrade
+    (Ge et al. 2013 motivate it; the full OPQ learns a rotation, the
+    cheap 80% is just not letting one subspace hoard all the
+    variance): rank dimensions by variance, deal them to the PQ_M
+    subspaces in snake order, and report per-subspace quantization
+    error against the naive contiguous split on the SAME codebook
+    discipline (codes = subvectors of the PQ_CODES smallest-id
+    vectors).  The improvement column is the storage-free accuracy
+    a deployment gets by permuting dims before encoding.
+
+    Exactness: per-dim variance is the cross-multiplied BIGINT
+    n*Sum(x^2) - Sum(x)^2 (no mean), snake rank ties break on dim
+    index, and every distance is exact integer squared L2; the
+    engines run the same join-based computation (corpus long form x
+    broadcast seed frame x broadcast dim-group map).  Scale shape:
+    one corpus-long-form pass per split, seeds and the dim map are
+    broadcast-sized, aggregates are map-side combined."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    q = quantize_vectors(_vecs(spark, sf_dir), scale=KM_SCALE)
+    u = q.select(
+        "vec_id", F.posexplode("xi").alias("i", "x")
+    ).localCheckpoint(eager=False)
+    sub = EMB_DIM // PQ_M
+    wv = Window.orderBy(F.desc("v2"), F.asc("i"))
+    dimmap = (
+        u.groupBy("i")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+            F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        )
+        .selectExpr("i", "n * sxx - sx * sx AS v2")
+        .withColumn("rk", F.row_number().over(wv))
+        .selectExpr(
+            "i",
+            f"CAST(CASE WHEN (rk - 1) % {2 * PQ_M} < {PQ_M}"
+            f" THEN (rk - 1) % {2 * PQ_M}"
+            f" ELSE {2 * PQ_M} - 1 - ((rk - 1) % {2 * PQ_M})"
+            " END AS INT) AS g_bal",
+            f"CAST(i div {sub} AS INT) AS g_naive",
+        )
+    )
+    seeds = (
+        u.join(
+            F.broadcast(
+                q.orderBy("vec_id").limit(PQ_CODES).select("vec_id")
+            ).withColumnRenamed("vec_id", "seed_id"),
+            u.vec_id == F.col("seed_id"),
+        )
+        .selectExpr("seed_id", "i AS si", "x AS c")
+    )
+
+    def sse_for(gcol):
+        d = (
+            u.join(F.broadcast(dimmap), "i")
+            .join(
+                F.broadcast(seeds),
+                F.col("i") == F.col("si"),
+            )
+            .selectExpr(
+                "vec_id", "seed_id", f"{gcol} AS g",
+                "(x - c) * (x - c) AS e",
+            )
+            .groupBy("vec_id", "seed_id", "g")
+            .agg(F.expr("CAST(sum(e) AS BIGINT)").alias("d2"))
+        )
+        return (
+            d.groupBy("vec_id", "g")
+            .agg(F.min("d2").alias("best"))
+            .groupBy("g")
+            .agg(F.expr("CAST(sum(best) AS BIGINT)").alias("sse"))
+        )
+
+    bal = sse_for("g_bal").selectExpr("g", "sse AS sse_bal")
+    nai = sse_for("g_naive").selectExpr("g", "sse AS sse_naive")
+    tot = (
+        bal.agg(F.expr("CAST(sum(sse_bal) AS BIGINT)").alias("tb"))
+        .crossJoin(
+            nai.agg(
+                F.expr("CAST(sum(sse_naive) AS BIGINT)").alias("tn")
+            )
+        )
+        .selectExpr(
+            "tb AS total_bal",
+            "tn AS total_naive",
+            "round(1 - CAST(tb AS DOUBLE) / tn, 6) AS improvement",
+        )
+    )
+    return (
+        bal.join(nai, "g")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(g AS INT) AS s", "sse_bal", "sse_naive",
+            "total_bal", "total_naive", "improvement",
+        )
+        .orderBy("s")
+    )
+
+
+EXTENDED_QUERIES["x3_pq_balanced"] = x3_pq_balanced
+
+EXTENDED_ORACLES["x3_pq_balanced"] = f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x,
+             CAST(i - 1 AS INT) AS i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    dimmap AS MATERIALIZED (
+      SELECT i,
+             CAST(CASE WHEN (rk - 1) % {2 * PQ_M} < {PQ_M}
+                  THEN (rk - 1) % {2 * PQ_M}
+                  ELSE {2 * PQ_M} - 1 - ((rk - 1) % {2 * PQ_M})
+                  END AS INT) AS g_bal,
+             CAST(i // {EMB_DIM // PQ_M} AS INT) AS g_naive
+      FROM (
+        SELECT i, ROW_NUMBER() OVER (ORDER BY v2 DESC, i) AS rk
+        FROM (SELECT i, count(*) * sum(x * x) - sum(x) * sum(x) AS v2
+              FROM u GROUP BY i) v) r
+    ),
+    seeds AS MATERIALIZED (
+      SELECT u.vec_id AS seed_id, u.i AS si, u.x AS c
+      FROM u JOIN (SELECT DISTINCT vec_id FROM u
+                   ORDER BY vec_id LIMIT {PQ_CODES}) s
+        ON s.vec_id = u.vec_id
+    ),
+    db AS MATERIALIZED (
+      SELECT u.vec_id, se.seed_id, m.g_bal, m.g_naive,
+             CAST(sum((u.x - se.c) * (u.x - se.c)) AS BIGINT) AS d2
+      FROM u JOIN dimmap m ON m.i = u.i
+      JOIN seeds se ON se.si = u.i
+      GROUP BY 1, 2, 3, 4
+    ),
+    bal AS (
+      SELECT g_bal AS g, CAST(sum(best) AS BIGINT) AS sse_bal
+      FROM (SELECT vec_id, g_bal, min(d2) AS best
+            FROM (SELECT vec_id, seed_id, g_bal,
+                         CAST(sum(d2) AS BIGINT) AS d2
+                  FROM db GROUP BY 1, 2, 3) x GROUP BY 1, 2) y
+      GROUP BY 1
+    ),
+    nai AS (
+      SELECT g_naive AS g, CAST(sum(best) AS BIGINT) AS sse_naive
+      FROM (SELECT vec_id, g_naive, min(d2) AS best
+            FROM (SELECT vec_id, seed_id, g_naive,
+                         CAST(sum(d2) AS BIGINT) AS d2
+                  FROM db GROUP BY 1, 2, 3) x GROUP BY 1, 2) y
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(sse_bal) AS BIGINT) FROM bal)
+               AS total_bal,
+             (SELECT CAST(sum(sse_naive) AS BIGINT) FROM nai)
+               AS total_naive
+    )
+    SELECT CAST(b.g AS INT) AS s, b.sse_bal, n.sse_naive,
+           t.total_bal, t.total_naive,
+           round(1 - CAST(t.total_bal AS DOUBLE) / t.total_naive, 6)
+             AS improvement
+    FROM bal b JOIN nai n ON n.g = b.g CROSS JOIN tot t
+    ORDER BY s
+"""
