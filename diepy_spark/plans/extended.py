@@ -21867,3 +21867,252 @@ EXTENDED_ORACLES["x3_pq_balanced"] = f"""
     FROM bal b JOIN nai n ON n.g = b.g CROSS JOIN tot t
     ORDER BY s
 """
+
+
+TOMB_MOD = 7  # tombstoned corpus ids: vec_id % TOMB_MOD == 0
+
+
+def x3_tombstone_search(spark, sf_dir):
+    """DELETION-AWARE vector search — the vector-DB correctness trap:
+    with a tombstone set (deleted/taken-down embeddings), POST-filter
+    (rank top-k, then drop deleted) silently returns FEWER than k
+    results, while PRE-filter (prune candidates, then rank) keeps the
+    contract.  Per query: how many of the naive top-k survive the
+    tombstone filter vs the guaranteed k of the pre-filtered ranking,
+    and the rank inflation of the k-th correct result — the audit a
+    takedown pipeline (x9_takedown) runs against its ANN index after
+    every erasure batch.
+
+    Exactness: both rankings are exact integer squared-L2 with
+    (distance, id) tie-breaks; the report is integer counts.  Scale
+    shape: two per-query top-k windows over one shared scored frame
+    — the tombstone set applies as a predicate, not a join."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    from diepy_spark.operators.clustering import quantize_vectors
+
+    v = _vecs(spark, sf_dir)
+    q = quantize_vectors(
+        v.where(F.col("vec_id") < TOPK_QUERY_MAX), scale=KM_SCALE
+    ).selectExpr("vec_id AS qid", "xi AS qxi")
+    c = quantize_vectors(
+        v.where(F.col("vec_id") >= TOPK_QUERY_MAX), scale=KM_SCALE
+    ).selectExpr(
+        "vec_id AS cid",
+        "xi AS cxi",
+        f"CAST(vec_id % {TOMB_MOD} = 0 AS INT) AS dead",
+    )
+    scored = q.crossJoin(c).selectExpr(
+        "qid", "cid", "dead", f"{_nsw_dist('qxi', 'cxi')} AS d"
+    ).localCheckpoint(eager=False)
+    wq = Window.partitionBy("qid").orderBy("d", "cid")
+    naive = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= TOPK_K)
+        .groupBy("qid")
+        .agg(
+            F.expr("CAST(sum(1 - dead) AS BIGINT)").alias("naive_alive")
+        )
+    )
+    pre = (
+        scored.where("dead = 0")
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= TOPK_K)
+        .groupBy("qid")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("pre_k"),
+            F.expr("CAST(max(d) AS BIGINT)").alias("pre_kth_d"),
+        )
+    )
+    return (
+        naive.join(pre, "qid")
+        .selectExpr(
+            "qid",
+            f"CAST({TOPK_K} AS INT) AS k",
+            "naive_alive",
+            f"CAST({TOPK_K} AS BIGINT) - naive_alive AS shortfall",
+            "pre_k",
+            "pre_kth_d",
+        )
+        .orderBy("qid")
+    )
+
+
+EXTENDED_QUERIES["x3_tombstone_search"] = x3_tombstone_search
+
+EXTENDED_ORACLES["x3_tombstone_search"] = f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    scored AS MATERIALIZED (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             CAST(CASE WHEN b.vec_id % {TOMB_MOD} = 0 THEN 1 ELSE 0 END
+                  AS INT) AS dead,
+             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
+      FROM u a JOIN u b ON b.i = a.i
+      WHERE a.vec_id < {TOPK_QUERY_MAX}
+        AND b.vec_id >= {TOPK_QUERY_MAX}
+      GROUP BY 1, 2, 3
+    ),
+    naive AS (
+      SELECT qid, CAST(sum(1 - dead) AS BIGINT) AS naive_alive
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY d, cid) AS rk FROM scored) r
+      WHERE rk <= {TOPK_K} GROUP BY qid
+    ),
+    pre AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS pre_k,
+             CAST(max(d) AS BIGINT) AS pre_kth_d
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY d, cid) AS rk FROM scored WHERE dead = 0) r
+      WHERE rk <= {TOPK_K} GROUP BY qid
+    )
+    SELECT n.qid, CAST({TOPK_K} AS INT) AS k, n.naive_alive,
+           CAST({TOPK_K} AS BIGINT) - n.naive_alive AS shortfall,
+           p.pre_k, p.pre_kth_d
+    FROM naive n JOIN pre p ON p.qid = n.qid
+    ORDER BY n.qid
+"""
+
+
+# Expectation thresholds (scaled-integer comparisons; see docstring).
+DQX_NULL_PPM = 200_000      # value null rate below 20%
+DQX_MIN_CENTS = 0           # event value non-negative
+DQX_QTY_MAX = 50 * 100      # lineitem quantity <= 50.00
+
+
+def x12_dq_expectations(spark, sf_dir):
+    """EXPECTATION SUITE — the Great-Expectations-style assertion gate
+    a pipeline runs before publishing a batch (x12_dq_profile
+    describes the data; this query JUDGES it): a fixed rule list over
+    three tables, each row one rule with its observed value, its
+    threshold, and an integer pass flag.  A scheduler blocks the
+    publish when any pass = 0 — the declarative form of t7's
+    write-audit-publish gate.
+
+    Exactness: every rule evaluates as an integer comparison —
+    rates are cross-multiplied (nulls * 1e6 vs threshold * rows),
+    bounds are exact cents, uniqueness is count = count(distinct).
+    Scale shape: one aggregate per table (map-side combined), a
+    6-row union — no joins wider than the rule list."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = _docs(spark, sf_dir)
+    e1 = ev.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("nnull"),
+        F.expr(
+            "CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("minc"),
+        F.expr("CAST(count(DISTINCT event_id) AS BIGINT)").alias("du"),
+    ).selectExpr(
+        f"""stack(3,
+          'events.value_null_rate_lt_20pct',
+          nnull * 1000000, n * {DQX_NULL_PPM},
+          CAST(nnull * 1000000 <= n * {DQX_NULL_PPM} AS INT),
+          'events.value_non_negative',
+          minc, CAST({DQX_MIN_CENTS} AS BIGINT),
+          CAST(minc >= {DQX_MIN_CENTS} AS INT),
+          'events.event_id_unique',
+          du, n, CAST(du = n AS INT)
+        ) AS (rule, observed, threshold, pass)"""
+    )
+    e2 = li.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(max(CAST(round(l_quantity * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("maxq"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("nnull"),
+    ).selectExpr(
+        f"""stack(2,
+          'lineitem.quantity_le_50',
+          maxq, CAST({DQX_QTY_MAX} AS BIGINT),
+          CAST(maxq <= {DQX_QTY_MAX} AS INT),
+          'lineitem.shipdate_never_null',
+          nnull, CAST(0 AS BIGINT), CAST(nnull = 0 AS INT)
+        ) AS (rule, observed, threshold, pass)"""
+    )
+    e3 = d.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(count(DISTINCT doc_id) AS BIGINT)").alias("du"),
+    ).selectExpr(
+        """stack(1,
+          'documents.doc_id_unique',
+          du, n, CAST(du = n AS INT)
+        ) AS (rule, observed, threshold, pass)"""
+    )
+    return e1.unionByName(e2).unionByName(e3).orderBy("rule")
+
+
+EXTENDED_QUERIES["x12_dq_expectations"] = x12_dq_expectations
+
+EXTENDED_ORACLES["x12_dq_expectations"] = f"""
+    WITH ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nnull,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS minc,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS du
+      FROM events
+    ),
+    li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS maxq,
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nnull
+      FROM lineitem
+    ),
+    dc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS du
+      FROM documents
+    ),
+    rules AS (
+      SELECT 'events.value_null_rate_lt_20pct' AS rule,
+             nnull * 1000000 AS observed,
+             n * {DQX_NULL_PPM} AS threshold,
+             CAST(CASE WHEN nnull * 1000000 <= n * {DQX_NULL_PPM}
+                  THEN 1 ELSE 0 END AS INT) AS pass
+      FROM ev
+      UNION ALL
+      SELECT 'events.value_non_negative', minc,
+             CAST({DQX_MIN_CENTS} AS BIGINT),
+             CAST(CASE WHEN minc >= {DQX_MIN_CENTS} THEN 1 ELSE 0 END
+                  AS INT)
+      FROM ev
+      UNION ALL
+      SELECT 'events.event_id_unique', du, n,
+             CAST(CASE WHEN du = n THEN 1 ELSE 0 END AS INT)
+      FROM ev
+      UNION ALL
+      SELECT 'lineitem.quantity_le_50', maxq,
+             CAST({DQX_QTY_MAX} AS BIGINT),
+             CAST(CASE WHEN maxq <= {DQX_QTY_MAX} THEN 1 ELSE 0 END
+                  AS INT)
+      FROM li
+      UNION ALL
+      SELECT 'lineitem.shipdate_never_null', nnull, CAST(0 AS BIGINT),
+             CAST(CASE WHEN nnull = 0 THEN 1 ELSE 0 END AS INT)
+      FROM li
+      UNION ALL
+      SELECT 'documents.doc_id_unique', du, n,
+             CAST(CASE WHEN du = n THEN 1 ELSE 0 END AS INT)
+      FROM dc
+    )
+    SELECT rule, observed, threshold, pass FROM rules ORDER BY rule
+"""
