@@ -22116,3 +22116,216 @@ EXTENDED_ORACLES["x12_dq_expectations"] = f"""
     )
     SELECT rule, observed, threshold, pass FROM rules ORDER BY rule
 """
+
+
+def x12_lateness_profile(spark, sf_dir):
+    """OUT-OF-ORDERNESS PROFILE — the instrument that SIZES THE
+    WATERMARK: in arrival order (event_id), how far behind the
+    running event-time high-water mark does each event land?  The
+    streaming queries here fix WATERMARK at 10 minutes; this report
+    derives what the data actually needs — n events, how many arrive
+    late at all, the worst and the exact p99 lateness, and the
+    minutes-granularity watermark that would keep 99% of events
+    inside the window (late beyond it = the x7_stream_late_audit
+    drop metric).
+
+    Exactness: lateness is BIGINT micros (running max via an
+    arrival-ordered window), the p99 is the exact order statistic at
+    ceil(0.99 n) by (lateness, event_id) rank, and the suggested
+    watermark is integer ceil-to-minutes.  Scale shape: one
+    per-type arrival-ordered window (types partition the work), one
+    rank pick, one aggregate."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy("event_type").orderBy("event_id")
+    late = (
+        ev.selectExpr(
+            "event_type",
+            "event_id",
+            "unix_micros(cast(ts as timestamp)) AS us",
+        )
+        .withColumn(
+            "late_us",
+            F.expr(
+                "greatest(max(us) OVER (PARTITION BY event_type"
+                " ORDER BY event_id) - us, CAST(0 AS BIGINT))"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("late_us"), F.col("event_id")
+    )
+    ranked = late.withColumn("rk", F.row_number().over(wr))
+    stats = late.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_late"),
+        F.expr("CAST(max(late_us) AS BIGINT)").alias("max_late_us"),
+    )
+    p99 = (
+        ranked.join(
+            stats.selectExpr(
+                "event_type", "CAST(ceil(n * 99 / 100) AS BIGINT)"
+                " AS rk99"
+            ),
+            "event_type",
+        )
+        .where("rk = rk99")
+        .selectExpr("event_type", "late_us AS p99_late_us")
+    )
+    return (
+        stats.join(p99, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            "n_late",
+            "max_late_us",
+            "p99_late_us",
+            "CAST(ceil(CAST(p99_late_us AS DOUBLE) / 60000000)"
+            " AS BIGINT) AS watermark_minutes",
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENDED_QUERIES["x12_lateness_profile"] = x12_lateness_profile
+
+EXTENDED_ORACLES["x12_lateness_profile"] = """
+    WITH late AS (
+      SELECT event_type, event_id,
+             greatest(CAST(max(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY event_type ORDER BY event_id)
+                 - epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT),
+                 CAST(0 AS BIGINT)) AS late_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, late_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY late_us, event_id) AS rk
+      FROM late
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+             CAST(max(late_us) AS BIGINT) AS max_late_us
+      FROM late GROUP BY 1
+    ),
+    p99 AS (
+      SELECT r.event_type, CAST(r.late_us AS BIGINT) AS p99_late_us
+      FROM ranked r JOIN stats s ON s.event_type = r.event_type
+      WHERE r.rk = CAST(ceil(s.n * 99 / 100) AS BIGINT)
+    )
+    SELECT s.event_type, s.n, s.n_late, s.max_late_us, p.p99_late_us,
+           CAST(ceil(CAST(p.p99_late_us AS DOUBLE) / 60000000)
+                AS BIGINT) AS watermark_minutes
+    FROM stats s JOIN p99 p ON p.event_type = s.event_type
+    ORDER BY s.event_type
+"""
+
+
+def x5_oov_rate(spark, sf_dir):
+    """OUT-OF-VOCABULARY RATE across the standard 80/10/10 hash split —
+    the tokenizer-facing sibling of the n-gram contamination check: of
+    the held-out splits' tokens (and distinct types), what fraction
+    never appears in the train split?  High token-OOV means the
+    train-derived vocabulary (x5_vocab, the BPE/unigram trainers, the
+    DSIR histograms) will hit UNK on held-out text; the type-OOV rate
+    separates a long-tail problem from a systematic one.
+
+    Exactness: vocabulary membership is an exact left-anti semantics
+    (left join + NULL test) on the train type table; rates are
+    integer ratios rendered once.  Scale shape: one pass to the
+    (split, token) counts with map-side combine, one
+    vocabulary-bounded join — never a corpus-sized shuffle on the
+    raw stream."""
+    from diepy_spark.operators.sampling import hash_split
+
+    tune(spark)
+    d = hash_split(
+        _docs(spark, sf_dir), "doc_id", XSPLIT_WEIGHTS, seed=XSPLIT_SEED
+    )
+    tok = (
+        d.select("split", F.explode(tokens_col_ref()).alias("tok"))
+        .groupBy("split", "tok")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("c"))
+        .localCheckpoint(eager=False)  # (split, type)-bounded
+    )
+    train = tok.where("split = 'train'").select("tok").distinct()
+    held = (
+        tok.where("split <> 'train'")
+        .join(
+            train.withColumn("in_train", F.lit(1)), "tok", "left"
+        )
+    )
+    return (
+        held.groupBy("split")
+        .agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN in_train IS NULL THEN c ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("oov_tokens"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("types"),
+            F.expr(
+                "CAST(sum(CASE WHEN in_train IS NULL THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("oov_types"),
+        )
+        .selectExpr(
+            "split",
+            "tokens",
+            "oov_tokens",
+            "types",
+            "oov_types",
+            "round(CAST(oov_tokens AS DOUBLE) / tokens, 6)"
+            " AS oov_token_rate",
+            "round(CAST(oov_types AS DOUBLE) / types, 6)"
+            " AS oov_type_rate",
+        )
+        .orderBy("split")
+    )
+
+
+EXTENDED_QUERIES["x5_oov_rate"] = x5_oov_rate
+
+EXTENDED_ORACLES["x5_oov_rate"] = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_EXPR} AS toks, {_XSPLIT_CASE} AS split
+      FROM documents
+    ),
+    tok AS (
+      SELECT split, t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM s, LATERAL (SELECT unnest(toks) AS tok) t
+      GROUP BY 1, 2
+    ),
+    train AS (SELECT DISTINCT tok FROM tok WHERE split = 'train'),
+    held AS (
+      SELECT k.split, k.tok, k.c,
+             CASE WHEN tr.tok IS NULL THEN NULL ELSE 1 END AS in_train
+      FROM tok k LEFT JOIN train tr ON tr.tok = k.tok
+      WHERE k.split <> 'train'
+    ),
+    agg AS (
+      SELECT split,
+             CAST(sum(c) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN in_train IS NULL THEN c ELSE 0 END)
+                  AS BIGINT) AS oov_tokens,
+             CAST(count(*) AS BIGINT) AS types,
+             CAST(sum(CASE WHEN in_train IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS oov_types
+      FROM held GROUP BY 1
+    )
+    SELECT split, tokens, oov_tokens, types, oov_types,
+           round(CAST(oov_tokens AS DOUBLE) / tokens, 6)
+             AS oov_token_rate,
+           round(CAST(oov_types AS DOUBLE) / types, 6) AS oov_type_rate
+    FROM agg ORDER BY split
+"""
