@@ -22329,3 +22329,142 @@ EXTENDED_ORACLES["x5_oov_rate"] = f"""
            round(CAST(oov_types AS DOUBLE) / types, 6) AS oov_type_rate
     FROM agg ORDER BY split
 """
+
+
+def x8_control_chart(spark, sf_dir):
+    """SHEWHART INDIVIDUALS CONTROL CHART over daily revenue per event
+    type — the SPC companion of the CUSUM pair (CUSUM catches small
+    persistent drifts; the Shewhart 3-sigma rule catches single large
+    shocks): center line = mean of daily totals, sigma estimated from
+    the mean MOVING RANGE (the standard individuals-chart estimator,
+    mR-bar / d2 with d2 = 1.128), limits at +-3 sigma, and the
+    violation count per type plus the worst day.
+
+    Exactness: daily totals are integer cents; the moving range is a
+    BIGINT lag difference; mean/sigma/limits evaluate one shared
+    formula text over three exact scalars, and violations compare
+    cents * n against integer cross-multiplied limits where possible
+    (the rendered limits divide once).  Scale shape: one daily
+    aggregate, one per-type lag window, one reduce."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_DIV} AS day",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.withColumn(
+        "mr", F.expr("abs(v - lag(v) OVER (PARTITION BY event_type"
+                     " ORDER BY day))")
+    )
+    stats = mr.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_days"),
+        F.expr("CAST(sum(v) AS BIGINT)").alias("sv"),
+        F.expr("CAST(sum(mr) AS BIGINT)").alias("smr"),
+        F.expr("CAST(count(mr) AS BIGINT)").alias("nmr"),
+    ).localCheckpoint(eager=False)
+    lim = stats.selectExpr(
+        "event_type",
+        "n_days",
+        "CAST(sv AS DOUBLE) / n_days AS cl",
+        "3 * (CAST(smr AS DOUBLE) / nmr) / 1.128 AS band",
+    )
+    scored = mr.join(lim, "event_type").selectExpr(
+        "event_type",
+        "day",
+        "CAST(CASE WHEN CAST(v AS DOUBLE) > cl + band"
+        " OR CAST(v AS DOUBLE) < cl - band THEN 1 ELSE 0 END"
+        " AS INT) AS out",
+        "abs(CAST(v AS DOUBLE) - cl) AS dev",
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.desc("dev"), F.asc("day")
+    )
+    viol = (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(sum(out) AS BIGINT)").alias("n_violations"),
+            F.expr(
+                "CAST(max(CASE WHEN rn = 1 THEN day END) AS BIGINT)"
+            ).alias("worst_day"),
+        )
+    )
+    return (
+        lim.join(viol, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "round(cl / 100, 6) AS center",
+            "round((cl - band) / 100, 6) AS lcl",
+            "round((cl + band) / 100, 6) AS ucl",
+            "n_violations",
+            "worst_day",
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENDED_QUERIES["x8_control_chart"] = x8_control_chart
+
+EXTENDED_ORACLES["x8_control_chart"] = f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_DIV} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT event_type, day, v,
+             abs(v - lag(v) OVER (PARTITION BY event_type
+                 ORDER BY day)) AS mr
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(mr) AS BIGINT) AS smr,
+             CAST(count(mr) AS BIGINT) AS nmr
+      FROM mr GROUP BY 1
+    ),
+    lim AS (
+      SELECT event_type, n_days,
+             CAST(sv AS DOUBLE) / n_days AS cl,
+             3 * (CAST(smr AS DOUBLE) / nmr) / 1.128 AS band
+      FROM stats
+    ),
+    scored AS (
+      SELECT m.event_type, m.day,
+             CAST(CASE WHEN CAST(m.v AS DOUBLE) > l.cl + l.band
+                  OR CAST(m.v AS DOUBLE) < l.cl - l.band
+                  THEN 1 ELSE 0 END AS INT) AS outb,
+             abs(CAST(m.v AS DOUBLE) - l.cl) AS dev
+      FROM mr m JOIN lim l ON l.event_type = m.event_type
+    ),
+    viol AS (
+      SELECT event_type,
+             CAST(sum(outb) AS BIGINT) AS n_violations,
+             CAST(max(CASE WHEN rn = 1 THEN day END) AS BIGINT)
+               AS worst_day
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY dev DESC, day) AS rn FROM scored) r
+      GROUP BY 1
+    )
+    SELECT l.event_type, l.n_days,
+           round(l.cl / 100, 6) AS center,
+           round((l.cl - l.band) / 100, 6) AS lcl,
+           round((l.cl + l.band) / 100, 6) AS ucl,
+           v.n_violations, v.worst_day
+    FROM lim l JOIN viol v ON v.event_type = l.event_type
+    ORDER BY l.event_type
+"""
