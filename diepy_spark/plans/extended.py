@@ -22468,3 +22468,193 @@ EXTENDED_ORACLES["x8_control_chart"] = f"""
     FROM lim l JOIN viol v ON v.event_type = l.event_type
     ORDER BY l.event_type
 """
+
+
+def x2_containment_est(spark, sf_dir):
+    """SKETCH-BASED CONTAINMENT estimation — the asymmetric companion
+    of x2_minhash_est: from each verified pair's MinHash Jaccard
+    estimate and the EXACT shingle-set sizes (stored per doc by any
+    dedup index), recover containment C(A->B) = |A∩B| / |A| through
+    the identity I = J(|A|+|B|)/(1+J) — the "is A an excerpt of B"
+    score at sketch cost, reported next to the exact containment so
+    the estimator's error is measurable (the x2_minhash_est
+    calibration discipline, asymmetric version).
+
+    Exactness: set sizes are exact distinct-shingle counts, the
+    estimate divides once per rendered column; the exact containment
+    reuses the verified intersection.  Scale shape: the pair list is
+    the shared cached LSH table; sizes join by doc id — no new
+    pairwise work."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, LSH_NUM_HASHES)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    a = sigs.select(
+        F.col("d").alias("da"),
+        *[F.col(f"mh{h}").alias(f"a{h}") for h in range(LSH_NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("d").alias("db"),
+        *[F.col(f"mh{h}").alias(f"b{h}") for h in range(LSH_NUM_HASHES)],
+    )
+    agree = " + ".join(
+        f"CAST(a{h} = b{h} AS INT)" for h in range(LSH_NUM_HASHES)
+    )
+    sz = D.shingle_frame(d, 2).selectExpr(
+        "d", "size(sh_arr) AS nsh"
+    )
+    H = LSH_NUM_HASHES
+    return (
+        pairs.join(a, "da")
+        .join(b, "db")
+        .selectExpr("da", "db", "jac", f"({agree}) AS ag")
+        .join(sz.selectExpr("d AS da", "nsh AS na"), "da")
+        .join(sz.selectExpr("d AS db", "nsh AS nb"), "db")
+        .selectExpr(
+            "da",
+            "db",
+            "na",
+            "nb",
+            "jac",
+            # exact |A ∩ B| from the exact jaccard: I = J(na+nb)/(1+J)
+            "round(jac * (na + nb) / (1 + jac) / na, 6)"
+            " AS cont_exact",
+            f"round((CAST(ag AS DOUBLE) / {H}) * (na + nb)"
+            f" / (1 + CAST(ag AS DOUBLE) / {H}) / na, 6) AS cont_est",
+        )
+        .orderBy("da", "db")
+    )
+
+
+EXTENDED_QUERIES["x2_containment_est"] = x2_containment_est
+
+
+def _containment_est_oracle_sql() -> str:
+    H = LSH_NUM_HASHES
+    return f"""
+    WITH {_JACCARD_CTES},
+    sig AS (SELECT d, {_minhash_cols(LSH_NUM_HASHES)} FROM sh GROUP BY d),
+    bands AS ({_bands_union(LSH_NUM_HASHES, LSH_BAND_SIZE)}),
+    cand AS (
+      SELECT DISTINCT x.d AS da, y.d AS db
+      FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.d < y.d
+    ),
+    p AS (
+      SELECT c.da, c.db, j.jac FROM cand c JOIN jacs j ON j.da = c.da AND j.db = c.db
+      WHERE j.jac >= {LSH_THRESHOLD}
+    ),
+    sz AS (SELECT d, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY d)
+    SELECT p.da, p.db,
+           CAST(za.nsh AS INT) AS na, CAST(zb.nsh AS INT) AS nb,
+           p.jac,
+           round(p.jac * (za.nsh + zb.nsh) / (1 + p.jac) / za.nsh, 6)
+             AS cont_exact,
+           round((CAST(({_MH_AGREE}) AS DOUBLE) / {H})
+                 * (za.nsh + zb.nsh)
+                 / (1 + CAST(({_MH_AGREE}) AS DOUBLE) / {H}) / za.nsh, 6)
+             AS cont_est
+    FROM p JOIN sig sa ON sa.d = p.da JOIN sig sb ON sb.d = p.db
+    JOIN sz za ON za.d = p.da JOIN sz zb ON zb.d = p.db
+    ORDER BY p.da, p.db
+"""
+
+
+EXTENDED_ORACLES["x2_containment_est"] = _containment_est_oracle_sql()
+
+
+def x1_dedup_manifest(spark, sf_dir):
+    """THE DEDUP MANIFEST — the per-document verdict file a dedup
+    pipeline actually writes (and an auditor later replays): for every
+    doc, keep or drop, WHICH tier caught it (byte-exact md5 >
+    normalized-text md5 > near-dup cluster, first match wins), and the
+    canonical keeper it defers to.  Composes the three declared tiers
+    into the one artifact downstream loaders consume — x10_clean_corpus
+    applies this decision inline; this query MATERIALIZES it with the
+    reason column compliance asks for.
+
+    Exactness: each tier's keeper is a min-aggregate on its md5/label
+    key (32-byte shuffle keys, never documents); tier priority is one
+    CASE over three left-joined keepers.  Scale shape: two hash
+    aggregates + the persisted cluster-label table, three keeper joins
+    by key — corpus passes: exactly two."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    ex = (
+        d.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("ex_keep"))
+    )
+    exj = d.select(
+        "doc_id", F.md5("text").alias("_fp")
+    ).join(ex, "_fp").select("doc_id", "ex_keep")
+    nrm_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+    nr = (
+        d.groupBy(nrm_key.alias("_fp"))
+        .agg(F.min("doc_id").alias("nr_keep"))
+    )
+    nrj = d.select("doc_id", nrm_key.alias("_fp")).join(nr, "_fp").select(
+        "doc_id", "nr_keep"
+    )
+    cc = _cc_cached(spark, sf_dir).selectExpr(
+        "node AS doc_id", "cluster AS nd_keep"
+    )
+    return (
+        d.select("doc_id")
+        .join(exj, "doc_id")
+        .join(nrj, "doc_id")
+        .join(cc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN ex_keep <> doc_id THEN 'exact'"
+            " WHEN nr_keep <> doc_id THEN 'norm'"
+            " WHEN nd_keep IS NOT NULL AND nd_keep <> doc_id"
+            " THEN 'near' ELSE 'keep' END AS reason",
+            "CASE WHEN ex_keep <> doc_id THEN ex_keep"
+            " WHEN nr_keep <> doc_id THEN nr_keep"
+            " WHEN nd_keep IS NOT NULL AND nd_keep <> doc_id"
+            " THEN nd_keep ELSE doc_id END AS keeper",
+            "CAST(CASE WHEN ex_keep <> doc_id OR nr_keep <> doc_id"
+            " OR (nd_keep IS NOT NULL AND nd_keep <> doc_id)"
+            " THEN 0 ELSE 1 END AS INT) AS kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTENDED_QUERIES["x1_dedup_manifest"] = x1_dedup_manifest
+
+EXTENDED_ORACLES["x1_dedup_manifest"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    exk AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
+      FROM documents
+    ),
+    nrk AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')))) AS nr_keep
+      FROM documents
+    ),
+    j AS (
+      SELECT d.doc_id, e.ex_keep, n.nr_keep, c.cluster AS nd_keep
+      FROM documents d
+      JOIN exk e ON e.doc_id = d.doc_id
+      JOIN nrk n ON n.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN ex_keep <> doc_id THEN 'exact'
+                WHEN nr_keep <> doc_id THEN 'norm'
+                WHEN nd_keep IS NOT NULL AND nd_keep <> doc_id
+                  THEN 'near' ELSE 'keep' END AS reason,
+           CASE WHEN ex_keep <> doc_id THEN ex_keep
+                WHEN nr_keep <> doc_id THEN nr_keep
+                WHEN nd_keep IS NOT NULL AND nd_keep <> doc_id
+                  THEN nd_keep ELSE doc_id END AS keeper,
+           CAST(CASE WHEN ex_keep <> doc_id OR nr_keep <> doc_id
+                OR (nd_keep IS NOT NULL AND nd_keep <> doc_id)
+                THEN 0 ELSE 1 END AS INT) AS kept
+    FROM j ORDER BY doc_id
+"""
