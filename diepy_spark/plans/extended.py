@@ -22658,3 +22658,198 @@ EXTENDED_ORACLES["x1_dedup_manifest"] = f"""
                 THEN 0 ELSE 1 END AS INT) AS kept
     FROM j ORDER BY doc_id
 """
+
+
+# Wilson score interval at z = 1.96 carried as the exact rational
+# 196/100 inside one shared formula text.
+_WILSON = (
+    "((p + z2 / (2 * n)) {sign} z * sqrt((p * (1 - p) + z2 / (4 * n))"
+    " / n)) / (1 + z2 / n)"
+)
+
+
+def x8_wilson_ci(spark, sf_dir):
+    """WILSON SCORE INTERVALS for per-type success rates — the
+    proportion CI that stays sane at small n and extreme p where the
+    Wald interval collapses (Wilson 1927; the recommended default,
+    Brown-Cai-DasGupta 2001): success = event value above the
+    EB_SUCC_CENTS threshold, one row per event type with the exact
+    rate and its 95% bounds.  Completes the proportion toolkit beside
+    the power analysis (which sizes n) and the EB shrinkage (which
+    pools): this one reports honest uncertainty per cell.
+
+    Exactness: x and n are exact integer counts, p is one rendered
+    division, and the bounds evaluate ONE shared formula text (z
+    carried as 1.96 exactly) — bit-identical cross-engine.  Scale
+    shape: one map-side-combined aggregate, no joins."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.where("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            f"CAST(round(value * 100) >= {EB_SUCC_CENTS} AS INT)"
+            " AS succ",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(sum(succ) AS BIGINT)").alias("x"),
+        )
+        .selectExpr(
+            "event_type", "n", "x",
+            "CAST(x AS DOUBLE) / n AS p",
+            "CAST(1.96 AS DOUBLE) AS z",
+            "CAST(1.96 AS DOUBLE) * 1.96 AS z2",
+        )
+    )
+    lo = _WILSON.format(sign="-")
+    hi = _WILSON.format(sign="+")
+    return base.selectExpr(
+        "event_type",
+        "n",
+        "x",
+        "round(p, 6) AS rate",
+        f"round({lo}, 6) AS ci_lo",
+        f"round({hi}, 6) AS ci_hi",
+    ).orderBy("event_type")
+
+
+EXTENDED_QUERIES["x8_wilson_ci"] = x8_wilson_ci
+
+
+def _wilson_oracle_sql() -> str:
+    lo = _WILSON.format(sign="-")
+    hi = _WILSON.format(sign="+")
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN round(value * 100) >= {EB_SUCC_CENTS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+      SELECT event_type, n, x,
+             CAST(x AS DOUBLE) / n AS p,
+             CAST(1.96 AS DOUBLE) AS z,
+             CAST(1.96 AS DOUBLE) * 1.96 AS z2
+      FROM base
+    )
+    SELECT event_type, n, x,
+           round(p, 6) AS rate,
+           round({lo}, 6) AS ci_lo,
+           round({hi}, 6) AS ci_hi
+    FROM w ORDER BY event_type
+"""
+
+
+EXTENDED_ORACLES["x8_wilson_ci"] = _wilson_oracle_sql()
+
+
+PACK_B = 8  # batch size (sequences per batch) for the packing audit
+
+
+def x10_pack_waste(spark, sf_dir):
+    """SEQUENCE-PACKING WASTE AUDIT — what length-bucketed batching
+    saves: under padded batching every batch costs B * max_len tokens,
+    so arrival-order batches (random length mix) burn compute on
+    padding that length-sorted batches avoid.  For both strategies:
+    batches, real tokens, padding tokens, and the waste fraction —
+    the number that justifies adding a sort stage to the training
+    loader (and the batch-shape companion of the bytes-budget shard
+    packers x5_shard_pack / x6_media_pack).
+
+    Exactness: batch assignment is (rank - 1) div B under each
+    ordering with deterministic tie-breaks (doc_id; length then
+    doc_id), padding is an exact BIGINT sum of (max - len) per batch.
+    Scale shape: two windows over the (doc, len) projection — at
+    production scale the sort key is the thing being priced, and this
+    is exactly the shuffle a loader would pay."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    lens = d.select(
+        "doc_id", F.size(tokens_col_ref()).cast("bigint").alias("len")
+    )
+    outs = []
+    for label, order in (
+        ("arrival", [F.asc("doc_id")]),
+        ("sorted", [F.asc("len"), F.asc("doc_id")]),
+    ):
+        w = Window.orderBy(*order)
+        b = (
+            lens.withColumn(
+                "b",
+                F.expr(
+                    f"CAST((row_number() OVER (ORDER BY"
+                    f" {'doc_id' if label == 'arrival' else 'len, doc_id'})"
+                    f" - 1) div {PACK_B} AS BIGINT)"
+                ),
+            )
+            .groupBy("b")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("nb"),
+                F.expr("CAST(sum(len) AS BIGINT)").alias("toks"),
+                F.expr("CAST(max(len) AS BIGINT)").alias("mx"),
+            )
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("batches"),
+                F.expr("CAST(sum(toks) AS BIGINT)").alias("real_tokens"),
+                F.expr(
+                    "CAST(sum(nb * mx - toks) AS BIGINT)"
+                ).alias("pad_tokens"),
+            )
+            .selectExpr(
+                f"'{label}' AS strategy",
+                "batches",
+                "real_tokens",
+                "pad_tokens",
+                "round(CAST(pad_tokens AS DOUBLE)"
+                " / (real_tokens + pad_tokens), 6) AS waste",
+            )
+        )
+        outs.append(b)
+    return outs[0].unionByName(outs[1]).orderBy("strategy")
+
+
+EXTENDED_QUERIES["x10_pack_waste"] = x10_pack_waste
+
+EXTENDED_ORACLES["x10_pack_waste"] = f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({_TOKS_EXPR}) AS BIGINT) AS len
+      FROM documents
+    ),
+    arr AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {PACK_B} AS b,
+             len
+      FROM lens
+    ),
+    srt AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1)
+               // {PACK_B} AS b, len
+      FROM lens
+    ),
+    pa AS (
+      SELECT 'arrival' AS strategy,
+             CAST(count(*) AS BIGINT) AS batches,
+             CAST(sum(toks) AS BIGINT) AS real_tokens,
+             CAST(sum(nb * mx - toks) AS BIGINT) AS pad_tokens
+      FROM (SELECT b, count(*) AS nb, sum(len) AS toks, max(len) AS mx
+            FROM arr GROUP BY b) g
+    ),
+    ps AS (
+      SELECT 'sorted' AS strategy,
+             CAST(count(*) AS BIGINT) AS batches,
+             CAST(sum(toks) AS BIGINT) AS real_tokens,
+             CAST(sum(nb * mx - toks) AS BIGINT) AS pad_tokens
+      FROM (SELECT b, count(*) AS nb, sum(len) AS toks, max(len) AS mx
+            FROM srt GROUP BY b) g
+    ),
+    u AS (SELECT * FROM pa UNION ALL SELECT * FROM ps)
+    SELECT strategy, batches, real_tokens, pad_tokens,
+           round(CAST(pad_tokens AS DOUBLE)
+                 / (real_tokens + pad_tokens), 6) AS waste
+    FROM u ORDER BY strategy
+"""
