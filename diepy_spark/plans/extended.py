@@ -20829,25 +20829,13 @@ MTLD_TTR_NUM = 72   # factor completes when 100 * types < 72 * tokens
 MTLD_TTR_DEN = 100
 
 
-def x5_mtld(spark, sf_dir):
-    """MTLD LEXICAL DIVERSITY (McCarthy & Jarvis 2010, forward pass) —
-    the length-robust type-token-ratio metric quality filters use
-    where raw TTR fails (TTR decays mechanically with length; MTLD
-    counts how many times the running TTR drains below 0.72, so it is
-    comparable across document lengths): mtld = n_tokens /
-    (completed factors + the partial factor's remainder).
-
-    Exactness: the factor walk is an ordered fold with a VARCHAR-list
-    accumulator [factors, cur_tokens, seen-words...]; the TTR test is
-    the integer cross-multiplication 100*types < 72*tokens, and the
-    remainder is the exact rational (tokens-types)*100 / (28*tokens) —
-    one double division at render.  The DuckDB fold is padded to the
-    corpus-max token count with NULL-guarded steps (the list_reduce
-    cross-row hazard).  Scale shape: per-document folds, no cross-doc
-    state — embarrassingly parallel; token arrays are already
-    materialized by the shared tokenizer."""
-    tune(spark)
-    d = _docs(spark, sf_dir)
+def mtld_fold_expr(col: str = "toks") -> str:
+    """Spark SQL aggregate() expression computing the MTLD forward-pass
+    state over a string-array column: acc = [cur_tokens, factors,
+    seen-types...] — acc[1]=cur_tokens, acc[2]=factors in BOTH reads and
+    writes (the reset branch consumes the draining token: cur_tokens back
+    to '0', factors+1, seen emptied).  Module-level so tests can run the
+    identical fold over hand-built token sequences."""
     seen = "slice(acc, 3, size(acc))"
     types_after = (
         f"size({seen}) + CAST(NOT array_contains({seen}, t) AS INT)"
@@ -20859,18 +20847,36 @@ def x5_mtld(spark, sf_dir):
     )
     step = (
         f"CASE WHEN {reset} THEN"
-        " array(CAST(CAST(element_at(acc, 2) AS BIGINT) + 1 AS STRING), '0')"
-        " ELSE concat(array(CAST(element_at(acc, 2) AS STRING),"
-        f" CAST({tok_after} AS STRING)),"
+        " array('0', CAST(CAST(element_at(acc, 2) AS BIGINT) + 1 AS STRING))"
+        f" ELSE concat(array(CAST({tok_after} AS STRING),"
+        " CAST(element_at(acc, 2) AS STRING)),"
         f" CASE WHEN array_contains({seen}, t) THEN {seen}"
         f" ELSE concat({seen}, array(t)) END)"
         " END"
     )
-    # acc = [cur_tokens, factors, seen...]; spelled acc[1]=cur_tokens,
-    # acc[2]=factors so the reset branch reads naturally above.
-    fold = (
-        f"aggregate(toks, array('0', '0'), (acc, t) -> {step})"
-    )
+    return f"aggregate({col}, array('0', '0'), (acc, t) -> {step})"
+
+
+def x5_mtld(spark, sf_dir):
+    """MTLD LEXICAL DIVERSITY (McCarthy & Jarvis 2010, forward pass) —
+    the length-robust type-token-ratio metric quality filters use
+    where raw TTR fails (TTR decays mechanically with length; MTLD
+    counts how many times the running TTR drains below 0.72, so it is
+    comparable across document lengths): mtld = n_tokens /
+    (completed factors + the partial factor's remainder).
+
+    Exactness: the factor walk is an ordered fold with a VARCHAR-list
+    accumulator [cur_tokens, factors, seen-words...]; the TTR test is
+    the integer cross-multiplication 100*types < 72*tokens, and the
+    remainder is the exact rational (tokens-types)*100 / (28*tokens) —
+    one double division at render.  The DuckDB fold is padded to the
+    corpus-max token count with NULL-guarded steps (the list_reduce
+    cross-row hazard).  Scale shape: per-document folds, no cross-doc
+    state — embarrassingly parallel; token arrays are already
+    materialized by the shared tokenizer."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    fold = mtld_fold_expr("toks")
     return (
         d.select("doc_id", tokens_col_ref().alias("toks"))
         .where(F.expr("size(toks) > 0"))
@@ -20892,12 +20898,16 @@ def x5_mtld(spark, sf_dir):
             "factors",
             "part_tokens",
             "part_types",
-            f"round(CAST(n_tokens AS DOUBLE) / (factors"
+            # factors=0 with an all-distinct partial means the running
+            # TTR never drained (denominator 0): MTLD is undefined -> NULL.
+            "CASE WHEN factors = 0 AND part_tokens = part_types THEN"
+            " CAST(NULL AS DOUBLE) ELSE"
+            f" round(CAST(n_tokens AS DOUBLE) / (factors"
             " + CASE WHEN part_tokens > 0 THEN"
             " CAST((part_tokens - part_types)"
             f" * {MTLD_TTR_DEN} AS DOUBLE)"
             f" / (({MTLD_TTR_DEN} - {MTLD_TTR_NUM}) * part_tokens)"
-            " ELSE CAST(0 AS DOUBLE) END), 6) AS mtld",
+            " ELSE CAST(0 AS DOUBLE) END), 6) END AS mtld",
         )
         .orderBy("doc_id")
     )
@@ -20921,9 +20931,9 @@ def _mtld_oracle_sql() -> str:
     step = (
         f"CASE WHEN {x} IS NULL THEN acc"
         f" WHEN {reset} THEN"
-        " [CAST(CAST(acc[2] AS BIGINT) + 1 AS VARCHAR), '0']"
-        " ELSE list_concat([CAST(acc[2] AS VARCHAR),"
-        f" CAST({tok_after} AS VARCHAR)],"
+        " ['0', CAST(CAST(acc[2] AS BIGINT) + 1 AS VARCHAR)]"
+        f" ELSE list_concat([CAST({tok_after} AS VARCHAR),"
+        " CAST(acc[2] AS VARCHAR)],"
         f" CASE WHEN list_contains({seen}, {x}) THEN {seen}"
         f" ELSE list_append({seen}, {x}) END)"
         " END"
@@ -20948,13 +20958,18 @@ def _mtld_oracle_sql() -> str:
            CAST(st[2] AS BIGINT) AS factors,
            CAST(st[1] AS BIGINT) AS part_tokens,
            CAST(len(st) - 2 AS BIGINT) AS part_types,
-           round(CAST(n_tokens AS DOUBLE) / (CAST(st[2] AS BIGINT)
-             + CASE WHEN CAST(st[1] AS BIGINT) > 0 THEN
-               CAST((CAST(st[1] AS BIGINT) - (len(st) - 2))
-                    * {MTLD_TTR_DEN} AS DOUBLE)
-               / (({MTLD_TTR_DEN} - {MTLD_TTR_NUM})
-                  * CAST(st[1] AS BIGINT))
-             ELSE CAST(0 AS DOUBLE) END), 6) AS mtld
+           CASE WHEN CAST(st[2] AS BIGINT) = 0
+                 AND CAST(st[1] AS BIGINT) = len(st) - 2 THEN
+             CAST(NULL AS DOUBLE)
+           ELSE
+             round(CAST(n_tokens AS DOUBLE) / (CAST(st[2] AS BIGINT)
+               + CASE WHEN CAST(st[1] AS BIGINT) > 0 THEN
+                 CAST((CAST(st[1] AS BIGINT) - (len(st) - 2))
+                      * {MTLD_TTR_DEN} AS DOUBLE)
+                 / (({MTLD_TTR_DEN} - {MTLD_TTR_NUM})
+                    * CAST(st[1] AS BIGINT))
+               ELSE CAST(0 AS DOUBLE) END), 6)
+           END AS mtld
     FROM f ORDER BY doc_id
 """
 
