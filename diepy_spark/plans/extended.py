@@ -22778,10 +22778,15 @@ def x10_pack_waste(spark, sf_dir):
     Exactness: batch assignment is (rank - 1) div B under each
     ordering with deterministic tie-breaks (doc_id; length then
     doc_id), padding is an exact BIGINT sum of (max - len) per batch.
-    Scale shape: two windows over the (doc, len) projection — at
-    production scale the sort key is the thing being priced, and this
-    is exactly the shuffle a loader would pay."""
-    from pyspark.sql import Window
+    Scale shape: each strategy's global row_number runs as the
+    two-pass block rank (range partition + parallel local rank +
+    broadcast partition offsets — operators/suffixes.block_row_number,
+    the x8_sprt shape), NOT a single-partition window: a production
+    loader pays a distributed range-partitioned sort, never a
+    serialize-the-corpus-through-one-task exchange (VERDICT r10 #2).
+    Both orderings are total (doc_id is unique), so the rank — and the
+    batch id it derives — is partitioning-independent."""
+    from diepy_spark.operators.suffixes import block_row_number
 
     tune(spark)
     d = _docs(spark, sf_dir)
@@ -22789,19 +22794,14 @@ def x10_pack_waste(spark, sf_dir):
         "doc_id", F.size(tokens_col_ref()).cast("bigint").alias("len")
     )
     outs = []
-    for label, order in (
-        ("arrival", [F.asc("doc_id")]),
-        ("sorted", [F.asc("len"), F.asc("doc_id")]),
+    for label, cols in (
+        ("arrival", ["doc_id"]),
+        ("sorted", ["len", "doc_id"]),
     ):
-        w = Window.orderBy(*order)
         b = (
-            lens.withColumn(
-                "b",
-                F.expr(
-                    f"CAST((row_number() OVER (ORDER BY"
-                    f" {'doc_id' if label == 'arrival' else 'len, doc_id'})"
-                    f" - 1) div {PACK_B} AS BIGINT)"
-                ),
+            block_row_number(lens, cols, out="rn")
+            .withColumn(
+                "b", F.expr(f"CAST((rn - 1) div {PACK_B} AS BIGINT)")
             )
             .groupBy("b")
             .agg(

@@ -86,24 +86,39 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _run_stream(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """availableNow → memory sink, fresh query name per call.
+    """availableNow → memory sink, fresh query name per call; the sink is
+    drained and dropped before returning.
 
     Streaming aggregations allocate one state store (+ checkpoint files)
     per shuffle partition, fixed at first run — AQE never coalesces them.
     For this bounded replay 32 stores are pure overhead (measured 2x the
     runtime), so the run is scoped to 8; a production stream sizes this to
-    sustained throughput instead."""
+    sustained throughput instead.
+
+    Cleanup contract (VERDICT r10 #1): a memory sink pins its FULL result
+    set in the driver JVM for the life of the session, and the manager
+    keeps every terminated query's handle — across a 355-query bench the
+    accumulated sinks were measured as ~1.45x drag on late families.  So:
+    materialize the result off the sink (localCheckpoint → executor
+    blocks, freed by the ContextCleaner when the caller's DataFrame goes
+    out of scope), drop the sink view, clear the terminated-query list,
+    and remove the replay's one-shot checkpoint dir."""
+    import shutil
+
     spark = stream_df.sparkSession
     name = f"x7_mem_{next(_counter)}"
+    ck = tempfile.mkdtemp(prefix="diepy-ck-")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        ST.run_to_memory(
-            stream_df, name, tempfile.mkdtemp(prefix="diepy-ck-"), output_mode=output_mode
-        )
+        ST.run_to_memory(stream_df, name, ck, output_mode=output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    spark.streams.resetTerminated()
+    shutil.rmtree(ck, ignore_errors=True)
+    return out
 
 
 def _events_src(spark, sf_dir):
@@ -1203,10 +1218,13 @@ def _events_late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def _late_run(spark, sf_dir) -> dict:
     """Run the late-data stream ONCE per (session, sf_dir) and cache the
-    sink table name plus the engine's progress metrics — x7_stream_late
-    reads the sink, x7_stream_late_audit reads the metrics, and the
-    ~one-stream-replay cost is shared between them."""
+    materialized result plus the engine's progress metrics —
+    x7_stream_late reads the result, x7_stream_late_audit reads the
+    metrics, and the ~one-stream-replay cost is shared between them.
+    The memory sink itself is drained and dropped (the _run_stream
+    cleanup contract); what's cached is the localCheckpointed frame."""
     import json as _json
+    import shutil
 
     key = ("late-run", spark.sparkContext.applicationId, sf_dir)
     if key not in _scratch_cache:
@@ -1215,12 +1233,12 @@ def _late_run(spark, sf_dir) -> dict:
             max_files_per_trigger=1,
         )
         name = f"x7_mem_{next(_counter)}"
+        ck = tempfile.mkdtemp(prefix="diepy-ck-")
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = ST.run_to_memory(
-                _late_agg(src), name, tempfile.mkdtemp(prefix="diepy-ck-"),
-                output_mode="append",
+                _late_agg(src), name, ck, output_mode="append"
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1230,8 +1248,12 @@ def _late_run(spark, sf_dir) -> dict:
             arrived += int(d.get("numInputRows", 0))
             for so in d.get("stateOperators", []):
                 dropped += int(so.get("numRowsDroppedByWatermark", 0))
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        spark.streams.resetTerminated()
+        shutil.rmtree(ck, ignore_errors=True)
         _scratch_cache[key] = {
-            "table": name, "arrived": arrived, "dropped": dropped
+            "df": out, "arrived": arrived, "dropped": dropped
         }
     return _scratch_cache[key]
 
@@ -1252,8 +1274,7 @@ def x7_stream_late(spark, sf_dir):
     semantics, not a throughput knob. Sums are exact integer cents —
     the late path must not hide behind float slack."""
     tune(spark)
-    out = spark.table(_late_run(spark, sf_dir)["table"])
-    return out.orderBy("w", "event_type")
+    return _late_run(spark, sf_dir)["df"].orderBy("w", "event_type")
 
 
 def _late_agg(src: DataFrame) -> DataFrame:
@@ -1290,7 +1311,7 @@ def x7_stream_late_audit(spark, sf_dir):
     row: arrived / dropped_late / emitted_rows."""
     tune(spark)
     run = _late_run(spark, sf_dir)
-    emitted = spark.table(run["table"]).agg(F.sum("c")).collect()[0][0] or 0
+    emitted = run["df"].agg(F.sum("c")).collect()[0][0] or 0
     return spark.createDataFrame(
         [(int(run["arrived"]), int(run["dropped"]), int(emitted))],
         "arrived bigint, dropped_late bigint, emitted_rows bigint",
