@@ -29,7 +29,18 @@ DECODED_SCHEMA = (
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload + metadata struct. In this test
     environment the payload is the UTF-8 encoding of the text column (a
-    stand-in for real image/audio bytes — same plumbing, fake content)."""
+    stand-in for real image/audio bytes — same plumbing, fake content).
+
+    ASCII-ONLY INVARIANT: consumers that slice the payload into
+    byte-indexed frames and compare against a character-indexed text
+    oracle (x6_scene_cuts, x6_blockhash_near_dup) are equivalent only
+    while every text codepoint is single-byte — a multibyte character
+    shifts byte frame boundaries off character boundaries and makes
+    CAST(binary AS STRING) lossy on a split codepoint.  The synthetic
+    documents corpus is ASCII by construction; the invariant is pinned
+    by tests/test_round11_operators.py::test_documents_corpus_is_ascii.
+    Real media bytes don't route through this stand-in at all — the
+    production path decodes via decode_media."""
     payload = F.encode(F.col(text_col), "UTF-8")
     return df.withColumn("payload", payload).withColumn(
         "media_meta",

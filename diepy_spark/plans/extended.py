@@ -19523,6 +19523,12 @@ def x8_eb_shrinkage(spark, sf_dir):
             "sum_p6sq",
             "sum_inv9",
         )
+        # var(p_hat) divides by k-1: with a single qualifying user Spark
+        # (ANSI) throws DIVIDE_BY_ZERO while DuckDB's IEEE default yields
+        # NaN — guard BEFORE the scalar projection so both engines emit
+        # no rows (ADVICE r10; siblings x8_overdispersion/x8_cohens_d
+        # carry the same n>1 guards).
+        .where("k > 1")
         .selectExpr("k", *_EB_SCALARS.format(S=S, S2=S * S).split(", "))
     )
     post = _EB_POST.format(S=S)
@@ -19581,7 +19587,7 @@ def _eb_oracle_sql() -> str:
              sum_p6, sum_p6sq, sum_inv9
       FROM raw
     ),
-    scal AS (SELECT k, {scalars} FROM pool)
+    scal AS (SELECT k, {scalars} FROM pool WHERE k > 1)
     SELECT user_id, n, x,
            round(CAST(p6 AS DOUBLE) / {S}, 6) AS p_hat,
            round({_EB_B}, 6) AS shrink_b,

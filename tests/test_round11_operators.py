@@ -109,3 +109,19 @@ def test_mtld_matches_python(spark, sf_small):
             assert g_mtld is None, doc_id
         else:
             assert g_mtld == pytest.approx(e_mtld, abs=1e-9), doc_id
+
+
+def test_documents_corpus_is_ascii():
+    """Pins the with_binary_payload ASCII-only invariant (see
+    operators/multimodal.py): the byte-frame x6 queries and their
+    character-frame DuckDB oracles are equivalent only while the
+    documents corpus is single-byte-per-codepoint.  If the test data
+    ever grows multibyte text, this fails before the oracle hashes
+    silently diverge."""
+    con = duckdb.connect()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+            "WHERE length(text) <> strlen(text)"
+        ).fetchone()[0]
+        assert n == 0, f"non-ASCII documents in {sf_dir}"
