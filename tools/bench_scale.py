@@ -54,6 +54,12 @@ HEAVY = [
     # duplicate multiplicity is precisely the regime the signature
     # compression exists for
     "x2_record_linkage",
+    # round-11 (VERDICT r10 #4): the streaming front door gets a measured
+    # 10x point — cold run 1 includes the replay-layout derivation
+    # (repartitionByRange by ts + mtime stamping), warm is the
+    # micro-batch execution itself.
+    "x7_stream_ingest",
+    "x7_stream_hll",
 ]
 
 
