@@ -124,6 +124,57 @@ def block_row_number(
     )
 
 
+def block_running_sum(
+    df: DataFrame,
+    part: str,
+    cols: list[str],
+    val: str,
+    out: str = "cum",
+    parts: int | None = None,
+) -> DataFrame:
+    """Distributed per-group INCLUSIVE running sum of `val` over `cols`
+    (ascending, a total order within `part`) with no group-sized
+    single-partition window: range-partition on (part, cols) so each
+    group's order is split across consecutive partitions, local cumsum
+    per (partition, group) in parallel, then add each (partition,
+    group)'s exclusive prefix of per-partition group sums — the offsets
+    window is partitioned BY GROUP over partition ids, a frame bounded
+    by the partition count, never by group size.  Bit-identical to
+    `sum(val) OVER (PARTITION BY part ORDER BY cols ROWS UNBOUNDED
+    PRECEDING)` because equal keys never straddle a range boundary and
+    BIGINT addition is associative.  `val` must be integral (exactness
+    contract); keys must be non-null."""
+    spark = df.sparkSession
+    p = parts or spark.sparkContext.defaultParallelism
+    keys = [part, *cols]
+    b = (
+        df.repartitionByRange(p, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wloc = Window.partitionBy("__pid", part).orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    loc = b.withColumn("__lc", F.sum(val).over(wloc))
+    woff = (
+        Window.partitionBy(part)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        b.groupBy("__pid", part)
+        .agg(F.sum(val).alias("__ps"))
+        .withColumn("__off", F.coalesce(F.sum("__ps").over(woff), F.lit(0)))
+        .select("__pid", part, "__off")
+    )
+    return (
+        loc.join(F.broadcast(offs), ["__pid", part])
+        .withColumn(out, (F.col("__lc") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lc", "__off")
+    )
+
+
 def _suffix_positions(
     df: DataFrame, text_col: str, id_col: str, max_tokens: int
 ) -> DataFrame:

@@ -22874,3 +22874,391 @@ EXTENDED_ORACLES["x10_pack_waste"] = f"""
                  / (real_tokens + pad_tokens), 6) AS waste
     FROM u ORDER BY strategy
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 11: lexical-diversity spectrum, collocations, term burstiness,
+# token-budget selection.
+
+YK_SCALE = 10_000  # Yule's K convention: 10^4 * (S2 - N) / N^2
+
+
+def x5_yule_k(spark, sf_dir):
+    """YULE'S K + SIMPSON'S D per document (Yule 1944; the frequency-
+    spectrum diversity pair): K = 10^4 * (S2 - N) / N^2 and
+    D = (S2 - N) / (N * (N - 1)) where N is the token count and
+    S2 = sum of squared per-type counts — the repeat-rate metrics that,
+    unlike raw TTR, are (asymptotically) length-invariant, and the
+    cheap spectrum-based cross-check for the walk-based x5_mtld
+    (both rank formulaic/boilerplate docs high).
+
+    Exactness: N and S2 are exact BIGINTs off one explode + two-level
+    count; K and D are single double divisions at render (round 6).
+    Docs need N > 1 (D divides by N-1).  Scale shape: explode ->
+    map-side-combined (doc, type) counts -> per-doc aggregate; no
+    windows, no cross-doc state — embarrassingly parallel."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(tokens_col_ref()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(sum(c) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_types"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS"
+                " DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias("s2"),
+        )
+        .where("n_tokens > 1")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            f"round(CAST({YK_SCALE} AS DOUBLE) * (CAST(s2 AS DOUBLE)"
+            " - n_tokens) / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)"
+            " AS yule_k",
+            "round((CAST(s2 AS DOUBLE) - n_tokens)"
+            " / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)"
+            " AS simpson_d",
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTENDED_QUERIES["x5_yule_k"] = x5_yule_k
+
+EXTENDED_ORACLES["x5_yule_k"] = f"""
+    WITH tc AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM documents, LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                  AS HUGEINT) AS s2
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST({YK_SCALE} AS DOUBLE) * (CAST(s2 AS DOUBLE)
+                 - n_tokens) / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)
+             AS yule_k,
+           round((CAST(s2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+             AS simpson_d
+    FROM agg WHERE n_tokens > 1 ORDER BY doc_id
+"""
+
+
+COLL_MIN = 5    # bigram support floor before scoring
+COLL_TOP = 50   # collocations reported
+
+# Dunning G2 from exact integer cells: G2 = 2 * (sum k ln k - sum row
+# ln row - sum col ln col + T ln T), with x ln x := 0 at x = 0.  Shared
+# formula TEXT between engines; every operand is an exact BIGINT, ln is
+# the only irrational step and sits inside the round-6 guard (the
+# x5_keyness / HLL precedent).
+_XLNX = "(CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END)"
+_G2 = (
+    "2 * ("
+    + " + ".join(_XLNX.format(x=x) for x in ("k11", "k12", "k21", "k22"))
+    + " - " + _XLNX.format(x="(k11 + k12)")
+    + " - " + _XLNX.format(x="(k21 + k22)")
+    + " - " + _XLNX.format(x="(k11 + k21)")
+    + " - " + _XLNX.format(x="(k12 + k22)")
+    + " + " + _XLNX.format(x="(k11 + k12 + k21 + k22)")
+    + ")"
+)
+
+
+def x5_collocations(spark, sf_dir):
+    """COLLOCATION EXTRACTION via Dunning's log-likelihood ratio
+    (Dunning 1993): adjacent word bigrams ranked by G2 of the 2x2
+    contingency table (bigram count vs marginal first/second-position
+    counts) — the statistic that finds genuinely associated pairs
+    where raw frequency finds stopword pairs and PMI overweights
+    hapaxes. The multi-word-expression miner a tokenizer-training or
+    boilerplate-detection stage runs over the corpus.
+
+    Exactness: all four cells derive from exact BIGINT bigram counts
+    (k12/k21/k22 by subtraction from marginals and the total); G2 is
+    the shared formula text over those integers, rounded to 6 BEFORE
+    ranking with (w1, w2) tie-breaks.  Scale shape: one zip of each
+    token array with its tail -> explode -> map-side-combined bigram
+    counts; marginals re-aggregate FROM the bigram table (vocab-sized,
+    never a second corpus pass); the global top-k is TakeOrdered, not
+    a single-partition window."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    bg = (
+        d.select(tokens_col_ref().alias("toks"))
+        .where(F.expr("size(toks) > 1"))
+        .select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1))"
+                )
+            ).alias("p")
+        )
+        .selectExpr("p['0'] AS w1", "p['1'] AS w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+        .localCheckpoint(eager=False)  # bigram-vocab grain, 3 readers
+    )
+    m1 = bg.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c2"))
+    tot = bg.agg(F.sum("k11").cast("bigint").alias("t"))
+    cells = (
+        bg.where(F.col("k11") >= COLL_MIN)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w1", "w2", "k11",
+            "CAST(c1 - k11 AS BIGINT) AS k12",
+            "CAST(c2 - k11 AS BIGINT) AS k21",
+            "CAST(t - c1 - c2 + k11 AS BIGINT) AS k22",
+        )
+    )
+    return (
+        cells.selectExpr(
+            "w1", "w2", "k11", "k12", "k21", "k22",
+            f"round({_G2}, 6) AS g2",
+        )
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(COLL_TOP)
+    )
+
+
+EXTENDED_QUERIES["x5_collocations"] = x5_collocations
+
+EXTENDED_ORACLES["x5_collocations"] = f"""
+    WITH toks AS (
+      SELECT {_TOKS_EXPR} AS tk FROM documents
+      WHERE len({_TOKS_EXPR}) > 1
+    ),
+    bg AS (
+      SELECT p.w1, p.w2, CAST(count(*) AS BIGINT) AS k11
+      FROM toks, LATERAL (
+        SELECT unnest(tk[1:-2]) AS w1, unnest(tk[2:-1]) AS w2
+      ) p
+      GROUP BY 1, 2
+    ),
+    m1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    m2 AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+    tt AS (SELECT CAST(sum(k11) AS BIGINT) AS t FROM bg),
+    cells AS (
+      SELECT bg.w1, bg.w2, bg.k11,
+             CAST(c1 - k11 AS BIGINT) AS k12,
+             CAST(c2 - k11 AS BIGINT) AS k21,
+             CAST(t - c1 - c2 + k11 AS BIGINT) AS k22
+      FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tt
+      WHERE bg.k11 >= {COLL_MIN}
+    )
+    SELECT w1, w2, k11, k12, k21, k22, round({_G2}, 6) AS g2
+    FROM cells
+    ORDER BY g2 DESC, w1, w2
+    LIMIT {COLL_TOP}
+"""
+
+
+BURST_MIN_DF = 5   # containing-doc floor (Fano needs df > 1 anyway)
+BURST_TOP = 50     # burstiest terms reported
+
+
+def x5_burstiness(spark, sf_dir):
+    """TERM BURSTINESS (Church & Gale 1995): once a word appears in a
+    document it tends to reappear — content words are BURSTY (high
+    per-containing-doc rate, high across-doc variance), function words
+    are not.  Per term with df >= {BURST_MIN_DF}: total count, df, the
+    within-doc rate tf/df, and the Fano factor (variance/mean of
+    per-containing-doc counts) — the dispersion signal a stopword-list
+    builder or a keyword extractor reads (Fano ~ 1 = Poisson-like
+    function word, >> 1 = bursty content word).  Top {BURST_TOP} by
+    Fano with integer tie-breaks.
+
+    Exactness: per-(doc, term) counts, their sums, and sums of squares
+    are exact BIGINT/DECIMAL; rate and Fano are double divisions at
+    render (round 6) off the exact operands, ranked AFTER rounding
+    with (tok) tie-break.  Scale shape: the same (doc, term) count
+    frame as x5_yule_k aggregated to term grain with map-side combine;
+    TakeOrdered for the report — no corpus-dimension windows."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(tokens_col_ref()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("tok")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("df"),
+            F.expr("CAST(sum(c) AS BIGINT)").alias("tf"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS"
+                " DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias("ss"),
+        )
+        .where(f"df >= {BURST_MIN_DF}")
+        .selectExpr(
+            "tok", "df", "tf",
+            "round(CAST(tf AS DOUBLE) / df, 6) AS rate",
+            # Fano = sample variance / mean of per-containing-doc counts:
+            # ((df*ss - tf^2) / (df*(df-1))) / (tf/df)
+            "round((CAST(df AS DOUBLE) * CAST(ss AS DOUBLE)"
+            " - CAST(tf AS DOUBLE) * tf)"
+            " / (CAST(df AS DOUBLE) * (df - 1))"
+            " / (CAST(tf AS DOUBLE) / df), 6) AS fano",
+        )
+        .orderBy(F.desc("fano"), "tok")
+        .limit(BURST_TOP)
+    )
+
+
+EXTENDED_QUERIES["x5_burstiness"] = x5_burstiness
+
+EXTENDED_ORACLES["x5_burstiness"] = f"""
+    WITH tc AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM documents, LATERAL (SELECT unnest({_TOKS_EXPR}) AS tok) t
+      GROUP BY 1, 2
+    ),
+    tg AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS tf,
+             CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                  AS HUGEINT) AS ss
+      FROM tc GROUP BY tok
+    )
+    SELECT tok, df, tf,
+           round(CAST(tf AS DOUBLE) / df, 6) AS rate,
+           round((CAST(df AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(tf AS DOUBLE) * tf)
+                 / (CAST(df AS DOUBLE) * (df - 1))
+                 / (CAST(tf AS DOUBLE) / df), 6) AS fano
+    FROM tg WHERE df >= {BURST_MIN_DF}
+    ORDER BY fano DESC, tok
+    LIMIT {BURST_TOP}
+"""
+
+
+TB_FRAC = 4  # budget = source token mass div 4 (a 25% selection pass)
+
+
+def x10_token_budget(spark, sf_dir):
+    """TOKEN-BUDGET SELECTION — the corpus-assembly step after scoring:
+    each source gets a token budget proportional to its mass (here
+    mass div {TB_FRAC}), and the selector takes that source's docs in
+    quality order (integer TTR proxy score6 = 10^6 * types div tokens,
+    doc_id tie-break) until the budget is exhausted — the budget cut
+    is a PREFIX of the quality ranking (take-while inclusive-cumsum <=
+    budget; the first overflowing doc and everything after it is
+    dropped).  Per source: budget, docs considered/selected, selected
+    tokens, budget utilization, mean selected score — the sheet a
+    data-mixture owner signs off on before x10_training_corpus runs.
+
+    Exactness: scores, budgets, and cumulative sums are exact BIGINTs;
+    utilization is one double division at render (round 6).  Scale
+    shape: the per-source quality-order cumsum runs as the two-pass
+    block running sum (operators/suffixes.block_running_sum — range
+    partition on (source, -score, id), parallel local cumsums,
+    partition-count-bounded offsets window), NOT a per-source
+    single-partition window: at 100 TB a source is most of the corpus
+    and a per-source window would serialize it through one task."""
+    from diepy_spark.operators.suffixes import block_running_sum
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    scored = (
+        d.select("doc_id", "source", tokens_col_ref().alias("toks"))
+        .where(F.expr("size(toks) > 0"))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(size(toks) AS BIGINT) AS n",
+            "CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000"
+            " div size(toks) AS BIGINT) AS score6",
+        )
+        .withColumn("neg6", F.expr("-score6"))
+    )
+    budgets = scored.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr(f"CAST(sum(n) div {TB_FRAC} AS BIGINT)").alias("budget"),
+    )
+    cum = block_running_sum(
+        scored, "source", ["neg6", "doc_id"], "n", out="cum"
+    )
+    sel = (
+        cum.join(F.broadcast(budgets), "source")
+        .where(F.col("cum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_sel"),
+            F.expr("CAST(sum(n) AS BIGINT)").alias("sel_tokens"),
+            F.expr("CAST(sum(score6) div count(*) AS BIGINT)").alias(
+                "avg_score6"
+            ),
+        )
+    )
+    return (
+        budgets.join(sel, "source", "left")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "budget",
+            "coalesce(n_sel, CAST(0 AS BIGINT)) AS n_sel",
+            "coalesce(sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens",
+            "round(CAST(coalesce(sel_tokens, 0) AS DOUBLE)"
+            " / budget, 6) AS utilization",
+            "coalesce(avg_score6, CAST(0 AS BIGINT)) AS avg_score6",
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x10_token_budget"] = x10_token_budget
+
+EXTENDED_ORACLES["x10_token_budget"] = f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS_EXPR}) AS BIGINT) AS n,
+             CAST(CAST(len(list_distinct({_TOKS_EXPR})) AS BIGINT)
+                  * 1000000 // len({_TOKS_EXPR}) AS BIGINT) AS score6
+      FROM documents WHERE len({_TOKS_EXPR}) > 0
+    ),
+    budgets AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) // {TB_FRAC} AS BIGINT) AS budget
+      FROM scored GROUP BY source
+    ),
+    cum AS (
+      SELECT source, doc_id, n, score6,
+             CAST(sum(n) OVER (PARTITION BY source
+                  ORDER BY -score6, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM scored
+    ),
+    sel AS (
+      SELECT c.source,
+             CAST(count(*) AS BIGINT) AS n_sel,
+             CAST(sum(n) AS BIGINT) AS sel_tokens,
+             CAST(sum(score6) // count(*) AS BIGINT) AS avg_score6
+      FROM cum c JOIN budgets b USING (source)
+      WHERE c.cum <= b.budget
+      GROUP BY c.source
+    )
+    SELECT b.source, b.n_docs, b.budget,
+           CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
+           CAST(coalesce(s.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+           round(CAST(coalesce(s.sel_tokens, 0) AS DOUBLE)
+                 / b.budget, 6) AS utilization,
+           CAST(coalesce(s.avg_score6, 0) AS BIGINT) AS avg_score6
+    FROM budgets b LEFT JOIN sel s USING (source)
+    ORDER BY b.source
+"""

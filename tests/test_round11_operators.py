@@ -8,7 +8,9 @@ hand-computed walk, not just the oracle's replica of the same fold)."""
 
 from __future__ import annotations
 
+import math
 import re
+from collections import Counter, defaultdict
 
 import duckdb
 import pytest
@@ -125,3 +127,190 @@ def test_documents_corpus_is_ascii():
             "WHERE length(text) <> strlen(text)"
         ).fetchone()[0]
         assert n == 0, f"non-ASCII documents in {sf_dir}"
+
+
+def _doc_rows(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+
+def test_yule_k_matches_python(spark, sf_small):
+    from diepy_spark.plans.extended import YK_SCALE, x5_yule_k
+
+    expect = {}
+    for doc_id, _src, text in _doc_rows(sf_small):
+        toks = _tokenize(text)
+        n = len(toks)
+        if n <= 1:
+            continue
+        cnt = Counter(toks)
+        s2 = sum(c * c for c in cnt.values())
+        expect[doc_id] = (
+            n,
+            len(cnt),
+            round(YK_SCALE * (s2 - n) / (n * n), 6),
+            round((s2 - n) / (n * (n - 1)), 6),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.yule_k, r.simpson_d)
+        for r in x5_yule_k(spark, sf_small).collect()
+    }
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_collocations_matches_python(spark, sf_small):
+    from diepy_spark.plans.extended import (
+        COLL_MIN,
+        COLL_TOP,
+        x5_collocations,
+    )
+
+    def xlnx(x: int) -> float:
+        return x * math.log(x) if x > 0 else 0.0
+
+    bg: Counter = Counter()
+    for _doc_id, _src, text in _doc_rows(sf_small):
+        toks = _tokenize(text)
+        bg.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (w1, w2), k in bg.items():
+        c1[w1] += k
+        c2[w2] += k
+    t = sum(bg.values())
+    rows = []
+    for (w1, w2), k11 in bg.items():
+        if k11 < COLL_MIN:
+            continue
+        k12 = c1[w1] - k11
+        k21 = c2[w2] - k11
+        k22 = t - c1[w1] - c2[w2] + k11
+        g2 = 2 * (
+            xlnx(k11) + xlnx(k12) + xlnx(k21) + xlnx(k22)
+            - xlnx(k11 + k12) - xlnx(k21 + k22)
+            - xlnx(k11 + k21) - xlnx(k12 + k22)
+            + xlnx(k11 + k12 + k21 + k22)
+        )
+        rows.append((w1, w2, k11, k12, k21, k22, round(g2, 6)))
+    rows.sort(key=lambda r: (-r[6], r[0], r[1]))
+    expect = rows[:COLL_TOP]
+    got = [tuple(r) for r in x5_collocations(spark, sf_small).collect()]
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:6] == e[:6], (g, e)
+        assert g[6] == pytest.approx(e[6], abs=1e-6)
+
+
+def test_burstiness_matches_python(spark, sf_small):
+    from diepy_spark.plans.extended import (
+        BURST_MIN_DF,
+        BURST_TOP,
+        x5_burstiness,
+    )
+
+    per_term: dict[str, list[int]] = defaultdict(list)
+    for _doc_id, _src, text in _doc_rows(sf_small):
+        for tok, c in Counter(_tokenize(text)).items():
+            per_term[tok].append(c)
+    rows = []
+    for tok, cs in per_term.items():
+        df_ = len(cs)
+        if df_ < BURST_MIN_DF:
+            continue
+        tf = sum(cs)
+        ss = sum(c * c for c in cs)
+        rate = round(tf / df_, 6)
+        fano = round(
+            ((df_ * ss - tf * tf) / (df_ * (df_ - 1))) / (tf / df_), 6
+        )
+        rows.append((tok, df_, tf, rate, fano))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    expect = rows[:BURST_TOP]
+    got = [tuple(r) for r in x5_burstiness(spark, sf_small).collect()]
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:3] == e[:3], (g, e)
+        assert g[3] == pytest.approx(e[3], abs=1e-9)
+        assert g[4] == pytest.approx(e[4], abs=1e-9)
+
+
+def test_token_budget_matches_python(spark, sf_small):
+    from diepy_spark.plans.extended import TB_FRAC, x10_token_budget
+
+    per_src: dict[str, list[tuple[int, int, int]]] = defaultdict(list)
+    for doc_id, src, text in _doc_rows(sf_small):
+        toks = _tokenize(text)
+        if not toks:
+            continue
+        n = len(toks)
+        score6 = len(set(toks)) * 1000000 // n
+        per_src[src].append((-score6, doc_id, n))
+    expect = {}
+    for src, docs in per_src.items():
+        docs.sort()
+        total = sum(n for _s, _d, n in docs)
+        budget = total // TB_FRAC
+        cum = 0
+        sel = []
+        for neg6, _d, n in docs:
+            cum += n
+            if cum > budget:
+                break
+            sel.append((-neg6, n))
+        n_sel = len(sel)
+        sel_tokens = sum(n for _s6, n in sel)
+        avg6 = sum(s6 for s6, _n in sel) // n_sel if n_sel else 0
+        expect[src] = (
+            len(docs),
+            budget,
+            n_sel,
+            sel_tokens,
+            round(sel_tokens / budget, 6),
+            avg6,
+        )
+    got = {
+        r.source: (
+            r.n_docs, r.budget, r.n_sel, r.sel_tokens,
+            r.utilization, r.avg_score6,
+        )
+        for r in x10_token_budget(spark, sf_small).collect()
+    }
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_block_running_sum_equals_global_window(spark):
+    """block_running_sum must be bit-identical to the single-partition
+    per-group window it replaces, under partition counts that split
+    groups across several range partitions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators.suffixes import block_running_sum
+
+    rng = random.Random(11)
+    rows = [
+        (f"s{rng.randrange(4)}", i, rng.randrange(1, 100))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        (r.g, r.k): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    for parts in (1, 3, 16):
+        got = {
+            (r.g, r.k): r.cum
+            for r in block_running_sum(
+                df, "g", ["k"], "v", out="cum", parts=parts
+            ).collect()
+        }
+        assert got == expect, parts

@@ -60,6 +60,9 @@ HEAVY = [
     # micro-batch execution itself.
     "x7_stream_ingest",
     "x7_stream_hll",
+    # round-11 standing rule: new queries at the ~2 s sf0.1 warm line land
+    # with a ladder row — the block_running_sum cumsum is the scale claim.
+    "x10_token_budget",
 ]
 
 
