@@ -508,7 +508,11 @@ def t6_bucketed_join(spark, sf_dir):
 
     sfx = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     ot, ct = f"t6_orders_b_{sfx}", f"t6_customer_b_{sfx}"
-    key = ("bucketed", sf_dir)
+    # appId in the key: the tables live in the session's in-memory
+    # catalog, so a new SparkContext (bench.py cycles sessions per
+    # family) must rebuild them — a path-keyed cache would hand the new
+    # catalog a table name it doesn't know.
+    key = ("bucketed", spark.sparkContext.applicationId, sf_dir)
     if key not in _scratch_cache:
         # A FRESH session's in-memory catalog doesn't know tables a
         # previous process left in spark-warehouse; saveAsTable then
