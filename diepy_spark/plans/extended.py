@@ -23262,3 +23262,129 @@ EXTENDED_ORACLES["x10_token_budget"] = f"""
     FROM budgets b LEFT JOIN sel s USING (source)
     ORDER BY b.source
 """
+
+
+FC_N_MIN = 2000   # node-space floor (matches TRI_N at small sf)
+FC_DENS = 8       # node space = n_orders div FC_DENS -> avg degree ~2*FC_DENS
+
+
+def _fc_n(spark, sf_dir) -> int:
+    """max(FC_N_MIN, n_orders div FC_DENS), memoized per sf_dir — the
+    data-derived node space for the 4-cycle graph (the _sd_k pattern):
+    wedge mass is sum(deg^2) ~ nodes * avg_deg^2, so a FIXED node space
+    makes density — and the wedge join — grow quadratically with data.
+    Scaling the space with the edge count pins avg degree ~2*FC_DENS
+    and keeps the wedge volume LINEAR in data.  Python // and DuckDB //
+    agree on nonnegative ints; at production scale the count is table
+    metadata."""
+    key = ("fcn", sf_dir)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = max(
+            FC_N_MIN, load_table(spark, sf_dir, "orders").count() // FC_DENS
+        )
+    return _MODEL_CACHE[key]
+
+
+_FC_N_SQL = f"greatest({FC_N_MIN}, (SELECT count(*) FROM orders) // {FC_DENS})"
+
+
+def x11_four_cycles(spark, sf_dir):
+    """EXACT 4-CYCLE (rectangle) COUNT — the quadrilateral sibling of
+    x11_triangle_count and the standard second motif in graph-structure
+    profiling (bipartite-like structure shows up as rectangle mass with
+    low triangle mass; the pair is what a graph-quality gate reads):
+    every 4-cycle has exactly two opposite (non-consecutive) vertex
+    pairs, so C4 = (1/2) * sum over unordered pairs (u, w) of
+    C(common_neighbors(u, w), 2) — the wedge-grouping identity
+    (Chiba & Nishizeki 1985's C4 algorithm, MapReduce'd as rectangle
+    counting).  One row: nodes, edges, wedge total, C4, rectangles per
+    edge.
+
+    Exactness: everything is BIGINT off exact distinct-edge counts;
+    the /2 is exact (the sum counts each cycle exactly twice);
+    c4_per_edge is the single double division at render.  Scale shape:
+    wedge enumeration is ONE self-join on the center vertex feeding a
+    map-side-combined (u, w) count — sum(deg^2) rows, the documented
+    cost of every common-neighbor operator here; the node space is
+    DATA-DERIVED (_fc_n, the x2_semdedup k pattern) so avg degree — and
+    with it the wedge volume per edge — stays constant at every sf
+    instead of densifying quadratically in a fixed space.  At 100 TB
+    the remaining mitigation is a degree cap with exact handling of the
+    heavy tail (Tsourakakis split); the hash projection keeps degrees
+    near-uniform here."""
+    tune(spark)
+    fc_n = _fc_n(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    e0 = (
+        orders.selectExpr(
+            f"(o_orderkey * 37 + 11) % {fc_n} AS a",
+            f"(o_custkey * 101 + 7) % {fc_n} AS b",
+        )
+        .where("a <> b")
+        .selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .distinct()
+        .localCheckpoint(eager=False)  # read by both directions + degrees
+    )
+    und = e0.selectExpr("u AS c", "v AS x").unionByName(
+        e0.selectExpr("v AS c", "u AS x")
+    )
+    nuw = (
+        und.alias("l")
+        .join(und.alias("r"), F.expr("l.c = r.c AND l.x < r.x"))
+        .selectExpr("l.x AS pu", "r.x AS pw")
+        .groupBy("pu", "pw")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    c4 = nuw.agg(
+        F.expr(
+            "CAST(sum(n * (n - 1) div 2) div 2 AS BIGINT) AS c4"
+        )
+    )
+    stats = und.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_nodes"),
+        F.expr("CAST(sum(deg) div 2 AS BIGINT) AS n_edges"),
+        F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT) AS wedges"),
+    )
+    return stats.crossJoin(F.broadcast(c4)).selectExpr(
+        "n_nodes",
+        "n_edges",
+        "wedges",
+        "c4",
+        "round(CAST(c4 AS DOUBLE) / n_edges, 6) AS c4_per_edge",
+    )
+
+
+EXTENDED_QUERIES["x11_four_cycles"] = x11_four_cycles
+
+EXTENDED_ORACLES["x11_four_cycles"] = f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+        SELECT (o_orderkey * 37 + 11) % ({_FC_N_SQL}) AS a,
+               (o_custkey * 101 + 7) % ({_FC_N_SQL}) AS b FROM orders
+      ) WHERE a <> b
+    ),
+    und AS (
+      SELECT u AS c, v AS x FROM e0
+      UNION ALL SELECT v AS c, u AS x FROM e0
+    ),
+    nuw AS (
+      SELECT l.x AS pu, r.x AS pw, CAST(count(*) AS BIGINT) AS n
+      FROM und l JOIN und r ON l.c = r.c AND l.x < r.x
+      GROUP BY 1, 2
+    ),
+    c4t AS (
+      SELECT CAST(sum(n * (n - 1) // 2) // 2 AS BIGINT) AS c4 FROM nuw
+    ),
+    degs AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY c),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+      FROM degs
+    )
+    SELECT n_nodes, n_edges, wedges, c4,
+           round(CAST(c4 AS DOUBLE) / n_edges, 6) AS c4_per_edge
+    FROM stats CROSS JOIN c4t
+"""

@@ -314,3 +314,83 @@ def test_block_running_sum_equals_global_window(spark):
             ).collect()
         }
         assert got == expect, parts
+
+
+def _c4_python(edges: set[tuple[int, int]]) -> int:
+    """Independent 4-cycle count: brute-force over ordered 4-tuples /
+    8 (each cycle has 8 traversals).  Only for tiny graphs."""
+    from itertools import permutations
+
+    adj = defaultdict(set)
+    nodes = set()
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+        nodes.update((u, v))
+    cnt = 0
+    for quad in permutations(sorted(nodes), 4):
+        a, b, c, d = quad
+        if b in adj[a] and c in adj[b] and d in adj[c] and a in adj[d]:
+            cnt += 1
+    return cnt // 8
+
+
+def test_four_cycles_identity_on_hand_graphs():
+    """The opposite-pair identity C4 = sum(C(n_uw, 2)) / 2 equals the
+    brute-force count on hand graphs: a square (1), a square with a
+    chord (1), K4 (3), two disjoint squares (2), a triangle (0)."""
+    square = {(1, 2), (2, 3), (3, 4), (4, 1)}
+    chord = square | {(1, 3)}
+    k4 = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    two_sq = square | {(5, 6), (6, 7), (7, 8), (8, 5)}
+    tri = {(1, 2), (2, 3), (3, 1)}
+    for g, want in ((square, 1), (chord, 1), (k4, 3), (two_sq, 2), (tri, 0)):
+        assert _c4_python(g) == want
+        adj = defaultdict(set)
+        for u, v in g:
+            adj[u].add(v)
+            adj[v].add(u)
+        ns = sorted(adj)
+        s = 0
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                n = len(adj[u] & adj[w])
+                s += n * (n - 1) // 2
+        assert s // 2 == want, g
+
+
+def test_four_cycles_matches_python(spark, sf_small):
+    from diepy_spark.plans.extended import (
+        FC_DENS,
+        FC_N_MIN,
+        x11_four_cycles,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderkey, o_custkey FROM '{sf_small}/orders.parquet'"
+    ).fetchall()
+    fc_n = max(FC_N_MIN, len(rows) // FC_DENS)
+    edges = set()
+    for ok, ck in rows:
+        a, b = (ok * 37 + 11) % fc_n, (ck * 101 + 7) % fc_n
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    ns = sorted(adj)
+    s = 0
+    for i, u in enumerate(ns):
+        for w in ns[i + 1:]:
+            n = len(adj[u] & adj[w])
+            s += n * (n - 1) // 2
+    c4 = s // 2
+    n_edges = len(edges)
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    got = x11_four_cycles(spark, sf_small).collect()[0]
+    assert (got.n_nodes, got.n_edges, got.wedges, got.c4) == (
+        len(ns), n_edges, wedges, c4,
+    )
+    assert got.c4_per_edge == pytest.approx(round(c4 / n_edges, 6), abs=1e-9)

@@ -21,6 +21,11 @@ exists to catch (candidates: HyperBall register joins, suffix-array
 doubling rounds, all-pairs stages).
 
 Usage: python tools/bench_scale.py [sf_small_dir] [sf_big_dir]
+
+Incremental mode: SPARK_GRAFT_LADDER_ONLY=q1,q2 runs only those HEAVY
+rows and MERGES them into the existing BENCHSCALE.json (other rows kept
+verbatim) — how a single new query lands its ladder row without
+re-measuring the whole set.
 """
 
 from __future__ import annotations
@@ -63,6 +68,9 @@ HEAVY = [
     # round-11 standing rule: new queries at the ~2 s sf0.1 warm line land
     # with a ladder row — the block_running_sum cumsum is the scale claim.
     "x10_token_budget",
+    # wedge-identity rectangle count; node space data-derived (_fc_n) so
+    # wedge volume stays linear in data — the ladder row proves it.
+    "x11_four_cycles",
 ]
 
 
@@ -106,8 +114,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    path = os.path.join(here, "BENCHSCALE.json")
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_LADDER_ONLY", "").split(",")
+        if q.strip()
+    }
+    todo = [n for n in HEAVY if not only or n in only]
     out: dict[str, dict[str, float]] = {}
-    for name in HEAVY:
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            out.update(json.load(fh).get("queries", {}))
+    for name in todo:
         s_cold, s = run(name, small)
         b_cold, b = run(name, big)
         out[name] = {
@@ -134,7 +152,6 @@ def main() -> None:
         "artifact caches derive), one warm process; sf1 = 10x re-keyed "
         "replication of sf0.1 (tools/make_sf1.py)",
     }
-    path = os.path.join(here, "BENCHSCALE.json")
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print("wrote", path)
