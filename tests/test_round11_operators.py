@@ -394,3 +394,22 @@ def test_four_cycles_matches_python(spark, sf_small):
         len(ns), n_edges, wedges, c4,
     )
     assert got.c4_per_edge == pytest.approx(round(c4 / n_edges, 6), abs=1e-9)
+
+
+def test_stream_sinks_are_dropped(spark, sf_small):
+    """Pins the _run_stream cleanup contract (VERDICT r10 #1): a
+    streaming query's memory sink must not outlive its materialization
+    — across a 350-query bench the accumulated sinks measured as ~2x
+    drag on late families.  After running a streamed query, no
+    x7_mem_* temp view remains and no terminated query handle is held."""
+    from diepy_spark.plans.pipeline import x7_stream_tumbling
+
+    rows = x7_stream_tumbling(spark, sf_small).collect()
+    assert rows  # the result itself survives the sink drop
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("x7_mem_")
+    ]
+    assert leftover == []
+    assert list(spark.streams.active) == []
