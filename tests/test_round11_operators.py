@@ -8,7 +8,9 @@ hand-computed walk, not just the oracle's replica of the same fold)."""
 
 from __future__ import annotations
 
+import glob
 import math
+import os
 import re
 from collections import Counter, defaultdict
 
@@ -121,9 +123,22 @@ def test_documents_corpus_is_ascii():
     ever grows multibyte text, this fails before the oracle hashes
     silently diverge."""
     con = duckdb.connect()
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    # Every sf tier on disk, not just the two smallest: the bench/ladder
+    # corpora (sf0.1; sf1 via tools/make_sf1.py) run the same byte-frame
+    # queries, so multibyte text there would diverge just as silently.
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*")) + sorted(
+        glob.glob(os.path.join(here, "spark-warehouse", "sf*"))
+    )
+    assert sf_dirs, "no testdata sf directories found"
+    for sf_dir in sf_dirs:
+        doc = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(doc):
+            continue
+        # Spark-written tables are directories of part files
+        src = f"{doc}/*.parquet" if os.path.isdir(doc) else doc
         n = con.execute(
-            f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+            f"SELECT count(*) FROM '{src}' "
             "WHERE length(text) <> strlen(text)"
         ).fetchone()[0]
         assert n == 0, f"non-ASCII documents in {sf_dir}"

@@ -120,6 +120,15 @@ def main() -> None:
         for q in os.environ.get("SPARK_GRAFT_LADDER_ONLY", "").split(",")
         if q.strip()
     }
+    # A typo'd name must not look like a successful re-measurement: the
+    # old rows would be rewritten verbatim and 'wrote' printed.
+    unknown = sorted(only - set(HEAVY))
+    if unknown:
+        raise SystemExit(
+            "SPARK_GRAFT_LADDER_ONLY names not in HEAVY: "
+            + ", ".join(unknown)
+            + f" (valid: {', '.join(sorted(HEAVY))})"
+        )
     todo = [n for n in HEAVY if not only or n in only]
     out: dict[str, dict[str, float]] = {}
     if only and os.path.exists(path):
