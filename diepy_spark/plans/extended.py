@@ -23214,8 +23214,14 @@ def x10_token_budget(spark, sf_dir):
             "budget",
             "coalesce(n_sel, CAST(0 AS BIGINT)) AS n_sel",
             "coalesce(sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens",
-            "round(CAST(coalesce(sel_tokens, 0) AS DOUBLE)"
-            " / budget, 6) AS utilization",
+            # budget=0 guard (a source whose token mass < TB_FRAC): the
+            # division is undefined, render NULL in both engines rather
+            # than rely on divide-by-zero semantics (ANSI Spark errors,
+            # non-ANSI gives NULL, DuckDB double gives inf) — the
+            # x8_eb_shrinkage k>1 precedent.
+            "CASE WHEN budget > 0 THEN"
+            " round(CAST(coalesce(sel_tokens, 0) AS DOUBLE) / budget, 6)"
+            " ELSE CAST(NULL AS DOUBLE) END AS utilization",
             "coalesce(avg_score6, CAST(0 AS BIGINT)) AS avg_score6",
         )
         .orderBy("source")
@@ -23256,8 +23262,10 @@ EXTENDED_ORACLES["x10_token_budget"] = f"""
     SELECT b.source, b.n_docs, b.budget,
            CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
            CAST(coalesce(s.sel_tokens, 0) AS BIGINT) AS sel_tokens,
-           round(CAST(coalesce(s.sel_tokens, 0) AS DOUBLE)
-                 / b.budget, 6) AS utilization,
+           CASE WHEN b.budget > 0 THEN
+                round(CAST(coalesce(s.sel_tokens, 0) AS DOUBLE)
+                      / b.budget, 6)
+                ELSE CAST(NULL AS DOUBLE) END AS utilization,
            CAST(coalesce(s.avg_score6, 0) AS BIGINT) AS avg_score6
     FROM budgets b LEFT JOIN sel s USING (source)
     ORDER BY b.source
@@ -23387,4 +23395,251 @@ EXTENDED_ORACLES["x11_four_cycles"] = f"""
     SELECT n_nodes, n_edges, wedges, c4,
            round(CAST(c4 AS DOUBLE) / n_edges, 6) AS c4_per_edge
     FROM stats CROSS JOIN c4t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — consumers of existing artifacts (VERDICT r11 #8: grow
+# consumers, not counters).
+# ---------------------------------------------------------------------------
+
+def x2_dup_quality(spark, sf_dir):
+    """DUPLICATION x QUALITY cross-tab — the question every dedup review
+    asks before signing off on keep-one-per-cluster: are the duplicated
+    documents systematically different in quality from the singletons
+    (boilerplate mega-clusters read as low-TTR, high-repetition text)?
+    Consumer of the persisted near-dup label table (_cc_cached, the same
+    (node, cluster) frame x2_dup_clusters/x2_cluster_size_dist read) ×
+    the x5 quality features: per duplicate-multiplicity bucket
+    (1 / 2 / 3-4 / 5+), doc and cluster counts plus corpus-level (macro)
+    token stats — TTR, stopword ratio, tokens/doc, chars/doc.
+
+    Exactness: every aggregate is an exact BIGINT sum of per-doc integer
+    features; the ratios are single IEEE divisions of exact integers at
+    render (bit-identical across engines per the quality_exprs
+    contract), with the sum_tokens=0 degenerate bucket guarded NULL (the
+    x8_eb_shrinkage / x10_token_budget precedent). Scale shape: one
+    narrow tokenize projection over the corpus + a broadcast-sized join
+    against the dup-graph label table (orders of magnitude below the
+    corpus), then a 4-row aggregate — no new shuffle beyond the cached
+    cluster machinery."""
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    cc = _cc_cached(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+        tokens_col_ref().alias("toks"),
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        "CAST(size(toks) AS BIGINT) AS n_tok",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_dist",
+        f"CAST(aggregate(transform(toks, x -> if(x in ({_QUALITY_EN}),"
+        " 1, 0)), 0, (a, v) -> a + v) AS BIGINT) AS n_stop",
+    )
+    lab = d.select("doc_id").join(
+        cc.select(F.col("node").alias("doc_id"), "cluster"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
+    csz = lab.groupBy("cluster").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("csize")
+    )
+    j = feats.join(lab, "doc_id").join(csz, "cluster")
+    return (
+        j.selectExpr(
+            "CASE WHEN csize = 1 THEN '1' WHEN csize = 2 THEN '2'"
+            " WHEN csize <= 4 THEN '3-4' ELSE '5+' END AS dup_bucket",
+            "cluster", "n_tok", "n_dist", "n_stop", "n_chars",
+        )
+        .groupBy("dup_bucket")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(count(DISTINCT cluster) AS BIGINT)").alias(
+                "n_clusters"
+            ),
+            F.expr("CAST(sum(n_tok) AS BIGINT)").alias("sum_tokens"),
+            F.expr(
+                "CAST(sum(n_tok) AS DOUBLE) / count(*)"
+            ).alias("toks_per_doc"),
+            F.expr(
+                "CASE WHEN sum(n_tok) > 0 THEN"
+                " CAST(sum(n_dist) AS DOUBLE) / sum(n_tok)"
+                " ELSE CAST(NULL AS DOUBLE) END"
+            ).alias("ttr"),
+            F.expr(
+                "CASE WHEN sum(n_tok) > 0 THEN"
+                " CAST(sum(n_stop) AS DOUBLE) / sum(n_tok)"
+                " ELSE CAST(NULL AS DOUBLE) END"
+            ).alias("stop_ratio"),
+            F.expr(
+                "CAST(sum(n_chars) AS DOUBLE) / count(*)"
+            ).alias("chars_per_doc"),
+        )
+        .orderBy("dup_bucket")
+    )
+
+
+EXTENDED_QUERIES["x2_dup_quality"] = x2_dup_quality
+
+EXTENDED_ORACLES["x2_dup_quality"] = f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    feats AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_TOKS_EXPR}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_TOKS_EXPR})) AS BIGINT) AS n_dist,
+             CAST(coalesce(list_sum(list_transform({_TOKS_EXPR},
+                  t -> CASE WHEN t IN ({_QUALITY_EN}) THEN 1 ELSE 0 END)),
+                  0) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+            FROM lab GROUP BY 1),
+    j AS (
+      SELECT CASE WHEN s.csize = 1 THEN '1' WHEN s.csize = 2 THEN '2'
+                  WHEN s.csize <= 4 THEN '3-4' ELSE '5+' END AS dup_bucket,
+             l.cluster, f.n_tok, f.n_dist, f.n_stop, f.n_chars
+      FROM feats f JOIN lab l USING (doc_id) JOIN csz s USING (cluster)
+    )
+    SELECT dup_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_tok) AS DOUBLE) / count(*) AS toks_per_doc,
+           CASE WHEN sum(n_tok) > 0 THEN
+                CAST(sum(n_dist) AS DOUBLE) / sum(n_tok)
+                ELSE CAST(NULL AS DOUBLE) END AS ttr,
+           CASE WHEN sum(n_tok) > 0 THEN
+                CAST(sum(n_stop) AS DOUBLE) / sum(n_tok)
+                ELSE CAST(NULL AS DOUBLE) END AS stop_ratio,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS chars_per_doc
+    FROM j GROUP BY dup_bucket ORDER BY dup_bucket
+"""
+
+
+def x10_budget_price(spark, sf_dir):
+    """BUDGET MARGINAL PRICE — the companion sheet to x10_token_budget:
+    per source, the quality score of the LAST document the token budget
+    admits and the FIRST it drops (the take-while boundary on the
+    (-score6, doc_id) quality ranking). The gap is the "price" of the
+    budget at that source — what score a new document must beat to make
+    the cut, the number a data-mixture owner reads when deciding which
+    source's budget to grow. Same scored/budgets/cumsum construction as
+    x10_token_budget (block_running_sum, exact BIGINTs throughout).
+
+    Exactness: every column is an exact BIGINT (scores are the integer
+    TTR proxy score6; cum is strictly increasing within a source since
+    every doc has n >= 1 token, so max_by/min_by on cum are tie-free);
+    no floats at all. Sources where nothing is selected render n_sel=0
+    with NULL boundary docs; sources fully selected render NULL drop
+    columns. Scale shape: the cumsum is the distributed two-pass block
+    running sum; the boundary extraction is two map-side-combined
+    max_by/min_by aggregates per source — nothing single-partition."""
+    from diepy_spark.operators.suffixes import block_running_sum
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    scored = (
+        d.select("doc_id", "source", tokens_col_ref().alias("toks"))
+        .where(F.expr("size(toks) > 0"))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(size(toks) AS BIGINT) AS n",
+            "CAST(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000"
+            " div size(toks) AS BIGINT) AS score6",
+        )
+        .withColumn("neg6", F.expr("-score6"))
+    )
+    budgets = scored.groupBy("source").agg(
+        F.expr(f"CAST(sum(n) div {TB_FRAC} AS BIGINT)").alias("budget"),
+    )
+    cum = block_running_sum(
+        scored, "source", ["neg6", "doc_id"], "n", out="cum"
+    ).join(F.broadcast(budgets), "source")
+    sel = (
+        cum.where(F.col("cum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_sel"),
+            F.expr("max_by(doc_id, cum)").alias("last_sel_doc"),
+            F.expr("CAST(max_by(score6, cum) AS BIGINT)").alias(
+                "last_sel_score6"
+            ),
+        )
+    )
+    drop = (
+        cum.where(F.col("cum") > F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.expr("min_by(doc_id, cum)").alias("first_drop_doc"),
+            F.expr("CAST(min_by(score6, cum) AS BIGINT)").alias(
+                "first_drop_score6"
+            ),
+        )
+    )
+    return (
+        budgets.join(sel, "source", "left")
+        .join(drop, "source", "left")
+        .selectExpr(
+            "source",
+            "budget",
+            "coalesce(n_sel, CAST(0 AS BIGINT)) AS n_sel",
+            "last_sel_doc",
+            "last_sel_score6",
+            "first_drop_doc",
+            "first_drop_score6",
+            "CAST(last_sel_score6 - first_drop_score6 AS BIGINT)"
+            " AS score_gap",
+        )
+        .orderBy("source")
+    )
+
+
+EXTENDED_QUERIES["x10_budget_price"] = x10_budget_price
+
+EXTENDED_ORACLES["x10_budget_price"] = f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS_EXPR}) AS BIGINT) AS n,
+             CAST(CAST(len(list_distinct({_TOKS_EXPR})) AS BIGINT)
+                  * 1000000 // len({_TOKS_EXPR}) AS BIGINT) AS score6
+      FROM documents WHERE len({_TOKS_EXPR}) > 0
+    ),
+    budgets AS (
+      SELECT source, CAST(sum(n) // {TB_FRAC} AS BIGINT) AS budget
+      FROM scored GROUP BY source
+    ),
+    cum AS (
+      SELECT s.source, s.doc_id, s.n, s.score6, b.budget,
+             CAST(sum(s.n) OVER (PARTITION BY s.source
+                  ORDER BY -s.score6, s.doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM scored s JOIN budgets b USING (source)
+    ),
+    sel AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+             max_by(doc_id, cum) AS last_sel_doc,
+             CAST(max_by(score6, cum) AS BIGINT) AS last_sel_score6
+      FROM cum WHERE cum <= budget GROUP BY source
+    ),
+    dropd AS (
+      SELECT source, min_by(doc_id, cum) AS first_drop_doc,
+             CAST(min_by(score6, cum) AS BIGINT) AS first_drop_score6
+      FROM cum WHERE cum > budget GROUP BY source
+    )
+    SELECT b.source, b.budget,
+           CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
+           s.last_sel_doc, s.last_sel_score6,
+           d.first_drop_doc, d.first_drop_score6,
+           CAST(s.last_sel_score6 - d.first_drop_score6 AS BIGINT)
+             AS score_gap
+    FROM budgets b LEFT JOIN sel s USING (source)
+    LEFT JOIN dropd d USING (source)
+    ORDER BY b.source
 """

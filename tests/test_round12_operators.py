@@ -1,0 +1,192 @@
+"""Round-12 operators: literal-Python mirrors for the two new
+artifact-consumer queries (VERDICT r11 #8 — consumers, not counters).
+
+x2_dup_quality   — near-dup-cluster-size x quality cross-tab; the mirror
+                   rebuilds the WHOLE chain (tokenize -> bigram shingles ->
+                   max_df stop set -> kept-set Jaccard -> union-find ->
+                   bucketed exact-integer aggregates) independently.
+x10_budget_price — per-source budget boundary (last selected / first
+                   dropped doc on the quality-prefix ranking).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+
+def _tokenize(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _doc_rows(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+
+class _UF:
+    def __init__(self):
+        self.p: dict[int, int] = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_dup_quality_matches_python(spark, sf_small):
+    from diepy_spark.operators.text import LANG_PROFILES
+    from diepy_spark.plans.extended import (
+        JACCARD_MAX_DF,
+        JACCARD_THRESHOLD,
+        x2_dup_quality,
+    )
+
+    stop_words = set(LANG_PROFILES["en"])
+    rows = _doc_rows(sf_small)
+
+    # per-doc distinct bigram shingles over the standard tokenization
+    shingles: dict[int, set[str]] = {}
+    for doc_id, _src, text in rows:
+        toks = _tokenize(text)
+        shingles[doc_id] = {
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        }
+
+    # stop set: shingles present in more than max_df docs
+    df_cnt: dict[str, int] = defaultdict(int)
+    for sh in shingles.values():
+        for s in sh:
+            df_cnt[s] += 1
+    stop_sh = {s for s, c in df_cnt.items() if c > JACCARD_MAX_DF}
+    kept = {d: sh - stop_sh for d, sh in shingles.items()}
+
+    # pair graph via inverted index; Jaccard over KEPT sets
+    inv: dict[str, list[int]] = defaultdict(list)
+    for d in sorted(kept):
+        for s in kept[d]:
+            inv[s].append(d)
+    inter: dict[tuple[int, int], int] = defaultdict(int)
+    for docs in inv.values():
+        for i, da in enumerate(docs):
+            for db in docs[i + 1:]:
+                inter[(da, db)] += 1
+    uf = _UF()
+    for (da, db), c in inter.items():
+        union = len(kept[da]) + len(kept[db]) - c
+        if union > 0 and c / union >= JACCARD_THRESHOLD:
+            uf.union(da, db)
+
+    # cluster label = min reachable node; docs outside the pair graph are
+    # their own singleton clusters
+    label = {d: uf.find(d) if d in uf.p else d for d in shingles}
+    csize: dict[int, int] = defaultdict(int)
+    for d in label:
+        csize[label[d]] += 1
+
+    def bucket(sz: int) -> str:
+        return "1" if sz == 1 else "2" if sz == 2 else "3-4" if sz <= 4 else "5+"
+
+    agg = defaultdict(lambda: [0, set(), 0, 0, 0, 0])  # docs, clusters, tok, dist, stop, chars
+    for doc_id, _src, text in rows:
+        toks = _tokenize(text)
+        b = bucket(csize[label[doc_id]])
+        a = agg[b]
+        a[0] += 1
+        a[1].add(label[doc_id])
+        a[2] += len(toks)
+        a[3] += len(set(toks))
+        a[4] += sum(1 for t in toks if t in stop_words)
+        a[5] += len(text)
+
+    expect = {}
+    for b, (nd, cl, st, sd, ss, sc) in agg.items():
+        expect[b] = (
+            nd,
+            len(cl),
+            st,
+            st / nd,
+            (sd / st) if st > 0 else None,
+            (ss / st) if st > 0 else None,
+            sc / nd,
+        )
+
+    got = {
+        r.dup_bucket: (
+            r.n_docs, r.n_clusters, r.sum_tokens, r.toks_per_doc,
+            r.ttr, r.stop_ratio, r.chars_per_doc,
+        )
+        for r in x2_dup_quality(spark, sf_small).collect()
+    }
+    assert set(got) == set(expect)
+    for b in expect:
+        assert got[b][:3] == expect[b][:3], b
+        for gi, ei in zip(got[b][3:], expect[b][3:]):
+            if ei is None:
+                assert gi is None, b
+            else:
+                assert gi == pytest.approx(ei, abs=1e-12), b
+
+
+def test_budget_price_matches_python(spark, sf_small):
+    from diepy_spark.plans.extended import TB_FRAC, x10_budget_price
+
+    by_src: dict[str, list[tuple[int, int, int]]] = defaultdict(list)
+    for doc_id, src, text in _doc_rows(sf_small):
+        toks = _tokenize(text)
+        n = len(toks)
+        if n == 0:
+            continue
+        score6 = len(set(toks)) * 1000000 // n
+        by_src[src].append((doc_id, n, score6))
+
+    expect = {}
+    for src, docs in by_src.items():
+        budget = sum(n for _d, n, _s in docs) // TB_FRAC
+        ranked = sorted(docs, key=lambda t: (-t[2], t[0]))
+        cum = 0
+        n_sel = 0
+        last_sel = first_drop = None
+        for doc_id, n, s6 in ranked:
+            cum += n
+            if cum <= budget:
+                n_sel += 1
+                last_sel = (doc_id, s6)
+            else:
+                first_drop = (doc_id, s6)
+                break
+        gap = (
+            last_sel[1] - first_drop[1]
+            if last_sel is not None and first_drop is not None
+            else None
+        )
+        expect[src] = (
+            budget,
+            n_sel,
+            last_sel[0] if last_sel else None,
+            last_sel[1] if last_sel else None,
+            first_drop[0] if first_drop else None,
+            first_drop[1] if first_drop else None,
+            gap,
+        )
+
+    got = {
+        r.source: (
+            r.budget, r.n_sel, r.last_sel_doc, r.last_sel_score6,
+            r.first_drop_doc, r.first_drop_score6, r.score_gap,
+        )
+        for r in x10_budget_price(spark, sf_small).collect()
+    }
+    assert got == expect
