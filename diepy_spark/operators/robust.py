@@ -46,6 +46,55 @@ def freq_median(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
     )
 
 
+def freq_quantile_cont(
+    df: DataFrame, group_col: str, val_col: str, q: float, out: str = "q"
+) -> DataFrame:
+    """(group_col, out): exact INTERPOLATED percentile — percentile_cont /
+    Spark `percentile()` semantics, bit-identical interpolation weights
+    ((higher - pos) * v_lo + (pos - lower) * v_hi, Spark's Percentile
+    formula) — per group, WITHOUT per-group value buffering.
+
+    Scale shape: percentile()'s aggregation buffer holds every row of the
+    group (the r28 scale-killer); here state is the VALUE FREQUENCY table
+    — one shuffle to (group, value) counts with map-side combine, then a
+    distributed block running sum (operators/suffixes.block_running_sum:
+    range-partitioned, never a group-sized window) for cumulative counts,
+    a broadcast of per-group row counts, and a 2-rows-per-group final
+    aggregate. Bounded by the distinct-value domain (a decimal grid
+    saturates at scale), never the row count. NULLs are ignored, matching
+    percentile()/quantile_cont."""
+    from diepy_spark.operators.suffixes import block_running_sum
+
+    g = group_col
+    rows = df.where(F.col(val_col).isNotNull()).select(
+        g, F.col(val_col).cast("double").alias("__v")
+    )
+    freq = rows.groupBy(g, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    cum = block_running_sum(freq, g, ["__v"], "__c", out="__cum")
+    n = rows.groupBy(g).agg(F.count(F.lit(1)).alias("__n"))
+    j = (
+        cum.join(F.broadcast(n), g)
+        # pos is the 0-based fractional index q*(n-1); __lo/__hi are the
+        # 1-based ranks of the two bracketing order statistics
+        .withColumn("__pos", F.lit(float(q)) * (F.col("__n") - 1))
+        .withColumn("__lo", F.expr("CAST(floor(__pos) AS BIGINT) + 1"))
+        .withColumn("__hi", F.expr("CAST(ceil(__pos) AS BIGINT) + 1"))
+    )
+    picked = j.where(
+        (F.col("__cum") >= F.col("__lo"))
+        & (F.col("__cum") - F.col("__c") < F.col("__hi"))
+    )
+    vlo = "max(CASE WHEN __cum >= __lo AND __cum - __c < __lo THEN __v END)"
+    vhi = "max(CASE WHEN __cum >= __hi AND __cum - __c < __hi THEN __v END)"
+    return picked.groupBy(g).agg(
+        F.expr(
+            f"CASE WHEN max(__lo) = max(__hi) THEN {vlo}"
+            f" ELSE (max(__hi) - 1 - max(__pos)) * ({vlo})"
+            f" + (max(__pos) - max(__lo) + 1) * ({vhi}) END"
+        ).alias(out)
+    )
+
+
 def robust_outliers(
     df: DataFrame, group_col: str, val_col: str, k: int = 5
 ) -> DataFrame:

@@ -371,17 +371,34 @@ def r27_grouping_sets(spark, sf_dir):
 
 
 def r28_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles per group (Spark `percentile` ≡
-    ANSI percentile_cont). Exact percentile needs a per-group sort; at
-    scale prefer approx_percentile (t-digest, one pass) — pinned here as
-    the exact form because the oracle must match bit-for-bit."""
+    """Exact interpolated percentiles per group (≡ ANSI percentile_cont,
+    Spark `percentile()` interpolation weights) — now via the
+    value-frequency histogram + distributed block running sum
+    (operators/robust.freq_quantile_cont) instead of `percentile()`,
+    whose aggregation buffer holds every group row (the carried r28
+    scale-weakness: ~3 groups x all of lineitem in one buffer at 100 TB).
+    State is now bounded by the distinct-value domain (l_quantity: 50
+    values; l_extendedprice: a cents grid that saturates at scale), the
+    cumsum never sees a group-sized window, and the result is
+    bit-identical to the old plan (same oracle, hash-verified)."""
+    from diepy_spark.operators.robust import freq_quantile_cont
+
     li = _t(spark, sf_dir, "lineitem")
+    med = freq_quantile_cont(li, "l_returnflag", "l_quantity", 0.5, out="mq")
+    p90 = freq_quantile_cont(
+        li, "l_returnflag", "l_extendedprice", 0.9, out="pp"
+    )
+    base = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        base.join(med, "l_returnflag")
+        .join(p90, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("mq", 4).alias("median_qty"),
+            F.round("pp", 4).alias("p90_price"),
+            "avg_qty",
         )
         .orderBy("l_returnflag")
     )

@@ -190,3 +190,36 @@ def test_budget_price_matches_python(spark, sf_small):
         for r in x10_budget_price(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_freq_quantile_cont_matches_percentile(spark):
+    """freq_quantile_cont must be BIT-IDENTICAL to Spark percentile()
+    (same interpolation weights) on ties, n=1 groups, fractional and
+    integral positions, and NULL values — and invariant to input
+    partitioning (the block running sum's contract)."""
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators.robust import freq_quantile_cont
+
+    rows = []
+    # group a: ties + fractional interpolation; b: n=1; c: nulls mixed in
+    rows += [("a", float(v)) for v in [1, 1, 2, 2, 2, 5, 9, 9, 12, 40]]
+    rows += [("b", 7.5)]
+    rows += [("c", None), ("c", 3.0), ("c", 4.0), ("c", None), ("c", 10.0)]
+    rows += [("d", float((i * 37) % 101)) for i in range(57)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for q in (0.0, 0.1, 0.25, 0.5, 0.9, 1.0):
+        want = {
+            r.g: r.p
+            for r in df.groupBy("g")
+            .agg(F.expr(f"percentile(v, {q})").alias("p"))
+            .collect()
+        }
+        for parts in (1, 3, 16):
+            got = {
+                r.g: r.q
+                for r in freq_quantile_cont(
+                    df.repartition(parts), "g", "v", q, out="q"
+                ).collect()
+            }
+            assert got == want, (q, parts)

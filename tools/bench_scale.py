@@ -71,6 +71,9 @@ HEAVY = [
     # wedge-identity rectangle count; node space data-derived (_fc_n) so
     # wedge volume stays linear in data — the ladder row proves it.
     "x11_four_cycles",
+    # round-12 standing rule: budget-boundary consumer at 2.3 s sf0.1
+    # warm — same block_running_sum scale claim as x10_token_budget.
+    "x10_budget_price",
 ]
 
 
