@@ -46,6 +46,72 @@ def freq_median(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
     )
 
 
+def freq_quantile_cont_multi(
+    df: DataFrame, group_col: str, metrics: dict[str, tuple[str, float]]
+) -> DataFrame:
+    """(group_col, <one column per metrics key>): several exact
+    interpolated percentiles — possibly over DIFFERENT value columns and
+    DIFFERENT q — in ONE corpus pass: the rows melt to (group, metric,
+    value) (a narrow Generate), ONE frequency shuffle and ONE distributed
+    block running sum cover every metric, and a conditional final
+    aggregate pivots the results back to columns. Same bit-exact
+    interpolation contract as freq_quantile_cont; ~metrics-count cheaper
+    than calling it per metric (each call re-scans and re-shuffles)."""
+    from diepy_spark.operators.suffixes import block_running_sum
+
+    g = group_col
+    melted = df.select(
+        g,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("__m"),
+                        F.col(col).cast("double").alias("__v"),
+                    )
+                    for name, (col, _q) in metrics.items()
+                ]
+            )
+        ).alias("__mv"),
+    ).select(g, F.col("__mv.__m").alias("__m"), F.col("__mv.__v").alias("__v"))
+    rows = melted.where(F.col("__v").isNotNull())
+    freq = rows.groupBy(g, "__m", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    # composite partition key: block_running_sum groups by ONE column
+    freq = freq.withColumn("__gm", F.concat_ws("\x1f", g, "__m"))
+    cum = block_running_sum(freq, "__gm", ["__v"], "__c", out="__cum")
+    n = rows.groupBy(g, "__m").agg(F.count(F.lit(1)).alias("__n"))
+    qcase = "CASE __m " + " ".join(
+        f"WHEN '{name}' THEN CAST({float(q)} AS DOUBLE)"
+        for name, (_c, q) in metrics.items()
+    ) + " END"
+    j = (
+        cum.join(F.broadcast(n), [g, "__m"])
+        .withColumn("__pos", F.expr(qcase) * (F.col("__n") - 1))
+        .withColumn("__lo", F.expr("CAST(floor(__pos) AS BIGINT) + 1"))
+        .withColumn("__hi", F.expr("CAST(ceil(__pos) AS BIGINT) + 1"))
+    )
+    picked = j.where(
+        (F.col("__cum") >= F.col("__lo"))
+        & (F.col("__cum") - F.col("__c") < F.col("__hi"))
+    )
+    def _interp(m: str) -> str:
+        vlo = (f"max(CASE WHEN __m = '{m}' AND __cum >= __lo"
+               f" AND __cum - __c < __lo THEN __v END)")
+        vhi = (f"max(CASE WHEN __m = '{m}' AND __cum >= __hi"
+               f" AND __cum - __c < __hi THEN __v END)")
+        lo = f"max(CASE WHEN __m = '{m}' THEN __lo END)"
+        hi = f"max(CASE WHEN __m = '{m}' THEN __hi END)"
+        pos = f"max(CASE WHEN __m = '{m}' THEN __pos END)"
+        return (
+            f"CASE WHEN {lo} = {hi} THEN {vlo}"
+            f" ELSE ({hi} - 1 - {pos}) * ({vlo})"
+            f" + ({pos} - {lo} + 1) * ({vhi}) END"
+        )
+    return picked.groupBy(g).agg(
+        *[F.expr(_interp(name)).alias(name) for name in metrics]
+    )
+
+
 def freq_quantile_cont(
     df: DataFrame, group_col: str, val_col: str, q: float, out: str = "q"
 ) -> DataFrame:

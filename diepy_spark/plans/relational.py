@@ -381,19 +381,19 @@ def r28_percentiles(spark, sf_dir):
     values; l_extendedprice: a cents grid that saturates at scale), the
     cumsum never sees a group-sized window, and the result is
     bit-identical to the old plan (same oracle, hash-verified)."""
-    from diepy_spark.operators.robust import freq_quantile_cont
+    from diepy_spark.operators.robust import freq_quantile_cont_multi
 
     li = _t(spark, sf_dir, "lineitem")
-    med = freq_quantile_cont(li, "l_returnflag", "l_quantity", 0.5, out="mq")
-    p90 = freq_quantile_cont(
-        li, "l_returnflag", "l_extendedprice", 0.9, out="pp"
+    qs = freq_quantile_cont_multi(
+        li,
+        "l_returnflag",
+        {"mq": ("l_quantity", 0.5), "pp": ("l_extendedprice", 0.9)},
     )
     base = li.groupBy("l_returnflag").agg(
         F.round(F.avg("l_quantity"), 4).alias("avg_qty")
     )
     return (
-        base.join(med, "l_returnflag")
-        .join(p90, "l_returnflag")
+        base.join(qs, "l_returnflag")
         .select(
             "l_returnflag",
             F.round("mq", 4).alias("median_qty"),

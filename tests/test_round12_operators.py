@@ -223,3 +223,32 @@ def test_freq_quantile_cont_matches_percentile(spark):
                 ).collect()
             }
             assert got == want, (q, parts)
+
+
+def test_freq_quantile_cont_multi_matches_percentile(spark):
+    """The one-pass multi-metric variant must agree with percentile()
+    per metric — different value columns AND different q in one call."""
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators.robust import freq_quantile_cont_multi
+
+    rows = [
+        ("g1", float(v), float((v * 13) % 29)) for v in range(17)
+    ] + [("g2", 4.0, 4.0), ("g2", None, 9.0), ("g2", 6.0, None)]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    want = {
+        r.g: (r.ma, r.pb)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(a, 0.5)").alias("ma"),
+            F.expr("percentile(b, 0.9)").alias("pb"),
+        )
+        .collect()
+    }
+    got = {
+        r.g: (r.ma, r.pb)
+        for r in freq_quantile_cont_multi(
+            df.repartition(5), "g", {"ma": ("a", 0.5), "pb": ("b", 0.9)}
+        ).collect()
+    }
+    assert got == want

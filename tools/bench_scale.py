@@ -74,6 +74,10 @@ HEAVY = [
     # round-12 standing rule: budget-boundary consumer at 2.3 s sf0.1
     # warm — same block_running_sum scale claim as x10_token_budget.
     "x10_budget_price",
+    # round-12: r28's NEW plan (freq_quantile_cont_multi — value-frequency
+    # histogram + block cumsum instead of percentile()'s per-group value
+    # buffer) is >2 s warm; the ladder row prices the bounded-memory form.
+    "r28_percentiles",
 ]
 
 
