@@ -108,6 +108,29 @@ def main() -> int:
         f"{ov:.1f}s -> {nv:.1f}s" if ov is not None and nv is not None else "(partial baseline)"
     )
     print(f"\ntotal: {tot}; {len(regressions)} regression(s) over {ratio}x")
+
+    # Ambient context (round 12+): the sentinel series is the machine-speed
+    # anchor — compare sentinel medians BEFORE reading the total ratio.
+    # A flat-but-shifted sentinel means the machine, not the plans, moved.
+    def sent_stats(d):
+        s = [e["sec"] for e in d.get("sentinel", []) if isinstance(e, dict)]
+        if not s:
+            return None
+        s2 = sorted(s)
+        return (s2[len(s2) // 2], min(s2), max(s2))
+
+    so, sn = sent_stats(old), sent_stats(new)
+    if so or sn:
+        def fmt(x):
+            return (
+                f"median {x[0]:.3f}s (min {x[1]:.3f}, max {x[2]:.3f})"
+                if x else "none recorded"
+            )
+        print(f"sentinel old: {fmt(so)}")
+        print(f"sentinel new: {fmt(sn)}")
+        if so and sn and so[0] > 0:
+            print(f"machine-speed shift (new/old sentinel median): "
+                  f"{sn[0] / so[0]:.2f}x")
     return 1 if regressions else 0
 
 
