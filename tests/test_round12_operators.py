@@ -252,3 +252,57 @@ def test_freq_quantile_cont_multi_matches_percentile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_priority_window_is_declared_prefix(spark):
+    """Driver-window hygiene: every _PRIORITY name must exist in the
+    declared set, the window must be exactly 50 entries with no dups,
+    and queries() must surface it as its insertion-order prefix (the
+    driver hash-checks the FIRST 50)."""
+    import __spark_entry__ as e
+
+    pri = e._PRIORITY
+    assert len(pri) == 50
+    assert len(set(pri)) == 50
+    names = list(e.queries())
+    assert names[:50] == pri
+    assert all(n in e.oracle_sql() for n in pri)
+
+
+def test_token_budget_zero_budget_renders_null(spark, tmp_path):
+    """ADVICE r11: a source whose total token mass is below TB_FRAC gets
+    budget=0 — utilization must render NULL (not raise / not inf) in
+    BOTH engines. End-to-end over a synthetic documents.parquet."""
+    import duckdb
+
+    from diepy_spark.plans.extended import EXTENDED_ORACLES, x10_token_budget
+
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (0, 'only three tokens', 'en', 'tiny', 17),
+            (1, 'a much longer document with plenty of words to pass the
+                 budget threshold for its source easily', 'en', 'big', 100),
+            (2, 'another long document with plenty of distinct words so the
+                 big source keeps a positive budget', 'en', 'big', 100)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    rows = {r.source: r for r in x10_token_budget(spark, sf).collect()}
+    # 'tiny' has 3 tokens -> budget 3 div 4 = 0 -> NULL utilization
+    assert rows["tiny"].budget == 0
+    assert rows["tiny"].utilization is None
+    assert rows["tiny"].n_sel == 0
+    assert rows["big"].budget > 0
+    assert rows["big"].utilization is not None
+    # oracle agrees on the NULL
+    con.execute(f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'")
+    orc = {
+        r[0]: r
+        for r in con.execute(EXTENDED_ORACLES["x10_token_budget"]).fetchall()
+    }
+    assert orc["tiny"][2] == 0 and orc["tiny"][5] is None
