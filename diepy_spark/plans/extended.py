@@ -23643,3 +23643,139 @@ EXTENDED_ORACLES["x10_budget_price"] = f"""
     LEFT JOIN dropd d USING (source)
     ORDER BY b.source
 """
+
+
+def x6_media_savings(spark, sf_dir):
+    """MEDIA STORAGE-RECLAIM estimate — the sheet that justifies running
+    media dedup at all: for the exact tier (identical payload bytes,
+    md5 groups — x6_media_dedup's machinery) and the perceptual tier
+    (blockhash near-dup clusters — x6_blockhash_near_dup's pair graph
+    closed into components, keep-min-id policy), how many assets the
+    keep set retains and how many payload bytes deleting the rest
+    reclaims.  The byte sibling of x2_dedup_savings; near ⊇ exact by
+    construction (identical payloads have identical signatures), so
+    the two rows bound the reclaim range a storage owner plans with.
+
+    Exactness: byte sums and counts are exact BIGINTs; reclaim_frac is
+    the single guarded IEEE division at render.  Scale shape: the
+    signature/digest frames shuffle 32-byte hashes, never payloads;
+    the pair graph and its components live on the bounded asset
+    fixture (doc_id < MEDIA_DOC_MAX, same bound as blockhash — with a
+    real decoder the pairing would ride an LSH band like x2, not
+    all-pairs)."""
+    from diepy_spark.operators.clustering import connected_components
+
+    tune(spark)
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
+    p = (
+        M.with_binary_payload(d)
+        .select(
+            "doc_id",
+            F.md5("payload").alias("fp"),
+            F.col("media_meta.byte_len").cast("bigint").alias("nb"),
+        )
+        .localCheckpoint(eager=False)  # read by both tiers + the base row
+    )
+    exg = p.groupBy("fp").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(nb) AS BIGINT)").alias("sb"),
+        F.expr("CAST(min(nb) AS BIGINT)").alias("kb"),
+    )
+    exact = exg.agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("n_assets"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_keep"),
+        F.expr("CAST(sum(sb) AS BIGINT)").alias("bytes_total"),
+        F.expr("CAST(sum(sb) - sum(kb) AS BIGINT)").alias("bytes_reclaim"),
+    ).selectExpr("'exact' AS tier", "*")
+    pairs = x6_blockhash_near_dup(spark, sf_dir).select("da", "db")
+    cc = connected_components(pairs, "da", "db")
+    flagged = (
+        cc.where(F.col("node") != F.col("cluster"))
+        .join(p.selectExpr("doc_id AS node", "nb"), "node")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_flagged"),
+            F.expr("CAST(coalesce(sum(nb), 0) AS BIGINT)").alias("rb"),
+        )
+    )
+    base = p.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_assets"),
+        F.expr("CAST(sum(nb) AS BIGINT)").alias("bytes_total"),
+    )
+    near = base.crossJoin(F.broadcast(flagged)).selectExpr(
+        "'near' AS tier",
+        "n_assets",
+        "CAST(n_assets - n_flagged AS BIGINT) AS n_keep",
+        "bytes_total",
+        "rb AS bytes_reclaim",
+    )
+    return (
+        exact.unionByName(near)
+        .selectExpr(
+            "tier",
+            "n_assets",
+            "n_keep",
+            "bytes_total",
+            "bytes_reclaim",
+            "CASE WHEN bytes_total > 0 THEN"
+            " CAST(bytes_reclaim AS DOUBLE) / bytes_total"
+            " ELSE CAST(NULL AS DOUBLE) END AS reclaim_frac",
+        )
+        .orderBy("tier")
+    )
+
+
+EXTENDED_QUERIES["x6_media_savings"] = x6_media_savings
+
+_BH_PAIRS_SQL = EXTENDED_ORACLES["x6_blockhash_near_dup"]
+
+EXTENDED_ORACLES["x6_media_savings"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT doc_id, md5(text) AS fp,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents WHERE doc_id < {MEDIA_DOC_MAX}
+    ),
+    exg AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nb) AS BIGINT) AS sb,
+             CAST(min(nb) AS BIGINT) AS kb
+      FROM p GROUP BY fp
+    ),
+    exact AS (
+      SELECT 'exact' AS tier, CAST(sum(n) AS BIGINT) AS n_assets,
+             CAST(count(*) AS BIGINT) AS n_keep,
+             CAST(sum(sb) AS BIGINT) AS bytes_total,
+             CAST(sum(sb) - sum(kb) AS BIGINT) AS bytes_reclaim
+      FROM exg
+    ),
+    bh AS (SELECT da, db FROM ({_BH_PAIRS_SQL})),
+    und AS (SELECT da AS n, db AS m FROM bh UNION SELECT db, da FROM bh),
+    reach AS (
+      SELECT n, m FROM und
+      UNION
+      SELECT r.n, u2.m FROM reach r JOIN und u2 ON r.m = u2.n
+    ),
+    comp AS (SELECT n AS node, least(n, MIN(m)) AS cluster
+             FROM reach GROUP BY n),
+    fl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+             CAST(coalesce(sum(p.nb), 0) AS BIGINT) AS rb
+      FROM comp c JOIN p ON p.doc_id = c.node WHERE c.node <> c.cluster
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_assets,
+             CAST(sum(nb) AS BIGINT) AS bytes_total
+      FROM p
+    ),
+    near AS (
+      SELECT 'near' AS tier, b.n_assets,
+             CAST(b.n_assets - f.n_flagged AS BIGINT) AS n_keep,
+             b.bytes_total, f.rb AS bytes_reclaim
+      FROM base b CROSS JOIN fl f
+    ),
+    u AS (SELECT * FROM exact UNION ALL SELECT * FROM near)
+    SELECT tier, n_assets, n_keep, bytes_total, bytes_reclaim,
+           CASE WHEN bytes_total > 0 THEN
+                CAST(bytes_reclaim AS DOUBLE) / bytes_total
+                ELSE CAST(NULL AS DOUBLE) END AS reclaim_frac
+    FROM u ORDER BY tier
+"""

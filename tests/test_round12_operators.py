@@ -306,3 +306,69 @@ def test_token_budget_zero_budget_renders_null(spark, tmp_path):
         for r in con.execute(EXTENDED_ORACLES["x10_token_budget"]).fetchall()
     }
     assert orc["tiny"][2] == 0 and orc["tiny"][5] is None
+
+
+def test_media_savings_matches_python(spark, sf_small):
+    """Literal mirror of x6_media_savings: exact tier fully independent
+    (hashlib md5 groups over the ASCII payload stand-in); near tier as an
+    independent union-find + byte aggregation over the blockhash pair
+    graph (pairs produced by DuckDB's oracle SQL, itself hash-verified
+    against the Spark plan)."""
+    import hashlib
+
+    from diepy_spark.plans.extended import (
+        EXTENDED_ORACLES,
+        MEDIA_DOC_MAX,
+        x6_media_savings,
+    )
+
+    rows = [
+        (doc_id, text)
+        for doc_id, _src, text in _doc_rows(sf_small)
+        if doc_id < MEDIA_DOC_MAX
+    ]
+    nb = {d: len(t.encode()) for d, t in rows}
+
+    groups = defaultdict(list)
+    for d, t in rows:
+        groups[hashlib.md5(t.encode()).hexdigest()].append(d)
+    bytes_total = sum(nb.values())
+    exact = (
+        len(rows),
+        len(groups),
+        bytes_total,
+        sum(sum(nb[d] for d in g) - min(nb[d] for d in g)
+            for g in groups.values()),
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf_small}/documents.parquet'"
+    )
+    pairs = con.execute(
+        EXTENDED_ORACLES["x6_blockhash_near_dup"]
+    ).fetchall()
+    uf = _UF()
+    for da, db, _h in pairs:
+        uf.union(da, db)
+    flagged = [d for d, _t in rows if d in uf.p and uf.find(d) != d]
+    near = (
+        len(rows),
+        len(rows) - len(flagged),
+        bytes_total,
+        sum(nb[d] for d in flagged),
+    )
+
+    got = {
+        r.tier: (r.n_assets, r.n_keep, r.bytes_total, r.bytes_reclaim,
+                 r.reclaim_frac)
+        for r in x6_media_savings(spark, sf_small).collect()
+    }
+    assert got["exact"][:4] == exact
+    assert got["near"][:4] == near
+    for tier, exp in (("exact", exact), ("near", near)):
+        frac = got[tier][4]
+        if exp[2] > 0:
+            assert frac == pytest.approx(exp[3] / exp[2], abs=1e-12)
+        else:
+            assert frac is None

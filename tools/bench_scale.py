@@ -78,6 +78,10 @@ HEAVY = [
     # histogram + block cumsum instead of percentile()'s per-group value
     # buffer) is >2 s warm; the ladder row prices the bounded-memory form.
     "r28_percentiles",
+    # round-12: media reclaim sheet at 2.3 s warm — cost is the digest
+    # pass + the bounded blockhash fixture; the ladder row proves the
+    # digest pass (the only corpus-dimension term) is the growth.
+    "x6_media_savings",
 ]
 
 
