@@ -1,0 +1,98 @@
+"""Round-13 tool-surface tests.
+
+Pins the `tools/compare_bench.py` sentinel normalization (VERDICT r12 #3):
+a uniform machine-speed shift between two captures — visible as a shifted
+but internally flat sentinel series — must NOT read as per-query
+regressions, while the same shift WITHOUT a sentinel on one side (raw
+mode) must still be flagged, so the gate keeps teeth on sentinel-less
+baselines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(HERE, "tools", "compare_bench.py")
+
+
+def _capture(queries, sentinel_sec, value):
+    return {
+        "metric": "total_query_sec",
+        "value": value,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": queries,
+        "sentinel": [
+            {"at": at, "sec": s}
+            for at, s in zip(["start", "x1", "x2", "end"], sentinel_sec)
+        ],
+    }
+
+
+def _run(new_path, old_path, ratio="1.5"):
+    r = subprocess.run(
+        [sys.executable, TOOL, str(new_path), str(old_path), ratio],
+        capture_output=True,
+        text=True,
+    )
+    return r.returncode, r.stdout
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return p
+
+
+def test_sentinel_normalization_absorbs_uniform_machine_shift(tmp_path):
+    # old capture on a machine running 0.55x as slow == new 1.8x "slower"
+    # raw, which would trip the 1.5x gate on every query over the floor.
+    qs_old = {"q_heavy": 2.0, "q_mid": 1.0, "q_tiny": 0.1}
+    shift = 1.8
+    qs_new = {k: round(v * shift, 3) for k, v in qs_old.items()}
+    old = _capture(qs_old, [0.30, 0.25, 0.27, 0.26], 3.1)
+    new = _capture(qs_new, [round(s * shift, 3) for s in
+                            [0.30, 0.25, 0.27, 0.26]], 3.1 * shift)
+    rc, out = _run(_write(tmp_path, "new.json", new),
+                   _write(tmp_path, "old.json", old))
+    assert rc == 0, out
+    assert "REGRESSION" not in out
+    assert "sentinel normalization" in out
+    m = re.search(r"old timings scaled by ([0-9.]+)x", out)
+    assert m and abs(float(m.group(1)) - shift) < 0.01, out
+
+
+def test_real_regression_survives_normalization(tmp_path):
+    # same machine shift, but one query ALSO genuinely regressed 2x on
+    # top of it — normalization must not hide it.
+    qs_old = {"q_heavy": 2.0, "q_mid": 1.0}
+    shift = 1.8
+    qs_new = {"q_heavy": round(2.0 * shift * 2.0, 3),
+              "q_mid": round(1.0 * shift, 3)}
+    old = _capture(qs_old, [0.30, 0.25, 0.27, 0.26], 3.0)
+    new = _capture(qs_new, [round(s * shift, 3) for s in
+                            [0.30, 0.25, 0.27, 0.26]], 9.0)
+    rc, out = _run(_write(tmp_path, "new.json", new),
+                   _write(tmp_path, "old.json", old))
+    assert rc == 1, out
+    assert out.count("REGRESSION") == 1
+    assert "q_heavy" in out
+
+
+def test_raw_mode_when_sentinel_missing(tmp_path):
+    # old side has no sentinel -> gate must run raw and flag the shift.
+    qs_old = {"q_heavy": 2.0}
+    qs_new = {"q_heavy": 3.6}
+    old = _capture(qs_old, [], 2.0)
+    del old["sentinel"]
+    new = _capture(qs_new, [0.5, 0.5, 0.5, 0.5], 3.6)
+    rc, out = _run(_write(tmp_path, "new.json", new),
+                   _write(tmp_path, "old.json", old))
+    assert rc == 1, out
+    assert "REGRESSION q_heavy" in out
+    assert "gate runs raw" in out

@@ -7,6 +7,16 @@ when any query regressed by more than `ratio` (default 1.5x). Queries under
 an absolute floor (0.3 s in BOTH rounds) are ignored — at that size the
 timing is Spark job-scheduling jitter, not plan cost. New queries (absent
 from OLD) are reported informationally and never fail the gate.
+
+Sentinel normalization (VERDICT r12 #3): when BOTH artifacts record a
+`sentinel` series (bench.py re-times one fixed control query at every
+family boundary — round 12+), OLD per-query timings are scaled by
+median(new sentinel)/median(old sentinel) before the gate, so a uniform
+machine-speed shift between captures does not read as per-query
+regressions (r12's gate run flagged 7 "regressions", all sub-2.4 s
+queries untouched by the round's diff — pure ambient drift). The applied
+ratio is printed; when either side lacks a sentinel the gate runs raw,
+exactly as before.
 """
 
 from __future__ import annotations
@@ -88,30 +98,9 @@ def main() -> int:
     new, old = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
-    nq, oq = new["queries"], old["queries"]
-    regressions = []
-    for name, v_new in sorted(nq.items()):
-        t_new = t_of(v_new)
-        if name not in oq:
-            print(f"  new  {name}: {t_new:.3f}s (no baseline)")
-            continue
-        t_old = t_of(oq[name])
-        if t_new <= FLOOR_SEC and t_old <= FLOOR_SEC:
-            continue
-        r = t_new / t_old if t_old > 0 else float("inf")
-        if r > ratio:
-            regressions.append((name, t_old, t_new, r))
-            print(f"REGRESSION {name}: {t_old:.3f}s -> {t_new:.3f}s ({r:.2f}x)")
-
-    ov, nv = old.get("value"), new.get("value")
-    tot = (
-        f"{ov:.1f}s -> {nv:.1f}s" if ov is not None and nv is not None else "(partial baseline)"
-    )
-    print(f"\ntotal: {tot}; {len(regressions)} regression(s) over {ratio}x")
-
-    # Ambient context (round 12+): the sentinel series is the machine-speed
-    # anchor — compare sentinel medians BEFORE reading the total ratio.
-    # A flat-but-shifted sentinel means the machine, not the plans, moved.
+    # Sentinel normalization happens BEFORE the gate (VERDICT r12 #3): the
+    # sentinel series is the machine-speed anchor — a flat-but-shifted
+    # sentinel means the machine, not the plans, moved.
     def sent_stats(d):
         s = [e["sec"] for e in d.get("sentinel", []) if isinstance(e, dict)]
         if not s:
@@ -120,6 +109,41 @@ def main() -> int:
         return (s2[len(s2) // 2], min(s2), max(s2))
 
     so, sn = sent_stats(old), sent_stats(new)
+    norm = 1.0
+    if so and sn and so[0] > 0:
+        norm = sn[0] / so[0]
+        print(f"sentinel normalization: old timings scaled by "
+              f"{norm:.3f}x (new median {sn[0]:.3f}s / old median {so[0]:.3f}s)")
+    elif so or sn:
+        print("sentinel: only one artifact records a series — gate runs raw")
+
+    nq, oq = new["queries"], old["queries"]
+    regressions = []
+    for name, v_new in sorted(nq.items()):
+        t_new = t_of(v_new)
+        if name not in oq:
+            print(f"  new  {name}: {t_new:.3f}s (no baseline)")
+            continue
+        t_old_raw = t_of(oq[name])
+        t_old = t_old_raw * norm
+        if t_new <= FLOOR_SEC and t_old <= FLOOR_SEC:
+            continue
+        r = t_new / t_old if t_old > 0 else float("inf")
+        if r > ratio:
+            regressions.append((name, t_old, t_new, r))
+            adj = (f" (raw {t_old_raw:.3f}s x {norm:.3f})"
+                   if norm != 1.0 else "")
+            print(f"REGRESSION {name}: {t_old:.3f}s{adj} -> "
+                  f"{t_new:.3f}s ({r:.2f}x)")
+
+    ov, nv = old.get("value"), new.get("value")
+    tot = (
+        f"{ov:.1f}s -> {nv:.1f}s" if ov is not None and nv is not None else "(partial baseline)"
+    )
+    if ov is not None and nv is not None and norm != 1.0:
+        tot += f" ({nv / (ov * norm):.2f}x sentinel-normalized)"
+    print(f"\ntotal: {tot}; {len(regressions)} regression(s) over {ratio}x")
+
     if so or sn:
         def fmt(x):
             return (
@@ -128,9 +152,6 @@ def main() -> int:
             )
         print(f"sentinel old: {fmt(so)}")
         print(f"sentinel new: {fmt(sn)}")
-        if so and sn and so[0] > 0:
-            print(f"machine-speed shift (new/old sentinel median): "
-                  f"{sn[0] / so[0]:.2f}x")
     return 1 if regressions else 0
 
 
