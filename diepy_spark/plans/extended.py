@@ -21361,6 +21361,32 @@ EXTENDED_ORACLES["x8_binseg"] = _binseg_oracle_sql()
 
 PH_BITS = 60   # blockhash signature width (bit 63 would overflow signed BIGINT shifts)
 PH_HAM_MAX = 24  # near-dup pair threshold (bits differing)
+# Candidate generation is EXACT multi-index banding (Norouzi et al. 2012,
+# multi-index hashing): with PH_HAM_MAX+1 DISJOINT bit-bands, any pair
+# within Hamming PH_HAM_MAX differs in at most PH_HAM_MAX bands, so by
+# pigeonhole at least one band matches EXACTLY -> a band-value equi-join
+# recalls every true pair; the Hamming verify then makes precision exact.
+PH_BANDS = PH_HAM_MAX + 1
+
+
+def _ph_band_slices() -> list[tuple[int, int]]:
+    """(start_bit, width) for PH_BANDS disjoint slices covering PH_BITS.
+
+    Widths differ by at most 1 (floor/ceil of PH_BITS/PH_BANDS).  At the
+    fixture's generous threshold (24/60 bits) bands are 2-3 bits wide and
+    barely selective — the candidate join degrades gracefully toward
+    all-pairs but NEVER misses a pair; with a real decoder the threshold
+    drops to ~8-10 bits, bands widen to ~6 bits, and the same plan is
+    selective. Band count, not plan shape, is the tunable.
+    """
+    base, extra = divmod(PH_BITS, PH_BANDS)
+    out, start = [], 0
+    for k in range(PH_BANDS):
+        w = base + (1 if k < extra else 0)
+        out.append((start, w))
+        start += w
+    assert start == PH_BITS
+    return out
 
 
 def x6_blockhash_near_dup(spark, sf_dir):
@@ -21378,8 +21404,13 @@ def x6_blockhash_near_dup(spark, sf_dir):
     sum_block * n_bytes > total_sum * block_len (no division);
     signatures pack into one BIGINT and the pair distance is
     bit_count(xor) — all integer.  Scale shape: one payload pass per
-    asset for the signature (the index artifact), then pairing over
-    the signature table only — payloads never join."""
+    asset for the signature (the index artifact), then candidate
+    generation through PH_BANDS disjoint bit-band buckets (the x2
+    MinHash-banding machinery of operators/dedup.py applied to
+    bit-slices; exact by pigeonhole, see PH_BANDS above) and a
+    Hamming verify over candidates only — payloads never join and
+    the pair join is an equi-join on (band_id, band_value), never
+    all-pairs."""
     tune(spark)
     d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
     p = M.with_binary_payload(d).selectExpr(
@@ -21410,11 +21441,24 @@ def x6_blockhash_near_dup(spark, sf_dir):
         .selectExpr("doc_id", f"{sig_expr} AS sig")
         .localCheckpoint(eager=False)  # the signature index artifact
     )
-    a = sigs.selectExpr("doc_id AS da", "sig AS sa")
-    b = sigs.selectExpr("doc_id AS db", "sig AS sb")
+    band_vals = ", ".join(
+        f"(shiftright(sig, {start}) & {(1 << w) - 1})"
+        for start, w in _ph_band_slices()
+    )
+    exploded = sigs.selectExpr(
+        "doc_id", "sig",
+        f"posexplode(array({band_vals})) AS (bid, bval)",
+    )
+    a = exploded.selectExpr("bid", "bval", "doc_id AS da", "sig AS sa")
+    b = exploded.selectExpr("bid", "bval", "doc_id AS db", "sig AS sb")
+    candidates = (
+        a.join(b, ["bid", "bval"])          # equi-join: band buckets
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb")
+        .distinct()                          # pairs matching >1 band
+    )
     return (
-        a.join(b, F.col("da") < F.col("db"))
-        .selectExpr(
+        candidates.selectExpr(
             "da", "db",
             "CAST(bit_count(sa ^ sb) AS INT) AS hamming",
         )

@@ -82,6 +82,13 @@ HEAVY = [
     # pass + the bounded blockhash fixture; the ladder row proves the
     # digest pass (the only corpus-dimension term) is the growth.
     "x6_media_savings",
+    # round-13 (VERDICT r12 #4): the perceptual pair-gen is now an exact
+    # multi-index band-bucket equi-join (pigeonhole, PH_BANDS slices)
+    # instead of all-pairs; the ladder row prices the banded path. The
+    # MEDIA_DOC_MAX fixture bounds the asset count, so the expected
+    # ratio is ~1 — the row exists so the banded plan has a measured
+    # point the day a real decoder unbounds the fixture.
+    "x6_blockhash_near_dup",
 ]
 
 
