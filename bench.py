@@ -116,12 +116,17 @@ def main() -> None:
     prev_fam: str | None = None
     for name in sorted(qs):
         fam = family_of(name)
-        if cycle and prev_fam is not None and fam != prev_fam:
-            spark.stop()
-            spark = get_spark("diepy-spark-bench")
-            spark.sparkContext.setLogLevel("ERROR")
-            # re-warm the fresh context (scheduler/scan paths), uncounted
-            materialize(qs["r9_distinct"](spark, sf_dir))
+        if prev_fam is not None and fam != prev_fam:
+            if cycle:
+                spark.stop()
+                spark = get_spark("diepy-spark-bench")
+                spark.sparkContext.setLogLevel("ERROR")
+                # re-warm the fresh context (scheduler/scan paths), uncounted
+                materialize(qs["r9_distinct"](spark, sf_dir))
+            # the sentinel fires at EVERY family boundary, cycling or not
+            # (ADVICE r12): with cycle off the series would otherwise hold
+            # only start/end and the per-family ambient localization the
+            # module docstring promises would silently degrade
             take_sentinel(fam)
         prev_fam = fam
         fn = qs[name]

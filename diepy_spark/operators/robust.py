@@ -56,8 +56,25 @@ def freq_quantile_cont_multi(
     block running sum cover every metric, and a conditional final
     aggregate pivots the results back to columns. Same bit-exact
     interpolation contract as freq_quantile_cont; ~metrics-count cheaper
-    than calling it per metric (each call re-scans and re-shuffles)."""
+    than calling it per metric (each call re-scans and re-shuffles).
+
+    Divergence from `percentile()` to know (ADVICE r12): a group whose
+    values are ALL NULL has no frequency rows here and drops from the
+    output entirely, where `percentile()` would emit the group with a
+    NULL result. Callers needing that contract must LEFT-join from the
+    group universe (as plans/relational.r28_percentiles does)."""
+    import re as _re
+
     from diepy_spark.operators.suffixes import block_running_sum
+
+    # metric names are spliced into SQL CASE arms and become output
+    # column aliases — identifier-only, or a quote breaks parsing
+    for name in metrics:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"metric name {name!r} must be a bare identifier "
+                "([A-Za-z_][A-Za-z0-9_]*)"
+            )
 
     g = group_col
     melted = df.select(
@@ -76,8 +93,11 @@ def freq_quantile_cont_multi(
     ).select(g, F.col("__mv.__m").alias("__m"), F.col("__mv.__v").alias("__v"))
     rows = melted.where(F.col("__v").isNotNull())
     freq = rows.groupBy(g, "__m", "__v").agg(F.count(F.lit(1)).alias("__c"))
-    # composite partition key: block_running_sum groups by ONE column
-    freq = freq.withColumn("__gm", F.concat_ws("\x1f", g, "__m"))
+    # composite partition key: block_running_sum groups by ONE column — a
+    # STRUCT key (field-wise equality/ordering) rather than a delimiter
+    # concat, which could collide on group values containing the
+    # delimiter and collapses a NULL group to the bare metric name
+    freq = freq.withColumn("__gm", F.struct(F.col(g), F.col("__m")))
     cum = block_running_sum(freq, "__gm", ["__v"], "__c", out="__cum")
     n = rows.groupBy(g, "__m").agg(F.count(F.lit(1)).alias("__n"))
     qcase = "CASE __m " + " ".join(

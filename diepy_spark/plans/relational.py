@@ -380,7 +380,13 @@ def r28_percentiles(spark, sf_dir):
     State is now bounded by the distinct-value domain (l_quantity: 50
     values; l_extendedprice: a cents grid that saturates at scale), the
     cumsum never sees a group-sized window, and the result is
-    bit-identical to the old plan (same oracle, hash-verified)."""
+    bit-identical to the old plan (same oracle, hash-verified).
+
+    The base->qs join is LEFT so a group whose metric values are all
+    NULL (impossible on TPC-H NOT NULL columns, but part of the
+    percentile() contract) still emits its row with NULL quantiles —
+    freq_quantile_cont_multi has no frequency rows for such a group
+    (ADVICE r12)."""
     from diepy_spark.operators.robust import freq_quantile_cont_multi
 
     li = _t(spark, sf_dir, "lineitem")
@@ -393,7 +399,7 @@ def r28_percentiles(spark, sf_dir):
         F.round(F.avg("l_quantity"), 4).alias("avg_qty")
     )
     return (
-        base.join(qs, "l_returnflag")
+        base.join(qs, "l_returnflag", "left")
         .select(
             "l_returnflag",
             F.round("mq", 4).alias("median_qty"),

@@ -131,6 +131,7 @@ def test_documents_corpus_is_ascii():
         glob.glob(os.path.join(here, "spark-warehouse", "sf*"))
     )
     assert sf_dirs, "no testdata sf directories found"
+    checked = 0
     for sf_dir in sf_dirs:
         doc = os.path.join(sf_dir, "documents.parquet")
         if not os.path.exists(doc):
@@ -142,6 +143,10 @@ def test_documents_corpus_is_ascii():
             "WHERE length(text) <> strlen(text)"
         ).fetchone()[0]
         assert n == 0, f"non-ASCII documents in {sf_dir}"
+        checked += 1
+    # a renamed/missing documents.parquet must not pass vacuously
+    # (ADVICE r12): the two driver testdata tiers are always present
+    assert checked >= 2, f"only {checked} sf dirs actually checked"
 
 
 def _doc_rows(sf_dir):

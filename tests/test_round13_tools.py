@@ -96,3 +96,36 @@ def test_raw_mode_when_sentinel_missing(tmp_path):
     assert rc == 1, out
     assert "REGRESSION q_heavy" in out
     assert "gate runs raw" in out
+
+
+# ---- robust.py hardening (ADVICE r12) ----------------------------------
+
+import pytest
+
+
+def test_multi_quantile_rejects_non_identifier_metric(spark):
+    from diepy_spark.operators.robust import freq_quantile_cont_multi
+
+    df = spark.range(5).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="bare identifier"):
+        freq_quantile_cont_multi(df, "g", {"bad'name": ("v", 0.5)})
+
+
+def test_multi_quantile_group_containing_delimiter(spark):
+    """The composite running-sum key is a STRUCT, not a '\\x1f' concat —
+    group values containing the old delimiter must not collide or
+    collapse (ADVICE r12)."""
+    from diepy_spark.operators.robust import freq_quantile_cont_multi
+
+    rows = [
+        ("a\x1fq50", 1.0), ("a\x1fq50", 2.0), ("a\x1fq50", 3.0),
+        ("a", 10.0), ("a", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["q50"]
+        for r in freq_quantile_cont_multi(
+            df, "g", {"q50": ("v", 0.5)}
+        ).collect()
+    }
+    assert got == {"a\x1fq50": 2.0, "a": 15.0}
