@@ -21389,29 +21389,11 @@ def _ph_band_slices() -> list[tuple[int, int]]:
     return out
 
 
-def x6_blockhash_near_dup(spark, sf_dir):
-    """PERCEPTUAL-HASH near-dup for media payloads — the blockhash /
-    aHash family (Yang et al. 2006): split each payload into PH_BITS
-    blocks, set bit j when block j's byte mass exceeds its pro-rata
-    share of the whole payload, and pair assets whose 64-bit
-    signatures differ in at most PH_HAM_MAX bits.  Catches the
-    re-encoded/lightly-edited copies exact md5 dedup (x6_media_dedup)
-    misses — with a real decoder the blocks are pixel tiles; the
-    byte-block stand-in keeps the signature, pairing, and Hamming
-    plumbing identical.
-
-    Exactness: each bit is the integer cross-multiplication
-    sum_block * n_bytes > total_sum * block_len (no division);
-    signatures pack into one BIGINT and the pair distance is
-    bit_count(xor) — all integer.  Scale shape: one payload pass per
-    asset for the signature (the index artifact), then candidate
-    generation through PH_BANDS disjoint bit-band buckets (the x2
-    MinHash-banding machinery of operators/dedup.py applied to
-    bit-slices; exact by pigeonhole, see PH_BANDS above) and a
-    Hamming verify over candidates only — payloads never join and
-    the pair join is an equi-join on (band_id, band_value), never
-    all-pairs."""
-    tune(spark)
+def _ph_sigs(spark, sf_dir):
+    """(doc_id, sig): the packed PH_BITS blockhash signature per asset —
+    one payload pass, the index artifact both the near-dup pairing and
+    the band-health instrument consume. Lazily checkpointed so the
+    payload scan never re-derives within one plan."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
     p = M.with_binary_payload(d).selectExpr(
         "doc_id", "CAST(payload AS STRING) AS s"
@@ -21436,19 +21418,51 @@ def x6_blockhash_near_dup(spark, sf_dir):
         sig_terms.append(f"shiftleft({bit}, {j})")
     sig_expr = " + ".join(sig_terms)
     tot = bsum.format(lo="1", hi="length(s)")
-    sigs = (
+    return (
         p.selectExpr("doc_id", "s", f"{tot} AS tot")
         .selectExpr("doc_id", f"{sig_expr} AS sig")
         .localCheckpoint(eager=False)  # the signature index artifact
     )
+
+
+def _ph_exploded_bands(spark, sf_dir):
+    """(doc_id, sig, bid, bval): one row per (asset, band) — the
+    multi-index over the signature table (a narrow Generate of PH_BANDS
+    rows per asset, each row two BIGINTs + an INT)."""
     band_vals = ", ".join(
         f"(shiftright(sig, {start}) & {(1 << w) - 1})"
         for start, w in _ph_band_slices()
     )
-    exploded = sigs.selectExpr(
+    return _ph_sigs(spark, sf_dir).selectExpr(
         "doc_id", "sig",
         f"posexplode(array({band_vals})) AS (bid, bval)",
     )
+
+
+def x6_blockhash_near_dup(spark, sf_dir):
+    """PERCEPTUAL-HASH near-dup for media payloads — the blockhash /
+    aHash family (Yang et al. 2006): split each payload into PH_BITS
+    blocks, set bit j when block j's byte mass exceeds its pro-rata
+    share of the whole payload, and pair assets whose 64-bit
+    signatures differ in at most PH_HAM_MAX bits.  Catches the
+    re-encoded/lightly-edited copies exact md5 dedup (x6_media_dedup)
+    misses — with a real decoder the blocks are pixel tiles; the
+    byte-block stand-in keeps the signature, pairing, and Hamming
+    plumbing identical.
+
+    Exactness: each bit is the integer cross-multiplication
+    sum_block * n_bytes > total_sum * block_len (no division);
+    signatures pack into one BIGINT and the pair distance is
+    bit_count(xor) — all integer.  Scale shape: one payload pass per
+    asset for the signature (the index artifact), then candidate
+    generation through PH_BANDS disjoint bit-band buckets (the x2
+    MinHash-banding machinery of operators/dedup.py applied to
+    bit-slices; exact by pigeonhole, see PH_BANDS above) and a
+    Hamming verify over candidates only — payloads never join and
+    the pair join is an equi-join on (band_id, band_value), never
+    all-pairs."""
+    tune(spark)
+    exploded = _ph_exploded_bands(spark, sf_dir)
     a = exploded.selectExpr("bid", "bval", "doc_id AS da", "sig AS sa")
     b = exploded.selectExpr("bid", "bval", "doc_id AS db", "sig AS sb")
     candidates = (
@@ -21470,7 +21484,9 @@ def x6_blockhash_near_dup(spark, sf_dir):
 EXTENDED_QUERIES["x6_blockhash_near_dup"] = x6_blockhash_near_dup
 
 
-def _blockhash_oracle_sql() -> str:
+def _ph_oracle_sig_cte() -> str:
+    """The DuckDB CTE chain ending in sigs(doc_id, sig) — the oracle-side
+    twin of _ph_sigs, shared by the near-dup and band-health oracles."""
     bsum = (
         "list_sum(list_transform(generate_series(CAST({lo} AS BIGINT),"
         " CAST({hi} AS BIGINT)), i -> ascii(substr(s, CAST(i AS INT), 1))))"
@@ -21498,7 +21514,11 @@ def _blockhash_oracle_sql() -> str:
     ),
     sigs AS MATERIALIZED (
       SELECT doc_id, CAST({sig_expr} AS BIGINT) AS sig FROM tt
-    )
+    )"""
+
+
+def _blockhash_oracle_sql() -> str:
+    return f"""{_ph_oracle_sig_cte()}
     SELECT a.doc_id AS da, b.doc_id AS db,
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -21508,6 +21528,70 @@ def _blockhash_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x6_blockhash_near_dup"] = _blockhash_oracle_sql()
+
+
+def x6_band_health(spark, sf_dir):
+    """BAND-HEALTH sheet for the perceptual multi-index (the x2 LSH
+    bucket-health idea applied to the blockhash bit-bands): per band,
+    how many distinct bucket values the assets spread over, the largest
+    bucket, and the candidate pairs that band alone generates
+    (sum over buckets of C(size, 2)).  This is the instrument that
+    prices the banded pair-generation plan of x6_blockhash_near_dup —
+    at the fixture's 2-3-bit bands, max_bucket near n_assets and
+    cand_pairs near all-pairs say 'band width is the lever', and the
+    same sheet shows the selectivity gain the day a real decoder
+    narrows PH_HAM_MAX and widens the slices.  All-integer output.
+
+    Scale shape: one signature pass (shared _ph_sigs index artifact),
+    one narrow Generate (PH_BANDS rows per asset), one (bid, bval)
+    count shuffle with map-side combine, one PH_BANDS-row final
+    aggregate — payloads never shuffle, nothing is all-pairs."""
+    tune(spark)
+    ex = _ph_exploded_bands(spark, sf_dir)
+    buckets = ex.groupBy("bid", "bval").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        buckets.groupBy("bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.expr("c * (c - 1) div 2")).alias("cand_pairs"),
+        )
+        .selectExpr(
+            "CAST(bid AS INT) AS bid",
+            "n_buckets",
+            "max_bucket",
+            "cand_pairs",
+        )
+        .orderBy("bid")
+    )
+
+
+EXTENDED_QUERIES["x6_band_health"] = x6_band_health
+
+
+def _band_health_oracle_sql() -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN (sig >> {start}) & {(1 << w) - 1}"
+        for k, (start, w) in enumerate(_ph_band_slices())
+    )
+    return f"""{_ph_oracle_sig_cte()},
+    bands AS (
+      SELECT doc_id, CAST(g.bid AS INT) AS bid,
+             CAST(CASE g.bid {arms} END AS BIGINT) AS bval
+      FROM sigs, generate_series(0, {PH_BANDS - 1}) AS g(bid)
+    ),
+    buckets AS (
+      SELECT bid, bval, count(*) AS c FROM bands GROUP BY 1, 2
+    )
+    SELECT bid,
+           count(*) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM buckets GROUP BY bid ORDER BY bid
+"""
+
+
+EXTENDED_ORACLES["x6_band_health"] = _band_health_oracle_sql()
 
 
 # AUC probe: does the value separate purchases from views?

@@ -89,6 +89,10 @@ HEAVY = [
     # ratio is ~1 — the row exists so the banded plan has a measured
     # point the day a real decoder unbounds the fixture.
     "x6_blockhash_near_dup",
+    # round-13 standing rule: the band-health sheet rides the same
+    # signature pass (~2.5 s warm at sf0.1, fixture-bounded like its
+    # siblings).
+    "x6_band_health",
 ]
 
 
