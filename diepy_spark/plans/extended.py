@@ -21391,9 +21391,22 @@ def _ph_band_slices() -> list[tuple[int, int]]:
 
 def _ph_sigs(spark, sf_dir):
     """(doc_id, sig): the packed PH_BITS blockhash signature per asset —
-    one payload pass, the index artifact both the near-dup pairing and
-    the band-health instrument consume. Lazily checkpointed so the
-    payload scan never re-derives within one plan."""
+    one payload pass, the index artifact the near-dup pairing, the
+    storage-reclaim sheet, and the band-health instrument all consume.
+    Session-memoized like the SemDeDup flag table above (narratively
+    the PERSISTED signature index a production pipeline writes once and
+    joins everywhere); the localCheckpoint cuts the 60-block payload
+    aggregation out of every consumer's lineage."""
+    key = (
+        "phsigs", spark.sparkContext.applicationId, sf_dir,
+        PH_BITS, MEDIA_DOC_MAX,
+    )
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = _ph_sigs_build(spark, sf_dir)
+    return _MODEL_CACHE[key]
+
+
+def _ph_sigs_build(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < MEDIA_DOC_MAX)
     p = M.with_binary_payload(d).selectExpr(
         "doc_id", "CAST(payload AS STRING) AS s"
