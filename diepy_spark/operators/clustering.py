@@ -1179,6 +1179,80 @@ def personalized_pagerank(
     return ranks
 
 
+def _hb_register_tiers(e: DataFrame, iterations: int, m: int):
+    """Shared HyperBall register machinery (used by hyperball and
+    hyperball_exact_error): given the prepared distinct, self-loop-free
+    edge frame, yield (t, registers) for t = 0..iterations where
+    registers = (node, bucket, mr) is every node's HLL register set
+    after round t.
+
+    Systolic delta propagation (Boldi & Vigna §4.1): only registers
+    that IMPROVED last round travel the edges. Sound because register
+    max is monotone over an unweighted graph: a value that can improve
+    node w at round t either arrived at its neighbour u in round t-1
+    (so it's in the delta) or sat at u earlier — and then it already
+    propagated to w in an earlier round. By the saturating round the
+    delta is near-empty, which is where the naive all-registers join
+    pays its full edges x m price for nothing."""
+    from diepy_spark.operators.sketch import hll_bucket_sql, hll_rho_sql
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.md5(F.col("node").cast("string")).alias("h"))
+    cur = h.select(
+        "node",
+        F.expr(hll_bucket_sql("h", m)).alias("bucket"),
+        F.expr(hll_rho_sql("h")).alias("mr"),
+    ).localCheckpoint(eager=False)
+    yield 0, cur
+
+    delta = cur
+    for t in range(1, iterations + 1):
+        prop = (
+            e.join(delta.select(F.col("node").alias("src"), "bucket", "mr"), "src")
+            .groupBy(F.col("dst").alias("node"), F.col("bucket"))
+            .agg(F.max("mr").alias("pm"))
+        )
+        delta = (
+            prop.join(cur, ["node", "bucket"], "left")
+            .where(F.col("mr").isNull() | (F.col("pm") > F.col("mr")))
+            .select("node", "bucket", F.col("pm").alias("mr"))
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.unionByName(delta)
+            .groupBy("node", "bucket")
+            .agg(F.max("mr").alias("mr"))
+            .localCheckpoint(eager=False)
+        )
+        yield t, cur
+
+
+def _hb_node_ball(regs: DataFrame, m: int, alpha: float) -> DataFrame:
+    """Per-node HLL fold shared by hyperball and hyperball_exact_error:
+    (node, ball) where ball is the 4-decimal-rounded DECIMAL(18,4) HLL
+    estimate (with Flajolet linear-counting small-range correction) of
+    the node's current register set — exact, order-independent summands
+    for the downstream DECIMAL aggregation."""
+    agg = regs.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nb")))
+    v = F.lit(m) - F.col("nb")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(m) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "node",
+        F.round(est, 4).cast("decimal(18,4)").alias("ball"),
+    )
+
+
 def hyperball(
     edges: DataFrame,
     iterations: int = 3,
@@ -1221,11 +1295,7 @@ def hyperball(
 
     Output: (t, n_nodes, nf, avg_ball, coverage) for t = 0..iterations,
     nf = estimated N(t), coverage = nf / nf(iterations)."""
-    from diepy_spark.operators.sketch import (
-        hll_alpha,
-        hll_bucket_sql,
-        hll_rho_sql,
-    )
+    from diepy_spark.operators.sketch import hll_alpha
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -1233,65 +1303,16 @@ def hyperball(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    h = nodes.select("node", F.md5(F.col("node").cast("string")).alias("h"))
-    cur = h.select(
-        "node",
-        F.expr(hll_bucket_sql("h", m)).alias("bucket"),
-        F.expr(hll_rho_sql("h")).alias("mr"),
-    ).localCheckpoint(eager=False)
-
     alpha = hll_alpha(m)
 
     def ball_estimates(regs: DataFrame, t: int) -> DataFrame:
-        agg = regs.groupBy("node").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
-            F.count(F.lit(1)).alias("nb"),
-        )
-        raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nb")))
-        v = F.lit(m) - F.col("nb")
-        est = F.when(
-            (raw <= F.lit(2.5 * m)) & (v > 0),
-            F.lit(float(m)) * F.log(F.lit(m) / v),
-        ).otherwise(raw)
-        return agg.select(
-            F.lit(t).alias("t"),
-            F.round(est, 4).cast("decimal(18,4)").alias("ball"),
+        return _hb_node_ball(regs, m, alpha).select(
+            F.lit(t).alias("t"), "ball"
         )
 
-    tiers = [ball_estimates(cur, 0)]
-    # Systolic delta propagation (Boldi & Vigna §4.1): only registers
-    # that IMPROVED last round travel the edges. Sound because register
-    # max is monotone over an unweighted graph: a value that can improve
-    # node w at round t either arrived at its neighbour u in round t-1
-    # (so it's in the delta) or sat at u earlier — and then it already
-    # propagated to w in an earlier round. By the saturating round the
-    # delta is near-empty, which is where the naive all-registers join
-    # pays its full edges x m price for nothing.
-    delta = cur
-    for t in range(1, iterations + 1):
-        prop = (
-            e.join(delta.select(F.col("node").alias("src"), "bucket", "mr"), "src")
-            .groupBy(F.col("dst").alias("node"), F.col("bucket"))
-            .agg(F.max("mr").alias("pm"))
-        )
-        delta = (
-            prop.join(cur, ["node", "bucket"], "left")
-            .where(F.col("mr").isNull() | (F.col("pm") > F.col("mr")))
-            .select("node", "bucket", F.col("pm").alias("mr"))
-            .localCheckpoint(eager=False)
-        )
-        cur = (
-            cur.unionByName(delta)
-            .groupBy("node", "bucket")
-            .agg(F.max("mr").alias("mr"))
-            .localCheckpoint(eager=False)
-        )
-        tiers.append(ball_estimates(cur, t))
+    tiers = [
+        ball_estimates(regs, t) for t, regs in _hb_register_tiers(e, iterations, m)
+    ]
     allt = tiers[0]
     for f in tiers[1:]:
         allt = allt.unionByName(f)
@@ -1310,6 +1331,105 @@ def hyperball(
             "CAST(nf_dec AS DOUBLE) AS nf",
             "round(CAST(nf_dec AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4) AS avg_ball",
             "round(CAST(nf_dec AS DOUBLE) / CAST(nf_last AS DOUBLE), 6) AS coverage",
+        )
+        .orderBy("t")
+    )
+
+
+def hyperball_exact_error(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = 64,
+) -> DataFrame:
+    """HyperBall ERROR instrument: the measured price of the m-register
+    approximation (hyperball's `m` docstring calls m the
+    accuracy-vs-shuffle lever — this is the sheet that prices it with
+    data instead of the 1.3/sqrt(m) asymptote). For a bounded seed
+    sample it runs BOTH sides on the SAME graph:
+
+    - exact: per-seed BFS over (seed, node, d) state — K seeds x ball
+      rows, the bounded-sample version of the all-pairs materialization
+      HyperBall exists to avoid;
+    - estimate: the identical register rounds as hyperball (shared
+      _hb_register_tiers machinery, so the sketch being priced is
+      byte-identical to the production one), per-node fold restricted
+      to the seeds via a broadcast semi-filter.
+
+    Output per t = 0..iterations: n_seeds, exact_pairs (BIGINT: sum of
+    exact |B(seed,t)|), est_sum (DECIMAL(18,4) sum of the seeds'
+    4-decimal HLL ball estimates, collapsed to DOUBLE at render), and
+    est_over_exact = round(est_sum/exact_pairs, 6) — the multiplicative
+    bias of the sketch at that radius.
+
+    Scale shape: register side is exactly hyperball's (one propagate
+    join + one register max per round, systolic delta); exact side is
+    one (seed-replicated) frontier join + one min-agg per round with
+    state bounded by seeds x reached nodes — the instrument stays
+    runnable at any scale by bounding the seed set, never the graph."""
+    from diepy_spark.operators.sketch import hll_alpha
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_col = seeds.columns[0]
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alpha = hll_alpha(m)
+
+    est_tiers = [
+        _hb_node_ball(regs.join(F.broadcast(sd), "node"), m, alpha).select(
+            F.lit(t).alias("t"), "ball"
+        )
+        for t, regs in _hb_register_tiers(e, iterations, m)
+    ]
+    est_all = est_tiers[0]
+    for f in est_tiers[1:]:
+        est_all = est_all.unionByName(f)
+    est = est_all.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seeds"),
+        F.sum("ball").alias("est_dec"),
+    )
+
+    # Exact per-seed balls: BFS keyed by (seed, node) so each seed's
+    # ball stays separate (bfs_distances folds seeds together via
+    # min-distance; this instrument must not).
+    dist = sd.select(
+        F.col("node").alias("seed"), "node", F.lit(0).alias("d")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        nxt = e.join(
+            dist.select("seed", F.col("node").alias("src"), "d"), "src"
+        ).select("seed", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("seed", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    exact = (
+        dist.select(F.explode(F.sequence(F.col("d"), F.lit(iterations))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    )
+
+    return (
+        est.join(exact, "t")
+        .selectExpr(
+            "CAST(t AS INT) AS t",
+            "n_seeds",
+            "exact_pairs",
+            "CAST(est_dec AS DOUBLE) AS est_sum",
+            "round(CAST(est_dec AS DOUBLE) / CAST(exact_pairs AS DOUBLE), 6)"
+            " AS est_over_exact",
         )
         .orderBy("t")
     )

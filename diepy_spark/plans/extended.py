@@ -6410,6 +6410,7 @@ def x8_wasserstein(spark, sf_dir):
 
 HB_ITER = 3  # HyperBall rounds: N(0)..N(3)
 HB_M = 64  # registers/node: the state-vs-accuracy lever (see hyperball)
+HBE_SEED_MAX = 40  # error-instrument seeds: part nodes with l_partkey <= 40
 
 
 def x11_hyperball(spark, sf_dir):
@@ -6438,6 +6439,37 @@ def x11_hyperball(spark, sf_dir):
         ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return hyperball(sym, iterations=HB_ITER, m=HB_M)
+
+
+def x11_hyperball_error(spark, sf_dir):
+    """HyperBall error sheet
+    (operators/clustering.py:hyperball_exact_error): the measured price
+    of x11_hyperball's m=HB_M approximation — its docstring calls m the
+    accuracy-vs-shuffle lever; this instrument prices it with data
+    instead of the 1.3/sqrt(m) asymptote. Same symmetrized supply graph,
+    same register rounds (shared _hb_register_tiers machinery), fold
+    restricted to the HBE_SEED_MAX-part seed sample, joined against the
+    seeds' EXACT per-seed BFS ball sizes. Per t: n_seeds, exact_pairs,
+    est_sum (DECIMAL discipline as x11_hyperball), and
+    est_over_exact — the sketch's multiplicative bias at that radius.
+    Exact side state is seeds x ball (bounded sample), never all-pairs."""
+    from diepy_spark.operators.clustering import hyperball_exact_error
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 10 + 1).alias("src"),
+        (F.col("l_suppkey") * 10 + 2).alias("dst"),
+    ).distinct()
+    sym = ps.unionByName(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.where(F.col("l_partkey") <= HBE_SEED_MAX)
+        .select((F.col("l_partkey") * 10 + 1).alias("node"))
+        .distinct()
+    )
+    return hyperball_exact_error(sym, seeds, iterations=HB_ITER, m=HB_M)
 
 
 def x8_qte(spark, sf_dir):
@@ -7027,6 +7059,7 @@ EXTENDED_QUERIES = {
     "x1_suffix_array": x1_suffix_array,
     "x8_ks_test": x8_ks_test,
     "x11_hyperball": x11_hyperball,
+    "x11_hyperball_error": x11_hyperball_error,
     "x8_qte": x8_qte,
     "x11_hits": x11_hits,
     "x8_acf": x8_acf,
@@ -11956,18 +11989,13 @@ EXTENDED_ORACLES["x8_wasserstein"] = """
 """
 
 
-def _hyperball_oracle_sql() -> str:
-    """Mirror of x11_hyperball: the same symmetrized edge CTE as x11_bfs,
-    one portable-HLL m=HB_M register set per node, HB_ITER unrolled
-    register-max rounds, then the identical per-node fold and
-    DECIMAL(18,4) sum."""
-    from diepy_spark.operators.sketch import (
-        hll_alpha,
-        hll_bucket_sql,
-        hll_rho_sql,
-    )
+def _hb_oracle_reg_ctes() -> list[str]:
+    """The e/n0/h0/r0..r{HB_ITER} register-round CTE chain shared by the
+    x11_hyperball and x11_hyperball_error oracles: the symmetrized edge
+    CTE (same as x11_bfs), one portable-HLL m=HB_M register set per
+    node, HB_ITER unrolled register-max rounds."""
+    from diepy_spark.operators.sketch import hll_bucket_sql, hll_rho_sql
 
-    m, alpha = HB_M, hll_alpha(HB_M)
     ctes = [
         """e AS (
           SELECT src, dst FROM (
@@ -11988,10 +12016,17 @@ def _hyperball_oracle_sql() -> str:
             UNION ALL
             SELECT e.dst AS node, x.bucket, x.mr
             FROM r{t - 1} x JOIN e ON e.src = x.node) GROUP BY 1, 2)""")
-    ests = []
-    for t in range(HB_ITER + 1):
-        ests.append(
-            f"""SELECT {t} AS t,
+    return ctes
+
+
+def _hb_oracle_node_est(t: int) -> str:
+    """Per-node HLL ball estimate at round t — (node, ball DECIMAL(18,4))
+    with the identical fold/linear-counting arithmetic as
+    clustering._hb_node_ball. Shared by both hyperball oracles."""
+    from diepy_spark.operators.sketch import hll_alpha
+
+    m, alpha = HB_M, hll_alpha(HB_M)
+    return f"""SELECT node,
               CAST(round(CASE WHEN {alpha * m * m!r} / (s + ({m} - nb)) <= {2.5 * m!r}
                               AND ({m} - nb) > 0
                          THEN {float(m)!r} * ln({m} / ({m} - nb))
@@ -11999,7 +12034,16 @@ def _hyperball_oracle_sql() -> str:
                    AS DECIMAL(18,4)) AS ball
             FROM (SELECT node, sum(power(2.0, -mr)) AS s, count(*) AS nb
                   FROM r{t} GROUP BY node)"""
-        )
+
+
+def _hyperball_oracle_sql() -> str:
+    """Mirror of x11_hyperball: the shared register CTE chain
+    (_hb_oracle_reg_ctes), then the identical per-node fold and
+    DECIMAL(18,4) sum."""
+    ctes = _hb_oracle_reg_ctes()
+    ests = []
+    for t in range(HB_ITER + 1):
+        ests.append(f"""SELECT {t} AS t, ball FROM ({_hb_oracle_node_est(t)})""")
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -12020,6 +12064,56 @@ def _hyperball_oracle_sql() -> str:
 
 
 EXTENDED_ORACLES["x11_hyperball"] = _hyperball_oracle_sql()
+
+
+def _hyperball_error_oracle_sql() -> str:
+    """Mirror of x11_hyperball_error: the shared register CTE chain,
+    a seeds CTE, HB_ITER unrolled per-seed BFS rounds keyed on
+    (seed, node) (min-distance, so every b{t} row has d <= t and
+    count(*) over b{t} IS the exact pair count at radius t), and the
+    per-node fold restricted to the seeds."""
+    ctes = _hb_oracle_reg_ctes()
+    ctes.append(
+        f"""sds AS (SELECT DISTINCT l_partkey * 10 + 1 AS node
+           FROM lineitem WHERE l_partkey <= {HBE_SEED_MAX})"""
+    )
+    ctes.append("""b0 AS (SELECT node AS seed, node, 0 AS d FROM sds)""")
+    for t in range(1, HB_ITER + 1):
+        ctes.append(f"""b{t} AS (
+          SELECT seed, node, min(d) AS d FROM (
+            SELECT seed, node, d FROM b{t - 1}
+            UNION ALL
+            SELECT x.seed, e.dst AS node, x.d + 1 AS d
+            FROM b{t - 1} x JOIN e ON e.src = x.node) GROUP BY 1, 2)""")
+    ests = []
+    exacts = []
+    for t in range(HB_ITER + 1):
+        ests.append(
+            f"""SELECT {t} AS t, CAST(count(*) AS BIGINT) AS n_seeds,
+                   sum(ball) AS est_dec
+            FROM ({_hb_oracle_node_est(t)})
+            WHERE node IN (SELECT node FROM sds)"""
+        )
+        exacts.append(
+            f"SELECT {t} AS t, CAST(count(*) AS BIGINT) AS exact_pairs FROM b{t}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    ests AS ({" UNION ALL ".join(ests)}),
+    exacts AS ({" UNION ALL ".join(exacts)})
+    SELECT s.t AS t, n_seeds, exact_pairs,
+           CAST(est_dec AS DOUBLE) AS est_sum,
+           round(CAST(est_dec AS DOUBLE) / CAST(exact_pairs AS DOUBLE), 6)
+             AS est_over_exact
+    FROM ests s JOIN exacts x ON s.t = x.t
+    ORDER BY t
+    """
+    )
+
+
+EXTENDED_ORACLES["x11_hyperball_error"] = _hyperball_error_oracle_sql()
 
 
 # QTE mirror: same cents histogram, same integer quartile pick rule.

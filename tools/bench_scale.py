@@ -93,6 +93,12 @@ HEAVY = [
     # signature pass (~2.5 s warm at sf0.1, fixture-bounded like its
     # siblings).
     "x6_band_health",
+    # round-13: the HyperBall error sheet re-runs x11_hyperball's
+    # register rounds (the dominant term — expect a ratio near
+    # x11_hyperball's) plus a seeds x ball exact BFS; the ladder row
+    # prices the instrument's claim that the exact side stays bounded
+    # by the seed sample while the sketch side scales like hyperball.
+    "x11_hyperball_error",
 ]
 
 
