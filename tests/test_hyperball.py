@@ -90,3 +90,73 @@ def test_hyperball_matches_bruteforce(spark):
             gn, gnf = got[t]
             assert gn == n_nodes
             assert abs(gnf - nf) < 1e-9, (m, t, gnf, nf)
+
+
+def brute_error_sheet(
+    edges: list[tuple[int, int]], seeds: set[int], iterations: int, m: int
+):
+    """Exact per-seed balls (BFS) + the seeds' HLL fold per round —
+    the hyperball_exact_error contract on an arbitrary graph."""
+    nodes = set()
+    for s, d in edges:
+        if s != d:
+            nodes.update((s, d))
+    balls = {v: {v} for v in nodes}
+    per_t = [dict(balls)]
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            b = set(balls[v])
+            for s, d in edges:
+                if d == v and s != d:
+                    b |= balls[s]
+            nxt[v] = b
+        balls = nxt
+        per_t.append(dict(balls))
+    alpha = hll_alpha(m)
+    rows = []
+    for t, bt in enumerate(per_t):
+        exact = sum(len(bt[s]) for s in seeds)
+        est = Decimal(0)
+        for v in seeds:
+            regs: dict[int, int] = {}
+            for u in bt[v]:
+                b, r = _bucket_rho(u, m)
+                regs[b] = max(regs.get(b, 0), r)
+            s_ = sum(2.0 ** -r for r in regs.values())
+            nb = len(regs)
+            raw = alpha * m * m / (s_ + (m - nb))
+            if raw <= 2.5 * m and m - nb > 0:
+                e = float(m) * math.log(m / (m - nb))
+            else:
+                e = raw
+            est += Decimal(f"{e:.4f}")
+        rows.append((t, len(seeds), exact, float(est)))
+    return rows
+
+
+def test_hyperball_exact_error_matches_bruteforce(spark):
+    from diepy_spark.operators.clustering import hyperball_exact_error
+
+    rng = random.Random(23)
+    edges = set()
+    for _ in range(60):
+        a, b = rng.randint(1, 25), rng.randint(1, 25)
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    edges = sorted(edges)
+    nodes = sorted({n for e in edges for n in e})
+    seeds = set(nodes[::3])  # every third node — an arbitrary seed subset
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], ["node"])
+    got = {
+        r["t"]: (r["n_seeds"], r["exact_pairs"], r["est_sum"], r["est_over_exact"])
+        for r in hyperball_exact_error(df, sdf, iterations=2, m=64).collect()
+    }
+    for t, n_seeds, exact, est in brute_error_sheet(edges, seeds, 2, 64):
+        gn, gx, ge, gr = got[t]
+        assert gn == n_seeds
+        assert gx == exact
+        assert abs(ge - est) < 1e-9, (t, ge, est)
+        assert abs(gr - est / exact) <= 1e-6, (t, gr, est / exact)
