@@ -1401,20 +1401,29 @@ def hyperball_exact_error(
 
     # Exact per-seed balls: BFS keyed by (seed, node) so each seed's
     # ball stays separate (bfs_distances folds seeds together via
-    # min-distance; this instrument must not).
+    # min-distance; this instrument must not). Frontier-only propagation
+    # — the BFS analogue of the register loop's systolic delta: a pair
+    # first reached in round t has min distance t, so only NEWLY reached
+    # pairs need to travel the edges next round; the reached set itself
+    # never re-joins. Identical output to the naive re-join-everything
+    # form, at frontier x degree join volume per round instead of
+    # reached x degree.
     dist = sd.select(
         F.col("node").alias("seed"), "node", F.lit(0).alias("d")
     ).localCheckpoint(eager=False)
-    for _ in range(iterations):
-        nxt = e.join(
-            dist.select("seed", F.col("node").alias("src"), "d"), "src"
-        ).select("seed", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("seed", "node")
-            .agg(F.min("d").alias("d"))
+    frontier = dist
+    for t in range(1, iterations + 1):
+        cand = (
+            e.join(frontier.select("seed", F.col("node").alias("src")), "src")
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            cand.join(dist, ["seed", "node"], "left_anti")
+            .withColumn("d", F.lit(t))
             .localCheckpoint(eager=False)
         )
+        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
     exact = (
         dist.select(F.explode(F.sequence(F.col("d"), F.lit(iterations))).alias("t"))
         .groupBy("t")
