@@ -1253,12 +1253,37 @@ def _hb_node_ball(regs: DataFrame, m: int, alpha: float) -> DataFrame:
     )
 
 
-def hyperball(
+def hb_prepare(
     edges: DataFrame,
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
     m: int = 64,
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Prepared (edge frame, register tiers) pair shared by hyperball
+    and hyperball_exact_error: the distinct self-loop-free edge
+    checkpoint plus every round's (node, bucket, mr) register
+    checkpoint. Callers that memoize this per session (the _ph_sigs
+    persisted-index discipline) run the propagation ONCE and fold it
+    from as many consumers as they like — narratively the sketch index
+    a production pipeline writes beside the graph and joins
+    everywhere."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return e, list(_hb_register_tiers(e, iterations, m))
+
+
+def hyperball(
+    edges: DataFrame | None = None,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    m: int = 64,
+    prepared: tuple[DataFrame, list[tuple[int, DataFrame]]] | None = None,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013, "In-Core Computation of Geometric
     Centralities with HyperBall"): the NEIGHBORHOOD FUNCTION N(t) —
@@ -1297,12 +1322,9 @@ def hyperball(
     nf = estimated N(t), coverage = nf / nf(iterations)."""
     from diepy_spark.operators.sketch import hll_alpha
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if prepared is None:
+        prepared = hb_prepare(edges, iterations, src, dst, m)
+    _e, tier_regs = prepared
     alpha = hll_alpha(m)
 
     def ball_estimates(regs: DataFrame, t: int) -> DataFrame:
@@ -1310,9 +1332,7 @@ def hyperball(
             F.lit(t).alias("t"), "ball"
         )
 
-    tiers = [
-        ball_estimates(regs, t) for t, regs in _hb_register_tiers(e, iterations, m)
-    ]
+    tiers = [ball_estimates(regs, t) for t, regs in tier_regs]
     allt = tiers[0]
     for f in tiers[1:]:
         allt = allt.unionByName(f)
@@ -1337,12 +1357,13 @@ def hyperball(
 
 
 def hyperball_exact_error(
-    edges: DataFrame,
-    seeds: DataFrame,
+    edges: DataFrame | None = None,
+    seeds: DataFrame | None = None,
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
     m: int = 64,
+    prepared: tuple[DataFrame, list[tuple[int, DataFrame]]] | None = None,
 ) -> DataFrame:
     """HyperBall ERROR instrument: the measured price of the m-register
     approximation (hyperball's `m` docstring calls m the
@@ -1371,12 +1392,9 @@ def hyperball_exact_error(
     runnable at any scale by bounding the seed set, never the graph."""
     from diepy_spark.operators.sketch import hll_alpha
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if prepared is None:
+        prepared = hb_prepare(edges, iterations, src, dst, m)
+    e, tier_regs = prepared
     seed_col = seeds.columns[0]
     sd = (
         seeds.select(F.col(seed_col).alias("node"))
@@ -1389,7 +1407,7 @@ def hyperball_exact_error(
         _hb_node_ball(regs.join(F.broadcast(sd), "node"), m, alpha).select(
             F.lit(t).alias("t"), "ball"
         )
-        for t, regs in _hb_register_tiers(e, iterations, m)
+        for t, regs in tier_regs
     ]
     est_all = est_tiers[0]
     for f in est_tiers[1:]:
