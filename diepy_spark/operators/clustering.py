@@ -1659,6 +1659,7 @@ def triangle_edge_support(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-EDGE triangle support: for each canonical (u < v) edge, the
     number of triangles through it — the edge analog of
@@ -1667,13 +1668,36 @@ def triangle_edge_support(
     once, wedge join bounded at |E|^1.5 — the Suri–Vassilvitskii
     last-reducer fix), then each triangle credits its THREE canonical
     edges in one explode+aggregate pass. Edges in no triangle are
-    absent from the output (join back with coalesce 0)."""
+    absent from the output (join back with coalesce 0).
+
+    ``assume_canonical=True`` skips the dedup pass (one full exchange +
+    aggregate over |E|) when the caller guarantees the input is already
+    distinct canonical (u < v) pairs — the k-truss loop re-derives
+    support from an edge set that IS its own previous canon output."""
     a, b = F.col(src), F.col(dst)
-    canon = (
-        edges.where(a != b)
-        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
+    if assume_canonical:
+        canon = edges.select(a.alias("u"), b.alias("v"))
+    else:
+        canon = (
+            edges.where(a != b)
+            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+            .distinct()
+        )
+    tri = _triangle_list_canon(canon)
+    return triangle_incidence(tri).groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
     )
+
+
+def _triangle_list_canon(canon: DataFrame) -> DataFrame:
+    """Every triangle of the distinct canonical (u < v) edge frame
+    exactly once, as its SORTED node triple (x < y < z) — the
+    degree-oriented wedge enumeration (Suri–Vassilvitskii last-reducer
+    bound: out-degrees capped at O(sqrt(E)), wedge join bounded at
+    |E|^1.5). Materializing this frame ONCE is the standard k-truss
+    shape (Wang & Cheng, VLDB'12): peeling rounds only REMOVE edges, so
+    every later round's support is a re-validation of this list — three
+    node-id columns per triangle instead of a fresh |E|^1.5 pass."""
     deg = (
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
@@ -1701,24 +1725,27 @@ def triangle_edge_support(
         F.col("s").alias("w_a"), F.col("t").alias("w_b")
     )
     tris = wedges.join(closing, ["w_a", "w_b"])
-    pairs = tris.select(
+    srt = F.array_sort(F.array("w_s", "w_a", "w_b"))
+    return tris.select(
+        F.element_at(srt, 1).alias("x"),
+        F.element_at(srt, 2).alias("y"),
+        F.element_at(srt, 3).alias("z"),
+    )
+
+
+def triangle_incidence(tri: DataFrame) -> DataFrame:
+    """(x, y, z, u, v): each triangle's three canonical edges, one row
+    per (triangle, edge) — x < y < z makes (x,y), (x,z), (y,z) exactly
+    the least/greatest pairs the support explode always emitted."""
+    return tri.select(
+        "x",
+        "y",
+        "z",
         F.explode(
             F.array(
-                F.struct(
-                    F.least("w_s", "w_a").alias("u"),
-                    F.greatest("w_s", "w_a").alias("v"),
-                ),
-                F.struct(
-                    F.least("w_s", "w_b").alias("u"),
-                    F.greatest("w_s", "w_b").alias("v"),
-                ),
-                F.struct(
-                    F.least("w_a", "w_b").alias("u"),
-                    F.greatest("w_a", "w_b").alias("v"),
-                ),
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
             )
-        ).alias("e")
-    )
-    return pairs.select("e.u", "e.v").groupBy("u", "v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sup")
-    )
+        ).alias("e"),
+    ).select("x", "y", "z", "e.u", "e.v")

@@ -99,6 +99,29 @@ def test_triangle_count_random_vs_bruteforce(spark):
         assert got == _tri_reference(edges), f"seed {seed}"
 
 
+def test_triangle_edge_support_assume_canonical_identical(spark):
+    """The assume_canonical fast path (r13 optimization: the k-truss loop
+    feeds edge sets that are their own previous canon output) must return
+    exactly the default path's support map when the input IS canonical."""
+    from diepy_spark.operators.clustering import triangle_edge_support
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        raw = {(rng.randrange(10), rng.randrange(10)) for _ in range(35)}
+        canon = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+        df = spark.createDataFrame(canon, "src long, dst long")
+        base = {
+            (r["u"], r["v"]): r["sup"]
+            for r in triangle_edge_support(df).collect()
+        }
+        fast = {
+            (r["u"], r["v"]): r["sup"]
+            for r in triangle_edge_support(df, assume_canonical=True).collect()
+        }
+        assert base == fast, f"seed {seed}"
+        assert base, f"seed {seed}: fixture produced no triangles"
+
+
 def test_triangle_count_triangle_free(spark):
     # even cycle = bipartite = triangle-free
     edges = [(i, (i + 1) % 8) for i in range(8)]
