@@ -1217,6 +1217,53 @@ def incremental_minhash_dedup(
     )
 
 
+def _ppjoin_front(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PPJoin front half (best_match + prefix_health): tokenize
+    both sides and signature-compress. Signature = md5 of the sorted
+    distinct token list (tokens are [a-z0-9]+ so ' ' never collides),
+    computed PER ROW over the token array — no exchange. Docs with zero
+    tokens are dropped (they had no rows in the exploded ledger this
+    replaces, hence no signature). Returns:
+
+    - dm   = (side, d, sig): the doc -> signature map, a projection of
+      the checkpointed doc frame;
+    - usig = (side, d=sig, sz, toks): ONE row per unique (side,
+      signature) with its token array and size — the only exchange in
+      the front half (dropDuplicates over signatures)."""
+    def docset(df, side):
+        return df.select(
+            F.lit(side).alias("side"),
+            F.col(id_col).alias("d"),
+            F.array_sort(
+                F.array_distinct(F.expr(tokens_expr(text_col)))
+            ).alias("toks"),
+        ).where(F.size("toks") >= 1)
+
+    ds = (
+        docset(left, 0)
+        .unionByName(docset(right, 1))
+        .withColumn("sig", F.expr("md5(concat_ws(' ', toks))"))
+        .localCheckpoint(eager=False)
+    )
+    dm = ds.select("side", "d", "sig")
+    usig = (
+        ds.select(
+            "side",
+            F.col("sig").alias("d"),
+            F.size("toks").cast("bigint").alias("sz"),
+            "toks",
+        )
+        .dropDuplicates(["side", "d"])
+        .localCheckpoint(eager=False)
+    )
+    return dm, usig
+
+
 def ppjoin_best_match(
     left: DataFrame,
     right: DataFrame,
@@ -1259,46 +1306,26 @@ def ppjoin_best_match(
     per UNIQUE-signature token by df_L*df_R of PREFIX occurrences
     only); the verify join touches candidate signature pairs x their
     token sets, never all pairs; fan-out is one sig-keyed join.
-    """
+
+    r13 front-half re-plan (guide §2.2 — shuffle fewer bytes): the
+    doc -> signature step is PER-ROW array arithmetic (array_distinct +
+    array_sort + md5 over the token array), so the doc-token ledger
+    never shuffles at doc level. The old shape exploded tokens, ran a
+    ledger-wide DISTINCT, a groupBy(side, d) collect_list, and joined
+    the ledger back to the signature map — three exchanges plus a
+    ledger-sized join, all replaced by ONE dropDuplicates over unique
+    signatures. Sizes come free (size(toks)) instead of a groupBy."""
     par = left.sparkSession.sparkContext.defaultParallelism
 
-    def toks(df, side):
-        return (
-            df.select(
-                F.lit(side).alias("side"),
-                F.col(id_col).alias("d"),
-                F.explode(F.expr(tokens_expr(text_col))).alias("tok"),
-            )
-            .distinct()
-        )
-
-    dtk = toks(left, 0).unionByName(toks(right, 1))
-    # signature = md5 of the sorted distinct token list (tokens are
-    # [a-z0-9]+ so ' ' never collides); dm is the doc -> sig map.
-    dm = (
-        dtk.groupBy("side", "d")
-        .agg(
-            F.expr(
-                "md5(concat_ws(' ', array_sort(collect_list(tok))))"
-            ).alias("sig")
-        )
-        .localCheckpoint(eager=False)
-    )
-    tk = (
-        dtk.join(dm, ["side", "d"])
-        .select("side", F.col("sig").alias("d"), "tok")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )  # the UNIQUE-signature token ledger: df, sizes, prefixes, verify
+    dm, usig = _ppjoin_front(left, right, text_col, id_col)
+    # the UNIQUE-signature token ledger (df, prefixes, verify) — a
+    # narrow explode over the checkpointed usig blocks, rebuilt per
+    # consumer for free (the _supply_sym discipline)
+    tk = usig.select("side", "d", "sz", F.explode("toks").alias("tok"))
     dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    sz = tk.groupBy("side", "d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sz")
-    )
     wo = Window.partitionBy("side", "d").orderBy(F.col("df").asc(), "tok")
-    ordered = (
-        tk.join(dfq, "tok")
-        .withColumn("rn", F.row_number().over(wo).cast("bigint"))
-        .join(sz, ["side", "d"])
+    ordered = tk.join(dfq, "tok").withColumn(
+        "rn", F.row_number().over(wo).cast("bigint")
     )
     pref = ordered.where(
         F.expr(f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1")
@@ -1335,8 +1362,8 @@ def ppjoin_best_match(
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
-    sa = sz.where("side = 0").select(F.col("d").alias("da"), F.col("sz").alias("sza"))
-    sb = sz.where("side = 1").select(F.col("d").alias("db"), F.col("sz").alias("szb"))
+    sa = usig.where("side = 0").select(F.col("d").alias("da"), F.col("sz").alias("sza"))
+    sb = usig.where("side = 1").select(F.col("d").alias("db"), F.col("sz").alias("szb"))
     res = (
         inter.join(sa, "da")
         .join(sb, "db")
@@ -1408,45 +1435,17 @@ def ppjoin_prefix_health(
       task (a mega-token here needs a stop-token filter, exactly like
       a mega-bucket in the LSH audit).
 
-    Shares the front half of ppjoin_best_match verbatim in structure
-    (tokenize → signature-compress → df → rarest-first prefix); kept
-    as its own pipeline so the instrument can run WITHOUT triggering
-    the join it prices."""
-    def toks(df, side):
-        return (
-            df.select(
-                F.lit(side).alias("side"),
-                F.col(id_col).alias("d"),
-                F.explode(F.expr(tokens_expr(text_col))).alias("tok"),
-            )
-            .distinct()
-        )
-
-    dtk = toks(left, 0).unionByName(toks(right, 1))
-    dm = (
-        dtk.groupBy("side", "d")
-        .agg(
-            F.expr(
-                "md5(concat_ws(' ', array_sort(collect_list(tok))))"
-            ).alias("sig")
-        )
-        .localCheckpoint(eager=False)
-    )
-    tk = (
-        dtk.join(dm, ["side", "d"])
-        .select("side", F.col("sig").alias("d"), "tok")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    Shares the front half of ppjoin_best_match via _ppjoin_front (the
+    r13 per-row-signature re-plan — see ppjoin_best_match); kept as its
+    own pipeline so the instrument can run WITHOUT triggering the join
+    it prices."""
+    dm, usig = _ppjoin_front(left, right, text_col, id_col)
+    tk = usig.select("side", "d", "sz", F.explode("toks").alias("tok"))
     dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    sz = tk.groupBy("side", "d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sz")
-    )
     wo = Window.partitionBy("side", "d").orderBy(F.col("df").asc(), "tok")
     pref = (
         tk.join(dfq, "tok")
         .withColumn("rn", F.row_number().over(wo).cast("bigint"))
-        .join(sz, ["side", "d"])
         .where(
             F.expr(
                 f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1"
