@@ -226,6 +226,7 @@ def suffix_array_ranks(
     max_tokens: int = SA_MAX_TOKENS,
     seed_g: int = 1,
     retain: bool = True,
+    ladder_top: int | None = None,
 ) -> dict[int, DataFrame]:
     """Prefix-doubling rank tables {k: (d, i, n, r)} for k = seed_g,
     2*seed_g, ..., up to the first level >= max_tokens (that last table
@@ -248,9 +249,15 @@ def suffix_array_ranks(
     r_k[i+3k]) — which is just as valid an order (lexicographic tuple of
     consecutive k-windows == the 4k-window order, sentinel 0 for
     positions past the end) but halves the remaining rounds. The descent
-    LCP needs every power of two, so retain=True keeps strict doubling."""
+    LCP needs every power of two, so retain=True keeps strict doubling.
+
+    ladder_top stops the ladder at the FIRST level >= ladder_top instead
+    of max_tokens, for callers that finish the ordering themselves (the
+    fused arrays-mode row-number pass) — the token arrays are still
+    truncated at max_tokens, only the round count changes."""
     if seed_g & (seed_g - 1):
         raise ValueError(f"suffix_array_ranks: seed_g must be a power of 2, got {seed_g}")
+    stop = max_tokens if ladder_top is None else min(ladder_top, max_tokens)
     levels: dict[int, DataFrame] = {}
     if seed_g == 1:
         cur = block_dense_rank(
@@ -258,16 +265,21 @@ def suffix_array_ranks(
         ).select("d", "n", "i", "r")
         k = 1
     else:
-        cur = block_dense_rank(
-            _suffix_seed_windows(df, text_col, id_col, max_tokens, seed_g),
-            ["key"],
-            out="r",
-        ).select("d", "n", "i", "r")
+        # r13: the seed-window frame (tokenize + per-position string
+        # windows) is the most expensive input of the ladder and the
+        # range partitioner computes it twice (sampling sketch + the
+        # shuffle itself) — cut it once.
+        seedw = _suffix_seed_windows(
+            df, text_col, id_col, max_tokens, seed_g
+        ).localCheckpoint(eager=False)
+        cur = block_dense_rank(seedw, ["key"], out="r").select(
+            "d", "n", "i", "r"
+        )
         k = seed_g
     levels[k] = cur.localCheckpoint(eager=False) if retain else cur
     wd = Window.partitionBy("d").orderBy("i")
     arity = 2 if retain else 4
-    while k < max_tokens:
+    while k < stop:
         paired = levels[k]
         keys = ["r"]
         for j in range(1, arity):
@@ -313,18 +325,56 @@ def adjacent_suffix_lcp(
 
     arrays mode seeds the rank ladder at g=8 (it only needs the TOP
     table); ranks mode seeds at 1 because the descent consumes every
-    level."""
-    seed_g = 8 if mode == "arrays" else 1
-    levels = suffix_array_ranks(
-        df,
-        text_col,
-        id_col,
-        max_tokens,
-        seed_g=min(seed_g, max_tokens),
-        retain=mode != "arrays",
-    )
-    top = max(levels)
-    sa = block_row_number(levels[top], ["r", "d", "i"], out="rn")
+    level.
+
+    arrays mode additionally FUSES the final quadrupling round into the
+    row-number pass (r13): the top-level dense rank existed only to be
+    the row_number sort key, and row_number over the level-k key TUPLE
+    (r, r[i+k], r[i+2k], r[i+3k], d, i) with 4k >= max_tokens is the
+    identical total order (dense_rank is order-isomorphic to its key),
+    so the ladder stops one round earlier and the last dense-rank block
+    pass disappears."""
+    if mode == "arrays":
+        g = min(8, max_tokens)
+        top_needed = g
+        while 4 * top_needed < max_tokens:
+            top_needed *= 4
+        levels = suffix_array_ranks(
+            df,
+            text_col,
+            id_col,
+            max_tokens,
+            seed_g=g,
+            retain=False,
+            ladder_top=top_needed,
+        )
+        k = max(levels)
+        paired = levels[k]
+        keys = ["r"]
+        wd = Window.partitionBy("d").orderBy("i")
+        for j in range(1, 4):
+            paired = paired.withColumn(
+                f"__r{j}", F.coalesce(F.lead("r", j * k).over(wd), F.lit(0))
+            )
+            keys.append(f"__r{j}")
+        # both adjacency sides (rn and rn-1) read the suffix-array
+        # frame: cut lineage so the fused pass runs once, not per side.
+        sa = block_row_number(
+            paired, [*keys, "d", "i"], out="rn"
+        ).localCheckpoint(eager=False)
+    else:
+        levels = suffix_array_ranks(
+            df,
+            text_col,
+            id_col,
+            max_tokens,
+            seed_g=1,
+            retain=True,
+        )
+        top = max(levels)
+        sa = block_row_number(levels[top], ["r", "d", "i"], out="rn").localCheckpoint(
+            eager=False
+        )
     a = sa.select(
         F.col("d").alias("da"),
         F.col("i").alias("ia"),
@@ -340,8 +390,11 @@ def adjacent_suffix_lcp(
     adj = a.join(b, "rn")
     if mode == "arrays":
         toks_sql = f"slice({tokens_expr(text_col)}, 1, {max_tokens})"
-        docs = df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1")).select(
-            F.col(id_col).alias("d"), F.expr(toks_sql).alias("__t")
+        # consumed twice (da and db sides): tokenize the corpus once
+        docs = (
+            df.where(F.expr(f"size({tokens_expr(text_col)}) >= 1"))
+            .select(F.col(id_col).alias("d"), F.expr(toks_sql).alias("__t"))
+            .localCheckpoint(eager=False)
         )
         out = (
             adj.join(docs.select(F.col("d").alias("da"), F.col("__t").alias("__ta")), "da")
