@@ -830,12 +830,15 @@ def bfs_distances(
     cross-engine and the oracle unrolls the same rounds as chained CTEs
     (the pagerank pattern).
 
-    Scale shape: per round ONE shuffle join (distances onto edges by
-    source) and ONE min-aggregate by node — the same two-exchange round
-    as pagerank; the static edge frame lazily checkpoints once and the
-    evolving distance frame per round (flat lineage). Feed SYMMETRIZED
-    edges for undirected semantics. Output: (node, d) for the reached
-    set only; d <= iterations."""
+    Scale shape (r13 frontier-only re-plan, the systolic-delta BFS
+    shape proven on hyperball_exact_error): per round only the NEWLY
+    reached nodes travel the edges — a node first reached in round t
+    has min hop distance t, so the settled set never re-joins and the
+    per-round join volume is frontier x degree, not reached x degree.
+    Output identical to the naive re-join-everything form. The static
+    edge frame lazily checkpoints once and frontier/dist per round
+    (flat lineage). Feed SYMMETRIZED edges for undirected semantics.
+    Output: (node, d) for the reached set only; d <= iterations."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -849,17 +852,19 @@ def bfs_distances(
         .withColumn("d", F.lit(0))
         .localCheckpoint(eager=False)
     )
-    for _ in range(iterations):
-        nxt = (
-            e.join(dist.select(F.col("node").alias("src"), "d"), "src")
-            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+    frontier = dist
+    for t in range(1, iterations + 1):
+        cand = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
+        frontier = (
+            cand.join(dist, "node", "left_anti")
+            .withColumn("d", F.lit(t))
             .localCheckpoint(eager=False)
         )
+        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
     return dist
 
 
@@ -1548,11 +1553,15 @@ def per_source_bfs(
     frontier and loses per-source attribution). Pure integer hop
     counts; the oracle unrolls the same rounds as chained CTEs.
 
-    Scale shape: per round ONE shuffle join (frontier onto edges by
-    node) and ONE min-aggregate by (s, node) with map-side combine;
-    state is bounded by |seeds| x reached nodes — the seed set is the
-    priced lever, exactly as in Brandes-style sampled centrality. Feed
-    SYMMETRIZED edges for undirected semantics."""
+    Scale shape (r13 frontier-only re-plan, as in bfs_distances /
+    hyperball_exact_error): only NEWLY reached (s, node) pairs travel
+    the edges each round — a pair first reached in round t has min
+    distance t, so the settled set never re-joins and per-round join
+    volume is frontier x degree, not reached x degree. Output identical
+    to the naive min-aggregate form. State is bounded by |seeds| x
+    reached nodes — the seed set is the priced lever, exactly as in
+    Brandes-style sampled centrality. Feed SYMMETRIZED edges for
+    undirected semantics."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -1563,16 +1572,19 @@ def per_source_bfs(
     dist = seeds.selectExpr(
         f"{seed_col} AS s", f"{seed_col} AS node", "CAST(0 AS INT) AS d"
     ).localCheckpoint(eager=False)
-    for _ in range(iterations):
-        nxt = dist.join(e, dist.node == e.src).select(
-            "s", F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+    frontier = dist
+    for t in range(1, iterations + 1):
+        cand = (
+            e.join(frontier.select("s", F.col("node").alias("src")), "src")
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("s", "node")
-            .agg(F.min("d").cast("int").alias("d"))
-            .localCheckpoint(eager=False)  # per-round lineage cut
+        frontier = (
+            cand.join(dist, ["s", "node"], "left_anti")
+            .withColumn("d", F.lit(t).cast("int"))
+            .localCheckpoint(eager=False)
         )
+        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
     return dist
 
 

@@ -253,14 +253,25 @@ def cms_position_sql(key_sql: str, seed: str, row: int, w: int) -> str:
 
 
 def cms_cells(
-    df: DataFrame, key_col: str, d: int = 3, w: int = 1024, seed: str = "cms"
+    df: DataFrame,
+    key_col: str,
+    d: int = 3,
+    w: int = 1024,
+    seed: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch build: aggregate `df` into d*w cells
     (``r``, ``c``, ``cnt``). ONE shuffle of (r, c) pairs — map-side
     combined down to at most d*w rows per task regardless of input size;
     the sketch itself is a few KB and independent of cardinality. This is
     the mergeable-summary property that makes CMS the 100 TB frequency
-    instrument: shard sketches add cell-wise."""
+    instrument: shard sketches add cell-wise.
+
+    weight_col: build from PRE-AGGREGATED (key, count) rows instead of
+    the raw ledger — cnt per cell becomes sum(weight), bit-identical to
+    counting the raw rows (a cell's count is the sum of its keys'
+    multiplicities), so a caller that already holds exact key counts
+    never re-streams the ledger through the sketch."""
     rows = [
         F.struct(
             F.lit(i).alias("r"),
@@ -268,11 +279,19 @@ def cms_cells(
         )
         for i in range(d)
     ]
+    wcol = (
+        F.count(F.lit(1)).alias("cnt")
+        if weight_col is None
+        else F.sum("__w").alias("cnt")
+    )
+    sel = [F.explode(F.array(*rows)).alias("p")] + (
+        [] if weight_col is None else [F.col(weight_col).alias("__w")]
+    )
     return (
-        df.select(F.explode(F.array(*rows)).alias("p"))
-        .select("p.r", "p.c")
+        df.select(*sel)
+        .select("p.r", "p.c", *([] if weight_col is None else ["__w"]))
         .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(wcol)
     )
 
 

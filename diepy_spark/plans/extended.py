@@ -228,9 +228,7 @@ def x2_minhash_lsh_pairs(spark, sf_dir):
 
 
 def x2_ngram_jaccard_pairs(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    ).orderBy("da", "db")
+    return _jaccard_pairs(spark, sf_dir).orderBy("da", "db")
 
 
 def x2_dup_clusters(spark, sf_dir):
@@ -274,9 +272,19 @@ def x2_cluster_size_dist(spark, sf_dir):
 
 
 def _jaccard_pairs(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    )
+    """The n-gram Jaccard near-dup PAIR LIST, session-memoized (r13) —
+    narratively the persisted dup-pair artifact a dedup pipeline writes
+    once and every consumer reads: six derivations per session
+    (ngram_jaccard_pairs, the CC label input, dedup apply/best/stats,
+    x11_cc_twophase) collapse to one gram-bucketed pair generation.
+    Pair-graph-sized, orders of magnitude below the corpus."""
+    key = ("jacpairs", spark.sparkContext.applicationId, sf_dir,
+           JACCARD_THRESHOLD, JACCARD_MAX_DF)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = D.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+        ).localCheckpoint(eager=False)
+    return _MODEL_CACHE[key]
 
 
 def _cc_cached(spark, sf_dir):
@@ -1552,10 +1560,20 @@ def x1_cms_span_dedup(spark, sf_dir):
     g = tk.select(
         F.explode(F.expr(_grams_over("toks", SPAN_L))).alias("s")
     )
+    # r13: ONE corpus gram pass. The exact gram counts (distinct-gram-
+    # sized) are computed first, and the sketch cells are built FROM
+    # them (sum of multiplicities per cell == counting the raw ledger,
+    # bit-identical) — the old plan streamed the exploded ledger through
+    # both the cells aggregate and the exact aggregate.
+    exact = (
+        g.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     cells = cms_cells(
-        g, "s", d=CMS_SPAN_D, w=CMS_SPAN_W, seed=CMS_SPAN_SEED
+        exact, "s", d=CMS_SPAN_D, w=CMS_SPAN_W, seed=CMS_SPAN_SEED,
+        weight_col="n",
     ).localCheckpoint(eager=False)  # d*w cells — this IS the shipped sketch
-    exact = g.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
     est = cms_estimate(
         exact, cells, "s", d=CMS_SPAN_D, w=CMS_SPAN_W, seed=CMS_SPAN_SEED
     )
