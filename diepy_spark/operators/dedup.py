@@ -1354,19 +1354,30 @@ def ppjoin_best_match(
         .select("da", "db")
         .distinct()
     )
-    la = tk.where("side = 0").select(F.col("d").alias("da"), "tok")
-    rb = tk.where("side = 1").select(F.col("d").alias("db"), "tok")
-    inter = (
-        cand.join(la, "da")
-        .join(rb, ["db", "tok"])
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    # r13 verify-half re-plan (guide §2.3 — shuffle fewer bytes, §2.4 —
+    # remove shuffles outright): usig already carries the sorted DISTINCT
+    # token array per signature, so the intersection size is per-row
+    # array arithmetic (size(array_intersect)) after two sig-keyed joins
+    # that also deliver sza/szb for free. The old shape exploded every
+    # candidate's full left token set (|cand| x sza rows), shuffled it
+    # onto the right ledger by (db, tok), re-aggregated by pair, and then
+    # joined the two size frames back on — three extra exchanges plus the
+    # candidate x token row blow-up, all for a count the arrays hold.
+    ua = usig.where("side = 0").select(
+        F.col("d").alias("da"), F.col("sz").alias("sza"),
+        F.col("toks").alias("toks_a"),
     )
-    sa = usig.where("side = 0").select(F.col("d").alias("da"), F.col("sz").alias("sza"))
-    sb = usig.where("side = 1").select(F.col("d").alias("db"), F.col("sz").alias("szb"))
+    ub = usig.where("side = 1").select(
+        F.col("d").alias("db"), F.col("sz").alias("szb"),
+        F.col("toks").alias("toks_b"),
+    )
     res = (
-        inter.join(sa, "da")
-        .join(sb, "db")
+        cand.join(ua, "da")
+        .join(ub, "db")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
+        )
         .where(
             F.expr(f"inter * {t_den} >= {t_num} * (sza + szb - inter)")
         )
