@@ -1118,6 +1118,8 @@ def incremental_minhash_dedup(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_sigs: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup — the MinHash sibling of
     incremental_exact_dedup, and the crawl-N+1 shape of
@@ -1150,12 +1152,22 @@ def incremental_minhash_dedup(
     # the production deployment exactly: the index signatures are a
     # PERSISTED table (that is the point of an incremental index), and
     # the batch signatures are batch-sized.
-    sigi = minhash_signatures(index, num_hashes, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
-    sigb = minhash_signatures(batch, num_hashes, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # index_sigs/batch_sigs (r13): a caller holding the persisted
+    # signature table passes its two halves directly (a document's
+    # MinHash depends only on its own shingles, so a row-filter of the
+    # full-corpus signature frame IS the split's signature frame) and
+    # the text is never re-shingled here. Must be the (d, mh0..mhN)
+    # frame at the SAME num_hashes/n — the caller's contract.
+    sigi = (
+        minhash_signatures(index, num_hashes, n, text_col, id_col)
+        if index_sigs is None
+        else index_sigs
+    ).localCheckpoint(eager=False)
+    sigb = (
+        minhash_signatures(batch, num_hashes, n, text_col, id_col)
+        if batch_sigs is None
+        else batch_sigs
+    ).localCheckpoint(eager=False)
     bi = band_frame(sigi, num_hashes, band_size).repartition(
         par, F.col("band"), F.col("sig")
     )

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def freq_median(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+def freq_median(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
     """(group_col, med): exact LOWER median (element at position
     ceil(n/2) of the sorted values — no interpolation, stays integer) of
     an integer column per group, via the value-frequency histogram.
@@ -29,8 +34,23 @@ def freq_median(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
     Plan: one shuffle to (group, value) counts with map-side combine,
     then cumulative windows over frames of |distinct values| rows. The
     deterministic lower-median (vs the interpolated (a+b)/2 midpoint)
-    is what keeps every downstream deviation integer-exact."""
-    h = df.groupBy(group_col, val_col).agg(F.count(F.lit(1)).alias("c"))
+    is what keeps every downstream deviation integer-exact.
+
+    weight_col (r13, the cms_cells weight precedent): compute from
+    PRE-AGGREGATED (group, value, count) rows instead of raw rows — the
+    histogram is then sum(weight), bit-identical to the unweighted call
+    over the expanded rows (a value with multiplicity w contributes w to
+    its frequency either way). Lets a caller that already holds the
+    value-frequency table (or a derived one, e.g. |v - med|) reuse it
+    instead of re-scanning the corpus."""
+    if weight_col is None:
+        h = df.groupBy(group_col, val_col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    else:
+        h = df.groupBy(group_col, val_col).agg(
+            F.sum(weight_col).cast("bigint").alias("c")
+        )
     wcum = Window.partitionBy(group_col).orderBy(val_col)
     wall = Window.partitionBy(group_col)
     w = h.select(

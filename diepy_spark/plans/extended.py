@@ -540,12 +540,20 @@ def x2_incremental_minhash(spark, sf_dir):
     from diepy_spark.operators.dedup import incremental_minhash_dedup
 
     d = _docs(spark, sf_dir)
+    # r13 (guide §2.1): both split signature frames are row-filters of
+    # the session-shared _mh_sigs_cached frame (same num_hashes/n; a
+    # doc's MinHash depends only on its own shingles) — the corpus is
+    # not re-shingled here, which is the operator's own 100 TB story
+    # ("the index frame is the persisted signature table itself").
+    sigs = _mh_sigs_cached(spark, sf_dir)
     return incremental_minhash_dedup(
         d.where(F.col("doc_id") % INC_DEDUP_MOD != 0),
         d.where(F.col("doc_id") % INC_DEDUP_MOD == 0),
         num_hashes=LSH_NUM_HASHES,
         band_size=LSH_BAND_SIZE,
         min_match=MH_MIN_MATCH,
+        index_sigs=sigs.where(F.col("d") % INC_DEDUP_MOD != 0),
+        batch_sigs=sigs.where(F.col("d") % INC_DEDUP_MOD == 0),
     ).orderBy("doc_id")
 
 

@@ -621,14 +621,36 @@ def x7_stream_outliers(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select("event_type", cents.alias("cents"))
     )
-    med = freq_median(ev, "event_type", "cents")
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("cents") - F.col("med"))
+    # r13 (guide §2.3 "aggregate before you shuffle" + §2.1): the old
+    # shape scanned the events history TWICE (once under each
+    # freq_median) and, worse, re-evaluated that whole subtree per
+    # micro-batch — a stream-static join recomputes its static side at
+    # every trigger. Now ONE corpus pass builds the (type, cents, cnt)
+    # value-frequency table (distinct-value-domain-sized, the r28b
+    # bounded-state argument) and both medians ride it via weight_col —
+    # the MAD's deviation histogram is derived from the frequency rows
+    # (a value with multiplicity cnt contributes cnt at |v - med|,
+    # identical to re-scanning raw events). The eager localCheckpoint
+    # pins the tiny threshold table so each trigger's static side is a
+    # checkpointed read, not two corpus aggregations. med/mad are
+    # bit-identical to the old plan (lower-median over the same
+    # histograms), so the emitted breach counts are unchanged.
+    freqs = (
+        ev.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # med + devf both read it: 1 scan
+    )
+    med = freq_median(freqs, "event_type", "cents", weight_col="cnt")
+    devf = freqs.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med")).alias("dev"),
+        "cnt",
     )
     thr = med.join(
-        freq_median(dev, "event_type", "dev").withColumnRenamed("med", "mad"),
+        freq_median(devf, "event_type", "dev", weight_col="cnt")
+        .withColumnRenamed("med", "mad"),
         "event_type",
-    )
+    ).localCheckpoint(eager=True)
     src = (
         _events_src(spark, sf_dir)
         .where(F.col("value").isNotNull())
@@ -1081,11 +1103,16 @@ def x7_stream_ingest(spark, sf_dir):
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.1): eager checkpoint — a stream-static join
+    # re-evaluates its static side per trigger; the corpus md5+distinct
+    # pass should run once, not once per micro-batch. Narratively this
+    # IS the persisted fingerprint index the docstring describes.
     idx = (
         docs.where(F.col("doc_id") % INC_DEDUP_MOD != 0)
         .select(F.md5(F.col("text")).alias("fp"))
         .distinct()
         .withColumn("in_idx", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     reader = spark.readStream.schema(docs.schema).option(
         "maxFilesPerTrigger", _mfpt()
@@ -1126,11 +1153,16 @@ def x7_stream_takedown(spark, sf_dir):
 
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
+    # r13 (guide §2.1): eager checkpoint — the stream-static join would
+    # otherwise re-scan + re-distinct the events history per trigger;
+    # this IS the persisted takedown table the docstring describes,
+    # refreshed per epoch, not per micro-batch.
     tomb = (
         ev.select(F.col("user_id").alias("k"))
         .where(F.col("k") % TAKEDOWN_MOD == 0)
         .distinct()
         .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     stream = ST.read_events_stream(
         spark, _events_stream_dir(spark, sf_dir), max_files_per_trigger=_mfpt()

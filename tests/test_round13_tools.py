@@ -129,3 +129,29 @@ def test_multi_quantile_group_containing_delimiter(spark):
         ).collect()
     }
     assert got == {"a\x1fq50": 2.0, "a": 15.0}
+
+
+def test_freq_median_weight_col_matches_expanded_rows(spark):
+    """freq_median(weight_col=) over pre-aggregated (group, value, count)
+    rows must be BIT-IDENTICAL to the unweighted call over the expanded
+    raw rows (the r13 one-pass re-plan behind x7_stream_outliers rests on
+    this): a value with multiplicity w contributes w to its histogram
+    frequency either way. Covers odd/even counts, ties, negative values,
+    and a weight-1 group."""
+    from pyspark.sql import functions as F
+
+    from diepy_spark.operators.robust import freq_median
+
+    rows = [
+        ("a", -5), ("a", -5), ("a", 2), ("a", 7),
+        ("b", 1), ("b", 1), ("b", 1), ("b", 9), ("b", 9),
+        ("c", 42),
+    ]
+    raw = spark.createDataFrame(rows, "g string, v bigint")
+    freqs = raw.groupBy("g", "v").agg(F.count(F.lit(1)).alias("w"))
+    plain = {r["g"]: r["med"] for r in freq_median(raw, "g", "v").collect()}
+    weighted = {
+        r["g"]: r["med"]
+        for r in freq_median(freqs, "g", "v", weight_col="w").collect()
+    }
+    assert plain == weighted == {"a": -5, "b": 1, "c": 42}
