@@ -346,6 +346,7 @@ def pagerank(
     damp_num: int = 85,
     damp_den: int = 100,
     materialize_static: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank in PURE INTEGER arithmetic — ranks are bigints in units of
     1/scale, damping is the exact rational damp_num/damp_den, and every
@@ -379,8 +380,18 @@ def pagerank(
     tooling. A production caller scopes the conf (or sizes the static
     number) at the session level, as connected_components does around
     its own per-round actions.
+
+    ``assume_distinct=True`` (the triangle_edge_support assume_canonical
+    precedent) skips the edge dedup exchange AND the edge lineage cut
+    when the caller guarantees the input is already a distinct,
+    materialized edge frame (the _supply_ps/_supply_sym session-memo
+    contract) — the per-iteration reads then stream the caller's
+    checkpointed blocks directly instead of materializing a second
+    copy. Output identical: distinct of a distinct set is the set.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        e = e.distinct()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
@@ -393,7 +404,8 @@ def pagerank(
         # with iteration count). Blocks are GC-reclaimed when the result
         # frame is dropped; pass False for a pure plan (e.g. to inspect
         # the un-truncated lineage).
-        e = e.localCheckpoint(eager=False)
+        if not assume_distinct:
+            e = e.localCheckpoint(eager=False)
         deg = deg.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
     teleport = (scale * (damp_den - damp_num)) // damp_den
@@ -670,6 +682,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) with two determinism amendments that make an LPA run
@@ -691,14 +704,17 @@ def label_propagation(
     frame lazily checkpoints once; the evolving label frame checkpoints
     per round to cut lineage growth (the connected_components pattern).
 
-    Output: (node, label).
+    Output: (node, label). ``assume_distinct``: the pagerank contract —
+    skip the edge dedup + lineage cut when the input is an
+    already-distinct, self-loop-free materialized session frame (the
+    narrow where() below stays: it is a free filter over the caller's
+    checkpointed blocks).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint(eager=False)
     labels = (
         e.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
@@ -764,6 +780,7 @@ def kcore(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: each round drops every
     node with degree < k, which lowers neighbors' degrees, so the next
@@ -784,13 +801,15 @@ def kcore(
     `k` is an int, or a ONE-ROW DataFrame with column `k` for a
     DATA-DERIVED threshold (e.g. median degree + 1 via
     robust.freq_median) — the frame broadcasts into each round's filter,
-    keeping the whole operator lazy and oracle-mirrorable."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    keeping the whole operator lazy and oracle-mirrorable.
+    ``assume_distinct``: the pagerank contract — skip the edge dedup +
+    lineage cut when the input is an already-distinct, self-loop-free
+    materialized session frame."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint(eager=False)
     kf = k.localCheckpoint(eager=False) if isinstance(k, DataFrame) else None
     for _ in range(iterations):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -818,6 +837,7 @@ def bfs_distances(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: shortest hop distance from ANY seed node to every
     node reachable within `iterations` hops. The remaining primitive of
@@ -838,13 +858,15 @@ def bfs_distances(
     Output identical to the naive re-join-everything form. The static
     edge frame lazily checkpoints once and frontier/dist per round
     (flat lineage). Feed SYMMETRIZED edges for undirected semantics.
-    Output: (node, d) for the reached set only; d <= iterations."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    Output: (node, d) for the reached set only; d <= iterations.
+    ``assume_distinct``: the pagerank contract — skip the edge dedup +
+    lineage cut when the input is an already-distinct, self-loop-free
+    materialized session frame."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint(eager=False)
     seed_col = seeds.columns[0]
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
@@ -890,6 +912,7 @@ def random_walks(
     src: str = "src",
     dst: str = "dst",
     seed: str = "rw",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """DETERMINISTIC random walks — one walk per node, `steps` steps —
     the node2vec/DeepWalk sampling primitive (Perozzi et al. 2014,
@@ -910,12 +933,16 @@ def random_walks(
     regardless of t, the trajectory lives in the per-step outputs.
 
     Output: (t, walk, node) for t = 0..steps — the full trajectory set,
-    one frame; aggregate or reshape downstream."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+    one frame; aggregate or reshape downstream. ``assume_distinct``:
+    the pagerank contract — skip the edge dedup exchange when the input
+    is an already-distinct, self-loop-free materialized session frame
+    (the adjacency index below still checkpoints — it is a NEW window
+    artifact, not a copy of the input)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct()
     nbr = e.withColumn(
         "idx",
         F.row_number()
@@ -970,6 +997,7 @@ def node2vec_walks(
     src: str = "src",
     dst: str = "dst",
     seed: str = "n2v",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """SECOND-ORDER biased walks — node2vec (Grover & Leskovec 2016):
     the step distribution depends on the PREVIOUS node: a neighbor x of
@@ -994,12 +1022,15 @@ def node2vec_walks(
 
     Output: (t, walk, node, cls) for t = 0..steps; cls in
     {'start','uniform','back','common','forward'} records which bias
-    class the arriving step used (the p/q mix diagnostic)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+    class the arriving step used (the p/q mix diagnostic).
+    ``assume_distinct``: the pagerank contract — skip the edge dedup
+    exchange when the input is an already-distinct, self-loop-free
+    materialized session frame."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct()
     nbr = e.withColumn(
         "idx",
         F.row_number()
@@ -1127,6 +1158,7 @@ def personalized_pagerank(
     scale: int = 10**9,
     damp_num: int = 85,
     damp_den: int = 100,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank — Haveliwala 2002: the
     teleport mass returns to the SEED set instead of uniformly, so ranks
@@ -1142,8 +1174,12 @@ def personalized_pagerank(
 
     Scale: identical per-iteration shape to `pagerank` (one edge join +
     one destination aggregate); the static edge/degree/node frames are
-    lazily checkpointed once for all iterations."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    lazily checkpointed once for all iterations. ``assume_distinct``:
+    the pagerank contract — skip the edge dedup + lineage cut when the
+    input is an already-distinct materialized session frame."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        e = e.distinct()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select("u")
@@ -1161,7 +1197,8 @@ def personalized_pagerank(
         .select("node", F.coalesce("is_seed", F.lit(0)).alias("s"))
         .localCheckpoint(eager=False)
     )
-    e = e.localCheckpoint(eager=False)
+    if not assume_distinct:
+        e = e.localCheckpoint(eager=False)
     deg = deg.localCheckpoint(eager=False)
     teleport = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select(
@@ -1264,6 +1301,7 @@ def hb_prepare(
     src: str = "src",
     dst: str = "dst",
     m: int = 64,
+    assume_distinct: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Prepared (edge frame, register tiers) pair shared by hyperball
     and hyperball_exact_error: the distinct self-loop-free edge
@@ -1272,13 +1310,14 @@ def hb_prepare(
     persisted-index discipline) run the propagation ONCE and fold it
     from as many consumers as they like — narratively the sketch index
     a production pipeline writes beside the graph and joins
-    everywhere."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    everywhere. ``assume_distinct``: the pagerank contract — skip the
+    edge dedup + lineage cut when the input is an already-distinct,
+    self-loop-free materialized session frame."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint(eager=False)
     return e, list(_hb_register_tiers(e, iterations, m))
 
 
@@ -1473,6 +1512,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     scale: int = 10**6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """HITS (Kleinberg 1999): hub and authority scores on a DIRECTED
     graph in PURE INTEGER arithmetic. The textbook iteration normalizes
@@ -1495,12 +1535,12 @@ def hits(
     allows max degree ~9e6.
 
     Output: (node, hub, auth) for every node, scores in units of
-    1/scale with max = scale."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    1/scale with max = scale. ``assume_distinct``: the pagerank
+    contract — skip the edge dedup + lineage cut when the input is an
+    already-distinct materialized session frame."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint(eager=False)
     us = e.select("u").distinct().localCheckpoint(eager=False)
     vs = e.select("v").distinct().localCheckpoint(eager=False)
     hub = us.select("u", F.lit(int(scale)).cast("bigint").alias("h"))
@@ -1546,6 +1586,7 @@ def per_source_bfs(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PER-SOURCE BFS distances: (s, node, d) for every seed s and
     every node within `iterations` hops of it — the centrality-grade
@@ -1561,13 +1602,14 @@ def per_source_bfs(
     to the naive min-aggregate form. State is bounded by |seeds| x
     reached nodes — the seed set is the priced lever, exactly as in
     Brandes-style sampled centrality. Feed SYMMETRIZED edges for
-    undirected semantics."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    undirected semantics. ``assume_distinct``: the pagerank contract —
+    skip the edge dedup + lineage cut when the input is an
+    already-distinct, self-loop-free materialized session frame."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint(eager=False)
     seed_col = seeds.columns[0]
     dist = seeds.selectExpr(
         f"{seed_col} AS s", f"{seed_col} AS node", "CAST(0 AS INT) AS d"
@@ -1589,14 +1631,19 @@ def per_source_bfs(
 
 
 def closeness_centrality(
-    edges: DataFrame, seeds: DataFrame, iterations: int = 4
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Closeness centrality for a seed set: (r-1)/sum(d) over the
     reached ball (standard closeness restricted to the k-hop horizon —
     the bounded-compute centrality a 100 TB graph actually affords;
     exact to the true metric whenever the ball covers the component).
     Exact integer (r, sum d) with one float division at the end."""
-    dist = per_source_bfs(edges, seeds, iterations=iterations)
+    dist = per_source_bfs(
+        edges, seeds, iterations=iterations, assume_distinct=assume_distinct
+    )
     return dist.groupBy("s").agg(
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
         F.sum("d").cast("bigint").alias("sum_dist"),
@@ -1619,6 +1666,7 @@ def katz_centrality(
     alpha_num: int = 1,
     alpha_den: int = 1024,
     materialize_static: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Katz centrality in PURE INTEGER arithmetic (Katz 1953): x(v)
     counts walks of every length into v, geometrically damped —
@@ -1641,13 +1689,16 @@ def katz_centrality(
     Scale: per iteration ONE shuffle join of scores against edges on
     the source key plus ONE aggregate on the destination key — the
     pagerank shape without the degree dimension."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (
         e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
         .select(F.col("u").alias("node"))
     )
     if materialize_static:
-        e = e.localCheckpoint(eager=False)
+        if not assume_distinct:
+            e = e.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
     x = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("x"))
     for _ in range(iterations):

@@ -1145,6 +1145,32 @@ def semdedup_threshold_sweep(
     )
 
 
+def semdedup_assign(
+    vecs: DataFrame,
+    cents: list[list[int]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The quantized + top-2-cell-assigned vector frame semdedup_dup_pairs
+    pairs within: (id_col, cluster, cluster2, xi, nn), checkpointed.
+    Factored out (r13) so multi-variant instruments like
+    x2_semdedup_probe build it ONCE and feed every probes= variant via
+    ``assigned=`` — the assignment is a pure projection against the
+    centroid literals, but it prices k centroid distances per row and
+    the instrument ran it three times."""
+    from diepy_spark.operators.clustering import (
+        assign_top2_to_centroids,
+        quantize_vectors,
+    )
+
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    a2 = assign_top2_to_centroids(q, cents, id_col)
+    return a2.withColumn(
+        "nn", F.expr("aggregate(xi, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    ).localCheckpoint(eager=False)
+
+
 def semdedup_dup_pairs(
     vecs: DataFrame,
     cents: list[list[int]],
@@ -1154,6 +1180,7 @@ def semdedup_dup_pairs(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """The PAIR-level SemDeDup surface with MULTI-PROBE cell expansion
     (VERDICT r4 task #4, the x3_ann_recall trust-instrument pattern
@@ -1176,17 +1203,18 @@ def semdedup_dup_pairs(
     the only addition over semdedup_flags is a DISTINCT on the
     SURVIVING (da, db) id pairs — integer pairs, duplicate-bounded by 2,
     never vectors. Output: (da, db) distinct, da < db by construction.
-    """
-    from diepy_spark.operators.clustering import (
-        assign_top2_to_centroids,
-        quantize_vectors,
-    )
 
-    q = quantize_vectors(vecs, id_col, vec_col, scale)
-    a2 = assign_top2_to_centroids(q, cents, id_col)
-    a2 = a2.withColumn(
-        "nn", F.expr("aggregate(xi, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
-    ).localCheckpoint(eager=False)
+    ``assigned``: the quantized+assigned vector frame a prior call (or
+    ``semdedup_assign``) already built for the SAME (vecs, cents, scale)
+    — x2_semdedup_probe calls this three times (all/1/2 probes) over one
+    subset and the assignment projection (k centroid distances per row)
+    is identical across them; passing it skips the re-derivation (r13,
+    guide §2.1). Caller contract: columns (id_col, cluster, cluster2,
+    xi, nn), checkpointed.
+    """
+    a2 = assigned if assigned is not None else semdedup_assign(
+        vecs, cents, scale=scale, id_col=id_col, vec_col=vec_col
+    )
     prim = a2.select(
         F.col(id_col).alias("pa"),
         F.col("cluster").alias("cell"),

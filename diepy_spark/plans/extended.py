@@ -1385,7 +1385,9 @@ def x11_pagerank(spark, sf_dir):
 
     tune(spark)
     sym = _supply_sym(spark, sf_dir)
-    ranks = pagerank(sym, iterations=PR_ITER, scale=PR_SCALE)
+    ranks = pagerank(
+        sym, iterations=PR_ITER, scale=PR_SCALE, assume_distinct=True
+    )
     return ranks.orderBy(F.col("r").desc(), "node").limit(PR_TOP)
 
 
@@ -1414,7 +1416,9 @@ def x11_ppr(spark, sf_dir):
         .select((F.col("l_partkey") * 10 + 1).alias("node"))
         .distinct()
     )
-    ranks = personalized_pagerank(sym, seeds, iterations=PR_ITER, scale=PR_SCALE)
+    ranks = personalized_pagerank(
+        sym, seeds, iterations=PR_ITER, scale=PR_SCALE, assume_distinct=True
+    )
     return (
         ranks.where(F.col("r") > 0)
         .orderBy(F.col("r").desc(), "node")
@@ -1440,7 +1444,9 @@ def x11_bfs(spark, sf_dir):
         .select((F.col("l_partkey") * 10 + 1).alias("node"))
         .distinct()
     )
-    return bfs_distances(sym, seeds, iterations=BFS_ITER).orderBy("node")
+    return bfs_distances(
+        sym, seeds, iterations=BFS_ITER, assume_distinct=True
+    ).orderBy("node")
 
 
 STRAT_SEED = "strat"
@@ -2983,7 +2989,9 @@ def x11_kcore(spark, sf_dir):
         .select(F.lit(1).alias("g"), "deg")
     )
     kf = freq_median(deg0, "g", "deg").select(F.col("med").alias("k"))
-    return kcore(sym, k=kf, iterations=KC_ITER).orderBy("node")
+    return kcore(sym, k=kf, iterations=KC_ITER, assume_distinct=True).orderBy(
+        "node"
+    )
 
 
 AB_CONV_MIN = 180
@@ -3694,7 +3702,8 @@ def _lpa_labels_cached(spark, sf_dir):
     key = ("lpa", spark.sparkContext.applicationId, sf_dir, LP_ITER)
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = label_propagation(
-            _supply_sym(spark, sf_dir), iterations=LP_ITER
+            _supply_sym(spark, sf_dir), iterations=LP_ITER,
+            assume_distinct=True,
         ).localCheckpoint(eager=False)
     return _MODEL_CACHE[key]
 
@@ -4533,6 +4542,10 @@ def x2_semdedup_probe(spark, sf_dir):
     v = _vecs(spark, sf_dir)
     cents = _cents_cached(spark, sf_dir, _sd_k(spark, sf_dir), SD_ITER, SD_SCALE)
     sub = v.where(F.col("vec_id") < SD_PROBE_MAX)
+    # r13 (guide §2.1): the quantize+assign projection (k centroid
+    # distances per row) is identical across the three probes= variants
+    # below — build it once, feed it to all three.
+    a2 = S.semdedup_assign(sub, cents, scale=SD_SCALE)
 
     def pairs(probes):
         return S.semdedup_dup_pairs(
@@ -4542,6 +4555,7 @@ def x2_semdedup_probe(spark, sf_dir):
             thr_num=SD_THR_NUM,
             thr_den=SD_THR_DEN,
             scale=SD_SCALE,
+            assigned=a2,
         )
 
     exact = pairs("all").localCheckpoint(eager=False)
@@ -6514,7 +6528,8 @@ def _hb_prepared(spark, sf_dir):
         from diepy_spark.operators.clustering import hb_prepare
 
         _MODEL_CACHE[key] = hb_prepare(
-            _supply_sym(spark, sf_dir), iterations=HB_ITER, m=HB_M
+            _supply_sym(spark, sf_dir), iterations=HB_ITER, m=HB_M,
+            assume_distinct=True,
         )
     return _MODEL_CACHE[key]
 
@@ -6623,7 +6638,9 @@ def x11_hits(spark, sf_dir):
 
     tune(spark)
     e = _supply_ps(spark, sf_dir)
-    scored = hits(e, iterations=HITS_ITER, scale=HITS_SCALE)
+    scored = hits(
+        e, iterations=HITS_ITER, scale=HITS_SCALE, assume_distinct=True
+    )
     topa = (
         scored.orderBy(F.col("auth").desc(), "node")
         .limit(HITS_TOP)
@@ -6891,9 +6908,9 @@ def _rw_walks_cached(spark, sf_dir):
     key = ("rwwalks", spark.sparkContext.applicationId, sf_dir, RW_STEPS)
     if key not in _MODEL_CACHE:
         sym = _supply_sym(spark, sf_dir)
-        _MODEL_CACHE[key] = random_walks(sym, steps=RW_STEPS).localCheckpoint(
-            eager=False
-        )
+        _MODEL_CACHE[key] = random_walks(
+            sym, steps=RW_STEPS, assume_distinct=True
+        ).localCheckpoint(eager=False)
     return _MODEL_CACHE[key]
 
 
@@ -6966,7 +6983,8 @@ def x11_node2vec(spark, sf_dir):
         # pattern): the expensive candidate-expansion chain runs once
         # per session, every re-derivation reads the checkpoint
         _MODEL_CACHE[key] = node2vec_walks(
-            sym, steps=N2V_STEPS, wb=wb, wc=wc, wf=wf
+            sym, steps=N2V_STEPS, wb=wb, wc=wc, wf=wf,
+            assume_distinct=True,
         ).localCheckpoint(eager=False)
     walks = _MODEL_CACHE[key]
     return (
@@ -14036,9 +14054,9 @@ def x11_closeness(spark, sf_dir):
         .select((F.col("l_partkey") * 10 + 1).alias("node"))
         .distinct()
     )
-    return closeness_centrality(sym, seeds, iterations=BFS_ITER).orderBy(
-        "node"
-    )
+    return closeness_centrality(
+        sym, seeds, iterations=BFS_ITER, assume_distinct=True
+    ).orderBy("node")
 
 
 EXTENDED_QUERIES["x11_closeness"] = x11_closeness
@@ -15086,7 +15104,7 @@ def x11_katz(spark, sf_dir):
     sym = _supply_sym(spark, sf_dir)
     scores = katz_centrality(
         sym, iterations=KATZ_ITER, scale=PR_SCALE,
-        alpha_num=1, alpha_den=KATZ_ALPHA_DEN,
+        alpha_num=1, alpha_den=KATZ_ALPHA_DEN, assume_distinct=True,
     )
     return scores.orderBy(F.col("x").desc(), "node").limit(PR_TOP)
 
@@ -16962,8 +16980,6 @@ def x11_ktruss(spark, sf_dir):
     wedge count measured 21-30 s at sf0.1, this shape ~7 s) and one
     filter; survivors checkpoint each round so lineage stays flat.
     The histogram render is bounded by max support."""
-    from pyspark.sql import Window
-
     from diepy_spark.operators.clustering import (
         _triangle_list_canon,
         triangle_incidence,
@@ -17000,7 +17016,6 @@ def x11_ktruss(spark, sf_dir):
     # over cached blocks
     tri = _triangle_list_canon(e).localCheckpoint(eager=False)
     te = triangle_incidence(tri)
-    w_t = Window.partitionBy("x", "y", "z")
     # Peeling is MONOTONE: e_{r+1} ⊆ e_r, and if a round prunes nothing
     # (|e_new| = |e| with e_new ⊆ e ⇒ e_new = e) every remaining round
     # recomputes the identical support over the identical edge set — so
@@ -17027,14 +17042,22 @@ def x11_ktruss(spark, sf_dir):
             final_sup = sup  # fixpoint: support frame already final
             break
         n_e = n_new
-        # a listed triangle stays alive iff all 3 of its edges survived
-        te = (
+        # a listed triangle stays alive iff all 3 of its edges survived.
+        # r13: revalidate via groupBy (map-side-combinable aggregate, |T|
+        # output rows of 3 ints) instead of a count window (which sorted
+        # and re-emitted all 3|T| x 5-col incidence rows through the same
+        # two exchanges); the surviving incidence re-derives as a narrow
+        # explode over the checkpointed triangle LIST — identical rows by
+        # the incidence definition.
+        tri = (
             te.join(e, ["u", "v"])
-            .withColumn("k", F.count(F.lit(1)).over(w_t))
+            .groupBy("x", "y", "z")
+            .agg(F.count(F.lit(1)).alias("k"))
             .where(F.col("k") == 3)
-            .select("x", "y", "z", "u", "v")
+            .select("x", "y", "z")
             .localCheckpoint(eager=False)
         )
+        te = triangle_incidence(tri)
     if final_sup is None:
         final_sup = te.groupBy("u", "v").agg(
             F.count(F.lit(1)).cast("bigint").alias("sup")
@@ -21025,30 +21048,44 @@ MTLD_TTR_DEN = 100
 
 def mtld_fold_expr(col: str = "toks") -> str:
     """Spark SQL aggregate() expression computing the MTLD forward-pass
-    state over a string-array column: acc = [cur_tokens, factors,
-    seen-types...] — acc[1]=cur_tokens, acc[2]=factors in BOTH reads and
-    writes (the reset branch consumes the draining token: cur_tokens back
-    to '0', factors+1, seen emptied).  Module-level so tests can run the
-    identical fold over hand-built token sequences."""
-    seen = "slice(acc, 3, size(acc))"
+    state over a string-array column: acc = STRUCT(ct cur_tokens BIGINT,
+    f factors BIGINT, seen ARRAY<STRING>) — the reset branch consumes
+    the draining token (ct back to 0, f+1, seen emptied).  Module-level
+    so tests can run the identical fold over hand-built token sequences.
+
+    r13 re-plan (guide §4.1 "per-task work" after the shape is right):
+    the old accumulator was ONE flat string array ['ct','f',seen...] —
+    every step paid 3-4 ``slice()`` deep copies of the growing seen list
+    plus string<->bigint casts per counter read/write.  The struct form
+    reads ``acc.seen`` by reference (no copy), keeps the counters as
+    bigints, and copies the seen list only when a NEW type is appended —
+    the walk itself (reset rule, tie handling, fold order) is unchanged,
+    so factors/part_tokens/part_types are identical values."""
+    seen = "acc.seen"
     types_after = (
         f"size({seen}) + CAST(NOT array_contains({seen}, t) AS INT)"
     )
-    tok_after = "CAST(element_at(acc, 1) AS BIGINT) + 1"
+    tok_after = "acc.ct + CAST(1 AS BIGINT)"
     reset = (
         f"{MTLD_TTR_DEN} * ({types_after})"
         f" < {MTLD_TTR_NUM} * ({tok_after})"
     )
+    empty = "CAST(array() AS ARRAY<STRING>)"
     step = (
         f"CASE WHEN {reset} THEN"
-        " array('0', CAST(CAST(element_at(acc, 2) AS BIGINT) + 1 AS STRING))"
-        f" ELSE concat(array(CAST({tok_after} AS STRING),"
-        " CAST(element_at(acc, 2) AS STRING)),"
-        f" CASE WHEN array_contains({seen}, t) THEN {seen}"
-        f" ELSE concat({seen}, array(t)) END)"
+        " named_struct('ct', CAST(0 AS BIGINT),"
+        " 'f', acc.f + CAST(1 AS BIGINT),"
+        f" 'seen', {empty})"
+        f" ELSE named_struct('ct', {tok_after}, 'f', acc.f,"
+        f" 'seen', CASE WHEN array_contains({seen}, t) THEN {seen}"
+        f" ELSE array_append({seen}, t) END)"
         " END"
     )
-    return f"aggregate({col}, array('0', '0'), (acc, t) -> {step})"
+    init = (
+        "named_struct('ct', CAST(0 AS BIGINT), 'f', CAST(0 AS BIGINT),"
+        f" 'seen', {empty})"
+    )
+    return f"aggregate({col}, {init}, (acc, t) -> {step})"
 
 
 def x5_mtld(spark, sf_dir):
@@ -21082,9 +21119,9 @@ def x5_mtld(spark, sf_dir):
         .selectExpr(
             "doc_id",
             "n_tokens",
-            "CAST(element_at(st, 2) AS BIGINT) AS factors",
-            "CAST(element_at(st, 1) AS BIGINT) AS part_tokens",
-            "CAST(size(st) - 2 AS BIGINT) AS part_types",
+            "st.f AS factors",
+            "st.ct AS part_tokens",
+            "CAST(size(st.seen) AS BIGINT) AS part_types",
         )
         .selectExpr(
             "doc_id",

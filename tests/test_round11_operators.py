@@ -72,9 +72,9 @@ def test_mtld_fold_matches_hand_computed(spark):
         f"{mtld_fold_expr('toks')} AS st",
     ).selectExpr(
         "doc_id",
-        "CAST(element_at(st, 2) AS BIGINT) AS factors",
-        "CAST(element_at(st, 1) AS BIGINT) AS part_tokens",
-        "CAST(size(st) - 2 AS BIGINT) AS part_types",
+        "st.f AS factors",
+        "st.ct AS part_tokens",
+        "CAST(size(st.seen) AS BIGINT) AS part_types",
     ).orderBy("doc_id").collect()
     for row, (text, factors, part_tokens, part_types) in zip(rows, HAND_CASES):
         assert (row.factors, row.part_tokens, row.part_types) == (
