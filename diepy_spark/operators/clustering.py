@@ -49,7 +49,56 @@ __all__ = [
     "n2v_weight_sql",
     "n2v_class_sql",
     "n2v_draw_sql",
+    "keyed_checkpoint",
 ]
+
+
+def keyed_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
+    """localCheckpoint that PRESERVES hash-partitioning metadata — the
+    localCheckpoint analog of a bucketed table (guide §2.4: "bucketed
+    tables persist a partitioning across jobs so repeated
+    joins/aggregations on the bucket key skip the shuffle").
+
+    Dataset.localCheckpoint snapshots the physical plan's output
+    partitioning into its LogicalRDD, and EnsureRequirements then lets
+    downstream joins/aggregations keyed the same way skip their
+    exchange — but under AQE the captured root reports UNKNOWN
+    partitioning (measured: a repartition(32, k).localCheckpoint() built
+    with AQE on still costs 2 exchanges in a groupBy(k) consumer; with
+    AQE off at creation it costs 0). So the checkpoint (and the
+    repartition establishing the layout when ``keys`` are given) is
+    planned with AQE momentarily disabled; the conf is restored in a
+    finally. Row content is untouched — only the partition layout and
+    its metadata change, so every consumer is value-identical.
+
+    With ``keys``: repartition(shuffle.partitions, *keys) first — one
+    explicit exchange now buys zero exchanges at every keyed reuse (the
+    iterative-graph edge frame is the motivating case: Pregel/GraphX
+    co-partition edges by source exactly once, then only vertex-sized
+    frames move per superstep). Without ``keys``: capture whatever
+    partitioning the frame already has (e.g. a groupBy's output) for
+    free."""
+    spark = df.sparkSession
+    old = None
+    try:
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        pass
+    try:
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            pass
+        if keys:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            df = df.repartition(n, *[F.col(k) for k in keys])
+        return df.localCheckpoint(eager=False)
+    finally:
+        if old is not None:
+            try:
+                spark.conf.set("spark.sql.adaptive.enabled", old)
+            except Exception:
+                pass
 
 
 def connected_components(
@@ -406,8 +455,14 @@ def pagerank(
         # the un-truncated lineage).
         if not assume_distinct:
             e = e.localCheckpoint(eager=False)
-        deg = deg.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
+        # keyed_checkpoint (r13): deg is already hash-partitioned on u by
+        # its own aggregate and nodes on node by the distinct — capturing
+        # that layout in the checkpoint metadata lets every iteration's
+        # join(deg, "u") / join(inflow-on-node) skip the static side's
+        # exchange (an edge-frame partitioned by u additionally skips the
+        # e-side join exchange — see _supply_sym).
+        deg = keyed_checkpoint(deg)
+        nodes = keyed_checkpoint(nodes)
     teleport = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("r"))
     for _ in range(iterations):
@@ -1192,14 +1247,16 @@ def personalized_pagerank(
         .distinct()
         .withColumn("is_seed", F.lit(1))
     )
-    nodes = (
-        nodes.join(sd, "node", "left")
-        .select("node", F.coalesce("is_seed", F.lit(0)).alias("s"))
-        .localCheckpoint(eager=False)
+    nodes = keyed_checkpoint(
+        nodes.join(sd, "node", "left").select(
+            "node", F.coalesce("is_seed", F.lit(0)).alias("s")
+        )
     )
     if not assume_distinct:
         e = e.localCheckpoint(eager=False)
-    deg = deg.localCheckpoint(eager=False)
+    # keyed_checkpoint (r13): capture deg's aggregate partitioning on u /
+    # nodes' on node so per-iteration static-side joins skip the exchange
+    deg = keyed_checkpoint(deg)
     teleport = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select(
         "node", (F.col("s").cast("bigint") * int(scale)).alias("r")
@@ -1699,7 +1756,9 @@ def katz_centrality(
     if materialize_static:
         if not assume_distinct:
             e = e.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
+        # keyed_checkpoint (r13): capture nodes' distinct partitioning so
+        # the per-iteration left join on node skips the static exchange
+        nodes = keyed_checkpoint(nodes)
     x = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("x"))
     for _ in range(iterations):
         inflow = (

@@ -175,14 +175,29 @@ def _supply_ps(spark, sf_dir):
 
 
 def _supply_sym(spark, sf_dir):
-    """Symmetrized view of _supply_ps. Part ids are ≡1 (mod 10) and
-    supplier ids ≡2 (mod 10), so ps and its flip are DISJOINT and the
-    union needs no dedup — a narrow projection over the checkpointed
-    edge blocks, rebuilt per consumer for free (no second copy)."""
-    ps = _supply_ps(spark, sf_dir)
-    return ps.unionByName(
-        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    """Symmetrized _supply_ps, session-memoized as a SRC-PARTITIONED
+    checkpoint (r13, guide §2.4). Part ids are ≡1 (mod 10) and supplier
+    ids ≡2 (mod 10), so ps and its flip are DISJOINT and the union needs
+    no dedup. The frame is materialized hash-partitioned on src
+    (clustering.keyed_checkpoint — the Pregel/GraphX edge co-partitioning
+    contract: edges are laid out by source exactly once, then every
+    iterative consumer's per-round join/aggregate keyed on src reads the
+    layout instead of re-shuffling |E| rows each round; only vertex-sized
+    frames move per superstep). One explicit repartition per session buys
+    pagerank/ppr/katz/bfs/closeness/kcore/LPA-degree passes their
+    edge-side exchange at EVERY iteration."""
+    key = ("supplysym", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MODEL_CACHE:
+        from diepy_spark.operators.clustering import keyed_checkpoint
+
+        ps = _supply_ps(spark, sf_dir)
+        _MODEL_CACHE[key] = keyed_checkpoint(
+            ps.unionByName(
+                ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ),
+            "src",
+        )
+    return _MODEL_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
