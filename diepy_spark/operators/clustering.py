@@ -738,6 +738,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 3,
     assume_distinct: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) with two determinism amendments that make an LPA run
@@ -764,6 +765,18 @@ def label_propagation(
     already-distinct, self-loop-free materialized session frame (the
     narrow where() below stays: it is a free filter over the caller's
     checkpointed blocks).
+
+    ``assume_symmetric`` (r13): when the caller guarantees the edge set
+    is ITS OWN TRANSPOSE (every (a, b) has its (b, a) — the _supply_sym
+    contract), the neighbor-vote join keys on SRC instead of DST:
+    edge (s, d) then deposits s's label at d, and over a symmetric edge
+    set that vote multiset is identical to the dst->src reading —
+    Σ_{(s,d)∈E} label(s)@d = Σ_{(d,s)∈E} label(s)@d since E = Eᵀ. With
+    the edge frame materialized hash-partitioned on src
+    (keyed_checkpoint), the per-round join then reads the edge layout
+    instead of re-shuffling |E| rows by dst — only the label frame
+    (|V| rows) moves per round. Vote counts, and so the argmax and every
+    downstream hash, are unchanged.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
@@ -777,9 +790,14 @@ def label_propagation(
     )
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(iterations):
-        nbr = e.join(
-            labels.select(F.col("node").alias("dst"), "label"), "dst"
-        ).select("src", "label")
+        if assume_symmetric:
+            nbr = e.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("src"), "label")
+        else:
+            nbr = e.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            ).select("src", "label")
         votes = nbr.unionByName(
             labels.select(F.col("node").alias("src"), "label")
         )
@@ -1598,8 +1616,15 @@ def hits(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not assume_distinct:
         e = e.distinct().localCheckpoint(eager=False)
-    us = e.select("u").distinct().localCheckpoint(eager=False)
-    vs = e.select("v").distinct().localCheckpoint(eager=False)
+    # r13: the two half-steps join the edge frame on OPPOSITE keys (hub
+    # mass flows u->v, authority mass v->u), so one layout can never
+    # serve both. Keep a second copy partitioned on v: one repartition
+    # pass up front buys the e-side exchange of the auth->hub half-step
+    # at every iteration (the caller's src layout covers the hub->auth
+    # half). The CSR/CSC pair every production graph store keeps.
+    ev = keyed_checkpoint(e, "v")
+    us = keyed_checkpoint(e.select("u").distinct())
+    vs = keyed_checkpoint(e.select("v").distinct())
     hub = us.select("u", F.lit(int(scale)).cast("bigint").alias("h"))
 
     def _rescale(df, col):
@@ -1618,7 +1643,7 @@ def hits(
         )
         auth = _rescale(araw, "a").localCheckpoint(eager=False)
         hraw = (
-            e.join(auth, "v")
+            ev.join(auth, "v")
             .groupBy("u")
             .agg(F.sum("a").alias("h"))
         )

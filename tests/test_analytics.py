@@ -972,6 +972,33 @@ def test_label_propagation_random_vs_reference(spark):
         assert got == _lpa_reference(edges, 3), f"seed {seed}"
 
 
+def test_label_propagation_assume_symmetric_identical(spark):
+    """assume_symmetric=True (r13: the per-round vote join keys on src
+    instead of dst so the partitioned edge layout is read instead of
+    re-shuffled) must be label-for-label identical to the default path
+    on a symmetric edge set — the vote multiset argument in the
+    docstring, pinned over random graphs."""
+    from diepy_spark.operators.clustering import label_propagation
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+        sym = [(a, b) for a, b in edges if a != b]
+        sym = list(set(sym + [(b, a) for a, b in sym]))
+        df = spark.createDataFrame(sym, "src long, dst long")
+        base = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=3).collect()
+        }
+        flip = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                df, iterations=3, assume_distinct=True, assume_symmetric=True
+            ).collect()
+        }
+        assert flip == base, f"seed {seed}"
+
+
 def test_pq_adc_vs_python_reference(spark):
     """PQ encode + ADC distances mirror a literal python implementation:
     codebooks from the first-8 subvectors, corpus codes by argmin, ADC =
