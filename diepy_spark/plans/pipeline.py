@@ -236,7 +236,15 @@ def x7_stream_enrich(spark, sf_dir):
     nation key (streaming/events.py:enrich_counts). The join is stateless;
     window state is watermark-bounded as in x7_stream_tumbling."""
     tune(spark)
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # r13 (guide §2.1, the batch-6 stream-static pattern): a stream-static
+    # join re-plans and re-evaluates the static side at EVERY trigger —
+    # each micro-batch re-scanned the customer parquet and re-built the
+    # broadcast. Eagerly checkpoint the two-column dim once per run.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .localCheckpoint(eager=True)
+    )
     out = _run_stream(
         ST.enrich_counts(
             _events_src(spark, sf_dir),

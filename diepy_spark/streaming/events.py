@@ -260,12 +260,23 @@ def ewma_stateful(events: DataFrame, alpha: float = 0.5) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=EWMA_OUTPUT_SCHEMA,
-        stateStructType=EWMA_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # r13 (guide §4.1): applyInPandasWithState is opaque to Catalyst —
+    # every input column is scanned, shuffled by the groupBy, and crosses
+    # the Arrow boundary. The fold reads only (ts, event_id, value), so
+    # project them (plus the key) explicitly: the props JSON string and
+    # event_type never leave the parquet scan. The fold itself is
+    # chunking-immune (all chunks are concatenated and sorted before the
+    # per-row recurrence), so the narrower rows cannot change the result.
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
