@@ -540,10 +540,12 @@ def triangle_count(
         # referenced three times below (both wedge legs + the closing
         # edge); without a lineage cut Catalyst inlines the canon+degree
         # subplan into every reference (3x scans/shuffles of the raw edge
-        # list — 45 scans at one audit). Lazy local checkpoint = compute
-        # once, same values (pagerank's static-frame pattern).
-        .localCheckpoint(eager=False)
+        # list — 45 scans at one audit). keyed_checkpoint on the wedge
+        # midpoint s (r13): compute once AND lay the frame out so the
+        # wedge self-join reads both legs exchange-free — the |E|-row
+        # repartition buys two |E|-row join shuffles.
     )
+    oriented = keyed_checkpoint(oriented, "s")
     # wedges from each low vertex: s -> t1, s -> t2 with (t1, t2) oriented
     e1 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_a"))
     e2 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_b"))
@@ -1863,8 +1865,10 @@ def _triangle_list_canon(canon: DataFrame) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .localCheckpoint(eager=False)  # 3 references below
     )
+    # 3 references below; keyed on the wedge midpoint s (r13) so the
+    # wedge self-join reads both legs exchange-free — see triangle_count
+    oriented = keyed_checkpoint(oriented, "s")
     e1 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_a"))
     e2 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_b"))
     wedges = e1.join(e2, "w_s").where(F.col("w_a") != F.col("w_b"))

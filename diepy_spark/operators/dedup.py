@@ -1339,9 +1339,18 @@ def ppjoin_best_match(
     ordered = tk.join(dfq, "tok").withColumn(
         "rn", F.row_number().over(wo).cast("bigint")
     )
-    pref = ordered.where(
-        F.expr(f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1")
-    ).select("side", "d", "tok", "rn", "sz")
+    # r13: pref feeds BOTH candidate sides (pl, pr) — without a lineage
+    # cut Catalyst inlines the whole explode -> df-join -> prefix-rank
+    # window subtree into each side and the ledger pass runs TWICE
+    # (read in the plan: two Window nodes over the full ledger, one per
+    # side filter). Lazy checkpoint = one pass, both sides read blocks.
+    pref = (
+        ordered.where(
+            F.expr(f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1")
+        )
+        .select("side", "d", "tok", "rn", "sz")
+        .localCheckpoint(eager=False)
+    )
     pl = pref.where("side = 0").select(
         F.col("d").alias("da"), F.col("tok").alias("tok"),
         F.col("rn").alias("rna"), F.col("sz").alias("sza"),

@@ -23720,8 +23720,17 @@ def x11_four_cycles(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)  # read by both directions + degrees
     )
-    und = e0.selectExpr("u AS c", "v AS x").unionByName(
-        e0.selectExpr("v AS c", "u AS x")
+    # r13: the undirected incidence view feeds the wedge self-join (both
+    # legs, keyed on the center c) AND the degree aggregate (groupBy c) —
+    # keyed_checkpoint lays it out by c once, so the self-join reads both
+    # legs and the degree pass runs with ZERO further exchanges.
+    from diepy_spark.operators.clustering import keyed_checkpoint
+
+    und = keyed_checkpoint(
+        e0.selectExpr("u AS c", "v AS x").unionByName(
+            e0.selectExpr("v AS c", "u AS x")
+        ),
+        "c",
     )
     nuw = (
         und.alias("l")
