@@ -455,14 +455,16 @@ def pagerank(
         # the un-truncated lineage).
         if not assume_distinct:
             e = e.localCheckpoint(eager=False)
-        # keyed_checkpoint (r13): deg is already hash-partitioned on u by
-        # its own aggregate and nodes on node by the distinct — capturing
-        # that layout in the checkpoint metadata lets every iteration's
-        # join(deg, "u") / join(inflow-on-node) skip the static side's
-        # exchange (an edge-frame partitioned by u additionally skips the
-        # e-side join exchange — see _supply_sym).
-        deg = keyed_checkpoint(deg)
-        nodes = keyed_checkpoint(nodes)
+        # Plain lazy checkpoints for the vertex-sized statics: capturing
+        # their 32-partition aggregate layout in the checkpoint metadata
+        # (keyed_checkpoint) pins every per-round join to 32 fixed tasks,
+        # which measured SLOWER than letting AQE coalesce the per-round
+        # exchanges (interleaved A/B: run1 9.7->3.8 s, run2 4.8->3.3 s at
+        # sf0.1) — the saved Exchange was cheaper than the task-count it
+        # forced. The |E|-sized edge memo keeps its keyed layout (see
+        # _supply_sym); vertex statics stay AQE-planned.
+        deg = deg.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     teleport = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("r"))
     for _ in range(iterations):
@@ -540,12 +542,15 @@ def triangle_count(
         # referenced three times below (both wedge legs + the closing
         # edge); without a lineage cut Catalyst inlines the canon+degree
         # subplan into every reference (3x scans/shuffles of the raw edge
-        # list — 45 scans at one audit). keyed_checkpoint on the wedge
-        # midpoint s (r13): compute once AND lay the frame out so the
-        # wedge self-join reads both legs exchange-free — the |E|-row
-        # repartition buys two |E|-row join shuffles.
+        # list — 45 scans at one audit). Lazy local checkpoint = compute
+        # once, same values (pagerank's static-frame pattern). NOT keyed
+        # on the midpoint here: unlike the k-truss enumeration (whose
+        # keyed layout is re-read every peel round and measured faster),
+        # triangle_count consumes the wedge join once and the keyed
+        # repartition measured ~1.3 s slower than AQE-planned exchanges
+        # in an interleaved A/B at sf0.1.
+        .localCheckpoint(eager=False)
     )
-    oriented = keyed_checkpoint(oriented, "s")
     # wedges from each low vertex: s -> t1, s -> t2 with (t1, t2) oriented
     e1 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_a"))
     e2 = oriented.select(F.col("s").alias("w_s"), F.col("t").alias("w_b"))
@@ -1267,16 +1272,15 @@ def personalized_pagerank(
         .distinct()
         .withColumn("is_seed", F.lit(1))
     )
-    nodes = keyed_checkpoint(
-        nodes.join(sd, "node", "left").select(
-            "node", F.coalesce("is_seed", F.lit(0)).alias("s")
-        )
-    )
+    nodes = nodes.join(sd, "node", "left").select(
+        "node", F.coalesce("is_seed", F.lit(0)).alias("s")
+    ).localCheckpoint(eager=False)
     if not assume_distinct:
         e = e.localCheckpoint(eager=False)
-    # keyed_checkpoint (r13): capture deg's aggregate partitioning on u /
-    # nodes' on node so per-iteration static-side joins skip the exchange
-    deg = keyed_checkpoint(deg)
+    # plain checkpoints for vertex statics — see pagerank's comment (the
+    # keyed layout pinned per-round joins to 32 fixed tasks, measured
+    # slower than AQE-coalesced exchanges at sf0.1)
+    deg = deg.localCheckpoint(eager=False)
     teleport = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.select(
         "node", (F.col("s").cast("bigint") * int(scale)).alias("r")
@@ -1625,8 +1629,11 @@ def hits(
     # at every iteration (the caller's src layout covers the hub->auth
     # half). The CSR/CSC pair every production graph store keeps.
     ev = keyed_checkpoint(e, "v")
-    us = keyed_checkpoint(e.select("u").distinct())
-    vs = keyed_checkpoint(e.select("v").distinct())
+    # us/vs are read once (init + final assembly), not per-iteration —
+    # plain AQE-planned checkpoints measured faster than capturing their
+    # 32-partition distinct layout (interleaved A/B: run1 1.4->0.6 s)
+    us = e.select("u").distinct().localCheckpoint(eager=False)
+    vs = e.select("v").distinct().localCheckpoint(eager=False)
     hub = us.select("u", F.lit(int(scale)).cast("bigint").alias("h"))
 
     def _rescale(df, col):
@@ -1783,9 +1790,9 @@ def katz_centrality(
     if materialize_static:
         if not assume_distinct:
             e = e.localCheckpoint(eager=False)
-        # keyed_checkpoint (r13): capture nodes' distinct partitioning so
-        # the per-iteration left join on node skips the static exchange
-        nodes = keyed_checkpoint(nodes)
+        # plain checkpoint — the keyed layout measured slower (see
+        # pagerank's static-frame comment)
+        nodes = nodes.localCheckpoint(eager=False)
     x = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("x"))
     for _ in range(iterations):
         inflow = (
