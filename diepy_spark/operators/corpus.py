@@ -139,6 +139,7 @@ def corpus_funnel(
     max_dup3: float = 0.5,
     jaccard_threshold: float = 0.2,
     max_df: int = 100,
+    clean: DataFrame | None = None,
 ) -> DataFrame:
     """Per-stage attrition report for the full training-corpus pipeline —
     the observability table an operator reads after every corpus build
@@ -151,7 +152,18 @@ def corpus_funnel(
     pair generation. `sem_flags` is the (id_col, is_dup) SemDeDup flag
     frame (the persisted flag table x2_semdedup writes); pass it in so
     this module stays free of embedding-model wiring. All counts are
-    exact integers — the whole funnel hash-checks cross-engine."""
+    exact integers — the whole funnel hash-checks cross-engine.
+
+    ``clean`` (r13, guide §2.1 "remove shuffles outright"): the
+    already-built clean_corpus survivor frame at the SAME thresholds —
+    the persisted cleaned-corpus artifact a production stack writes
+    once. When given, stages 3 (neardup) and 4 (semdedup) aggregate it
+    directly and the funnel never re-runs the near-dup pair generation
+    + connected components (its dominant cost); the funnel then prices
+    one extra feature pass + one md5 aggregate on top of the pipeline
+    run it instruments, not a second pipeline run. Identical by
+    construction: clean_corpus's chain IS this function's
+    feat→gate→exact→neardup chain at equal thresholds."""
     tf = _token_frame(
         df, text_col, id_col, F.length(text_col).alias("n_chars_raw"), min_tokens=1
     )
@@ -183,16 +195,17 @@ def corpus_funnel(
         id_col,
         "left_semi",
     ).localCheckpoint(eager=False)
-    pairs = ngram_jaccard_pairs(
-        deduped, threshold=jaccard_threshold, max_df=max_df,
-        text_col=text_col, id_col=id_col,
-    ).persist()
-    try:
-        # dedup_corpus materializes the CC labels EAGERLY (see
-        # clean_corpus) — by return time `pairs` has been consumed.
-        clean = dedup_corpus(deduped, pairs, id_col=id_col)
-    finally:
-        pairs.unpersist()
+    if clean is None:
+        pairs = ngram_jaccard_pairs(
+            deduped, threshold=jaccard_threshold, max_df=max_df,
+            text_col=text_col, id_col=id_col,
+        ).persist()
+        try:
+            # dedup_corpus materializes the CC labels EAGERLY (see
+            # clean_corpus) — by return time `pairs` has been consumed.
+            clean = dedup_corpus(deduped, pairs, id_col=id_col)
+        finally:
+            pairs.unpersist()
     sem = clean.join(
         F.broadcast(sem_flags.select(id_col, "is_dup")), id_col, "left"
     ).where(~F.coalesce("is_dup", F.lit(False)))

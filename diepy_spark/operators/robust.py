@@ -67,7 +67,10 @@ def freq_median(
 
 
 def freq_quantile_cont_multi(
-    df: DataFrame, group_col: str, metrics: dict[str, tuple[str, float]]
+    df: DataFrame,
+    group_col: str,
+    metrics: dict[str, tuple[str, float]],
+    mean_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """(group_col, <one column per metrics key>): several exact
     interpolated percentiles — possibly over DIFFERENT value columns and
@@ -77,6 +80,20 @@ def freq_quantile_cont_multi(
     aggregate pivots the results back to columns. Same bit-exact
     interpolation contract as freq_quantile_cont; ~metrics-count cheaper
     than calling it per metric (each call re-scans and re-shuffles).
+
+    r13 (guide §2.3 "aggregate before you shuffle"): the per-(group,
+    metric) row count n is SUM(c) of the frequency table (a value with
+    multiplicity c contributes c rows), so it is computed from freq —
+    distinct-value-sized — instead of a second aggregate over the full
+    melted corpus; one corpus pass total.
+
+    mean_cols (r13): {out_name: metric_name} — also emit the MEAN of the
+    named metric, computed from the frequency table as
+    sum(v*c)/sum(c). Bit-identical to avg() over the raw rows whenever
+    every value and every partial product is exactly representable in a
+    double (integral value grids — the r28 l_quantity case); for
+    arbitrary float inputs avg()'s accumulation order differs and the
+    caller must not assume bit equality.
 
     Divergence from `percentile()` to know (ADVICE r12): a group whose
     values are ALL NULL has no frequency rows here and drops from the
@@ -94,6 +111,20 @@ def freq_quantile_cont_multi(
             raise ValueError(
                 f"metric name {name!r} must be a bare identifier "
                 "([A-Za-z_][A-Za-z0-9_]*)"
+            )
+    mean_cols = mean_cols or {}
+    for out_name, metric_name in mean_cols.items():
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", out_name):
+            raise ValueError(
+                f"mean column name {out_name!r} must be a bare identifier"
+            )
+        if metric_name not in metrics:
+            raise ValueError(
+                f"mean_cols metric {metric_name!r} not in metrics"
+            )
+        if out_name in metrics:
+            raise ValueError(
+                f"mean column name {out_name!r} collides with a metric"
             )
 
     g = group_col
@@ -117,9 +148,21 @@ def freq_quantile_cont_multi(
     # STRUCT key (field-wise equality/ordering) rather than a delimiter
     # concat, which could collide on group values containing the
     # delimiter and collapses a NULL group to the bare metric name
-    freq = freq.withColumn("__gm", F.struct(F.col(g), F.col("__m")))
+    # lineage cut on the distinct-value-sized frequency table: both the
+    # running sum and the n/mean aggregate below read its blocks, so the
+    # melted corpus is scanned and shuffled exactly ONCE (r13 — the old
+    # plan re-aggregated the full melted corpus a second time for n)
+    freq = freq.withColumn(
+        "__gm", F.struct(F.col(g), F.col("__m"))
+    ).localCheckpoint(eager=False)
     cum = block_running_sum(freq, "__gm", ["__v"], "__c", out="__cum")
-    n = rows.groupBy(g, "__m").agg(F.count(F.lit(1)).alias("__n"))
+    # n == sum of value multiplicities; the mean numerator sum(v*c) is
+    # exact whenever v*c and the running total are exactly representable
+    # in a double (integral grids — see mean_cols in the docstring)
+    n = freq.groupBy(g, "__m").agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__v") * F.col("__c")).alias("__sv"),
+    )
     qcase = "CASE __m " + " ".join(
         f"WHEN '{name}' THEN CAST({float(q)} AS DOUBLE)"
         for name, (_c, q) in metrics.items()
@@ -147,8 +190,16 @@ def freq_quantile_cont_multi(
             f" ELSE ({hi} - 1 - {pos}) * ({vlo})"
             f" + ({pos} - {lo} + 1) * ({vhi}) END"
         )
+    mean_aggs = [
+        F.expr(
+            f"max(CASE WHEN __m = '{metric_name}' THEN __sv END)"
+            f" / max(CASE WHEN __m = '{metric_name}' THEN __n END)"
+        ).alias(out_name)
+        for out_name, metric_name in mean_cols.items()
+    ]
     return picked.groupBy(g).agg(
-        *[F.expr(_interp(name)).alias(name) for name in metrics]
+        *[F.expr(_interp(name)).alias(name) for name in metrics],
+        *mean_aggs,
     )
 
 
@@ -176,8 +227,12 @@ def freq_quantile_cont(
         g, F.col(val_col).cast("double").alias("__v")
     )
     freq = rows.groupBy(g, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    # lineage cut: the running sum and the n aggregate both read the
+    # distinct-value-sized frequency blocks — one corpus pass (r13)
+    freq = freq.localCheckpoint(eager=False)
     cum = block_running_sum(freq, g, ["__v"], "__c", out="__cum")
-    n = rows.groupBy(g).agg(F.count(F.lit(1)).alias("__n"))
+    # n == sum of value multiplicities (count of non-null raw rows)
+    n = freq.groupBy(g).agg(F.sum("__c").alias("__n"))
     j = (
         cum.join(F.broadcast(n), g)
         # pos is the 0-based fractional index q*(n-1); __lo/__hi are the

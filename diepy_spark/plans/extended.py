@@ -5741,6 +5741,11 @@ def x10_pipeline_funnel(spark, sf_dir):
     flags = _sdflags_cached(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "is_dup"
     )
+    # r13: stages 3-4 read the session's persisted cleaned-corpus
+    # artifact (_clean_corpus_cached — identical thresholds, identical
+    # chain) instead of re-running pair generation + connected
+    # components inside the funnel; the funnel now instruments the
+    # pipeline run instead of repeating it.
     return corpus_funnel(
         _docs(spark, sf_dir),
         flags,
@@ -5749,6 +5754,7 @@ def x10_pipeline_funnel(spark, sf_dir):
         max_dup3=CLEAN_MAX_DUP3,
         jaccard_threshold=JACCARD_THRESHOLD,
         max_df=JACCARD_MAX_DF,
+        clean=_clean_corpus_cached(spark, sf_dir),
     )
 
 

@@ -390,21 +390,27 @@ def r28_percentiles(spark, sf_dir):
     from diepy_spark.operators.robust import freq_quantile_cont_multi
 
     li = _t(spark, sf_dir, "lineitem")
+    # r13 (guide §2.3): ONE corpus pass total — n and avg_qty both derive
+    # from the value-frequency table inside the operator (avg(l_quantity)
+    # == sum(v*c)/sum(c) bit-exactly: l_quantity is an integral grid, so
+    # every partial sum is exact in a double), and the group universe for
+    # the ADVICE-r12 left join is a one-column distinct instead of a
+    # second full aggregate over lineitem. Was 3 lineitem passes
+    # (base avg + melted freq + melted n), now 1 + the narrow flag scan.
     qs = freq_quantile_cont_multi(
         li,
         "l_returnflag",
         {"mq": ("l_quantity", 0.5), "pp": ("l_extendedprice", 0.9)},
+        mean_cols={"avg_qty": "mq"},
     )
-    base = li.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty")
-    )
+    base = li.select("l_returnflag").distinct()
     return (
         base.join(qs, "l_returnflag", "left")
         .select(
             "l_returnflag",
             F.round("mq", 4).alias("median_qty"),
             F.round("pp", 4).alias("p90_price"),
-            "avg_qty",
+            F.round("avg_qty", 4).alias("avg_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -190,7 +190,13 @@ def sessionize_stateful(events: DataFrame, timeout_ms: str = "GroupStateTimeout.
             {"user_id": [key[0]], "events_seen": [seen], "total_value": [total]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # r13 (guide §4.1, the ewma_stateful precedent): applyInPandasWithState
+    # is opaque to Catalyst, so every input column would be scanned,
+    # shuffled by the groupBy, and cross the Arrow boundary. The fold
+    # reads only len(pdf) and value (order-independent sums), so project
+    # (user_id, value) explicitly — ts/event_id/event_type/props never
+    # leave the parquet scan.
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=STATEFUL_OUTPUT_SCHEMA,
         stateStructType=STATEFUL_STATE_SCHEMA,
