@@ -941,18 +941,37 @@ def x9_cdc_apply(spark, sf_dir):
 
     o = _t_orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
 
-    def entry(mod, op, seq, delta):
-        e = o.where(F.col("o_orderkey") % mod == 0).select(
-            "o_orderkey",
-            (F.col("o_totalprice") + F.lit(float(delta))).alias("o_totalprice"),
+    # r13 (guide §2.3 "project before the exchange" / one-pass builds):
+    # the four changelog classes were four filtered SCANS of orders
+    # unioned row-wise; each row's applicable entries are a pure function
+    # of its key, so ONE scan explodes them per row instead (same
+    # (key, price+delta, op, seq) multiset — union order is irrelevant,
+    # latest-wins is decided by seq). 4 orders scans -> 1.
+    ent = ", ".join(
+        f"CASE WHEN o_orderkey % {mod} = 0 THEN"
+        f" named_struct('op', '{op}', 'seq', {seq}, 'delta',"
+        f" CAST({delta} AS DOUBLE)) END"
+        for mod, op, seq, delta in (
+            (CDC_U_MOD, "U", 2, 1.0),
+            (CDC_D_MOD, "D", 3, 0.0),
+            (CDC_C_MOD, "U", 1, 2.0),
+            (CDC_C_MOD, "U", 4, 3.0),
         )
-        return e.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
-
+    )
     log = (
-        entry(CDC_U_MOD, "U", 2, 1.0)
-        .unionByName(entry(CDC_D_MOD, "D", 3, 0.0))
-        .unionByName(entry(CDC_C_MOD, "U", 1, 2.0))
-        .unionByName(entry(CDC_C_MOD, "U", 4, 3.0))
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.expr(f"filter(array({ent}), x -> x IS NOT NULL)").alias("__es"),
+        )
+        .where(F.size("__es") > 0)
+        .select("o_orderkey", "o_totalprice", F.explode("__es").alias("__e"))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.col("__e.delta")).alias("o_totalprice"),
+            F.col("__e.op").alias("op"),
+            F.col("__e.seq").alias("seq"),
+        )
     )
     out = apply_changelog(o, log, ["o_orderkey"], seq_col="seq", op_col="op")
     return out.select(
