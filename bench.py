@@ -206,6 +206,12 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                # Per-query seconds on the FINAL line (VERDICT r13 #3): the
+                # driver's tail capture beheads the giant first line, so
+                # PERF's per-query/scaling gates came back empty two rounds
+                # running. The min-of-2 map is ~10 KB compact; the raw
+                # [run1, run2] pairs stay in BENCHDETAIL only.
+                "queries": timings,
                 "slowest": slowest,
                 "families": families,
                 # flat series (max ~ min) = clean capture; drift = ambient
