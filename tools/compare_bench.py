@@ -136,6 +136,29 @@ def main() -> int:
             print(f"REGRESSION {name}: {t_old:.3f}s{adj} -> "
                   f"{t_new:.3f}s ({r:.2f}x)")
 
+    # Cold-cost diff (VERDICT r13 #3): min-of-2 headline numbers exclude
+    # session-artifact build costs, which land in run1 only. families_cold
+    # (sum of FIRST runs per family) is where a memo that got cheaper to
+    # read but costlier to BUILD shows up — at 100 TB the build IS the
+    # job, so a cold regression is a real regression even when the warm
+    # headline improves. Sentinel-normalized like the per-query gate;
+    # informational (does not affect the exit code — cold run1s at sf0.1
+    # carry JVM/session warmup noise the warm gate is designed to dodge).
+    oc, nc = old.get("families_cold"), new.get("families_cold")
+    if isinstance(oc, dict) and isinstance(nc, dict):
+        print("\nfamilies_cold (sum of first runs, sentinel-normalized old):")
+        for fam in sorted(set(oc) | set(nc)):
+            a, b = oc.get(fam), nc.get(fam)
+            if a is None or b is None:
+                print(f"  {fam:5s} {'-' if a is None else round(a*norm,1)}"
+                      f" -> {'-' if b is None else b}")
+                continue
+            an = a * norm
+            flag = " <-- cold regression" if b > an * 1.3 and b - an > 3 else ""
+            print(f"  {fam:5s} {an:7.1f}s -> {b:7.1f}s ({b/an:.2f}x){flag}")
+        to, tn = sum(oc.values()) * norm, sum(nc.values())
+        print(f"  total {to:7.1f}s -> {tn:7.1f}s ({tn/to:.2f}x)")
+
     ov, nv = old.get("value"), new.get("value")
     tot = (
         f"{ov:.1f}s -> {nv:.1f}s" if ov is not None and nv is not None else "(partial baseline)"
