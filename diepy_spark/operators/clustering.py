@@ -43,6 +43,7 @@ __all__ = [
     "triangle_count",
     "kcore",
     "kmeans_int",
+    "adjacency_arrays",
     "random_walks",
     "rw_pick_sql",
     "node2vec_walks",
@@ -986,6 +987,22 @@ def rw_pick_sql(
     return f"CAST(1 + ({hex_int_sql(h)} % {deg_col}) AS BIGINT)"
 
 
+def adjacency_arrays(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(src, nbrs) with nbrs = the dst-ASCENDING neighbor array — the
+    CSR adjacency-list artifact a graph store persists once. nbrs[i]
+    (1-based element_at) is exactly the neighbor with row_number idx=i
+    in the dst-ordered adjacency ladder, so every idx-based pick over
+    the ladder is element_at over these arrays. Checkpointed: one
+    groupBy(src) pass, reused by every walk step."""
+    return (
+        edges.groupBy(F.col(src).alias("src"))
+        .agg(F.array_sort(F.collect_list(F.col(dst))).alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def random_walks(
     edges: DataFrame,
     steps: int = 4,
@@ -993,6 +1010,7 @@ def random_walks(
     dst: str = "dst",
     seed: str = "rw",
     assume_distinct: bool = False,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """DETERMINISTIC random walks — one walk per node, `steps` steps —
     the node2vec/DeepWalk sampling primitive (Perozzi et al. 2014,
@@ -1004,61 +1022,41 @@ def random_walks(
     across engines, partitionings and reruns (the hex_frac_sql seeded-
     draw idiom, integer-modular instead of a float threshold).
 
-    Scale shape: the adjacency gets its per-source neighbor index ONCE
-    (a row_number window partitioned by src — even partitioning, no
-    global sort) and checkpoints; each step is the pregel round shape —
-    state joins degree by node, then the indexed adjacency by (node,
-    idx) — two keyed shuffles per step on the walk-count-sized frame,
-    never the corpus. Walk state is (walk, node): constant width
-    regardless of t, the trajectory lives in the per-step outputs.
+    Scale shape (r14 re-plan, guide §2.3/§2.4): the adjacency is the
+    CSR ARRAY artifact (adjacency_arrays — dst-ascending neighbor array
+    per node, built once, element_at(nbrs, i) ≡ the idx=i row of the
+    old row_number ladder, so every pick is value-identical by the
+    order isomorphism). Each step is then ONE vertex-sized equi-join
+    (state ⋈ arrays on the current node) plus per-row O(1) arithmetic —
+    the old shape paid two keyed shuffles per step (degree join +
+    (node, idx) adjacency join). Only vertex-sized frames move, ever.
 
     Output: (t, walk, node) for t = 0..steps — the full trajectory set,
     one frame; aggregate or reshape downstream. ``assume_distinct``:
     the pagerank contract — skip the edge dedup exchange when the input
-    is an already-distinct, self-loop-free materialized session frame
-    (the adjacency index below still checkpoints — it is a NEW window
-    artifact, not a copy of the input)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src") != F.col("dst")
-    )
-    if not assume_distinct:
-        e = e.distinct()
-    nbr = e.withColumn(
-        "idx",
-        F.row_number()
-        .over(Window.partitionBy("src").orderBy("dst"))
-        .cast("bigint"),
-    ).localCheckpoint(eager=False)
-    deg = (
-        nbr.groupBy("src")
-        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("deg"))
-        .localCheckpoint(eager=False)
-    )
-    state = deg.select(F.col("src").alias("walk"), F.col("src").alias("node"))
+    is an already-distinct, self-loop-free materialized session frame.
+    ``adj``: a prebuilt adjacency_arrays frame over the SAME edge set
+    (the session CSR artifact), skipping the build."""
+    if adj is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        if not assume_distinct:
+            e = e.distinct()
+        adj = adjacency_arrays(e)
+    state = adj.select(F.col("src").alias("walk"), F.col("src").alias("node"))
     tiers = [state.select(F.lit(0).alias("t"), "walk", "node")]
     for t in range(1, steps + 1):
-        picked = (
-            state.join(deg.withColumnRenamed("src", "node"), "node")
+        state = (
+            state.join(adj.withColumnRenamed("src", "node"), "node")
             .select(
                 "walk",
-                F.col("node").alias("at"),
-                F.expr(rw_pick_sql("walk", "node", t, "deg", seed)).alias(
-                    "idx"
-                ),
+                F.expr(
+                    "element_at(nbrs, CAST("
+                    + rw_pick_sql("walk", "node", t, "size(nbrs)", seed)
+                    + " AS INT))"
+                ).alias("node"),
             )
-        )
-        # equi-join on (at, idx): the chosen neighbor row only — never
-        # the walks x neighbors expansion a post-join filter would pay.
-        state = (
-            picked.join(
-                nbr.select(
-                    F.col("src").alias("at"),
-                    "idx",
-                    F.col("dst").alias("node"),
-                ),
-                ["at", "idx"],
-            )
-            .select("walk", "node")
             .localCheckpoint(eager=False)
         )
         tiers.append(state.select(F.lit(t).alias("t"), "walk", "node"))
@@ -1078,6 +1076,7 @@ def node2vec_walks(
     dst: str = "dst",
     seed: str = "n2v",
     assume_distinct: bool = False,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """SECOND-ORDER biased walks — node2vec (Grover & Leskovec 2016):
     the step distribution depends on the PREVIOUS node: a neighbor x of
@@ -1105,41 +1104,49 @@ def node2vec_walks(
     class the arriving step used (the p/q mix diagnostic).
     ``assume_distinct``: the pagerank contract — skip the edge dedup
     exchange when the input is an already-distinct, self-loop-free
-    materialized session frame."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src") != F.col("dst")
-    )
-    if not assume_distinct:
-        e = e.distinct()
-    nbr = e.withColumn(
-        "idx",
-        F.row_number()
-        .over(Window.partitionBy("src").orderBy("dst"))
-        .cast("bigint"),
-    ).localCheckpoint(eager=False)
-    deg = (
-        nbr.groupBy("src")
-        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("deg"))
-        .localCheckpoint(eager=False)
-    )
+    materialized session frame. ``adj``: a prebuilt adjacency_arrays
+    frame over the SAME edge set (the session CSR artifact).
+
+    r14 re-plan (guide §2.3 "shuffle fewer bytes"): the old shape
+    MATERIALIZED the state x out-degree candidate expansion as rows and
+    pushed it through a per-walk cumulative window — at sf0.1 that is a
+    ~12M-row exchange+sort plus 12M md5 draws per step (the draw is
+    per-walk constant but was computed per candidate row). Now the
+    candidate scan happens INSIDE one row: state joins the CSR arrays
+    of cur and prev (two vertex-sized equi-joins), the weight vector is
+    a transform() over the dst-ascending neighbor array (identical
+    cumulative order by the idx isomorphism), the draw is computed once
+    per walk, and the interval pick is an aggregate() fold with a
+    struct accumulator (the MTLD accumulator discipline) — O(deg(cur))
+    per row with an O(deg(prev)) array_contains membership probe per
+    candidate. No corpus-sized shuffle remains; only vertex-sized
+    frames move. (Hub-hub hops pay deg×deg local compute where the old
+    shape paid a deg-row shuffle with O(1) hash membership — for
+    hub-heavy graphs a production system pre-builds alias tables; this
+    graph's hops alternate part/supplier so the probe side stays
+    small.)"""
+    if adj is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        if not assume_distinct:
+            e = e.distinct()
+        adj = adjacency_arrays(e)
     # t=1: uniform first step (no prev yet), the random_walks pick
     first = (
-        deg.select(
+        adj.select(
             F.col("src").alias("walk"),
-            F.col("src").alias("at"),
-            F.expr(rw_pick_sql("src", "src", 1, "deg", seed)).alias("idx"),
+            F.col("src").alias("prev"),
+            F.expr(
+                "element_at(nbrs, CAST("
+                + rw_pick_sql("src", "src", 1, "size(nbrs)", seed)
+                + " AS INT))"
+            ).alias("cur"),
         )
-        .join(
-            nbr.select(
-                F.col("src").alias("at"), "idx", F.col("dst").alias("cur")
-            ),
-            ["at", "idx"],
-        )
-        .select("walk", F.col("at").alias("prev"), "cur")
         .localCheckpoint(eager=False)
     )
     tiers = [
-        deg.select(
+        adj.select(
             F.lit(0).alias("t"),
             F.col("src").alias("walk"),
             F.col("src").alias("node"),
@@ -1153,32 +1160,76 @@ def node2vec_walks(
         ),
     ]
     state = first
-    member = e.select(
-        F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("adj")
+    adj_c = adj.select(F.col("src").alias("cur"), F.col("nbrs").alias("nc"))
+    adj_p = adj.select(F.col("src").alias("prev"), F.col("nbrs").alias("np"))
+    # weight of candidate x: back (x = prev) -> wb, common neighbor
+    # (x in nbrs(prev)) -> wc, forward -> wf — the exact n2v_weight_sql
+    # classes with membership read off the prev CSR array instead of
+    # the old (prev, x) edge join's adj flag.
+    w_of = (
+        f"CASE WHEN x = prev THEN CAST({wb} AS BIGINT)"
+        f" WHEN array_contains(np, x) THEN CAST({wc} AS BIGINT)"
+        f" ELSE CAST({wf} AS BIGINT) END"
     )
     for t in range(2, steps + 1):
-        cand = (
-            state.join(
-                nbr.select(
-                    F.col("src").alias("cur"), "idx", F.col("dst").alias("x")
-                ),
-                ["cur"],
+        # STAGE A: the reduced draw r = rh % tot per walk. tot comes
+        # from the CLOSED FORM over the weight classes — wf*deg +
+        # (wb-wf)*[prev in nbrs(cur)] + (wc-wf)*|nbrs(cur) ∩ nbrs(prev)|
+        # (exact because prev ∉ nbrs(prev): no self-loops, so the back
+        # candidate is never also 'common') — array_intersect is a
+        # native hash-set op, no lambda. The checkpoint is the
+        # CRITICAL projection barrier: referencing a computed alias
+        # inside a lambda makes Catalyst INLINE its whole expression
+        # into the lambda body, re-evaluating it PER ELEMENT (measured
+        # 10-20 s/step at sf0.1 from exactly that); past the barrier r
+        # is a plain attribute, bound once per row.
+        rfrm = (
+            state.join(adj_c, "cur")
+            .join(adj_p, "prev")
+            .selectExpr(
+                "walk",
+                "prev",
+                "cur",
+                f"({n2v_draw_sql('walk', t, 'prev', 'cur', seed)}) % ("
+                f" CAST({wf} AS BIGINT) * size(nc)"
+                f" + CAST({wb - wf} AS BIGINT)"
+                "   * (CASE WHEN array_contains(nc, prev) THEN 1 ELSE 0 END)"
+                f" + CAST({wc - wf} AS BIGINT)"
+                "   * size(array_intersect(nc, np))) AS r",
             )
-            .join(member, ["prev", "x"], "left")
-            .withColumn("w", F.expr(n2v_weight_sql("x", "prev", "adj", wb, wc, wf)))
-            .withColumn("cls", F.expr(n2v_class_sql("x", "prev", "adj")))
+            .localCheckpoint(eager=False)
         )
-        wwin = Window.partitionBy("walk")
-        cum = (
-            cand.withColumn("cum", F.sum("w").over(wwin.orderBy("idx")))
-            .withColumn("tot", F.sum("w").over(wwin))
-            .withColumn(
-                "rh", F.expr(n2v_draw_sql("walk", t, "prev", "cur", seed))
-            )
-        )
+        # STAGE B: land r in the cumulative-weight interval. The fold
+        # packs (cum, prefix-count of cum <= r) into ONE BIGINT (cum in
+        # the high bits, count in the low 31 — the packed-DP idiom; no
+        # per-element struct allocation), so pick = 1 + |{i : cum_i <=
+        # r}| — identical to the old window filter cum - w <= r < cum.
         state = (
-            cum.where("cum - w <= rh % tot AND rh % tot < cum")
-            .select("walk", F.col("cur").alias("prev"), F.col("x").alias("cur"), "cls")
+            rfrm.join(adj_c, "cur")
+            .join(adj_p, "prev")
+            .selectExpr(
+                "walk",
+                "prev",
+                "cur",
+                "np",
+                "nc",
+                f"1 + CAST((aggregate(transform(nc, x -> {w_of}),"
+                " CAST(0 AS BIGINT),"
+                " (a, w) -> shiftleft(shiftright(a, 31) + w, 31)"
+                "          + (a % 2147483648)"
+                "          + (CASE WHEN shiftright(a, 31) + w <= r"
+                "             THEN 1 ELSE 0 END),"
+                " a -> a % 2147483648)) AS INT) AS pick",
+            )
+            .selectExpr(
+                "walk",
+                "cur AS prev",
+                "element_at(nc, pick) AS cur",
+                "CASE WHEN element_at(nc, pick) = prev THEN 'back'"
+                " WHEN array_contains(np, element_at(nc, pick))"
+                " THEN 'common'"
+                " ELSE 'forward' END AS cls",
+            )
             .localCheckpoint(eager=False)
         )
         tiers.append(

@@ -6943,6 +6943,21 @@ def _rw_sig_sql() -> str:
     )
 
 
+def _adj_arr_cached(spark, sf_dir):
+    """The CSR adjacency-array artifact over the symmetrized supply
+    graph (clustering.adjacency_arrays: dst-ascending neighbor array
+    per node) — the adjacency list a graph store persists once, shared
+    by both walk-corpus builders (r14). Built off the keyed session
+    edge frame, so the groupBy(src) rides the layout with no
+    exchange."""
+    from diepy_spark.operators.clustering import adjacency_arrays
+
+    key = ("adjarr", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = adjacency_arrays(_supply_sym(spark, sf_dir))
+    return _MODEL_CACHE[key]
+
+
 def _rw_walks_cached(spark, sf_dir):
     """The deterministic walk corpus (t, walk, node) shared by its two
     declared consumers (x11_random_walks, x11_walk_cooccur) —
@@ -6955,7 +6970,8 @@ def _rw_walks_cached(spark, sf_dir):
     if key not in _MODEL_CACHE:
         sym = _supply_sym(spark, sf_dir)
         _MODEL_CACHE[key] = random_walks(
-            sym, steps=RW_STEPS, assume_distinct=True
+            sym, steps=RW_STEPS, assume_distinct=True,
+            adj=_adj_arr_cached(spark, sf_dir),
         ).localCheckpoint(eager=False)
     return _MODEL_CACHE[key]
 
@@ -7030,7 +7046,7 @@ def x11_node2vec(spark, sf_dir):
         # per session, every re-derivation reads the checkpoint
         _MODEL_CACHE[key] = node2vec_walks(
             sym, steps=N2V_STEPS, wb=wb, wc=wc, wf=wf,
-            assume_distinct=True,
+            assume_distinct=True, adj=_adj_arr_cached(spark, sf_dir),
         ).localCheckpoint(eager=False)
     walks = _MODEL_CACHE[key]
     return (
