@@ -206,6 +206,36 @@ def _supply_sym(spark, sf_dir):
     return _MODEL_CACHE[key]
 
 
+def _ev_vhist_cached(spark, sf_dir):
+    """The per-(event_type, user-parity, cent-value) COUNT histogram over
+    events with non-null value — THE value-frequency artifact the x8
+    rank/distribution tests all start from (r14, guide §2.1/§2.3: the
+    freq_median(weight_col=) precedent generalized). Every consumer's
+    own histogram is an exact rollup of this one (counts sum over the
+    dropped keys), so nine tests stop re-scanning and re-aggregating
+    the events corpus and ride one session frame bounded by
+    |types| x 2 x |cent domain| — at 100 TB the corpus scan is the
+    dominant cost and the domain-bounded artifact is what a metrics
+    store persists. Parity is the shared cohort key (user ids are
+    NOT NULL by the events schema; both parity spellings used by the
+    consumers coincide)."""
+    key = ("evvhist", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MODEL_CACHE:
+        ev = load_table(spark, sf_dir, "events")
+        _MODEL_CACHE[key] = (
+            ev.where(F.col("value").isNotNull())
+            .selectExpr(
+                "event_type",
+                "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS par",
+                "CAST(round(value * 100) AS BIGINT) AS cents",
+            )
+            .groupBy("event_type", "par", "cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+    return _MODEL_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Spark plans
 # ---------------------------------------------------------------------------
@@ -3533,18 +3563,17 @@ def x8_mwu(spark, sf_dir):
     are all exact BIGINTs; the z closed form is the only float layer and
     is textually shared with the oracle (_MWU_* constants)."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.where(F.col("value").isNotNull()).selectExpr(
-        "CAST(round(value * 100) AS BIGINT) AS cents",
-        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
-    )
     from pyspark.sql import Window
 
-    # both shared frames below are HISTOGRAM-sized (bounded by the cent
-    # domain) -> cut lineage so the event scan happens exactly once
-    hg0 = e.groupBy("cents", "grp").agg(
-        F.count(F.lit(1)).alias("cnt_g")
-    ).localCheckpoint(eager=False)
+    # the (cents, cohort) histogram is an exact rollup of the shared
+    # session value-frequency artifact (r14) — the events corpus is
+    # never re-scanned; counts sum over the dropped event_type key
+    hg0 = (
+        _ev_vhist_cached(spark, sf_dir)
+        .groupBy("cents", F.col("par").alias("grp"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt_g"))
+        .localCheckpoint(eager=False)
+    )
     # total per-value counts ROLL UP from the cohort histogram — one
     # event scan feeds both layers (plan-audit fix; was 10 scans)
     h = hg0.groupBy("cents").agg(F.sum("cnt_g").alias("cnt"))
@@ -4672,13 +4701,14 @@ def x8_trimmed_mean(spark, sf_dir):
     (least/greatest of cumulative ranks vs the trim cuts), handling
     partial bins exactly. The only float op is the final division."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    e = ev.where(F.col("value").isNotNull()).selectExpr(
-        "event_type", "CAST(round(value * 100) AS BIGINT) AS cents"
+    # rollup of the shared session value-frequency artifact (r14)
+    h = (
+        _ev_vhist_cached(spark, sf_dir)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    h = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("cents")
@@ -6426,22 +6456,19 @@ def x8_ks_test(spark, sf_dir):
     the sqrt layer is float-only in the final reported columns, textually
     shared with the oracle."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
+    # rollup of the shared session value-frequency artifact (r14): the
+    # per-cohort per-cent counts sum over the dropped event_type key
     hg = (
-        ev.where(F.col("value").isNotNull())
-        .selectExpr(
-            "CAST(round(value * 100) AS BIGINT) AS cents",
-            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
-        )
+        _ev_vhist_cached(spark, sf_dir)
         .groupBy("cents")
         .agg(
-            F.expr("sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)").alias("ca"),
-            F.expr("sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)").alias("cb"),
+            F.expr("sum(CASE WHEN par = 1 THEN cnt ELSE 0 END)").alias("ca"),
+            F.expr("sum(CASE WHEN par = 0 THEN cnt ELSE 0 END)").alias("cb"),
         )
         # histogram-sized frame feeds the cumulative window AND the
-        # totals -> cut lineage so the event scan happens exactly once
+        # totals -> cut lineage so the rollup happens exactly once
         .localCheckpoint(eager=False)
     )
     wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -6488,19 +6515,15 @@ def x8_wasserstein(spark, sf_dir):
     then the cumulative + lead windows run over the bounded domain
     frame."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
+    # rollup of the shared session value-frequency artifact (r14)
     hg = (
-        ev.where(F.col("value").isNotNull())
-        .selectExpr(
-            "CAST(round(value * 100) AS BIGINT) AS cents",
-            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp",
-        )
+        _ev_vhist_cached(spark, sf_dir)
         .groupBy("cents")
         .agg(
-            F.expr("sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)").alias("ca"),
-            F.expr("sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)").alias("cb"),
+            F.expr("sum(CASE WHEN par = 1 THEN cnt ELSE 0 END)").alias("ca"),
+            F.expr("sum(CASE WHEN par = 0 THEN cnt ELSE 0 END)").alias("cb"),
         )
         .localCheckpoint(eager=False)  # bounded: value domain
     )
@@ -6619,17 +6642,15 @@ def x8_qte(spark, sf_dir):
     quartile pick rule is pure integers (4*cum >= k*n), so every output
     is an exact BIGINT in cents."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
+    # rollup of the shared session value-frequency artifact (r14); the
+    # artifact's CASE parity and this query's CAST(user_id % 2 = 0 AS
+    # INT) coincide (user_id is NOT NULL)
     hg = (
-        ev.where(F.col("value").isNotNull())
-        .selectExpr(
-            "CAST(round(value * 100) AS BIGINT) AS cents",
-            "CAST(user_id % 2 = 0 AS INT) AS grp",
-        )
-        .groupBy("grp", "cents")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _ev_vhist_cached(spark, sf_dir)
+        .groupBy(F.col("par").alias("grp"), "cents")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
     wc = Window.partitionBy("grp").orderBy("cents")
     wall = Window.partitionBy("grp")
@@ -13411,14 +13432,12 @@ def x8_kruskal_wallis(spark, sf_dir):
     tune(spark)
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.where(F.col("value").isNotNull()).selectExpr(
-        "event_type AS grp",
-        "CAST(round(value * 100) AS BIGINT) AS cents",
-    )
+    # rollup of the shared session value-frequency artifact (r14):
+    # per-(cents, type) counts sum over the dropped parity key
     hg0 = (
-        e.groupBy("cents", "grp")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_g"))
+        _ev_vhist_cached(spark, sf_dir)
+        .groupBy("cents", F.col("event_type").alias("grp"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt_g"))
         .localCheckpoint(eager=False)  # histogram-sized: cents x k
     )
     h = hg0.groupBy("cents").agg(F.sum("cnt_g").cast("bigint").alias("cnt"))
@@ -15676,15 +15695,11 @@ def x8_levene(spark, sf_dir):
     tune(spark)
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # rollup of the shared session value-frequency artifact (r14)
     hist = (
-        ev.where(F.col("value").isNotNull())
-        .selectExpr(
-            "event_type AS grp",
-            "CAST(round(value * 100) AS BIGINT) AS cents",
-        )
-        .groupBy("grp", "cents")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        _ev_vhist_cached(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("grp"), "cents")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=False)  # bounded: types x cents domain
     )
     w_cum = (
@@ -16220,15 +16235,11 @@ def x8_mood_median(spark, sf_dir):
     tune(spark)
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # rollup of the shared session value-frequency artifact (r14)
     hist = (
-        ev.where(F.col("value").isNotNull())
-        .selectExpr(
-            "event_type AS grp",
-            "CAST(round(value * 100) AS BIGINT) AS cents",
-        )
-        .groupBy("grp", "cents")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        _ev_vhist_cached(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("grp"), "cents")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=False)  # bounded: types x cents domain
     )
     gh = hist.groupBy("cents").agg(F.sum("cnt").cast("bigint").alias("c"))
@@ -21925,19 +21936,21 @@ def x8_auc(spark, sf_dir):
     from pyspark.sql import Window
 
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
+    # rollup of the shared session value-frequency artifact (r14): the
+    # pos/neg class split is a filter + pivot over event_type
     hist = (
-        ev.where(
-            f"value IS NOT NULL AND event_type IN ('{AUC_POS}', '{AUC_NEG}')"
-        )
-        .selectExpr(
-            "CAST(round(value * 100) AS BIGINT) AS c",
-            f"CAST(event_type = '{AUC_POS}' AS INT) AS pos",
-        )
-        .groupBy("c")
+        _ev_vhist_cached(spark, sf_dir)
+        .where(f"event_type IN ('{AUC_POS}', '{AUC_NEG}')")
+        .groupBy(F.col("cents").alias("c"))
         .agg(
-            F.expr("CAST(sum(pos) AS BIGINT)").alias("g1"),
-            F.expr("CAST(sum(1 - pos) AS BIGINT)").alias("g0"),
+            F.expr(
+                f"CAST(sum(CASE WHEN event_type = '{AUC_POS}'"
+                " THEN cnt ELSE 0 END) AS BIGINT)"
+            ).alias("g1"),
+            F.expr(
+                f"CAST(sum(CASE WHEN event_type = '{AUC_NEG}'"
+                " THEN cnt ELSE 0 END) AS BIGINT)"
+            ).alias("g0"),
         )
     )
     w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
