@@ -159,10 +159,12 @@ def freq_quantile_cont_multi(
     # n == sum of value multiplicities; the mean numerator sum(v*c) is
     # exact whenever v*c and the running total are exactly representable
     # in a double (integral grids — see mean_cols in the docstring)
-    n = freq.groupBy(g, "__m").agg(
-        F.sum("__c").alias("__n"),
-        F.sum(F.col("__v") * F.col("__c")).alias("__sv"),
-    )
+    n_aggs = [F.sum("__c").alias("__n")]
+    if mean_cols:
+        # only when a mean is requested (ADVICE r13): the numerator is
+        # an unused aggregate column for every quantile-only caller
+        n_aggs.append(F.sum(F.col("__v") * F.col("__c")).alias("__sv"))
+    n = freq.groupBy(g, "__m").agg(*n_aggs)
     qcase = "CASE __m " + " ".join(
         f"WHEN '{name}' THEN CAST({float(q)} AS DOUBLE)"
         for name, (_c, q) in metrics.items()

@@ -75,3 +75,92 @@ def test_ev_vhist_rollups_match_direct_histograms(spark):
     assert rows(got) == rows(want)
     # grand totals
     assert hist.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+
+
+def test_freq_quantile_multi_mean_cols_match_avg_on_integral_grid(spark):
+    # ADVICE r13: mean_cols derives the mean from the value-frequency
+    # table as sum(v*c)/sum(c) — on an integral value grid (l_quantity)
+    # this must be BIT-identical to avg() over the raw rows.
+    from diepy_spark.operators.robust import freq_quantile_cont_multi
+    from diepy_spark.plans.extended import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r["l_returnflag"]: r["avg_qty"]
+        for r in freq_quantile_cont_multi(
+            li,
+            "l_returnflag",
+            {"mq": ("l_quantity", 0.5)},
+            mean_cols={"avg_qty": "mq"},
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.avg(F.col("l_quantity").cast("double")).alias("a"))
+        .collect()
+    }
+    assert got == want and got
+    # the integral-grid precondition the equivalence rests on
+    frac = li.where("l_quantity != floor(l_quantity)").count()
+    assert frac == 0
+
+
+def test_freq_quantile_multi_without_mean_cols_unchanged(spark):
+    # ADVICE r13: quantile-only callers must see identical results (and
+    # no stray mean column) now that __sv is built conditionally.
+    from diepy_spark.operators.robust import (
+        freq_quantile_cont,
+        freq_quantile_cont_multi,
+    )
+    from diepy_spark.plans.extended import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    multi = freq_quantile_cont_multi(
+        li, "l_returnflag", {"mq": ("l_quantity", 0.5)}
+    )
+    assert multi.columns == ["l_returnflag", "mq"]
+    single = freq_quantile_cont(
+        li.withColumn("__d", F.col("l_quantity").cast("double")),
+        "l_returnflag", "__d", 0.5, out="mq",
+    )
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_corpus_funnel_clean_param_matches_internal_path(spark):
+    # ADVICE r13: corpus_funnel(clean=clean_corpus(...)) at the SAME
+    # thresholds must equal the internal-path funnel row for row, and
+    # stage doc counts must be monotonically non-increasing (the
+    # consistency guard for a mismatched clean frame).
+    from diepy_spark.operators.corpus import clean_corpus, corpus_funnel
+    from diepy_spark.plans.extended import (
+        CLEAN_MAX_DUP3,
+        CLEAN_MIN_SCORE,
+        CLEAN_MIN_TOKENS,
+        JACCARD_MAX_DF,
+        JACCARD_THRESHOLD,
+        _docs,
+        _sdflags_cached,
+    )
+
+    docs = _docs(spark, SF)
+    flags = _sdflags_cached(spark, SF).select(
+        F.col("vec_id").alias("doc_id"), "is_dup"
+    )
+    kw = dict(
+        min_tokens=CLEAN_MIN_TOKENS,
+        min_score=CLEAN_MIN_SCORE,
+        max_dup3=CLEAN_MAX_DUP3,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+    internal = sorted(map(tuple, corpus_funnel(docs, flags, **kw).collect()))
+    cleaned = clean_corpus(docs, **kw)
+    via_clean = sorted(
+        map(tuple, corpus_funnel(docs, flags, clean=cleaned, **kw).collect())
+    )
+    assert internal == via_clean and internal
+    docs_by_stage = [r[2] for r in sorted(via_clean)]
+    assert docs_by_stage == sorted(docs_by_stage, reverse=True)
