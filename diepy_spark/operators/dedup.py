@@ -1330,12 +1330,21 @@ def ppjoin_best_match(
     par = left.sparkSession.sparkContext.defaultParallelism
 
     dm, usig = _ppjoin_front(left, right, text_col, id_col)
-    # the UNIQUE-signature token ledger (df, prefixes, verify) — a
-    # narrow explode over the checkpointed usig blocks, rebuilt per
-    # consumer for free (the _supply_sym discipline)
-    tk = usig.select("side", "d", "sz", F.explode("toks").alias("tok"))
+    # r14 (guide §2.3 "narrower types"): the candidate stage explodes
+    # to millions of (da, db) pairs (measured 1.9M at sf0.1), and every
+    # byte of the pair keys is shuffled through the join, the distinct
+    # and the verify joins. So the pair stage runs on NARROW keys:
+    # records as unhex(sig) BINARY(16) — exact and injective over the
+    # md5 hex, half the bytes and cheap comparisons — and the join
+    # token as xxhash64(tok) BIGINT. The prefix ORDER (df asc, tok)
+    # stays on exact token strings, so the prefix sets are exactly the
+    # PPJoin ones; a hash collision on the join key can only ADD
+    # candidate pairs (a lossless superset — the exact-intersection
+    # verify drops them), never lose one.
+    u16 = usig.withColumn("d16", F.expr("unhex(d)"))
+    tk = u16.select("side", "d16", "sz", F.explode("toks").alias("tok"))
     dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    wo = Window.partitionBy("side", "d").orderBy(F.col("df").asc(), "tok")
+    wo = Window.partitionBy("side", "d16").orderBy(F.col("df").asc(), "tok")
     ordered = tk.join(dfq, "tok").withColumn(
         "rn", F.row_number().over(wo).cast("bigint")
     )
@@ -1348,21 +1357,21 @@ def ppjoin_best_match(
         ordered.where(
             F.expr(f"rn <= sz - ((sz * {t_num} + {t_den} - 1) div {t_den}) + 1")
         )
-        .select("side", "d", "tok", "rn", "sz")
+        .select("side", "d16", F.xxhash64("tok").alias("tid"), "rn", "sz")
         .localCheckpoint(eager=False)
     )
     pl = pref.where("side = 0").select(
-        F.col("d").alias("da"), F.col("tok").alias("tok"),
+        F.col("d16").alias("da"), F.col("tid").alias("tid"),
         F.col("rn").alias("rna"), F.col("sz").alias("sza"),
     )
     pr = pref.where("side = 1").select(
-        F.col("d").alias("db"), F.col("tok").alias("tok"),
+        F.col("d16").alias("db"), F.col("tid").alias("tid"),
         F.col("rn").alias("rnb"), F.col("sz").alias("szb"),
     )
-    plp = pl.repartition(par, F.col("tok"))
-    prp = pr.repartition(par, F.col("tok"))
+    plp = pl.repartition(par, F.col("tid"))
+    prp = pr.repartition(par, F.col("tid"))
     cand = (
-        plp.join(prp.hint("shuffle_hash"), "tok")
+        plp.join(prp.hint("shuffle_hash"), "tid")
         .where(
             F.expr(
                 f"sza * {t_den} >= szb * {t_num}"
@@ -1384,12 +1393,12 @@ def ppjoin_best_match(
     # onto the right ledger by (db, tok), re-aggregated by pair, and then
     # joined the two size frames back on — three extra exchanges plus the
     # candidate x token row blow-up, all for a count the arrays hold.
-    ua = usig.where("side = 0").select(
-        F.col("d").alias("da"), F.col("sz").alias("sza"),
+    ua = u16.where("side = 0").select(
+        F.col("d16").alias("da"), F.col("sz").alias("sza"),
         F.col("toks").alias("toks_a"),
     )
-    ub = usig.where("side = 1").select(
-        F.col("d").alias("db"), F.col("sz").alias("szb"),
+    ub = u16.where("side = 1").select(
+        F.col("d16").alias("db"), F.col("sz").alias("szb"),
         F.col("toks").alias("toks_b"),
     )
     res = (
@@ -1413,13 +1422,13 @@ def ppjoin_best_match(
     # docs — the per-da result set never multiplies through db copies.
     rmult = (
         dm.where("side = 1")
-        .groupBy("sig")
+        .groupBy(F.expr("unhex(sig)").alias("sig16"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
             F.min("d").alias("min_db"),
         )
     )
-    qual = res.join(rmult, res["db"] == rmult["sig"]).select(
+    qual = res.join(rmult, res["db"] == rmult["sig16"]).select(
         F.col("da").alias("siga"), "jac", "cnt", "min_db"
     )
     wb = Window.partitionBy("siga").orderBy(
@@ -1434,8 +1443,8 @@ def ppjoin_best_match(
     )
     return (
         dm.where("side = 0")
-        .select(F.col("d").alias("da"), "sig")
-        .join(best, F.col("sig") == F.col("siga"))
+        .select(F.col("d").alias("da"), F.expr("unhex(sig)").alias("sig16"))
+        .join(best, F.col("sig16") == F.col("siga"))
         .select("da", F.col("min_db").alias("db"), "jac", "n_matches")
     )
 
