@@ -99,6 +99,18 @@ HEAVY = [
     # prices the instrument's claim that the exact side stays bounded
     # by the seed sample while the sketch side scales like hyperball.
     "x11_hyperball_error",
+    # round-14: the walk builders were re-planned onto the CSR
+    # adjacency-array artifact (vertex-sized joins + per-row array
+    # arithmetic instead of the candidate-expansion window) — the
+    # ladder rows price the claim that only vertex-sized frames move;
+    # cold run 1 includes the walks-corpus build, the number VERDICT
+    # r13 #1 regressed on.
+    "x11_node2vec",
+    "x11_random_walks",
+    # round-14: the cleaned-corpus artifact itself (x10_training_corpus
+    # above consumes it; this row prices the build+read path the
+    # VERDICT r13 #4 list names).
+    "x10_clean_corpus",
 ]
 
 
