@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from diepy_spark.operators.dedup import tokens_expr
 
 SA_MAX_TOKENS = 128  # doubling rounds: 1->2->...->128 (7), LCP levels 64..1
+_FUSE_ARITY = 16  # max rank keys in the fused arrays-mode row-number pass
 
 
 def block_dense_rank(
@@ -122,6 +123,71 @@ def block_row_number(
         .withColumn(out, (F.col("__lr") + F.col("__off")).cast("long"))
         .drop("__pid", "__lr", "__off")
     )
+
+
+def block_adjacent_pairs(
+    df: DataFrame,
+    keys: list[str],
+    carry: list[str],
+    parts: int | None = None,
+) -> DataFrame:
+    """All CONSECUTIVE row pairs of `df` under the total order `keys`,
+    with each side's `carry` columns as (`c`, `c`+"2") — the distributed
+    equivalent of `row_number over keys` + a self-join on (rn, rn-1),
+    without materializing the row number or shuffling the frame twice
+    more through the self-join (guide §2.4, remove shuffles outright):
+
+    - range-partition + sort on `keys` (equal keys never straddle a
+      boundary, partitions are globally ordered — the block_row_number
+      layout, ONE exchange);
+    - WITHIN a partition, consecutive rows pair via lead() over the
+      local sort (no further exchange);
+    - ACROSS partitions, the j-th non-empty partition's LAST row pairs
+      with the (j+1)-th non-empty partition's FIRST row: firsts/lasts
+      are one row per partition (row_number() == 1 from either end of
+      the local sort), and the stitch windows run over that partition-
+      count-bounded frame only. Empty partitions (the range partitioner
+      can produce them) are skipped by ranking non-empty partitions
+      densely before pairing.
+
+    `keys` must be non-null and a total order (ties would make the
+    pairing partitioning-dependent — same contract as block_row_number).
+    Output: one row per consecutive pair, `carry` + `carry2` columns."""
+    spark = df.sparkSession
+    p = parts or spark.sparkContext.defaultParallelism
+    b = (
+        df.repartitionByRange(p, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*keys)
+    lead_cols = [F.lead(c).over(wloc).alias(f"{c}2") for c in carry]
+    within = b.select(*carry, *lead_cols).where(
+        F.col(f"{carry[0]}2").isNotNull()
+    )
+    # partition-boundary stitch: each partition's extreme rows via ONE
+    # sort-free aggregate (min/max over the key-leading struct — the
+    # keys are a total order, so the struct comparison never reaches
+    # the carried trailing fields ambiguously; partial map-side
+    # aggregation emits one row per partition before the exchange).
+    # The stitch windows below run over <= `p` rows.
+    srt = F.struct(*[F.col(k) for k in keys], *[F.col(c) for c in carry if c not in keys])
+    ends = b.groupBy("__pid").agg(
+        F.min(srt).alias("__lo"), F.max(srt).alias("__hi")
+    )
+    wseq = Window.orderBy("__pid")
+    lasts_j = ends.select("__pid", "__hi").withColumn(
+        "__j", F.row_number().over(wseq)
+    )
+    firsts_j = ends.select("__pid", "__lo").withColumn(
+        "__j", F.row_number().over(wseq) - 1
+    )
+    boundary = lasts_j.join(firsts_j, "__j").select(
+        *[F.col(f"__hi.{c}").alias(c) for c in carry],
+        *[F.col(f"__lo.{c}").alias(f"{c}2") for c in carry],
+    )
+    return within.unionByName(boundary)
 
 
 def block_running_sum(
@@ -327,17 +393,37 @@ def adjacent_suffix_lcp(
     table); ranks mode seeds at 1 because the descent consumes every
     level.
 
-    arrays mode additionally FUSES the final quadrupling round into the
-    row-number pass (r13): the top-level dense rank existed only to be
-    the row_number sort key, and row_number over the level-k key TUPLE
-    (r, r[i+k], r[i+2k], r[i+3k], d, i) with 4k >= max_tokens is the
-    identical total order (dense_rank is order-isomorphic to its key),
-    so the ladder stops one round earlier and the last dense-rank block
-    pass disappears."""
+    arrays mode additionally FUSES the tail of the ladder into the
+    final ordering pass: the top-level dense rank existed only to be
+    the suffix-array sort key, and the level-k key TUPLE
+    (r[i], r[i+k], ..., r[i+(m-1)k], d, i) with m*k >= max_tokens is the
+    identical total order (lexicographic comparison of consecutive
+    k-window ranks covering the whole truncated suffix == the truncated-
+    suffix order, sentinel 0 for positions past the end; dense_rank is
+    order-isomorphic to its key). r13 fused the LAST quadrupling round
+    (m = 4); r14 widens the fuse to m <= _FUSE_ARITY = 16 rank keys, so
+    at the default (max_tokens=128, seed g=8) the ladder stops AT THE
+    SEED and the intermediate quadrupling block pass disappears
+    entirely: one dense rank over g-token windows + ONE lead window
+    (15 leads, a single window node / one exchange by d) + one
+    adjacency pass — guide §2.4, remove shuffles outright. Byte
+    accounting: the fused exchange carries m ints per position ONCE
+    where the ladder shipped 4 ints per position through every
+    remaining round's two exchanges — fewer barriers at comparable
+    shuffle bytes.
+
+    Both modes take adjacent pairs straight off the range-partitioned
+    sort (block_adjacent_pairs, r14): the old shape materialized a
+    block row number, localCheckpointed the suffix frame and
+    self-joined it on (rn, rn-1) — the offsets aggregate, the
+    checkpoint (whose lazy form still pays full physical planning +
+    AQE stage execution at call time) and two hash exchanges of the
+    whole frame, all replaced by a per-partition lead() plus a
+    partition-count-bounded boundary stitch."""
     if mode == "arrays":
         g = min(8, max_tokens)
         top_needed = g
-        while 4 * top_needed < max_tokens:
+        while _FUSE_ARITY * top_needed < max_tokens:
             top_needed *= 4
         levels = suffix_array_ranks(
             df,
@@ -352,16 +438,13 @@ def adjacent_suffix_lcp(
         paired = levels[k]
         keys = ["r"]
         wd = Window.partitionBy("d").orderBy("i")
-        for j in range(1, 4):
+        arity = min(_FUSE_ARITY, -(-max_tokens // k))  # ceil, >= 1
+        for j in range(1, arity):
             paired = paired.withColumn(
                 f"__r{j}", F.coalesce(F.lead("r", j * k).over(wd), F.lit(0))
             )
             keys.append(f"__r{j}")
-        # both adjacency sides (rn and rn-1) read the suffix-array
-        # frame: cut lineage so the fused pass runs once, not per side.
-        sa = block_row_number(
-            paired, [*keys, "d", "i"], out="rn"
-        ).localCheckpoint(eager=False)
+        sa_keys = [*keys, "d", "i"]
     else:
         levels = suffix_array_ranks(
             df,
@@ -371,23 +454,23 @@ def adjacent_suffix_lcp(
             seed_g=1,
             retain=True,
         )
-        top = max(levels)
-        sa = block_row_number(levels[top], ["r", "d", "i"], out="rn").localCheckpoint(
-            eager=False
-        )
-    a = sa.select(
+        paired = levels[max(levels)]
+        sa_keys = ["r", "d", "i"]
+    # adjacency DIRECTLY off the range-partitioned sort (r14, guide
+    # §2.4): the old shape materialized a row number (offsets aggregate
+    # + broadcast join), checkpointed the frame, and self-joined it on
+    # (rn, rn-1) — two more hash exchanges of the whole suffix frame.
+    # Consecutive-pair extraction needs none of that: pairs are adjacent
+    # rows of the range sort itself (+ a partition-count-bounded
+    # boundary stitch).
+    adj = block_adjacent_pairs(paired, sa_keys, carry=["d", "i", "n"]).select(
         F.col("d").alias("da"),
         F.col("i").alias("ia"),
         F.col("n").alias("na"),
-        "rn",
+        F.col("d2").alias("db"),
+        F.col("i2").alias("ib"),
+        F.col("n2").alias("nb"),
     )
-    b = sa.select(
-        F.col("d").alias("db"),
-        F.col("i").alias("ib"),
-        F.col("n").alias("nb"),
-        (F.col("rn") - 1).alias("rn"),
-    )
-    adj = a.join(b, "rn")
     if mode == "arrays":
         toks_sql = f"slice({tokens_expr(text_col)}, 1, {max_tokens})"
         # consumed twice (da and db sides): tokenize the corpus once
