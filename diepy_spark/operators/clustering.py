@@ -949,14 +949,22 @@ def bfs_distances(
     if not assume_distinct:
         e = e.distinct().localCheckpoint(eager=False)
     seed_col = seeds.columns[0]
-    dist = (
+    frontier = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("d", F.lit(0))
         .localCheckpoint(eager=False)
     )
-    frontier = dist
+    # r14: the settled set is BY CONSTRUCTION the disjoint union of the
+    # per-round frontier checkpoints, so the per-round `dist` checkpoint
+    # (one more planning + materialization pass per round for rows that
+    # all sit in frontier blocks already) is dropped; the union of
+    # checkpointed frames keeps lineage flat on its own.
+    fronts = [frontier]
     for t in range(1, iterations + 1):
+        dist = fronts[0]
+        for f in fronts[1:]:
+            dist = dist.unionByName(f)
         cand = (
             e.join(frontier.select(F.col("node").alias("src")), "src")
             .select(F.col("dst").alias("node"))
@@ -967,7 +975,10 @@ def bfs_distances(
             .withColumn("d", F.lit(t))
             .localCheckpoint(eager=False)
         )
-        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
+        fronts.append(frontier)
+    dist = fronts[0]
+    for f in fronts[1:]:
+        dist = dist.unionByName(f)
     return dist
 
 
@@ -1427,6 +1438,44 @@ def _hb_node_ball(regs: DataFrame, m: int, alpha: float) -> DataFrame:
     )
 
 
+def _hb_tier_balls(
+    tier_regs: list[tuple[int, DataFrame]],
+    m: int,
+    alpha: float,
+    sd: DataFrame | None = None,
+) -> DataFrame:
+    """(t, ball) per node per round, folded in ONE aggregation pass
+    (r14, guide §2.4): the old shape ran _hb_node_ball's groupBy once
+    PER TIER — iterations+1 separate passes over register state that is
+    nodes x m rows each — then unioned the results. Tagging each tier
+    with its round literal and folding by (t, node) is one pass over
+    the union of the (already-checkpointed) tier frames. Bit-identical:
+    the per-(t, node) float sum of 2^-mr is EXACT (the <53-bit
+    dyadic-sum argument in hll_rho_sql), hence grouping- and
+    order-invariant. `sd` (optional broadcast seed filter) keeps the
+    fold restricted per tier without extra exchanges — the semi-joins
+    fuse into the single stage feeding the aggregate."""
+    allr = None
+    for t, regs in tier_regs:
+        r = regs if sd is None else regs.join(F.broadcast(sd), "node")
+        r = r.select(F.lit(t).alias("t"), "node", "mr")
+        allr = r if allr is None else allr.unionByName(r)
+    agg = allr.groupBy("t", "node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nb")))
+    v = F.lit(m) - F.col("nb")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(m) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "t",
+        F.round(est, 4).cast("decimal(18,4)").alias("ball"),
+    )
+
+
 def hb_prepare(
     edges: DataFrame,
     iterations: int = 3,
@@ -1503,15 +1552,7 @@ def hyperball(
     _e, tier_regs = prepared
     alpha = hll_alpha(m)
 
-    def ball_estimates(regs: DataFrame, t: int) -> DataFrame:
-        return _hb_node_ball(regs, m, alpha).select(
-            F.lit(t).alias("t"), "ball"
-        )
-
-    tiers = [ball_estimates(regs, t) for t, regs in tier_regs]
-    allt = tiers[0]
-    for f in tiers[1:]:
-        allt = allt.unionByName(f)
+    allt = _hb_tier_balls(tier_regs, m, alpha)
     per_t = allt.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("ball").alias("nf_dec"),
@@ -1579,15 +1620,7 @@ def hyperball_exact_error(
     )
     alpha = hll_alpha(m)
 
-    est_tiers = [
-        _hb_node_ball(regs.join(F.broadcast(sd), "node"), m, alpha).select(
-            F.lit(t).alias("t"), "ball"
-        )
-        for t, regs in tier_regs
-    ]
-    est_all = est_tiers[0]
-    for f in est_tiers[1:]:
-        est_all = est_all.unionByName(f)
+    est_all = _hb_tier_balls(tier_regs, m, alpha, sd=sd)
     est = est_all.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_seeds"),
         F.sum("ball").alias("est_dec"),
@@ -1602,11 +1635,17 @@ def hyperball_exact_error(
     # never re-joins. Identical output to the naive re-join-everything
     # form, at frontier x degree join volume per round instead of
     # reached x degree.
-    dist = sd.select(
+    frontier = sd.select(
         F.col("node").alias("seed"), "node", F.lit(0).alias("d")
-    ).localCheckpoint(eager=False)
-    frontier = dist
+    )
+    # r14: settled set = disjoint union of the frontier checkpoints; the
+    # per-round `dist` checkpoint is redundant (see bfs_distances). The
+    # round-0 frame is a projection of the already-checkpointed sd.
+    fronts = [frontier]
     for t in range(1, iterations + 1):
+        dist = fronts[0]
+        for f in fronts[1:]:
+            dist = dist.unionByName(f)
         cand = (
             e.join(frontier.select("seed", F.col("node").alias("src")), "src")
             .select("seed", F.col("dst").alias("node"))
@@ -1617,7 +1656,10 @@ def hyperball_exact_error(
             .withColumn("d", F.lit(t))
             .localCheckpoint(eager=False)
         )
-        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
+        fronts.append(frontier)
+    dist = fronts[0]
+    for f in fronts[1:]:
+        dist = dist.unionByName(f)
     exact = (
         dist.select(F.explode(F.sequence(F.col("d"), F.lit(iterations))).alias("t"))
         .groupBy("t")
@@ -1753,11 +1795,16 @@ def per_source_bfs(
     if not assume_distinct:
         e = e.distinct().localCheckpoint(eager=False)
     seed_col = seeds.columns[0]
-    dist = seeds.selectExpr(
+    frontier = seeds.selectExpr(
         f"{seed_col} AS s", f"{seed_col} AS node", "CAST(0 AS INT) AS d"
     ).localCheckpoint(eager=False)
-    frontier = dist
+    # r14: settled set = disjoint union of the frontier checkpoints; the
+    # per-round `dist` checkpoint is redundant (see bfs_distances).
+    fronts = [frontier]
     for t in range(1, iterations + 1):
+        dist = fronts[0]
+        for f in fronts[1:]:
+            dist = dist.unionByName(f)
         cand = (
             e.join(frontier.select("s", F.col("node").alias("src")), "src")
             .select("s", F.col("dst").alias("node"))
@@ -1768,7 +1815,10 @@ def per_source_bfs(
             .withColumn("d", F.lit(t).cast("int"))
             .localCheckpoint(eager=False)
         )
-        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
+        fronts.append(frontier)
+    dist = fronts[0]
+    for f in fronts[1:]:
+        dist = dist.unionByName(f)
     return dist
 
 
